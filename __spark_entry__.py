@@ -1,38 +1,467 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 via
+the ``data_pipeline_ine_spark`` package; ``oracle_sql()`` holds the DuckDB
+equivalent. Column names are aliased identically on both sides.
+
+Determinism notes (the driver hash-compares values):
+- Money sums go through ``decimal(18,2)`` (exact, order-insensitive) and are
+  cast back to double — Spark's partial-aggregation order can't perturb them.
+- Averages are computed as exact decimal sum / count, rounded.
+- Every ORDER BY ... LIMIT has a unique tiebreaker column.
 """
 
 from __future__ import annotations
 
+import datetime
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_ine_spark.operators.aggregates import group_count
+from data_pipeline_ine_spark.operators.filters import sparse_entity_filter
+from data_pipeline_ine_spark.operators.joins import attach_label
+from data_pipeline_ine_spark.operators.setops import union_distinct
+from data_pipeline_ine_spark.operators.windows import sequential_id, top_k
+from data_pipeline_ine_spark.plans.builder import ViewDefinition, consolidate
+from data_pipeline_ine_spark.sources.registry import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _dec_sum(col, alias):
+    """Deterministic money sum: exact decimal accumulation → double."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _event_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.to_date("ts").alias("event_date"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's consolidated-view semantics (step5) over events —
+# sparse-entity filter (step4) + scaffold/pivot consolidation (step5 J4/U1).
+# ---------------------------------------------------------------------------
+def q_v_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _event_facts(spark, sf_dir)
+    dense = sparse_entity_filter(
+        facts, ["event_date", "user_id"], value_col="value", min_records=3
+    )
+    view = ViewDefinition(
+        name="v_user_day",
+        members=tuple(EVENT_TYPES),
+        period_out="event_date",
+        station_out="user_id",
+    )
+    wide = consolidate(
+        dense,
+        view,
+        agg_expr="sum",
+        period_col="event_date",
+        station_col="user_id",
+        dataset_col="event_type",
+        value_col="value",
+    )
+    return wide.select(
+        "event_date",
+        "user_id",
+        *[F.round(F.col(t), 2).alias(t) for t in EVENT_TYPES],
+    )
+
+
+ORACLE_V_CONSOLIDATION = """
+WITH facts AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id, event_type, value
+  FROM events
+), keep AS (
+  SELECT event_date, user_id FROM facts
+  WHERE event_date IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2 HAVING COUNT(value) >= 3
+)
+SELECT f.event_date, f.user_id,
+  ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2)    AS click,
+  ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 2)    AS error,
+  ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+  ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 2)   AS signup,
+  ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 2)     AS view
+FROM facts f JOIN keep k USING (event_date, user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish Q1: pricing summary (A1/A6/A7 + O1)
+# ---------------------------------------------------------------------------
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # NTZ literal: wall-clock comparison, session-timezone-invariant
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            # disc_price is exactly a 4-dp decimal (2dp price × 2dp factor);
+            # cast at natural scale so double→decimal rounding is unambiguous
+            F.round(F.sum(disc_price.cast("decimal(22,4)")).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(charge.cast("decimal(24,6)")).cast("double"), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE), 2) AS sum_charge,
+  ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sparse-entity filter (step4: A1+A2+P5+P6 as anti-join)
+# ---------------------------------------------------------------------------
+def q_sparse_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _event_facts(spark, sf_dir)
+    dense = sparse_entity_filter(
+        facts, ["user_id", "event_type"], value_col="value", min_records=5
+    )
+    return group_count(dense, ["user_id", "event_type"], value_col="value")
+
+
+ORACLE_SPARSE = """
+WITH clean AS (
+  SELECT user_id, event_type, value FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND event_type <> ''
+)
+SELECT user_id, event_type, COUNT(value) AS n
+FROM clean
+GROUP BY user_id, event_type
+HAVING COUNT(value) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-attachment joins (J1/J2): orders → customer → nation → region
+# ---------------------------------------------------------------------------
+def q_label_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    region = load_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_regionkey", "n_regionkey"
+    )
+    out = attach_label(orders, customer, on="o_custkey")
+    out = attach_label(out, nation, on="c_nationkey")
+    out = attach_label(out, region, on="n_regionkey")
+    return out.select("o_orderkey", "c_name", "n_name", "r_name")
+
+
+ORACLE_LABEL_JOIN = """
+SELECT o_orderkey, c_name, n_name, r_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distincts / dedup / catalogs (A3-A5, U3, W1)
+# ---------------------------------------------------------------------------
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.aggregates import distinct_values
+
+    return distinct_values(load_table(spark, sf_dir, "events"), ["event_type"])
+
+
+ORACLE_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+ORACLE_USERS_PER_TYPE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_dedup_catalog_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic-survivor variant of A5 (see operators.aggregates.dedup_on)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+ORACLE_DEDUP_CATALOG = """
+SELECT lang, source, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_entity_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # v_entidades_agua semantics (step5_create_views.py:550-633): union of
+    # per-type distinct entities → sequential id over (tipo, nombre).
+    docs = load_table(spark, sf_dir, "documents")
+    langs = docs.select(
+        F.lit("lang").alias("tipo"), F.col("lang").alias("nombre")
+    )
+    sources = docs.select(
+        F.lit("source").alias("tipo"), F.col("source").alias("nombre")
+    )
+    catalog = union_distinct([langs, sources])
+    return sequential_id(catalog, ["tipo", "nombre"]).select("id", "nombre", "tipo")
+
+
+ORACLE_ENTITY_CATALOG = """
+WITH ents AS (
+  SELECT DISTINCT 'lang' AS tipo, lang AS nombre FROM documents
+  UNION
+  SELECT DISTINCT 'source' AS tipo, source AS nombre FROM documents
+)
+SELECT ROW_NUMBER() OVER (ORDER BY tipo, nombre) AS id, nombre, tipo
+FROM ents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k (O2) / scaffold union (U1)
+# ---------------------------------------------------------------------------
+def q_top5_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = group_count(events, ["user_id"])
+    return top_k(counts, [F.desc("n"), F.asc("user_id")], 5)
+
+
+ORACLE_TOP5_USERS = """
+SELECT user_id, COUNT(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 5
+"""
+
+
+def q_union_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _event_facts(spark, sf_dir)
+    views = facts.filter(F.col("event_type") == "view").select("event_date", "user_id")
+    clicks = facts.filter(F.col("event_type") == "click").select(
+        "event_date", "user_id"
+    )
+    return union_distinct([views, clicks])
+
+
+ORACLE_UNION_SCAFFOLD = """
+SELECT CAST(ts AS DATE) AS event_date, user_id FROM events WHERE event_type = 'view'
+UNION
+SELECT CAST(ts AS DATE) AS event_date, user_id FROM events WHERE event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (A8) — exact, per group
+# ---------------------------------------------------------------------------
+def q_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.aggregates import percentile_summary
+
+    events = load_table(spark, sf_dir, "events")
+    out = percentile_summary(events, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        *[F.round(F.col(c), 6).alias(c) for c in ("p50", "p90", "p95", "p98", "p99")],
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.50), 6) AS p50,
+  ROUND(quantile_cont(value, 0.90), 6) AS p90,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+  ROUND(quantile_cont(value, 0.98), 6) AS p98,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Numeric-coercion heuristic (F4) as a ratio query
+# ---------------------------------------------------------------------------
+def q_numeric_coercion_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars_str", F.col("n_chars").cast("string")
+    )
+
+    def ratio(c: str):
+        return F.round(
+            F.sum(F.col(c).try_cast("double").isNotNull().cast("int"))
+            / F.greatest(F.sum(F.col(c).isNotNull().cast("int")), F.lit(1)),
+            3,
+        )
+
+    return docs.agg(
+        ratio("text").alias("ratio_text"),
+        ratio("n_chars_str").alias("ratio_n_chars"),
+    )
+
+
+ORACLE_COERCION = """
+SELECT
+  ROUND(SUM(CASE WHEN TRY_CAST(text AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
+        / GREATEST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END), 1), 3) AS ratio_text,
+  ROUND(SUM(CASE WHEN TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)
+        / GREATEST(SUM(CASE WHEN CAST(n_chars AS VARCHAR) IS NOT NULL THEN 1 ELSE 0 END), 1), 3) AS ratio_n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filter + projection pushdown (P1-P5)
+# ---------------------------------------------------------------------------
+def q_filtered_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # disc product is exactly a 4-dp decimal; recover it at natural scale
+    # before rounding so Spark and any SQL engine round the same half-cases
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return l.filter(F.col("l_quantity") < 5).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 2).cast("double").alias("net_price"),
+    )
+
+
+ORACLE_FILTERED_NET = """
+SELECT l_orderkey, l_linenumber,
+  CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)), 2) AS DOUBLE) AS net_price
+FROM lineitem WHERE l_quantity < 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar stats (A7) + JSON extraction (props column)
+# ---------------------------------------------------------------------------
+def q_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_ORDERS_STATS = """
+SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+def q_json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return events.groupBy("event_type").agg(F.sum(k).alias("sum_k"))
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+  SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_v_consolidation(spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", SF_SMOKE))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "v_consolidation": q_v_consolidation,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "sparse_entity_counts": q_sparse_entity_counts,
+        "label_join_orders": q_label_join_orders,
+        "distinct_event_types": q_distinct_event_types,
+        "users_per_event_type": q_users_per_event_type,
+        "dedup_catalog_docs": q_dedup_catalog_docs,
+        "entity_catalog": q_entity_catalog,
+        "top5_users": q_top5_users,
+        "union_scaffold": q_union_scaffold,
+        "percentiles_by_type": q_percentiles_by_type,
+        "numeric_coercion_ratio": q_numeric_coercion_ratio,
+        "filtered_net_price": q_filtered_net_price,
+        "orders_stats": q_orders_stats,
+        "json_props_sum": q_json_props_sum,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "v_consolidation": ORACLE_V_CONSOLIDATION,
+        "q1_pricing_summary": ORACLE_Q1,
+        "sparse_entity_counts": ORACLE_SPARSE,
+        "label_join_orders": ORACLE_LABEL_JOIN,
+        "distinct_event_types": ORACLE_DISTINCT_TYPES,
+        "users_per_event_type": ORACLE_USERS_PER_TYPE,
+        "dedup_catalog_docs": ORACLE_DEDUP_CATALOG,
+        "entity_catalog": ORACLE_ENTITY_CATALOG,
+        "top5_users": ORACLE_TOP5_USERS,
+        "union_scaffold": ORACLE_UNION_SCAFFOLD,
+        "percentiles_by_type": ORACLE_PERCENTILES,
+        "numeric_coercion_ratio": ORACLE_COERCION,
+        "filtered_net_price": ORACLE_FILTERED_NET,
+        "orders_stats": ORACLE_ORDERS_STATS,
+        "json_props_sum": ORACLE_JSON_PROPS,
+    }

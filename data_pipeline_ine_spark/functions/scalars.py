@@ -1,0 +1,41 @@
+"""Scalar column functions (SURVEY.md §2.7 F1-F3, F6).
+
+All JVM-side Catalyst expressions (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sanitize_name(col: Column | str, max_len: int = 100) -> Column:
+    """F1 — filesystem-safe snake_case name.
+
+    Reference: ``steps/step1_scraper.py:50-54`` (strip non-word chars,
+    collapse whitespace to ``_``, truncate to 100).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c, r"[^\w\s-]", "")
+    underscored = F.regexp_replace(F.trim(cleaned), r"\s+", "_")
+    return F.substring(F.lower(underscored), 1, max_len)
+
+
+def strip_suffix(col: Column | str, suffix: str = ".csv") -> Column:
+    """F2 — remove a trailing suffix (``Path.stem`` analog).
+
+    Reference: ``steps/step4_filter_stations.py:54``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    import re
+
+    return F.regexp_replace(c, re.escape(suffix) + "$", "")
+
+
+def view_name(col: Column | str, prefix: str = "v_") -> Column:
+    """F6 — ``v_`` view-naming convention.
+
+    Reference: ``steps/step5_create_views.py:475``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(prefix), c)

@@ -1,0 +1,86 @@
+"""Table registry over the layered parquet store.
+
+Replaces the reference's per-step file plumbing (list → read whole CSV →
+mutate → rewrite; ``utils/storage_factory.py:15-232``) with declarative scans:
+Spark's Hadoop FS layer already abstracts local vs object store
+(``file://`` / ``s3a://``), so there is no storage-factory code to write.
+
+Scans are column-pruned and filter-pushed by Catalyst — callers select/filter
+on the returned DataFrame and the parquet reader sees only what it needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_ine_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _micros_to_ntz(micros: Column) -> Column:
+    """Epoch microseconds → TIMESTAMP_NTZ via pure wall-clock arithmetic.
+
+    Splitting at day granularity keeps the sub-day remainder exactly
+    representable as a double in ``make_dt_interval`` seconds.
+    """
+    days = (micros / F.lit(86_400_000_000)).cast("int")
+    sub = (micros % F.lit(86_400_000_000)).cast("double") / F.lit(1_000_000.0)
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        days, F.lit(0), F.lit(0), sub
+    )
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Rewrite every TIMESTAMP column as TIMESTAMP_NTZ carrying the parquet
+    file's naive wall-clock value, independent of the session timezone.
+
+    Spark interprets un-adjusted parquet timestamps as UTC instants and then
+    renders/buckets them in ``spark.sql.session.timeZone`` — so ``to_date``
+    or a literal comparison silently shifts under a non-UTC session. An
+    oracle engine (DuckDB) reads the same values as naive timestamps. NTZ is
+    the type that matches those semantics; ``unix_micros`` extracts the
+    instant without any timezone math.
+    """
+    ts_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    for c in ts_cols:
+        df = df.withColumn(c, _micros_to_ntz(F.unix_micros(F.col(c))))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic table as parquet (TESTDATA.md contract).
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64 via
+    the runtime-settable legacy flag and rebuild a TIMESTAMP_NTZ column at
+    microsecond precision. NTZ (not ``timestamp_micros``) keeps every
+    downstream ``to_date``/``date_trunc`` session-timezone-invariant — the
+    parquet value is a naive wall-clock reading, and an oracle engine
+    (DuckDB) treats it as such, so the engine must too regardless of the
+    caller's ``spark.sql.session.timeZone``.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", _micros_to_ntz(F.expr("ts div 1000")))
+    return _normalize_timestamps(spark.read.parquet(path))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
