@@ -420,6 +420,165 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-ish join/agg suite (J1-J3 at fact scale + A1/A7): Q3, Q5, Q6
+# Dates adapted to the synthetic data's 1995-2001 range.
+# ---------------------------------------------------------------------------
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+                    "c_custkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Local-supplier semantics: customer and supplier in the same nation.
+    # Dimension chain (nation⋈region) broadcasts; the lineitem⋈orders join is
+    # the only shuffle of fact-scale data.
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+    dims = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure scan+filter+agg: every predicate pushes to the parquet reader.
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(22,4)")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partitioned ranking window (extension beyond the reference's W1)
+# ---------------------------------------------------------------------------
+def q_window_top_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each user's highest-spend day via row_number over a partitioned window.
+    facts = _event_facts(spark, sf_dir)
+    daily = facts.groupBy("user_id", "event_date").agg(
+        F.round(F.sum("value"), 2).alias("day_total")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("day_total"), F.asc("event_date")
+    )
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_date", "day_total")
+    )
+
+
+ORACLE_WINDOW_TOP_DAY = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date, ROUND(SUM(value), 2) AS day_total
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_date, day_total,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_total DESC, event_date) AS rn
+  FROM daily
+)
+SELECT user_id, event_date, day_total FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -444,6 +603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_net_price": q_filtered_net_price,
         "orders_stats": q_orders_stats,
         "json_props_sum": q_json_props_sum,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "window_top_day": q_window_top_day,
     }
 
 
@@ -464,4 +627,8 @@ def oracle_sql() -> dict[str, str]:
         "filtered_net_price": ORACLE_FILTERED_NET,
         "orders_stats": ORACLE_ORDERS_STATS,
         "json_props_sum": ORACLE_JSON_PROPS,
+        "q3_shipping_priority": ORACLE_Q3,
+        "q5_local_supplier_volume": ORACLE_Q5,
+        "q6_forecast_revenue": ORACLE_Q6,
+        "window_top_day": ORACLE_WINDOW_TOP_DAY,
     }
