@@ -579,6 +579,320 @@ SELECT user_id, event_date, day_total FROM ranked WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# Text analysis (beyond-reference: training-data pipeline ops)
+# ---------------------------------------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id", "n_tokens", "n_alpha_words", "n_punct", "avg_token_len"
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+  length(regexp_extract_all(text, '\S+')) AS n_tokens,
+  length(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_words,
+  length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+  ROUND(length(regexp_replace(text, '\s+', '', 'g'))
+        / GREATEST(length(regexp_extract_all(text, '\S+')), 1), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+ORACLE_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+      + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1), 1.0))
+      + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 3.0 / GREATEST(n_tokens, 1), 1.0),
+      6) AS quality
+FROM s
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_LANGUAGE_ID = r"""
+WITH s AS (
+  SELECT lang,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS s_en,
+    length(regexp_extract_all(lower(text), '\b(el|la|los|las|que|y|en|un|una)\b')) AS s_es,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein|zu)\b')) AS s_de,
+    length(regexp_extract_all(lower(text), '\b(le|les|des|et|un|une|est|dans)\b')) AS s_fr,
+    length(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM documents
+), g AS (
+  SELECT lang,
+    CASE
+      WHEN s_en > 0 AND s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+      WHEN s_es > 0 AND s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+      WHEN s_de > 0 AND s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+      WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+      WHEN s_zh > 0 AND s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+      ELSE 'und'
+    END AS lang_guess
+  FROM s
+)
+SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY lang, lang_guess
+"""
+
+
+def q_bpe_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(bpe_token_count("text")).alias("total_bpe_tokens")
+    )
+
+
+ORACLE_BPE = r"""
+SELECT source,
+  SUM(length(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS total_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact, MinHash signatures, LSH buckets, Jaccard verify
+# ---------------------------------------------------------------------------
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.dedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs)
+
+
+ORACLE_EXACT_DUP = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+# Shared CTE for MinHash oracles: word 3-shingles, 8 seeded-md5 minhashes,
+# 4 bands of 2. DuckDB range(a, b) is exclusive of b; Spark sequence(a, b)
+# is inclusive — hence the +1s.
+_MINHASH_CTE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
+), s AS (
+  SELECT doc_id,
+    list_transform(range(1, GREATEST(len(tokens) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' ')) AS shingles
+  FROM t
+), sig AS (
+  SELECT doc_id, shingles,
+    list_transform(range(0, 8),
+      j -> list_min(list_transform(shingles,
+           sh -> md5(CAST(j AS VARCHAR) || ':' || sh)))) AS signature
+  FROM s
+), banded AS (
+  SELECT doc_id, shingles, signature,
+    list_transform(range(0, 4),
+      b -> md5(array_to_string(list_slice(signature, b * 2 + 1, b * 2 + 2), '|'))) AS bands
+  FROM sig
+)
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.dedup import minhash_docs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = minhash_docs(docs)
+    return out.select(
+        "doc_id",
+        F.element_at("signature", 1).alias("h0"),
+        F.element_at("signature", 8).alias("h7"),
+        F.element_at("bands", 1).alias("band0"),
+    )
+
+
+ORACLE_MINHASH_SIG = _MINHASH_CTE + r"""
+SELECT doc_id, signature[1] AS h0, signature[8] AS h7, bands[1] AS band0
+FROM banded WHERE doc_id < 50
+"""
+
+
+def q_near_dup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.dedup import near_dup_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_buckets(docs)
+
+
+ORACLE_NEAR_DUP = _MINHASH_CTE + r"""
+, exploded AS (
+  SELECT doc_id, g.band_idx, bands[g.band_idx + 1] AS band_hash
+  FROM banded, generate_series(0, 3) AS g(band_idx)
+)
+SELECT band_idx, band_hash, COUNT(*) AS n_docs,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM exploded
+GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.dedup import jaccard_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_candidate_pairs(docs)
+
+
+ORACLE_JACCARD = _MINHASH_CTE + r"""
+, d AS (
+  SELECT doc_id, list_distinct(shingles) AS sh, bands FROM banded
+), e AS (
+  SELECT doc_id, sh, UNNEST(bands) AS band_hash FROM d
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM e a JOIN e b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+  ROUND(len(list_intersect(da.sh, db.sh))
+        / GREATEST(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6) AS jaccard
+FROM pairs p
+JOIN d da ON da.doc_id = p.a_id
+JOIN d db ON db.doc_id = p.b_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: norms, pairwise cosine, brute-force ANN top-k
+# ---------------------------------------------------------------------------
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.similarity import embedding_norms
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_norms(emb)
+
+
+ORACLE_EMB_NORMS = """
+SELECT vec_id,
+  ROUND(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_cosine_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("a_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+    )
+    return a.join(b, "a_id").select(
+        "a_id",
+        "b_id",
+        F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("cosine_sim"),
+    )
+
+
+ORACLE_COSINE_PAIRS = """
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        4) AS cosine_sim
+FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return brute_force_topk(emb, qvec, k=10, exclude_id=0)
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+SELECT e.vec_id,
+  ROUND(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        6) AS cosine_sim
+FROM e, q
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time bucketing (batch shape of the streaming tumbling window) +
+# multimodal Pandas-UDF plumbing
+# ---------------------------------------------------------------------------
+def q_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+  COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.multimodal import (
+        extract_features,
+        with_fake_media,
+    )
+
+    docs = with_fake_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs).select("doc_id", "n_bytes", "decode_ok")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+  strlen(text) > 0 AS decode_ok
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -607,6 +921,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "window_top_day": q_window_top_day,
+        "text_stats": q_text_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "bpe_token_total": q_bpe_token_total,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signature": q_minhash_signature,
+        "near_dup_buckets": q_near_dup_buckets,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_norms": q_embedding_norms,
+        "cosine_consecutive": q_cosine_consecutive,
+        "ann_topk": q_ann_topk,
+        "tumbling_6h": q_tumbling_6h,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -631,4 +958,17 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": ORACLE_Q5,
         "q6_forecast_revenue": ORACLE_Q6,
         "window_top_day": ORACLE_WINDOW_TOP_DAY,
+        "text_stats": ORACLE_TEXT_STATS,
+        "quality_scores": ORACLE_QUALITY,
+        "language_id": ORACLE_LANGUAGE_ID,
+        "bpe_token_total": ORACLE_BPE,
+        "exact_dup_groups": ORACLE_EXACT_DUP,
+        "minhash_signature": ORACLE_MINHASH_SIG,
+        "near_dup_buckets": ORACLE_NEAR_DUP,
+        "jaccard_pairs": ORACLE_JACCARD,
+        "embedding_norms": ORACLE_EMB_NORMS,
+        "cosine_consecutive": ORACLE_COSINE_PAIRS,
+        "ann_topk": ORACLE_ANN_TOPK,
+        "tumbling_6h": ORACLE_TUMBLING,
+        "multimodal_features": ORACLE_MULTIMODAL,
     }

@@ -1,0 +1,166 @@
+"""Deduplication operators for training-data pipelines: exact (hash-groupBy),
+MinHash + LSH banding, and n-gram Jaccard verification.
+
+Design for 100 TB:
+- Shingling, MinHash signatures, and LSH band keys are computed with array
+  higher-order functions (``transform``/``aggregate``/``slice``) — per-row,
+  JVM-side, no shuffle and no Python.
+- The only shuffles are (a) the groupBy on band keys (bucket discovery) and
+  (b) the candidate-pair self-join, which LSH keeps tiny relative to the
+  corpus (only same-bucket pairs are compared).
+- Hash family is md5 with a seed prefix: slower than xxhash64 per byte, but
+  reproducible in any SQL engine, which makes the whole pipeline
+  oracle-verifiable. Swap ``_seeded_hash`` to ``xxhash64`` for max
+  throughput when cross-engine verification isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_ine_spark.operators.text import TOKEN_PATTERN, fingerprint
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_ROWS_PER_BAND = 2
+DEFAULT_SHINGLE_K = 3
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content-fingerprint groupBy: one row per duplicated
+    fingerprint with group size and representative (min id) — the survivors
+    list is then a broadcast/anti-join away."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(col: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Sliding word k-shingles as an array column. Documents shorter than k
+    tokens produce one shingle (the whole text), so every doc has ≥1."""
+    t = F.col(col) if isinstance(col, str) else col
+    tokens = F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k))
+    )
+
+
+def _seeded_hash(seed: Column, value: Column) -> Column:
+    return F.md5(F.concat(seed.cast("string"), F.lit(":"), value))
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """MinHash signature: for each seed, the lexicographic min of seeded
+    md5 over the shingle set. Array of hex strings, length ``num_hashes``."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda j: F.array_min(
+            F.transform(shingles, lambda s: _seeded_hash(j, s))
+        ),
+    )
+
+
+def lsh_band_keys(
+    signature: Column, rows_per_band: int = DEFAULT_ROWS_PER_BAND
+) -> Column:
+    """Collapse the signature into band keys: hash of each ``rows_per_band``
+    slice. Docs sharing any band key are near-dup candidates."""
+    nb = F.size(signature) / rows_per_band
+    bands = F.sequence(F.lit(0), (nb - 1).cast("int"))
+    return F.transform(
+        bands,
+        lambda b: F.md5(
+            F.concat_ws("|", F.slice(signature, b * rows_per_band + 1, rows_per_band))
+        ),
+    )
+
+
+def minhash_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """Per-doc shingles + signature + band keys (all narrow, no shuffle)."""
+    out = df.select(
+        id_col, F.col(text_col), word_shingles(text_col, k).alias("shingles")
+    )
+    out = out.withColumn("signature", minhash_signature(F.col("shingles"), num_hashes))
+    return out.withColumn(
+        "bands", lsh_band_keys(F.col("signature"), rows_per_band)
+    )
+
+
+def near_dup_buckets(
+    df: DataFrame, id_col: str = "doc_id", **minhash_kwargs
+) -> DataFrame:
+    """LSH buckets with >1 doc: the candidate groups for near-dup removal.
+
+    One shuffle: explode band keys → groupBy (band_idx, band_hash).
+    """
+    docs = minhash_docs(df, id_col=id_col, **minhash_kwargs)
+    exploded = docs.select(
+        id_col, F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    return (
+        exploded.groupBy("band_idx", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", round_to: int = 6, **minhash_kwargs
+) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidate pairs.
+
+    Self-join on band keys produces only same-bucket pairs (a < b), then the
+    true Jaccard over distinct shingle sets verifies candidates — the
+    classic verify step after the LSH recall stage. The pair set is tiny
+    relative to |corpus|², so the array intersect/union cost is bounded.
+    """
+    docs = minhash_docs(df, id_col=id_col, **minhash_kwargs).select(
+        id_col, F.array_distinct("shingles").alias("sh"), "bands"
+    )
+    a = docs.select(
+        F.col(id_col).alias("a_id"),
+        F.col("sh").alias("a_sh"),
+        F.explode("bands").alias("band_hash"),
+    )
+    b = docs.select(
+        F.col(id_col).alias("b_id"),
+        F.col("sh").alias("b_sh"),
+        F.explode("bands").alias("band_hash"),
+    )
+    pairs = (
+        a.join(b, "band_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(inter / F.greatest(union, F.lit(1)), round_to).alias("jaccard"),
+    )

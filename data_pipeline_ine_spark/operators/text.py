@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference capability set (the reference pipeline has no text ops):
+language-ID, quality scoring, token counting, and document fingerprinting
+over a ``documents(doc_id, text, ...)`` table.
+
+All expressions are JVM-side Catalyst built-ins (``regexp_count``/``md5``/
+arithmetic) — zero Python UDFs, so they run inside whole-stage codegen and
+scale linearly with input splits. Patterns stick to the regex subset shared
+by Java regex and RE2 (no lookahead/backrefs) so an external SQL oracle can
+verify results byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\S+"
+ALPHA_PATTERN = r"[A-Za-z]+"
+PUNCT_PATTERN = r"[.,;:!?]"
+
+# GPT-2-style pretokenizer, minus the lookahead (unsupported in RE2):
+# contraction suffixes, letter runs, digit runs, punctuation runs, whitespace.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+# Per-language stopword markers for the n-gram/stopword language-ID
+# heuristic. Word-boundary counts; precedence (en>es>de>fr>zh) breaks ties
+# deterministically.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|it)\b",
+    "es": r"\b(el|la|los|las|que|y|en|un|una)\b",
+    "de": r"\b(der|die|das|und|nicht|ist|ein|zu)\b",
+    "fr": r"\b(le|les|des|et|un|une|est|dans)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_PATTERN))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish subword-unit count — a cheap, deterministic proxy for LLM
+    token budgeting at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics: chars, tokens, alpha words,
+    punctuation, average token length."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t),
+            "n_tokens": n_tokens,
+            "n_alpha_words": F.regexp_count(t, F.lit(ALPHA_PATTERN)),
+            "n_punct": F.regexp_count(t, F.lit(PUNCT_PATTERN)),
+            "avg_token_len": F.round(
+                F.length(F.regexp_replace(t, r"\s+", ""))
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]: length saturation,
+    punctuation sanity, stopword density. Mirrors the shape of C4/Gopher
+    quality filters; weights are fixed so results are reproducible."""
+    t = F.col(col) if isinstance(col, str) else col
+    n_tokens = token_count(t)
+    n_punct = F.regexp_count(t, F.lit(PUNCT_PATTERN))
+    n_stop = F.regexp_count(F.lower(t), F.lit(LANG_MARKERS["en"]))
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    length_part = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_part = F.lit(1.0) - F.least(
+        n_punct.cast("double") / denom, F.lit(1.0)
+    )
+    stop_part = F.least(n_stop.cast("double") * F.lit(3.0) / denom, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.3) * punct_part + F.lit(0.3) * stop_part,
+        6,
+    )
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-hit count per candidate language."""
+    t = F.lower(F.col(col) if isinstance(col, str) else col)
+    return {
+        lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax language guess with deterministic precedence on ties
+    (en > es > de > fr > zh); 'und' when no marker hits."""
+    scores = language_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build CASE from lowest precedence up so earlier langs win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(
+            expr
+        )
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Whitespace-normalized, case-folded content fingerprint (md5 hex).
+
+    The canonical key for exact dedup: identical cleaned content → identical
+    fingerprint, and the md5 is computed engine-side so an external oracle
+    reproduces it exactly."""
+    t = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
