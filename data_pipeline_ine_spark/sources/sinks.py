@@ -1,0 +1,82 @@
+"""Sinks: layered Parquet, view CSV, and JDBC (SURVEY.md §2.1 S2, S5, S11).
+
+The reference's idempotency is "delete today's folder, rewrite everything"
+(``pipeline_orchestrator.py:38-69``, ``utils/storage_factory.py:181-211``).
+Here a run writes Parquet partitioned by ``run_date`` with dynamic partition
+overwrite: re-running a day replaces exactly that day's partition, other
+days untouched, and readers never observe a half-deleted directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_layer(
+    df: DataFrame,
+    path: str,
+    run_date: str | None = None,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Write a curated layer as Parquet. ``run_date`` (YYYY-MM-DD) becomes a
+    partition column — the Spark replacement for the reference's
+    ``outputs/DD-MM-YYYY/`` folder-per-run layout (``step1_scraper.py:31``).
+    """
+    out = df
+    parts = list(partition_cols)
+    if run_date is not None:
+        out = out.withColumn("run_date", F.lit(run_date))
+        parts = ["run_date", *parts]
+    writer = out.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.option("partitionOverwriteMode", "dynamic").parquet(path)
+
+
+def write_view_csv(df: DataFrame, path: str) -> None:
+    """S2 — view CSV sink (header, UTF-8, overwrite).
+
+    Reference: ``steps/step5_create_views.py:416-423``. ``emptyValue=''``
+    matches pandas' rendering of missing cells so goldens compare cleanly
+    (SURVEY.md §7.3 NaN-gap note).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+) -> None:
+    """S5 — JDBC overwrite sink.
+
+    Reference: ``steps/step6_upload_to_db.py:133-142`` — sequential pandas
+    ``to_sql(chunksize=1000, method='multi')`` plus a hand-rolled
+    DELETE/replace dance (``:114-131``). Spark's JDBC writer gives the same
+    semantics declaratively: ``mode("overwrite")`` recreates the table,
+    ``batchsize`` batches inserts, and writes run partition-parallel —
+    ``num_partitions`` caps concurrent connections so a 1000-task cluster
+    doesn't open 1000 sessions against one database.
+    """
+    out = df
+    if num_partitions is not None:
+        out = out.coalesce(num_partitions)
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .mode("overwrite")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,128 @@
+"""Streaming over the events table: file-source ingestion, watermarked
+tumbling windows, and gap-based sessionization with custom state.
+
+Batch/stream symmetry: ``tumbling_counts`` produces the same result as the
+batch ``q_tumbling_6h`` query when the stream is drained with
+``Trigger.AvailableNow`` — the property tests/test_streaming.py asserts.
+
+Scale notes:
+- Watermark bounds state: late events beyond the watermark are dropped and
+  window state is evicted, so state size tracks the watermark horizon, not
+  the stream length.
+- ``maxFilesPerTrigger`` paces micro-batches for backfill over a large
+  landing directory.
+- Sessionization uses ``applyInPandasWithState`` — per-key state travels
+  with the shuffle, so it scales horizontally with key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Physical schema of events.parquet with the TIMESTAMP(NANOS) column read as
+# raw int64 (see sources/registry.py) — streaming sources can't infer.
+_RAW_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events landing directory (new parquet
+    files become micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_RAW_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    # Unlike the batch registry (TIMESTAMP_NTZ), streaming event time must be
+    # TIMESTAMP: watermarks reject NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    # The nanos are treated as UTC instants; run streaming jobs with
+    # spark.sql.session.timeZone=UTC for wall-clock-stable window bounds.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type — the
+    streaming twin of the batch ``tumbling_6h`` contract query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, n_events int"
+)
+_STATE_SCHEMA = "start long, last long, n int"
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 day"
+) -> DataFrame:
+    """Gap-based sessionization with explicit per-user state
+    (``applyInPandasWithState``): a session closes when no event arrives
+    within ``gap_minutes``; closed sessions are emitted, the open one stays
+    in state.
+
+    The state function is fully self-contained (local imports only): Python
+    workers don't share the driver's sys.path (see operators/multimodal.py).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (user_id,) = key
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value) // 1000 for t in _pd.to_datetime(pdf["ts"]))
+        ts_list.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        out = []
+        for t in ts_list:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                out.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        if out:
+            df = _pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+            df["session_start"] = _pd.to_datetime(df["session_start"], unit="us")
+            df["session_end"] = _pd.to_datetime(df["session_end"], unit="us")
+            yield df
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
