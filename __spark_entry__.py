@@ -13,7 +13,6 @@ Determinism notes (the driver hash-compares values):
 
 from __future__ import annotations
 
-import datetime
 import os
 from collections.abc import Callable
 
@@ -53,24 +52,27 @@ def _event_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sparse-entity filter (step4) + scaffold/pivot consolidation (step5 J4/U1).
 # ---------------------------------------------------------------------------
 def q_v_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    facts = _event_facts(spark, sf_dir)
-    dense = sparse_entity_filter(
-        facts, ["event_date", "user_id"], value_col="value", min_records=3
-    )
+    from data_pipeline_ine_spark.operators.filters import non_null_non_empty
+
+    facts = non_null_non_empty(_event_facts(spark, sf_dir), "event_date", "user_id")
     view = ViewDefinition(
         name="v_user_day",
         members=tuple(EVENT_TYPES),
         period_out="event_date",
         station_out="user_id",
     )
+    # min_records fuses the step-4 sparse-entity filter into the pivot's own
+    # groupBy (HAVING on the same shuffle): one scan + one shuffle total,
+    # versus two of each with a separate filter pass.
     wide = consolidate(
-        dense,
+        facts,
         view,
         agg_expr="sum",
         period_col="event_date",
         station_col="user_id",
         dataset_col="event_type",
         value_col="value",
+        min_records=3,
     )
     return wide.select(
         "event_date",

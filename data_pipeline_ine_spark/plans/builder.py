@@ -59,29 +59,48 @@ def consolidate(
     dataset_col: str = "dataset",
     value_col: str = "value",
     label_dims: Sequence[tuple[DataFrame, str]] = (),
+    min_records: int | None = None,
 ) -> DataFrame:
     """Pivot strategy (J4 option (a), SURVEY.md §2.3): one wide row per
     distinct (period, station), one metric column per member dataset, NULL
     where a member lacks that pair — exactly the reference's scaffold + left
     merges output shape (``step5:313-375``).
 
+    Implementation detail that matters at 100 TB: because the member list is
+    always known (it's the view config), the pivot is emitted as explicit
+    conditional aggregates — ``agg(sum(when(dataset=m, value)) for m)`` —
+    which is what ``pivot(col, values)`` compiles to anyway, but (a) skips
+    nothing-to-learn codegen differences and (b) lets extra aggregates ride
+    the SAME groupBy. That enables ``min_records``: the step-4 sparse-entity
+    filter fused as a HAVING on the same shuffle. Unfused, sparse-filter +
+    consolidation costs two scans and two shuffles of the fact table; fused
+    it is ONE scan and ONE shuffle.
+
     ``label_dims`` is a list of ``(dim_df, join_key)`` to left-broadcast-join
     after the pivot (period/station label maps, J1/J2).
     """
-    agg = {
-        "first": F.first(F.col(value_col), ignorenulls=True),
-        "max": F.max(value_col),
-        "min": F.min(value_col),
-        "avg": F.avg(value_col),
-        "sum": F.sum(value_col),
-    }[agg_expr]
+
+    def cell(member: str):
+        v = F.when(F.col(dataset_col) == member, F.col(value_col))
+        return {
+            "first": F.first(v, ignorenulls=True),
+            "max": F.max(v),
+            "min": F.min(v),
+            "avg": F.avg(v),
+            "sum": F.sum(v),
+        }[agg_expr].alias(member)
+
+    aggs = [cell(m) for m in view.members]
+    if min_records is not None:
+        aggs.append(F.count(F.col(value_col)).alias("_n_records"))
 
     wide = (
         facts.filter(F.col(dataset_col).isin(list(view.members)))
         .groupBy(period_col, station_col)
-        .pivot(dataset_col, list(view.members))
-        .agg(agg)
+        .agg(*aggs)
     )
+    if min_records is not None:
+        wide = wide.filter(F.col("_n_records") >= min_records).drop("_n_records")
     for dim, key in label_dims:
         wide = attach_label(wide, dim, on=key)
     renames = {period_col: view.period_out, station_col: view.station_out}

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+that happen to pass. Pushdown reaches the parquet scan, dimension joins
+broadcast, the fused consolidation shuffles exactly once, and hot paths stay
+inside whole-stage codegen."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as contract
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = contract.queries()["filtered_net_price"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "PushedFilters:" in plan
+    assert "LessThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = contract.queries()["filtered_net_price"](spark, sf_dir)
+    plan = explain_str(df)
+    # only the needed columns in ReadSchema — not the full 11-column table
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"):
+        assert col in read
+    for col in ("l_partkey", "l_returnflag", "l_shipdate", "l_tax"):
+        assert col not in read, f"{col} scanned unnecessarily: {read}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = contract.queries()["label_join_orders"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    df = contract.queries()["q5_local_supplier_volume"](spark, sf_dir)
+    plan = explain_str(df)
+    # customer, supplier, nation⋈region all broadcast; only lineitem⋈orders
+    # may shuffle fact-scale data
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_consolidation_single_shuffle(spark, sf_dir):
+    df = contract.queries()["v_consolidation"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # AQE reports 0 codegen subtrees before the final plan exists; disable it
+    # for this static inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = contract.queries()["q1_pricing_summary"](spark, sf_dir)
+        plan = explain_str(df, mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_sparse_filter_uses_broadcast_anti_join(spark, sf_dir):
+    df = contract.queries()["sparse_entity_counts"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
