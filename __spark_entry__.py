@@ -895,6 +895,247 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# As-of join (backward inclusive) + binned range join over the events stream
+# ---------------------------------------------------------------------------
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", payload_cols=("ts", "value")
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_asof").alias("last_click_ts"),
+        F.col("value_asof").alias("last_click_value"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS last_click_ts, c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.joins import windowed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    joined = windowed_range_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        window_seconds=3600,
+    )
+    per_purchase = joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("click_ts").alias("n"),
+        _dec_sum(F.col("click_value"), "s"),
+    )
+    return purchases.join(per_purchase, ["event_id", "user_id", "ts"], "left").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.coalesce("n", F.lit(0)).alias("n_clicks_1h"),
+        F.coalesce("s", F.lit(0.0)).alias("click_value_1h"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS click_ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+  COUNT(c.click_ts) AS n_clicks_1h,
+  CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS click_value_1h
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.click_ts >= p.ts - INTERVAL 1 HOUR AND c.click_ts < p.ts
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash + rolling-hash document fingerprints
+# ---------------------------------------------------------------------------
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.dedup import simhash_docs
+
+    return simhash_docs(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                t -> substr(md5(t), 1, 16)) AS hs
+  FROM documents
+), b AS (
+  SELECT doc_id, list_transform(range(64), b ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+      CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                 & ([8,4,2,1][CAST(b % 4 AS INT) + 1])) <> 0
+           THEN 1 ELSE -1 END)) > 0
+    THEN 1 ELSE 0 END) AS bits
+  FROM toks
+)
+SELECT doc_id, array_to_string(list_transform(range(16), i ->
+  substr('0123456789abcdef',
+         CAST(bits[CAST(4*i AS INT) + 1] * 8 + bits[CAST(4*i AS INT) + 2] * 4
+            + bits[CAST(4*i AS INT) + 3] * 2 + bits[CAST(4*i AS INT) + 4] AS INT) + 1,
+         1)), '') AS simhash
+FROM b
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
+
+
+ORACLE_ROLLING_FP = """
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN length(t) < 8 THEN rpad(t, 8, ' ') ELSE t END AS s
+  FROM n
+)
+SELECT doc_id, list_min(list_transform(range(1, length(s) - 6), i ->
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(8), j -> CAST(ascii(substr(s, CAST(i + j AS INT), 1)) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 1000000007))) AS rolling_fp
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH embedding ops: cosine near-dup pairs, banded ANN, IVF ANN
+# ---------------------------------------------------------------------------
+def _sql_seq_fold_dot(a: str, b: str) -> str:
+    """Sequential left-fold dot product — operand order identical to Spark's
+    zip_with+aggregate, so doubles match bit-for-bit across engines."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"_i -> {a}[CAST(_i AS INT)] * {b}[CAST(_i AS INT)])), (_acc, _x) -> _acc + _x)"
+    )
+
+
+def _sql_hyperplane_sig(v: str, n_planes: int = 8) -> str:
+    """DuckDB expression mirroring ``hyperplane_signature`` exactly."""
+    bits = []
+    for p in range(n_planes):
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({v}, (_x, _i) -> _x * CAST(({p * 2654435761 + 1} "
+            f"+ (_i - 1) * 40503) % 65536 - 32768 AS DOUBLE))), (_a, _b) -> _a + _b)"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(bits) + ")"
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+_COS_AB = (
+    f"{_sql_seq_fold_dot('a.v', 'b.v')} / "
+    f"(sqrt({_sql_seq_fold_dot('a.v', 'a.v')}) * sqrt({_sql_seq_fold_dot('b.v', 'b.v')}))"
+)
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, {_sql_hyperplane_sig('v')} AS sig FROM e)
+SELECT * FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND({_COS_AB}, 6) AS cosine_sim
+  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.4
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucketed_topk(emb, qvec, k=10, exclude_id=0)
+
+
+_COS_EQ = (
+    f"{_sql_seq_fold_dot('s.v', 'q.qv')} / "
+    f"(sqrt({_sql_seq_fold_dot('s.v', 's.v')}) * sqrt({_sql_seq_fold_dot('q.qv', 'q.qv')}))"
+)
+
+ORACLE_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, {_sql_hyperplane_sig('v')} AS sig FROM e),
+q AS (SELECT v AS qv, sig AS qsig FROM s WHERE vec_id = 0)
+SELECT s.vec_id, ROUND({_COS_EQ}, 6) AS cosine_sim
+FROM s, q
+WHERE s.vec_id <> 0
+  AND (substr(s.sig, 1, 2) = substr(q.qsig, 1, 2)
+    OR substr(s.sig, 3, 2) = substr(q.qsig, 3, 2)
+    OR substr(s.sig, 5, 2) = substr(q.qsig, 5, 2)
+    OR substr(s.sig, 7, 2) = substr(q.qsig, 7, 2))
+ORDER BY cosine_sim DESC, s.vec_id
+LIMIT 10
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.similarity import partitioned_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return partitioned_topk(emb, qvec, k=10, part_col="label", n_probe=2)
+
+
+ORACLE_ANN_IVF = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims GROUP BY label),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY ROUND(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qv, qv))), 6)
+        DESC, label
+  LIMIT 2
+)
+SELECT e.vec_id,
+  ROUND(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        AS cosine_sim
+FROM e JOIN probes USING (label), q
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -936,6 +1177,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "tumbling_6h": q_tumbling_6h,
         "multimodal_features": q_multimodal_features,
+        "asof_last_click": q_asof_last_click,
+        "range_click_attribution": q_range_click_attribution,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -973,4 +1221,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ORACLE_ANN_TOPK,
         "tumbling_6h": ORACLE_TUMBLING,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "asof_last_click": ORACLE_ASOF,
+        "range_click_attribution": ORACLE_RANGE_JOIN,
+        "simhash_fingerprints": ORACLE_SIMHASH,
+        "rolling_fingerprint": ORACLE_ROLLING_FP,
+        "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
+        "ann_lsh_topk": ORACLE_ANN_LSH,
+        "ann_ivf_topk": ORACLE_ANN_IVF,
     }

@@ -128,6 +128,61 @@ def near_dup_buckets(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash_hex(col: Column | str, num_bits: int = 64) -> Column:
+    """64-bit SimHash of a document as a 16-char hex string.
+
+    Classic Charikar simhash: every token votes +1/-1 on each bit of its own
+    64-bit hash (here: first 16 hex chars of md5, so any SQL engine can
+    reproduce it); a bit of the fingerprint is 1 iff its vote sum is
+    positive. Near-duplicate docs land within a small Hamming distance, so
+    downstream LSH is a groupBy on bit-band substrings of this string.
+
+    Entirely Catalyst higher-order functions over the token array — per-row,
+    JVM-side, no shuffle, no Python. O(tokens × bits) per row.
+    """
+    t = F.col(col) if isinstance(col, str) else col
+    tokens = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+"), 0)
+    hashes = F.transform(tokens, lambda tok: F.substring(F.md5(tok), 1, 16))
+    nibble_mask = F.array(*[F.lit(m) for m in (8, 4, 2, 1)])
+
+    def vote(h: Column, b: Column) -> Column:
+        # bit b of the 64-bit hash: nibble b//4 (hex char), bit b%4 (MSB-first)
+        nib = F.conv(F.substring(h, F.floor(b / 4).cast("int") + 1, F.lit(1)), 16, 10)
+        mask = F.element_at(nibble_mask, (b % 4).cast("int") + 1)
+        return F.when(nib.cast("int").bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bits - 1)),
+        lambda b: F.when(
+            F.aggregate(hashes, F.lit(0), lambda acc, h: acc + vote(h, b)) > 0, 1
+        ).otherwise(0),
+    )
+    nibbles = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bits // 4 - 1)),
+        lambda i: F.substring(
+            F.lit(_HEX),
+            (
+                F.element_at(bits, (i * 4 + 1).cast("int")) * 8
+                + F.element_at(bits, (i * 4 + 2).cast("int")) * 4
+                + F.element_at(bits, (i * 4 + 3).cast("int")) * 2
+                + F.element_at(bits, (i * 4 + 4).cast("int"))
+                + 1
+            ),
+            F.lit(1),
+        ),
+    )
+    return F.array_join(nibbles, "")
+
+
+def simhash_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(id_col, simhash_hex(text_col).alias("simhash"))
+
+
 def jaccard_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", round_to: int = 6, **minhash_kwargs
 ) -> DataFrame:

@@ -8,10 +8,11 @@ the single most important join decision at scale.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,3 +48,100 @@ def chained_left_join(
     fan-out semantics (SURVEY.md §7.3) and exercises Catalyst's join planning.
     """
     return reduce(lambda acc, t: acc.join(t, on=list(on), how=how), others, base)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: Sequence[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward inclusive as-of join: each left row picks the latest right row
+    with ``right_ts <= left_ts`` for the same key (NULL payloads if none).
+
+    Spark has no ASOF JOIN operator, and the naive formulation — inequality
+    join + per-left-row max — is an O(n·m)-per-key blowup. This is the
+    scalable union-tag reformulation: union both sides, ONE shuffle by key,
+    sort within partition by time, and carry the last non-null payload
+    forward with an unbounded-preceding window. Cost is that of a single
+    groupBy of the combined tables regardless of match fan-out; skewed keys
+    are handled by AQE like any other shuffle.
+
+    At equal timestamps right rows sort before left rows (``_src`` 0 < 1),
+    which yields the *inclusive* backward semantics of ``ASOF JOIN ... ON
+    l.ts >= r.ts`` in engines that have the operator natively (DuckDB, Pandas
+    ``merge_asof``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    out_cols = list(left.columns)
+    payloads = list(payload_cols)
+    tagged_left = left.withColumn("_t", F.col(left_ts)).withColumn("_src", F.lit(1))
+    tagged_right = right.select(
+        *keys,
+        F.col(right_ts).alias("_t"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payloads],
+    ).withColumn("_src", F.lit(0))
+    u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payloads:
+        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return u.filter(F.col("_src") == 1).select(
+        *out_cols, *[f"{c}{suffix}" for c in payloads]
+    )
+
+
+def _ntz_epoch_seconds(c: Column) -> Column:
+    """Wall-clock seconds since epoch from a TIMESTAMP_NTZ, via field
+    extraction only — no session-timezone math, so binning is stable under
+    any ``spark.sql.session.timeZone`` (and immune to DST non-linearity)."""
+    days = F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("bigint")
+    return days * 86400 + F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+
+
+def windowed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 3600,
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Range join — right rows with ``left_ts - window <= right_ts < left_ts``
+    per key — rewritten as an equi-join on (key, time-bin) plus a residual
+    filter.
+
+    A raw range predicate forces Spark into BroadcastNestedLoopJoin or a
+    per-key cartesian inside SortMergeJoin — O(n·m) per key, unusable at
+    scale. Binning makes it a plain hash-partitioned equi-join: the left side
+    explodes the ⌈window/bin⌉+1 candidate bins its window covers, the right
+    side joins on its single bin, and the exact inequality runs only on
+    same-bin candidates. Candidate fan-in per row is bounded by bin width,
+    so cost scales with data density, not table sizes.
+    """
+    bin_seconds = bin_seconds or window_seconds
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns shared by both sides: {sorted(overlap)}; "
+            "alias them before the range join"
+        )
+    n_back = math.ceil(window_seconds / bin_seconds)
+    lbin = F.floor(_ntz_epoch_seconds(F.col(left_ts)) / bin_seconds)
+    rbin = F.floor(_ntz_epoch_seconds(F.col(right_ts)) / bin_seconds)
+    exploded = left.withColumn(
+        "_bin", F.explode(F.sequence(lbin - n_back, lbin))
+    )
+    candidates = exploded.join(right.withColumn("_bin", rbin), on=[*keys, "_bin"])
+    lo = F.col(left_ts) - F.make_dt_interval(secs=F.lit(float(window_seconds)))
+    return candidates.filter(
+        (F.col(right_ts) >= lo) & (F.col(right_ts) < F.col(left_ts))
+    ).drop("_bin")

@@ -110,6 +110,38 @@ def language_id(col: Column | str) -> Column:
     return expr
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(col: Column | str, k: int = 8) -> Column:
+    """Winnowing-style document fingerprint: the minimum polynomial rolling
+    hash over all character ``k``-grams of the normalized text.
+
+    Normalization (lowercase, collapse non-alphanumerics to single spaces)
+    makes the fingerprint robust to formatting/punctuation edits, and
+    min-over-k-grams makes it robust to content reordering — the standard
+    local-fingerprint trick (Schleimer et al., winnowing) reduced to one
+    hash per doc. Pure integer arithmetic (base 31, mod 1e9+7, left fold)
+    so any SQL engine reproduces it bit-for-bit; all Catalyst higher-order
+    functions, no shuffle, no Python.
+    """
+    t = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(t), r"[^a-z0-9]+", " "))
+    # guarantee >= k chars so every gram is full width (NB: rpad alone would
+    # TRUNCATE texts longer than k — pad only the short ones)
+    s = F.when(F.length(norm) < k, F.rpad(norm, k, " ")).otherwise(norm)
+    n = F.length(s)
+    starts = F.sequence(F.lit(1), n - F.lit(k - 1))
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: (acc * ROLLING_BASE + F.ascii(F.substring(s, (i + j).cast("int"), F.lit(1))))
+        % ROLLING_MOD,
+    )
+    return F.array_min(F.transform(starts, gram_hash))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Whitespace-normalized, case-folded content fingerprint (md5 hex).
 

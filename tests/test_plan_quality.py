@@ -79,3 +79,30 @@ def test_sparse_filter_uses_broadcast_anti_join(spark, sf_dir):
     df = contract.queries()["sparse_entity_counts"](spark, sf_dir)
     plan = explain_str(df)
     assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle_no_nested_loop(spark, sf_dir):
+    # the union-tag as-of reformulation must cost ONE shuffle, never the
+    # O(n*m) BroadcastNestedLoopJoin a raw inequality join would produce
+    df = contract.queries()["asof_last_click"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    # bin-explode rewrite: the range predicate must run as a residual on an
+    # equi-join, not as a nested-loop/cartesian
+    df = contract.queries()["range_click_attribution"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_lsh_topk_no_shuffle(spark, sf_dir):
+    # banded candidate filter + per-partition top-k: zero Exchanges, the
+    # k-row merge happens in TakeOrderedAndProject on the driver
+    df = contract.queries()["ann_lsh_topk"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 0, plan
+    assert "TakeOrdered" in plan, plan
