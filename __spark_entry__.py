@@ -583,10 +583,22 @@ SELECT user_id, event_date, day_total FROM ranked WHERE rn = 1
 # ---------------------------------------------------------------------------
 # Text analysis (beyond-reference: training-data pipeline ops)
 # ---------------------------------------------------------------------------
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across all cores.
+
+    The synthetic parquet is a single row group → one input split → the
+    CPU-heavy per-row fingerprint ops would run on ONE task. A round-robin
+    repartition costs one tiny shuffle of the raw text and buys full-core
+    parallelism; on a real 100 TB corpus the scan has thousands of natural
+    splits and this is a no-op to remove."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.text import text_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return text_stats(docs).select(
         "doc_id", "n_tokens", "n_alpha_words", "n_punct", "avg_token_len"
     )
@@ -606,7 +618,7 @@ FROM documents
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.text import quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
@@ -630,7 +642,7 @@ FROM s
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.text import language_id
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return (
         docs.select("lang", language_id("text").alias("lang_guess"))
         .groupBy("lang", "lang_guess")
@@ -746,7 +758,7 @@ FROM banded WHERE doc_id < 50
 def q_near_dup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.dedup import near_dup_buckets
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return near_dup_buckets(docs)
 
 
@@ -765,7 +777,7 @@ GROUP BY band_idx, band_hash HAVING COUNT(*) > 1
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.dedup import jaccard_candidate_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return jaccard_candidate_pairs(docs)
 
 
@@ -895,6 +907,88 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Semi/anti join + rollup coverage (physical join strategies the reference
+# never needed — free in Spark, exercised here for completeness)
+# ---------------------------------------------------------------------------
+def q_q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders with at least one high-quantity line,
+    counted by priority. LEFT SEMI join — lineitem is only probed, never
+    widened into the output, so no fan-out and no dedup pass."""
+    o = load_table(spark, sf_dir, "orders")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_Q4_SEMI = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY 1
+"""
+
+
+def q_customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via LEFT ANTI join — the scalable form of the reference's
+    NOT-IN sparse-station filter (P6, ``step4:142``) applied to a fact-sized
+    probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return (
+        c.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY 1
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total in one
+    shuffle — the grouping-sets capability SURVEY.md §2.4 notes as free."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2)
+    AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of join (backward inclusive) + binned range join over the events stream
 # ---------------------------------------------------------------------------
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,7 +1067,7 @@ GROUP BY 1, 2, 3
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.dedup import simhash_docs
 
-    return simhash_docs(load_table(spark, sf_dir, "documents"))
+    return simhash_docs(_docs_parallel(spark, sf_dir))
 
 
 ORACLE_SIMHASH = """
@@ -1002,7 +1096,7 @@ FROM b
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.text import rolling_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return docs.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
 
 
@@ -1177,6 +1271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "tumbling_6h": q_tumbling_6h,
         "multimodal_features": q_multimodal_features,
+        "q4_priority_semi": q_q4_priority_semi,
+        "customers_no_big_orders": q_customers_no_big_orders,
+        "rollup_revenue": q_rollup_revenue,
         "asof_last_click": q_asof_last_click,
         "range_click_attribution": q_range_click_attribution,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1221,6 +1318,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ORACLE_ANN_TOPK,
         "tumbling_6h": ORACLE_TUMBLING,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "q4_priority_semi": ORACLE_Q4_SEMI,
+        "customers_no_big_orders": ORACLE_ANTI,
+        "rollup_revenue": ORACLE_ROLLUP,
         "asof_last_click": ORACLE_ASOF,
         "range_click_attribution": ORACLE_RANGE_JOIN,
         "simhash_fingerprints": ORACLE_SIMHASH,

@@ -29,12 +29,23 @@ from data_pipeline_ine_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_priority_semi",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "v_consolidation",
     "window_top_day",
     "percentiles_by_type",
     "label_join_orders",
+    "rollup_revenue",
+    "asof_last_click",
+    "range_click_attribution",
+    # training-data ops over documents/embeddings
+    "near_dup_buckets",
+    "simhash_fingerprints",
+    "rolling_fingerprint",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "quality_scores",
 ]
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_ine_spark.functions.scalars import let_
 from data_pipeline_ine_spark.operators.text import TOKEN_PATTERN, fingerprint
 
 DEFAULT_NUM_HASHES = 8
@@ -48,10 +49,12 @@ def word_shingles(col: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
     tokens produce one shingle (the whole text), so every doc has ≥1."""
     t = F.col(col) if isinstance(col, str) else col
     tokens = F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k))
+    return let_(
+        tokens,
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
     )
 
 
@@ -63,12 +66,17 @@ def minhash_signature(
     shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> Column:
     """MinHash signature: for each seed, the lexicographic min of seeded
-    md5 over the shingle set. Array of hex strings, length ``num_hashes``."""
+    md5 over the shingle set. Array of hex strings, length ``num_hashes``.
+
+    The shingle array is let-bound so it is computed once per row, not once
+    per seed — without the binding the shingling expression inlines into the
+    per-seed lambda and re-runs ``num_hashes`` times."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda j: F.array_min(
-            F.transform(shingles, lambda s: _seeded_hash(j, s))
+    return let_(
+        shingles,
+        lambda sh: F.transform(
+            seeds,
+            lambda j: F.array_min(F.transform(sh, lambda s: _seeded_hash(j, s))),
         ),
     )
 
@@ -78,12 +86,13 @@ def lsh_band_keys(
 ) -> Column:
     """Collapse the signature into band keys: hash of each ``rows_per_band``
     slice. Docs sharing any band key are near-dup candidates."""
-    nb = F.size(signature) / rows_per_band
-    bands = F.sequence(F.lit(0), (nb - 1).cast("int"))
-    return F.transform(
-        bands,
-        lambda b: F.md5(
-            F.concat_ws("|", F.slice(signature, b * rows_per_band + 1, rows_per_band))
+    return let_(
+        signature,
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), (F.size(sig) / rows_per_band - 1).cast("int")),
+            lambda b: F.md5(
+                F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+            ),
         ),
     )
 
@@ -154,27 +163,38 @@ def simhash_hex(col: Column | str, num_bits: int = 64) -> Column:
         mask = F.element_at(nibble_mask, (b % 4).cast("int") + 1)
         return F.when(nib.cast("int").bitwiseAND(mask) != 0, 1).otherwise(-1)
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bits - 1)),
-        lambda b: F.when(
-            F.aggregate(hashes, F.lit(0), lambda acc, h: acc + vote(h, b)) > 0, 1
-        ).otherwise(0),
-    )
-    nibbles = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bits // 4 - 1)),
-        lambda i: F.substring(
-            F.lit(_HEX),
-            (
-                F.element_at(bits, (i * 4 + 1).cast("int")) * 8
-                + F.element_at(bits, (i * 4 + 2).cast("int")) * 4
-                + F.element_at(bits, (i * 4 + 3).cast("int")) * 2
-                + F.element_at(bits, (i * 4 + 4).cast("int"))
-                + 1
-            ),
-            F.lit(1),
-        ),
-    )
-    return F.array_join(nibbles, "")
+    def bitvec(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_bits - 1)), lambda b: vote(h, b)
+        )
+
+    def votes_of(hs: Column) -> Column:
+        # one pass over the token hashes: each token contributes its ±1 bit
+        # vector to a 64-wide running sum (md5 evaluated once per token)
+        return F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0), num_bits),
+            lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, v: a + v),
+        )
+
+    def hex_of(votes: Column) -> Column:
+        bit = lambda i: F.when(  # noqa: E731
+            F.element_at(votes, F.lit(i)) > 0, 1
+        ).otherwise(0)
+        nibbles = [
+            F.substring(
+                F.lit(_HEX),
+                bit(i * 4 + 1) * 8 + bit(i * 4 + 2) * 4 + bit(i * 4 + 3) * 2
+                + bit(i * 4 + 4) + 1,
+                F.lit(1),
+            )
+            for i in range(num_bits // 4)
+        ]
+        return F.concat(*nibbles)
+
+    # let-bind each stage: hashes computed once per row, the vote sums once
+    # per row — never re-expanded inside a consumer lambda
+    return let_(hashes, lambda hs: let_(votes_of(hs), hex_of))
 
 
 def simhash_docs(

@@ -126,20 +126,29 @@ def rolling_fingerprint(col: Column | str, k: int = 8) -> Column:
     so any SQL engine reproduces it bit-for-bit; all Catalyst higher-order
     functions, no shuffle, no Python.
     """
+    from data_pipeline_ine_spark.functions.scalars import let_
+
     t = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(t), r"[^a-z0-9]+", " "))
     # guarantee >= k chars so every gram is full width (NB: rpad alone would
     # TRUNCATE texts longer than k — pad only the short ones)
-    s = F.when(F.length(norm) < k, F.rpad(norm, k, " ")).otherwise(norm)
-    n = F.length(s)
-    starts = F.sequence(F.lit(1), n - F.lit(k - 1))
-    gram_hash = lambda i: F.aggregate(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, j: (acc * ROLLING_BASE + F.ascii(F.substring(s, (i + j).cast("int"), F.lit(1))))
-        % ROLLING_MOD,
-    )
-    return F.array_min(F.transform(starts, gram_hash))
+    padded = F.when(F.length(norm) < k, F.rpad(norm, k, " ")).otherwise(norm)
+
+    def min_gram_hash(s: Column) -> Column:
+        # s is a let-bound lambda variable: the regex normalization ran once;
+        # every per-gram/per-char reference below is a memory read
+        starts = F.sequence(F.lit(1), F.length(s) - F.lit(k - 1))
+        gram_hash = lambda i: F.aggregate(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: (
+                acc * ROLLING_BASE + F.ascii(F.substring(s, (i + j).cast("int"), F.lit(1)))
+            )
+            % ROLLING_MOD,
+        )
+        return F.array_min(F.transform(starts, gram_hash))
+
+    return let_(padded, min_gram_hash)
 
 
 def fingerprint(col: Column | str) -> Column:
