@@ -97,6 +97,41 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: fan the hot keys of ``left`` across
+    ``n_salts`` shuffle partitions by appending a salt to the join key;
+    ``right`` is exploded ``n_salts``-fold so every salted key still matches.
+
+    Use when one side has a few pathologically hot keys and the other side is
+    too large to broadcast: a plain shuffle join puts each hot key in ONE
+    task (straggler), salting spreads it over ``n_salts`` tasks at the cost
+    of replicating the right side's matching rows. AQE's skew-join splitting
+    (enabled in ``session.py``) handles most cases at runtime; this operator
+    is for plans where the skew is known up front (e.g. the null/default
+    station code holding 30% of a 100 TB fact table) or where AQE can't
+    split (e.g. a following aggregation pins the partitioning).
+
+    The salt is ``xxhash64`` of the left row's non-key columns —
+    deterministic (re-runs produce identical partitioning, no ``rand()``
+    in the plan) and uniform enough to spread any single key.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    non_key = [c for c in left.columns if c not in keys] or keys
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*non_key), F.lit(n_salts)).cast("int")
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_left.join(salted_right, on=[*keys, "_salt"], how=how).drop("_salt")
+
+
 def _ntz_epoch_seconds(c: Column) -> Column:
     """Wall-clock seconds since epoch from a TIMESTAMP_NTZ, via field
     extraction only — no session-timezone math, so binning is stable under

@@ -49,6 +49,39 @@ def write_view_csv(df: DataFrame, path: str) -> None:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    fmt: str = "parquet",
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted table write: pre-shuffle the data ONCE at write time
+    so every later join/aggregation on ``bucket_cols`` is co-located and
+    Exchange-free.
+
+    This is the big-fact-table play at 100 TB: a fact table joined daily on
+    the same key pays its shuffle once here, then every downstream
+    ``join(dim_or_fact, bucket_cols)`` between two tables bucketed the same
+    way compiles to a zero-Exchange SortMergeJoin (see
+    ``tests/test_plan_quality.py::test_bucketed_join_no_exchange``). With
+    ``sort_cols`` the merge phase needs no sort either.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        # external table at an explicit location (warehouse.dir is static)
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

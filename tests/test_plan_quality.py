@@ -99,6 +99,53 @@ def test_range_join_is_equi_join(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.joins import salted_join
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+    # the salt explode must actually fan the build side out
+    plan = explain_str(salted, mode="simple")
+    assert "Explode" in plan or "explode" in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with ZERO
+    Exchanges — the write-once-shuffle-never-again contract of bucketing."""
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.sources.sinks import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        l = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(o, "b_orders", ("o_orderkey",), num_buckets=4,
+                       sort_cols=("o_orderkey",), path=str(tmp_path / "b_orders"))
+        write_bucketed(
+            l.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ("o_orderkey",), num_buckets=4,
+            sort_cols=("o_orderkey",), path=str(tmp_path / "b_lineitem"),
+        )
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = explain_str(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_lsh_topk_no_shuffle(spark, sf_dir):
     # banded candidate filter + per-partition top-k: zero Exchanges, the
     # k-row merge happens in TakeOrderedAndProject on the driver
