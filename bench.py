@@ -32,6 +32,9 @@ HEADLINE = [
     "q4_priority_semi",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume",
     "v_consolidation",
     "window_top_day",
     "percentiles_by_type",

@@ -83,3 +83,83 @@ def extract_features(df: DataFrame, blob_col: str = "media", id_col: str = "doc_
 def with_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Test/demo helper: UTF-8 bytes of a text column as the opaque blob."""
     return df.withColumn("media", F.encode(F.col(text_col), "utf-8"))
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, resized binary, target_w int, target_h int, resize_ok boolean"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image resize over a binary column — 1 row in, 1 row out.
+
+    The real implementation is PIL ``Image.open(io.BytesIO(b)).resize(...)``;
+    stubbed to a deterministic byte-level transform (truncate/pad to
+    ``target_w*target_h//64`` bytes) since no codec libs exist here. The
+    Spark plumbing is the part under test: Arrow batch streaming, binary
+    out-column, and a fully self-contained closure (workers don't share the
+    driver's sys.path).
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        size = max(1, target_w * target_h // 64)
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                if not b:
+                    rows.append((doc_id, None, target_w, target_h, False))
+                    continue
+                fake = (b * (size // len(b) + 1))[:size]  # deterministic stub
+                rows.append((doc_id, fake, target_w, target_h, True))
+            yield _pd.DataFrame(
+                rows, columns=[id_col, "resized", "target_w", "target_h", "resize_ok"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(compute, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    frame_bytes: int = 64,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling — 1 row in, N rows out (flat-map shape).
+
+    Real version: ffmpeg/pyav demux keyframes; stub: treat the blob as
+    fixed-width ``frame_bytes`` chunks and keep every ``every_n``-th. The
+    shape is what matters for the engine: ``mapInPandas`` emitting more rows
+    than it consumes, with bounded memory per Arrow batch — the pattern for
+    any demux/explode-style media op at 100 TB.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                n_frames = len(b) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+            yield _pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(compute, FRAME_SCHEMA)
