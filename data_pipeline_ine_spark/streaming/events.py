@@ -69,6 +69,27 @@ def tumbling_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key arriving
+    within the watermark horizon (at-least-once source → effectively-once
+    sink). ``dropDuplicatesWithinWatermark`` evicts key state once the
+    watermark passes, so state is bounded by horizon × key arrival rate —
+    a plain ``dropDuplicates`` on a stream would grow state forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: the static dimension broadcasts to
+    every micro-batch; no stream-side state, no shuffle of the stream."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, n_events int"
 )

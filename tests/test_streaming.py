@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_pipeline_ine_spark.sources.registry import load_table
 from data_pipeline_ine_spark.streaming.events import (
+    dedup_stream,
+    enrich_with_dim,
     read_event_stream,
     sessionize,
     tumbling_counts,
@@ -58,6 +60,32 @@ def test_stream_matches_batch_tumbling(spark, sf_dir, stream_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
+    # land the same file twice: an at-least-once source re-delivering
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "a.parquet")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "b.parquet")
+    stream = read_event_stream(spark, str(d))
+    _drain(dedup_stream(stream), "deduped")
+    got = spark.sql("select count(*) n, count(distinct event_id) d from deduped").first()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert got.n == got.d == n_events
+
+
+def test_stream_static_enrichment(spark, sf_dir, stream_dir):
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = read_event_stream(spark, stream_dir)
+    _drain(enrich_with_dim(stream, dim), "enriched")
+    out = spark.sql("select * from enriched")
+    assert out.filter(F.col("cohort").isNull()).count() == 0
+    assert out.count() == load_table(spark, sf_dir, "events").count()
 
 
 def test_sessionize_closes_on_gap(spark, stream_dir):
