@@ -1122,6 +1122,55 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
+# Composite training-data pipeline: exact dedup keeping the best-quality doc
+# ---------------------------------------------------------------------------
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with quality-aware survivor selection — the composed shape of a
+    real corpus-cleaning stage: fingerprint (exact dedup key) + quality
+    score (survivor ranking) + one window shuffle to pick the winner per
+    group. Survivors carry their group size for downstream weighting."""
+    from data_pipeline_ine_spark.operators.text import fingerprint, quality_score
+
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp", "quality", "group_size")
+    )
+
+
+ORACLE_DEDUP_SURVIVORS = r"""
+WITH s AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS n_stop
+  FROM documents
+), d AS (
+  SELECT doc_id, fp,
+    ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+        + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1), 1.0))
+        + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 3.0 / GREATEST(n_tokens, 1), 1.0),
+        6) AS quality
+  FROM s
+), r AS (
+  SELECT doc_id, fp, quality,
+    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY fp) AS group_size
+  FROM d
+)
+SELECT doc_id, fp, quality, group_size FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of join (backward inclusive) + binned range join over the events stream
 # ---------------------------------------------------------------------------
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "asof_last_click": q_asof_last_click,
         "range_click_attribution": q_range_click_attribution,
+        "dedup_survivors": q_dedup_survivors,
         "simhash_fingerprints": q_simhash_fingerprints,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1462,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": ORACLE_ROLLUP,
         "asof_last_click": ORACLE_ASOF,
         "range_click_attribution": ORACLE_RANGE_JOIN,
+        "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
         "simhash_fingerprints": ORACLE_SIMHASH,
         "rolling_fingerprint": ORACLE_ROLLING_FP,
         "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
