@@ -1,0 +1,91 @@
+"""End-to-end pipeline: raw INE-shaped CSVs → fact table → consolidated
+views → parquet layer, with metrics riding the write pass. Mirrors the
+reference's orchestrator lifecycle (SURVEY.md §3.1) including idempotent
+re-runs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_pipeline_ine_spark.plans.builder import ViewDefinition
+from data_pipeline_ine_spark.plans.pipeline import run_pipeline
+
+CSV_TEMP_MAX = """DTI_CL_MES,Mes,DTI_CL_ESTACIONES_METEO,Estaciones meteorológicas DMC,Value,Flag Codes,Flags
+202401,Enero 2024,EST_A,Estación A,31.5,,
+202401,Enero 2024,EST_B,Estación B,29.0,,
+202402,Febrero 2024,EST_A,Estación A,30.1,,
+202401,Enero 2024,EST_SPARSE,Estación Sparse,10.0,,
+"""
+
+CSV_TEMP_MIN = """DTI_CL_MES,Mes,DTI_CL_ESTACIONES_METEO,Estaciones meteorológicas DMC,Value,Flag Codes,Flags
+202401,Enero 2024,EST_A,Estación A,12.3,,
+202402,Febrero 2024,EST_A,Estación A,11.0,,
+202401,Enero 2024,EST_B,Estación B,13.1,,
+"""
+
+VIEWS = {
+    "v_temperatura": ViewDefinition(
+        name="v_temperatura",
+        members=("temperatura_maxima", "temperatura_minima"),
+        period_out="mes",
+        station_out="estacion",
+    )
+}
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "temperatura_maxima.csv").write_text(CSV_TEMP_MAX, encoding="utf-8")
+    (d / "temperatura_minima.csv").write_text(CSV_TEMP_MIN, encoding="utf-8")
+    return d
+
+
+def _paths(raw_dir):
+    return {
+        "temperatura_maxima": str(raw_dir / "temperatura_maxima.csv"),
+        "temperatura_minima": str(raw_dir / "temperatura_minima.csv"),
+    }
+
+
+def test_pipeline_end_to_end(spark, raw_dir, tmp_path):
+    out = tmp_path / "out"
+    report = run_pipeline(
+        spark, _paths(raw_dir), VIEWS, str(out),
+        run_date="2026-08-13", min_records=2,
+        report_path=str(tmp_path / "report.json"),
+    )
+    view = spark.read.parquet(str(out / "views" / "v_temperatura"))
+    rows = {(r.mes, r.estacion): r for r in view.collect()}
+    # EST_SPARSE has only 1 record -> dropped by the fused min_records=2
+    assert not any(k[1] == "EST_SPARSE" for k in rows)
+    # dense pair carries both metrics; gap cells are NULL
+    a_jan = rows[(202401, "EST_A")]
+    assert a_jan.temperatura_maxima == 31.5 and a_jan.temperatura_minima == 12.3
+    assert rows[(202402, "EST_A")].temperatura_maxima == 30.1
+    # label dim attached
+    assert a_jan.period_label == "Enero 2024"
+    # run_date partition written
+    assert (out / "views" / "v_temperatura" / "run_date=2026-08-13").exists()
+    # metrics rode the write
+    m = report["metrics"]["v_temperatura"]
+    assert m["n_rows"] == len(rows) > 0
+    assert os.path.exists(tmp_path / "report.json")
+
+
+def test_pipeline_rerun_is_idempotent(spark, raw_dir, tmp_path):
+    out = tmp_path / "out"
+    for _ in range(2):
+        run_pipeline(spark, _paths(raw_dir), VIEWS, str(out),
+                     run_date="2026-08-13", min_records=2)
+    view = spark.read.parquet(str(out / "views" / "v_temperatura"))
+    # re-running the same run_date replaces, never duplicates
+    assert view.groupBy("mes", "estacion").count().filter(F.col("count") > 1).count() == 0
