@@ -958,6 +958,27 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated subquery — parts at the minimum retail
+    price within their brand — decorrelated into a window min: one shuffle
+    on brand, no self-join, no per-row subquery execution."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+ORACLE_Q2_MIN = """
+SELECT p_brand, p_partkey, p_name, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+"""
+
+
 def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 customers by revenue lost to returns in one quarter."""
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -1454,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_6h": q_tumbling_6h,
         "multimodal_features": q_multimodal_features,
         "q7_volume_shipping": q_q7_volume_shipping,
+        "q2_min_price_parts": q_q2_min_price_parts,
         "q10_returned_items": q_q10_returned_items,
         "q18_large_volume": q_q18_large_volume,
         "q4_priority_semi": q_q4_priority_semi,
@@ -1505,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_6h": ORACLE_TUMBLING,
         "multimodal_features": ORACLE_MULTIMODAL,
         "q7_volume_shipping": ORACLE_Q7,
+        "q2_min_price_parts": ORACLE_Q2_MIN,
         "q10_returned_items": ORACLE_Q10,
         "q18_large_volume": ORACLE_Q18,
         "q4_priority_semi": ORACLE_Q4_SEMI,

@@ -23,7 +23,13 @@ from data_pipeline_ine_spark.operators.aggregates import (
     group_count,
     percentile_summary,
 )
-from data_pipeline_ine_spark.operators.joins import attach_label, chained_left_join
+from data_pipeline_ine_spark.operators.joins import (
+    asof_join,
+    attach_label,
+    chained_left_join,
+    salted_join,
+    windowed_range_join,
+)
 from data_pipeline_ine_spark.operators.windows import sequential_id, top_k
 from data_pipeline_ine_spark.operators.setops import union_all, union_distinct
 
@@ -41,8 +47,11 @@ __all__ = [
     "distinct_values",
     "group_count",
     "percentile_summary",
+    "asof_join",
     "attach_label",
     "chained_left_join",
+    "salted_join",
+    "windowed_range_join",
     "sequential_id",
     "top_k",
     "union_all",
