@@ -713,6 +713,14 @@ GROUP BY fp HAVING COUNT(*) > 1
 # Shared CTE for MinHash oracles: word 3-shingles, 8 seeded-md5 minhashes,
 # 4 bands of 2. DuckDB range(a, b) is exclusive of b; Spark sequence(a, b)
 # is inclusive — hence the +1s.
+# hex→bigint fold for the Carter-Wegman base hashes (first 12 md5 hex chars)
+_HEX12 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(12), _i -> CAST(strpos('0123456789abcdef', "
+    "substr({h}, CAST(_i AS INT) + 1, 1)) - 1 AS BIGINT))), "
+    "(_a, _c) -> _a * 16 + _c)"
+)
+
 _MINHASH_CTE = r"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
@@ -721,19 +729,29 @@ WITH t AS (
     list_transform(range(1, GREATEST(len(tokens) - 2, 1) + 1),
                    i -> array_to_string(list_slice(tokens, i, i + 2), ' ')) AS shingles
   FROM t
+), hashed AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles, sh -> struct_pack(
+      ha := HA_FOLD,
+      hb := HB_FOLD)) AS hs
+  FROM s
 ), sig AS (
   SELECT doc_id, shingles,
     list_transform(range(0, 8),
-      j -> list_min(list_transform(shingles,
-           sh -> md5(CAST(j AS VARCHAR) || ':' || sh)))) AS signature
-  FROM s
+      j -> list_min(list_transform(hs,
+           h -> (h.ha + j * h.hb) % 2305843009213693951))) AS signature
+  FROM hashed
 ), banded AS (
   SELECT doc_id, shingles, signature,
     list_transform(range(0, 4),
-      b -> md5(array_to_string(list_slice(signature, b * 2 + 1, b * 2 + 2), '|'))) AS bands
+      b -> md5(array_to_string(list_transform(
+             list_slice(signature, b * 2 + 1, b * 2 + 2),
+             x -> CAST(x AS VARCHAR)), '|'))) AS bands
   FROM sig
 )
-"""
+""".replace("HA_FOLD", _HEX12.format(h="md5('a:' || sh)")).replace(
+    "HB_FOLD", _HEX12.format(h="md5('b:' || sh)")
+)
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
