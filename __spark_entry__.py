@@ -1161,6 +1161,86 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
+# Set difference, lag windows, conditional-aggregate ratio (Q14 shape)
+# ---------------------------------------------------------------------------
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): users who click but never purchase.
+    Compiles to a left-anti join over pre-aggregated distinct sides."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)  # EXCEPT DISTINCT semantics
+
+
+ORACLE_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_lag_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta: lag window over an aggregated daily
+    series. The window runs on the already-aggregated frame (one row per
+    day) — a single-partition sort of a tiny series, after the heavy
+    groupBy reduced the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        _dec_sum(F.col("value"), "total")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "total",
+        F.round(F.col("total") - F.lag("total").over(w), 2).alias("delta"),
+    )
+
+
+ORACLE_LAG_DELTA = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+)
+SELECT day, total, ROUND(total - LAG(total) OVER (ORDER BY day), 2) AS delta
+FROM daily
+"""
+
+
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share — conditional aggregate over one scan,
+    part dimension broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(22,4)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            # divide as doubles: decimal-division scale rules differ across
+            # engines, IEEE double division doesn't
+            F.round(
+                F.sum(promo).cast("double") * 100 / F.sum(rev).cast("double"), 6
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT
+  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+                 ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) * 100
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE),
+        6) AS promo_share_pct,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))), 2)
+       AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Composite training-data pipeline: exact dedup keeping the best-quality doc
 # ---------------------------------------------------------------------------
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1501,6 +1581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "asof_last_click": q_asof_last_click,
         "range_click_attribution": q_range_click_attribution,
+        "except_users": q_except_users,
+        "lag_daily_delta": q_lag_daily_delta,
+        "q14_promo_share": q_q14_promo_share,
         "dedup_survivors": q_dedup_survivors,
         "simhash_fingerprints": q_simhash_fingerprints,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -1553,6 +1636,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": ORACLE_ROLLUP,
         "asof_last_click": ORACLE_ASOF,
         "range_click_attribution": ORACLE_RANGE_JOIN,
+        "except_users": ORACLE_EXCEPT,
+        "lag_daily_delta": ORACLE_LAG_DELTA,
+        "q14_promo_share": ORACLE_Q14,
         "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
         "simhash_fingerprints": ORACLE_SIMHASH,
         "rolling_fingerprint": ORACLE_ROLLING_FP,
