@@ -37,7 +37,9 @@ def sanitize_name(col: Column | str, max_len: int = 100) -> Column:
     collapse whitespace to ``_``, truncate to 100).
     """
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(c, r"[^\w\s-]", "")
+    # (?U): Java regex \w is ASCII-only by default; the reference's Python
+    # \w is Unicode-aware and keeps accented letters ("caída", "Año")
+    cleaned = F.regexp_replace(c, r"(?U)[^\w\s-]", "")
     underscored = F.regexp_replace(F.trim(cleaned), r"\s+", "_")
     return F.substring(F.lower(underscored), 1, max_len)
 
