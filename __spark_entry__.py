@@ -907,6 +907,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (width 6h, slide 3h): every event lands in width/slide
+    overlapping windows. Spark materializes the window memberships at the
+    scan (a 2× row explode inside the aggregation), still one shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours", "3 hours")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("value"), "total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+# each event belongs to the two 3h-grid starts within (ts-6h, ts]; both
+# engines align the grid to the epoch, so the starts enumerate identically
+ORACLE_SLIDING = """
+SELECT time_bucket(INTERVAL '3 hours', ts) - k.k * INTERVAL '3 hours' AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events, generate_series(0, 1) AS k(k)
+GROUP BY 1, 2
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.multimodal import (
         extract_features,
@@ -1496,6 +1520,55 @@ LIMIT 10
 """
 
 
+def _sql_sq_dist(a: str, b: str) -> str:
+    """Sequential-fold squared euclidean distance over 64-dim DOUBLE[]."""
+    t = f"({a}[CAST(_i AS INT)] - {b}[CAST(_i AS INT)])"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), _i -> {t} * {t})), (_x, _y) -> _x + _y)"
+    )
+
+
+def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_ine_spark.operators.similarity import kmeans_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return kmeans_ivf_topk(emb, qvec, k=10, n_clusters=8, n_probe=2, iters=2)
+
+
+# two unrolled Lloyd's iterations, centroids rounded to 6dp per step —
+# exactly the recipe kmeans_fit runs, so both engines converge identically
+_KM_ASSIGN = (
+    "SELECT vec_id, v, cid, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id ORDER BY {d}, cid) AS rn FROM e, {c}"
+)
+ORACLE_ANN_KMEANS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),
+a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
+m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
+m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (SELECT cid FROM c2, q ORDER BY {_sql_sq_dist('qv', 'cv')}, cid LIMIT 2)
+SELECT a3.vec_id,
+  ROUND({_sql_seq_fold_dot('a3.v', 'q.qv')}
+        / (sqrt({_sql_seq_fold_dot('a3.v', 'a3.v')})
+           * sqrt({_sql_seq_fold_dot('q.qv', 'q.qv')})), 6) AS cosine_sim
+FROM a3 JOIN probes USING (cid), q
+WHERE a3.rn = 1
+ORDER BY cosine_sim DESC, a3.vec_id
+LIMIT 10
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.similarity import partitioned_topk
 
@@ -1571,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_consecutive": q_cosine_consecutive,
         "ann_topk": q_ann_topk,
         "tumbling_6h": q_tumbling_6h,
+        "sliding_6h_3h": q_sliding_6h_3h,
         "multimodal_features": q_multimodal_features,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q2_min_price_parts": q_q2_min_price_parts,
@@ -1590,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_kmeans_topk": q_ann_kmeans_topk,
     }
 
 
@@ -1626,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_consecutive": ORACLE_COSINE_PAIRS,
         "ann_topk": ORACLE_ANN_TOPK,
         "tumbling_6h": ORACLE_TUMBLING,
+        "sliding_6h_3h": ORACLE_SLIDING,
         "multimodal_features": ORACLE_MULTIMODAL,
         "q7_volume_shipping": ORACLE_Q7,
         "q2_min_price_parts": ORACLE_Q2_MIN,
@@ -1645,4 +1721,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
         "ann_lsh_topk": ORACLE_ANN_LSH,
         "ann_ivf_topk": ORACLE_ANN_IVF,
+        "ann_kmeans_topk": ORACLE_ANN_KMEANS,
     }

@@ -191,6 +191,114 @@ def lsh_bucketed_topk(
     )
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, sequential left-fold (engine-invariant)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign_clusters(
+    emb: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment via a lexicographic struct sort over the
+    (distance, cluster_id) pairs — ties break to the lowest id. Centroids
+    are plan literals (k×d values, O(1) w.r.t. corpus size): no join, no
+    shuffle, the assignment is a narrow map."""
+    pairs = F.array(
+        *[
+            F.struct(
+                sq_dist(F.col(vec_col), F.array(*[F.lit(x) for x in cv])).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return emb.withColumn("cluster", F.array_sort(pairs)[0]["c"])
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's iterations, Spark-native.
+
+    - init: the vectors with ``id < k`` (no RNG — reproducible anywhere)
+    - assignment: narrow map against centroid literals (no shuffle)
+    - update: per-dimension mean via posexplode + groupBy — ONE shuffle of
+      (cluster, dim, partial-sums) per iteration, independent of corpus size
+    - centroid components round to ``round_to`` decimals each iteration so
+      an external engine re-running the same recipe converges identically
+      (raw float means differ across engines in final ulps)
+
+    Collecting k×d doubles per iteration to the driver is O(k·d) — the same
+    centroid-broadcast structure MLlib uses; corpus size never hits the
+    driver."""
+    emb = df.select(id_col, vec_col)
+    centroids = [
+        (int(r[id_col]), [round(float(x), round_to) for x in r[vec_col]])
+        for r in emb.filter(F.col(id_col) < k).collect()
+    ]
+    for _ in range(iters):
+        assigned = _assign_clusters(emb, centroids, vec_col)
+        dims = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.round(F.avg("x"), round_to).alias("c"))
+        )
+        rows = (
+            dims.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select("cluster", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+            .collect()
+        )
+        centroids = sorted(
+            (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in rows
+        )
+    return centroids
+
+
+def kmeans_ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a real (deterministically trained) k-means coarse
+    quantizer: fit centroids, assign the corpus, probe the ``n_probe``
+    clusters nearest the query, exact-rank only inside them.
+
+    The probe choice is a driver-side O(k·d) computation; the corpus-side
+    work is one narrow assignment map + a scan of ~n_probe/k of the data.
+    At scale, persist the assignment as a partition column and the probe
+    becomes partition pruning at the parquet scan."""
+    centroids = kmeans_fit(df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
+    q = [float(x) for x in query_vec]
+
+    def seq_sq_dist(cv: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(q, cv):
+            acc += (x - y) * (x - y)
+        return acc
+
+    probes = {cid for cid, _ in sorted(
+        centroids, key=lambda c: (seq_sq_dist(c[1]), c[0])
+    )[:n_probe]}
+    assigned = _assign_clusters(df.select(id_col, vec_col), centroids, vec_col)
+    pruned = assigned.filter(F.col("cluster").isin(sorted(probes)))
+    return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
+
+
 def partitioned_topk(
     df: DataFrame,
     query_vec: Sequence[float],
