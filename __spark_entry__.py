@@ -817,6 +817,39 @@ JOIN d db ON db.doc_id = p.b_id
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH candidate pairs (jaccard >= 0.5)
+    → connected components via min-label propagation."""
+    from data_pipeline_ine_spark.operators.dedup import (
+        dedup_components,
+        jaccard_candidate_pairs,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = jaccard_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    return dedup_components(pairs)
+
+
+ORACLE_COMPONENTS_TEMPLATE = """
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ( {jaccard_sql} ) j WHERE jaccard >= 0.5
+), edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id AS s, a_id AS d FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS node FROM edges
+), reach AS (
+  SELECT node, node AS lab FROM nodes
+  UNION
+  SELECT r.node, e.d AS lab FROM reach r JOIN edges e ON e.s = r.lab
+)
+SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY 1
+"""
+
+ORACLE_COMPONENTS = ORACLE_COMPONENTS_TEMPLATE.format(jaccard_sql=ORACLE_JACCARD)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity: norms, pairwise cosine, brute-force ANN top-k
 # ---------------------------------------------------------------------------
@@ -904,6 +937,54 @@ ORACLE_TUMBLING = """
 SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
   COUNT(*) AS n, ROUND(SUM(value), 2) AS total
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form: lag window marks session breaks
+    (>30 min gap), a running sum over the same partitioning numbers the
+    sessions — two window passes on ONE shuffle of (user_id)-partitioned
+    data. The exact batch twin of streaming/events.py::sessionize."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    is_new = prev.isNull() | (
+        F.col("ts") > prev + F.expr("INTERVAL 1800 SECONDS")
+    )
+    with_breaks = ev.withColumn("is_new", F.when(is_new, 1).otherwise(0))
+    with_ids = with_breaks.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "session_value"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              <= INTERVAL 1800 SECOND THEN 0 ELSE 1 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY 1, 2
 """
 
 
@@ -1640,10 +1721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "near_dup_buckets": q_near_dup_buckets,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_components": q_dedup_components,
         "embedding_norms": q_embedding_norms,
         "cosine_consecutive": q_cosine_consecutive,
         "ann_topk": q_ann_topk,
         "tumbling_6h": q_tumbling_6h,
+        "sessionize_batch": q_sessionize_batch,
         "sliding_6h_3h": q_sliding_6h_3h,
         "multimodal_features": q_multimodal_features,
         "q7_volume_shipping": q_q7_volume_shipping,
@@ -1697,10 +1780,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": ORACLE_MINHASH_SIG,
         "near_dup_buckets": ORACLE_NEAR_DUP,
         "jaccard_pairs": ORACLE_JACCARD,
+        "dedup_components": ORACLE_COMPONENTS,
         "embedding_norms": ORACLE_EMB_NORMS,
         "cosine_consecutive": ORACLE_COSINE_PAIRS,
         "ann_topk": ORACLE_ANN_TOPK,
         "tumbling_6h": ORACLE_TUMBLING,
+        "sessionize_batch": ORACLE_SESSIONIZE,
         "sliding_6h_3h": ORACLE_SLIDING,
         "multimodal_features": ORACLE_MULTIMODAL,
         "q7_volume_shipping": ORACLE_Q7,

@@ -244,6 +244,53 @@ def simhash_docs(
     return df.select(id_col, simhash_hex(text_col).alias("simhash"))
 
 
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → duplicate
+    CLUSTERS (transitive closure): the step after LSH pair discovery that
+    turns A~B, B~C into one group {A,B,C} with a canonical representative
+    (the min id).
+
+    Min-label propagation: each node repeatedly adopts the smallest label
+    among itself and its neighbors; fixpoint = component minima. One shuffle
+    (join + groupBy) per iteration; near-dup clusters are dense/low-diameter
+    so convergence takes ~log(diameter) rounds. The driver-side loop checks
+    a single aggregate per round (O(1) data to the driver) and stops early
+    at the fixpoint — the standard iterative-algorithm shape on Spark.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+    )
+    edges.cache()
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .select(F.col("s").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        cur = labels.agg(F.sum("label").alias("s")).first()["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+        labels.cache()
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 def jaccard_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", round_to: int = 6, **minhash_kwargs
 ) -> DataFrame:
