@@ -40,14 +40,19 @@ HEADLINE = [
     "percentiles_by_type",
     "label_join_orders",
     "rollup_revenue",
+    "q14_promo_share",
     "asof_last_click",
     "range_click_attribution",
+    "sessionize_batch",
+    "sliding_6h_3h",
     # training-data ops over documents/embeddings
     "near_dup_buckets",
     "simhash_fingerprints",
     "rolling_fingerprint",
     "embedding_near_dup",
     "ann_lsh_topk",
+    "ann_kmeans_topk",
+    "dedup_survivors",
     "quality_scores",
 ]
 
