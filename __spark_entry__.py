@@ -1284,6 +1284,22 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users present in both the error and signup streams —
+    compiles to a left-semi join over distinct sides."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+ORACLE_INTERSECT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
 def q_lag_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day revenue delta: lag window over an aggregated daily
     series. The window runs on the already-aggregated frame (one row per
@@ -1739,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": q_asof_last_click,
         "range_click_attribution": q_range_click_attribution,
         "except_users": q_except_users,
+        "intersect_users": q_intersect_users,
         "lag_daily_delta": q_lag_daily_delta,
         "q14_promo_share": q_q14_promo_share,
         "dedup_survivors": q_dedup_survivors,
@@ -1798,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": ORACLE_ASOF,
         "range_click_attribution": ORACLE_RANGE_JOIN,
         "except_users": ORACLE_EXCEPT,
+        "intersect_users": ORACLE_INTERSECT,
         "lag_daily_delta": ORACLE_LAG_DELTA,
         "q14_promo_share": ORACLE_Q14,
         "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
