@@ -266,8 +266,10 @@ def dedup_components(
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
         .distinct()
+        # materialize once and cut the (possibly very expensive) pair-
+        # discovery lineage out of every iteration's plan
+        .localCheckpoint()
     )
-    edges.cache()
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -281,13 +283,14 @@ def dedup_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # keep each round's plan flat: without this, iteration N replans
+            # (and risks recomputing) all N-1 previous rounds
+            .localCheckpoint()
         )
         cur = labels.agg(F.sum("label").alias("s")).first()["s"]
         if cur == prev_sum:
             break
         prev_sum = cur
-        labels.cache()
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
