@@ -90,6 +90,48 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> D
     return events.join(F.broadcast(dim), on=on, how="left")
 
 
+def stream_stream_attribution(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to clicks by the same
+    user within the preceding ``window_seconds`` — the streaming twin of the
+    batch ``windowed_range_join`` query.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so the state store can evict: a click's state lives only until
+    the watermark passes ``click_ts + window`` — without the time bound a
+    stream-stream join's state grows forever."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "purchase_ts",
+        "click_ts", "click_value",
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, n_events int"
 )

@@ -19,6 +19,7 @@ from data_pipeline_ine_spark.streaming.events import (
     enrich_with_dim,
     read_event_stream,
     sessionize,
+    stream_stream_attribution,
     tumbling_counts,
 )
 
@@ -86,6 +87,27 @@ def test_stream_static_enrichment(spark, sf_dir, stream_dir):
     out = spark.sql("select * from enriched")
     assert out.filter(F.col("cohort").isNull()).count() == 0
     assert out.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    _drain(stream_stream_attribution(stream), "attributed")
+    got = spark.sql("select count(*) n from attributed").first().n
+    # batch equivalent: clicks within the hour before each purchase
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).count()
+    assert got == want > 0
 
 
 def test_sessionize_closes_on_gap(spark, stream_dir):
