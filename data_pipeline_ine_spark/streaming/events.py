@@ -132,6 +132,37 @@ def stream_stream_attribution(
     )
 
 
+def write_stream_layered(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str | None = None,
+):
+    """Stream → layered parquet via ``foreachBatch``: each micro-batch
+    appends through the same batch writer the rest of the engine uses, so
+    one sink implementation serves both modes (the lambda-architecture
+    killer). The checkpoint makes delivery effectively-once: a replayed
+    micro-batch overwrites its own output deterministically rather than
+    appending twice only when the sink itself is idempotent — for plain
+    appends, rely on the checkpoint's exactly-once batch tracking.
+
+    Returns the started StreamingQuery (AvailableNow trigger: drain
+    everything pending, then stop — the backfill/cron shape)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, n_events int"
 )

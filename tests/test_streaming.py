@@ -110,6 +110,23 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_dir, stream_dir):
     assert got == want > 0
 
 
+def test_foreach_batch_layered_sink(spark, sf_dir, stream_dir, tmp_path):
+    from data_pipeline_ine_spark.streaming.events import write_stream_layered
+
+    stream = read_event_stream(spark, stream_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    q = write_stream_layered(
+        stream, str(tmp_path / "layer"), str(tmp_path / "ckpt"),
+        partition_col="event_date",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "layer"))
+    assert out.count() == load_table(spark, sf_dir, "events").count()
+    # partition directories materialized by event_date
+    assert any(p.name.startswith("event_date=") for p in (tmp_path / "layer").iterdir())
+
+
 def test_sessionize_closes_on_gap(spark, stream_dir):
     stream = read_event_stream(spark, stream_dir)
     _drain(sessionize(stream, gap_minutes=30), "sessions")
