@@ -1145,6 +1145,42 @@ LIMIT 20
 """
 
 
+def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return flag, how many lines belong to urgent vs
+    non-urgent orders in one ship-year — CASE classification aggregated on
+    the single fact⋈orders join (orders side broadcast-eligible; one real
+    shuffle for the groupBy)."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders whose total quantity exceeds 300 (fact-side HAVING subquery
     → semi-join back), with customer attribution. The HAVING aggregate and
@@ -1748,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q_q7_volume_shipping,
         "q2_min_price_parts": q_q2_min_price_parts,
         "q10_returned_items": q_q10_returned_items,
+        "q12_priority_class": q_q12_priority_class,
         "q18_large_volume": q_q18_large_volume,
         "q4_priority_semi": q_q4_priority_semi,
         "customers_no_big_orders": q_customers_no_big_orders,
@@ -1808,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": ORACLE_Q7,
         "q2_min_price_parts": ORACLE_Q2_MIN,
         "q10_returned_items": ORACLE_Q10,
+        "q12_priority_class": ORACLE_Q12,
         "q18_large_volume": ORACLE_Q18,
         "q4_priority_semi": ORACLE_Q4_SEMI,
         "customers_no_big_orders": ORACLE_ANTI,

@@ -34,6 +34,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",
+    "q12_priority_class",
     "q18_large_volume",
     "v_consolidation",
     "window_top_day",
