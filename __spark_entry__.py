@@ -1279,15 +1279,23 @@ GROUP BY 1
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over (returnflag, linestatus): subtotals + grand total in one
-    shuffle — the grouping-sets capability SURVEY.md §2.4 notes as free."""
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total
+    (SURVEY.md §2.4's grouping-sets capability).
+
+    Two-level plan: exact groupBy first (fact-sized shuffle ONCE), then the
+    rollup's Expand runs over the handful of group rows instead of
+    multiplying every fact row by the number of grouping sets — decimal
+    sums re-aggregate associatively, so results are identical."""
     l = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(22,4)"
     )
-    return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
-        F.count(F.lit(1)).alias("n_rows"),
+    base = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+        F.sum("n").alias("n_rows"),
     )
 
 
