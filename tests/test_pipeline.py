@@ -89,3 +89,30 @@ def test_pipeline_rerun_is_idempotent(spark, raw_dir, tmp_path):
     view = spark.read.parquet(str(out / "views" / "v_temperatura"))
     # re-running the same run_date replaces, never duplicates
     assert view.groupBy("mes", "estacion").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_reference_view_catalog_complete():
+    from data_pipeline_ine_spark.plans.view_catalog import reference_views, station_map
+
+    views = reference_views()
+    # 19 air + 2 consolidated water views (step5_create_views.py:41-216)
+    assert len(views) == 21
+    assert views["v_temperatura"].members[0] == "temp_max_absoluta"
+    # so2's annual min table keeps its drifted name
+    assert "so2_min_anual" in views["v_so2_anual"].members
+    # mp25/mp10 have no perc99
+    assert "mp25_perc99" not in views["v_mp25_anual"].members
+    assert "o3_perc99" in views["v_o3_anual"].members
+    # glacier view renames the entity to cuenca
+    g = views["v_glaciares_anual_cuenca"]
+    assert g.station_out == "cuenca" and g.granularity == "anual"
+    # every member dataset has a station-column mapping
+    sm = station_map()
+    for v in views.values():
+        for ds in v.members:
+            assert ds in sm
+    # no dataset belongs to two views
+    all_members = [ds for v in views.values() for ds in v.members]
+    # 5 temp + 3 humidity + 7+7 (mp25/mp10) + 8×6 (o3/so2/no2/co/no/nox)
+    # + 1 heat-wave + 2 sea + 4 glacier = 77 distinct member datasets
+    assert len(all_members) == len(set(all_members)) == 77
