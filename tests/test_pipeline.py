@@ -116,3 +116,46 @@ def test_reference_view_catalog_complete():
     # 5 temp + 3 humidity + 7+7 (mp25/mp10) + 8×6 (o3/so2/no2/co/no/nox)
     # + 1 heat-wave + 2 sea + 4 glacier = 77 distinct member datasets
     assert len(all_members) == len(set(all_members)) == 77
+
+
+def test_full_catalog_builds_all_21_views(spark, tmp_path):
+    """End-to-end over the COMPLETE reference catalog: synthesize all 77
+    member datasets, build the unified fact table, and materialize every
+    consolidated view — the 'a reference user could switch' proof."""
+    from data_pipeline_ine_spark.plans.pipeline import build_views
+    from data_pipeline_ine_spark.plans.view_catalog import reference_views, station_map
+    from data_pipeline_ine_spark.sources.observation_csv import build_fact_table
+
+    views, sm = reference_views(), station_map()
+    label_of = {
+        "DTI_CL_EST_MONITOREO_AIRE": "Estaciones de monitoreo del aire",
+        "DTI_CL_ESTACIONES_METEO": "Estaciones meteorológicas DMC",
+        "CL_T017ESTACION_SHOA": "Estación ambiental SHOA",
+        "DTI_CL_CUENCAS": "Cuencas",
+    }
+    raw = tmp_path / "raw_full"
+    raw.mkdir()
+    paths = {}
+    for v in views.values():
+        pcol, plabel = ("DTI_CL_ANO", "Año") if v.granularity == "anual" else ("DTI_CL_MES", "Mes")
+        for ds in v.members:
+            scol = sm[ds]
+            lines = [f"{pcol},{plabel},{scol},{label_of[scol]},Value,Flag Codes,Flags"]
+            for p in (202401, 202402):
+                for s in ("EST_A", "EST_B", "EST_C"):
+                    lines.append(f"{p},P{p},{s},Estación {s},{hash(ds) % 97}.5,,")
+            f = raw / f"{ds}.csv"
+            f.write_text("\n".join(lines), encoding="utf-8")
+            paths[ds] = str(f)
+
+    facts = build_fact_table(spark, paths, sm)
+    built = build_views(facts, views, min_records=1)
+    assert len(built) == 21
+    for name, vdf in built.items():
+        v = views[name]
+        rows = vdf.count()
+        # 2 periods x 3 stations, all dense
+        assert rows == 6, (name, rows)
+        for m in v.members:
+            assert m in vdf.columns, (name, m)
+        assert v.station_out in vdf.columns
