@@ -99,6 +99,43 @@ def test_consolidate_fused_min_records_semantics(spark, obs, min_records):
 
 @SETTINGS
 @given(
+    left=st.lists(st.tuples(key_strategy, ts_strategy), min_size=1, max_size=10),
+    right=st.lists(st.tuples(key_strategy, ts_strategy), min_size=0, max_size=10),
+    window=st.integers(1, 10),
+    bin_seconds=st.integers(1, 12),
+)
+def test_range_join_bin_rewrite_matches_naive(spark, left, right, window, bin_seconds):
+    """The bin-explode rewrite must return exactly the rows of the naive
+    range predicate for ANY bin width — boundary timestamps included."""
+    from data_pipeline_ine_spark.operators.joins import windowed_range_join
+
+    base = "2024-01-01 00:00:"
+    ldf = spark.createDataFrame(
+        [(i, k, f"{base}{t:02d}") for i, (k, t) in enumerate(left)],
+        "lid long, k long, lt string",
+    ).withColumn("lt", F.col("lt").cast("timestamp_ntz"))
+    rdf = spark.createDataFrame(
+        [(j, k, f"{base}{t:02d}") for j, (k, t) in enumerate(right)],
+        "rid long, k long, rt string",
+    ).withColumn("rt", F.col("rt").cast("timestamp_ntz"))
+    got = {
+        (r.lid, r.rid)
+        for r in windowed_range_join(
+            ldf, rdf, on="k", left_ts="lt", right_ts="rt",
+            window_seconds=window, bin_seconds=bin_seconds,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and lt - window <= rt < lt
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
     words=st.lists(st.text(alphabet="abcxyz019", min_size=1, max_size=6),
                    min_size=1, max_size=8),
     junk=st.sampled_from([" ", "  ", " , ", "!\t", " ... ", "\n\n", " ; "]),
