@@ -1405,6 +1405,49 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 """
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget packs
+    (the pretraining batch-construction step). A running token total within
+    each source shard, divided by the budget, gives the pack id — one window
+    pass on one (source)-partitioned shuffle, no iterative bin-packing. The
+    greedy split can straddle a pack boundary (a doc may start a pack that
+    its tokens overflow) — the standard streaming-packing tradeoff, and
+    deterministic: shard + doc_id order fixes every assignment."""
+    from data_pipeline_ine_spark.operators.text import bpe_token_count
+
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", bpe_token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - 1) / budget).cast("bigint").alias("pack_id"),
+    )
+
+
+ORACLE_PACKING = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    length(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - 1) / 2048.0)
+       AS BIGINT) AS pack_id
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Composite training-data pipeline: exact dedup keeping the best-quality doc
 # ---------------------------------------------------------------------------
@@ -1804,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_daily_delta": q_lag_daily_delta,
         "q14_promo_share": q_q14_promo_share,
         "dedup_survivors": q_dedup_survivors,
+        "sequence_packing": q_sequence_packing,
         "simhash_fingerprints": q_simhash_fingerprints,
         "rolling_fingerprint": q_rolling_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1865,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "lag_daily_delta": ORACLE_LAG_DELTA,
         "q14_promo_share": ORACLE_Q14,
         "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
+        "sequence_packing": ORACLE_PACKING,
         "simhash_fingerprints": ORACLE_SIMHASH,
         "rolling_fingerprint": ORACLE_ROLLING_FP,
         "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
