@@ -146,6 +146,31 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_ivf_assignment_partition_pruning(spark, sf_dir, tmp_path):
+    """SCALING.md's IVF claim, proven: persist cluster assignments as a
+    partition column and the probe filter becomes partition pruning — the
+    scan never touches unprobed clusters."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        _assign_clusters,
+        kmeans_fit,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=1)
+    assigned = _assign_clusters(emb.select("vec_id", "embedding"), cents, "embedding")
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cluster").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cluster").isin(0, 1))
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1].splitlines()[0], plan
+    # pruning is real: only the probed clusters' rows are readable
+    assert probed.count() == assigned.filter(F.col("cluster").isin(0, 1)).count()
+
+
 def test_lsh_topk_no_shuffle(spark, sf_dir):
     # banded candidate filter + per-partition top-k: zero Exchanges, the
     # k-row merge happens in TakeOrderedAndProject on the driver
