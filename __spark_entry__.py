@@ -416,7 +416,8 @@ def q_json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_PROPS = """
 SELECT event_type,
-  SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS BIGINT)) AS sum_k
+  CAST(SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS BIGINT))
+       AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -686,8 +687,9 @@ def q_bpe_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BPE = r"""
 SELECT source,
-  SUM(length(regexp_extract_all(text,
-      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))) AS total_bpe_tokens
+  CAST(SUM(length(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')))
+       AS BIGINT) AS total_bpe_tokens
 FROM documents GROUP BY source
 """
 
@@ -975,8 +977,8 @@ WITH marked AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                      ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
@@ -1171,10 +1173,10 @@ def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+       AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
@@ -1406,42 +1408,33 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: assign documents to fixed token-budget packs
-    (the pretraining batch-construction step). A running token total within
-    each source shard, divided by the budget, gives the pack id — one window
-    pass on one (source)-partitioned shuffle, no iterative bin-packing. The
-    greedy split can straddle a pack boundary (a doc may start a pack that
-    its tokens overflow) — the standard streaming-packing tradeoff, and
-    deterministic: shard + doc_id order fixes every assignment."""
+    """Greedy sequence packing via ``operators/packing.py::pack_sequences``:
+    B=4 deterministic hash shards per source, each packing independently
+    under its own token budget — the running-sum window partitions on
+    (source, shard), never on the low-cardinality source alone, so one
+    giant source can't become a single sorting task at scale."""
+    from data_pipeline_ine_spark.operators.packing import pack_sequences
     from data_pipeline_ine_spark.operators.text import bpe_token_count
 
-    budget = 2048
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", bpe_token_count("text").alias("n_tokens")
+        "doc_id", "source", "text"
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.sum("n_tokens").over(w)
-    return docs.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor((cum - 1) / budget).cast("bigint").alias("pack_id"),
-    )
+    return pack_sequences(
+        docs, bpe_token_count("text"), budget=2048, n_shards=4
+    ).select("doc_id", "source", "shard", "n_tokens", "pack_id")
 
 
 ORACLE_PACKING = r"""
 WITH t AS (
   SELECT doc_id, source,
     length(regexp_extract_all(text,
-      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens
+      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 4 AS INTEGER) AS shard
   FROM documents
 )
-SELECT doc_id, source, n_tokens,
-  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+SELECT doc_id, source, shard, n_tokens,
+  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) - 1) / 2048.0)
        AS BIGINT) AS pack_id
 FROM t

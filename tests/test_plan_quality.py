@@ -178,3 +178,21 @@ def test_lsh_topk_no_shuffle(spark, sf_dir):
     plan = explain_str(df, mode="simple")
     assert plan.count("Exchange") == 0, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_sequence_packing_window_is_sharded(spark, sf_dir):
+    """The packing window must partition on (source, shard), never on the
+    low-cardinality source alone — one giant source must not become a
+    single sorting task (VERDICT r1 scale caution #2)."""
+    df = contract.queries()["sequence_packing"](spark, sf_dir)
+    plan = explain_str(df)
+    spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert spec, plan
+    assert "shard" in spec[0], spec[0]
+    # and every (source, shard) group is strictly smaller than its source
+    from pyspark.sql import functions as F
+
+    groups = df.groupBy("source", "shard").count()
+    per_source = df.groupBy("source").count().withColumnRenamed("count", "n_src")
+    joined = groups.join(per_source, "source")
+    assert joined.filter(F.col("count") >= F.col("n_src")).count() == 0
