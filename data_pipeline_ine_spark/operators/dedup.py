@@ -255,12 +255,18 @@ def dedup_components(
     turns A~B, B~C into one group {A,B,C} with a canonical representative
     (the min id).
 
-    Min-label propagation: each node repeatedly adopts the smallest label
-    among itself and its neighbors; fixpoint = component minima. One shuffle
-    (join + groupBy) per iteration; near-dup clusters are dense/low-diameter
-    so convergence takes ~log(diameter) rounds. The driver-side loop checks
-    a single aggregate per round (O(1) data to the driver) and stops early
-    at the fixpoint — the standard iterative-algorithm shape on Spark.
+    Min-label propagation with pointer jumping: each round every node
+    adopts the smallest label among itself and its neighbors (one hop),
+    then adopts its label's label (pointer jump — halves the remaining
+    label-chain length, the large-star/small-star trick). Neighbor-min
+    alone advances one hop per round (O(diameter)); with the jump the
+    fixpoint arrives in O(log diameter) rounds, so ``max_iters=10``
+    covers diameters into the hundreds. Two shuffles per round; the
+    driver-side loop checks a single aggregate per round (O(1) data to
+    the driver) and stops at the fixpoint. Labels only ever decrease, so
+    a stable label-sum IS the fixpoint; if ``max_iters`` rounds pass
+    without reaching it, the labels may still be mid-merge and we raise
+    rather than silently return wrong clusters.
     """
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
@@ -274,23 +280,45 @@ def dedup_components(
         "label", F.col("node")
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         msgs = (
             edges.join(labels, edges["d"] == labels["node"])
             .select(F.col("s").alias("node"), "label")
         )
-        labels = (
+        hop = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label ← label(label). Every label is itself a node
+        # (labels start as self-ids and min() preserves membership), and
+        # label(label) ≤ label, so the inner product below only shrinks
+        # chains — never loses a node (left join guards the root).
+        parent = hop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        labels = (
+            hop.join(parent, hop["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.coalesce("p_label", "label").alias("label"),
+            )
             # keep each round's plan flat: without this, iteration N replans
             # (and risks recomputing) all N-1 previous rounds
             .localCheckpoint()
         )
         cur = labels.agg(F.sum("label").alias("s")).first()["s"]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not reach a fixpoint in {max_iters} "
+            "iterations — component diameter exceeds the doubling budget; "
+            "raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
