@@ -175,7 +175,13 @@ def sessionize(
     """Gap-based sessionization with explicit per-user state
     (``applyInPandasWithState``): a session closes when no event arrives
     within ``gap_minutes``; closed sessions are emitted, the open one stays
-    in state.
+    in state until the event-time timeout fires.
+
+    State is bounded: each update arms an ``EventTimeTimeout`` at
+    ``last_event + gap``, so once the watermark passes a user's gap horizon
+    the open session is emitted and the state entry removed. (With
+    ``NoTimeout`` a user who stops sending events would pin state forever
+    and their final session would never be emitted.)
 
     The state function is fully self-contained (local imports only): Python
     workers don't share the driver's sys.path (see operators/multimodal.py).
@@ -186,6 +192,24 @@ def sessionize(
         import pandas as _pd
 
         (user_id,) = key
+
+        def emit(rows):
+            df = _pd.DataFrame(
+                rows, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+            df["session_start"] = _pd.to_datetime(df["session_start"], unit="us")
+            df["session_end"] = _pd.to_datetime(df["session_end"], unit="us")
+            return df
+
+        if state.hasTimedOut:
+            # watermark passed last+gap with no new events: the open
+            # session is final — emit it and drop the state entry
+            start, last, n = state.get
+            state.remove()
+            if start is not None:
+                yield emit([(user_id, start, last, n)])
+            return
+
         ts_list = []
         for pdf in pdfs:
             ts_list.extend(int(t.value) // 1000 for t in _pd.to_datetime(pdf["ts"]))
@@ -201,13 +225,16 @@ def sessionize(
             else:
                 last, n = t, n + 1
         state.update((start, last, n))
+        if last is not None:
+            # event-time timeout timestamps are epoch MILLIseconds; a late
+            # event can put last+gap behind the watermark, and a timeout in
+            # the past is rejected — clamp to just past the watermark so
+            # the session closes on the next watermark advance instead
+            timeout_ms = last // 1000 + gap_minutes * 60 * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if out:
-            df = _pd.DataFrame(
-                out, columns=["user_id", "session_start", "session_end", "n_events"]
-            )
-            df["session_start"] = _pd.to_datetime(df["session_start"], unit="us")
-            df["session_end"] = _pd.to_datetime(df["session_end"], unit="us")
-            yield df
+            yield emit(out)
 
     return (
         events.withWatermark("ts", watermark)
@@ -217,6 +244,6 @@ def sessionize(
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

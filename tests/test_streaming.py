@@ -136,3 +136,45 @@ def test_sessionize_closes_on_gap(spark, stream_dir):
     assert n > 10
     bad = sessions.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_sessionize_emits_final_session_on_timeout(spark, sf_dir, tmp_path):
+    """EventTimeTimeout eviction: a user whose events stop must still get
+    their last session emitted once the watermark passes last+gap — and
+    the state entry must not linger forever (ADVICE r1)."""
+    d = tmp_path / "timeout_stream"
+    d.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    # batch 1: one quiet user's events only; batch 2: everyone else 30 days
+    # later pushes the watermark far past batch 1's gap horizon
+    quiet_user = ev.select("user_id").orderBy("user_id").first().user_id
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    for name, pred in (
+        ("a", F.col("user_id") == quiet_user),
+        ("b", F.col("user_id") != quiet_user),
+    ):
+        staging = tmp_path / f"stage_{name}"
+        raw.filter(pred).coalesce(1).write.parquet(str(staging))
+        part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, d / f"{name}.parquet")
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    _drain(sessionize(stream, gap_minutes=30, watermark="0 seconds"), "final_sessions")
+    got = spark.sql(
+        f"select * from final_sessions where user_id = {quiet_user}"
+    )
+    # batch equivalent: every >30min gap closes a session, plus the final one
+    want = (
+        ev.filter(F.col("user_id") == quiet_user)
+        .select("ts")
+        .sort("ts")
+        .collect()
+    )
+    n_sessions = 1 + sum(
+        1
+        for a, b in zip(want, want[1:])
+        if (b.ts - a.ts).total_seconds() > 1800
+    )
+    assert got.count() == n_sessions, (
+        f"expected {n_sessions} sessions incl. the timed-out final one, "
+        f"got {got.count()}"
+    )
