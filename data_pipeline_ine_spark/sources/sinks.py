@@ -34,6 +34,35 @@ def write_layer(
     writer.option("partitionOverwriteMode", "dynamic").parquet(path)
 
 
+def latest_run_date(spark, path: str) -> str | None:
+    """O3 — newest ``run_date`` partition under a layer path.
+
+    The reference discovers "today's" folder by sorting directory names
+    (``steps/step2_standardize_names.py:26-31``,
+    ``generar_reporte_consolidado.py:16-22``). Here runs are ``run_date=``
+    partitions (see :func:`write_layer`), so discovery is a max over the
+    partition VALUES — metadata only: the row count of the scan is 0-cost
+    because partition pruning answers it from the file listing, no data
+    files are read.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(path)
+            .select("run_date")
+            .distinct()
+            .orderBy(F.col("run_date").desc())
+            .limit(1)
+            .collect()
+        )
+    except AnalysisException:
+        # nonexistent path or a layer with zero completed runs (no
+        # partition directories → nothing to infer a schema from)
+        return None
+    return str(rows[0][0]) if rows else None
+
+
 def write_view_csv(df: DataFrame, path: str) -> None:
     """S2 — view CSV sink (header, UTF-8, overwrite).
 
