@@ -196,3 +196,37 @@ def test_sequence_packing_window_is_sharded(spark, sf_dir):
     per_source = df.groupBy("source").count().withColumnRenamed("count", "n_src")
     joined = groups.join(per_source, "source")
     assert joined.filter(F.col("count") >= F.col("n_src")).count() == 0
+
+
+def test_lsh_sizing_keeps_candidates_subquadratic(spark, sf_dir):
+    """planes_for's sizing rule: expected candidate-pair count from the
+    bucket self-join stays ~linear in corpus size, never a meaningful
+    fraction of n² (VERDICT r1 scale caution #1)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        MAX_PLANES,
+        N_PLANES,
+        hyperplane_signature,
+        planes_for,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    # the rule itself: floor at 8, ~log2(n/64), cap at 24
+    assert planes_for(500) == N_PLANES
+    assert planes_for(100_000_000) == 21
+    assert planes_for(10**12) == MAX_PLANES
+    assert planes_for(0) == N_PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    buckets = (
+        emb.select(hyperplane_signature(F.col("embedding"), planes_for(n)).alias("sig"))
+        .groupBy("sig")
+        .count()
+    )
+    cand_pairs = buckets.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+    ).first().p
+    all_pairs = n * (n - 1) / 2
+    assert cand_pairs < 0.25 * all_pairs, (cand_pairs, all_pairs)
