@@ -1647,6 +1647,10 @@ def _sql_hyperplane_sig(v: str, n_planes: int = 8) -> str:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized LSH (``planes_for``): resolves to the floor of 8 planes at
+    oracle scales (≤~16k rows), which is exactly what the static oracle SQL
+    encodes — at corpus scale the same call grows the signature instead of
+    degenerating to a quadratic bucket self-join."""
     from data_pipeline_ine_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1780,6 +1784,26 @@ LIMIT 10
 """
 
 
+def q_v_estaciones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's third output family: the hardcoded 98-station geo
+    catalog published as a view (reference ``steps/step5_create_views.py:
+    503-539``). A driver-side literal dim — broadcast-join shape at any
+    scale. ``sf_dir`` is unused: the catalog is scale-independent."""
+    from data_pipeline_ine_spark.sources.station_catalog import (
+        load_station_catalog,
+    )
+
+    return load_station_catalog(spark)
+
+
+def _oracle_estaciones() -> str:
+    from data_pipeline_ine_spark.sources.station_catalog import (
+        station_values_sql,
+    )
+
+    return station_values_sql()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1847,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_topk": q_ann_kmeans_topk,
+        "v_estaciones": q_v_estaciones,
     }
 
 
@@ -1909,4 +1934,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ORACLE_ANN_LSH,
         "ann_ivf_topk": ORACLE_ANN_IVF,
         "ann_kmeans_topk": ORACLE_ANN_KMEANS,
+        "v_estaciones": _oracle_estaciones(),
     }
