@@ -6,7 +6,12 @@ Runs each headline query from ``__spark_entry__.queries()`` against
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": s, ...},
+     "all_queries": {... every queries() entry ...}, "sf": 0.1}
+
+The ``queries`` block is the stable 27-query headline set (round-over-
+round comparable); ``all_queries`` times EVERY contract entry so
+regressions in non-headline operators are visible per-round too.
 
 Execution is forced with the ``noop`` sink — full pipeline runs on the
 cluster, nothing funnels back to the driver, so timings measure the engine,
@@ -80,12 +85,14 @@ def main() -> None:
     # warmup: JIT/codegen/session init on a small query
     run(queries[names[0]](spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in names:
+    all_timings: dict[str, float] = {}
+    # headline first (stable order for round-over-round), then the rest
+    for name in names + sorted(set(queries) - set(names)):
         t0 = time.perf_counter()
         run(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        all_timings[name] = round(time.perf_counter() - t0, 3)
 
+    timings = {n: all_timings[n] for n in names}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "all_queries": all_timings,
                 "sf": _sf_of(sf_dir),
             }
         )
