@@ -1,0 +1,70 @@
+"""S7/S8 ingestion analog: cluster-parallel landing pass + sequential
+driver retry with ``fue_reintentado`` tagging (reference
+``step1_scraper.py:321-447`` semantics)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_ine_spark.sources.ingest import ingest_catalog
+
+
+def _catalog(n):
+    return [
+        {"id": f"ds{i:03d}", "nombre": f"dataset {i}", "categoria": "aire", "url": f"x://{i}"}
+        for i in range(n)
+    ]
+
+
+def test_ingest_lands_files_and_manifest(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+
+    def fetch(entry):
+        return f"period,value\n2020,{entry['id']}\n".encode()
+
+    m = ingest_catalog(spark, _catalog(10), fetch, raw, concurrency=4).collect()
+    assert len(m) == 10
+    assert all(r.status == "exitoso" and not r.fue_reintentado for r in m)
+    assert sorted(os.listdir(raw)) == [f"ds{i:03d}.csv" for i in range(10)]
+    one = next(r for r in m if r.dataset_id == "ds003")
+    assert one.n_bytes == os.path.getsize(one.path)
+
+
+def test_ingest_retries_failures_sequentially(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    flaky = {"ds001", "ds004"}
+    dead = {"ds007"}
+    mdir = str(marker_dir)
+
+    def fetch(entry):
+        # self-contained: state via the shared local filesystem, which in
+        # local[*] is visible to executor threads and the driver alike
+        did = entry["id"]
+        if did in dead:
+            raise ValueError("permanently broken export")
+        marker = os.path.join(mdir, did)
+        if did in flaky and not os.path.exists(marker):
+            open(marker, "w").close()
+            raise TimeoutError("first attempt flake")
+        return b"ok"
+
+    m = {r.dataset_id: r for r in ingest_catalog(spark, _catalog(8), fetch, raw).collect()}
+    assert len(m) == 8
+    # flaky ones recovered on the sequential retry, tagged with the cause
+    for did in flaky:
+        assert m[did].status == "exitoso"
+        assert m[did].fue_reintentado
+        assert "first attempt flake" in m[did].intento_previo_fallo
+    # the dead one is still a manifest row (not a task failure), retried once
+    assert m["ds007"].status == "fallido"
+    assert m["ds007"].fue_reintentado
+    assert "permanently broken" in m["ds007"].intento_previo_fallo
+    # clean entries never retried
+    assert not m["ds000"].fue_reintentado
+    # only successful downloads landed files
+    assert "ds007.csv" not in os.listdir(raw)
