@@ -1572,7 +1572,7 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(_docs_parallel(spark, sf_dir))
 
 
-ORACLE_SIMHASH = """
+_SIMHASH_CTE = """
 WITH toks AS (
   SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
                                 t -> substr(md5(t), 1, 16)) AS hs
@@ -1585,13 +1585,18 @@ WITH toks AS (
            THEN 1 ELSE -1 END)) > 0
     THEN 1 ELSE 0 END) AS bits
   FROM toks
+), sim AS (
+  SELECT doc_id, array_to_string(list_transform(range(16), i ->
+    substr('0123456789abcdef',
+           CAST(bits[CAST(4*i AS INT) + 1] * 8 + bits[CAST(4*i AS INT) + 2] * 4
+              + bits[CAST(4*i AS INT) + 3] * 2 + bits[CAST(4*i AS INT) + 4] AS INT) + 1,
+           1)), '') AS simhash
+  FROM b
 )
-SELECT doc_id, array_to_string(list_transform(range(16), i ->
-  substr('0123456789abcdef',
-         CAST(bits[CAST(4*i AS INT) + 1] * 8 + bits[CAST(4*i AS INT) + 2] * 4
-            + bits[CAST(4*i AS INT) + 3] * 2 + bits[CAST(4*i AS INT) + 4] AS INT) + 1,
-         1)), '') AS simhash
-FROM b
+"""
+
+ORACLE_SIMHASH = _SIMHASH_CTE + """
+SELECT doc_id, simhash FROM sim
 """
 
 
@@ -2234,6 +2239,248 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation: mixture sampling, stratified sampling, repetition
+# quality, PII scrubbing, benchmark decontamination, simhash near-dup pairs.
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"src0": 0.2, "src1": 0.5, "src2": 0.65}
+_MIX_DEFAULT = 0.8
+_MIX_BUCKETS = 10_000
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture sampling: deterministic hash-bucket filter at
+    per-source rates (src0 20%, src1 50%, src2 65%, rest 80%), reported as
+    surviving doc counts per source. Map-side only — zero shuffles before
+    the final tiny groupBy."""
+    from data_pipeline_ine_spark.operators.sampling import weighted_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_mixture(
+        docs, _MIX_RATES, default_rate=_MIX_DEFAULT, buckets=_MIX_BUCKETS
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXTURE = (
+    """
+SELECT source, COUNT(*) AS n_kept
+FROM documents
+WHERE ("""
+    + _HEX12.format(h="md5('mix:' || CAST(doc_id AS VARCHAR))")
+    + """ % 10000) <
+  CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+              WHEN 'src2' THEN 6500 ELSE 8000 END
+GROUP BY 1 ORDER BY 1
+"""
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-3-per-source deterministic sample via the two-level hash
+    tournament (shard ranks first, then per-stratum ranks over ≤ shards·k
+    survivors) — no stratum ever sorts through a single task."""
+    from data_pipeline_ine_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, 3).select("doc_id", "source", "sample_rank")
+
+
+ORACLE_STRATIFIED = """
+WITH h AS (
+  SELECT doc_id, source,
+         md5('strat:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx, doc_id)
+           AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 3
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical repetition / diversity per document: type-token ratio and
+    distinct-bigram ratio (Gopher-style repetition filters)."""
+    from data_pipeline_ine_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_REPETITION = """
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, source, toks,
+    list_transform(range(1, GREATEST(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+      AS bigrams
+  FROM t
+)
+SELECT doc_id, source,
+  len(toks) AS n_words,
+  len(list_distinct(toks)) AS n_distinct_words,
+  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+        / GREATEST(len(toks), 1), 6) AS type_token_ratio,
+  ROUND(CAST(len(list_distinct(bigrams)) AS DOUBLE)
+        / GREATEST(len(toks) - 1, 1), 6) AS distinct_bigram_ratio
+FROM b
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: inject a synthetic email + long account number per
+    document (the corpus itself is clean), then count hits and verify the
+    redacted lengths per source. Aggregating ``redacted_len`` makes the
+    check sensitive to every single replacement byte."""
+    from data_pipeline_ine_spark.operators.text import pii_stats
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com ref "),
+            (F.lit(1_000_000) + F.col("doc_id") * 37).cast("string"),
+        ),
+    )
+    return (
+        pii_stats(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("bigint").alias("total_emails"),
+            F.sum("n_long_numbers").cast("bigint").alias("total_long_numbers"),
+            F.sum("redacted_len").cast("bigint").alias("total_redacted_len"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII = r"""
+WITH aug AS (
+  SELECT source,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.com ref ' || CAST(1000000 + doc_id * 37 AS VARCHAR) AS text
+  FROM documents
+), s AS (
+  SELECT source,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+    len(regexp_extract_all(
+        regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9]{7,}')) AS n_long_numbers,
+    length(regexp_replace(
+        regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9]{7,}', '<NUM>', 'g')) AS redacted_len
+  FROM aug
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+  CAST(SUM(n_long_numbers) AS BIGINT) AS total_long_numbers,
+  CAST(SUM(redacted_len) AS BIGINT) AS total_redacted_len
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct word-3-gram overlap of every
+    corpus doc against the held-out 'benchmark' slice (doc_id % 50 == 0).
+    Benchmark shingle set broadcasts; corpus side is one explode + one
+    groupBy(doc_id) — never quadratic."""
+    from data_pipeline_ine_spark.operators.text import contamination_overlap
+
+    docs = _docs_parallel(spark, sf_dir)
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    return contamination_overlap(corpus, bench)
+
+
+ORACLE_CONTAMINATION = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
+), s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, GREATEST(len(tokens) - 2, 1) + 1),
+      i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shingles
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS sh FROM s WHERE doc_id % 50 = 0
+), corp AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s WHERE doc_id % 50 <> 0
+), n AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY 1
+), shared AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM corp c JOIN bench b USING (sh) GROUP BY 1
+)
+SELECT n.doc_id, n_shared, n_shingles,
+  ROUND(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS contamination
+FROM n JOIN shared ON n.doc_id = shared.doc_id
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 4×16-bit band blocking (one shuffle on
+    the band key, never all-pairs), exact Hamming verify ≤ 8 via
+    bit_count(xor) on the band ints."""
+    from data_pipeline_ine_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs_parallel(spark, sf_dir), max_hamming=8)
+
+
+_SIMHASH_BAND_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(4), _j -> CAST(strpos('0123456789abcdef', "
+    "substr(simhash, CAST(b * 4 + _j AS INT) + 1, 1)) - 1 AS BIGINT))), "
+    "(_a, _c) -> _a * 16 + _c)"
+)
+
+ORACLE_SIMHASH_PAIRS = (
+    _SIMHASH_CTE
+    + """
+, bv AS (
+  SELECT doc_id,
+    list_transform(range(4), b -> """
+    + _SIMHASH_BAND_FOLD.replace("b * 4", "CAST(b AS INT) * 4")
+    + """) AS bands
+  FROM sim
+), exploded AS (
+  SELECT doc_id, bands, g.band_idx, bands[g.band_idx + 1] AS band_val
+  FROM bv, generate_series(0, 3) AS g(band_idx)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.bands AS a_bands, b.bands AS b_bands
+  FROM exploded a JOIN exploded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+  CAST(list_sum(list_transform(range(4),
+    i -> bit_count(xor(a_bands[CAST(i AS INT) + 1],
+                       b_bands[CAST(i AS INT) + 1])))) AS INT) AS hamming
+FROM pairs
+WHERE list_sum(list_transform(range(4),
+    i -> bit_count(xor(a_bands[CAST(i AS INT) + 1],
+                       b_bands[CAST(i AS INT) + 1])))) <= 8
+"""
+)
+
+
 def q_v_estaciones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's third output family: the hardcoded 98-station geo
     catalog published as a view (reference ``steps/step5_create_views.py:
@@ -2331,6 +2578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_or_predicates": q_q19_or_predicates,
         "q20_qualified_suppliers": q_q20_qualified_suppliers,
         "q22_dormant_customers": q_q22_dormant_customers,
+        "domain_mixture": q_domain_mixture,
+        "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
+        "contamination_overlap": q_contamination_overlap,
+        "simhash_near_dup": q_simhash_near_dup,
     }
 
 
@@ -2403,4 +2656,10 @@ def oracle_sql() -> dict[str, str]:
         "q19_or_predicates": ORACLE_Q19,
         "q20_qualified_suppliers": ORACLE_Q20,
         "q22_dormant_customers": ORACLE_Q22,
+        "domain_mixture": ORACLE_MIXTURE,
+        "stratified_sample": ORACLE_STRATIFIED,
+        "repetition_stats": ORACLE_REPETITION,
+        "pii_redaction": ORACLE_PII,
+        "contamination_overlap": ORACLE_CONTAMINATION,
+        "simhash_near_dup": ORACLE_SIMHASH_PAIRS,
     }

@@ -358,3 +358,78 @@ def jaccard_candidate_pairs(
         "b_id",
         F.round(inter / F.greatest(union, F.lit(1)), round_to).alias("jaccard"),
     )
+
+
+SIMHASH_BANDS = 4  # 4 bands × 16 bits over the 64-bit fingerprint
+
+
+def simhash_band_ints(simhash: Column | str, n_bands: int = SIMHASH_BANDS) -> Column:
+    """The 64-bit simhash hex split into ``n_bands`` integer band values
+    (16 bits each at the default). Band equality is the LSH blocking key:
+    by pigeonhole, any pair within Hamming distance ``n_bands - 1`` shares
+    at least one exact band."""
+    h = F.col(simhash) if isinstance(simhash, str) else simhash
+    width = 16 // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.conv(
+            F.substring(h, (b * width).cast("int") + 1, F.lit(width)), 16, 10
+        ).cast("int"),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: band-blocked candidate generation,
+    then an exact Hamming-distance verify — the single-pass alternative to
+    MinHash+Jaccard when "similar" means "small edit/permutation distance".
+
+    Scale shape: candidates come ONLY from a self-equi-join on
+    ``(band_idx, band_value)`` — one shuffle on the band key, never
+    all-pairs. The Hamming verify is integer ``bit_count(xor)`` over the
+    4 band ints both sides already carry — no re-hashing, no text columns
+    through the shuffle. Recall: pigeonhole guarantees every pair with
+    distance < ``n_bands`` is found; beyond that banding is probabilistic
+    (same knob as MinHash bands — raise ``n_bands`` for higher recall).
+
+    Returns ``(a_id, b_id, hamming)`` with ``a_id < b_id``, one row per
+    pair even when several bands collide.
+    """
+    sim = df.select(
+        F.col(id_col),
+        simhash_band_ints(simhash_hex(text_col), n_bands).alias("bands"),
+    )
+    cand = sim.select(
+        id_col, "bands", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.bands"),
+            F.col("b.bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )

@@ -1,0 +1,108 @@
+"""Deterministic sampling operators for training-data mixture control.
+
+A large-scale pretraining pipeline rarely trains on the raw corpus: it
+*samples* it — per-domain mixture weights ("20% of src0, 80% of src3"),
+stratified per-source caps, and held-out slices all need sampling that is
+
+- **deterministic**: re-running the job selects the same rows (no
+  ``rand()``, which changes per task retry and breaks lineage re-compute);
+- **engine-invariant**: an external auditor (here: the DuckDB oracle) can
+  re-derive the exact sample from the key alone;
+- **narrow**: selection is a map-side filter on a key hash — no shuffle,
+  no global sort, no driver-side state, so it scales to any corpus size.
+
+The primitive is ``hash_bucket``: md5 of the salted key folded to a
+48-bit integer, modulo ``buckets``. md5 (not ``xxhash64``) so any SQL
+engine reproduces it; the fold reuses the cross-engine recipe from
+``operators.dedup._hex12_to_long``.
+
+Reference parity note: the reference pipeline's only "sampling" is the
+MAX_DATASETS head-slice test mode (``config.py:74-76``, SURVEY §2.5 O4);
+these operators are the beyond-reference generalization of that knob to
+corpus-scale mixture control.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _hex12_to_long
+
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(
+    key: Column | str, buckets: int = DEFAULT_BUCKETS, salt: str = "mix:"
+) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from a row key.
+
+    Uniform over keys (md5 avalanche), stable across engines, runs, and
+    partitionings. Distinct ``salt`` values give independent bucketings,
+    so a mixture filter and a held-out split can coexist without
+    correlation.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = _hex12_to_long(F.md5(F.concat(F.lit(salt), c.cast("string"))))
+    return F.pmod(h, F.lit(buckets))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    default_rate: float = 1.0,
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Keep each stratum at its configured rate: a row survives iff its
+    hash bucket falls below ``rate * buckets``.
+
+    Pure map-side filter — zero shuffles regardless of corpus size; the
+    rate map rides along as a Catalyst ``CreateMap`` literal (config-sized,
+    never a join).
+    """
+    pairs: list[Column] = []
+    for stratum, rate in sorted(rates.items()):
+        pairs.extend([F.lit(stratum), F.lit(int(round(rate * buckets)))])
+    threshold = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(round(default_rate * buckets))),
+    )
+    return df.filter(hash_bucket(key_col, buckets, salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    shards: int = 64,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Exactly-``k``-per-stratum deterministic sample, ranked by key hash.
+
+    Two-level tournament so a low-cardinality ``strata_col`` never funnels
+    a whole stratum through one sorting task: rank within
+    ``(stratum, shard)`` first and keep ≤ k per shard, then rank the
+    ≤ ``shards·k`` survivors per stratum. The second window sees bounded
+    rows per stratum, so both shuffles stay skew-safe at any corpus size.
+
+    Adds ``sample_rank`` (1..k within stratum). Ordering key is the md5
+    hex string (uniform, engine-sortable), key value as tie-break.
+    """
+    hex_key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.pmod(_hex12_to_long(hex_key), F.lit(shards))
+    staged = df.withColumn("_hex", hex_key).withColumn("_shard", shard)
+    pre = Window.partitionBy(strata_col, "_shard").orderBy("_hex", key_col)
+    post = Window.partitionBy(strata_col).orderBy("_hex", key_col)
+    return (
+        staged.withColumn("_r1", F.row_number().over(pre))
+        .filter(F.col("_r1") <= k)
+        .withColumn("sample_rank", F.row_number().over(post))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_hex", "_shard", "_r1")
+    )

@@ -159,3 +159,136 @@ def fingerprint(col: Column | str) -> Column:
     reproduces it exactly."""
     t = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
+
+
+WORD_PATTERN = r"[a-z0-9]+"
+
+# RE2-safe PII patterns (no lookaround/backrefs) so a SQL oracle can
+# reproduce the redaction byte-for-byte.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_PATTERN = r"[0-9]{7,}"
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical-repetition signals: type-token ratio and
+    distinct-bigram ratio — the cheap filters that catch boilerplate and
+    degenerate (looping) text in pretraining corpora (cf. Gopher's
+    repetition rules).
+
+    All higher-order array functions over one tokenization (let-bound so
+    the regex runs once per row, not once per bigram): zero shuffles,
+    embarrassingly parallel.
+    """
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    t = F.lower(F.col(text_col))
+    tokens = F.regexp_extract_all(t, F.lit(WORD_PATTERN), 0)
+
+    def stats(toks: Column) -> Column:
+        n = F.size(toks)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+        return F.struct(
+            n.alias("n_words"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+            F.round(
+                F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.size(F.array_distinct(bigrams))
+                / F.greatest(n - F.lit(1), F.lit(1)),
+                6,
+            ).alias("distinct_bigram_ratio"),
+        )
+
+    # stage through a struct column: `_rs` is referenced 4× below, so
+    # CollapseProject keeps the projection barrier and the tokenization
+    # runs once per row instead of once per output column
+    staged = df.withColumn("_rs", let_(tokens, stats))
+    return staged.select(
+        "doc_id",
+        "source",
+        F.col("_rs.n_words").alias("n_words"),
+        F.col("_rs.n_distinct_words").alias("n_distinct_words"),
+        F.col("_rs.type_token_ratio").alias("type_token_ratio"),
+        F.col("_rs.distinct_bigram_ratio").alias("distinct_bigram_ratio"),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails and long digit runs — the narrow, auditable core of a
+    PII scrub pass. Order matters: emails first (their local parts may
+    contain digit runs), then standalone long numbers."""
+    t = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+        LONG_NUMBER_PATTERN,
+        "<NUM>",
+    )
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts plus the redacted length — what a scrub
+    stage reports before dropping/masking documents. Map-side only."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_PATTERN)),
+            "n_long_numbers": F.regexp_count(
+                F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+                F.lit(LONG_NUMBER_PATTERN),
+            ),
+            "redacted_len": F.length(redact_pii(t)),
+        }
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many of
+    its distinct word ``k``-gram shingles also appear in the (small)
+    benchmark set — the n-gram-overlap test every serious pretraining
+    pipeline runs against its eval suites before training.
+
+    Scale shape: the benchmark side is eval-suite-sized (thousands of
+    docs), so its distinct shingle set broadcasts; the corpus side is a
+    narrow explode → broadcast-hash semi-join → one groupBy(doc_id)
+    shuffle. Nothing is quadratic and the corpus is never collected.
+    Shingles are compared via the 48-bit md5 fold (engine-invariant,
+    8 bytes on the wire instead of the shingle string).
+    """
+    from .dedup import _hex12_to_long, word_shingles
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(word_shingles(text_col, k))).alias("sh"),
+        ).select("doc_id", _hex12_to_long(F.md5(F.col("sh"))).alias("sh_hash"))
+
+    bench_set = shingle_hashes(benchmark).select("sh_hash").distinct()
+    corpus_sh = shingle_hashes(corpus)
+    n_shingles = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    shared = (
+        corpus_sh.join(F.broadcast(bench_set), "sh_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        n_shingles.join(shared, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Training-data curation operators: mixture/stratified sampling,
+repetition stats, PII scrubbing, decontamination, simhash near-dup pairs.
+
+Semantics are oracle-checked in test_contract_parity; these tests pin the
+properties that matter at corpus scale — determinism, plan shape, and the
+tournament/banding equivalences the scale-safe implementations rely on.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_ine_spark.operators.dedup import simhash_near_dup_pairs
+from data_pipeline_ine_spark.operators.sampling import (
+    hash_bucket,
+    stratified_sample,
+    weighted_mixture,
+)
+from data_pipeline_ine_spark.operators.text import (
+    contamination_overlap,
+    pii_stats,
+    redact_pii,
+    repetition_stats,
+)
+from tests.test_plan_quality import explain_str
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_weighted_mixture_is_map_side_only(spark, sf_dir):
+    kept = weighted_mixture(_docs(spark, sf_dir), {"src0": 0.2}, default_rate=0.5)
+    plan = explain_str(kept, mode="simple")
+    assert "Exchange" not in plan, plan  # pure filter: no shuffle at any scale
+
+
+def test_weighted_mixture_deterministic_and_rate_shaped(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id for r in weighted_mixture(docs, {}, default_rate=0.3).collect()}
+    b = {r.doc_id for r in weighted_mixture(docs, {}, default_rate=0.3).collect()}
+    assert a == b
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # ±10pp of the 30% target
+    # rate=0.3 sample nests inside rate=0.6 sample (same salt → same buckets)
+    big = {r.doc_id for r in weighted_mixture(docs, {}, default_rate=0.6).collect()}
+    assert a <= big
+
+
+def test_hash_bucket_salt_independence(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        hash_bucket("doc_id", 2, salt="a:").alias("ba"),
+        hash_bucket("doc_id", 2, salt="b:").alias("bb"),
+    )
+    rows = docs.collect()
+    agree = sum(1 for r in rows if r.ba == r.bb)
+    # independent bucketings agree ~50%, not ~100%
+    assert 0.3 < agree / len(rows) < 0.7
+
+
+def test_stratified_tournament_equals_direct_ranking(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample(docs, 5).select("doc_id", "sample_rank").collect()
+    }
+    hx = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(hx, "doc_id")
+    want = {
+        (r.doc_id, r.rank)
+        for r in docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "rank")
+        .collect()
+    }
+    assert got == want
+
+
+def test_repetition_stats_bounds(spark, sf_dir):
+    rows = repetition_stats(_docs(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.type_token_ratio <= 1.0
+        assert 0 < r.distinct_bigram_ratio <= 1.0
+        assert r.n_distinct_words <= r.n_words
+
+
+def test_redact_pii_masks_and_preserves(spark):
+    df = spark.createDataFrame(
+        [("write a.b-c@x.co.uk or 12345678 but keep 123456 and cat",)], ["t"]
+    )
+    out = df.select(redact_pii("t").alias("r")).first().r
+    assert out == "write <EMAIL> or <NUM> but keep 123456 and cat"
+    stats = pii_stats(df, "t").first()
+    assert (stats.n_emails, stats.n_long_numbers) == (1, 1)
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = contamination_overlap(corpus, bench)
+    plan = explain_str(out, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    # fully-contained docs exist in the synthetic corpus and cap at 1.0
+    top = out.agg(F.max("contamination").alias("m")).first().m
+    assert 0 < top <= 1.0
+
+
+def test_simhash_banding_never_all_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    # candidate volume (pre-Hamming-filter) must stay far below n^2/2
+    pairs = simhash_near_dup_pairs(docs, max_hamming=64)
+    m = pairs.count()
+    assert m < 0.25 * n * (n - 1) / 2, (m, n)
+    # and the join is a real equi-join on the band key, not a nested loop
+    plan = explain_str(pairs, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pigeonhole_recall(spark, sf_dir):
+    """Any pair within Hamming distance < n_bands shares a band, so the
+    banded candidate set must contain every such pair found by brute
+    force on a small slice."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    banded = {
+        (r.a_id, r.b_id)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    from data_pipeline_ine_spark.operators.dedup import simhash_docs
+
+    sims = {r.doc_id: int(r.simhash, 16) for r in simhash_docs(docs).collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    assert brute == banded
