@@ -265,24 +265,34 @@ def contamination_overlap(
     """
     from .dedup import _hex12_to_long, word_shingles
 
-    def shingle_hashes(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col("doc_id"),
-            F.explode(F.array_distinct(word_shingles(text_col, k))).alias("sh"),
-        ).select("doc_id", _hex12_to_long(F.md5(F.col("sh"))).alias("sh_hash"))
-
-    bench_set = shingle_hashes(benchmark).select("sh_hash").distinct()
-    corpus_sh = shingle_hashes(corpus)
-    n_shingles = corpus_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    bench_set = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(text_col, k))).alias("sh")
+        )
+        .select(_hex12_to_long(F.md5(F.col("sh"))).alias("sh_hash"))
+        .distinct()
     )
-    shared = (
-        corpus_sh.join(F.broadcast(bench_set), "sh_hash")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # single corpus pass: the distinct-shingle count rides the explode as a
+    # per-row constant, so the (full-corpus-sized) shingle pipeline is never
+    # evaluated down two plan branches
+    corpus_sh = (
+        corpus.select(
+            F.col("doc_id"),
+            F.array_distinct(word_shingles(text_col, k)).alias("shs"),
+        )
+        .select(
+            "doc_id",
+            F.size("shs").alias("n_shingles"),
+            F.explode("shs").alias("sh"),
+        )
+        .select(
+            "doc_id", "n_shingles", _hex12_to_long(F.md5(F.col("sh"))).alias("sh_hash")
+        )
     )
     return (
-        n_shingles.join(shared, "doc_id")
+        corpus_sh.join(F.broadcast(bench_set), "sh_hash")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(
             "doc_id",
             "n_shared",
