@@ -1988,6 +1988,10 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
+    # rev feeds both the join probe and the scalar max; materialize the
+    # (supplier-sized, tiny) aggregate once so lineitem is scanned once,
+    # not once per consumer
+    rev = rev.localCheckpoint(eager=False)
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)

@@ -230,3 +230,56 @@ def test_lsh_sizing_keeps_candidates_subquadratic(spark, sf_dir):
     ).first().p
     all_pairs = n * (n - 1) / 2
     assert cand_pairs < 0.25 * all_pairs, (cand_pairs, all_pairs)
+
+
+def test_q8_dims_broadcast_single_lineitem_scan(spark, sf_dir):
+    plan = explain_str(
+        contract.queries()["q8_market_share"](spark, sf_dir), mode="simple"
+    )
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("lineitem") == 1, plan  # no branch re-scans the fact
+
+
+def test_q15_single_lineitem_scan(spark, sf_dir):
+    # the per-supplier revenue aggregate feeds both the max and the probe;
+    # the fact table must still be scanned exactly once
+    plan = explain_str(
+        contract.queries()["q15_top_supplier"](spark, sf_dir), mode="simple"
+    )
+    # the checkpointed per-supplier aggregate appears as Scan ExistingRDD;
+    # the parquet fact feeds it exactly once upstream
+    assert plan.count("lineitem") <= 1, plan
+
+
+def test_q17_avoids_double_lineitem_scan(spark, sf_dir):
+    # classic Q17 trap: correlated avg subquery → second scan. The window
+    # formulation keeps one scan + one partkey shuffle.
+    plan = explain_str(
+        contract.queries()["q17_small_qty_revenue"](spark, sf_dir), mode="simple"
+    )
+    assert plan.count("lineitem") == 1, plan
+    assert "Window" in plan
+
+
+def test_q19_single_scan_disjunction(spark, sf_dir):
+    # OR'd predicate branches must NOT expand into unioned re-scans
+    plan = explain_str(
+        contract.queries()["q19_or_predicates"](spark, sf_dir), mode="simple"
+    )
+    assert plan.count("lineitem") == 1, plan
+    assert "Union" not in plan
+
+
+def test_q20_semi_join_probe(spark, sf_dir):
+    plan = explain_str(
+        contract.queries()["q20_qualified_suppliers"](spark, sf_dir), mode="simple"
+    )
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_anti_join_dormancy(spark, sf_dir):
+    plan = explain_str(
+        contract.queries()["q22_dormant_customers"](spark, sf_dir), mode="simple"
+    )
+    assert "LeftAnti" in plan, plan
