@@ -2485,6 +2485,40 @@ WHERE list_sum(list_transform(range(4),
 )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by rational-idf tf-idf
+    (integer-derived doubles only — no libm log, so the ranking is
+    engine-invariant)."""
+    from data_pipeline_ine_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), docfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS docfreq FROM toks GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT source, term,
+    ROUND(tf * (CAST(n_docs + 1 AS DOUBLE) / (docfreq + 1)), 6) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT source, term, score,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term)
+      AS rank
+  FROM scored
+)
+SELECT source, term, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_v_estaciones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's third output family: the hardcoded 98-station geo
     catalog published as a view (reference ``steps/step5_create_views.py:
@@ -2588,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "contamination_overlap": q_contamination_overlap,
         "simhash_near_dup": q_simhash_near_dup,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2666,4 +2701,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": ORACLE_PII,
         "contamination_overlap": ORACLE_CONTAMINATION,
         "simhash_near_dup": ORACLE_SIMHASH_PAIRS,
+        "tfidf_top_terms": ORACLE_TFIDF,
     }

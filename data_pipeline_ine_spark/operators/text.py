@@ -302,3 +302,57 @@ def contamination_overlap(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per source by a tf-idf-style score —
+    the "what is this domain about" summary a corpus audit produces.
+
+    idf uses the *rational* smoothing ``(N + 1) / (df + 1)`` instead of the
+    textbook logarithm: integer-derived double division is bit-identical
+    across engines, whereas two libm ``ln`` implementations may differ in
+    the last ulp and flip a ranking tie. Same ordering properties (strictly
+    decreasing in df), auditable externally.
+
+    Scale shape: tokenization is a narrow explode; the per-(source, term)
+    and per-term aggregates shuffle vocabulary-sized data (bounded, not
+    corpus-sized); the final ranking windows over the vocab×sources grid.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(strata_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("docfreq")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * ((F.col("n_docs") + 1).cast("double") / (F.col("docfreq") + 1)),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(strata_col, "term", "score", "rank")
+    )
