@@ -2243,6 +2243,125 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_3-supplied volume exceeds a
+    fraction of the national total. ``ps_availqty·ps_supplycost`` has no
+    partsupp table to come from, so stock value is the documented proxy
+    ``SUM(l_quantity)`` over that nation's shipments (integral doubles —
+    order-invariant). The per-part aggregate feeds both the ranking and
+    the scalar total; it is checkpointed so lineitem scans once, and the
+    threshold rides a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat_supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("part_value"))
+    ).localCheckpoint(eager=False)
+    total = per_part.agg(
+        (F.sum("part_value") * F.lit(0.00075)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+ORACLE_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(l_quantity) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT SUM(part_value) * 0.00075 FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame supplier. No commit/receipt dates
+    exist, so "late" is the documented proxy ``l_returnflag = 'R'``: count
+    per supplier the finished ('F') multi-supplier orders where THIS
+    supplier had a returned line and no other supplier did — the same
+    exists/not-exists pair, expressed as LEFT SEMI + LEFT ANTI joins on
+    the order key. Supplier dim broadcasts; the three lineitem legs
+    co-shuffle on ``l_orderkey``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: mixture sampling, stratified sampling, repetition
 # quality, PII scrubbing, benchmark decontamination, simhash near-dup pairs.
@@ -2616,6 +2735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_or_predicates": q_q19_or_predicates,
         "q20_qualified_suppliers": q_q20_qualified_suppliers,
         "q22_dormant_customers": q_q22_dormant_customers,
+        "q11_important_stock": q_q11_important_stock,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "domain_mixture": q_domain_mixture,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
@@ -2695,6 +2816,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_or_predicates": ORACLE_Q19,
         "q20_qualified_suppliers": ORACLE_Q20,
         "q22_dormant_customers": ORACLE_Q22,
+        "q11_important_stock": ORACLE_Q11,
+        "q21_waiting_suppliers": ORACLE_Q21,
         "domain_mixture": ORACLE_MIXTURE,
         "stratified_sample": ORACLE_STRATIFIED,
         "repetition_stats": ORACLE_REPETITION,
