@@ -48,8 +48,16 @@ def _raw_rows() -> list[tuple[str, float, float, int, str, str]]:
 
 def load_station_catalog(spark: SparkSession) -> DataFrame:
     """The 98-station catalog as a typed DataFrame (column order mirrors
-    reference ``step5_create_views.py:521``)."""
-    return spark.createDataFrame(_raw_rows(), STATION_CATALOG)
+    reference ``step5_create_views.py:521``).
+
+    Built from the same VALUES literal the oracle uses: Spark parses it to
+    a LocalRelation — pure JVM, no Python-worker round-trip (a
+    ``createDataFrame`` over driver rows costs ~3 s of worker startup per
+    run just to ship 98 rows)."""
+    df = spark.sql(station_values_sql())
+    # VALUES + CAST already yields the catalog types; select in schema order
+    # to pin the contract column order
+    return df.select(*[f.name for f in STATION_CATALOG.fields])
 
 
 def station_values_sql() -> str:
