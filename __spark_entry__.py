@@ -2604,6 +2604,94 @@ WHERE list_sum(list_transform(range(4),
 )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed the way a real pretraining-data pipeline runs
+    them, end-to-end in ONE lazy plan: English-only (language-ID) →
+    quality gate (≥ 0.45) → exact near-dedup (min doc per content
+    fingerprint) → per-domain mixture sampling → per-source doc count and
+    BPE token budget. Everything narrow until the dedup window's single
+    fingerprint shuffle and the final tiny aggregate — the whole funnel
+    would run at corpus scale with exactly two shuffles."""
+    from data_pipeline_ine_spark.operators.sampling import weighted_mixture
+    from data_pipeline_ine_spark.operators.text import (
+        bpe_token_count,
+        fingerprint,
+        language_id,
+        quality_score,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    gated = docs.filter(language_id("text") == "en").filter(
+        quality_score("text") >= 0.45
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("fp", fingerprint("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("fp", "_rn")
+    )
+    sampled = weighted_mixture(
+        deduped, _MIX_RATES, default_rate=_MIX_DEFAULT, buckets=_MIX_BUCKETS
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_token_count("text")).cast("bigint").alias("token_budget"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATION = (
+    r"""
+WITH lang AS (
+  SELECT doc_id, source, text,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS s_en,
+    length(regexp_extract_all(lower(text), '\b(el|la|los|las|que|y|en|un|una)\b')) AS s_es,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein|zu)\b')) AS s_de,
+    length(regexp_extract_all(lower(text), '\b(le|les|des|et|un|une|est|dans)\b')) AS s_fr,
+    length(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM documents
+), en_docs AS (
+  SELECT doc_id, source, text FROM lang
+  WHERE s_en > 0 AND s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh)
+), q AS (
+  SELECT doc_id, source, text,
+    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS n_stop
+  FROM en_docs
+), gated AS (
+  SELECT doc_id, source, text FROM q
+  WHERE ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+      + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1), 1.0))
+      + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 3.0 / GREATEST(n_tokens, 1), 1.0),
+      6) >= 0.45
+), deduped AS (
+  SELECT doc_id, source, text,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM gated
+), sampled AS (
+  SELECT doc_id, source, text FROM deduped
+  WHERE rn = 1 AND ("""
+    + _HEX12.format(h="md5('mix:' || CAST(doc_id AS VARCHAR))")
+    + """ % 10000) <
+    CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+                WHEN 'src2' THEN 6500 ELSE 8000 END
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(length(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')))
+       AS BIGINT) AS token_budget
+FROM sampled GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per source by rational-idf tf-idf
     (integer-derived doubles only — no libm log, so the ranking is
@@ -2744,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": q_contamination_overlap,
         "simhash_near_dup": q_simhash_near_dup,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2825,4 +2914,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_overlap": ORACLE_CONTAMINATION,
         "simhash_near_dup": ORACLE_SIMHASH_PAIRS,
         "tfidf_top_terms": ORACLE_TFIDF,
+        "curation_pipeline": ORACLE_CURATION,
     }
