@@ -2609,9 +2609,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     them, end-to-end in ONE lazy plan: English-only (language-ID) →
     quality gate (≥ 0.45) → exact near-dedup (min doc per content
     fingerprint) → per-domain mixture sampling → per-source doc count and
-    BPE token budget. Everything narrow until the dedup window's single
-    fingerprint shuffle and the final tiny aggregate — the whole funnel
-    would run at corpus scale with exactly two shuffles."""
+    BPE token budget. ONE corpus-scale shuffle end-to-end: the dedup
+    window's fingerprint exchange (WindowGroupLimit pre-reduces each map
+    partition to rank-1 candidates before the wire); the aggregate and
+    sort exchanges after it carry only per-source rows."""
     from data_pipeline_ine_spark.operators.sampling import weighted_mixture
     from data_pipeline_ine_spark.operators.text import (
         bpe_token_count,

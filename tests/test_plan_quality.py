@@ -283,3 +283,14 @@ def test_q22_anti_join_dormancy(spark, sf_dir):
         contract.queries()["q22_dormant_customers"](spark, sf_dir), mode="simple"
     )
     assert "LeftAnti" in plan, plan
+
+
+def test_curation_pipeline_single_corpus_shuffle(spark, sf_dir):
+    plan = explain_str(
+        contract.queries()["curation_pipeline"](spark, sf_dir), mode="simple"
+    )
+    # one corpus-scale hash shuffle (the dedup fingerprint window) plus the
+    # tiny per-source agg exchange; WindowGroupLimit proves rank-1 rows are
+    # pre-reduced map-side before hitting the wire
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
