@@ -2755,8 +2755,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_v_consolidation(spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", SF_SMOKE))
 
 
+# Driver-facing enumeration order. Round 1's driver recorded CORRECTNESS rows for
+# exactly the first 50 queries() entries in insertion order and skipped the last 7
+# (VERDICT.md "Driver-coverage gap"), so insertion order is effectively a priority
+# ranking. Front-load everything that still needs first-time driver evidence:
+#   1. the 7 queries with no r01 row,
+#   2. the 4 whose r01 hash mismatch was fixed (oracle BIGINT casts),
+#   3. the 20 queries added since r01,
+# then the 46 already green in CORRECTNESS_r01.json. Names absent from this list
+# (future additions) keep their natural insertion order after it.
+_CHECK_ORDER = [
+    # -- no CORRECTNESS_r01 row
+    "sequence_packing",
+    "simhash_fingerprints",
+    "rolling_fingerprint",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_topk",
+    # -- r01 hash mismatch, oracle recast to BIGINT
+    "json_props_sum",
+    "bpe_token_total",
+    "sessionize_batch",
+    "q12_priority_class",
+    # -- added since r01
+    "v_estaciones",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_or_predicates",
+    "q20_qualified_suppliers",
+    "q22_dormant_customers",
+    "q11_important_stock",
+    "q21_waiting_suppliers",
+    "domain_mixture",
+    "stratified_sample",
+    "repetition_stats",
+    "pii_redaction",
+    "contamination_overlap",
+    "simhash_near_dup",
+    "tfidf_top_terms",
+    "curation_pipeline",
+]
+
+
+def _check_ordered(reg: dict) -> dict:
+    """Reorder a registry dict so _CHECK_ORDER names come first."""
+    out = {k: reg[k] for k in _CHECK_ORDER if k in reg}
+    out.update({k: v for k, v in reg.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _check_ordered({
         "v_consolidation": q_v_consolidation,
         "q1_pricing_summary": q_q1_pricing_summary,
         "sparse_entity_counts": q_sparse_entity_counts,
@@ -2834,11 +2888,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curation_pipeline": q_curation_pipeline,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _check_ordered({
         "v_consolidation": ORACLE_V_CONSOLIDATION,
         "q1_pricing_summary": ORACLE_Q1,
         "sparse_entity_counts": ORACLE_SPARSE,
@@ -2916,4 +2970,4 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": ORACLE_SIMHASH_PAIRS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "curation_pipeline": ORACLE_CURATION,
-    }
+    })
