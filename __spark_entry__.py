@@ -2748,6 +2748,208 @@ def _oracle_estaciones() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Ranking-function suite, CUBE, unpivot, deterministic corpus split,
+# salted skew join (round 2 breadth batch)
+# ---------------------------------------------------------------------------
+def q_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-function suite (rank / dense_rank / percent_rank /
+    cume_dist / ntile) over per-user purchase totals, one window pass per
+    frame. The heavy groupBy reduces the fact table first; the windows then
+    sort only one row per (event_type, user).
+
+    Tie handling is engine-portable by construction: rank/dense_rank/
+    percent_rank/cume_dist order by a coarse value bucket (real ties, but
+    those functions depend only on key values), while ntile — whose output
+    DOES depend on row order within ties — gets a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        _dec_sum(F.col("value"), "total")
+    )
+    per_user = per_user.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("total") / 100).alias("value_bucket"),
+    )
+    w_ties = Window.partitionBy("event_type").orderBy("value_bucket")
+    w_total = Window.partitionBy("event_type").orderBy("value_bucket", "user_id")
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "value_bucket",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("dense_rnk"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_ties), 6).alias("cume"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+ORACLE_USER_RANKS = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+    FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 100)
+      AS value_bucket
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, CAST(value_bucket AS BIGINT) AS value_bucket,
+  CAST(RANK() OVER w AS BIGINT) AS rnk,
+  CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume,
+  CAST(NTILE(4) OVER (PARTITION BY event_type
+                      ORDER BY value_bucket, user_id) AS INT) AS quartile
+FROM per_user
+WINDOW w AS (PARTITION BY event_type ORDER BY value_bucket)
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus) with grouping_id — all four
+    grouping sets from one pass. Same two-level plan as rollup_revenue: the
+    exact groupBy shuffles the fact table once, then Expand multiplies only
+    the handful of group rows."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return base.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("total").cast("double"), 2).alias("total_price"),
+        F.sum("n").alias("n_orders"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+    AS gid,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS total_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): four lineitem measures into (measure,
+    value) rows — the inverse of the consolidation pivot. Narrow, shuffle-
+    free: Expand emits 4 rows per input row inside the scan stage, and the
+    modulo filter is pushed below it."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    wide = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+
+
+ORACLE_MELT = """
+WITH wide AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(l_quantity AS DOUBLE) AS quantity,
+    CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+    CAST(l_discount AS DOUBLE) AS discount,
+    CAST(l_tax AS DOUBLE) AS tax
+  FROM lineitem WHERE l_orderkey % 100 = 0
+)
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS value
+  FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', discount FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', tax FROM wide
+"""
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted-md5
+    bucket — the standard reproducible corpus split (no RNG state, stable
+    under re-partitioning and re-runs). Returns per-(source, split) counts;
+    the assignment itself is a narrow map."""
+    from data_pipeline_ine_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_SPLIT = (
+    """
+WITH assigned AS (
+  SELECT source,
+    CASE WHEN bucket < 80 THEN 'train'
+         WHEN bucket < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT source, ("""
+    + _HEX12.format(h="md5('split:' || CAST(doc_id AS VARCHAR))")
+    + """ % 100) AS bucket
+    FROM documents
+  )
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+def q_salted_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused dimension join: events.event_type has ~5 distinct
+    values, so a shuffle join would put a fifth of the corpus in one task.
+    salted_join splits each hot key across n_salts sub-partitions (dim
+    replicated per salt — tiny; fact salted by a deterministic row hash),
+    then the aggregate re-merges. Result is bit-identical to the plain
+    join, which is exactly what the oracle checks."""
+    from data_pipeline_ine_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper(F.col("event_type")))
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("type_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .orderBy("type_label")
+    )
+
+
+ORACLE_SALTED = """
+WITH dim AS (
+  SELECT DISTINCT event_type, UPPER(event_type) AS type_label FROM events
+)
+SELECT d.type_label, COUNT(*) AS n_events,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -2799,6 +3001,11 @@ _CHECK_ORDER = [
     "simhash_near_dup",
     "tfidf_top_terms",
     "curation_pipeline",
+    "user_value_ranks",
+    "cube_order_stats",
+    "melt_lineitem",
+    "train_val_test_split",
+    "salted_join_totals",
 ]
 
 
@@ -2888,6 +3095,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curation_pipeline": q_curation_pipeline,
+        "user_value_ranks": q_user_value_ranks,
+        "cube_order_stats": q_cube_order_stats,
+        "melt_lineitem": q_melt_lineitem,
+        "train_val_test_split": q_train_val_test_split,
+        "salted_join_totals": q_salted_join_totals,
     })
 
 
@@ -2970,4 +3182,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": ORACLE_SIMHASH_PAIRS,
         "tfidf_top_terms": ORACLE_TFIDF,
         "curation_pipeline": ORACLE_CURATION,
+        "user_value_ranks": ORACLE_USER_RANKS,
+        "cube_order_stats": ORACLE_CUBE,
+        "melt_lineitem": ORACLE_MELT,
+        "train_val_test_split": ORACLE_SPLIT,
+        "salted_join_totals": ORACLE_SALTED,
     })

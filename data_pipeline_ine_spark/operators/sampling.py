@@ -75,6 +75,41 @@ def weighted_mixture(
     return df.filter(hash_bucket(key_col, buckets, salt) < threshold)
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: Mapping[str, int] | None = None,
+    salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``out_col`` holds the split
+    name chosen by the row's hash bucket in ``[0, 100)``.
+
+    ``splits`` maps split name → percent (must sum to 100; default
+    80/10/10 train/val/test). Mapping order is the bucket layout: the first
+    entry owns buckets ``[0, pct)``, the next the following range, and so
+    on — so the assignment is fully specified by the config, and an external
+    auditor can re-derive it from the key alone. A narrow map-side
+    expression: the same row lands in the same split on every run, every
+    engine, every partitioning.
+    """
+    if splits is None:
+        splits = {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    bucket = hash_bucket(key_col, 100, salt)
+    expr: Column | None = None
+    upper = 0
+    for name, pct in splits.items():
+        upper += pct
+        expr = (
+            F.when(bucket < upper, F.lit(name))
+            if expr is None
+            else expr.when(bucket < upper, F.lit(name))
+        )
+    return df.withColumn(out_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     k: int,

@@ -147,3 +147,46 @@ def test_simhash_pigeonhole_recall(spark, sf_dir):
         if bin(sims[a] ^ sims[b]).count("1") <= 3
     }
     assert brute == banded
+
+
+def test_split_assign_partitions_corpus(spark, sf_dir):
+    from data_pipeline_ine_spark.operators.sampling import split_assign
+
+    docs = _docs(spark, sf_dir)
+    assigned = split_assign(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in assigned.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every row gets exactly one split; shares roughly follow 80/10/10
+    assert sum(counts.values()) == docs.count()
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.6
+    assert 0 < counts["val"] / total < 0.25
+    assert 0 < counts["test"] / total < 0.25
+    # deterministic across invocations
+    a = {(r.doc_id, r.split) for r in assigned.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in split_assign(docs, "doc_id").select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_split_assign_is_map_side_and_validates(spark, sf_dir):
+    import pytest
+
+    from data_pipeline_ine_spark.operators.sampling import split_assign
+
+    docs = _docs(spark, sf_dir)
+    plan = explain_str(split_assign(docs, "doc_id"), mode="simple")
+    assert "Exchange" not in plan, plan  # narrow map: no shuffle at any scale
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", splits={"train": 70, "val": 10})
+
+
+def test_split_assign_independent_of_mixture_bucketing(spark, sf_dir):
+    """Distinct salts must give uncorrelated bucketings: the mixture filter
+    at 30% keeps ~30% of EACH split, not a biased slice."""
+    from data_pipeline_ine_spark.operators.sampling import split_assign
+
+    docs = split_assign(_docs(spark, sf_dir), "doc_id")
+    kept = weighted_mixture(docs, {}, default_rate=0.3)
+    base = {r["split"]: r["n"] for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {r["split"]: r["n"] for r in kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for split, n in sampled.items():
+        assert 0.1 < n / base[split] < 0.55, (split, n, base[split])

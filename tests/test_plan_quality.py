@@ -294,3 +294,12 @@ def test_curation_pipeline_single_corpus_shuffle(spark, sf_dir):
     # pre-reduced map-side before hitting the wire
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_melt_is_shuffle_free(spark, sf_dir):
+    """Unpivot must stay narrow: Expand runs inside the scan stage, the
+    modulo filter is pushed below it, and no Exchange appears anywhere."""
+    df = contract.queries()["melt_lineitem"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "Expand" in plan, plan
