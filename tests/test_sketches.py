@@ -1,0 +1,103 @@
+"""Mergeable-sketch operators: merge laws + tolerance vs exact aggregates.
+
+These have no DuckDB oracle (another engine cannot reproduce DataSketches
+estimates), so the tests pin the two properties the 100 TB rollup pattern
+depends on: merging partial sketches loses nothing vs sketching the whole
+corpus, and estimates stay within the sketch's published error bounds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_ine_spark.operators.sketches import (
+    hll_merge_estimate,
+    hll_sketches,
+    kll_quantiles,
+    theta_distinct,
+)
+from data_pipeline_ine_spark.sources.registry import load_table
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_hll_estimates_within_error_bound(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    approx = {
+        r["event_type"]: r["n_approx"]
+        for r in hll_sketches(ev, "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert approx[k] == pytest.approx(n, rel=0.05), (k, approx[k], n)
+
+
+def test_hll_union_of_partials_equals_whole_corpus_sketch(spark, sf_dir):
+    """The merge law that makes sketch tables work: rolling up per-stratum
+    sketches must give EXACTLY the estimate of sketching all rows at once
+    (HLL union is register-wise max — no information loss)."""
+    ev = _events(spark, sf_dir)
+    merged = hll_merge_estimate(hll_sketches(ev, "event_type", "user_id"))
+    whole = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14))
+        ).alias("n_approx")
+    )
+    assert merged.collect()[0]["n_approx"] == whole.collect()[0]["n_approx"]
+
+
+def test_theta_estimates_within_error_bound(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    approx = {
+        r["event_type"]: r["n_approx"]
+        for r in theta_distinct(ev, "event_type", "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert approx[k] == pytest.approx(n, rel=0.05), (k, approx[k], n)
+
+
+def test_kll_quantiles_match_exact_percentiles(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    got = kll_quantiles(ev, "value", [0.5, 0.95], strata_col="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+    )
+    g = {r["event_type"]: (r["q50"], r["q95"]) for r in got.collect()}
+    e = {r["event_type"]: (r["e50"], r["e95"]) for r in exact.collect()}
+    # KLL guarantees rank error, not value error; on these smooth
+    # distributions a loose value tolerance is a safe proxy
+    for k, (e50, e95) in e.items():
+        q50, q95 = g[k]
+        assert q50 == pytest.approx(e50, rel=0.10), (k, q50, e50)
+        assert q95 == pytest.approx(e95, rel=0.10), (k, q95, e95)
+
+
+def test_kll_global_quantiles_no_strata(spark, sf_dir):
+    row = kll_quantiles(_events(spark, sf_dir), "value", [0.5]).collect()[0]
+    exact = (
+        _events(spark, sf_dir)
+        .agg(F.expr("percentile(value, 0.5)").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert row["q50"] == pytest.approx(exact, rel=0.10)
