@@ -303,3 +303,49 @@ def test_melt_is_shuffle_free(spark, sf_dir):
     plan = explain_str(df, mode="simple")
     assert "Exchange" not in plan, plan
     assert "Expand" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Pins the runtime half of the skew story: session.py enables AQE
+    skew-join, and a hot key holding 95% of the fact side must come out of
+    the shuffle as a SPLIT read ("skewed" AQEShuffleRead / skew=true join),
+    not one straggler task. salted_join covers plans where the skew is
+    known up front; this covers the ones AQE has to catch at runtime."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # the downstream agg pins the partitioning; allow the extra shuffle
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("x").alias("lab")
+        )
+        j = left.join(right, "k").groupBy("lab").agg(F.count(F.lit(1)).alias("n"))
+        [row] = j.collect()
+        assert (row["lab"], row["n"]) == ("x", 500_000)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
