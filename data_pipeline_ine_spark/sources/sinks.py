@@ -9,7 +9,7 @@ days untouched, and readers never observe a half-deleted directory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -142,3 +142,56 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def jdbc_table_exists(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> bool:
+    """S6 — JDBC introspection: does ``table`` exist?
+
+    Reference: ``steps/step6_upload_to_db.py:114-125`` queries
+    ``information_schema.tables`` before choosing create-vs-replace. The
+    Spark analog is a schema probe: resolving the JDBC relation fetches
+    metadata only (a ``WHERE 1=0`` prepared query — no rows move), and a
+    missing table surfaces as an analysis/SQL error. Engine-agnostic where
+    information_schema is not (Derby, Oracle, ...).
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    try:
+        reader.load().schema
+        return True
+    except Exception:
+        return False
+
+
+def jdbc_scalar(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+):
+    """S6 — run a scalar introspection query on the database side.
+
+    Reference: ``steps/step6_upload_to_db.py:176-184`` (`SELECT COUNT(*)`
+    verification, `SELECT version()` connection check). The ``query``
+    option pushes the statement to the database — Spark only transports the
+    single result row, so this stays a metadata op at any scale.
+
+    Alias computed columns (``COUNT(*) AS n``): Spark re-selects the
+    result by quoted column name, and auto-generated names like Derby's
+    ``1`` don't survive the round trip.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("query", query)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    row = reader.load().collect()[0]
+    return row[0]

@@ -72,3 +72,19 @@ def test_jdbc_sink_round_trip(spark, sf_dir, tmp_path):
         .load()
     )
     assert back2.count() == 5
+
+
+def test_jdbc_introspection(spark, sf_dir, tmp_path):
+    """S6: table-exists probe and database-side scalar queries."""
+    from data_pipeline_ine_spark.sources.sinks import jdbc_scalar, jdbc_table_exists
+
+    url = _derby_url(tmp_path)
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    assert not jdbc_table_exists(spark, url, "region_sink", props)
+
+    dim = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    write_jdbc(dim, url, "region_sink", props)
+    assert jdbc_table_exists(spark, url, "region_sink", props)
+
+    n = jdbc_scalar(spark, url, "SELECT COUNT(*) AS n FROM region_sink", props)
+    assert n == dim.count()
