@@ -1523,6 +1523,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: first click at-or-after each purchase (post-purchase
+    engagement). Same single-shuffle union-tag plan as the backward form,
+    mirrored — sort order flips and first-non-null looks ahead."""
+    from data_pipeline_ine_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        payload_cols=("ts", "value"),
+        direction="forward",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_asof").alias("next_click_ts"),
+        F.col("value_asof").alias("next_click_value"),
+    )
+
+
+ORACLE_ASOF_FWD = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS next_click_ts, c.value AS next_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
 def q_range_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.joins import windowed_range_join
 
@@ -3006,6 +3043,7 @@ _CHECK_ORDER = [
     "melt_lineitem",
     "train_val_test_split",
     "salted_join_totals",
+    "asof_next_click",
 ]
 
 
@@ -3100,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_lineitem": q_melt_lineitem,
         "train_val_test_split": q_train_val_test_split,
         "salted_join_totals": q_salted_join_totals,
+        "asof_next_click": q_asof_next_click,
     })
 
 
@@ -3187,4 +3226,5 @@ def oracle_sql() -> dict[str, str]:
         "melt_lineitem": ORACLE_MELT,
         "train_val_test_split": ORACLE_SPLIT,
         "salted_join_totals": ORACLE_SALTED,
+        "asof_next_click": ORACLE_ASOF_FWD,
     })

@@ -58,9 +58,13 @@ def asof_join(
     right_ts: str = "ts",
     payload_cols: Sequence[str] = (),
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join: each left row picks the latest right row
-    with ``right_ts <= left_ts`` for the same key (NULL payloads if none).
+    """Inclusive as-of join: each left row picks, per key, the latest right
+    row with ``right_ts <= left_ts`` (``direction="backward"``, default) or
+    the earliest with ``right_ts >= left_ts`` (``direction="forward"``) —
+    NULL payloads if none. Matches DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof`` direction semantics.
 
     Spark has no ASOF JOIN operator, and the naive formulation — inequality
     join + per-left-row max — is an O(n·m)-per-key blowup. This is the
@@ -70,29 +74,37 @@ def asof_join(
     groupBy of the combined tables regardless of match fan-out; skewed keys
     are handled by AQE like any other shuffle.
 
-    At equal timestamps right rows sort before left rows (``_src`` 0 < 1),
-    which yields the *inclusive* backward semantics of ``ASOF JOIN ... ON
-    l.ts >= r.ts`` in engines that have the operator natively (DuckDB, Pandas
-    ``merge_asof``).
+    Inclusivity at equal timestamps is a sort-order trick: backward sorts
+    right rows before left (``_src`` 0 < 1) and carries the last non-null
+    payload up to the current row; forward sorts them after and pulls the
+    first non-null payload from the current row on.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     out_cols = list(left.columns)
     payloads = list(payload_cols)
-    tagged_left = left.withColumn("_t", F.col(left_ts)).withColumn("_src", F.lit(1))
+    backward = direction == "backward"
+    left_tag, right_tag = (1, 0) if backward else (0, 1)
+    tagged_left = left.withColumn("_t", F.col(left_ts)).withColumn(
+        "_src", F.lit(left_tag)
+    )
     tagged_right = right.select(
         *keys,
         F.col(right_ts).alias("_t"),
         *[F.col(c).alias(f"{c}{suffix}") for c in payloads],
-    ).withColumn("_src", F.lit(0))
+    ).withColumn("_src", F.lit(right_tag))
     u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_t", "_src")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*keys).orderBy("_t", "_src")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     for c in payloads:
-        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return u.filter(F.col("_src") == 1).select(
+        u = u.withColumn(f"{c}{suffix}", pick(f"{c}{suffix}").over(w))
+    return u.filter(F.col("_src") == F.lit(left_tag)).select(
         *out_cols, *[f"{c}{suffix}" for c in payloads]
     )
 

@@ -55,6 +55,32 @@ def test_asof_join_matches_naive_semantics(spark, left, right):
 
 @SETTINGS
 @given(
+    left=st.lists(st.tuples(key_strategy, ts_strategy), min_size=1, max_size=12),
+    right=st.lists(st.tuples(key_strategy, ts_strategy, st.integers(0, 99)),
+                   min_size=0, max_size=12),
+)
+def test_asof_join_forward_matches_naive_semantics(spark, left, right):
+    from data_pipeline_ine_spark.operators.joins import asof_join
+
+    right = list({(k, t): v for k, t, v in right}.items())
+    right = [(k, t, v) for (k, t), v in right]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "row_id long, k long, t long"
+    )
+    rdf = spark.createDataFrame(right, "k long, t long, v long")
+    out = {
+        r.row_id: r.v_asof
+        for r in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                           payload_cols=("v",), direction="forward").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt >= t]
+        want = min(cands)[1] if cands else None
+        assert out[i] == want, (i, k, t, cands, out[i])
+
+
+@SETTINGS
+@given(
     obs=st.lists(
         st.tuples(
             st.integers(1, 3),               # period
