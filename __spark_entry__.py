@@ -2986,6 +2986,68 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every doc split into 200-char chunks with
+    20-char overlap — narrow explode, one row per chunk, no shuffle."""
+    from data_pipeline_ine_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=200, overlap=20)
+
+
+ORACLE_CHUNKS = """
+WITH c AS (
+  SELECT doc_id, source, text,
+    CAST(CEIL(GREATEST(length(text) - 20, 1) / 180.0) AS BIGINT) AS n
+  FROM documents
+)
+SELECT c.doc_id, c.source, CAST(u.i AS INT) AS chunk_id,
+  substr(c.text, CAST(u.i AS BIGINT) * 180 + 1, 200) AS chunk_text,
+  CAST(length(substr(c.text, CAST(u.i AS BIGINT) * 180 + 1, 200)) AS INT)
+    AS chunk_len
+FROM c, UNNEST(range(c.n)) AS u(i)
+"""
+
+
+def q_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user value sum: a RANGE-frame window over event
+    time (not ROWS — peers at the same instant aggregate together, and
+    gaps in the series don't shrink the horizon). Spark's rangeBetween
+    needs a numeric ordering key, so event time becomes NTZ-stable epoch
+    seconds; one shuffle on user_id."""
+    from data_pipeline_ine_spark.operators.joins import _ntz_epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _ntz_epoch_seconds(F.col("ts")).alias("_sec"),
+        F.col("value").cast("decimal(18,2)").alias("_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("_val").over(w).cast("double"), 2).alias("trailing_7d"),
+    )
+
+
+ORACLE_TRAILING = """
+SELECT event_id, user_id, ts,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+  ) AS DOUBLE), 2) AS trailing_7d
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3044,6 +3106,8 @@ _CHECK_ORDER = [
     "train_val_test_split",
     "salted_join_totals",
     "asof_next_click",
+    "chunk_documents",
+    "trailing_7d_value",
 ]
 
 
@@ -3139,6 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": q_train_val_test_split,
         "salted_join_totals": q_salted_join_totals,
         "asof_next_click": q_asof_next_click,
+        "chunk_documents": q_chunk_documents,
+        "trailing_7d_value": q_trailing_7d_value,
     })
 
 
@@ -3227,4 +3293,6 @@ def oracle_sql() -> dict[str, str]:
         "train_val_test_split": ORACLE_SPLIT,
         "salted_join_totals": ORACLE_SALTED,
         "asof_next_click": ORACLE_ASOF_FWD,
+        "chunk_documents": ORACLE_CHUNKS,
+        "trailing_7d_value": ORACLE_TRAILING,
     })

@@ -356,3 +356,44 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(strata_col, "term", "score", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 20,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> DataFrame:
+    """Split documents into fixed-size overlapping chunks (context-window
+    packing's upstream step: long docs must become model-sized pieces, with
+    overlap so no span is ever cut mid-context at a chunk edge).
+
+    Chunk ``i`` covers ``[i·stride, i·stride + chunk_chars)`` with
+    ``stride = chunk_chars − overlap``; the count is
+    ``ceil(max(len − overlap, 1) / stride)``, so every character lands in
+    ≥1 chunk and the final chunk is never shorter than ``overlap + 1``
+    characters (except whole-doc chunks). Pure narrow explode — one output
+    row per chunk inside the scan stage, no shuffle at any corpus size;
+    fan-out is bounded by doc length / stride, not corpus size.
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"need 0 <= overlap < chunk_chars: {overlap}, {chunk_chars}")
+    stride = chunk_chars - overlap
+    text = F.col(text_col)
+    n_chunks = F.ceil(
+        F.greatest(F.length(text) - overlap, F.lit(1)) / F.lit(float(stride))
+    ).cast("int")
+    exploded = df.select(
+        *keep_cols,
+        text,
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    chunk = text.substr(start, F.lit(chunk_chars))
+    return exploded.select(
+        *keep_cols,
+        "chunk_id",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )

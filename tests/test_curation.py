@@ -190,3 +190,33 @@ def test_split_assign_independent_of_mixture_bucketing(spark, sf_dir):
     sampled = {r["split"]: r["n"] for r in kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     for split, n in sampled.items():
         assert 0.1 < n / base[split] < 0.55, (split, n, base[split])
+
+
+def test_chunk_documents_covers_every_char(spark, sf_dir):
+    """Stitching chunks back (dropping each successor's overlap prefix)
+    must reproduce the document exactly — no char lost or duplicated."""
+    from data_pipeline_ine_spark.operators.text import chunk_documents
+
+    docs = _docs(spark, sf_dir).limit(50)
+    chunks = chunk_documents(docs, chunk_chars=120, overlap=30).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(by_doc) == set(texts)
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        assert [i for i, _ in parts] == list(range(len(parts)))
+        rebuilt = parts[0][1] + "".join(p[30:] for _, p in parts[1:])
+        assert rebuilt == texts[doc_id], doc_id
+
+
+def test_chunk_documents_is_narrow_and_validates(spark, sf_dir):
+    import pytest
+
+    from data_pipeline_ine_spark.operators.text import chunk_documents
+
+    plan = explain_str(chunk_documents(_docs(spark, sf_dir)), mode="simple")
+    assert "Exchange" not in plan, plan  # explode inside the scan stage
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, sf_dir), chunk_chars=100, overlap=100)
