@@ -163,3 +163,34 @@ def build_fact_table(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardening — parse a CSV against a declared schema, splitting rows
+    into (good, quarantined) instead of failing the job or silently
+    dropping. PERMISSIVE mode keeps the raw line of every malformed row in
+    ``corrupt_col``; good rows have it NULL.
+
+    The reference meets bad files with per-file pandas retries
+    (``steps/step1_scraper.py:381-447``); at cluster scale a single bad line
+    must not re-run a file, let alone a job. The scan is persisted before
+    splitting because Spark disallows filtering a lazily-derived corrupt
+    column on its own; in the layered architecture the same materialization
+    is the raw-layer write, so quarantining costs no extra pass.
+    """
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(f"{schema_ddl}, {corrupt_col} STRING")
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

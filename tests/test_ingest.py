@@ -68,3 +68,26 @@ def test_ingest_retries_failures_sequentially(spark, tmp_path):
     assert not m["ds000"].fue_reintentado
     # only successful downloads landed files
     assert "ds007.csv" not in os.listdir(raw)
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    """A malformed line must land in quarantine with its raw text, not kill
+    the job or silently vanish; good rows parse against the schema."""
+    from data_pipeline_ine_spark.sources.observation_csv import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "obs.csv"
+    p.write_text(
+        "year,station,value\n"
+        "2020,st1,1.5\n"
+        "not_a_year,st2,2.5\n"   # schema violation: INT column gets text
+        "2022,st3,3.5\n"
+    )
+    good, bad = read_csv_with_quarantine(
+        spark, str(p), "year INT, station STRING, value DOUBLE"
+    )
+    rows = {(r.year, r.station, r.value) for r in good.collect()}
+    assert rows == {(2020, "st1", 1.5), (2022, "st3", 3.5)}
+    [quarantined] = bad.collect()
+    assert "not_a_year" in quarantined["_corrupt_record"]

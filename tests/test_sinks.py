@@ -88,3 +88,20 @@ def test_jdbc_introspection(spark, sf_dir, tmp_path):
 
     n = jdbc_scalar(spark, url, "SELECT COUNT(*) AS n FROM region_sink", props)
     assert n == dim.count()
+
+
+def test_layer_schema_evolution_merges(spark, sf_dir, tmp_path):
+    """Adding a column in a later run must not break reads of the layer:
+    mergeSchema unions the schemas and backfills NULL for old partitions."""
+    path = str(tmp_path / "evolving")
+    dim = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    write_layer(dim, path, run_date="2026-01-01")
+    write_layer(
+        dim.withColumn("r_flag", F.lit("new")), path, run_date="2026-01-02"
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "r_flag", "run_date"}
+    old = merged.filter(F.col("run_date") == "2026-01-01")
+    assert old.filter(F.col("r_flag").isNull()).count() == old.count()
+    new = merged.filter(F.col("run_date") == "2026-01-02")
+    assert new.filter(F.col("r_flag") == "new").count() == new.count()
