@@ -105,3 +105,25 @@ def run_pipeline(
                 f"{out_dir}/views_csv/{name}",
             )
     return step_report("pipeline", observations, path=report_path)
+
+
+def build_simple_views(
+    spark: SparkSession, dataset_paths: dict[str, str], tables: tuple[str, ...]
+) -> dict[str, DataFrame]:
+    """The reference's 1:1 water views (``step5_create_views.py:446-497``):
+    raw table minus flag columns (any casing) minus ``DTI_*`` code columns,
+    republished under a ``v_`` prefix. Pure projection — Catalyst prunes the
+    dropped columns at the scan, so each view costs a header-only pass until
+    written."""
+    from data_pipeline_ine_spark.operators.projections import (
+        drop_flag_columns,
+        drop_prefixed_columns,
+    )
+
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        if t not in dataset_paths:
+            continue  # reference tolerates missing files (step5:692-695)
+        raw = spark.read.option("header", True).csv(dataset_paths[t])
+        out[f"v_{t}"] = drop_prefixed_columns(drop_flag_columns(raw))
+    return out

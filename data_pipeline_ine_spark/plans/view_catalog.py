@@ -100,3 +100,19 @@ def station_map() -> dict[str, str]:
         for ds in spec[0]:
             out[ds] = spec[2]
     return out
+
+
+# Water tables republished 1:1 as v_-prefixed views — no consolidation, just
+# flag/code-column removal (``steps/step5_create_views.py:218-231``).
+WATER_SIMPLE_TABLES: tuple[str, ...] = (
+    "coliformes_fecales_en_matriz_biologica",
+    "coliformes_fecales_en_matriz_acuosa",
+    "metales_totales_en_la_matriz_sedimentaria",
+    "metales_disueltos_en_la_matriz_acuosa",
+    "caudal_medio_de_aguas_corrientes",
+    "cantidad_de_agua_caida",
+    "evaporacion_real_por_estacion",
+    "volumen_del_embalse_por_embalse",
+    "altura_nieve_equivalente_en_agua",
+    "nivel_estatico_de_aguas_subterraneas",
+)

@@ -159,3 +159,25 @@ def test_full_catalog_builds_all_21_views(spark, tmp_path):
         for m in v.members:
             assert m in vdf.columns, (name, m)
         assert v.station_out in vdf.columns
+
+
+def test_simple_water_views_are_passthrough(spark, tmp_path):
+    """1:1 water views: flag + DTI_* columns dropped, rows untouched,
+    missing files tolerated (reference step5:446-497, :687-695)."""
+    from data_pipeline_ine_spark.plans.pipeline import build_simple_views
+    from data_pipeline_ine_spark.plans.view_catalog import WATER_SIMPLE_TABLES
+
+    p = tmp_path / "cantidad_de_agua_caida.csv"
+    p.write_text(
+        "DTI_CL_MES,Mes,DTI_CL_ESTACIONES_METEO,Estaciones meteorológicas DMC,Value,Flag Codes,Flags\n"
+        "202401,Enero 2024,EST_A,Estación A,12.5,,\n"
+        "202402,Febrero 2024,EST_B,Estación B,3.25,x,\n",
+        encoding="utf-8",
+    )
+    views = build_simple_views(
+        spark, {"cantidad_de_agua_caida": str(p)}, WATER_SIMPLE_TABLES
+    )
+    assert set(views) == {"v_cantidad_de_agua_caida"}  # 9 files absent: skipped
+    v = views["v_cantidad_de_agua_caida"]
+    assert v.columns == ["Mes", "Estaciones meteorológicas DMC", "Value"]
+    assert v.count() == 2
