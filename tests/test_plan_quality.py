@@ -349,3 +349,31 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cube_expands_after_preaggregation(spark, sf_dir):
+    """The CUBE must Expand the aggregated groups, not the fact table:
+    exactly one corpus-sized shuffle (the base groupBy); the Expand sits
+    above the first aggregate in the plan."""
+    df = contract.queries()["cube_order_stats"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "Expand" in plan, plan
+    # Expand must appear above (before, in top-down print) the fact scan's
+    # aggregate chain: the scan feeds HashAggregate before any Expand line
+    lines = plan.splitlines()
+    expand_i = min(i for i, l in enumerate(lines) if "Expand" in l)
+    scan_i = max(i for i, l in enumerate(lines) if "Scan" in l or "FileScan" in l)
+    assert expand_i < scan_i, plan  # top-down: Expand printed above the scan
+    first_agg_below_expand = any(
+        "HashAggregate" in l for l in lines[expand_i + 1 : scan_i + 1]
+    )
+    assert first_agg_below_expand, plan
+
+
+def test_trailing_window_single_shuffle(spark, sf_dir):
+    """RANGE-frame trailing sum: one hash shuffle on user_id, no sort-free
+    fallback to a global window."""
+    df = contract.queries()["trailing_7d_value"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
