@@ -313,6 +313,25 @@ def dedup_components(
             converged = True
             break
         prev_sum = cur
+        # Contract edges through the fresh labels: (s, d) becomes
+        # (label(s), label(d)), self-loops drop, duplicates merge. Label
+        # values are themselves node ids and each node is connected to its
+        # label, so connectivity is preserved while near-dup CLIQUES — the
+        # common shape of duplicate families — collapse to single star
+        # edges after one round. On dense graphs this shrinks the per-round
+        # shuffle geometrically instead of re-shipping the full edge list
+        # every iteration; min-label updates keep flowing to original
+        # nodes through the pointer jump above.
+        s_lab = labels.select(F.col("node").alias("s"), F.col("label").alias("ls"))
+        d_lab = labels.select(F.col("node").alias("d"), F.col("label").alias("ld"))
+        edges = (
+            edges.join(s_lab, "s")
+            .join(d_lab, "d")
+            .select(F.col("ls").alias("s"), F.col("ld").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint()
+        )
     if not converged:
         raise RuntimeError(
             f"dedup_components did not reach a fixpoint in {max_iters} "

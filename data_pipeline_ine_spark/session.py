@@ -53,6 +53,13 @@ def get_spark(
         builder = builder.master(f"local[{cores}]")
 
     conf = {
+        # --- memory ----------------------------------------------------------
+        # In local mode the single JVM defaults to a 1g heap regardless of
+        # machine size — shuffles and broadcasts that are trivially fine on a
+        # sized cluster executor die here first (observed: connected-components
+        # broadcast build at 10x sf0.1). Only effective before JVM launch; a
+        # cluster submit's --driver-memory takes precedence there.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # --- optimizer / execution -----------------------------------------
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

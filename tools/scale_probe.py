@@ -1,0 +1,152 @@
+"""Scale probe: do the heavy corpus operators scale linearly?
+
+Generates a deterministic synthetic corpus N× the size of sf0.1 (same
+shape/vocabulary as the driver's testdata: documents + embeddings), runs
+the expensive contract queries against both, and reports the wall-clock
+ratio vs the data ratio. A superlinear ratio flags a plan that would not
+survive the 100 TB target (quadratic bucket joins, single-task windows,
+driver-side collects).
+
+The probe corpus lives under /tmp (never /root/testdata) and is generated
+Spark-side — hash-derived words/vectors, no Python row loops.
+
+Usage: python tools/scale_probe.py [factor] [queries...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+from data_pipeline_ine_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch line sort "
+    "window column query big small filter data group vector stream order "
+    "customer join spark the a".split()
+)
+
+HEAVY = [
+    "exact_dup_groups",
+    "minhash_signature",
+    "near_dup_buckets",
+    "jaccard_pairs",
+    "dedup_components",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "rolling_fingerprint",
+    "embedding_near_dup",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_kmeans_topk",
+    "text_stats",
+    "quality_scores",
+    "bpe_token_total",
+    "contamination_overlap",
+    "tfidf_top_terms",
+    "curation_pipeline",
+    "sequence_packing",
+    "chunk_documents",
+    "dedup_survivors",
+]
+
+
+def generate(spark, out_dir: str, factor: int) -> None:
+    n_docs = 5000 * factor
+    n_vecs = 2000 * factor
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    words_per_doc = (F.pmod(F.xxhash64(F.col("id")), F.lit(160)) + 40).cast("int")
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), words_per_doc),
+                    lambda i: F.element_at(
+                        vocab,
+                        (
+                            F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(len(VOCAB)))
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit("src"), F.pmod(F.col("id"), F.lit(20)).cast("string")
+            ).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                (F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(2001)) - 1000)
+                / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+        F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+    )
+    vecs.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    # corpus queries only touch documents/embeddings; link the rest so
+    # load_table resolves every name
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        src = f"{SF01}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+
+def time_query(fn, spark, sf_dir: str, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or HEAVY
+    out_dir = f"/tmp/scale_probe_sf{factor}x"
+    spark = get_spark()
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        print(f"generating {factor}x corpus at {out_dir}", flush=True)
+        generate(spark, out_dir, factor)
+    queries = contract.queries()
+    print(f"{'query':28s} {'sf0.1':>8s} {factor:>7d}x {'ratio':>7s}")
+    flagged = []
+    for name in names:
+        fn = queries[name]
+        t1 = time_query(fn, spark, SF01)
+        t2 = time_query(fn, spark, out_dir)
+        ratio = t2 / max(t1, 1e-9)
+        mark = ""
+        # fixed overhead makes small ratios meaningless; only flag when the
+        # big run is slow AND superlinear vs the data ratio
+        if t2 > 2.0 and ratio > 1.6 * factor:
+            mark = "  <-- SUPERLINEAR"
+            flagged.append(name)
+        print(f"{name:28s} {t1:8.2f} {t2:8.2f} {ratio:6.1f}x{mark}", flush=True)
+    print(f"\nflagged: {flagged or 'none'}")
+
+
+if __name__ == "__main__":
+    main()
