@@ -3048,6 +3048,148 @@ FROM events
 """
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse per-user daily purchase series densified to a full calendar
+    grid, missing days filled by last-observation-carried-forward
+    (``operators/timeseries.py``). The filter makes the series genuinely
+    sparse (~1 obs per 7 days per user), so most output rows are
+    scaffold-generated: NULL daily_value, LOCF-filled filled_value."""
+    from data_pipeline_ine_spark.operators.timeseries import gap_fill, locf
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 10))
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("daily_value")
+        )
+    )
+    dense = gap_fill(daily, "user_id", "day")
+    return locf(dense, "user_id", "day", "daily_value", "filled_value").select(
+        "user_id", "day", "daily_value", "filled_value"
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS daily_value
+  FROM events
+  WHERE event_type = 'purchase' AND value > 10
+  GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+), scaffold AS (
+  SELECT user_id, CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT s.user_id, s.day, d.daily_value,
+  last_value(d.daily_value IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS filled_value
+FROM scaffold s LEFT JOIN daily d USING (user_id, day)
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score standardization, keeping the |z| >= 1.6 tail
+    (``operators/features.py::group_zscore``): decimal-exact moments per
+    group broadcast back over the corpus — no corpus-wide window."""
+    from data_pipeline_ine_spark.operators.features import group_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    z = group_zscore(ev, "event_type", "value")
+    return z.filter(F.abs(F.col("zscore")) >= 1.6).select(
+        "event_id", "event_type", "value", "zscore"
+    )
+
+
+ORACLE_ZSCORE = """
+WITH m AS (
+  SELECT event_type,
+    SUM(CAST(value AS DECIMAL(18,2))) AS s,
+    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        AS DECIMAL(38,4))) AS ss,
+    COUNT(value) AS n
+  FROM events GROUP BY 1
+), st AS (
+  SELECT event_type,
+    CAST(s AS DOUBLE) / n AS mean,
+    SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+         / (n - 1)) AS std
+  FROM m
+)
+SELECT e.event_id, e.event_type, e.value,
+  ROUND((e.value - st.mean) / (CASE WHEN st.std > 0 THEN st.std END), 4)
+    AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE ABS(ROUND((e.value - st.mean) / (CASE WHEN st.std > 0 THEN st.std END), 4))
+      >= 1.6
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width histogram of event values
+    (``operators/features.py::fixed_histogram``): one scalar bounds
+    aggregate broadcast back, then a narrow binning pass + O(bins) agg."""
+    from data_pipeline_ine_spark.operators.features import fixed_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return fixed_histogram(ev, "value", n_bins=20)
+
+
+ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), binned AS (
+  SELECT CAST(LEAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS INT)
+           AS bin_idx,
+         b.lo AS lo, (b.hi - b.lo) / 20 AS w
+  FROM events e CROSS JOIN b
+)
+SELECT bin_idx,
+  ROUND(lo + bin_idx * w, 6) AS bin_lo,
+  ROUND(lo + (bin_idx + 1) * w, 6) AS bin_hi,
+  COUNT(*) AS n
+FROM binned GROUP BY bin_idx, lo, w
+"""
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile discretization of event values
+    (``operators/features.py::quantile_bins``; exact cutpoints here for
+    the oracle, ``percentile_approx``/KLL at 100 TB), rolled up to
+    per-bin row counts and value mass."""
+    from data_pipeline_ine_spark.operators.features import quantile_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = quantile_bins(ev, "value")
+    return binned.groupBy("q_bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("value_mass"),
+    )
+
+
+ORACLE_QUANTILE_BINS = """
+WITH c AS (
+  SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS cuts FROM events
+)
+SELECT CASE WHEN value <= cuts[1] THEN 0
+            WHEN value <= cuts[2] THEN 1
+            WHEN value <= cuts[3] THEN 2
+            ELSE 3 END AS q_bin,
+  COUNT(*) AS n_rows,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_mass
+FROM events CROSS JOIN c
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3108,6 +3250,11 @@ _CHECK_ORDER = [
     "asof_next_click",
     "chunk_documents",
     "trailing_7d_value",
+    # -- added in round 2 after the r02 contract freeze point
+    "gap_fill_locf",
+    "zscore_outliers",
+    "value_histogram",
+    "quantile_bins",
 ]
 
 
@@ -3205,6 +3352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_click": q_asof_next_click,
         "chunk_documents": q_chunk_documents,
         "trailing_7d_value": q_trailing_7d_value,
+        "gap_fill_locf": q_gap_fill_locf,
+        "zscore_outliers": q_zscore_outliers,
+        "value_histogram": q_value_histogram,
+        "quantile_bins": q_quantile_bins,
     })
 
 
@@ -3295,4 +3446,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_next_click": ORACLE_ASOF_FWD,
         "chunk_documents": ORACLE_CHUNKS,
         "trailing_7d_value": ORACLE_TRAILING,
+        "gap_fill_locf": ORACLE_GAP_FILL,
+        "zscore_outliers": ORACLE_ZSCORE,
+        "value_histogram": ORACLE_HISTOGRAM,
+        "quantile_bins": ORACLE_QUANTILE_BINS,
     })

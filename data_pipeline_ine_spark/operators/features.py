@@ -1,0 +1,134 @@
+"""Feature-engineering operators: group normalization, histograms, binning.
+
+Training-data pipelines turn raw metric columns into model-ready features:
+z-scores within a stratum, fixed-width histogram bins for drift monitoring,
+quantile bins for discretization. All three share one distributed shape —
+
+    pass 1: a tiny aggregate (per group or global) of exact moments/bounds
+    pass 2: a broadcast join / literal fold back onto the corpus, narrow
+
+— never a window over the corpus (a ``partitionBy(group)`` window would
+sort whole strata through single tasks; the aggregate+broadcast form keeps
+the corpus pass embarrassingly parallel and the shuffle O(groups)).
+
+Cross-engine determinism: moments are accumulated in DECIMAL, not DOUBLE.
+Float partial aggregation is re-association-order dependent (different
+partitionings → different last bits → a z-score or bin edge that flickers
+between runs and engines); the inputs here have fixed decimal scale, so
+sums and sums-of-squares are EXACT in decimal and every derived double
+(mean, stddev, z) is a deterministic function of them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def group_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "zscore",
+    scale: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Standardize ``value_col`` within each group: (v - mean) / stddev.
+
+    ``scale`` is the input's decimal scale (2 for money-like columns);
+    moments are exact at ``scale``/``2·scale`` so the derived mean/stddev
+    are bit-stable across engines and partitionings. Sample stddev
+    (n-1 denominator); single-row groups get NULL, zero-variance groups
+    get NULL (not ±inf). One O(groups) shuffle + one broadcast join.
+    """
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    stats = df.groupBy(group_col).agg(
+        F.sum(dec).alias("_s"),
+        F.sum((dec * dec).cast(f"decimal(38,{2 * scale})")).alias("_ss"),
+        F.count(dec).alias("_n"),
+    ).select(
+        group_col,
+        (F.col("_s").cast("double") / F.col("_n")).alias("_mean"),
+        F.sqrt(
+            F.try_divide(
+                F.col("_ss").cast("double")
+                - F.col("_s").cast("double") * F.col("_s").cast("double")
+                / F.col("_n"),
+                (F.col("_n") - 1).cast("double"),
+            )
+        ).alias("_std"),
+    )
+    z = (F.col(value_col) - F.col("_mean")) / F.when(
+        F.col("_std") > 0, F.col("_std")
+    )
+    return (
+        df.join(broadcast(stats), group_col)
+        .withColumn(out_col, F.round(z, round_to))
+        .drop("_mean", "_std")
+    )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Equal-width histogram over the observed [min, max] range.
+
+    Returns one row per non-empty bin: ``bin_idx`` (0-based), ``bin_lo``,
+    ``bin_hi``, ``n``. The top edge is inclusive (max lands in the last
+    bin, not a phantom ``n_bins``-th). Bounds come from a scalar
+    aggregate folded back as a cross-joined 1-row literal — Catalyst
+    broadcasts it, so the binning pass stays narrow.
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    bin_idx = F.least(
+        F.floor((F.col(value_col) - F.col("_lo")) / width), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.join(broadcast(bounds))
+        .select(bin_idx.alias("bin_idx"), F.col("_lo"), width.alias("_w"))
+        .groupBy("bin_idx", "_lo", "_w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin_idx",
+            F.round(F.col("_lo") + F.col("bin_idx") * F.col("_w"), round_to)
+            .alias("bin_lo"),
+            F.round(F.col("_lo") + (F.col("bin_idx") + 1) * F.col("_w"), round_to)
+            .alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    out_col: str = "q_bin",
+) -> DataFrame:
+    """Discretize ``value_col`` into ``len(probs)+1`` quantile bins
+    (0-based; bin b = values in (cut[b-1], cut[b]], exact percentile
+    cutpoints, upper-inclusive).
+
+    Exact ``percentile`` here (one O(distinct values) aggregate) because
+    the oracle must reproduce the cutpoints bit-for-bit; the documented
+    100 TB swap is ``percentile_approx`` / the KLL sketch in
+    ``operators/sketches.py`` — same plan shape, bounded memory.
+    """
+    cuts = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(float(p)) for p in probs])).alias("_c")
+    )
+    expr: Column = F.lit(len(probs))
+    for i in range(len(probs) - 1, -1, -1):
+        expr = F.when(
+            F.col(value_col) <= F.element_at(F.col("_c"), i + 1), F.lit(i)
+        ).otherwise(expr)
+    return df.join(broadcast(cuts)).withColumn(out_col, expr).drop("_c")

@@ -1,0 +1,53 @@
+"""Feature-operator unit semantics + plan shape (oracle parity for the
+contract queries lives in test_contract_parity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline_ine_spark.operators.features import (
+    fixed_histogram,
+    group_zscore,
+    quantile_bins,
+)
+
+
+def test_group_zscore_matches_closed_form(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)],
+        "g string, v double",
+    )
+    out = {(r.g, r.v): r.zscore for r in group_zscore(df, "g", "v").collect()}
+    assert out[("a", 2.0)] == 0.0
+    assert math.isclose(out[("a", 3.0)], 1.0)  # std([1,2,3]) == 1
+    # zero-variance group: NULL, not ±inf
+    assert out[("b", 10.0)] is None
+
+
+def test_group_zscore_single_row_group_is_null(spark):
+    df = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    assert group_zscore(df, "g", "v").collect()[0].zscore is None
+
+
+def test_fixed_histogram_bins_and_top_edge(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "v double")
+    rows = {r.bin_idx: r for r in fixed_histogram(df, "v", n_bins=5).collect()}
+    # width 2: bins [0,2),[2,4),... ; v=10 (the max) folds into the last bin
+    assert [rows[i].n for i in range(5)] == [2, 2, 2, 2, 3]
+    assert rows[0].bin_lo == 0.0 and rows[4].bin_hi == 10.0
+
+
+def test_quantile_bins_quartiles(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    out = quantile_bins(df, "v")
+    counts = {r.q_bin: r.cnt for r in out.groupBy("q_bin").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {0: 2, 1: 2, 2: 2, 3: 2}
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    plan = group_zscore(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
