@@ -3190,6 +3190,55 @@ GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed added/removed/changed diff of two order snapshots
+    (``operators/diff.py``): the "new" snapshot deterministically reprices
+    custkey%50==7, drops %50==8, and lands %50==9 under fresh keys. Each
+    side narrows to (key, md5 fingerprint) before the full-outer join, so
+    the shuffle is key+32B wide regardless of table width."""
+    from data_pipeline_ine_spark.operators.diff import snapshot_diff
+
+    old = load_table(spark, sf_dir, "orders")
+    mod = F.col("o_custkey") % 50
+    new = old.filter(mod != 8).withColumn(
+        "o_totalprice",
+        F.when(mod == 7, F.col("o_totalprice") * 1.05).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        old.filter(mod == 9).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH new_o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN o_custkey % 50 = 7 THEN o_totalprice * 1.05
+         ELSE o_totalprice END AS o_totalprice,
+    o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey % 50 <> 8
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate, o_orderpriority
+  FROM orders WHERE o_custkey % 50 = 9
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       WHEN n.o_orderkey IS NULL THEN 'removed'
+       ELSE 'changed' END AS change_type
+FROM orders o FULL JOIN new_o n USING (o_orderkey)
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR (o.o_custkey IS DISTINCT FROM n.o_custkey
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3255,6 +3304,7 @@ _CHECK_ORDER = [
     "zscore_outliers",
     "value_histogram",
     "quantile_bins",
+    "snapshot_diff",
 ]
 
 
@@ -3356,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "value_histogram": q_value_histogram,
         "quantile_bins": q_quantile_bins,
+        "snapshot_diff": q_snapshot_diff,
     })
 
 
@@ -3450,4 +3501,5 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers": ORACLE_ZSCORE,
         "value_histogram": ORACLE_HISTOGRAM,
         "quantile_bins": ORACLE_QUANTILE_BINS,
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     })
