@@ -1,0 +1,88 @@
+"""Table maintenance: small-file compaction and sort-ordered data layout.
+
+Two jobs every 100 TB parquet lake runs nightly, missing from the query
+path but decisive for it:
+
+- **Compaction.** Streaming/incremental writers land thousands of KB-sized
+  files per partition; every downstream scan then pays a task per file and
+  the NameNode/listing pays per entry. Compaction rewrites a partition into
+  ~``target_bytes`` files. (The reference's folder-per-run layout —
+  ``outputs/DD-MM-YYYY/`` — has the same problem one level up; its answer
+  is "rewrite the folder", which is this operator with a date filter.)
+- **Layout.** Parquet prunes with file- and row-group-level min/max stats,
+  but stats only prune if the data is clustered: a column whose values are
+  scattered uniformly across files has every file's [min,max] spanning the
+  whole domain — zero pruning. ``write_range_layout`` range-partitions and
+  sorts on the hot filter columns so each file owns a disjoint slice, and
+  a point/range predicate touches O(1) of them (asserted file-by-file in
+  ``tests/test_maintenance.py``).
+
+Both write to an explicit ``out_path`` and leave the swap to the caller:
+rename-into-place is the storage layer's atomicity primitive (and on object
+stores, a manifest/metastore pointer flip), not something to hide inside an
+engine operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path`` — Hadoop FS metadata only (works
+    for any supported scheme: file://, hdfs://, s3a://, ...)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> int:
+    """Rewrite the parquet at ``path`` into ``ceil(size / target_bytes)``
+    files at ``out_path``; returns the file count written.
+
+    Round-robin repartition (no keys): compaction must not introduce a
+    keyed shuffle or disturb value distribution — it only changes file
+    grain. Sizing uses the source's compressed on-disk bytes, the only
+    number a metadata probe can know; post-compaction files land within
+    ~encoding-drift of ``target_bytes``, which is a layout knob, not an
+    invariant.
+    """
+    n_files = max(1, math.ceil(table_bytes(spark, path) / target_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def write_range_layout(
+    df: DataFrame,
+    out_path: str,
+    sort_cols: tuple[str, ...],
+    n_files: int,
+) -> None:
+    """Write ``df`` as ``n_files`` files clustered on ``sort_cols``: range
+    repartition gives each file a disjoint key slice, the within-partition
+    sort gives row groups monotone min/max — so predicates on the leading
+    sort column prune at BOTH granularities. One range-exchange shuffle
+    (sampled boundaries, skew-tolerant), no global sort.
+
+    For two independently-filtered columns, lead with the higher-selectivity
+    one; interleaved (Z-order) layouts buy multi-column pruning at the cost
+    of per-column resolution — with range+sort in the toolbox that's an
+    encoding change on the same plan shape, not a new operator.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

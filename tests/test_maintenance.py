@@ -1,0 +1,83 @@
+"""Compaction and range-layout maintenance: file grain, preserved rows,
+and the min/max disjointness that makes parquet stats actually prune."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from data_pipeline_ine_spark.sources.maintenance import (
+    compact_small_files,
+    table_bytes,
+    write_range_layout,
+)
+
+
+def _parquet_files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10_000).withColumn("v", F.col("id") % 97)
+    df.repartition(64).write.parquet(src)  # the pathological landing zone
+    assert len(_parquet_files(src)) == 64
+
+    n = compact_small_files(spark, src, dst, target_bytes=10**9)
+    assert n == 1
+    assert len(_parquet_files(dst)) == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compaction_sizes_by_source_bytes(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(50_000).withColumn(
+        "pad", F.sha2(F.col("id").cast("string"), 256)
+    ).repartition(32).write.parquet(src)
+    total = table_bytes(spark, src)
+    target = total // 4
+    n = compact_small_files(spark, src, dst, target_bytes=target)
+    assert 4 <= n <= 5  # ceil(total/target) with listing overhead slack
+    assert len(_parquet_files(dst)) == n
+
+
+def test_range_layout_files_are_key_disjoint(spark, tmp_path):
+    dst = str(tmp_path / "layout")
+    df = spark.range(20_000).select(
+        (F.xxhash64("id") % 1000).alias("k"), F.col("id").alias("payload")
+    )
+    write_range_layout(df, dst, ("k",), n_files=8)
+    files = _parquet_files(dst)
+    assert len(files) == 8
+    spans = []
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if row.n:
+            spans.append((row.lo, row.hi))
+    spans.sort()
+    # disjoint [lo, hi] per file = a point predicate prunes to ONE file
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    total = spark.read.parquet(dst).count()
+    assert total == 20_000
+
+
+def test_range_layout_scan_prunes_with_pushed_filter(spark, tmp_path):
+    dst = str(tmp_path / "layout2")
+    df = spark.range(20_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("payload")
+    )
+    write_range_layout(df, dst, ("k",), n_files=8)
+    plan = (
+        spark.read.parquet(dst)
+        .filter(F.col("k") == 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,5)]" in plan
