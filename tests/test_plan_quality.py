@@ -377,3 +377,44 @@ def test_trailing_window_single_shuffle(spark, sf_dir):
     plan = explain_str(df, mode="simple")
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """At 100 TB a selective dim-side filter can't broadcast (both join
+    sides exceed the threshold → sort-merge), but the optimizer can still
+    prune the fact scan BEFORE the shuffle by injecting a bloom filter
+    built from the filtered side — Spark's runtime semi-join reduction.
+    Locally the thresholds assume cluster sizes, so the test pins the
+    mechanism with them lowered; production keeps the defaults."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    overrides = {
+        # fact side is "big enough to bother" at any size for the test
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+        # forbid broadcast so the join is the shuffle join this targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
