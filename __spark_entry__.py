@@ -3239,6 +3239,38 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
 """
 
 
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 documents drawn without replacement with inclusion odds
+    proportional to length (``operators/sampling.py::weighted_sample``) —
+    exponential sort keys over a hash-derived uniform, so the "random"
+    draw is reproducible by any engine. Global smallest-k, no corpus
+    sort."""
+    from data_pipeline_ine_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 100, "n_chars")
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("priority", 8).alias("priority")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = (
+    """
+SELECT doc_id, source, n_chars,
+  ROUND(-ln(("""
+    + _HEX12.format(h="md5('wsample:' || CAST(doc_id AS VARCHAR))")
+    + """ + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE), 8)
+    AS priority
+FROM documents
+WHERE CAST(n_chars AS DOUBLE) > 0
+ORDER BY -ln(("""
+    + _HEX12.format(h="md5('wsample:' || CAST(doc_id AS VARCHAR))")
+    + """ + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE)
+LIMIT 100
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3305,6 +3337,7 @@ _CHECK_ORDER = [
     "value_histogram",
     "quantile_bins",
     "snapshot_diff",
+    "weighted_doc_sample",
 ]
 
 
@@ -3407,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "quantile_bins": q_quantile_bins,
         "snapshot_diff": q_snapshot_diff,
+        "weighted_doc_sample": q_weighted_doc_sample,
     })
 
 
@@ -3502,4 +3536,5 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": ORACLE_HISTOGRAM,
         "quantile_bins": ORACLE_QUANTILE_BINS,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
     })

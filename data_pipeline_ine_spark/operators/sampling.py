@@ -110,6 +110,43 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample:",
+    out_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the ``k``
+    rows with smallest priority ``-ln(u) / w`` (Efraimidis–Spirakis
+    exponential keys — inclusion probability proportional to weight, no
+    replacement bookkeeping).
+
+    The uniform ``u`` is not ``rand()`` but ``(hash48(key) + 0.5) / 2^48``
+    — the same md5 fold as every sampler here, so the draw is reproducible
+    across runs, engines, and retries. One-pass, no shuffle of the corpus:
+    global smallest-k compiles to per-partition top-k + a k-row driver
+    merge (``TakeOrderedAndProject``), never a full sort.
+
+    Rows with NULL or non-positive weight are excluded (they'd have
+    undefined priority; make zero-weight semantics explicit upstream).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        _hex12_to_long(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+        ).cast("double")
+        + 0.5
+    ) / float(1 << 48)
+    return (
+        df.filter(w > 0)
+        .withColumn(out_col, -F.log(u) / w)
+        .orderBy(out_col)
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     k: int,

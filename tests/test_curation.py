@@ -220,3 +220,38 @@ def test_chunk_documents_is_narrow_and_validates(spark, sf_dir):
     assert "Exchange" not in plan, plan  # explode inside the scan stage
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, sf_dir), chunk_chars=100, overlap=100)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from data_pipeline_ine_spark.operators.sampling import weighted_sample
+
+    rows = [(f"h{i}", 1000) for i in range(50)] + [
+        (f"l{i}", 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, w int")
+    picked = [r.doc_id for r in weighted_sample(df, 20, "w").collect()]
+    heavy = sum(1 for d in picked if d.startswith("h"))
+    # 100:1 weight odds — the heavy half should dominate a 20-draw decisively
+    assert heavy >= 16, picked
+
+
+def test_weighted_sample_deterministic_and_skips_nonpositive(spark):
+    from data_pipeline_ine_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 0), ("c", None), ("d", 7)], "doc_id string, w int"
+    )
+    out1 = [r.doc_id for r in weighted_sample(df, 10, "w").collect()]
+    out2 = [r.doc_id for r in weighted_sample(df, 10, "w").collect()]
+    assert out1 == out2
+    assert set(out1) == {"a", "d"}  # zero/NULL weights never drawn
+
+
+def test_weighted_sample_topk_not_global_sort(spark):
+    from data_pipeline_ine_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("doc_id"), F.lit(3).alias("w")
+    )
+    plan = explain_str(weighted_sample(df, 10, "w"), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
