@@ -3271,6 +3271,30 @@ LIMIT 100
 )
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names within edit distance 2
+    (``operators/fuzzy.py``): the quadratic stage runs on the distinct-name
+    dictionary (vocabulary-sized), blocked on the last token with a
+    length-difference prefilter before the Levenshtein verify."""
+    from data_pipeline_ine_spark.operators.fuzzy import fuzzy_match_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_match_pairs(part, "p_name", max_dist=2)
+
+
+ORACLE_FUZZY = """
+WITH dic AS (
+  SELECT DISTINCT p_name AS v FROM part
+), b AS (
+  SELECT v, split_part(v, ' ', -1) AS blk, length(v) AS ln FROM dic
+)
+SELECT a.v AS a_value, c.v AS b_value, levenshtein(a.v, c.v) AS distance
+FROM b a JOIN b c
+  ON a.blk = c.blk AND a.v < c.v AND abs(a.ln - c.ln) <= 2
+WHERE levenshtein(a.v, c.v) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3338,6 +3362,7 @@ _CHECK_ORDER = [
     "quantile_bins",
     "snapshot_diff",
     "weighted_doc_sample",
+    "fuzzy_part_names",
 ]
 
 
@@ -3441,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "snapshot_diff": q_snapshot_diff,
         "weighted_doc_sample": q_weighted_doc_sample,
+        "fuzzy_part_names": q_fuzzy_part_names,
     })
 
 
@@ -3537,4 +3563,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bins": ORACLE_QUANTILE_BINS,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
+        "fuzzy_part_names": ORACLE_FUZZY,
     })

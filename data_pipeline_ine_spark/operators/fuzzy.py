@@ -1,0 +1,72 @@
+"""Fuzzy string matching: blocked edit-distance self-join over a dictionary.
+
+Entity resolution for the label/name columns every pipeline standardizes
+(the reference's step 2 canonicalizes dataset names by exact rules,
+``steps/step2_standardize_names.py``; this is the operator you need when
+the variants are typos rather than known aliases).
+
+The scale discipline is the same as every *-pairs operator in this engine:
+never all-pairs on the corpus.
+
+1. Collapse to the DISTINCT value dictionary first — name dictionaries are
+   vocabulary-sized (thousands), not corpus-sized (billions), so the
+   quadratic stage runs on the small set and row-level joins happen later
+   by exact key.
+2. Block: candidates must share a cheap key (default: last whitespace
+   token). One equi-join shuffle on the block key; bucket size bounds the
+   quadratic term. For big dictionaries tighten the block (first char +
+   length band, phonetic code, q-gram prefix) — a knob, not a redesign.
+3. Prefilter before the expensive verify: ``|len(a) - len(b)| > max_dist``
+   already violates the edit-distance lower bound, so it prunes without
+   computing Levenshtein.
+4. Verify survivors with ``levenshtein`` (JVM codegen; O(|a|·|b|) per
+   candidate only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def last_token(col: Column) -> Column:
+    """Default block key: the final whitespace-separated token."""
+    return F.element_at(F.split(col, " "), -1)
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 2,
+    block_fn=last_token,
+) -> DataFrame:
+    """Distinct-value pairs of ``text_col`` within edit distance
+    ``max_dist``: ``(a_value, b_value, distance)`` with ``a < b``.
+
+    ``block_fn`` maps the text column to its blocking key; recall is exact
+    within a block (true Levenshtein verify), bounded across blocks by the
+    key's stability under the expected error model (a typo in the last
+    token escapes the default block — pick the block to match the errors
+    you hunt).
+    """
+    dic = (
+        df.select(F.col(text_col).alias("v"))
+        .distinct()
+        .select("v", block_fn(F.col("v")).alias("_blk"), F.length("v").alias("_ln"))
+    )
+    a, b = dic.alias("a"), dic.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.v") < F.col("b.v"))
+            & (F.abs(F.col("a._ln") - F.col("b._ln")) <= max_dist),
+        )
+        .withColumn("distance", F.levenshtein(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("distance") <= max_dist)
+        .select(
+            F.col("a.v").alias("a_value"),
+            F.col("b.v").alias("b_value"),
+            "distance",
+        )
+    )
