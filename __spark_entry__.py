@@ -3295,6 +3295,39 @@ WHERE levenshtein(a.v, c.v) <= 2
 """
 
 
+def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scored under a corpus-trained add-one unigram LM
+    (``operators/text.py::unigram_logloss``) — the LM-based quality gate of
+    a pretraining curation stack, self-contained in one job."""
+    from data_pipeline_ine_spark.operators.text import unigram_logloss
+
+    docs = _docs_parallel(spark, sf_dir)
+    return unigram_logloss(docs)
+
+
+ORACLE_UNIGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+), totals AS (
+  SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab
+), scored AS (
+  SELECT tf.doc_id, SUM(tf.cnt) AS n_tokens,
+    ROUND(SUM(tf.cnt * -ln(CAST(vocab.c + 1 AS DOUBLE)
+                           / (totals.n_total + totals.v_size)))
+          / SUM(tf.cnt), 6) AS avg_neg_logp
+  FROM tf JOIN vocab USING (term) CROSS JOIN totals
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.avg_neg_logp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3363,6 +3396,7 @@ _CHECK_ORDER = [
     "snapshot_diff",
     "weighted_doc_sample",
     "fuzzy_part_names",
+    "unigram_logloss",
 ]
 
 
@@ -3467,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "weighted_doc_sample": q_weighted_doc_sample,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "unigram_logloss": q_unigram_logloss,
     })
 
 
@@ -3564,4 +3599,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
         "fuzzy_part_names": ORACLE_FUZZY,
+        "unigram_logloss": ORACLE_UNIGRAM,
     })

@@ -397,3 +397,59 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+def unigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model log-loss — the classic LM
+    quality filter (CCNet-style: score each document under a corpus LM and
+    gate on the tail) with the LM trained on the corpus itself in the same
+    job. Add-one smoothing, ``p(t) = (c(t)+1) / (N+V)``, score =
+    token-weighted mean of ``-ln p(t)``: gibberish and boilerplate land in
+    the high-loss tail, prototypical text scores low.
+
+    Returns ``(id_col, n_tokens, avg_neg_logp)``; documents with no tokens
+    keep a NULL score (explicitly distinguishable from "scored cheap").
+
+    Scale shape: corpus → per-doc term frequencies (one doc-keyed shuffle
+    of doc×distinct-term rows, already combined map-side); vocabulary
+    counts are a vocab-sized aggregate; the tf⋈vocab join is broadcast
+    while the vocab fits (here) and a term-keyed shuffle join beyond —
+    either way nothing corpus-sized is re-shuffled. ``-ln`` of a rational
+    of exact integers is deterministic to the ulp; the 6-decimal round on
+    a sum of ~doc-length ulp-noisy terms leaves orders of magnitude of
+    headroom.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    neglogp = -F.log(
+        (F.col("c") + 1).cast("double") / (F.col("n_total") + F.col("v_size"))
+    )
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * neglogp) / F.sum("cnt"), 6
+            ).alias("avg_neg_logp"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_neg_logp",
+    )

@@ -255,3 +255,31 @@ def test_weighted_sample_topk_not_global_sort(spark):
     )
     plan = explain_str(weighted_sample(df, 10, "w"), mode="simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_unigram_logloss_closed_form(spark):
+    import math
+
+    from data_pipeline_ine_spark.operators.text import unigram_logloss
+
+    df = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logloss(df).collect()}
+    # vocab: a→2, b→1; N=3, V=2 → p(a)=3/5, p(b)=2/5
+    want = (2 * -math.log(3 / 5) + 1 * -math.log(2 / 5)) / 3
+    assert abs(out["d1"].avg_neg_logp - round(want, 6)) < 1e-9
+    assert out["d1"].n_tokens == 3
+    # tokenless doc: kept, explicit NULL score
+    assert out["d2"].n_tokens == 0 and out["d2"].avg_neg_logp is None
+
+
+def test_unigram_logloss_rare_tokens_score_worse(spark):
+    from data_pipeline_ine_spark.operators.text import unigram_logloss
+
+    common = [(f"c{i}", "the quick fox") for i in range(20)]
+    df = spark.createDataFrame(
+        common + [("rare", "zqxv jkwp vbnm")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r.avg_neg_logp for r in unigram_logloss(df).collect()}
+    assert out["rare"] > out["c0"]
