@@ -57,21 +57,27 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table as parquet (TESTDATA.md contract).
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64 via
-    the runtime-settable legacy flag and rebuild a TIMESTAMP_NTZ column at
-    microsecond precision. NTZ (not ``timestamp_micros``) keeps every
-    downstream ``to_date``/``date_trunc`` session-timezone-invariant — the
-    parquet value is a naive wall-clock reading, and an oracle engine
-    (DuckDB) treats it as such, so the engine must too regardless of the
-    caller's ``spark.sql.session.timeZone``.
+    The contract pins every timestamp column to TIMESTAMP_NTZ carrying the
+    parquet file's naive wall-clock value, whatever physical type the
+    generator chose. Observed generator variants, each normalized here by
+    inspecting the scanned schema (never by filename convention):
+
+    - TIMESTAMP(NANOS) (``isAdjustedToUTC`` irrelevant): Spark rejects it by
+      default (PARQUET_TYPE_ILLEGAL), so the runtime-settable legacy flag
+      reads the nanos as raw int64 and the NTZ column is rebuilt at
+      microsecond precision.
+    - TIMESTAMP(MICROS, adjusted): read as TimestampType; rewritten to NTZ
+      via ``unix_micros`` so downstream ``to_date``/``date_trunc`` stay
+      session-timezone-invariant (matching how DuckDB reads the same file).
+    - TIMESTAMP(MICROS, unadjusted): Spark's NTZ inference already yields
+      the wall-clock NTZ value — passed through untouched.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         return df.withColumn("ts", _micros_to_ntz(F.expr("ts div 1000")))
-    return _normalize_timestamps(spark.read.parquet(path))
+    return _normalize_timestamps(df)
 
 
 def load_tables(
