@@ -2717,7 +2717,7 @@ WITH lang AS (
   SELECT doc_id, source, text FROM deduped
   WHERE rn = 1 AND ("""
     + _HEX12.format(h="md5('mix:' || CAST(doc_id AS VARCHAR))")
-    + """ % 10000) <
+    + r""" % 10000) <
     CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
                 WHEN 'src2' THEN 6500 ELSE 8000 END
 )
@@ -3316,10 +3316,15 @@ WITH toks AS (
 ), totals AS (
   SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab
 ), scored AS (
+  -- per-term -ln p snapped to exact 12-decimal fixed point before the sum
+  -- (IEEE mul/add/floor only), accumulated in DECIMAL(38,0): summation is
+  -- order-invariant, mirroring operators/text.py::unigram_logloss
   SELECT tf.doc_id, SUM(tf.cnt) AS n_tokens,
-    ROUND(SUM(tf.cnt * -ln(CAST(vocab.c + 1 AS DOUBLE)
-                           / (totals.n_total + totals.v_size)))
-          / SUM(tf.cnt), 6) AS avg_neg_logp
+    ROUND(CAST(SUM(CAST(tf.cnt * CAST(FLOOR(
+              -ln(CAST(vocab.c + 1 AS DOUBLE)
+                  / (totals.n_total + totals.v_size)) * 1e12 + 0.5
+            ) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+          / 1e12 / SUM(tf.cnt), 6) AS avg_neg_logp
   FROM tf JOIN vocab USING (term) CROSS JOIN totals
   GROUP BY tf.doc_id
 )
@@ -3336,67 +3341,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_v_consolidation(spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", SF_SMOKE))
 
 
-# Driver-facing enumeration order. Round 1's driver recorded CORRECTNESS rows for
-# exactly the first 50 queries() entries in insertion order and skipped the last 7
-# (VERDICT.md "Driver-coverage gap"), so insertion order is effectively a priority
-# ranking. Front-load everything that still needs first-time driver evidence:
-#   1. the 7 queries with no r01 row,
-#   2. the 4 whose r01 hash mismatch was fixed (oracle BIGINT casts),
-#   3. the 20 queries added since r01,
-# then the 46 already green in CORRECTNESS_r01.json. Names absent from this list
-# (future additions) keep their natural insertion order after it.
+# Driver-facing enumeration order. The driver records CORRECTNESS rows for the
+# first 50 queries() entries per round, so insertion order is a priority
+# ranking for evidence freshness. Round-3 rotation (VERDICT r2 task #3):
+#   1. unigram_logloss — its r02 hash mismatch is fixed (decimal-exact
+#      accumulation); needs a green row to reach 50/50,
+#   2. the 43 queries whose only green row is CORRECTNESS_r01 (checked in r01,
+#      rotated out of the r02 window) — re-evidence before it goes 2 rounds
+#      stale,
+#   3. queries newly added in round 3 (no evidence yet) fill the remaining
+#      driver slots.
+# Names absent from this list keep their natural insertion order after it;
+# everything checked green in r02 rotates to the back.
 _CHECK_ORDER = [
-    # -- no CORRECTNESS_r01 row
-    "sequence_packing",
-    "simhash_fingerprints",
-    "rolling_fingerprint",
-    "embedding_near_dup",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_topk",
-    # -- r01 hash mismatch, oracle recast to BIGINT
-    "json_props_sum",
-    "bpe_token_total",
-    "sessionize_batch",
-    "q12_priority_class",
-    # -- added since r01
-    "v_estaciones",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_or_predicates",
-    "q20_qualified_suppliers",
-    "q22_dormant_customers",
-    "q11_important_stock",
-    "q21_waiting_suppliers",
-    "domain_mixture",
-    "stratified_sample",
-    "repetition_stats",
-    "pii_redaction",
-    "contamination_overlap",
-    "simhash_near_dup",
-    "tfidf_top_terms",
-    "curation_pipeline",
-    "user_value_ranks",
-    "cube_order_stats",
-    "melt_lineitem",
-    "train_val_test_split",
-    "salted_join_totals",
-    "asof_next_click",
-    "chunk_documents",
-    "trailing_7d_value",
-    # -- added in round 2 after the r02 contract freeze point
-    "gap_fill_locf",
-    "zscore_outliers",
-    "value_histogram",
-    "quantile_bins",
-    "snapshot_diff",
-    "weighted_doc_sample",
-    "fuzzy_part_names",
+    # -- r02 hash mismatch, fixed this round
     "unigram_logloss",
+    # -- only green row is r01; rotate evidence forward
+    "label_join_orders",
+    "distinct_event_types",
+    "users_per_event_type",
+    "dedup_catalog_docs",
+    "entity_catalog",
+    "top5_users",
+    "union_scaffold",
+    "percentiles_by_type",
+    "numeric_coercion_ratio",
+    "filtered_net_price",
+    "orders_stats",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "window_top_day",
+    "text_stats",
+    "quality_scores",
+    "language_id",
+    "exact_dup_groups",
+    "minhash_signature",
+    "near_dup_buckets",
+    "jaccard_pairs",
+    "dedup_components",
+    "embedding_norms",
+    "cosine_consecutive",
+    "ann_topk",
+    "tumbling_6h",
+    "sliding_6h_3h",
+    "multimodal_features",
+    "q7_volume_shipping",
+    "q2_min_price_parts",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q4_priority_semi",
+    "customers_no_big_orders",
+    "rollup_revenue",
+    "asof_last_click",
+    "range_click_attribution",
+    "except_users",
+    "intersect_users",
+    "lag_daily_delta",
+    "q14_promo_share",
+    "dedup_survivors",
+    # -- new in round 3 (no driver evidence yet)
 ]
 
 

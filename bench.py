@@ -74,7 +74,12 @@ def run(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="bench")
+    # Console progress bars write carriage-return frames to stdout and can
+    # interleave with the single JSON result line (BENCH_r02 was unparseable
+    # for exactly this reason) — keep stdout JSON-only.
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as contract
@@ -94,8 +99,12 @@ def main() -> None:
 
     timings = {n: all_timings[n] for n in names}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # stop the session BEFORE printing so no late executor/JVM output can
+    # interleave; lead with a newline to sever any partial stdout line
+    spark.stop()
+    sys.stdout.write(
+        "\n"
+        + json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
@@ -105,8 +114,9 @@ def main() -> None:
                 "sf": _sf_of(sf_dir),
             }
         )
+        + "\n"
     )
-    spark.stop()
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -397,6 +397,33 @@ def jaccard_candidate_pairs(
 SIMHASH_BANDS = 4  # 4 bands × 16 bits over the 64-bit fingerprint
 
 
+def bands_for_hamming(max_hamming: int) -> int:
+    """Smallest band count with *guaranteed* recall at ``max_hamming``.
+
+    Pigeonhole: splitting the 64-bit fingerprint into ``k`` bands, a pair
+    differing in at most ``k - 1`` bits must share one intact band — so the
+    guarantee needs ``k ≥ max_hamming + 1``, rounded up to a divisor of 16
+    (bands are whole hex nibbles).
+
+    Cost curve: ``k`` bands are ``64/k`` bits wide, so expected candidate
+    volume scales ~ ``k · n² / 2^(64/k)`` — at k=4 (16-bit bands) blocking
+    is effectively sub-quadratic for corpus-scale n, at k=8 (8-bit bands)
+    it is marginal, and at k=16 (4-bit bands) it degenerates toward
+    all-pairs. Beyond ``max_hamming = 7`` prefer the default 4×16-bit
+    blocking and treat recall past Hamming ``SIMHASH_BANDS - 1`` as
+    probabilistic (tests/test_dedup.py measures the curve).
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming}: guaranteed banding needs "
+            "0 <= max_hamming <= 15 over a 64-bit fingerprint"
+        )
+    for k in (1, 2, 4, 8, 16):
+        if k > max_hamming:
+            return k
+    raise AssertionError("unreachable")
+
+
 def simhash_band_ints(simhash: Column | str, n_bands: int = SIMHASH_BANDS) -> Column:
     """The 64-bit simhash hex split into ``n_bands`` integer band values
     (16 bits each at the default). Band equality is the LSH blocking key:
@@ -433,9 +460,18 @@ def simhash_near_dup_pairs(
     ``(band_idx, band_value)`` — one shuffle on the band key, never
     all-pairs. The Hamming verify is integer ``bit_count(xor)`` over the
     4 band ints both sides already carry — no re-hashing, no text columns
-    through the shuffle. Recall: pigeonhole guarantees every pair with
-    distance < ``n_bands`` is found; beyond that banding is probabilistic
-    (same knob as MinHash bands — raise ``n_bands`` for higher recall).
+    through the shuffle.
+
+    Recall: pigeonhole guarantees every pair with distance < ``n_bands``
+    is found; beyond that banding is probabilistic (a pair at distance d
+    with all d flips landing in distinct bands is missed). Callers who
+    need the hard guarantee at a given ``max_hamming`` should pass
+    ``n_bands=bands_for_hamming(max_hamming)`` — and read its docstring
+    for the cost curve: the guarantee past Hamming 7 forces ≤8-bit bands,
+    which degenerates toward an all-pairs join. The default
+    (``max_hamming=8``, 4×16-bit bands) is the standard production
+    trade-off: exact to Hamming 3, high-probability to 8, sub-quadratic
+    candidates.
 
     Returns ``(a_id, b_id, hamming)`` with ``a_id < b_id``, one row per
     pair even when several bands collide.

@@ -418,10 +418,15 @@ def unigram_logloss(
     of doc×distinct-term rows, already combined map-side); vocabulary
     counts are a vocab-sized aggregate; the tf⋈vocab join is broadcast
     while the vocab fits (here) and a term-keyed shuffle join beyond —
-    either way nothing corpus-sized is re-shuffled. ``-ln`` of a rational
-    of exact integers is deterministic to the ulp; the 6-decimal round on
-    a sum of ~doc-length ulp-noisy terms leaves orders of magnitude of
-    headroom.
+    either way nothing corpus-sized is re-shuffled.
+
+    Determinism: a double ``SUM`` accumulates in partition order, so two
+    engines can disagree in the last ulp and land on opposite sides of the
+    final round (observed once at sf0.1). Each term's ``-ln p`` is
+    therefore snapped to exact 12-decimal fixed point *before* summation —
+    ``floor(x*1e12 + 0.5)`` uses only IEEE multiply/add/floor, so the
+    integer contribution is bit-identical across engines — and the sum
+    accumulates in ``decimal(38,0)``, which is order-invariant.
     """
     toks = df.select(
         F.col(id_col),
@@ -437,6 +442,8 @@ def unigram_logloss(
     neglogp = -F.log(
         (F.col("c") + 1).cast("double") / (F.col("n_total") + F.col("v_size"))
     )
+    # exact 12-decimal fixed-point per-term contribution (see docstring)
+    scaled = F.floor(neglogp * F.lit(1e12) + F.lit(0.5))
     scored = (
         tf.join(F.broadcast(vocab), "term")
         .join(F.broadcast(totals))
@@ -444,7 +451,10 @@ def unigram_logloss(
         .agg(
             F.sum("cnt").alias("n_tokens"),
             F.round(
-                F.sum(F.col("cnt") * neglogp) / F.sum("cnt"), 6
+                F.sum((F.col("cnt") * scaled).cast("decimal(38,0)")).cast("double")
+                / F.lit(1e12)
+                / F.sum("cnt"),
+                6,
             ).alias("avg_neg_logp"),
         )
     )

@@ -74,6 +74,11 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         # --- semantics -------------------------------------------------------
         "spark.sql.session.timeZone": "UTC",
+        # TIMESTAMP(NANOS) parquet is rejected by default (PARQUET_TYPE_ILLEGAL);
+        # this surfaces such columns as raw int64 which the registry rebuilds to
+        # NTZ (sources/registry.py). Set once here so a table scan is not a
+        # hidden session-wide mutation.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Replaces the reference's delete-folder-then-rewrite idempotency
         # (pipeline_orchestrator.py:38-69) with partition-scoped overwrite.
         "spark.sql.sources.partitionOverwriteMode": "dynamic",

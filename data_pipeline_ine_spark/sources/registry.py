@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_pipeline_ine_spark.schemas import TESTDATA_TABLES
+from data_pipeline_ine_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -73,10 +73,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       the wall-clock NTZ value — passed through untouched.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # The session factory sets nanosAsLong once; re-set here because entry
+    # points may receive an externally-built session (the driver's smoke
+    # check) whose conf lacks it — without the flag a NANOS file fails the
+    # eager footer read (PARQUET_TYPE_ILLEGAL) before we can branch.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        return df.withColumn("ts", _micros_to_ntz(F.expr("ts div 1000")))
+    declared = TESTDATA_SCHEMAS.get(name)
+    if declared is not None:
+        # NANOS variant: rebuild every column the contract declares as
+        # TIMESTAMP_NTZ but the legacy flag surfaced as raw int64 — driven
+        # by the declared schema, never by table-name convention.
+        for field in declared.fields:
+            if isinstance(field.dataType, T.TimestampNTZType) and isinstance(
+                df.schema[field.name].dataType, T.LongType
+            ):
+                df = df.withColumn(
+                    field.name, _micros_to_ntz(F.expr(f"`{field.name}` div 1000"))
+                )
     return _normalize_timestamps(df)
 
 

@@ -22,17 +22,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Physical schema of events.parquet with the TIMESTAMP(NANOS) column read as
-# raw int64 (see sources/registry.py) — streaming sources can't infer.
-_RAW_EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
+# Logical schema of the events stream with ``ts`` left as a placeholder —
+# streaming sources can't infer, and the physical timestamp type varies by
+# generator (TIMESTAMP(NANOS) lands as raw int64 under the legacy flag;
+# MICROS lands as TimestampType or TimestampNTZType). ``read_event_stream``
+# probes the landing files once and fills in the real ``ts`` type.
+_EVENT_FIELDS = (
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # placeholder; replaced per probe
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
 )
 
 
@@ -40,17 +41,39 @@ def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over an events landing directory (new parquet
-    files become micro-batches)."""
+    files become micro-batches).
+
+    The physical ``ts`` type is probed from the landing files with one
+    static read — the same schema-driven branch the batch registry uses
+    (``sources/registry.py``), never a unit assumption:
+
+    - TIMESTAMP(NANOS): the legacy flag reads it as raw int64; the stream
+      declares LongType and rebuilds event time at microsecond precision.
+    - TIMESTAMP(MICROS): declared at its probed type directly; an NTZ
+      variant is cast to TIMESTAMP because watermarks reject NTZ
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+
+    Values are treated as UTC instants; run streaming jobs with
+    ``spark.sql.session.timeZone=UTC`` (the session factory default) for
+    wall-clock-stable window bounds.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_RAW_EVENT_SCHEMA)
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("ts", ts_type) if f.name == "ts" else f
+            for f in _EVENT_FIELDS
+        ]
+    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    # Unlike the batch registry (TIMESTAMP_NTZ), streaming event time must be
-    # TIMESTAMP: watermarks reject NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
-    # The nanos are treated as UTC instants; run streaming jobs with
-    # spark.sql.session.timeZone=UTC for wall-clock-stable window bounds.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(

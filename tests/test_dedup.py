@@ -42,3 +42,74 @@ def test_components_raises_when_budget_too_small(spark):
         dedup_components(
             _pairs(spark, [(i, i + 1) for i in range(200)]), max_iters=2
         )
+
+
+def test_bands_for_hamming_sizing_rule():
+    from data_pipeline_ine_spark.operators.dedup import bands_for_hamming
+
+    assert bands_for_hamming(0) == 1
+    assert bands_for_hamming(1) == 2
+    assert bands_for_hamming(3) == 4
+    assert bands_for_hamming(4) == 8
+    assert bands_for_hamming(7) == 8
+    assert bands_for_hamming(8) == 16
+    assert bands_for_hamming(15) == 16
+    with pytest.raises(ValueError):
+        bands_for_hamming(16)
+    with pytest.raises(ValueError):
+        bands_for_hamming(-1)
+
+
+@pytest.mark.parametrize("max_hamming", [3, 7])
+def test_simhash_banding_guaranteed_recall(spark, max_hamming):
+    """With n_bands = bands_for_hamming(h), the band-blocked pairs must
+    equal the brute-force all-pairs set at Hamming <= h (pigeonhole is a
+    guarantee, not a heuristic)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.dedup import (
+        bands_for_hamming,
+        simhash_band_ints,
+        simhash_hex,
+        simhash_near_dup_pairs,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+
+    n_bands = bands_for_hamming(max_hamming)
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=max_hamming, n_bands=n_bands
+        ).collect()
+    }
+
+    # brute force: full hamming over every pair (band-int sum == 64-bit xor)
+    sim = docs.select(
+        "doc_id", simhash_band_ints(simhash_hex("text")).alias("bands")
+    ).localCheckpoint(eager=False)
+    a, b = sim.alias("a"), sim.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.bands"),
+            F.col("b.bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    want = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+    assert got == want

@@ -178,3 +178,60 @@ def test_sessionize_emits_final_session_on_timeout(spark, sf_dir, tmp_path):
         f"expected {n_sessions} sessions incl. the timed-out final one, "
         f"got {got.count()}"
     )
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Full batch/stream sessionize equivalence (VERDICT r2 task #5): the
+    streamed session set — gap-closed sessions plus EventTimeTimeout-emitted
+    final sessions — must exactly equal the batch window sessionization.
+
+    Two sentinel events for one synthetic user, 100 and 200 days past the
+    corpus, arrive as their own micro-batches: the first pushes the
+    watermark past every real user's gap horizon so all remaining timeouts
+    fire deterministically in the second's batch; the second gap-closes the
+    first sentinel session so nothing depends on trailing no-data batches.
+    """
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sess_equiv"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "a.parquet")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    max_ts = raw.agg(F.max("ts")).first()[0]
+    sentinel_user = -999
+    for i, days in enumerate((100, 200)):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([10**9 + i], pa.int64()),
+                "ts": pa.array(
+                    [max_ts + datetime.timedelta(days=days)], pa.timestamp("us")
+                ),
+                "user_id": pa.array([sentinel_user], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, d / f"{'bc'[i]}.parquet")
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    _drain(sessionize(stream, gap_minutes=30, watermark="0 seconds"), "sess_equiv")
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql(
+            f"select * from sess_equiv where user_id != {sentinel_user}"
+        ).collect()
+    }
+
+    import __spark_entry__ as contract
+
+    batch = contract.queries()["sessionize_batch"](spark, sf_dir)
+    want = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in batch.collect()
+    }
+    assert len(got) > 10
+    assert got == want
