@@ -3334,6 +3334,221 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: containment dedup, blocked kNN join, SCD2 history,
+# conversion funnel, per-source quality gating, BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by shingle containment |∩|/min(|A|,|B|) over the
+    same LSH candidate pairs as jaccard_pairs — catches doc-in-doc
+    inclusion that Jaccard's |∩|/|∪| dilutes away."""
+    from data_pipeline_ine_spark.operators.dedup import containment_candidate_pairs
+
+    return containment_candidate_pairs(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_CONTAINMENT = _MINHASH_CTE + r"""
+, d AS (
+  SELECT doc_id, list_distinct(shingles) AS sh, bands FROM banded
+), e AS (
+  SELECT doc_id, sh, UNNEST(bands) AS band_hash FROM d
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM e a JOIN e b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+  ROUND(len(list_intersect(da.sh, db.sh))
+        / GREATEST(LEAST(len(da.sh), len(db.sh)), 1), 6) AS containment
+FROM pairs p
+JOIN d da ON da.doc_id = p.a_id
+JOIN d db ON db.doc_id = p.b_id
+"""
+
+
+def q_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN join: every embedding's top-5 cosine neighbors within
+    its label block — one block-keyed shuffle, pair cost Σ block², norms
+    precomputed per vector (operators/similarity.py::knn_join_blocked)."""
+    from data_pipeline_ine_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_blocked(emb, k=5).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+ORACLE_KNN_WITHIN_LABEL = """
+WITH e AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.label AS block,
+    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, block, cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals from the events change log: per user,
+    consecutive equal event_type runs collapse to [valid_from, valid_to)
+    rows, NULL valid_to marking the current state. Two windows, one
+    shuffle (operators/timeseries.py::scd2_intervals)."""
+    from data_pipeline_ine_spark.operators.timeseries import scd2_intervals
+
+    return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SCD2 = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+              OR event_type <> LAG(event_type) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT * FROM marked WHERE chg = 1
+)
+SELECT user_id, event_type AS state, ts AS valid_from,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel with first-touch
+    semantics: stage i counts only events strictly after the user's stage
+    i-1 time. Chained conditional-min windows on ONE user shuffle
+    (operators/timeseries.py::funnel_stages)."""
+    from data_pipeline_ine_spark.operators.timeseries import funnel_stages
+
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = """
+WITH t0 AS (
+  SELECT user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS s0
+  FROM events
+), t1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s0 THEN ts END)
+      OVER (PARTITION BY user_id) AS s1
+  FROM t0
+), t2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > s1 THEN ts END)
+      OVER (PARTITION BY user_id) AS s2
+  FROM t1
+), per_user AS (
+  SELECT user_id, MIN(s0) AS s0, MIN(s1) AS s1, MIN(s2) AS s2
+  FROM t2 GROUP BY 1
+), counts AS (
+  SELECT COUNT(s0) AS n0, COUNT(s1) AS n1, COUNT(s2) AS n2 FROM per_user
+)
+SELECT 'view' AS stage, 0 AS stage_idx, n0 AS n_users FROM counts
+UNION ALL SELECT 'click', 1, n1 FROM counts
+UNION ALL SELECT 'purchase', 2, n2 FROM counts
+"""
+
+
+def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gating: keep documents at or above the exact p25
+    of their OWN source's quality distribution — per-group thresholds
+    aggregate group-keyed and broadcast back, the corpus is never
+    re-shuffled (operators/features.py::group_percentile_gate)."""
+    from data_pipeline_ine_spark.operators.features import group_percentile_gate
+    from data_pipeline_ine_spark.operators.text import quality_score
+
+    docs = _docs_parallel(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    return group_percentile_gate(scored, "quality", "source", q=0.25)
+
+
+ORACLE_QUALITY_GATE = r"""
+WITH s AS (
+  SELECT doc_id, source,
+    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+    ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+        + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1), 1.0))
+        + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 3.0 / GREATEST(n_tokens, 1), 1.0),
+        6) AS quality
+  FROM s
+), thr AS (
+  SELECT source, ROUND(quantile_cont(quality, 0.25), 6) AS group_threshold
+  FROM scored GROUP BY 1
+)
+SELECT sc.doc_id, sc.source, sc.quality, t.group_threshold
+FROM scored sc JOIN thr t USING (source)
+WHERE sc.quality >= t.group_threshold
+"""
+
+
+BM25_QUERY_TERMS = ("stream", "vector", "hash")
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document for a fixed 3-term query —
+    idf-weighted saturating tf with length normalization; per-term
+    contributions snapped to 12-decimal fixed point and summed in decimal
+    so the score is engine-invariant (operators/text.py::bm25_scores)."""
+    from data_pipeline_ine_spark.operators.text import bm25_scores
+
+    return bm25_scores(_docs_parallel(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+ORACLE_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('stream', 'vector', 'hash') GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(dl) FROM doclen) AS len_total,
+         (SELECT COUNT(*) FROM doclen) AS len_n
+), scored AS (
+  -- mirror of operators/text.py::bm25_scores: k1=1.2, b=0.75, per-term
+  -- value floored to 12-decimal fixed point, decimal(38,0) accumulation
+  SELECT tf.doc_id,
+    ROUND(CAST(SUM(CAST(CAST(FLOOR(
+        ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl
+               / (CAST(stats.len_total AS DOUBLE) / stats.len_n)))
+        * 1e12 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1e12,
+      6) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(s.bm25, 0.0) AS bm25
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3401,6 +3616,12 @@ _CHECK_ORDER = [
     "q14_promo_share",
     "dedup_survivors",
     # -- new in round 3 (no driver evidence yet)
+    "containment_pairs",
+    "knn_within_label",
+    "scd2_intervals",
+    "funnel_conversion",
+    "source_quality_gate",
+    "bm25_scores",
 ]
 
 
@@ -3506,6 +3727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_doc_sample": q_weighted_doc_sample,
         "fuzzy_part_names": q_fuzzy_part_names,
         "unigram_logloss": q_unigram_logloss,
+        "containment_pairs": q_containment_pairs,
+        "knn_within_label": q_knn_within_label,
+        "scd2_intervals": q_scd2_intervals,
+        "funnel_conversion": q_funnel_conversion,
+        "source_quality_gate": q_source_quality_gate,
+        "bm25_scores": q_bm25_scores,
     })
 
 
@@ -3604,4 +3831,10 @@ def oracle_sql() -> dict[str, str]:
         "weighted_doc_sample": ORACLE_WEIGHTED_SAMPLE,
         "fuzzy_part_names": ORACLE_FUZZY,
         "unigram_logloss": ORACLE_UNIGRAM,
+        "containment_pairs": ORACLE_CONTAINMENT,
+        "knn_within_label": ORACLE_KNN_WITHIN_LABEL,
+        "scd2_intervals": ORACLE_SCD2,
+        "funnel_conversion": ORACLE_FUNNEL,
+        "source_quality_gate": ORACLE_QUALITY_GATE,
+        "bm25_scores": ORACLE_BM25,
     })

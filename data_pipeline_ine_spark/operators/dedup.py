@@ -341,14 +341,12 @@ def dedup_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
-def jaccard_candidate_pairs(
-    df: DataFrame, id_col: str = "doc_id", round_to: int = 6, **minhash_kwargs
+def _banded_shingle_pairs(
+    df: DataFrame, id_col: str, **minhash_kwargs
 ) -> DataFrame:
-    """Exact n-gram Jaccard for LSH candidate pairs.
-
-    Self-join on band keys produces only same-bucket pairs (a < b), then the
-    true Jaccard over distinct shingle sets verifies candidates — the
-    classic verify step after the LSH recall stage.
+    """LSH candidate pairs with both shingle sets attached:
+    ``(a_id, b_id, a_sh, b_sh)`` — the shared recall stage behind the
+    Jaccard and containment verifiers.
 
     Shuffle discipline (the part that decides 100 TB viability): the band
     join and the pair dedupe move IDS ONLY — a doc's shingle array never
@@ -375,22 +373,64 @@ def jaccard_candidate_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     sh = docs.select(id_col, "sh")
-    pairs = (
-        cand.join(
-            sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")),
-            "a_id",
-        )
-        .join(
-            sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")),
-            "b_id",
-        )
+    return cand.join(
+        sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")),
+        "a_id",
+    ).join(
+        sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")),
+        "b_id",
     )
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", round_to: int = 6, **minhash_kwargs
+) -> DataFrame:
+    """Exact n-gram Jaccard for LSH candidate pairs.
+
+    Self-join on band keys produces only same-bucket pairs (a < b), then the
+    true Jaccard over distinct shingle sets verifies candidates — the
+    classic verify step after the LSH recall stage. Shuffle shape: see
+    ``_banded_shingle_pairs``.
+    """
+    pairs = _banded_shingle_pairs(df, id_col, **minhash_kwargs)
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     return pairs.select(
         "a_id",
         "b_id",
         F.round(inter / F.greatest(union, F.lit(1)), round_to).alias("jaccard"),
+    )
+
+
+def containment_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", round_to: int = 6, **minhash_kwargs
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle *containment*:
+    ``|A ∩ B| / min(|A|, |B|)`` over the same LSH candidate pairs as
+    :func:`jaccard_candidate_pairs`.
+
+    Jaccard misses quote-inclusion: a short document fully embedded in a
+    long one has tiny ``|∩| / |∪|`` but containment 1.0 — the standard
+    second score every dedup pipeline runs next to Jaccard (boilerplate
+    extraction, doc-in-doc, licence-block detection). Normalizing by the
+    *smaller* set keeps the score symmetric in (a, b) while still firing
+    on one-sided inclusion.
+
+    Returns ``(a_id, b_id, containment)`` with ``a_id < b_id``. Same
+    pair-count-bounded shuffle shape as the Jaccard verifier (see
+    ``_banded_shingle_pairs``); recall is bounded by the MinHash bands,
+    which are Jaccard-tuned — severely size-skewed pairs may need the
+    shorter side's shingles indexed separately at production scale.
+    """
+    pairs = _banded_shingle_pairs(df, id_col, **minhash_kwargs)
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    smaller = F.least(F.size("a_sh"), F.size("b_sh"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(inter / F.greatest(smaller, F.lit(1)), round_to).alias(
+            "containment"
+        ),
     )
 
 

@@ -132,3 +132,43 @@ def quantile_bins(
             F.col(value_col) <= F.element_at(F.col("_c"), i + 1), F.lit(i)
         ).otherwise(expr)
     return df.join(broadcast(cuts)).withColumn(out_col, expr).drop("_c")
+
+
+def group_percentile_gate(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    q: float = 0.25,
+    keep: str = "ge",
+) -> DataFrame:
+    """Filter rows against their GROUP's exact percentile of ``value_col``
+    — e.g. "keep documents scoring at or above the p25 of their source".
+    Gating against a per-group threshold instead of a global one is the
+    standard curation move when sources have different score
+    distributions: a global cut would empty the hardest source and keep
+    everything from the easiest.
+
+    Scale shape: one exact-percentile aggregate per group (group-keyed
+    shuffle of (group, value) pairs only), then the tiny thresholds frame
+    broadcasts back onto the corpus — the corpus itself is never
+    re-shuffled. At extreme group cardinality swap ``percentile`` for the
+    mergeable KLL sketch (operators/sketches.py) exactly as documented for
+    ``quantile_bins``.
+
+    Appends ``group_threshold`` to the kept rows.
+    """
+    thr = (
+        df.groupBy(group_col)
+        .agg(
+            F.round(
+                F.expr(f"percentile({value_col}, {q!r})"), 6
+            ).alias("group_threshold")
+        )
+    )
+    gated = df.join(broadcast(thr), group_col)
+    cmp = (
+        F.col(value_col) >= F.col("group_threshold")
+        if keep == "ge"
+        else F.col(value_col) <= F.col("group_threshold")
+    )
+    return gated.filter(cmp)

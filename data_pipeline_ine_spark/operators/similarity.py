@@ -374,3 +374,66 @@ def partitioned_topk(
     )
     pruned = df.join(F.broadcast(probes), part_col)
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Batched k-nearest-neighbors join: every vector's top-k cosine
+    neighbors *within its block* — the all-vectors workload shape
+    (semantic-dedup clustering, hard-negative mining) as opposed to the
+    single-query ``brute_force_topk``.
+
+    Scale shape: the self-join is an equi-join on ``block_col``, so the
+    only shuffle is one hash partition per side on the block key and the
+    pair explosion is Σ block_size² — never corpus². Per-vector norms are
+    computed ONCE before the join (O(n·d)), so the per-pair work is a
+    single dot product; ranking is a ``row_number`` window over the same
+    block-partitioned data. On a real corpus the block key is an IVF/LSH
+    bucket assignment (see ``ivf_topk``/``lsh_bucket``) sized to bound
+    block², exactly like this; ``label`` stands in for it here. Rounded
+    similarity + id tiebreak keep the ranking engine-reproducible.
+
+    Returns ``(vec_id, neighbor_id, block, cosine_sim, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    e = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.select(
+        "block",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    ).alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.bv")) / (F.col("a.nrm") * F.col("b.bnrm")), 6
+    )
+    ranked = (
+        a.join(b, "block")
+        .filter(F.col(f"a.{id_col}") != F.col("neighbor_id"))
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            "neighbor_id",
+            F.col("block"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.desc("cosine_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= k)

@@ -13,6 +13,8 @@ verify results byte-for-byte.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -462,4 +464,79 @@ def unigram_logloss(
         id_col,
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "avg_neg_logp",
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document for a fixed query term set —
+    the classic retrieval scorer (idf-weighted, saturating tf, length-
+    normalized), used in data pipelines to mine training examples relevant
+    to a topic without an embedding model.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    Scale shape: doc lengths and per-doc query-term tf come from one
+    tokenize pass (term filter pushed before the doc-keyed aggregate, so
+    the tf frame is |docs|·|query| at most); document frequencies and the
+    (N, avgdl) scalars are query-sized/1-row aggregates that BROADCAST
+    back — the corpus is shuffled once, on ``id_col``. Per-term
+    contributions are snapped to exact 12-decimal fixed point and summed
+    in decimal (the ``unigram_logloss`` determinism recipe), so partition
+    order can't move the rounded score.
+
+    Returns ``(id_col, bm25)`` for every input row; documents matching no
+    query term score 0.0.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("term"),
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        doclen.agg(F.sum("dl").alias("len_total"), F.count(F.lit(1)).alias("len_n"))
+    )
+    avgdl = F.col("len_total") / F.col("len_n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (1.0 + k1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    # exact 12-decimal fixed point per term, decimal accumulation (see
+    # unigram_logloss): bit-identical across engines, order-invariant sum
+    contrib = F.floor(idf * tf_part * F.lit(1e12) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib).cast("double") / F.lit(1e12), 6).alias("bm25")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
     )

@@ -90,3 +90,84 @@ def nocb(
         _carry_window(key_col, period_col, forward=False)
     )
     return df.withColumn(out_col or value_col, filled)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: collapse
+    consecutive equal attribute values per key into validity intervals
+    ``[valid_from, valid_to)``, with ``valid_to`` NULL on each key's
+    current state — the standard dimension-table build every warehouse
+    runs over CDC streams.
+
+    Scale shape: two window passes over ONE shuffle — both windows
+    partition by ``key_col`` with the same ``(ts, tiebreak)`` ordering, so
+    Catalyst plans a single Exchange+Sort and chains the Window execs.
+    Partition size is one key's change history (bounded by activity, not
+    corpus). The tiebreak column makes same-timestamp changes
+    deterministic across engines.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev_attr = F.lag(attr_col).over(w)
+    changes = df.select(key_col, ts_col, attr_col, tiebreak_col).withColumn(
+        "_chg", prev_attr.isNull() | (F.col(attr_col) != prev_attr)
+    ).filter("_chg")
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user converts stage *i* only with an
+    event of type ``stages[i]`` strictly AFTER their stage *i-1* conversion
+    time (first-touch semantics) — the product-analytics query that plain
+    per-type counts get wrong because they ignore ordering.
+
+    Scale shape: one shuffle on ``user_col``; each stage is a whole-
+    partition conditional ``min`` window over the same partitioning, so the
+    chained stage columns become stacked Window execs on a single
+    Exchange — no self-joins, no per-stage scans. The final rollup is a
+    per-user reduce then a tiny stage-count aggregate.
+
+    Returns one row per stage: ``(stage, stage_idx, n_users)`` with
+    ``n_users`` monotonically non-increasing down the funnel.
+    """
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    stage_cols = []
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        c = f"_t{i}"
+        out = out.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        stage_cols.append(c)
+        prev = c
+    per_user = out.groupBy(user_col).agg(
+        *[F.min(c).alias(c) for c in stage_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).alias(f"_n{i}") for i, c in enumerate(stage_cols)]
+    )
+    stack_args = ", ".join(
+        f"'{s}', {i}, _n{i}" for i, s in enumerate(stages)
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, {stack_args}) as (stage, stage_idx, n_users)"
+    )

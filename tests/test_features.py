@@ -51,3 +51,40 @@ def test_zscore_stats_join_is_broadcast(spark):
     df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
     plan = group_zscore(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kll_cutpoints_match_exact_at_sf01(spark):
+    """The documented 100 TB swap for quantile_bins cutpoints: a KLL
+    sketch's quantile estimates at sf0.1 must land within its rank-error
+    guarantee of the exact percentiles (k=200 → ~1.3% normalized rank
+    error; we assert 2% in VALUE terms via the exact quantile at the
+    shifted ranks, which is the guarantee KLL actually makes)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_ine_spark.operators.sketches import kll_quantiles
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.1", "events")
+    probs = (0.25, 0.5, 0.75)
+    eps = 0.02
+    exact_row = events.agg(
+        F.percentile(
+            "value", F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("c"),
+        # exact quantiles at the rank-error-shifted positions bound the
+        # acceptable sketch answers in value space
+        F.percentile(
+            "value", F.array(*[F.lit(max(0.0, p - eps)) for p in probs])
+        ).alias("lo"),
+        F.percentile(
+            "value", F.array(*[F.lit(min(1.0, p + eps)) for p in probs])
+        ).alias("hi"),
+    ).first()
+    sketch = kll_quantiles(events, "value", probs=probs).first()
+    for i, p in enumerate(probs):
+        got = sketch[f"q{int(p * 100)}"]
+        lo, hi, ex = exact_row.lo[i], exact_row.hi[i], exact_row.c[i]
+        assert lo <= got <= hi, (
+            f"p{p}: sketch {got} outside rank-error band [{lo}, {hi}] "
+            f"(exact {ex})"
+        )

@@ -418,3 +418,47 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_knn_join_is_equi_join_not_cartesian(spark, sf_dir):
+    """The blocked kNN self-join must plan as an equi-join on the block key
+    — a CartesianProduct/nested-loop would be corpus² at scale."""
+    df = contract.queries()["knn_within_label"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_windows_share_one_shuffle(spark, sf_dir):
+    """Both SCD2 windows partition by user_id with the same ordering, so
+    the plan needs exactly one user_id Exchange."""
+    df = contract.queries()["scd2_intervals"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_funnel_stage_windows_share_one_shuffle(spark, sf_dir):
+    """The three chained conditional-min stage windows must stack on ONE
+    user_id Exchange; the per-user reduce reuses the same partitioning, so
+    no second corpus shuffle appears."""
+    df = contract.queries()["funnel_conversion"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert plan.count("Window") >= 3, plan
+
+
+def test_quality_gate_thresholds_broadcast(spark, sf_dir):
+    """The per-source threshold frame must broadcast back onto the corpus
+    — re-shuffling the corpus on source to attach 20 thresholds would be
+    the classic small-join mistake."""
+    df = contract.queries()["source_quality_gate"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_stats_broadcast(spark, sf_dir):
+    """BM25's dfreq/stats frames are query-sized and must broadcast; the
+    corpus shuffles only on doc_id for the tf and doclen aggregates."""
+    df = contract.queries()["bm25_scores"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
