@@ -483,14 +483,15 @@ def bm25_scores(
     ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``
     with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
 
-    Scale shape: doc lengths and per-doc query-term tf come from one
-    tokenize pass (term filter pushed before the doc-keyed aggregate, so
-    the tf frame is |docs|·|query| at most); document frequencies and the
-    (N, avgdl) scalars are query-sized/1-row aggregates that BROADCAST
-    back — the corpus is shuffled once, on ``id_col``. Per-term
-    contributions are snapped to exact 12-decimal fixed point and summed
-    in decimal (the ``unigram_logloss`` determinism recipe), so partition
-    order can't move the rounded score.
+    Scale shape: the query term set is a small literal, so per-term tf
+    PIVOTS into wide columns of ONE doc-keyed aggregate over a single
+    tokenize pass — no per-(doc, term) frame, no separate doclen branch
+    re-running the regex. Document frequencies and (N, avgdl) collapse
+    into one 1-row aggregate over that frame, which BROADCASTS back; the
+    corpus is shuffled exactly once, on ``id_col``. Per-term contributions
+    are snapped to exact 12-decimal fixed point before the (query-sized)
+    sum (the ``unigram_logloss`` determinism recipe), so the rounded score
+    is engine-invariant.
 
     Returns ``(id_col, bm25)`` for every input row; documents matching no
     query term score 0.0.
@@ -502,38 +503,51 @@ def bm25_scores(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
         ).alias("term"),
     )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        doclen.agg(F.sum("dl").alias("len_total"), F.count(F.lit(1)).alias("len_n"))
+    # both the scores and the 1-row (avgdl, df_i) frame read per_doc; pin it
+    # so the tokenize+aggregate subtree runs once, not once per consumer
+    # (same reuse rationale as the simhash signature table)
+    per_doc = per_doc.localCheckpoint(eager=False)
+    glob = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        per_doc.agg(
+            F.sum("dl").alias("len_total"),
+            F.count(F.lit(1)).alias("len_n"),
+            *[
+                F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
     )
     avgdl = F.col("len_total") / F.col("len_n")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * (1.0 + k1)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
-    )
-    # exact 12-decimal fixed point per term, decimal accumulation (see
-    # unigram_logloss): bit-identical across engines, order-invariant sum
-    contrib = F.floor(idf * tf_part * F.lit(1e12) + F.lit(0.5)).cast(
-        "decimal(38,0)"
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, id_col)
-        .join(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(
-            F.round(F.sum(contrib).cast("double") / F.lit(1e12), 6).alias("bm25")
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
         )
+        tf_part = (tf * (1.0 + k1)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+        # exact 12-decimal fixed point per term (see unigram_logloss):
+        # bit-identical across engines, then an exact small-integer sum
+        fixed = F.floor(idf * tf_part * F.lit(1e12) + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
+        return F.when(tf > 0, fixed).otherwise(F.lit(0).cast("decimal(38,0)"))
+
+    total = contrib(0)
+    for i in range(1, len(terms)):
+        total = total + contrib(i)
+    scored = per_doc.join(F.broadcast(glob)).select(
+        id_col, F.round(total.cast("double") / F.lit(1e12), 6).alias("bm25")
     )
     return (
         df.select(id_col)

@@ -457,8 +457,15 @@ def test_quality_gate_thresholds_broadcast(spark, sf_dir):
 
 
 def test_bm25_stats_broadcast(spark, sf_dir):
-    """BM25's dfreq/stats frames are query-sized and must broadcast; the
-    corpus shuffles only on doc_id for the tf and doclen aggregates."""
+    """BM25 pivots the literal query terms into ONE doc-keyed aggregate
+    (single tokenize pass) and broadcasts the 1-row (N, avgdl, df_i)
+    frame back — so the plan shows a broadcast join and exactly one
+    corpus aggregate over the exploded token stream."""
     df = contract.queries()["bm25_scores"](spark, sf_dir)
     plan = explain_str(df, mode="simple")
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the single tokenize pass is enforced by the lazy localCheckpoint on
+    # per_doc (runtime reuse — invisible in the plan string, like simhash);
+    # the per-(doc, term) tf frame and its extra shuffles must stay gone
+    assert "term#" not in plan.split("HashAggregate", 1)[0], plan
