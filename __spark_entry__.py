@@ -3548,6 +3548,95 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation audit over lineitem/orders: per-row
+    constraint checks fused into ONE conditional aggregate, key
+    uniqueness as one keyed aggregate, referential integrity as a LEFT
+    ANTI orphan probe (operators/quality.py)."""
+    from data_pipeline_ine_spark.operators.quality import (
+        expect_references,
+        expect_rows,
+        expect_unique,
+        union_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    row_checks = expect_rows(
+        li,
+        {
+            "lineitem_quantity_positive": F.col("l_quantity") <= 0,
+            "lineitem_discount_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+            "lineitem_returnflag_domain": ~F.col("l_returnflag").isin(
+                "R", "A", "N"
+            ),
+            "lineitem_shipdate_present": F.col("l_shipdate").isNull(),
+        },
+    )
+    uniq = expect_unique(
+        li, ["l_orderkey", "l_linenumber"], "lineitem_key_unique"
+    )
+    refs = expect_references(
+        li, "l_orderkey", orders, "o_orderkey", "lineitem_orders_fk"
+    )
+    return union_audit(row_checks, uniq, refs)
+
+
+ORACLE_DQ_AUDIT = """
+WITH rowchecks AS (
+  SELECT COUNT(*) AS n,
+    COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS v_qty,
+    COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS v_disc,
+    COUNT(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N') THEN 1 END) AS v_flag,
+    COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS v_ship
+  FROM lineitem
+), uniq AS (
+  SELECT SUM(c) AS n, SUM(c - 1) AS v
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+), fk AS (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+    (SELECT COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)) AS v
+)
+SELECT 'lineitem_quantity_positive' AS check, v_qty AS n_violations, n AS n_rows,
+  ROUND(v_qty / GREATEST(n, 1), 6) AS violation_rate FROM rowchecks
+UNION ALL SELECT 'lineitem_discount_range', v_disc, n,
+  ROUND(v_disc / GREATEST(n, 1), 6) FROM rowchecks
+UNION ALL SELECT 'lineitem_returnflag_domain', v_flag, n,
+  ROUND(v_flag / GREATEST(n, 1), 6) FROM rowchecks
+UNION ALL SELECT 'lineitem_shipdate_present', v_ship, n,
+  ROUND(v_ship / GREATEST(n, 1), 6) FROM rowchecks
+UNION ALL SELECT 'lineitem_key_unique', CAST(v AS BIGINT), CAST(n AS BIGINT),
+  ROUND(v / GREATEST(n, 1), 6) FROM uniq
+UNION ALL SELECT 'lineitem_orders_fk', v, n, ROUND(v / GREATEST(n, 1), 6) FROM fk
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort triangle over events: cohort = first-
+    activity week, cells count distinct users active N weeks later
+    (operators/timeseries.py::retention_cohorts)."""
+    from data_pipeline_ine_spark.operators.timeseries import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_RETENTION = """
+WITH acts AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events
+), firsts AS (
+  SELECT user_id, MIN(period) AS cohort_week FROM acts GROUP BY 1
+)
+SELECT f.cohort_week,
+  date_diff('day', f.cohort_week, a.period) // 7 AS week_offset,
+  COUNT(DISTINCT a.user_id) AS n_users
+FROM acts a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3622,6 +3711,8 @@ _CHECK_ORDER = [
     "funnel_conversion",
     "source_quality_gate",
     "bm25_scores",
+    "dq_audit",
+    "retention_cohorts",
 ]
 
 
@@ -3733,6 +3824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "source_quality_gate": q_source_quality_gate,
         "bm25_scores": q_bm25_scores,
+        "dq_audit": q_dq_audit,
+        "retention_cohorts": q_retention_cohorts,
     })
 
 
@@ -3837,4 +3930,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": ORACLE_FUNNEL,
         "source_quality_gate": ORACLE_QUALITY_GATE,
         "bm25_scores": ORACLE_BM25,
+        "dq_audit": ORACLE_DQ_AUDIT,
+        "retention_cohorts": ORACLE_RETENTION,
     })

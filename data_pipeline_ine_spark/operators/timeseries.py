@@ -171,3 +171,35 @@ def funnel_stages(
     return counts.selectExpr(
         f"stack({len(stages)}, {stack_args}) as (stage, stage_idx, n_users)"
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort matrix: cohort = the week of a user's first
+    activity; cell (cohort, week_offset) counts the distinct cohort
+    members active ``week_offset`` weeks later — the standard growth-
+    analytics triangle, here as one declarative plan instead of a
+    per-cohort loop.
+
+    Scale shape: corpus → distinct (user, week) pairs (one user-keyed
+    aggregate-sized shuffle; the raw event stream collapses map-side);
+    first-activity weeks are a second aggregate over those pairs; the
+    self-join is user-keyed on the already-reduced pair frame; the final
+    cell counts are a (cohort, offset)-keyed aggregate over it. Nothing
+    corpus-sized is shuffled twice, and every frame after the first
+    aggregate is bounded by users × active-weeks, not by events.
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    acts = df.select(F.col(user_col), week.alias("period")).distinct()
+    firsts = acts.groupBy(user_col).agg(F.min("period").alias("cohort_week"))
+    return (
+        acts.join(firsts, user_col)
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(period, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -1,0 +1,84 @@
+"""Data-quality audit operators must detect injected violations — the
+contract query runs on clean testdata (all zeros), so these tests prove
+the checks fire when data is actually bad."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_ine_spark.operators.quality import (
+    expect_references,
+    expect_rows,
+    expect_unique,
+    union_audit,
+)
+
+
+def _rows(df):
+    return {r.check: (r.n_violations, r.n_rows, r.violation_rate) for r in df.collect()}
+
+
+def test_expect_rows_counts_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 0.0), (4, None)], "id int, qty double"
+    )
+    out = _rows(
+        expect_rows(
+            df,
+            {
+                "qty_positive": F.col("qty") <= 0,
+                "qty_present": F.col("qty").isNull(),
+            },
+        )
+    )
+    # NULL <= 0 is NULL → not counted as a violation of qty_positive
+    assert out["qty_positive"] == (2, 4, 0.5)
+    assert out["qty_present"] == (1, 4, 0.25)
+
+
+def test_expect_unique_counts_extra_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (2, 1), (2, 1), (2, 1)], "a int, b int"
+    )
+    out = _rows(expect_unique(df, ["a", "b"], "key_unique"))
+    # groups: (1,1)x2 → 1 extra, (1,2)x1 → 0, (2,1)x3 → 2 extras
+    assert out["key_unique"] == (3, 6, 0.5)
+
+
+def test_expect_references_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (3,), (3,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    out = _rows(expect_references(child, "fk", parent, "pk", "fk_check"))
+    assert out["fk_check"] == (2, 4, 0.5)
+
+
+def test_union_audit_stacks_all_checks(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    a = expect_rows(df, {"c1": F.col("x") < 0})
+    b = expect_unique(df, ["x"], "c2")
+    out = _rows(union_audit(a, b))
+    assert set(out) == {"c1", "c2"}
+    assert all(v[0] == 0 for v in out.values())
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    """Offset-0 cell of each cohort equals the cohort's size, and no cell
+    exceeds it (retention never grows)."""
+    from data_pipeline_ine_spark.operators.timeseries import retention_cohorts
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    cohorts = retention_cohorts(load_table(spark, sf_dir, "events")).collect()
+    base = {
+        r.cohort_week: r.n_users for r in cohorts if r.week_offset == 0
+    }
+    assert base, "no cohorts found"
+    for r in cohorts:
+        assert r.week_offset >= 0
+        assert r.n_users <= base[r.cohort_week], (
+            f"cohort {r.cohort_week} offset {r.week_offset} exceeds base"
+        )
