@@ -469,3 +469,39 @@ def test_bm25_stats_broadcast(spark, sf_dir):
     # per_doc (runtime reuse — invisible in the plan string, like simhash);
     # the per-(doc, term) tf frame and its extra shuffles must stay gone
     assert "term#" not in plan.split("HashAggregate", 1)[0], plan
+
+
+def test_expect_rows_fuses_checks_into_one_scan(spark, sf_dir):
+    """N per-row expectations must cost ONE table scan (one conditional
+    aggregate), not a scan per check."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.quality import expect_rows
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = expect_rows(
+        li,
+        {
+            "a": F.col("l_quantity") <= 0,
+            "b": F.col("l_discount") < 0,
+            "c": F.col("l_tax") < 0,
+        },
+    )
+    plan = explain_str(df, mode="simple")
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_retention_distinct_reduces_before_join(spark, sf_dir):
+    """The (user, week) distinct must aggregate the event stream BEFORE
+    the cohort self-join — joining raw events first would shuffle the
+    corpus twice at full width."""
+    df = contract.queries()["retention_cohorts"](spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos != -1, plan
+    # formatted mode lists operators leaves-first; both aggregate branches
+    # (distinct pairs, first-activity weeks) must appear before the join
+    assert plan[:join_pos].count("HashAggregate") >= 2, plan
