@@ -82,3 +82,69 @@ def test_retention_cohort_invariants(spark, sf_dir):
         assert r.n_users <= base[r.cohort_week], (
             f"cohort {r.cohort_week} offset {r.week_offset} exceeds base"
         )
+
+
+def test_funnel_zero_users_for_unknown_stage(spark, sf_dir):
+    from data_pipeline_ine_spark.operators.timeseries import funnel_stages
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = {
+        r.stage: r.n_users
+        for r in funnel_stages(ev, stages=("view", "no_such_type", "purchase")).collect()
+    }
+    assert out["view"] > 0
+    assert out["no_such_type"] == 0
+    # stage 3 requires an event after a stage-2 conversion that never happens
+    assert out["purchase"] == 0
+
+
+def test_funnel_monotone_nonincreasing(spark, sf_dir):
+    from data_pipeline_ine_spark.operators.timeseries import funnel_stages
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    rows = sorted(
+        funnel_stages(load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
+
+
+def test_scd2_single_event_user_is_open_interval(spark):
+    from data_pipeline_ine_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a", 10)],
+        "user_id long, ts string, event_type string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = scd2_intervals(df).collect()
+    assert len(rows) == 1
+    assert rows[0].valid_to is None and rows[0].state == "a"
+
+
+def test_knn_singleton_block_has_no_neighbors(spark):
+    from data_pipeline_ine_spark.operators.similarity import knn_join_blocked
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = knn_join_blocked(df, k=5).collect()
+    ids = {r.vec_id for r in rows}
+    assert ids == {1, 2}, "singleton block must produce no rows"
+    assert all(r.neighbor_id in (1, 2) and r.neighbor_id != r.vec_id for r in rows)
+
+
+def test_bm25_absent_term_contributes_nothing(spark, sf_dir):
+    from data_pipeline_ine_spark.operators.text import bm25_scores
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_term = bm25_scores(docs, ["stream"]).withColumnRenamed("bm25", "b1")
+    with_extra = bm25_scores(docs, ["stream", "zzzunseenterm"]).withColumnRenamed(
+        "bm25", "b2"
+    )
+    joined = with_term.join(with_extra, "doc_id")
+    assert joined.filter("b1 <> b2").count() == 0
