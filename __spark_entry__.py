@@ -3637,6 +3637,70 @@ GROUP BY 1, 2
 """
 
 
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a plan: apply an I/U/D changelog (latest
+    seq per key wins) to a base orders snapshot — changelog-sized window
+    dedup, then ONE key-equi full-outer join
+    (operators/diff.py::apply_changelog). The changelog is derived
+    deterministically from orders so the oracle reproduces it: post-1997
+    rows insert, every 5th base key updates (price doubled), every 97th
+    key deletes."""
+    from data_pipeline_ine_spark.operators.diff import apply_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    ins = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    dels = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+    )
+    changes = ins.unionByName(upd).unionByName(dels)
+    return apply_changelog(base, changes, ["o_orderkey"], "seq", "op")
+
+
+ORACLE_CDC_MERGE = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), changes AS (
+  SELECT *, 'I' AS op, 1 AS seq FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         o_orderdate, o_orderpriority, 'U', 2
+  FROM base WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority, 'D', 3
+  FROM orders WHERE o_orderkey % 97 = 0
+), latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM changes
+), win AS (
+  SELECT * FROM latest WHERE rn = 1
+)
+SELECT COALESCE(w.o_orderkey, b.o_orderkey) AS o_orderkey,
+  CASE WHEN w.op IS NOT NULL AND w.op <> 'D' THEN w.o_custkey
+       ELSE b.o_custkey END AS o_custkey,
+  CASE WHEN w.op IS NOT NULL AND w.op <> 'D' THEN w.o_orderstatus
+       ELSE b.o_orderstatus END AS o_orderstatus,
+  CASE WHEN w.op IS NOT NULL AND w.op <> 'D' THEN w.o_totalprice
+       ELSE b.o_totalprice END AS o_totalprice,
+  CASE WHEN w.op IS NOT NULL AND w.op <> 'D' THEN w.o_orderdate
+       ELSE b.o_orderdate END AS o_orderdate,
+  CASE WHEN w.op IS NOT NULL AND w.op <> 'D' THEN w.o_orderpriority
+       ELSE b.o_orderpriority END AS o_orderpriority
+FROM base b FULL OUTER JOIN win w ON b.o_orderkey = w.o_orderkey
+WHERE w.op IS NULL OR w.op <> 'D'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3713,6 +3777,7 @@ _CHECK_ORDER = [
     "bm25_scores",
     "dq_audit",
     "retention_cohorts",
+    "cdc_merge",
 ]
 
 
@@ -3826,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "dq_audit": q_dq_audit,
         "retention_cohorts": q_retention_cohorts,
+        "cdc_merge": q_cdc_merge,
     })
 
 
@@ -3932,4 +3998,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": ORACLE_BM25,
         "dq_audit": ORACLE_DQ_AUDIT,
         "retention_cohorts": ORACLE_RETENTION,
+        "cdc_merge": ORACLE_CDC_MERGE,
     })

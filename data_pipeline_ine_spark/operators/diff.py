@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # unit-separator delimiter + explicit NULL sentinel: without them
@@ -68,3 +68,54 @@ def snapshot_diff(
         .filter(F.col(out_col).isNotNull())
         .select(*key_cols, out_col)
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a base snapshot — the merge-on-read /
+    MERGE INTO pattern (Delta/Hudi/Iceberg upsert semantics) as a pure
+    DataFrame plan:
+
+    - ``changes`` rows carry the base's payload columns plus ``op``
+      ('I' insert, 'U' update, 'D' delete) and a monotonically increasing
+      ``seq``; per key, the HIGHEST ``seq`` wins.
+    - keys untouched by the changelog pass through from base;
+    - winning 'I'/'U' rows replace (or add) the key's payload;
+    - a winning 'D' removes the key entirely.
+
+    Scale shape: the changelog collapses to one winner per key with a
+    ``row_number`` window — a CHANGELOG-sized shuffle, typically orders of
+    magnitude smaller than the snapshot. The application itself is one
+    key-equi full-outer join; the base is shuffled once on the key (or
+    zero times if both sides are bucketed/sorted by key on disk, the
+    layout ``sources/maintenance.py`` produces). No read-modify-rewrite
+    of untouched rows happens driver-side — the merged snapshot is itself
+    a plan you write back partitioned.
+    """
+    payload = [c for c in base.columns if c not in key_cols]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        F.desc(seq_col)
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    b = base.alias("b")
+    c = latest.alias("c")
+    merged = b.join(c, list(key_cols), "full_outer")
+    take_change = F.col(f"c.{op_col}").isNotNull() & (
+        F.col(f"c.{op_col}") != "D"
+    )
+    out_cols = [F.col(k) for k in key_cols] + [
+        F.when(take_change, F.col(f"c.{p}")).otherwise(F.col(f"b.{p}")).alias(p)
+        for p in payload
+    ]
+    return merged.filter(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    ).select(*out_cols)

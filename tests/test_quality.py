@@ -148,3 +148,36 @@ def test_bm25_absent_term_contributes_nothing(spark, sf_dir):
     )
     joined = with_term.join(with_extra, "doc_id")
     assert joined.filter("b1 <> b2").count() == 0
+
+
+def test_apply_changelog_merge_semantics(spark):
+    """I adds, U replaces, D removes, untouched passes through, and the
+    highest seq wins when one key has several changes."""
+    from data_pipeline_ine_spark.operators.diff import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),
+            (3, "ignored", "U", 1),
+            (3, None, "D", 2),     # later delete wins over the update
+            (4, "d", "I", 1),
+            (4, "d2", "U", 2),     # later update wins over the insert
+        ],
+        "k long, v string, op string, seq int",
+    )
+    got = {r.k: r.v for r in apply_changelog(base, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d2"}
+
+
+def test_apply_changelog_delete_then_reinsert(spark):
+    from data_pipeline_ine_spark.operators.diff import apply_changelog
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, None, "D", 1), (1, "a2", "I", 2)], "k long, v string, op string, seq int"
+    )
+    got = {r.k: r.v for r in apply_changelog(base, changes, ["k"]).collect()}
+    assert got == {1: "a2"}
