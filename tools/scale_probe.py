@@ -57,6 +57,13 @@ HEAVY = [
     "sequence_packing",
     "chunk_documents",
     "dedup_survivors",
+    # round-3 corpus operators (knn_within_label is intentionally absent:
+    # its Σ block² cost is bounded by re-sizing the block key at scale,
+    # not by holding blocks fixed while the corpus grows — see docstring)
+    "containment_pairs",
+    "bm25_scores",
+    "source_quality_gate",
+    "unigram_logloss",
 ]
 
 
