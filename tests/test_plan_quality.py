@@ -505,3 +505,34 @@ def test_retention_distinct_reduces_before_join(spark, sf_dir):
     # formatted mode lists operators leaves-first; both aggregate branches
     # (distinct pairs, first-activity weeks) must appear before the join
     assert plan[:join_pos].count("HashAggregate") >= 2, plan
+
+
+def test_knn_with_lsh_bucket_block_stays_subquadratic(spark, sf_dir):
+    """The documented 100 TB usage of knn_join_blocked: when the block key
+    is a corpus-sized LSH bucket (planes_for) instead of a fixed label,
+    Σ block² stays sub-quadratic as the corpus grows — the knob that keeps
+    the batched kNN join viable at scale."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        hyperplane_signature,
+        knn_join_blocked,
+        planes_for,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bucketed = emb.withColumn(
+        "bucket", hyperplane_signature(F.col("embedding"), planes_for(n))
+    )
+    per_bucket = bucketed.groupBy("bucket").count()
+    pair_volume = per_bucket.agg(
+        F.sum(F.col("count") * (F.col("count") - 1)).alias("p")
+    ).first().p
+    assert pair_volume < (n * n) // 4, (
+        f"bucketed pair volume {pair_volume} is not sub-quadratic vs n²={n*n}"
+    )
+    out = knn_join_blocked(bucketed, k=3, block_col="bucket")
+    assert out.count() > 0
+    assert out.filter(F.col("rank") > 3).count() == 0
