@@ -3701,6 +3701,39 @@ WHERE w.op IS NULL OR w.op <> 'D'
 """
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data entity resolution over part names: blocked Levenshtein
+    pairs on the distinct-name dictionary → connected components →
+    canonical spelling (lexicographic min per cluster, self when
+    unmatched) — operators/fuzzy.py::resolve_entities."""
+    from data_pipeline_ine_spark.operators.fuzzy import resolve_entities
+
+    return resolve_entities(load_table(spark, sf_dir, "part"), "p_name")
+
+
+ORACLE_ENTITY_RESOLUTION = """
+WITH RECURSIVE dic AS (
+  SELECT DISTINCT p_name AS v FROM part
+), blocked AS (
+  SELECT v, split_part(v, ' ', -1) AS blk, length(v) AS ln FROM dic
+), pairs AS (
+  SELECT a.v AS a_v, c.v AS b_v
+  FROM blocked a JOIN blocked c
+    ON a.blk = c.blk AND a.v < c.v AND abs(a.ln - c.ln) <= 2
+  WHERE levenshtein(a.v, c.v) <= 2
+), edges AS (
+  SELECT a_v AS s, b_v AS d FROM pairs
+  UNION
+  SELECT b_v AS s, a_v AS d FROM pairs
+), reach AS (
+  SELECT v AS node, v AS lab FROM dic
+  UNION
+  SELECT r.node, e.d AS lab FROM reach r JOIN edges e ON e.s = r.lab
+)
+SELECT node AS value, MIN(lab) AS canonical FROM reach GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3778,6 +3811,7 @@ _CHECK_ORDER = [
     "dq_audit",
     "retention_cohorts",
     "cdc_merge",
+    "entity_resolution",
 ]
 
 
@@ -3892,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_audit": q_dq_audit,
         "retention_cohorts": q_retention_cohorts,
         "cdc_merge": q_cdc_merge,
+        "entity_resolution": q_entity_resolution,
     })
 
 
@@ -3999,4 +4034,5 @@ def oracle_sql() -> dict[str, str]:
         "dq_audit": ORACLE_DQ_AUDIT,
         "retention_cohorts": ORACLE_RETENTION,
         "cdc_merge": ORACLE_CDC_MERGE,
+        "entity_resolution": ORACLE_ENTITY_RESOLUTION,
     })

@@ -70,3 +70,59 @@ def fuzzy_match_pairs(
             "distance",
         )
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 2,
+    block_fn=last_token,
+) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-blocked pair discovery →
+    connected components → canonical form. Every distinct value of
+    ``text_col`` maps to the lexicographically smallest value in its
+    transitive similarity cluster (itself when nothing matches) — the
+    classic master-data dedup that turns near-identical spellings into
+    one key.
+
+    Scale shape: the quadratic stage is the blocked Levenshtein over the
+    DISTINCT-value dictionary (vocabulary-sized, never corpus×corpus —
+    see :func:`fuzzy_match_pairs`); clustering runs min-label
+    propagation + pointer jumping on the pair graph (O(log diameter)
+    rounds over edge-sized frames, ``operators/dedup.py``). Values enter
+    the numeric component engine through a 48-bit md5 fold; the fold
+    stays internal — the output is (value, canonical) strings, so an SQL
+    oracle can reproduce it with a string-labeled reachability closure.
+
+    Returns ``(value, canonical)`` for every distinct value.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.operators.dedup import (
+        _hex12_to_long,
+        dedup_components,
+    )
+
+    dic = df.select(F.col(text_col).alias("value")).distinct()
+    ids = dic.select(
+        "value", _hex12_to_long(F.md5(F.col("value"))).alias("nid")
+    ).localCheckpoint(eager=False)  # reused by the edge join and the output
+    pairs = fuzzy_match_pairs(df, text_col, max_dist, block_fn)
+    edges = (
+        pairs.join(
+            ids.select(F.col("value").alias("a_value"), F.col("nid").alias("a_id")),
+            "a_value",
+        )
+        .join(
+            ids.select(F.col("value").alias("b_value"), F.col("nid").alias("b_id")),
+            "b_value",
+        )
+        .select("a_id", "b_id")
+    )
+    comp = dedup_components(edges)
+    labeled = ids.join(comp, ids["nid"] == comp["doc_id"], "left")
+    group = F.coalesce(F.col("component"), F.col("nid"))
+    return labeled.select(
+        "value",
+        F.min("value").over(Window.partitionBy(group)).alias("canonical"),
+    )

@@ -181,3 +181,21 @@ def test_apply_changelog_delete_then_reinsert(spark):
     )
     got = {r.k: r.v for r in apply_changelog(base, changes, ["k"]).collect()}
     assert got == {1: "a2"}
+
+
+def test_resolve_entities_transitive_canonical(spark):
+    """aaa~aab and aab~abb chain at distance 1; the cluster unites all
+    three transitively (aaa vs abb is distance 2) and canonicalizes to
+    the lexicographic min; unmatched values map to themselves."""
+    from data_pipeline_ine_spark.operators.fuzzy import resolve_entities
+
+    df = spark.createDataFrame(
+        [("aaa x",), ("aab x",), ("abb x",), ("zzz q",)], "name string"
+    )
+    got = {r.value: r.canonical for r in resolve_entities(df, "name", max_dist=1).collect()}
+    assert got == {
+        "aaa x": "aaa x",
+        "aab x": "aaa x",
+        "abb x": "aaa x",
+        "zzz q": "zzz q",
+    }
