@@ -176,3 +176,127 @@ def test_rolling_fingerprint_invariant_to_formatting(spark, words, junk):
         rolling_fingerprint("a").alias("fa"), rolling_fingerprint("b").alias("fb")
     ).first()
     assert row.fa == row.fb
+
+
+@SETTINGS
+@given(
+    base=st.dictionaries(key_strategy, st.integers(0, 99), max_size=4),
+    changes=st.lists(
+        st.tuples(
+            key_strategy,
+            st.integers(0, 99),
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        max_size=10,
+    ),
+)
+def test_apply_changelog_matches_dict_reference(spark, base, changes):
+    """MERGE semantics vs the obvious dict model: replay changes in seq
+    order into a dict (D = del), compare the merged snapshot."""
+    from data_pipeline_ine_spark.operators.diff import apply_changelog
+
+    ref = dict(base)
+    rows = [(k, v, op, i + 1) for i, (k, v, op) in enumerate(changes)]
+    # latest seq per key wins — replay in order
+    last = {}
+    for k, v, op, seq in rows:
+        last[k] = (v, op)
+    for k, (v, op) in last.items():
+        if op == "D":
+            ref.pop(k, None)
+        else:
+            ref[k] = v
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    ch_df = spark.createDataFrame(
+        rows or [(None, None, None, None)], "k int, v int, op string, seq int"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r.k: r.v
+        for r in apply_changelog(base_df, ch_df, ["k"]).collect()
+    }
+    assert got == ref
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(key_strategy, ts_strategy, st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_scd2_matches_run_collapse_reference(spark, events):
+    """SCD2 intervals vs a per-key run-collapse model over (ts, id)-sorted
+    events (ids disambiguate duplicate timestamps)."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.timeseries import scd2_intervals
+
+    rows = [
+        (u, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=t), a, i)
+        for i, (u, t, a) in enumerate(events)
+    ]
+    ref = set()
+    by_user: dict = {}
+    for u, ts, a, i in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        by_user.setdefault(u, []).append((ts, a))
+    for u, seq in by_user.items():
+        runs = []
+        for ts, a in seq:
+            if not runs or runs[-1][1] != a:
+                runs.append([ts, a])
+        for j, (start, a) in enumerate(runs):
+            end = runs[j + 1][0] if j + 1 < len(runs) else None
+            ref.add((u, a, start, end))
+
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp_ntz, event_type string, event_id int"
+    )
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in scd2_intervals(df).collect()
+    }
+    assert got == ref
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(key_strategy, ts_strategy, st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_funnel_matches_first_touch_reference(spark, events):
+    """Funnel counts vs a per-user first-touch chain model with strict
+    ordering (stage i strictly after stage i-1)."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.timeseries import funnel_stages
+
+    stages = ("a", "b", "c")
+    by_user: dict = {}
+    for u, t, a in events:
+        by_user.setdefault(u, []).append((t, a))
+    ref_counts = [0, 0, 0]
+    for u, evs in by_user.items():
+        prev = None
+        for i, s in enumerate(stages):
+            cand = [t for t, a in evs if a == s and (prev is None or t > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            ref_counts[i] += 1
+
+    rows = [
+        (u, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=t), a)
+        for u, t, a in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp_ntz, event_type string")
+    got = {
+        r.stage_idx: r.n_users for r in funnel_stages(df, stages=stages).collect()
+    }
+    assert got == {0: ref_counts[0], 1: ref_counts[1], 2: ref_counts[2]}
