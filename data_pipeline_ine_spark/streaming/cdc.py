@@ -1,0 +1,96 @@
+"""Streaming CDC apply: maintain a keyed snapshot table from a change
+stream — the incremental materialized dimension every lakehouse keeps
+(Delta MERGE in a stream, Hudi upsert) built from this engine's own
+batch pieces.
+
+One merge implementation serves both modes: each micro-batch flows
+through ``operators/diff.py::apply_changelog`` (the batch MERGE) against
+the current snapshot and writes the result as a NEW immutable snapshot
+version directory; readers always resolve the highest version. This is
+the same one-sink-both-modes argument as ``write_stream_layered``.
+
+Delivery semantics: the streaming checkpoint guarantees each micro-batch
+is applied at least once, and re-applying batch N is harmless because
+its output version ``v{N}`` is rewritten deterministically from version
+``v{N-1}`` and the batch's own changes (overwrite, not append) — so the
+snapshot chain is effectively-once without any sink-side transaction
+log.
+
+Scale shape: per batch, one changelog-sized window dedup + one key-equi
+join of snapshot ⋈ batch winners (see ``apply_changelog``); snapshots
+are immutable parquet so time travel is a directory pick. Compaction of
+old versions is ``sources/maintenance.py``'s job.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions(snapshot_dir: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(snapshot_dir):
+        return []
+    out = []
+    for name in os.listdir(snapshot_dir):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(snapshot_dir, name)))
+    return sorted(out)
+
+
+def latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+    """Highest snapshot version under ``snapshot_dir`` (None when empty)."""
+    versions = _versions(snapshot_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(versions[-1][1])
+
+
+def write_base_snapshot(base: DataFrame, snapshot_dir: str) -> None:
+    """Seed the snapshot chain at version v0."""
+    base.write.mode("overwrite").parquet(os.path.join(snapshot_dir, "v0"))
+
+
+def stream_apply_changelog(
+    changes_stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Apply a CDC change stream to the snapshot chain in ``snapshot_dir``
+    (seed with :func:`write_base_snapshot` first). Each micro-batch N
+    reads the latest snapshot, merges through the batch
+    ``apply_changelog``, and writes ``v{N+1}``. Returns the started
+    query (AvailableNow trigger: drain pending changes, then stop).
+
+    Ordering: within a batch the highest ``seq`` wins; ACROSS batches a
+    later batch always overwrites — the standard in-order-delivery CDC
+    assumption (a log-compacted topic / LSN-ordered source). Out-of-order
+    sources must be windowed upstream before this sink."""
+    from data_pipeline_ine_spark.operators.diff import apply_changelog
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = latest_snapshot(spark, snapshot_dir)
+        if current is None:
+            raise RuntimeError(
+                f"{snapshot_dir} has no base snapshot — call "
+                "write_base_snapshot before starting the stream"
+            )
+        version = _versions(snapshot_dir)[-1][0] + 1
+        merged = apply_changelog(current, batch_df, key_cols, seq_col, op_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"v{version}")
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

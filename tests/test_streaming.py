@@ -235,3 +235,72 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 10
     assert got == want
+
+
+def test_stream_cdc_apply_matches_batch_merge(spark, sf_dir, tmp_path):
+    """Streaming CDC apply (foreachBatch + apply_changelog + snapshot
+    versions) must land on exactly the batch merge of the full changelog,
+    regardless of how the changes are split into micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.operators.diff import apply_changelog
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        stream_apply_changelog,
+        write_base_snapshot,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 2 == 0)
+    )
+    snap_dir = str(tmp_path / "snapshots")
+    write_base_snapshot(base, snap_dir)
+
+    # two micro-batches of changes; batch b carries higher seqs
+    land = tmp_path / "changes"
+    land.mkdir()
+    keys = [r.o_orderkey for r in base.limit(30).collect()]
+    batch_a = [(k, 1.0 * k, "U", 1) for k in keys[:10]] + [
+        (k, 0.0, "D", 2) for k in keys[10:20]
+    ]
+    batch_b = [(k, 2.0 * k, "U", 3) for k in keys[:5]] + [
+        (10**9 + i, 42.0, "I", 4) for i in range(5)
+    ]
+    for name, rows in (("a", batch_a), ("b", batch_b)):
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+                "op": pa.array([r[2] for r in rows], pa.string()),
+                "seq": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, land / f"{name}.parquet")
+
+    schema = "o_orderkey long, o_totalprice double, op string, seq int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = stream_apply_changelog(
+        stream, snap_dir, str(tmp_path / "ckpt"), ["o_orderkey"]
+    )
+    q.awaitTermination(120)
+
+    all_changes = spark.createDataFrame(batch_a + batch_b, schema)
+    want = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in apply_changelog(base, all_changes, ["o_orderkey"]).collect()
+    }
+    got = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in latest_snapshot(spark, snap_dir).collect()
+    }
+    assert got == want
+    # the chain is versioned: base + one version per micro-batch
+    assert len(list((tmp_path / "snapshots").iterdir())) >= 3
