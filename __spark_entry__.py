@@ -3734,6 +3734,59 @@ SELECT node AS value, MIN(lab) AS canonical FROM reach GROUP BY 1
 """
 
 
+def q_temporal_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase looks up the SCD2
+    state valid AT its timestamp. The intervals are contiguous per user,
+    so containment reduces to an as-of on valid_from — executed with the
+    union-tag single-shuffle asof_join, NEVER an inequality nested loop.
+    The oracle proves the containment semantics independently with an
+    explicit interval-containment join."""
+    from data_pipeline_ine_spark.operators.joins import asof_join
+    from data_pipeline_ine_spark.operators.timeseries import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = (
+        scd2_intervals(events)
+        # zero-width intervals (two state changes at one timestamp) match
+        # nothing under containment; dropping them ALSO makes valid_from
+        # unique per user, so the as-of pick is deterministic
+        .filter(
+            F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+        )
+        .select("user_id", F.col("valid_from").alias("ts"), "state")
+    )
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    return asof_join(
+        probes, intervals, on="user_id", payload_cols=("state",)
+    ).select("purchase_id", "user_id", "ts", F.col("state_asof").alias("state"))
+
+
+ORACLE_TEMPORAL_LOOKUP = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+              OR event_type <> LAG(event_type) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), intervals AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM marked WHERE chg = 1
+), probes AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts, i.state
+FROM probes p JOIN intervals i
+  ON p.user_id = i.user_id
+ AND i.valid_from <= p.ts
+ AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3812,6 +3865,7 @@ _CHECK_ORDER = [
     "retention_cohorts",
     "cdc_merge",
     "entity_resolution",
+    "temporal_state_lookup",
 ]
 
 
@@ -3927,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "cdc_merge": q_cdc_merge,
         "entity_resolution": q_entity_resolution,
+        "temporal_state_lookup": q_temporal_state_lookup,
     })
 
 
@@ -4035,4 +4090,5 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": ORACLE_RETENTION,
         "cdc_merge": ORACLE_CDC_MERGE,
         "entity_resolution": ORACLE_ENTITY_RESOLUTION,
+        "temporal_state_lookup": ORACLE_TEMPORAL_LOOKUP,
     })

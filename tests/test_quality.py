@@ -199,3 +199,44 @@ def test_resolve_entities_transitive_canonical(spark):
         "abb x": "aaa x",
         "zzz q": "zzz q",
     }
+
+
+def test_temporal_lookup_zero_width_intervals_never_match(spark):
+    """Two state changes at one timestamp create a zero-width SCD2
+    interval; a probe at that instant must resolve to the LATER state
+    (containment semantics), matching what the contract query's
+    zero-width filter + as-of produces."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.joins import asof_join
+    from data_pipeline_ine_spark.operators.timeseries import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "a", 1),
+        (1, t0 + dt.timedelta(hours=1), "b", 2),   # change at T1 ...
+        (1, t0 + dt.timedelta(hours=1), "c", 3),   # ... immediately overridden
+        (1, t0 + dt.timedelta(hours=2), "c", 4),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+    intervals = scd2_intervals(events).filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    )
+    ivs = {(r.state, r.valid_from, r.valid_to) for r in intervals.collect()}
+    # b's interval is zero-width and filtered; c runs from T1 (open)
+    assert ivs == {
+        ("a", t0, t0 + dt.timedelta(hours=1)),
+        ("c", t0 + dt.timedelta(hours=1), None),
+    }
+    probes = spark.createDataFrame(
+        [(1, 99, t0 + dt.timedelta(hours=1))], "user_id long, pid long, ts timestamp_ntz"
+    )
+    got = asof_join(
+        probes,
+        intervals.select("user_id", F.col("valid_from").alias("ts"), "state"),
+        on="user_id",
+        payload_cols=("state",),
+    ).first()
+    assert got.state_asof == "c"
