@@ -3787,6 +3787,44 @@ FROM probes p JOIN intervals i
 """
 
 
+def q_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr(quantity, extendedprice) per returnflag with
+    decimal-exact moment sums — Spark's double-accumulating corr()
+    is partition-order-dependent; this is the engine-invariant form
+    (operators/features.py::grouped_corr)."""
+    from data_pipeline_ine_spark.operators.features import grouped_corr
+
+    return grouped_corr(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+ORACLE_GROUPED_CORR = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    -- DECIMAL(25,4): forces int128 internals; DuckDB multiplies DECIMAL(18)
+    -- internals in int64 first and overflows on price², values unchanged
+    SUM(CAST(l_quantity AS DECIMAL(25,4))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS sy,
+    SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS sxy,
+    SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS sxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3866,6 +3904,7 @@ _CHECK_ORDER = [
     "cdc_merge",
     "entity_resolution",
     "temporal_state_lookup",
+    "grouped_correlation",
 ]
 
 
@@ -3982,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": q_cdc_merge,
         "entity_resolution": q_entity_resolution,
         "temporal_state_lookup": q_temporal_state_lookup,
+        "grouped_correlation": q_grouped_correlation,
     })
 
 
@@ -4091,4 +4131,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge": ORACLE_CDC_MERGE,
         "entity_resolution": ORACLE_ENTITY_RESOLUTION,
         "temporal_state_lookup": ORACLE_TEMPORAL_LOOKUP,
+        "grouped_correlation": ORACLE_GROUPED_CORR,
     })

@@ -172,3 +172,43 @@ def group_percentile_gate(
         else F.col(value_col) <= F.col("group_threshold")
     )
     return gated.filter(cmp)
+
+
+def grouped_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str],
+    scale: int = 4,
+) -> DataFrame:
+    """Pearson correlation of ``x_col``/``y_col`` per group, engine-exact.
+
+    Spark's ``corr`` aggregate accumulates doubles in partition order, so
+    two engines (or two runs with different partitioning) can disagree in
+    the last ulps. Here the five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    accumulate as decimals — exact, order-invariant — and only the final
+    closed-form formula runs in doubles, deterministically from exact
+    inputs. ``scale`` must cover the inputs' decimal places (products
+    carry 2·scale). One group-keyed aggregate; map-side partials apply.
+    """
+    xd = F.col(x_col).cast(f"decimal(18,{scale})")
+    yd = F.col(y_col).cast(f"decimal(18,{scale})")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return g.select(
+        *group_cols,
+        F.col("n"),
+        F.round(num / den, 6).alias("corr"),
+    )
