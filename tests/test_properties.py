@@ -300,3 +300,40 @@ def test_funnel_matches_first_touch_reference(spark, events):
         r.stage_idx: r.n_users for r in funnel_stages(df, stages=stages).collect()
     }
     assert got == {0: ref_counts[0], 1: ref_counts[1], 2: ref_counts[2]}
+
+
+@SETTINGS
+@given(
+    old=st.dictionaries(st.integers(0, 9), st.integers(0, 5), max_size=8),
+    new=st.dictionaries(st.integers(0, 9), st.integers(0, 5), max_size=8),
+)
+def test_changelog_roundtrip_reconstructs_new_snapshot(spark, old, new):
+    """apply_changelog(old, changelog_from_diff(old, new)) == new, and the
+    feed is diff-sized (unchanged keys emit nothing)."""
+    from data_pipeline_ine_spark.operators.diff import (
+        apply_changelog,
+        changelog_from_diff,
+    )
+
+    old_df = spark.createDataFrame(
+        [(k, v) for k, v in old.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    new_df = spark.createDataFrame(
+        [(k, v) for k, v in new.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+
+    feed = changelog_from_diff(old_df, new_df, ["k"]).collect()
+    n_expected = sum(
+        1
+        for k in set(old) | set(new)
+        if old.get(k, object()) != new.get(k, object())
+    )
+    assert len(feed) == n_expected
+
+    feed_df = spark.createDataFrame(
+        feed or [(None, None, None, None)], "k int, v int, op string, seq int"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r.k: r.v for r in apply_changelog(old_df, feed_df, ["k"]).collect()
+    }
+    assert got == new
