@@ -3825,6 +3825,57 @@ FROM m
 """
 
 
+def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (Jaccard ≥ 0.5)
+    rolled up by unordered source pair — the corpus-governance view that
+    shows which sources copy from which. Pure composition: LSH pairs →
+    two id-equi joins to attach sources (ids only through the band
+    shuffle) → one pair-keyed aggregate with decimal-exact mean overlap."""
+    from data_pipeline_ine_spark.operators.dedup import jaccard_candidate_pairs
+
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = jaccard_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    meta = docs.select("doc_id", "source")
+    tagged = pairs.join(
+        meta.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")),
+        "a_id",
+    ).join(
+        meta.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")),
+        "b_id",
+    )
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        tagged.groupBy(lo.alias("source_a"), hi.alias("source_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
+ORACLE_CROSS_SOURCE = (
+    "WITH jp AS ( "
+    + ORACLE_JACCARD
+    + """ )
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(jp.jaccard AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_jaccard
+FROM jp
+JOIN documents da ON da.doc_id = jp.a_id
+JOIN documents db ON db.doc_id = jp.b_id
+WHERE jp.jaccard >= 0.5
+GROUP BY 1, 2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3905,6 +3956,7 @@ _CHECK_ORDER = [
     "entity_resolution",
     "temporal_state_lookup",
     "grouped_correlation",
+    "cross_source_duplication",
 ]
 
 
@@ -4022,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "temporal_state_lookup": q_temporal_state_lookup,
         "grouped_correlation": q_grouped_correlation,
+        "cross_source_duplication": q_cross_source_duplication,
     })
 
 
@@ -4132,4 +4185,5 @@ def oracle_sql() -> dict[str, str]:
         "entity_resolution": ORACLE_ENTITY_RESOLUTION,
         "temporal_state_lookup": ORACLE_TEMPORAL_LOOKUP,
         "grouped_correlation": ORACLE_GROUPED_CORR,
+        "cross_source_duplication": ORACLE_CROSS_SOURCE,
     })
