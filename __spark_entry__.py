@@ -3876,6 +3876,66 @@ GROUP BY 1, 2
 )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing analytics: the top-100 corpus terms with each
+    prefix's cumulative share of all token occurrences — the curve that
+    answers "how big must the vocabulary be to cover X% of the corpus".
+    One term-keyed aggregate (map-side combined); the running share is a
+    window over the VOCABULARY-sized frame, never the corpus; share math
+    is decimal-exact before one final double division."""
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # cumulative share over rank order has the prefix property, so the
+    # global window only needs the top-100 — TakeOrdered (per-partition
+    # top-k + k-row merge) reduces the vocabulary BEFORE any single-task
+    # window, which would otherwise sort the whole vocab in one partition
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(100)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = top.withColumn(
+        "cum_cnt", F.sum(F.col("cnt").cast("decimal(38,0)")).over(w)
+    ).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+    )
+    return ranked.join(F.broadcast(total)).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "term",
+        "cnt",
+        F.round(
+            F.col("cum_cnt").cast("double") / F.col("total"), 6
+        ).alias("cum_share"),
+    )
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+), ranked AS (
+  SELECT term, cnt,
+    ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+    SUM(CAST(cnt AS DECIMAL(38,0)))
+      OVER (ORDER BY cnt DESC, term
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+  FROM counts
+)
+SELECT rank, term, cnt,
+  ROUND(CAST(cum_cnt AS DOUBLE)
+        / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM counts), 6) AS cum_share
+FROM ranked WHERE rank <= 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3957,6 +4017,7 @@ _CHECK_ORDER = [
     "temporal_state_lookup",
     "grouped_correlation",
     "cross_source_duplication",
+    "vocab_coverage",
 ]
 
 
@@ -4075,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_state_lookup": q_temporal_state_lookup,
         "grouped_correlation": q_grouped_correlation,
         "cross_source_duplication": q_cross_source_duplication,
+        "vocab_coverage": q_vocab_coverage,
     })
 
 
@@ -4186,4 +4248,5 @@ def oracle_sql() -> dict[str, str]:
         "temporal_state_lookup": ORACLE_TEMPORAL_LOOKUP,
         "grouped_correlation": ORACLE_GROUPED_CORR,
         "cross_source_duplication": ORACLE_CROSS_SOURCE,
+        "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     })
