@@ -6,12 +6,15 @@ Runs each headline query from ``__spark_entry__.queries()`` against
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": s, ...},
-     "all_queries": {... every queries() entry ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": s, ... every contract entry ...},
+     "sf": 0.1}
 
-The ``queries`` block is the stable 27-query headline set (round-over-
-round comparable); ``all_queries`` times EVERY contract entry so
-regressions in non-headline operators are visible per-round too.
+``value`` totals the stable 27-query HEADLINE set (round-over-round
+comparable); the ``queries`` map times EVERY contract entry so
+regressions in non-headline operators are visible per-round too. The
+line is kept compact (one map, 2-decimal timings, no spaces) because
+the driver captures only the stdout tail — r03's longer line was
+truncated from the front and failed to parse.
 
 Execution is forced with the ``noop`` sink — full pipeline runs on the
 cluster, nothing funnels back to the driver, so timings measure the engine,
@@ -95,10 +98,12 @@ def main() -> None:
     for name in names + sorted(set(queries) - set(names)):
         t0 = time.perf_counter()
         run(queries[name](spark, sf_dir))
-        all_timings[name] = round(time.perf_counter() - t0, 3)
+        # 2 decimals: the driver's tail-capture buffer truncated r03's line
+        # (107 queries × 3-decimal floats + a duplicated headline map); keep
+        # this line SHORT or the front of the JSON is lost and parse fails.
+        all_timings[name] = round(time.perf_counter() - t0, 2)
 
-    timings = {n: all_timings[n] for n in names}
-    total = round(sum(timings.values()), 3)
+    total = round(sum(all_timings[n] for n in names), 2)
     # stop the session BEFORE printing so no late executor/JVM output can
     # interleave; lead with a newline to sever any partial stdout line
     spark.stop()
@@ -109,10 +114,13 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "all_queries": all_timings,
+                # ONE map only (contract key "queries") holding every contract
+                # entry; the headline subset is the HEADLINE names within it.
+                # r03's duplicated all_queries map overflowed the buffer.
+                "queries": all_timings,
                 "sf": _sf_of(sf_dir),
-            }
+            },
+            separators=(",", ":"),
         )
         + "\n"
     )

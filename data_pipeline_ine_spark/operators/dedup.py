@@ -308,7 +308,12 @@ def dedup_components(
             # (and risks recomputing) all N-1 previous rounds
             .localCheckpoint()
         )
-        cur = labels.agg(F.sum("label").alias("s")).first()["s"]
+        # decimal accumulation: node ids may span the full signed-64 range
+        # (resolve_entities feeds xxhash64 ids), where a long SUM can
+        # overflow — decimal(38,0) is exact for any realistic node count
+        cur = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         if cur == prev_sum:
             converged = True
             break

@@ -113,19 +113,36 @@ def quantile_bins(
     value_col: str,
     probs: Sequence[float] = (0.25, 0.5, 0.75),
     out_col: str = "q_bin",
+    method: str = "exact",
 ) -> DataFrame:
     """Discretize ``value_col`` into ``len(probs)+1`` quantile bins
-    (0-based; bin b = values in (cut[b-1], cut[b]], exact percentile
-    cutpoints, upper-inclusive).
+    (0-based; bin b = values in (cut[b-1], cut[b]], upper-inclusive
+    cutpoints).
 
-    Exact ``percentile`` here (one O(distinct values) aggregate) because
-    the oracle must reproduce the cutpoints bit-for-bit; the documented
-    100 TB swap is ``percentile_approx`` / the KLL sketch in
-    ``operators/sketches.py`` — same plan shape, bounded memory.
+    ``method="exact"`` uses ``percentile`` (one O(distinct values)
+    aggregate) because the oracle must reproduce the cutpoints
+    bit-for-bit; ``method="kll"`` is the 100 TB path — the mergeable
+    KLL sketch (~0.4% rank error at k=2048, bounded memory regardless
+    of cardinality) with the SAME downstream plan shape. The two agree
+    on bin assignment for all but the ~rank-error sliver of rows around
+    each cutpoint (tolerance-tested at sf0.1).
     """
-    cuts = df.agg(
-        F.percentile(value_col, F.array(*[F.lit(float(p)) for p in probs])).alias("_c")
-    )
+    if method == "kll":
+        sk = F.kll_sketch_agg_double(F.col(value_col).cast("double"))
+        cuts = df.agg(sk.alias("_sk")).select(
+            F.array(
+                *[
+                    F.kll_sketch_get_quantile_double(F.col("_sk"), F.lit(float(p)))
+                    for p in probs
+                ]
+            ).alias("_c")
+        )
+    else:
+        cuts = df.agg(
+            F.percentile(
+                value_col, F.array(*[F.lit(float(p)) for p in probs])
+            ).alias("_c")
+        )
     expr: Column = F.lit(len(probs))
     for i in range(len(probs) - 1, -1, -1):
         expr = F.when(
@@ -211,4 +228,63 @@ def grouped_corr(
         *group_cols,
         F.col("n"),
         F.round(num / den, 6).alias("corr"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.5,
+    z_col: str = "robust_z",
+) -> DataFrame:
+    """Robust outlier gate by median / MAD — the heavy-tail-safe
+    alternative to ``group_zscore``: mean and stddev are themselves
+    dragged by the outliers they're supposed to flag, while the median
+    and the median-absolute-deviation have a 50% breakdown point. Rows
+    with ``|x − median| > k · 1.4826 · MAD`` are flagged (1.4826 scales
+    MAD to σ under normality; k=3.5 is the conventional cut).
+
+    Appends ``robust_z = (x − median) / (1.4826 · MAD)`` (rounded 6dp)
+    and returns ONLY the flagged rows. MAD = 0 (>50% of a group tied at
+    the median) flags nothing — no division blow-up.
+
+    Scale shape: same two-pass discipline as every feature op here —
+    pass 1 computes exact medians per group (one tiny percentile
+    aggregate, then a second for the deviation median), pass 2
+    broadcasts the O(groups) threshold frame back onto the corpus. The
+    corpus is scanned twice but shuffled ZERO times; a window form
+    would sort whole strata through single tasks. At extreme group
+    cardinality swap the exact percentile for the KLL sketch
+    (operators/sketches.py), same plan shape.
+    """
+    gcols = [group_col] if group_col else []
+    med = (
+        df.groupBy(*gcols).agg(
+            F.percentile(value_col, F.lit(0.5)).alias("_med")
+        )
+        if gcols
+        else df.agg(F.percentile(value_col, F.lit(0.5)).alias("_med"))
+    )
+    dev = df.join(broadcast(med), gcols) if gcols else df.crossJoin(broadcast(med))
+    mad = (
+        dev.groupBy(*gcols).agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("_med")), F.lit(0.5)
+            ).alias("_mad"),
+            F.first("_med").alias("_med2"),
+        )
+    )
+    scale = F.lit(1.4826) * F.col("_mad")
+    joined = df.join(broadcast(mad), gcols) if gcols else df.crossJoin(broadcast(mad))
+    return (
+        joined.filter(
+            (F.col("_mad") > 0)
+            & (F.abs(F.col(value_col) - F.col("_med2")) > F.lit(k) * scale)
+        )
+        .withColumn(
+            z_col,
+            F.round((F.col(value_col) - F.col("_med2")) / scale, 6),
+        )
+        .drop("_mad", "_med2")
     )

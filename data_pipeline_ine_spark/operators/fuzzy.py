@@ -90,23 +90,30 @@ def resolve_entities(
     see :func:`fuzzy_match_pairs`); clustering runs min-label
     propagation + pointer jumping on the pair graph (O(log diameter)
     rounds over edge-sized frames, ``operators/dedup.py``). Values enter
-    the numeric component engine through a 48-bit md5 fold; the fold
-    stays internal — the output is (value, canonical) strings, so an SQL
-    oracle can reproduce it with a string-labeled reachability closure.
+    the numeric component engine through the full 64-bit ``xxhash64``
+    (a 48-bit fold collides at ~0.2% already at 1M distinct values —
+    birthday bound — silently merging unrelated clusters; 64 bits pushes
+    that to ~3e-8, ADVICE r3); the hash stays internal — the output is
+    (value, canonical) strings, so an SQL oracle can reproduce it with a
+    string-labeled reachability closure.
 
     Returns ``(value, canonical)`` for every distinct value.
     """
     from pyspark.sql import Window
 
-    from data_pipeline_ine_spark.operators.dedup import (
-        _hex12_to_long,
-        dedup_components,
-    )
+    from data_pipeline_ine_spark.operators.dedup import dedup_components
 
     dic = df.select(F.col(text_col).alias("value")).distinct()
-    ids = dic.select(
-        "value", _hex12_to_long(F.md5(F.col("value"))).alias("nid")
-    ).localCheckpoint(eager=False)  # reused by the edge join and the output
+    # The isNotNull guard does double duty: a NULL value must get a NULL
+    # id (bare xxhash64 hashes NULL to the seed, which would let NULL
+    # join into a real cluster), and the guard keeps the id column
+    # NULLABLE — with a non-nullable hash attribute feeding the
+    # component loop, InferFiltersFromConstraints dies with an
+    # AttributeMap key-not-found while optimizing the iteration plans
+    # (observed on Spark 4.1). Eager checkpoint: the dictionary is
+    # vocabulary-sized and is reused by the edge join and the output.
+    nid = F.when(F.col("value").isNotNull(), F.xxhash64(F.col("value")))
+    ids = dic.select("value", nid.alias("nid")).localCheckpoint()
     pairs = fuzzy_match_pairs(df, text_col, max_dist, block_fn)
     edges = (
         pairs.join(

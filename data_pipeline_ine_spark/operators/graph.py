@@ -1,0 +1,202 @@
+"""Co-occurrence graph analytics: market-basket edges, association lift,
+degree-oriented triangle counting.
+
+The graph here is IMPLICIT in the data — items that co-occur in a basket
+(parts in an order, tokens in a doc, users in a session) — which is the
+graph shape large pipelines actually mine: nobody ships an edge list,
+they ship transactions. The reference pipeline has no graph operators;
+these extend the engine the same way the dedup clustering stack does
+(``operators/dedup.py::dedup_components`` already runs connected
+components over LSH pair graphs — this module adds the *construction*
+and *counting* side).
+
+Scale discipline:
+
+- **Edge construction is basket-bounded.** The per-basket self-join
+  explodes Σ basket_size² pairs — bounded by the largest basket (order
+  line counts, document co-citations), never corpus². One shuffle on the
+  basket key (co-partitioned self-join), one on the pair key to count.
+- **Triangle counting is degree-oriented.** Counting wedges at each
+  vertex naively is Σ deg² — a power-law hub explodes it. Orienting
+  every edge from the (degree, id)-smaller endpoint to the larger one
+  makes each triangle countable exactly once at its lowest-rank vertex,
+  and bounds per-vertex wedge work by the graph arboricity (the classic
+  MapReduce triangle trick from Suri & Vassilvitskii's "Counting
+  triangles and the curse of the last reducer", WWW'11).
+- **Lift needs only integer counts** until the final divide, so the
+  cross-engine result is one IEEE divide on identical integers — no
+  accumulation-order float hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edges: ``(item_a, item_b, n_baskets)``
+    with ``item_a < item_b``, counting DISTINCT baskets containing both.
+
+    One co-partitioned self-join on the basket key (pair explosion
+    Σ basket²), one pair-keyed count shuffle. ``min_count`` prunes the
+    long tail of one-off co-occurrences before anything downstream
+    joins the edge list.
+    """
+    items = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._basket") == F.col("b._basket"))
+        & (F.col("a._item") < F.col("b._item")),
+    ).select(
+        F.col("a._item").alias("item_a"),
+        F.col("b._item").alias("item_b"),
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )
+
+
+def association_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Association mining over basket data: for every co-occurring item
+    pair, the support counts and the LIFT
+    ``P(ab) / (P(a)·P(b)) = n_ab·n_baskets / (n_a·n_b)`` — the
+    market-basket statistic that separates "bought together because both
+    are popular" from genuine affinity.
+
+    Returns ``(item_a, item_b, n_ab, n_a, n_b, lift)`` with
+    ``item_a < item_b``; ``lift`` is rounded to 6 decimals and is the
+    ONLY float — computed as one IEEE divide of exact integer products,
+    so it is engine-invariant (no accumulation order involved).
+
+    Scale shape: pair counts from :func:`cooccurrence_edges` (basket-
+    bounded explosion); per-item basket counts are an item-keyed
+    aggregate that BROADCASTS back onto the pair list (item vocabularies
+    are small relative to pair lists); the total basket count is a 1-row
+    broadcast. The corpus is never reshuffled after the pair count.
+    """
+    pair = cooccurrence_edges(df, basket_col, item_col, min_pair_count)
+    per_item = (
+        df.select(
+            F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+        )
+        .distinct()
+        .groupBy("_item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    totals = df.select(basket_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    out = (
+        pair.withColumnRenamed("n_baskets", "n_ab")
+        .join(
+            F.broadcast(per_item.select(F.col("_item").alias("item_a"),
+                                        F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(per_item.select(F.col("_item").alias("item_b"),
+                                        F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .join(F.broadcast(totals))
+    )
+    lift = F.round(
+        (F.col("n_ab") * F.col("n_total")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double"),
+        6,
+    )
+    return out.select(
+        "item_a", "item_b", "n_ab", "n_a", "n_b", lift.alias("lift")
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+) -> DataFrame:
+    """Global triangle count of an undirected simple graph given as
+    ``(a, b)`` edge rows (either orientation, duplicates tolerated).
+
+    Degree-oriented algorithm: every edge is re-oriented from its
+    (degree, id)-smaller endpoint to the larger one; wedges are then
+    enumerated only at each triangle's lowest-rank vertex and closed by
+    one semi-join against the oriented edge list. Per-vertex wedge work
+    is bounded by out-degree ≤ O(√m) on any graph (arboricity bound), so
+    power-law hubs cannot explode the join the way naive Σ deg² wedge
+    counting does. Three shuffles total: degree count, wedge self-join
+    on the source, closing equi-join on the wedge endpoints.
+
+    Returns a single row ``(n_triangles,)``.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(
+            F.broadcast(
+                deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+            ),
+            "v",
+        )
+    )
+    # orient src → dst by (degree, id) rank; struct comparison gives the
+    # lexicographic (d, node) order in one expression
+    src_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    oriented = ranked.select(
+        F.when(src_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(src_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(src_first, F.struct("dv", "v")).otherwise(
+            F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))
+        ).alias("dst_rank"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst_rank") < F.col("e2.dst_rank")),
+    ).select(
+        F.col("e1.dst").alias("w_src"), F.col("e2.dst").alias("w_dst")
+    )
+    closing = oriented.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("w_dst")
+    )
+    return (
+        wedges.join(closing, ["w_src", "w_dst"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

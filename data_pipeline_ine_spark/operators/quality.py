@@ -96,3 +96,46 @@ def union_audit(*audits: DataFrame) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/aggregation key:
+    the ``top_n`` heaviest keys with their row counts and corpus share —
+    the report you read BEFORE deciding whether a key needs salting or
+    an AQE skew-join hint (operators/joins.py::salted totals is the
+    treatment; this is the diagnosis).
+
+    Returns ``(rank, key, cnt, share)`` ordered by count desc, key asc
+    (deterministic tiebreak). ``share`` is one IEEE divide of exact
+    integers rounded to 6 decimals — engine-invariant.
+
+    Scale shape: ONE key-keyed count aggregate (map-side combined, the
+    same shuffle the key's real workload would pay), then the top-n
+    selection is TakeOrdered over the key-cardinality-sized counts frame
+    — nothing corpus-sized is sorted or collected. The 1-row total
+    broadcasts back onto the n winners.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+        )
+    )

@@ -359,8 +359,13 @@ def partitioned_topk(
 
     At 100 TB the centroid table is tiny (one row per partition → driver/
     broadcast scale) while the expensive scan touches ``n_probe/n_parts`` of
-    the corpus; with the corpus Parquet-partitioned by ``part_col``, the
-    pruning happens at the scan via partition filters.
+    the corpus. The probe choice is pulled to the driver — O(n_probe)
+    ints, the same driver-scale class as the k-means centroid pull — and
+    applied as a LITERAL ``isin`` filter, so when the corpus is
+    Parquet-partitioned by ``part_col`` the pruning is a *static*
+    ``PartitionFilters`` entry on the scan (plan-tested), not a
+    dynamic-pruning heuristic that may or may not fire for a
+    limit-derived build side.
     """
     # centroids: per-partition elementwise mean via posexplode + re-assemble
     dims = (
@@ -376,15 +381,17 @@ def partitioned_topk(
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     # rounded sim + part_col tiebreak so probe choice is reproducible
-    probes = (
-        centroids.select(
+    probe_ids = [
+        r[0]
+        for r in centroids.select(
             part_col, F.round(cosine(F.col("centroid"), q), 6).alias("sim")
         )
         .orderBy(F.desc("sim"), F.asc(part_col))
         .limit(n_probe)
         .select(part_col)
-    )
-    pruned = df.join(F.broadcast(probes), part_col)
+        .collect()  # O(n_probe) scalars — probe list, not data
+    ]
+    pruned = df.filter(F.col(part_col).isin(probe_ids))
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
 
 

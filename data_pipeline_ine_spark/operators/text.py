@@ -413,8 +413,14 @@ def unigram_logloss(
     token-weighted mean of ``-ln p(t)``: gibberish and boilerplate land in
     the high-loss tail, prototypical text scores low.
 
-    Returns ``(id_col, n_tokens, avg_neg_logp)``; documents with no tokens
-    keep a NULL score (explicitly distinguishable from "scored cheap").
+    Returns ``(id_col, n_tokens, sum_neg_logp_e12, avg_neg_logp)`` —
+    ``sum_neg_logp_e12`` is the EXACT integer Σ cnt·floor(-ln p·1e12+0.5)
+    (the order-invariant fixed-point accumulator itself, bit-identical
+    across engines; per-doc magnitude ≲ n_tokens·4e13 so it fits a
+    BIGINT far beyond any real document length), ``avg_neg_logp`` the
+    human-facing 6-decimal score derived from it. Documents with no
+    tokens keep NULL scores (explicitly distinguishable from "scored
+    cheap").
 
     Scale shape: corpus → per-doc term frequencies (one doc-keyed shuffle
     of doc×distinct-term rows, already combined map-side); vocabulary
@@ -446,23 +452,95 @@ def unigram_logloss(
     )
     # exact 12-decimal fixed-point per-term contribution (see docstring)
     scaled = F.floor(neglogp * F.lit(1e12) + F.lit(0.5))
+    sum_scaled = F.sum((F.col("cnt") * scaled).cast("decimal(38,0)"))
     scored = (
         tf.join(F.broadcast(vocab), "term")
         .join(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_tokens"),
+            # exact integer accumulator first; the rounded double score is
+            # DERIVED from it so the only float op left is one deterministic
+            # IEEE divide + round on identical integer inputs
+            sum_scaled.cast("long").alias("sum_neg_logp_e12"),
             F.round(
-                F.sum((F.col("cnt") * scaled).cast("decimal(38,0)")).cast("double")
-                / F.lit(1e12)
-                / F.sum("cnt"),
-                6,
+                sum_scaled.cast("double") / F.lit(1e12) / F.sum("cnt"), 6
             ).alias("avg_neg_logp"),
         )
     )
     return df.select(id_col).join(scored, id_col, "left").select(
         id_col,
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "sum_neg_logp_e12",
+        "avg_neg_logp",
+    )
+
+
+def bigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram language-model log-loss — one order of context
+    above :func:`unigram_logloss`: ``p(w2|w1) = (c(w1,w2)+1) /
+    (c(w1,·)+V)`` with add-one smoothing, trained on the corpus itself.
+    Catches word-salad documents whose unigram distribution looks normal
+    but whose transitions don't (the shuffled-text failure mode the
+    unigram gate is blind to).
+
+    Returns ``(id_col, n_bigrams, sum_neg_logp_e12, avg_neg_logp)`` —
+    the same exact-integer contract surface as the unigram gate (12-dec
+    fixed-point per bigram, order-invariant DECIMAL(38,0) accumulation,
+    BIGINT-safe per-doc magnitude); documents with <2 tokens keep NULL
+    scores.
+
+    Scale shape: adjacent-pair construction is a lag window over ONE
+    doc-keyed shuffle (position comes free from posexplode); the bigram
+    LM table is vocabulary²-bounded and joins by (w1,w2) key — a
+    term-keyed shuffle join, NOT a broadcast, because bigram tables at
+    corpus scale outgrow executors; the context-count table is
+    vocab-sized and broadcasts.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        F.col(id_col),
+        F.lag("term").over(w).alias("w1"),
+        F.col("term").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    tf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("term").alias("v_size"))
+    neglogp = -F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v_size"))
+    )
+    scaled = F.floor(neglogp * F.lit(1e12) + F.lit(0.5))
+    sum_scaled = F.sum((F.col("cnt") * scaled).cast("decimal(38,0)"))
+    scored = (
+        tf.join(bg, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            sum_scaled.cast("long").alias("sum_neg_logp_e12"),
+            F.round(
+                sum_scaled.cast("double") / F.lit(1e12) / F.sum("cnt"), 6
+            ).alias("avg_neg_logp"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "sum_neg_logp_e12",
         "avg_neg_logp",
     )
 
@@ -533,14 +611,18 @@ def bm25_scores(
             + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
             / (F.col(f"df_{i}") + F.lit(0.5))
         )
-        tf_part = (tf * (1.0 + k1)) / (
-            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
         )
         # exact 12-decimal fixed point per term (see unigram_logloss):
-        # bit-identical across engines, then an exact small-integer sum
-        fixed = F.floor(idf * tf_part * F.lit(1e12) + F.lit(0.5)).cast(
-            "decimal(38,0)"
-        )
+        # bit-identical across engines, then an exact small-integer sum.
+        # Association is pinned to ((idf * (tf*(k1+1))) / denom) and the
+        # oracle computes the IDENTICAL order — a different grouping
+        # (e.g. idf * (num/denom)) can differ in the last ulp and flip
+        # the fixed-point snap at a boundary (ADVICE r3).
+        fixed = F.floor(
+            (idf * (tf * F.lit(1.0 + k1))) / denom * F.lit(1e12) + F.lit(0.5)
+        ).cast("decimal(38,0)")
         return F.when(tf > 0, fixed).otherwise(F.lit(0).cast("decimal(38,0)"))
 
     total = contrib(0)

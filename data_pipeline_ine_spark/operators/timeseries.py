@@ -114,8 +114,15 @@ def scd2_intervals(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev_attr = F.lag(attr_col).over(w)
+    # null-safe change detection: row_number()==1 marks each key's first
+    # state (lag's NULL there is ambiguous when the attribute itself can
+    # be NULL), and NOT eqNullSafe handles x→NULL / NULL→x / NULL→NULL
+    # transitions that a plain != silently drops (ADVICE r3). Same window
+    # spec as lag — still one Exchange+Sort.
     changes = df.select(key_col, ts_col, attr_col, tiebreak_col).withColumn(
-        "_chg", prev_attr.isNull() | (F.col(attr_col) != prev_attr)
+        "_chg",
+        (F.row_number().over(w) == 1)
+        | ~F.col(attr_col).eqNullSafe(prev_attr),
     ).filter("_chg")
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     return changes.select(

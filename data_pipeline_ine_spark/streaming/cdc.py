@@ -10,11 +10,15 @@ version directory; readers always resolve the highest version. This is
 the same one-sink-both-modes argument as ``write_stream_layered``.
 
 Delivery semantics: the streaming checkpoint guarantees each micro-batch
-is applied at least once, and re-applying batch N is harmless because
-its output version ``v{N}`` is rewritten deterministically from version
-``v{N-1}`` and the batch's own changes (overwrite, not append) — so the
-snapshot chain is effectively-once without any sink-side transaction
-log.
+is applied at least once; batch N deterministically owns version
+``v{batch_id+1}``, so a replay either rewrites the same directory from
+the same inputs (idempotent) or is skipped outright when that version
+already carries a ``_SUCCESS`` marker. Version discovery ignores
+directories without ``_SUCCESS``, so a crash mid-write leaves a torn
+directory that is invisible to readers and simply overwritten on
+replay — effectively-once without a sink-side transaction log. The one
+operational rule this imposes: a NEW checkpoint directory (batch ids
+restart at 0) requires a fresh snapshot_dir seeded at v0.
 
 Scale shape: per batch, one changelog-sized window dedup + one key-equi
 join of snapshot ⋈ batch winners (see ``apply_changelog``); snapshots
@@ -31,13 +35,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _versions(snapshot_dir: str) -> list[tuple[int, str]]:
+    """Committed snapshot versions, ascending. A version counts only once
+    its ``_SUCCESS`` marker exists (the Hadoop committer writes it after
+    all part files) — a crash mid-write leaves a marker-less torn
+    directory that must never become 'latest'."""
     if not os.path.isdir(snapshot_dir):
         return []
     out = []
     for name in os.listdir(snapshot_dir):
         m = re.fullmatch(r"v(\d+)", name)
-        if m:
-            out.append((int(m.group(1)), os.path.join(snapshot_dir, name)))
+        path = os.path.join(snapshot_dir, name)
+        if m and os.path.exists(os.path.join(path, "_SUCCESS")):
+            out.append((int(m.group(1)), path))
     return sorted(out)
 
 
@@ -71,22 +80,30 @@ def stream_apply_changelog(
     Ordering: within a batch the highest ``seq`` wins; ACROSS batches a
     later batch always overwrites — the standard in-order-delivery CDC
     assumption (a log-compacted topic / LSN-ordered source). Out-of-order
-    sources must be windowed upstream before this sink."""
+    sources must be windowed upstream before this sink.
+
+    Crash safety: batch N writes ``v{batch_id+1}`` (named by the
+    checkpoint's batch id, NOT by directory listing, so a spurious torn
+    directory can never shift the chain), skips the write when that
+    version is already committed (replay after a crash between write and
+    checkpoint commit), and merges from the highest *committed*
+    (``_SUCCESS``-marked) version."""
     from data_pipeline_ine_spark.operators.diff import apply_changelog
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        target = os.path.join(snapshot_dir, f"v{batch_id + 1}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            # replayed batch whose write already committed — idempotent skip
+            return
         current = latest_snapshot(spark, snapshot_dir)
         if current is None:
             raise RuntimeError(
                 f"{snapshot_dir} has no base snapshot — call "
                 "write_base_snapshot before starting the stream"
             )
-        version = _versions(snapshot_dir)[-1][0] + 1
         merged = apply_changelog(current, batch_df, key_cols, seq_col, op_col)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_dir, f"v{version}")
-        )
+        merged.write.mode("overwrite").parquet(target)
 
     return (
         changes_stream.writeStream.foreachBatch(sink)

@@ -56,9 +56,21 @@ def read_event_stream(
     Values are treated as UTC instants; run streaming jobs with
     ``spark.sql.session.timeZone=UTC`` (the session factory default) for
     wall-clock-stable window bounds.
+
+    An EMPTY landing directory (stream started before the first file
+    lands — the normal deploy order) falls back to the LongType
+    placeholder schema instead of failing stream construction; the
+    raw-int64 branch then handles the first files when they arrive
+    (ADVICE r3). Producers that write non-nanos timestamps must have
+    landed at least one file first, since the probe is construction-time.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        # no files yet — schema can't be inferred; keep the declared
+        # placeholder (int64 nanos, the generator's physical type)
+        ts_type = T.LongType()
     schema = T.StructType(
         [
             T.StructField("ts", ts_type) if f.name == "ts" else f

@@ -270,8 +270,50 @@ def test_unigram_logloss_closed_form(spark):
     want = (2 * -math.log(3 / 5) + 1 * -math.log(2 / 5)) / 3
     assert abs(out["d1"].avg_neg_logp - round(want, 6)) < 1e-9
     assert out["d1"].n_tokens == 3
+    # exact integer accumulator: Σ cnt·floor(-ln p·1e12 + 0.5), bit-exact
+    want_scaled = 2 * math.floor(-math.log(3 / 5) * 1e12 + 0.5) + 1 * math.floor(
+        -math.log(2 / 5) * 1e12 + 0.5
+    )
+    assert out["d1"].sum_neg_logp_e12 == want_scaled
     # tokenless doc: kept, explicit NULL score
     assert out["d2"].n_tokens == 0 and out["d2"].avg_neg_logp is None
+    assert out["d2"].sum_neg_logp_e12 is None
+
+
+def test_bigram_logloss_closed_form(spark):
+    import math
+
+    from data_pipeline_ine_spark.operators.text import bigram_logloss
+
+    df = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "x")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logloss(df).collect()}
+    # bigrams: d1 = (a,b),(b,a),(a,b); corpus c12: (a,b)=2,(b,a)=1
+    # ctx c1: a=2, b=1 (occurrences as first element); V=3 (a,b,x)
+    p_ab = (2 + 1) / (2 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    want_scaled = 2 * math.floor(-math.log(p_ab) * 1e12 + 0.5) + 1 * math.floor(
+        -math.log(p_ba) * 1e12 + 0.5
+    )
+    assert out["d1"].n_bigrams == 3
+    assert out["d1"].sum_neg_logp_e12 == want_scaled
+    assert abs(out["d1"].avg_neg_logp - round(want_scaled / 1e12 / 3, 6)) < 1e-9
+    # single-token doc: no bigrams, explicit NULL score
+    assert out["d2"].n_bigrams == 0 and out["d2"].sum_neg_logp_e12 is None
+
+
+def test_bigram_catches_shuffled_text(spark):
+    from data_pipeline_ine_spark.operators.text import bigram_logloss
+
+    coherent = [(f"c{i}", "the quick brown fox jumps") for i in range(20)]
+    df = spark.createDataFrame(
+        coherent + [("shuffled", "fox the jumps quick brown")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r.avg_neg_logp for r in bigram_logloss(df).collect()}
+    # same unigram distribution, broken transitions → worse bigram score
+    assert out["shuffled"] > out["c0"]
 
 
 def test_unigram_logloss_rare_tokens_score_worse(spark):

@@ -1,0 +1,61 @@
+"""Co-occurrence graph analytics: edges, lift, triangle counting."""
+from pyspark.sql import functions as F
+
+from data_pipeline_ine_spark.operators.graph import (
+    association_lift,
+    cooccurrence_edges,
+    triangle_count,
+)
+
+
+def _baskets(spark):
+    # baskets: {a,b,c}, {a,b}, {a,c}, {d}
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "d"),
+    ]
+    return spark.createDataFrame(rows, "basket long, item string")
+
+
+def test_cooccurrence_edges_counts_distinct_baskets(spark):
+    df = _baskets(spark).unionAll(_baskets(spark))  # dup rows must not double-count
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in cooccurrence_edges(df, "basket", "item").collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_association_lift_closed_form(spark):
+    rows = {
+        (r.item_a, r.item_b): r
+        for r in association_lift(
+            _baskets(spark), "basket", "item", min_pair_count=2
+        ).collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c")}
+    ab = rows[("a", "b")]
+    # n_ab=2, n_a=3, n_b=2, n_total=4 → lift = 2*4/(3*2) = 4/3
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.lift == round(8 / 6, 6)
+
+
+def test_triangle_count_closed_form(spark):
+    # K4 has 4 triangles; plus a pendant edge adding none
+    edges = [(a, b) for a in "abcd" for b in "abcd" if a < b] + [("d", "e")]
+    df = spark.createDataFrame(edges, "item_a string, item_b string")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_handles_reversed_and_dup_edges(spark):
+    edges = [("b", "a"), ("a", "b"), ("c", "b"), ("a", "c")]
+    df = spark.createDataFrame(edges, "item_a string, item_b string")
+    assert triangle_count(df).collect()[0].n_triangles == 1
+
+
+def test_triangle_count_star_graph_has_none(spark):
+    edges = [("hub", f"n{i}") for i in range(20)]
+    df = spark.createDataFrame(edges, "item_a string, item_b string")
+    assert triangle_count(df).collect()[0].n_triangles == 0

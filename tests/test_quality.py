@@ -124,6 +124,72 @@ def test_scd2_single_event_user_is_open_interval(spark):
     assert rows[0].valid_to is None and rows[0].state == "a"
 
 
+def test_key_skew_profile_ranks_and_shares(spark):
+    from data_pipeline_ine_spark.operators.quality import key_skew_profile
+
+    rows = [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_profile(df, "k", top_n=2).collect()
+    assert [(r.rank, r.key, r.cnt, r.share) for r in got] == [
+        (1, "a", 6, 0.6),
+        (2, "b", 3, 0.3),
+    ]
+
+
+def test_mad_outliers_flags_spike_not_tail(spark):
+    from data_pipeline_ine_spark.operators.features import mad_outliers
+
+    base = [(i, "t", 10.0 + (i % 5) * 0.1) for i in range(50)]
+    df = spark.createDataFrame(
+        base + [(99, "t", 1000.0)], "event_id long, event_type string, value double"
+    )
+    got = mad_outliers(df, "value", "event_type").collect()
+    assert [r.event_id for r in got] == [99]
+    assert got[0].robust_z > 0
+
+
+def test_mad_outliers_zero_mad_group_flags_nothing(spark):
+    from data_pipeline_ine_spark.operators.features import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, "t", 5.0) for i in range(10)] + [(99, "t", 6.0)],
+        "event_id long, event_type string, value double",
+    )
+    # >50% tied at the median → MAD 0 → no division blow-up, no rows
+    assert mad_outliers(df, "value", "event_type").count() == 0
+
+
+def test_scd2_null_state_transitions(spark):
+    """x→NULL, NULL→x and NULL→NULL transitions (ADVICE r3): the change
+    detector must be null-safe — a plain != drops the x→NULL change row
+    entirely, and a bare lag-IS-NULL guard double-counts NULL→NULL."""
+    from data_pipeline_ine_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "a", 1),
+            (1, "2024-01-02 00:00:00", None, 2),   # a→NULL: real change
+            (1, "2024-01-03 00:00:00", None, 3),   # NULL→NULL: no change
+            (1, "2024-01-04 00:00:00", "b", 4),    # NULL→b: real change
+            (2, "2024-01-01 00:00:00", None, 5),   # first state is NULL
+        ],
+        "user_id long, ts string, event_type string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = sorted(
+        scd2_intervals(df).collect(), key=lambda r: (r.user_id, r.valid_from)
+    )
+    assert [(r.user_id, r.state) for r in rows] == [
+        (1, "a"),
+        (1, None),
+        (1, "b"),
+        (2, None),
+    ]
+    # intervals chain correctly through the NULL state
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    assert rows[2].valid_to is None and rows[3].valid_to is None
+
+
 def test_knn_singleton_block_has_no_neighbors(spark):
     from data_pipeline_ine_spark.operators.similarity import knn_join_blocked
 

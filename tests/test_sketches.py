@@ -93,6 +93,28 @@ def test_kll_quantiles_match_exact_percentiles(spark, sf_dir):
         assert q95 == pytest.approx(e95, rel=0.10), (k, q95, e95)
 
 
+def test_quantile_bins_kll_swap_matches_exact_at_sf01(spark):
+    """The documented 100 TB swap (quantile_bins method='kll') is
+    executable and agrees with exact cutpoints: at sf0.1 the bin
+    assignments may differ only in the rank-error sliver around each
+    cutpoint (KLL k=2048 ≈ 0.4% rank error per cut)."""
+    from data_pipeline_ine_spark.operators.features import quantile_bins
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "value"
+    )
+    exact = quantile_bins(ev, "value", out_col="b_exact")
+    kll = quantile_bins(ev, "value", out_col="b_kll", method="kll")
+    joined = exact.select("event_id", "b_exact").join(
+        kll.select("event_id", "b_kll"), "event_id"
+    )
+    n = joined.count()
+    mismatched = joined.filter(F.col("b_exact") != F.col("b_kll")).count()
+    # 3 cutpoints × 0.4% rank error each, generous 2× margin
+    assert n > 0 and mismatched / n < 0.025, (mismatched, n)
+
+
 def test_kll_global_quantiles_no_strata(spark, sf_dir):
     row = kll_quantiles(_events(spark, sf_dir), "value", [0.5]).collect()[0]
     exact = (

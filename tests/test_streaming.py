@@ -304,3 +304,99 @@ def test_stream_cdc_apply_matches_batch_merge(spark, sf_dir, tmp_path):
     assert got == want
     # the chain is versioned: base + one version per micro-batch
     assert len(list((tmp_path / "snapshots").iterdir())) >= 3
+
+
+def test_cdc_snapshot_ignores_torn_version(spark, sf_dir, tmp_path):
+    """Crash-safety (ADVICE r3): a version directory without _SUCCESS (a
+    crash mid-write) must be invisible to latest_snapshot, and a replayed
+    batch must skip a version that already committed."""
+    import os
+
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        write_base_snapshot,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snap_dir = str(tmp_path / "snapshots")
+    write_base_snapshot(base, snap_dir)
+
+    # torn v1: directory exists, no _SUCCESS → reader must stay on v0
+    torn = tmp_path / "snapshots" / "v1"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"not parquet")
+    assert latest_snapshot(spark, snap_dir).count() == base.count()
+
+    # committed v1 → becomes latest
+    base.limit(5).write.mode("overwrite").parquet(str(torn))
+    assert os.path.exists(torn / "_SUCCESS")
+    assert latest_snapshot(spark, snap_dir).count() == 5
+
+
+def test_cdc_replay_of_committed_batch_is_skipped(spark, sf_dir, tmp_path):
+    """Re-running the stream over the same changes with the SAME checkpoint
+    must not corrupt or re-merge: committed versions are keyed by batch id
+    and skipped on replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        stream_apply_changelog,
+        write_base_snapshot,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snap_dir = str(tmp_path / "snapshots")
+    write_base_snapshot(base, snap_dir)
+    land = tmp_path / "changes"
+    land.mkdir()
+    keys = [r.o_orderkey for r in base.limit(3).collect()]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "op": pa.array(["U"] * 3, pa.string()),
+            "seq": pa.array([1, 2, 3], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, land / "a.parquet")
+    schema = "o_orderkey long, o_totalprice double, op string, seq int"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(land))
+        q = stream_apply_changelog(
+            stream, snap_dir, str(tmp_path / "ckpt"), ["o_orderkey"]
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(
+        (r.o_orderkey, r.o_totalprice)
+        for r in latest_snapshot(spark, snap_dir).collect()
+    )
+    versions_after_first = sorted((tmp_path / "snapshots").iterdir())
+    # second start on the same checkpoint: no new data → no new version;
+    # snapshot unchanged
+    run()
+    second = sorted(
+        (r.o_orderkey, r.o_totalprice)
+        for r in latest_snapshot(spark, snap_dir).collect()
+    )
+    assert second == first
+    assert sorted((tmp_path / "snapshots").iterdir()) == versions_after_first
+
+
+def test_event_stream_constructs_on_empty_landing_dir(spark, tmp_path):
+    """Stream construction must not fail when the landing directory has no
+    files yet (ADVICE r3): falls back to the int64-nanos placeholder
+    schema and handles the first files when they arrive."""
+    from data_pipeline_ine_spark.streaming.events import read_event_stream
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    stream = read_event_stream(spark, str(land))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
