@@ -4169,6 +4169,87 @@ WHERE mad.d > 0 AND abs(e.value - mad.m) > 3.5 * (1.4826 * mad.d)
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval index build: posting lists (sorted, capped doc-id
+    arrays) for the 50 highest-df corpus terms
+    (operators/text.py::inverted_index). The cap applies BEFORE
+    aggregation via a term-keyed row_number window, so no reducer ever
+    materializes a stopword's corpus-sized posting list."""
+    from data_pipeline_ine_spark.operators.text import inverted_index
+
+    return inverted_index(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY 1
+), top AS (
+  SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 50
+)
+SELECT t.term, t.df,
+  list_slice(list_sort(list(k.doc_id)), 1, 1000) AS postings
+FROM top t JOIN toks k USING (term)
+GROUP BY t.term, t.df
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized document length within each source — SQL
+    PERCENT_RANK semantics computed WITHOUT a corpus-sized per-group
+    window (operators/features.py::quantile_normalize: per-(group,value)
+    counts + a distinct-values running sum + join back). The curation
+    primitive for mixing incomparable quality scores."""
+    from data_pipeline_ine_spark.operators.features import quantile_normalize
+
+    docs = _docs_parallel(spark, sf_dir)
+    return quantile_normalize(
+        docs.select("doc_id", "source", "n_chars"), "n_chars", "source"
+    ).select("doc_id", "source", "n_chars", "qnorm")
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+SELECT doc_id, source, n_chars,
+  ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars), 6) AS qnorm
+FROM documents
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting: the cluster-size distribution of the transitive
+    near-dup components — ``(cluster_size, n_clusters)`` — the histogram
+    every dedup run publishes (how much of the corpus sits in how-large
+    duplicate families). Pure composition over dedup_components; both
+    aggregations are component-count sized."""
+    from data_pipeline_ine_spark.operators.dedup import (
+        dedup_components,
+        jaccard_candidate_pairs,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = jaccard_candidate_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = dedup_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+ORACLE_DUP_CLUSTER_SIZES = (
+    "WITH comp AS ( "
+    + ORACLE_COMPONENTS
+    + """ ), sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4207,6 +4288,9 @@ _CHECK_ORDER = [
     "bigram_logloss",
     "key_skew_profile",
     "mad_outliers",
+    "inverted_index",
+    "quantile_normalize",
+    "dup_cluster_sizes",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4240,12 +4324,12 @@ _CHECK_ORDER = [
     "pii_redaction",
     "contamination_overlap",
     "simhash_near_dup",
-    "tfidf_top_terms",
-    "curation_pipeline",
-    "user_value_ranks",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
     # r02-evidence queries that didn't fit this round: keep them at the head
     # of the overflow so they are round 5's first slots
+    "tfidf_top_terms",
+    "curation_pipeline",
+    "user_value_ranks",
     "cube_order_stats",
     "melt_lineitem",
     "train_val_test_split",
@@ -4385,6 +4469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logloss": q_bigram_logloss,
         "key_skew_profile": q_key_skew_profile,
         "mad_outliers": q_mad_outliers,
+        "inverted_index": q_inverted_index,
+        "quantile_normalize": q_quantile_normalize,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
     })
 
 
@@ -4503,4 +4590,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logloss": ORACLE_BIGRAM,
         "key_skew_profile": ORACLE_KEY_SKEW,
         "mad_outliers": ORACLE_MAD,
+        "inverted_index": ORACLE_INVERTED_INDEX,
+        "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+        "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
     })

@@ -288,3 +288,53 @@ def mad_outliers(
         )
         .drop("_mad", "_med2")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "qnorm",
+) -> DataFrame:
+    """Rank-based normalization within each group: every row gets its
+    SQL ``PERCENT_RANK`` — ``(#rows with smaller value) / (n − 1)`` with
+    ties sharing a rank — mapping any score distribution onto [0, 1].
+    The standard move for mixing quality signals whose scales don't
+    compare (a logloss and a length ratio), and for building
+    distribution-matched curation cuts across sources.
+
+    Scale shape: the textbook formulation is a window over the corpus
+    partitioned by group — which sorts ENTIRE strata through single
+    tasks, the per-group-window anti-pattern this module exists to
+    avoid. Here the identical result comes from the aggregate+broadcast
+    shape: per-(group, value) counts (one map-combined shuffle), a
+    running-sum window over the DISTINCT-VALUES frame (value-cardinality
+    sized, not corpus sized), and a join back on (group, value). The
+    rank fraction is ONE integer divide, rounded 6dp — engine-exact.
+    """
+    from pyspark.sql import Window
+
+    vc = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = vc.select(
+        group_col,
+        value_col,
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_lt"),
+        F.sum("_c").over(wn).alias("_n"),
+    )
+    qn = F.when(
+        F.col("_n") > 1,
+        F.round(F.col("_lt").cast("double") / (F.col("_n") - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return df.join(
+        ranked.withColumn(out_col, qn).drop("_lt", "_n"),
+        [group_col, value_col],
+    )

@@ -545,6 +545,52 @@ def bigram_logloss(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = 50,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Posting lists for the corpus's ``top_terms`` highest-document-
+    frequency terms: ``(term, df, postings)`` with ``postings`` the
+    sorted (ascending, capped at ``max_postings``) doc-id list — the
+    retrieval-side index build that pairs with :func:`bm25_scores`'s
+    scoring side.
+
+    Scale shape: the hazard in index building is the head of the Zipf
+    curve — a stopword's posting list is most of the corpus, so a naive
+    ``collect_list`` per term funnels corpus-sized arrays through single
+    reducers. Here the cap is applied BEFORE aggregation: a row_number
+    window partitioned by term (one term-keyed shuffle, sorted within
+    the partition) keeps only each term's first ``max_postings`` doc
+    ids, so no reducer ever materializes more than the cap. Term
+    selection is TakeOrdered over the vocabulary-sized df frame.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("term"),
+    ).distinct()
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(top_terms)
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    capped = (
+        toks.join(F.broadcast(top.select("term")), "term")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_postings)
+    )
+    return (
+        capped.groupBy("term")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+        .join(F.broadcast(top), "term")
+        .select("term", "df", "postings")
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: Sequence[str],

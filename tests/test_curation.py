@@ -303,6 +303,47 @@ def test_bigram_logloss_closed_form(spark):
     assert out["d2"].n_bigrams == 0 and out["d2"].sum_neg_logp_e12 is None
 
 
+def test_inverted_index_caps_postings_before_aggregation(spark):
+    from data_pipeline_ine_spark.operators.text import inverted_index
+
+    docs = [(i, "common term here") for i in range(30)] + [
+        (100, "rare word"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.term: r
+        for r in inverted_index(df, top_terms=3, max_postings=5).collect()
+    }
+    # head terms capped at 5 smallest doc ids, sorted; df stays exact
+    assert set(out) == {"common", "term", "here"}
+    assert out["common"].df == 30
+    assert out["common"].postings == [0, 1, 2, 3, 4]
+
+
+def test_quantile_normalize_matches_percent_rank(spark):
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.operators.features import quantile_normalize
+
+    rows = [(i, "s1", float(v)) for i, v in enumerate([10, 20, 20, 30])] + [
+        (9, "s2", 7.0)  # singleton group → rank 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        r.doc_id: r.qnorm
+        for r in quantile_normalize(df, "score", "source").collect()
+    }
+    want = {
+        r.doc_id: round(r.pr, 6)
+        for r in df.withColumn(
+            "pr",
+            F.percent_rank().over(Window.partitionBy("source").orderBy("score")),
+        ).collect()
+    }
+    assert got == want
+    assert got[9] == 0.0 and got[1] == got[2]  # ties share a rank
+
+
 def test_bigram_catches_shuffled_text(spark):
     from data_pipeline_ine_spark.operators.text import bigram_logloss
 
