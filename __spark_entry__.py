@@ -4250,6 +4250,65 @@ FROM sizes GROUP BY 1
 )
 
 
+def q_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT running distinct users by day
+    (operators/timeseries.py::user_growth_curve): running
+    COUNT(DISTINCT) has no mergeable exact form, but cumulative-distinct
+    through day D = #users whose FIRST event ≤ D — two exact aggregates
+    and a calendar-sized window, never a corpus sort."""
+    from data_pipeline_ine_spark.operators.timeseries import user_growth_curve
+
+    return user_growth_curve(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_USER_GROWTH = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+), daily AS (
+  SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+  CAST(SUM(new_users) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_users
+FROM daily
+"""
+
+
+def q_state_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily state occupancy from SCD2 validity intervals: distinct
+    users in each state per calendar day
+    (operators/timeseries.py::state_occupancy_daily over
+    ::scd2_intervals). Interval→day-grid explosion bounded by interval
+    length; open intervals clip to the data's own horizon."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        scd2_intervals,
+        state_occupancy_daily,
+    )
+
+    iv = scd2_intervals(load_table(spark, sf_dir, "events"))
+    return state_occupancy_daily(iv)
+
+
+ORACLE_STATE_OCCUPANCY = (
+    "WITH iv AS ( "
+    + ORACLE_SCD2
+    + """ ), horizon AS (
+  SELECT MAX(valid_from) AS h FROM iv
+), days AS (
+  SELECT user_id, state,
+    unnest(generate_series(CAST(valid_from AS DATE),
+                           CAST(COALESCE(valid_to, horizon.h) AS DATE),
+                           INTERVAL 1 DAY)) AS day
+  FROM iv CROSS JOIN horizon
+)
+SELECT CAST(day AS DATE) AS day, state,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM days GROUP BY 1, 2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4291,6 +4350,8 @@ _CHECK_ORDER = [
     "inverted_index",
     "quantile_normalize",
     "dup_cluster_sizes",
+    "user_growth_curve",
+    "state_occupancy",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4322,11 +4383,11 @@ _CHECK_ORDER = [
     "stratified_sample",
     "repetition_stats",
     "pii_redaction",
-    "contamination_overlap",
-    "simhash_near_dup",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
     # r02-evidence queries that didn't fit this round: keep them at the head
     # of the overflow so they are round 5's first slots
+    "contamination_overlap",
+    "simhash_near_dup",
     "tfidf_top_terms",
     "curation_pipeline",
     "user_value_ranks",
@@ -4472,6 +4533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "quantile_normalize": q_quantile_normalize,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "user_growth_curve": q_user_growth_curve,
+        "state_occupancy": q_state_occupancy,
     })
 
 
@@ -4593,4 +4656,6 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": ORACLE_INVERTED_INDEX,
         "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
         "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
+        "user_growth_curve": ORACLE_USER_GROWTH,
+        "state_occupancy": ORACLE_STATE_OCCUPANCY,
     })

@@ -58,3 +58,42 @@ def test_gap_fill_hourly_step(spark):
     out = gap_fill(df, "key", "hr", step="interval 1 hour")
     assert out.count() == 4
     assert out.filter(F.col("v").isNull()).count() == 2
+
+
+def test_user_growth_curve_exact_cumulative_distinct(spark):
+    from data_pipeline_ine_spark.operators.timeseries import user_growth_curve
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5)),
+        (1, dt.datetime(2024, 1, 3, 5)),   # returning user: not new
+        (2, dt.datetime(2024, 1, 1, 9)),
+        (3, dt.datetime(2024, 1, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.day.isoformat(): (r.new_users, r.cum_users)
+           for r in user_growth_curve(df).collect()}
+    assert got == {"2024-01-01": (2, 2), "2024-01-03": (1, 3)}
+
+
+def test_state_occupancy_covers_touched_days_and_clips_open(spark):
+    from data_pipeline_ine_spark.operators.timeseries import (
+        state_occupancy_daily,
+    )
+
+    rows = [
+        # user 1: state a on day1 morning → day2 noon, then b (open)
+        (1, "a", dt.datetime(2024, 1, 1, 8), dt.datetime(2024, 1, 2, 12)),
+        (1, "b", dt.datetime(2024, 1, 2, 12), None),
+        # user 2: state a, open since day2 (horizon = max valid_from = day2 12:00)
+        (2, "a", dt.datetime(2024, 1, 2, 1), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, valid_from timestamp, valid_to timestamp"
+    )
+    got = {(r.day.isoformat(), r.state): r.n_users
+           for r in state_occupancy_daily(df).collect()}
+    assert got == {
+        ("2024-01-01", "a"): 1,
+        ("2024-01-02", "a"): 2,   # user 1 until noon + user 2 open
+        ("2024-01-02", "b"): 1,   # user 1 from noon, clipped at horizon
+    }

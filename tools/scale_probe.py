@@ -64,6 +64,14 @@ HEAVY = [
     "bm25_scores",
     "source_quality_gate",
     "unigram_logloss",
+    # round-4 corpus operators (copurchase_lift / part_triangles read
+    # lineitem, which the probe corpus doesn't generate — their scale
+    # bounds are basket-size² and arboricity-bounded wedges, closed-form
+    # tested in tests/test_graph.py)
+    "bigram_logloss",
+    "inverted_index",
+    "quantile_normalize",
+    "dup_cluster_sizes",
 ]
 
 
