@@ -4309,6 +4309,63 @@ FROM days GROUP BY 1, 2
 )
 
 
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the part co-purchase graph in EXACT
+    integer fixed-point (operators/graph.py::pagerank): ranks are BIGINT
+    units of 1e-12, every step is integer div — the iterative algorithm
+    with a bit-exact SQL oracle (unrolled iterations), something a
+    float formulation can never have."""
+    from data_pipeline_ine_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank iteration CTE (mirrors graph.py)."""
+    return f""", {out} AS (
+  SELECT n.node,
+    CAST(150000000000 + (85 * CAST(COALESCE(s.csum, 0) AS BIGINT)) // 100
+         AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node, SUM(p.r // od.od) AS csum
+    FROM ed JOIN {prev} p ON p.node = ed.src
+    JOIN outdeg od ON od.src = ed.src
+    GROUP BY 1
+  ) s ON s.node = n.node
+)"""
+
+
+ORACLE_PAGERANK = (
+    """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), e AS (
+  SELECT a.item AS u, b.item AS v
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), ed AS (
+  SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e
+), outdeg AS (
+  SELECT src, COUNT(*) AS od FROM ed GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS node FROM ed
+), r0 AS (
+  SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+)"""
+    + _pagerank_iter_sql("r0", "r1")
+    + _pagerank_iter_sql("r1", "r2")
+    + _pagerank_iter_sql("r2", "r3")
+    + """
+SELECT node, r AS rank_scaled FROM r3
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4352,6 +4409,7 @@ _CHECK_ORDER = [
     "dup_cluster_sizes",
     "user_growth_curve",
     "state_occupancy",
+    "part_pagerank",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4382,10 +4440,10 @@ _CHECK_ORDER = [
     "domain_mixture",
     "stratified_sample",
     "repetition_stats",
-    "pii_redaction",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
     # r02-evidence queries that didn't fit this round: keep them at the head
     # of the overflow so they are round 5's first slots
+    "pii_redaction",
     "contamination_overlap",
     "simhash_near_dup",
     "tfidf_top_terms",
@@ -4535,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "user_growth_curve": q_user_growth_curve,
         "state_occupancy": q_state_occupancy,
+        "part_pagerank": q_part_pagerank,
     })
 
 
@@ -4658,4 +4717,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
         "user_growth_curve": ORACLE_USER_GROWTH,
         "state_occupancy": ORACLE_STATE_OCCUPANCY,
+        "part_pagerank": ORACLE_PAGERANK,
     })

@@ -250,13 +250,15 @@ def mad_outliers(
     the median) flags nothing — no division blow-up.
 
     Scale shape: same two-pass discipline as every feature op here —
-    pass 1 computes exact medians per group (one tiny percentile
-    aggregate, then a second for the deviation median), pass 2
-    broadcasts the O(groups) threshold frame back onto the corpus. The
-    corpus is scanned twice but shuffled ZERO times; a window form
-    would sort whole strata through single tasks. At extreme group
-    cardinality swap the exact percentile for the KLL sketch
-    (operators/sketches.py), same plan shape.
+    pass 1 computes the per-group median, then the deviation median;
+    each exact-percentile aggregate shuffles narrow ``(group, value)``
+    pairs (exact percentiles have no small mergeable state — the
+    aggregation buffer carries the values), and the O(groups) threshold
+    frame broadcasts back onto the corpus, so the full-width corpus is
+    never shuffled and no per-group window sorts whole strata through
+    single tasks. At 100 TB swap the exact percentile for the KLL
+    sketch (operators/sketches.py) and the shuffles drop to true
+    sketch-sized partials, same plan shape.
     """
     gcols = [group_col] if group_col else []
     med = (

@@ -200,3 +200,76 @@ def triangle_count(
         wedges.join(closing, ["w_src", "w_dst"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (each edge
+    walked both ways), in EXACT integer fixed-point — the engine-
+    invariant formulation of the canonical iterative graph algorithm.
+
+    Floating-point PageRank sums partial contributions in partition
+    order, so two engines (or two runs) disagree in the last ulps and
+    no exact oracle can exist. Here ranks live in integer units of
+    ``1/scale``: each node starts at ``scale`` (the mass-n convention),
+    one iteration is
+
+        r' = (15·scale) div 100  +  (85 · Σ_in (r div outdeg)) div 100
+
+    — integer divisions only, so every engine lands on the identical
+    BIGINT. The truncation the ``div`` introduces is far below any
+    ranking-relevant difference (1 part in 10¹²; ``scale`` is the
+    precision knob — drop it at web scale to keep Σ mass = n·scale
+    inside int64).
+
+    Scale shape: per iteration, ONE shuffle (contributions grouped by
+    destination); out-degrees are a node-keyed frame joined by key
+    (broadcast while node vocabularies fit); ``localCheckpoint`` after
+    each round keeps iteration N's plan flat instead of replaying
+    rounds 1..N−1 — the same discipline as ``dedup_components``.
+    Dangling nodes cannot occur on a doubled undirected edge list
+    (every node has outdeg ≥ 1).
+
+    Returns ``(node, rank_scaled)`` for every node with an edge.
+    """
+    base = (100 - damping_pct) * scale // 100
+    directed = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            directed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div od").alias("c"))
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * CAST(coalesce(csum, 0) AS BIGINT)) "
+                        "div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -59,3 +59,26 @@ def test_triangle_count_star_graph_has_none(spark):
     edges = [("hub", f"n{i}") for i in range(20)]
     df = spark.createDataFrame(edges, "item_a string, item_b string")
     assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+def test_pagerank_triangle_is_exact_fixpoint(spark):
+    from data_pipeline_ine_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "item_a string, item_b string"
+    )
+    rows = pagerank(df, iters=3).collect()
+    # symmetric 3-cycle: every node keeps exactly scale units of mass —
+    # base + (85 * (2 * (scale div 2))) div 100 == scale, integer-exact
+    assert {r.rank_scaled for r in rows} == {10**12}
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from data_pipeline_ine_spark.operators.graph import pagerank
+
+    edges = [("hub", f"n{i}") for i in range(8)]
+    df = spark.createDataFrame(edges, "item_a string, item_b string")
+    got = {r.node: r.rank_scaled for r in pagerank(df, iters=3).collect()}
+    assert all(got["hub"] > got[f"n{i}"] for i in range(8))
+    # leaves are symmetric → identical integer ranks
+    assert len({got[f"n{i}"] for i in range(8)}) == 1

@@ -171,6 +171,40 @@ def test_ivf_assignment_partition_pruning(spark, sf_dir, tmp_path):
     assert probed.count() == assigned.filter(F.col("cluster").isin(0, 1)).count()
 
 
+def test_mad_outliers_never_shuffles_corpus(spark, sf_dir):
+    """mad_outliers is aggregate+broadcast: exchanges carry only narrow
+    (group, value) percentile partials (the med branch is consumed twice,
+    so its exchange appears twice); the corpus re-attaches via broadcast
+    joins, never a sort-merge shuffle or a per-group window sort."""
+    plan = explain_str(contract.queries()["mad_outliers"](spark, sf_dir),
+                       mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange") <= 4, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_user_growth_curve_window_is_calendar_sized(spark, sf_dir):
+    """The cumulative window must run AFTER both reductions (user-min and
+    day-count): exactly three exchanges (user agg, day agg, single
+    partition for the day-frame window) and zero joins."""
+    plan = explain_str(contract.queries()["user_growth_curve"](spark, sf_dir),
+                       mode="simple")
+    assert plan.count("Exchange") == 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_inverted_index_caps_with_term_window_not_collect(spark, sf_dir):
+    """The posting cap is a row_number window on the term shuffle (before
+    collect_list) — no sort-merge join, and the top-terms frame joins by
+    broadcast."""
+    plan = explain_str(contract.queries()["inverted_index"](spark, sf_dir),
+                       mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "row_number" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_partitioned_topk_scan_pruning(spark, sf_dir, tmp_path):
     """partitioned_topk's IVF claim, proven end-to-end: over a corpus
     parquet-partitioned by part_col, the probe choice lands in the scan
