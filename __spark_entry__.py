@@ -1031,6 +1031,59 @@ FROM documents
 """
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL encode→decode round-trip over binary media columns.
+
+    Spark-side: synthesize genuine PNG/GIF/WAV container bytes per document
+    (``with_synthetic_media``, deterministic in doc_id/n_chars), then parse
+    them back with the stdlib decoder (``decode_media``) — actual byte-level
+    container parsing, CRC checks, and 16-bit PCM sample decoding, all
+    inside Arrow-batched ``mapInPandas``. The oracle never sees the bytes:
+    it predicts every decoded field in closed form from the generator's
+    parameters, so any header-math or sample-decode bug breaks the match.
+    All outputs are exact integers — no float crosses the hash surface.
+
+    Reference parity: the reference treats downloads as opaque CSV bytes
+    (steps/step1_scraper.py:222-236 size accounting); this is the
+    training-data-pipeline generalization to media blobs.
+    """
+    from data_pipeline_ine_spark.operators.multimodal import (
+        decode_media,
+        with_synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars")
+    )
+    return decode_media(with_synthetic_media(docs)).select(
+        "doc_id", "modality", "decode_ok", "width", "height", "n_channels",
+        "sample_rate", "n_frames", "duration_us", "rms",
+    )
+
+
+ORACLE_MEDIA_DECODE = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+       ELSE 'audio/wav' END AS modality,
+  TRUE AS decode_ok,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+       WHEN 1 THEN 4 + doc_id % 64 END AS INT) AS width,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 16
+       WHEN 1 THEN 4 + doc_id % 32 END AS INT) AS height,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT)
+    AS n_channels,
+  CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 4) * 4000 END AS INT)
+    AS sample_rate,
+  CAST(CASE doc_id % 3 WHEN 2 THEN 400 + COALESCE(n_chars, 0) % 600 END AS INT)
+    AS n_frames,
+  CAST(CASE doc_id % 3 WHEN 2 THEN
+    ((400 + COALESCE(n_chars, 0) % 600) * 1000000)
+      // (8000 + (doc_id % 4) * 4000) END AS BIGINT) AS duration_us,
+  CAST(CASE doc_id % 3 WHEN 2 THEN 1000 + doc_id % 5000 END AS INT) AS rms
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish Q7 / Q10 / Q18: multi-dim join trees, date-window fact filters,
 # and fact-side HAVING subqueries
@@ -4410,6 +4463,7 @@ _CHECK_ORDER = [
     "user_growth_curve",
     "state_occupancy",
     "part_pagerank",
+    "media_decode",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4439,10 +4493,10 @@ _CHECK_ORDER = [
     "q21_waiting_suppliers",
     "domain_mixture",
     "stratified_sample",
-    "repetition_stats",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
     # r02-evidence queries that didn't fit this round: keep them at the head
     # of the overflow so they are round 5's first slots
+    "repetition_stats",
     "pii_redaction",
     "contamination_overlap",
     "simhash_near_dup",
@@ -4510,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": q_sessionize_batch,
         "sliding_6h_3h": q_sliding_6h_3h,
         "multimodal_features": q_multimodal_features,
+        "media_decode": q_media_decode,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q2_min_price_parts": q_q2_min_price_parts,
         "q10_returned_items": q_q10_returned_items,
@@ -4634,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": ORACLE_SESSIONIZE,
         "sliding_6h_3h": ORACLE_SLIDING,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "media_decode": ORACLE_MEDIA_DECODE,
         "q7_volume_shipping": ORACLE_Q7,
         "q2_min_price_parts": ORACLE_Q2_MIN,
         "q10_returned_items": ORACLE_Q10,

@@ -1,10 +1,18 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched Pandas functions.
 
-The decode step (PIL/librosa/ffmpeg) is STUBBED — those libraries are not in
-this environment — behind ``decode_stub``; everything Spark-side (schema,
-``mapInPandas`` batch shape, partitioning) is real and tested. Swapping
-``decode_stub`` for a real decoder is a one-function change.
+Two decode tiers:
+
+- ``decode_media`` / ``decode_media_features`` — REAL decoding with the
+  standard library only: container/header parsing for PNG (IHDR + CRC
+  check), GIF, BMP, and JPEG (SOF marker scan), and full WAV audio decode
+  (fmt chunk + PCM sample RMS) via ``wave`` + ``struct``. No external
+  codec needed; these run anywhere.
+- ``decode_stub`` — placeholder for pixel-level decode (full raster
+  decode, resampling, spectrograms), which DOES need codec libraries
+  (PIL/libjpeg/ffmpeg) that are not in this environment. The Spark-side
+  plumbing (schema, ``mapInPandas`` batch shape, partitioning) is shared
+  with the real tier, so swapping in PIL is a one-function change.
 
 Scale notes:
 - ``mapInPandas`` streams Arrow batches (``spark.sql.execution.arrow.
@@ -83,6 +91,284 @@ def extract_features(df: DataFrame, blob_col: str = "media", id_col: str = "doc_
 def with_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Test/demo helper: UTF-8 bytes of a text column as the opaque blob."""
     return df.withColumn("media", F.encode(F.col(text_col), "utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# REAL media decoding (stdlib-only: struct/zlib/wave — no codec libraries)
+# ---------------------------------------------------------------------------
+# One unified metadata schema across modalities; irrelevant fields are NULL
+# (images have no sample_rate, audio has no width). ``duration_us`` and
+# ``rms`` are exact integers so results hash identically across engines.
+MEDIA_META_SCHEMA = (
+    "doc_id long, modality string, decode_ok boolean, width int, height int, "
+    "n_channels int, sample_rate int, n_frames int, duration_us long, rms int"
+)
+
+
+def decode_media_bytes(blob: bytes) -> dict:
+    """Parse real container bytes into typed metadata. Pure stdlib.
+
+    Supported: PNG (signature + IHDR, CRC-verified), GIF87a/89a (logical
+    screen descriptor), BMP (BITMAPINFOHEADER), JPEG (SOF0/1/2 marker
+    scan), WAV (RIFF fmt chunk + exact integer RMS over 16-bit PCM
+    samples). Unknown/torn containers -> ``decode_ok=False`` row, never an
+    exception — at 100 TB a poison blob must not kill the stage.
+
+    This is the driver-side reference implementation; the Spark operator
+    ``decode_media`` carries a self-contained copy inside its closure
+    (Python workers don't share the driver's sys.path).
+    """
+    import struct
+    import zlib
+
+    out = {
+        "modality": None, "decode_ok": False, "width": None, "height": None,
+        "n_channels": None, "sample_rate": None, "n_frames": None,
+        "duration_us": None, "rms": None,
+    }
+    b = blob or b""
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33:
+            # IHDR: length(4) 'IHDR'(4) w(4) h(4) depth colortype ... crc(4)
+            if b[12:16] != b"IHDR":
+                return out
+            (crc,) = struct.unpack(">I", b[29:33])
+            if zlib.crc32(b[12:29]) & 0xFFFFFFFF != crc:
+                return out
+            w, h = struct.unpack(">II", b[16:24])
+            color_type = b[25]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            out.update(modality="image/png", decode_ok=True, width=w,
+                       height=h, n_channels=channels)
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            out.update(modality="image/gif", decode_ok=True, width=w,
+                       height=h, n_channels=3)
+        elif b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            out.update(modality="image/bmp", decode_ok=True, width=w,
+                       height=abs(h), n_channels=3)
+        elif b[:2] == b"\xff\xd8":
+            # scan segment markers for a frame header (SOF0/1/2)
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    out.update(modality="image/jpeg", decode_ok=True,
+                               width=w, height=h, n_channels=b[i + 9])
+                    break
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+                i += 2 + seg_len
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(b)) as wf:
+                ch = wf.getnchannels()
+                rate = wf.getframerate()
+                nf = wf.getnframes()
+                width_bytes = wf.getsampwidth()
+                frames = wf.readframes(nf)
+            rms = None
+            if width_bytes == 2 and frames:
+                n = len(frames) // 2
+                samples = struct.unpack("<%dh" % n, frames[: 2 * n])
+                acc = sum(s * s for s in samples)
+                # exact integer RMS: isqrt of the mean square — engine- and
+                # platform-invariant (no float ever touches the value)
+                import math
+
+                rms = math.isqrt(acc // n) if n else 0
+            out.update(
+                modality="audio/wav", decode_ok=True, n_channels=ch,
+                sample_rate=rate, n_frames=nf,
+                duration_us=(nf * 1_000_000) // rate if rate else None,
+                rms=rms,
+            )
+    except Exception:
+        return {**out, "decode_ok": False}
+    return out
+
+
+def decode_media(
+    df: DataFrame, blob_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL media metadata extraction over a binary column via
+    Arrow-batched ``mapInPandas``.
+
+    Parses PNG/GIF/BMP/JPEG headers and decodes WAV audio (sample rate,
+    channels, exact-integer RMS) with the standard library only — this is
+    genuine decoding, not a stub. Memory is bounded to one Arrow batch;
+    only (id, blob) are read so Parquet column pruning skips every other
+    column.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+        import io
+        import math
+        import struct
+        import wave
+        import zlib
+
+        def _decode(b: bytes) -> dict:
+            out = {
+                "modality": None, "decode_ok": False, "width": None,
+                "height": None, "n_channels": None, "sample_rate": None,
+                "n_frames": None, "duration_us": None, "rms": None,
+            }
+            try:
+                if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33:
+                    if b[12:16] != b"IHDR":
+                        return out
+                    (crc,) = struct.unpack(">I", b[29:33])
+                    if zlib.crc32(b[12:29]) & 0xFFFFFFFF != crc:
+                        return out
+                    w, h = struct.unpack(">II", b[16:24])
+                    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25])
+                    out.update(modality="image/png", decode_ok=True, width=w,
+                               height=h, n_channels=channels)
+                elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+                    w, h = struct.unpack("<HH", b[6:10])
+                    out.update(modality="image/gif", decode_ok=True, width=w,
+                               height=h, n_channels=3)
+                elif b[:2] == b"BM" and len(b) >= 26:
+                    w, h = struct.unpack("<ii", b[18:26])
+                    out.update(modality="image/bmp", decode_ok=True, width=w,
+                               height=abs(h), n_channels=3)
+                elif b[:2] == b"\xff\xd8":
+                    i = 2
+                    while i + 9 < len(b):
+                        if b[i] != 0xFF:
+                            break
+                        marker = b[i + 1]
+                        if marker in (0xC0, 0xC1, 0xC2):
+                            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                            out.update(modality="image/jpeg", decode_ok=True,
+                                       width=w, height=h,
+                                       n_channels=b[i + 9])
+                            break
+                        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                            i += 2
+                            continue
+                        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+                        i += 2 + seg_len
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    with wave.open(io.BytesIO(b)) as wf:
+                        ch = wf.getnchannels()
+                        rate = wf.getframerate()
+                        nf = wf.getnframes()
+                        sw = wf.getsampwidth()
+                        frames = wf.readframes(nf)
+                    rms = None
+                    if sw == 2 and frames:
+                        n = len(frames) // 2
+                        samples = struct.unpack("<%dh" % n, frames[: 2 * n])
+                        rms = math.isqrt(sum(s * s for s in samples) // n) if n else 0
+                    out.update(
+                        modality="audio/wav", decode_ok=True, n_channels=ch,
+                        sample_rate=rate, n_frames=nf,
+                        duration_us=(nf * 1_000_000) // rate if rate else None,
+                        rms=rms,
+                    )
+            except Exception:
+                return {
+                    "modality": None, "decode_ok": False, "width": None,
+                    "height": None, "n_channels": None, "sample_rate": None,
+                    "n_frames": None, "duration_us": None, "rms": None,
+                }
+            return out
+
+        cols = ["modality", "decode_ok", "width", "height", "n_channels",
+                "sample_rate", "n_frames", "duration_us", "rms"]
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                meta = _decode(bytes(blob) if blob is not None else b"")
+                rows.append([doc_id] + [meta[c] for c in cols])
+            yield _pd.DataFrame(rows, columns=[id_col] + cols)
+
+    return df.select(id_col, blob_col).mapInPandas(compute, MEDIA_META_SCHEMA)
+
+
+def with_synthetic_media(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Encode REAL container bytes deterministically from row attributes.
+
+    Modality rotates on ``id % 3``: a valid PNG (zlib-compressed IDAT,
+    correct CRCs), a GIF89a, or a 16-bit PCM WAV whose samples are a
+    square wave (alternating +A/-A) — chosen because its exact integer RMS
+    is the amplitude itself, so downstream decode output is predictable in
+    closed form (the basis of the ``media_decode`` oracle):
+
+        png: width = 16 + id % 32,  height = 8 + id % 16   (grayscale)
+        gif: width = 4 + id % 64,   height = 4 + id % 32
+        wav: rate = 8000 + (id % 4) * 4000, amplitude = 1000 + id % 5000,
+             n_frames = 400 + (len % 600)
+
+    Runs as Arrow-batched ``mapInPandas`` — encoding is embarrassingly
+    parallel and never leaves the executor.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+        import io
+        import struct
+        import wave
+        import zlib
+
+        def _png(w: int, h: int) -> bytes:
+            def chunk(tag: bytes, body: bytes) -> bytes:
+                return (struct.pack(">I", len(body)) + tag + body
+                        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+            raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        def _gif(w: int, h: int) -> bytes:
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+        def _wav(rate: int, amp: int, nf: int) -> bytes:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(
+                    struct.pack("<%dh" % nf,
+                                *((amp if i % 2 == 0 else -amp) for i in range(nf)))
+                )
+            return buf.getvalue()
+
+        for pdf in batches:
+            blobs = []
+            for doc_id, n in zip(pdf[id_col], pdf[len_col]):
+                i = int(doc_id)
+                n = int(n) if _pd.notna(n) else 0
+                m = i % 3
+                if m == 0:
+                    blobs.append(_png(16 + i % 32, 8 + i % 16))
+                elif m == 1:
+                    blobs.append(_gif(4 + i % 64, 4 + i % 32))
+                else:
+                    blobs.append(
+                        _wav(8000 + (i % 4) * 4000, 1000 + i % 5000, 400 + n % 600)
+                    )
+            yield _pd.DataFrame({id_col: pdf[id_col], len_col: pdf[len_col],
+                                 "media": blobs})
+
+    return df.select(id_col, len_col).mapInPandas(
+        compute, f"{id_col} long, {len_col} long, media binary"
+    )
 
 
 RESIZE_SCHEMA = (

@@ -47,6 +47,99 @@ def test_resize_deterministic_and_sized(spark, sf_dir):
     assert all(rows[i].resized == again[i].resized for i in rows)
 
 
+def test_decode_media_bytes_real_containers():
+    """Driver-side reference decoder against bytes produced by independent
+    stdlib writers (wave module, hand-packed PNG/GIF/BMP/JPEG headers)."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    from data_pipeline_ine_spark.operators.multimodal import decode_media_bytes
+
+    # WAV: 16-bit PCM square wave at amplitude 700 -> RMS exactly 700
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(22050)
+        wf.writeframes(struct.pack("<200h", *([700, -700] * 100)))
+    meta = decode_media_bytes(buf.getvalue())
+    assert meta["modality"] == "audio/wav" and meta["decode_ok"]
+    assert meta["n_channels"] == 2 and meta["sample_rate"] == 22050
+    assert meta["n_frames"] == 100  # 200 samples / 2 channels
+    assert meta["duration_us"] == 100 * 1_000_000 // 22050
+    assert meta["rms"] == 700
+
+    # PNG with a correct IHDR CRC
+    ihdr = struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    meta = decode_media_bytes(png)
+    assert meta == {
+        "modality": "image/png", "decode_ok": True, "width": 640,
+        "height": 480, "n_channels": 3, "sample_rate": None,
+        "n_frames": None, "duration_us": None, "rms": None,
+    }
+    # corrupted CRC must be rejected, not trusted
+    bad = bytearray(png)
+    bad[-1] ^= 0xFF
+    assert not decode_media_bytes(bytes(bad))["decode_ok"]
+
+    # GIF / BMP headers
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00\x00\x00\x3b"
+    assert decode_media_bytes(gif)["width"] == 12
+    assert decode_media_bytes(gif)["height"] == 34
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 55, -66) + bytes(10)
+    m = decode_media_bytes(bmp)
+    assert (m["width"], m["height"]) == (55, 66)  # top-down height negated
+
+    # JPEG: APP0 segment then SOF0 frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 33, 44) + b"\x03" + bytes(4)
+    m = decode_media_bytes(b"\xff\xd8" + app0 + sof0)
+    assert (m["modality"], m["width"], m["height"], m["n_channels"]) == (
+        "image/jpeg", 44, 33, 3)
+
+    # garbage and truncated containers fail soft
+    assert not decode_media_bytes(b"")["decode_ok"]
+    assert not decode_media_bytes(b"\x89PNG\r\n\x1a\n\x00")["decode_ok"]
+    assert not decode_media_bytes(b"RIFFxxxxWAVEjunk")["decode_ok"]
+
+
+def test_synthetic_media_roundtrip_spark(spark, sf_dir):
+    """Spark encode→decode round-trip: every decoded field matches the
+    generator's closed form (the media_decode oracle contract)."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        decode_media,
+        with_synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 60
+    ).select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+    base = {r.doc_id: r.n_chars for r in docs.collect()}
+    out = {r.doc_id: r for r in decode_media(with_synthetic_media(docs)).collect()}
+    assert len(out) == len(base)
+    for i, n in base.items():
+        r = out[i]
+        assert r.decode_ok, i
+        if i % 3 == 0:
+            assert (r.modality, r.width, r.height, r.n_channels) == (
+                "image/png", 16 + i % 32, 8 + i % 16, 1)
+        elif i % 3 == 1:
+            assert (r.modality, r.width, r.height) == (
+                "image/gif", 4 + i % 64, 4 + i % 32)
+        else:
+            rate = 8000 + (i % 4) * 4000
+            nf = 400 + n % 600
+            assert (r.modality, r.sample_rate, r.n_frames) == (
+                "audio/wav", rate, nf)
+            assert r.duration_us == nf * 1_000_000 // rate
+            assert r.rms == 1000 + i % 5000
+
+
 def test_sample_frames_fan_out(spark, sf_dir):
     docs = _media_docs(spark, sf_dir)
     out = sample_frames(docs, every_n=2, frame_bytes=16)
