@@ -819,6 +819,35 @@ JOIN d db ON db.doc_id = p.b_id
 """
 
 
+def q_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (prefix filtering, Jaccard >= 3/5).
+
+    The oracle is the ground-truth ALL-PAIRS join — so a green hash match
+    doesn't just check the scores, it PROVES the prefix filter's 100%
+    recall claim on this corpus: any pair the filter pruned incorrectly
+    would be a missing row.
+    """
+    from data_pipeline_ine_spark.operators.dedup import prefix_filter_jaccard_join
+
+    return prefix_filter_jaccard_join(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_PPJOIN = r"""
+WITH d AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
+  FROM documents
+  WHERE len(list_distinct(regexp_extract_all(text, '\S+'))) > 0
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    len(list_intersect(a.ts, b.ts)) AS inter,
+    len(list_distinct(list_concat(a.ts, b.ts))) AS uni
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, ROUND(inter / uni, 6) AS jaccard
+FROM pairs WHERE inter * 5 >= uni * 3
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: LSH candidate pairs (jaccard >= 0.5)
     → connected components via min-label propagation."""
@@ -3486,6 +3515,103 @@ FROM changes
 """
 
 
+def q_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: pairs of same-part shipments whose
+    in-transit windows [shipdate, receiptdate] intersect, via the
+    grid-bucketed equi-join (operators/joins.py::interval_overlap_join).
+    The oracle is the direct quadratic overlap join — an exact match also
+    proves the grid decomposition + first-common-cell dedup lost no pair."""
+    from data_pipeline_ine_spark.operators.joins import interval_overlap_join
+
+    # testdata lineitem has no receiptdate; derive a deterministic transit
+    # window: [shipdate, shipdate + quantity % 20 + 3 days]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("ship"),
+            (F.col("l_quantity").cast("int") % 20 + 3).alias("transit"),
+        )
+    )
+    a = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("a_order"),
+        F.col("l_linenumber").alias("a_line"),
+        F.col("ship").alias("a_start"),
+        F.date_add("ship", F.col("transit")).alias("a_end"),
+    )
+    b = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_orderkey").alias("b_order"),
+        F.col("l_linenumber").alias("b_line"),
+        F.col("ship").alias("b_start"),
+        F.date_add("ship", F.col("transit")).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "partkey", "a_start", "a_end", "b_start", "b_end", grid_days=30
+    )
+    return pairs.filter(
+        F.struct("a_order", "a_line") < F.struct("b_order", "b_line")
+    ).select(
+        "partkey",
+        "a_order",
+        "a_line",
+        "b_order",
+        "b_line",
+        (
+            F.datediff(
+                F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+            )
+            + 1
+        ).alias("overlap_days"),
+    )
+
+
+ORACLE_OVERLAP_SHIPMENTS = """
+WITH s AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+    CAST(l_shipdate AS DATE) AS ship,
+    CAST(l_shipdate AS DATE)
+      + (CAST(l_quantity AS INT) % 20 + 3) * INTERVAL 1 DAY AS receipt
+  FROM lineitem WHERE l_partkey % 97 = 0
+)
+SELECT a.l_partkey AS partkey,
+  a.l_orderkey AS a_order, a.l_linenumber AS a_line,
+  b.l_orderkey AS b_order, b.l_linenumber AS b_line,
+  datediff('day', GREATEST(a.ship, b.ship),
+           LEAST(a.receipt, b.receipt)) + 1 AS overlap_days
+FROM s a JOIN s b ON a.l_partkey = b.l_partkey
+ AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+ AND a.ship <= b.receipt AND b.ship <= a.receipt
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences —
+    one user-keyed window shuffle, |types|²-row output
+    (operators/timeseries.py::transition_matrix)."""
+    from data_pipeline_ine_spark.operators.timeseries import transition_matrix
+
+    return transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS cur_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+)
+SELECT cur_type, next_type, COUNT(*) AS n,
+  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY cur_type), 6) AS p
+FROM s WHERE next_type IS NOT NULL
+GROUP BY cur_type, next_type
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase conversion funnel with first-touch
     semantics: stage i counts only events strictly after the user's stage
@@ -4116,6 +4242,85 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (customer, order-day) —
+    the write-side layout step for multi-dimensional scan pruning
+    (operators/layout.py). Pure bit arithmetic in one codegen projection;
+    the oracle renders the identical unrolled mask-shift-add sum via
+    ``morton_key_sql`` so both engines land on the same BIGINT."""
+    from data_pipeline_ine_spark.operators.layout import morton_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    return orders.select(
+        "o_orderkey",
+        morton_key(F.col("o_custkey") % 65536, epoch_day % 65536).alias("zkey"),
+    )
+
+
+def _oracle_zorder() -> str:
+    from data_pipeline_ine_spark.operators.layout import morton_key_sql
+
+    z = morton_key_sql(
+        "o_custkey % 65536",
+        "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536",
+    )
+    return f"SELECT o_orderkey, CAST({z} AS BIGINT) AS zkey FROM orders"
+
+
+ORACLE_ZORDER = _oracle_zorder()
+
+
+def q_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS neighborhoods on the part co-purchase graph:
+    minimum hop distance (≤3) from the seed set ``p_partkey % 151 = 0``
+    (operators/graph.py::bfs_hops). Pure-integer frontier expansion, one
+    destination-keyed shuffle per hop; the oracle unrolls the three
+    frontier steps in plain SQL and must agree exactly."""
+    from data_pipeline_ine_spark.operators.graph import (
+        bfs_hops,
+        cooccurrence_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    sources = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 151 == 0)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(edges, sources, max_hops=3)
+
+
+ORACLE_BFS = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), und AS (
+  SELECT a.item AS u, b.item AS v
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), e AS (
+  SELECT u AS src, v AS dst FROM und UNION SELECT v, u FROM und
+), s0 AS (
+  SELECT p_partkey AS node FROM part WHERE p_partkey % 151 = 0
+), s1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN s0 ON e.src = s0.node
+), s2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN s1 ON e.src = s1.node
+), s3 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN s2 ON e.src = s2.node
+)
+SELECT node, MIN(h) AS hops FROM (
+  SELECT node, 0 AS h FROM s0
+  UNION ALL SELECT node, 1 FROM s1
+  UNION ALL SELECT node, 2 FROM s2
+  UNION ALL SELECT node, 3 FROM s3
+) GROUP BY node
+"""
+
+
 def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents scored under a corpus-trained add-one BIGRAM LM
     (operators/text.py::bigram_logloss) — the transition-aware quality
@@ -4464,6 +4669,11 @@ _CHECK_ORDER = [
     "state_occupancy",
     "part_pagerank",
     "media_decode",
+    "ppjoin_exact",
+    "event_transitions",
+    "overlap_shipments",
+    "part_bfs_hops",
+    "zorder_keys",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4486,16 +4696,16 @@ _CHECK_ORDER = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
-    "q19_or_predicates",
-    "q20_qualified_suppliers",
-    "q22_dormant_customers",
-    "q11_important_stock",
-    "q21_waiting_suppliers",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
     # r02-evidence queries that didn't fit this round: keep them at the head
     # of the overflow so they are round 5's first slots
+    "q19_or_predicates",
+    "q20_qualified_suppliers",
+    "q22_dormant_customers",
+    "q11_important_stock",
+    "q21_waiting_suppliers",
     "repetition_stats",
     "pii_redaction",
     "contamination_overlap",
@@ -4556,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "near_dup_buckets": q_near_dup_buckets,
         "jaccard_pairs": q_jaccard_pairs,
+        "ppjoin_exact": q_ppjoin_exact,
         "dedup_components": q_dedup_components,
         "embedding_norms": q_embedding_norms,
         "cosine_consecutive": q_cosine_consecutive,
@@ -4627,6 +4838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_within_label": q_knn_within_label,
         "scd2_intervals": q_scd2_intervals,
         "funnel_conversion": q_funnel_conversion,
+        "event_transitions": q_event_transitions,
+        "overlap_shipments": q_overlap_shipments,
         "source_quality_gate": q_source_quality_gate,
         "bm25_scores": q_bm25_scores,
         "dq_audit": q_dq_audit,
@@ -4640,6 +4853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "copurchase_lift": q_copurchase_lift,
         "part_triangles": q_part_triangles,
+        "part_bfs_hops": q_part_bfs_hops,
+        "zorder_keys": q_zorder_keys,
         "bigram_logloss": q_bigram_logloss,
         "key_skew_profile": q_key_skew_profile,
         "mad_outliers": q_mad_outliers,
@@ -4681,6 +4896,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": ORACLE_MINHASH_SIG,
         "near_dup_buckets": ORACLE_NEAR_DUP,
         "jaccard_pairs": ORACLE_JACCARD,
+        "ppjoin_exact": ORACLE_PPJOIN,
         "dedup_components": ORACLE_COMPONENTS,
         "embedding_norms": ORACLE_EMB_NORMS,
         "cosine_consecutive": ORACLE_COSINE_PAIRS,
@@ -4752,6 +4968,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_within_label": ORACLE_KNN_WITHIN_LABEL,
         "scd2_intervals": ORACLE_SCD2,
         "funnel_conversion": ORACLE_FUNNEL,
+        "event_transitions": ORACLE_TRANSITIONS,
+        "overlap_shipments": ORACLE_OVERLAP_SHIPMENTS,
         "source_quality_gate": ORACLE_QUALITY_GATE,
         "bm25_scores": ORACLE_BM25,
         "dq_audit": ORACLE_DQ_AUDIT,
@@ -4765,6 +4983,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "copurchase_lift": ORACLE_COPURCHASE,
         "part_triangles": ORACLE_TRIANGLES,
+        "part_bfs_hops": ORACLE_BFS,
+        "zorder_keys": ORACLE_ZORDER,
         "bigram_logloss": ORACLE_BIGRAM,
         "key_skew_profile": ORACLE_KEY_SKEW,
         "mad_outliers": ORACLE_MAD,

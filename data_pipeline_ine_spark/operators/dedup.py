@@ -561,3 +561,115 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin
+    family — Bayardo et al., WWW'07; Xiao et al., WWW'08).
+
+    Returns every pair with token-set Jaccard >= threshold (given as the
+    exact rational ``threshold_num / threshold_den`` so the boundary
+    comparison is integer arithmetic, never a float) — 100% recall, unlike
+    the MinHash/LSH path (:func:`jaccard_candidate_pairs`), whose recall is
+    probabilistic. The standard trade: LSH cost is corpus-shaped but may
+    miss pairs; prefix filtering is exact but candidate volume depends on
+    token-frequency skew.
+
+    How the filter works: order every document's distinct tokens by a
+    single global ordering (ascending document frequency, token string as
+    tie-break — rarest first), and keep only each doc's first
+    ``n - ceil(t*n) + 1`` tokens (its *prefix*). Any pair with an
+    intersection of at least ``ceil(t*n)`` tokens must collide on at least
+    one prefix token (pigeonhole), and ``J >= t`` implies exactly that, so
+    the prefix equi-join loses nothing; an exact verify then removes false
+    candidates.
+
+    Scale shape (100 TB): five key-bounded shuffles, no all-pairs stage —
+    (1) token-frequency count (vocabulary-sized output), (2) token join of
+    the exploded corpus against the vocabulary, (3) per-doc regroup to
+    rebuild ordered arrays, (4) the prefix-token equi-join whose buckets
+    are BY CONSTRUCTION the rarest tokens of each doc (the frequency
+    ordering exists to keep these buckets small; stopwords never make it
+    into a long doc's prefix), (5) the ids-only candidate dedupe. Token
+    sets ride only the two final id-equi-joins, once per verified side —
+    same array-attachment discipline as ``_banded_shingle_pairs``.
+    Frequency-skew hot spots (a rare-but-shared token appearing in k docs
+    costs k²/2 candidates) are bounded by the verify being per-pair O(set
+    size); production corpora additionally cap candidate fan-out by
+    length-bucketing (|y| within [t·|x|, |x|/t] — the length filter), which
+    ``threshold_den``/``threshold_num`` make exact here too.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
+            ).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+        .localCheckpoint(eager=False)  # tokenization runs once, reused 3x
+    )
+
+    tok = toks.select(id_col, F.explode("ts").alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    ordered = (
+        tok.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("tok_df", "token"))).alias("o")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("o", lambda s: s["token"]).alias("ordered"),
+            F.size("o").alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, all-integer:
+    # ceil(num*n/den) = (num*n + den - 1) div den
+    p = (
+        F.col("n")
+        - F.expr(
+            f"(n * {threshold_num} + {threshold_den - 1}) div {threshold_den}"
+        )
+        + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        F.col(id_col), F.explode(F.slice("ordered", F.lit(1), p)).alias("token")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("a_id"), "token")
+        .join(pref.select(F.col(id_col).alias("b_id"), "token"), "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    scored = (
+        cand.join(
+            toks.select(F.col(id_col).alias("a_id"), F.col("ts").alias("a_ts")),
+            "a_id",
+        )
+        .join(
+            toks.select(F.col(id_col).alias("b_id"), F.col("ts").alias("b_ts")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_ts", "b_ts")).alias("inter"),
+            F.size(F.array_union("a_ts", "b_ts")).alias("uni"),
+        )
+    )
+    return scored.filter(
+        F.col("inter") * threshold_den >= F.col("uni") * threshold_num
+    ).select(
+        "a_id",
+        "b_id",
+        F.round(F.col("inter") / F.col("uni"), round_to).alias("jaccard"),
+    )

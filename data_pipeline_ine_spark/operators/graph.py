@@ -273,3 +273,52 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    source_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected edge list:
+    ``(node, hops)`` — the minimum hop count from any source — for every
+    node within ``max_hops``.
+
+    Iterative frontier expansion in pure integers (hop counts), so the
+    result is exactly reproducible in any engine by unrolling the loop —
+    the same exact-oracle discipline as the fixed-point PageRank above.
+
+    Scale shape: per hop, ONE destination-keyed shuffle (frontier ⨝ edges,
+    then a min-hop aggregate); the frontier join uses only ids — no
+    payloads ride the expansion. ``localCheckpoint`` truncates lineage per
+    round, keeping round N's plan flat (the iterative-loop discipline
+    shared by ``dedup_components``/``pagerank``). Bounded ``max_hops``
+    bounds both work and result size; for all-pairs reachability use the
+    pointer-jumping components operator instead — BFS frontiers are the
+    right tool only for small-diameter neighborhoods.
+    """
+    directed = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = sources.select(
+        F.col(source_col).alias("node"), F.lit(0).alias("hops")
+    ).localCheckpoint()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        frontier = (
+            directed.join(
+                frontier.select(F.col("node").alias("src")).distinct(), "src"
+            )
+            .select(F.col("dst").alias("node"), F.lit(h).alias("hops"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(frontier)
+    return dist.groupBy("node").agg(F.min("hops").alias("hops"))

@@ -192,3 +192,72 @@ def windowed_range_join(
     return candidates.filter(
         (F.col(right_ts) >= lo) & (F.col(right_ts) < F.col(left_ts))
     ).drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start_r",
+    right_end: str = "end_r",
+    grid_days: int = 30,
+) -> DataFrame:
+    """Interval×interval overlap join — pairs whose [start, end] DATE
+    ranges intersect (inclusive) — as a grid-bucketed equi-join.
+
+    The naive formulation (``l.start <= r.end AND r.start <= l.end``) has
+    no equi-key, so Spark plans a nested-loop join: O(n·m) per key group
+    and a broadcast requirement — the classic scale killer for validity-
+    interval × validity-interval work (SCD2 vs campaign windows, shipment
+    overlap, concurrent-session analysis). Here both sides explode onto a
+    fixed ``grid_days`` calendar grid (an interval lands in every cell it
+    touches — ⌈len/grid⌉+1 rows), the join is a plain hash equi-join on
+    (keys, cell), and the exact predicate runs on same-cell candidates
+    only.
+
+    Duplicate suppression is arithmetic, not a shuffle: an overlapping
+    pair shares every cell their intersection spans, so the pair is
+    emitted ONLY in the first such cell — ``cell == cell(max(starts))``
+    (the spatial-join "report at first common tile" trick). No
+    dropDuplicates pass over the candidate stream.
+
+    Grid sizing: cost is Σ_cell (left-in-cell × right-in-cell); pick
+    ``grid_days`` near the typical interval length so each interval
+    touches O(1) cells while cells stay narrow enough to bound occupancy.
+    Intervals with ``end < start`` are dropped (F.sequence would silently
+    enumerate a DESCENDING range and corrupt candidates).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap_cols = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap_cols:
+        raise ValueError(
+            f"non-key columns shared by both sides: {sorted(overlap_cols)}; "
+            "alias them before the overlap join"
+        )
+
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def cell(c: str) -> Column:
+        return F.floor(F.datediff(F.col(c), epoch) / grid_days)
+
+    l = left.filter(F.col(left_end) >= F.col(left_start)).withColumn(
+        "_cell", F.explode(F.sequence(cell(left_start), cell(left_end)))
+    )
+    r = right.filter(F.col(right_end) >= F.col(right_start)).withColumn(
+        "_cell", F.explode(F.sequence(cell(right_start), cell(right_end)))
+    )
+    first_common = F.floor(
+        F.datediff(F.greatest(F.col(left_start), F.col(right_start)), epoch)
+        / grid_days
+    )
+    return (
+        l.join(r, on=[*keys, "_cell"])
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("_cell") == first_common)
+        )
+        .drop("_cell")
+    )

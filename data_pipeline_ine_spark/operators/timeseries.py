@@ -284,3 +284,44 @@ def state_occupancy_daily(
     return days.groupBy("day", state_col).agg(
         F.countDistinct(user_col).alias("n_users")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    for each ordered pair (cur, next) of consecutive events of the same
+    key, the transition count and row-normalized probability.
+
+    The sequence order is (ts, tiebreak) — the tiebreak makes LEAD
+    deterministic when one key has simultaneous events, which is what
+    keeps the result engine-reproducible.
+
+    Scale shape: one key-partitioned window (the same shuffle sessionize
+    uses — at 100 TB this is a sort within each key's partition, never
+    global), then an aggregation whose output is |types|² rows; the
+    row-normalizing window runs on that tiny matrix, not the corpus.
+    Probabilities are exact small-integer ratios rounded after an IEEE
+    division both engines perform identically.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(key_col, ts_col, tiebreak_col, F.col(type_col).alias("cur_type"))
+        .withColumn("next_type", F.lead("cur_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = Window.partitionBy("cur_type")
+    return counts.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_total), round_to).alias("p"),
+    )

@@ -113,3 +113,37 @@ def test_simhash_banding_guaranteed_recall(spark, max_hamming):
         .collect()
     }
     assert got == want
+
+
+def test_ppjoin_no_nested_loop_and_matches_bruteforce(spark, sf_dir):
+    """Prefix filtering must (a) plan as equi-joins — never a cartesian /
+    nested-loop stage — and (b) return exactly the brute-force Jaccard>=t
+    pairs (100% recall is the operator's defining claim vs LSH)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.dedup import prefix_filter_jaccard_join
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = prefix_filter_jaccard_join(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r.a_id, r.b_id): r.jaccard for r in out.collect()}
+
+    sets = {
+        r.doc_id: frozenset(r.text.split())
+        for r in docs.select("doc_id", "text").collect()
+        if r.text and r.text.split()
+    }
+    ids = sorted(sets)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * 5 >= uni * 3:
+                want[(a, b)] = round(inter / uni, 6)
+    assert got == want

@@ -82,3 +82,28 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert all(got["hub"] > got[f"n{i}"] for i in range(8))
     # leaves are symmetric → identical integer ranks
     assert len({got[f"n{i}"] for i in range(8)}) == 1
+
+
+def test_bfs_hops_hand_graph(spark):
+    from data_pipeline_ine_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus isolated source 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "item_a long, item_b long"
+    )
+    sources = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, sources, max_hops=3).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops
+
+
+def test_bfs_hops_min_distance_wins_over_revisit(spark):
+    from data_pipeline_ine_spark.operators.graph import bfs_hops
+
+    # triangle 1-2-3: node 3 is reachable at hop 1 (direct) and hop 2
+    # (via 2); min must win, and sources stay at 0 despite self-reentry
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "item_a long, item_b long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, sources, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}

@@ -1,0 +1,87 @@
+"""Z-order layout: Morton key bit math, cross-engine SQL parity, and the
+range-clustering plan shape."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import functions as F
+
+from data_pipeline_ine_spark.operators.layout import (
+    cluster_by_zorder,
+    morton_key,
+    morton_key_sql,
+)
+
+
+def _interleave(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_known_values(spark):
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (65535, 65535), (43690, 21845)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", morton_key("x", "y").alias("z")).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == _interleave(x, y), (x, y)
+    # full 16+16 bits at max fills all 32 low bits
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_morton_key_sql_matches_spark(spark):
+    cases = [(i * 977 % 65536, i * 613 % 65536) for i in range(64)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    spark_keys = sorted(
+        r.z for r in df.select(morton_key("x", "y").alias("z")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    duck_keys = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT {morton_key_sql('x', 'y')} FROM t"
+        ).fetchall()
+    )
+    assert spark_keys == duck_keys
+
+
+def test_morton_locality_quadrants(spark):
+    # all points with both dims < 2^8 must key below every point with
+    # either dim's high bit set — the property scan pruning relies on
+    lo = _interleave(255, 255)
+    assert lo == (1 << 16) - 1
+    assert _interleave(256, 0) > lo and _interleave(0, 256) > lo
+
+
+def test_cluster_by_zorder_plans_range_partitioning(spark, sf_dir):
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    out = cluster_by_zorder(
+        orders, F.col("o_custkey") % 65536, epoch_day % 65536, num_partitions=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "_zkey" in plan
+    # clustered output: keys are globally range-ordered across partition ids
+    parts = out.select(F.spark_partition_id().alias("pid"), "_zkey").groupBy(
+        "pid"
+    ).agg(F.min("_zkey").alias("lo"), F.max("_zkey").alias("hi")).orderBy("pid")
+    rows = parts.collect()
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo

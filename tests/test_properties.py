@@ -337,3 +337,54 @@ def test_changelog_roundtrip_reconstructs_new_snapshot(spark, old, new):
         r.k: r.v for r in apply_changelog(old_df, feed_df, ["k"]).collect()
     }
     assert got == new
+
+
+@SETTINGS
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 80), st.integers(-2, 40)),
+        min_size=1, max_size=8,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 80), st.integers(-2, 40)),
+        min_size=0, max_size=8,
+    ),
+    grid=st.integers(1, 45),
+)
+def test_interval_overlap_grid_matches_naive(spark, left, right, grid):
+    """The grid-bucketed overlap join must return exactly the naive
+    overlap-predicate pairs for ANY grid width, each pair exactly once
+    (first-common-cell dedup), with end<start intervals dropped."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.joins import interval_overlap_join
+
+    base = dt.date(2024, 1, 1)
+
+    def mk(rows, ids, s, e):
+        data = [
+            (i, k, base + dt.timedelta(days=a), base + dt.timedelta(days=a + d))
+            for i, (k, a, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"{ids} long, k long, {s} date, {e} date"
+        )
+
+    ldf = mk(left, "lid", "ls", "le")
+    rdf = mk(right, "rid", "rs", "re")
+    got = [
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, on="k", left_start="ls", left_end="le",
+            right_start="rs", right_end="re", grid_days=grid,
+        ).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    want = {
+        (i, j)
+        for i, (lk, la, ld) in enumerate(left)
+        for j, (rk, ra, rd) in enumerate(right)
+        if lk == rk and ld >= 0 and rd >= 0
+        and la <= ra + rd and ra <= la + ld
+    }
+    assert set(got) == want

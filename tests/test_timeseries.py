@@ -97,3 +97,45 @@ def test_state_occupancy_covers_touched_days_and_clips_open(spark):
         ("2024-01-02", "a"): 2,   # user 1 until noon + user 2 open
         ("2024-01-02", "b"): 1,   # user 1 from noon, clipped at horizon
     }
+
+
+def test_transition_matrix_counts_and_row_normalization(spark):
+    from data_pipeline_ine_spark.operators.timeseries import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a   user 2: a -> b
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 00:05:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.cur_type, r.next_type): (r.n, r.p)
+        for r in transition_matrix(df).collect()
+    }
+    # terminal events (NULL next) are excluded BEFORE normalization, so
+    # each row of the matrix sums to 1 over observed transitions only
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_transition_matrix_tiebreak_makes_lead_deterministic(spark):
+    from data_pipeline_ine_spark.operators.timeseries import transition_matrix
+
+    # two simultaneous events: order must follow event_id, giving x->y
+    rows = [
+        (10, 1, "2024-01-01 00:00:00", "x"),
+        (11, 1, "2024-01-01 00:00:00", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for _ in range(3):
+        got = [
+            (r.cur_type, r.next_type, r.n)
+            for r in transition_matrix(df).collect()
+        ]
+        assert got == [("x", "y", 1)]
