@@ -819,6 +819,46 @@ JOIN d db ON db.doc_id = p.b_id
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup: docs with ``doc_id % 5 = 0`` are
+    the incoming batch, the rest the standing corpus; batch docs that are
+    near-dups (Jaccard >= 1/2) of any corpus doc are dropped
+    (operators/dedup.py::incremental_near_dup_filter). Band-join cost is
+    batch-driven; ids-only through every shuffle until the anti-join."""
+    from data_pipeline_ine_spark.operators.dedup import incremental_near_dup_filter
+
+    docs = _docs_parallel(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_near_dup_filter(new, corpus).select("doc_id")
+
+
+ORACLE_INCREMENTAL_DEDUP = _MINHASH_CTE + r"""
+, d AS (
+  SELECT doc_id, list_distinct(shingles) AS sh, bands FROM banded
+), n AS (
+  SELECT * FROM d WHERE doc_id % 5 = 0
+), c AS (
+  SELECT * FROM d WHERE doc_id % 5 <> 0
+), ne AS (
+  SELECT doc_id, UNNEST(bands) AS band_hash FROM n
+), ce AS (
+  SELECT doc_id, UNNEST(bands) AS band_hash FROM c
+), cand AS (
+  SELECT DISTINCT ne.doc_id AS new_id, ce.doc_id AS corp_id
+  FROM ne JOIN ce USING (band_hash)
+), dup AS (
+  SELECT DISTINCT p.new_id
+  FROM cand p
+  JOIN n ON n.doc_id = p.new_id
+  JOIN c ON c.doc_id = p.corp_id
+  WHERE len(list_intersect(n.sh, c.sh)) * 2
+        >= len(list_distinct(list_concat(n.sh, c.sh)))
+)
+SELECT doc_id FROM n WHERE doc_id NOT IN (SELECT new_id FROM dup)
+"""
+
+
 def q_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity self-join (prefix filtering, Jaccard >= 3/5).
 
@@ -2522,6 +2562,65 @@ GROUP BY 1 ORDER BY 1
 )
 
 
+def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-upsampling by per-domain epoch multipliers (src0 2.5×,
+    src1 0.75×, src2 1×, rest 1.25×) — fractional epochs realized by a
+    deterministic hash coin, all-integer bucket arithmetic, map-side only
+    (operators/sampling.py::upsample_mixture)."""
+    from data_pipeline_ine_spark.operators.sampling import upsample_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return upsample_mixture(
+        docs,
+        {"src0": 2.5, "src1": 0.75, "src2": 1.0},
+        default_multiplier=1.25,
+        buckets=_MIX_BUCKETS,
+    ).select("doc_id", "source", "copy_idx")
+
+
+ORACLE_UPSAMPLE = (
+    """
+WITH m AS (
+  SELECT doc_id, source,
+    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 7500
+                WHEN 'src2' THEN 10000 ELSE 12500 END AS mtb,
+    ("""
+    + _HEX12.format(h="md5('epoch:' || CAST(doc_id AS VARCHAR))")
+    + """ % 10000) AS b
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+    mtb // 10000 + CASE WHEN b < mtb % 10000 THEN 1 ELSE 0 END AS copies
+  FROM m
+)
+SELECT doc_id, source,
+  UNNEST(range(1, CAST(copies AS BIGINT) + 1)) AS copy_idx
+FROM c WHERE copies > 0
+"""
+)
+
+
+def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic training-order shuffle: permutation rank 1..N
+    by salted-hash order, computed with the two-pass distributed rank
+    (range-sort, per-partition counts, prefix-sum offsets) — never a
+    single-task global window (operators/sampling.py::deterministic_shuffle)."""
+    from data_pipeline_ine_spark.operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs).select("doc_id", "shuffle_rank")
+
+
+ORACLE_SHUFFLE_RANK = (
+    """
+SELECT doc_id, ROW_NUMBER() OVER (ORDER BY """
+    + _HEX12.format(h="md5('shuffle:' || CAST(doc_id AS VARCHAR))")
+    + """, doc_id) AS shuffle_rank
+FROM documents
+"""
+)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-3-per-source deterministic sample via the two-level hash
     tournament (shard ranks first, then per-stratum ranks over ≤ shards·k
@@ -3737,6 +3836,50 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiler over orders: per-column row/non-null/
+    distinct counts and typed min/max, all from ONE aggregate (Expand for
+    the multiple exact distincts) + a stack unpivot
+    (operators/quality.py::profile_columns)."""
+    from data_pipeline_ine_spark.operators.quality import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+def _profile_oracle_block(col: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = (
+            f"MIN(CAST({col} AS DOUBLE))",
+            f"MAX(CAST({col} AS DOUBLE))",
+        )
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        smn, smx = f"MIN({col})", f"MAX({col})"
+    return (
+        f"SELECT '{col}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT({col}) AS n_nonnull, COUNT(DISTINCT {col}) AS n_distinct, "
+        f"{mn} AS min_num, {mx} AS max_num, {smn} AS min_str, "
+        f"{smx} AS max_str FROM orders"
+    )
+
+
+ORACLE_PROFILE = " UNION ALL ".join(
+    [
+        _profile_oracle_block("o_orderkey", "num"),
+        _profile_oracle_block("o_custkey", "num"),
+        _profile_oracle_block("o_totalprice", "num"),
+        _profile_oracle_block("o_orderstatus", "str"),
+        _profile_oracle_block("o_orderpriority", "str"),
+    ]
+)
+
+
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation audit over lineitem/orders: per-row
     constraint checks fused into ONE conditional aggregate, key
@@ -4674,6 +4817,10 @@ _CHECK_ORDER = [
     "overlap_shipments",
     "part_bfs_hops",
     "zorder_keys",
+    "upsample_epochs",
+    "shuffle_rank",
+    "incremental_dedup",
+    "profile_orders",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4692,15 +4839,15 @@ _CHECK_ORDER = [
     "v_estaciones",
     "q8_market_share",
     "q9_profit_by_nation",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "q13_order_distribution",
+    "q15_top_supplier",
     # r02-evidence queries that didn't fit this round: keep them at the head
     # of the overflow so they are round 5's first slots
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
     "q19_or_predicates",
     "q20_qualified_suppliers",
     "q22_dormant_customers",
@@ -4767,6 +4914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_buckets": q_near_dup_buckets,
         "jaccard_pairs": q_jaccard_pairs,
         "ppjoin_exact": q_ppjoin_exact,
+        "incremental_dedup": q_incremental_dedup,
+        "profile_orders": q_profile_orders,
         "dedup_components": q_dedup_components,
         "embedding_norms": q_embedding_norms,
         "cosine_consecutive": q_cosine_consecutive,
@@ -4811,6 +4960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q_q11_important_stock,
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "domain_mixture": q_domain_mixture,
+        "upsample_epochs": q_upsample_epochs,
+        "shuffle_rank": q_shuffle_rank,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
@@ -4897,6 +5048,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_buckets": ORACLE_NEAR_DUP,
         "jaccard_pairs": ORACLE_JACCARD,
         "ppjoin_exact": ORACLE_PPJOIN,
+        "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+        "profile_orders": ORACLE_PROFILE,
         "dedup_components": ORACLE_COMPONENTS,
         "embedding_norms": ORACLE_EMB_NORMS,
         "cosine_consecutive": ORACLE_COSINE_PAIRS,
@@ -4941,6 +5094,8 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_stock": ORACLE_Q11,
         "q21_waiting_suppliers": ORACLE_Q21,
         "domain_mixture": ORACLE_MIXTURE,
+        "upsample_epochs": ORACLE_UPSAMPLE,
+        "shuffle_rank": ORACLE_SHUFFLE_RANK,
         "stratified_sample": ORACLE_STRATIFIED,
         "repetition_stats": ORACLE_REPETITION,
         "pii_redaction": ORACLE_PII,

@@ -673,3 +673,64 @@ def prefix_filter_jaccard_join(
         "b_id",
         F.round(F.col("inter") / F.col("uni"), round_to).alias("jaccard"),
     )
+
+
+def incremental_near_dup_filter(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Incremental ingestion dedup: drop new documents that are near-dups
+    (exact Jaccard ≥ ``threshold_num/threshold_den`` over shingle sets) of
+    ANY existing corpus document; survivors pass through unchanged.
+
+    This is the filter a continuously-fed corpus runs every batch — the
+    batch×corpus analog of the self-join dedup stack, and the reason the
+    LSH stage matters: candidates come from a band-key equi-join of the
+    (small) new batch against the (huge) corpus index, so cost is
+    batch-driven. The corpus side's banded signature table is exactly what
+    ``minhash_docs`` computes once and persists at production scale —
+    re-banding 100 TB per batch would dwarf the batch itself; here both
+    sides are derived inline so the oracle can check end-to-end.
+
+    Shuffle shape: ids-only through the band join and the candidate
+    dedupe; shingle arrays attach once per verified pair side (the
+    ``_banded_shingle_pairs`` discipline); the final keep-set applies as a
+    LEFT ANTI join on the batch, never touching corpus payloads.
+    """
+    new_b = minhash_docs(new_df, id_col=id_col, **minhash_kwargs).select(
+        id_col, F.array_distinct("shingles").alias("sh"), "bands"
+    ).localCheckpoint(eager=False)
+    corp_b = minhash_docs(corpus_df, id_col=id_col, **minhash_kwargs).select(
+        id_col, F.array_distinct("shingles").alias("sh"), "bands"
+    ).localCheckpoint(eager=False)
+    a = new_b.select(
+        F.col(id_col).alias("new_id"), F.explode("bands").alias("band_hash")
+    )
+    c = corp_b.select(
+        F.col(id_col).alias("corp_id"), F.explode("bands").alias("band_hash")
+    )
+    cand = (
+        a.join(c, "band_hash")
+        .select("new_id", "corp_id")
+        .dropDuplicates(["new_id", "corp_id"])
+    )
+    pairs = cand.join(
+        new_b.select(F.col(id_col).alias("new_id"), F.col("sh").alias("n_sh")),
+        "new_id",
+    ).join(
+        corp_b.select(F.col(id_col).alias("corp_id"), F.col("sh").alias("c_sh")),
+        "corp_id",
+    )
+    dup_ids = (
+        pairs.filter(
+            F.size(F.array_intersect("n_sh", "c_sh")) * threshold_den
+            >= F.size(F.array_union("n_sh", "c_sh")) * threshold_num
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")

@@ -139,3 +139,56 @@ def key_skew_profile(
             ).alias("share"),
         )
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str],
+) -> DataFrame:
+    """Single-scan column profiler: one output row per column with
+    ``(col_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
+    min_str, max_str)`` — the ANALYZE/data-catalog statistics pass every
+    curated layer runs before it is published.
+
+    All metrics for all columns come from ONE aggregate over ONE table
+    scan (Catalyst plans the multiple exact COUNT(DISTINCT)s as a single
+    Expand + two-phase aggregate — input rows replicate ×columns inside
+    the shuffle, never a per-column re-scan of the table), then a
+    ``stack`` unpivot reshapes the 1-row result driver-free. min/max stay
+    typed in their own column families (doubles vs strings) because a
+    cross-engine string render of a double is not canonical.
+
+    At extreme widths or row counts swap ``countDistinct`` for the
+    mergeable HLL sketch (operators/sketches.py) — same plan shape minus
+    the Expand replication.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in numeric_cols + string_cols:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__mn"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__mx"))
+    for c in string_cols:
+        aggs.append(F.min(c).alias(f"{c}__smn"))
+        aggs.append(F.max(c).alias(f"{c}__smx"))
+    row = df.agg(*aggs)
+
+    tuples = []
+    for c in numeric_cols:
+        tuples.append(
+            f"'{c}', __n, `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in string_cols:
+        tuples.append(
+            f"'{c}', __n, `{c}__nn`, `{c}__nd`, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), `{c}__smn`, `{c}__smx`"
+        )
+    n = len(tuples)
+    return row.selectExpr(
+        f"stack({n}, {', '.join(tuples)}) AS "
+        "(col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, "
+        "min_str, max_str)"
+    )

@@ -178,3 +178,108 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("_hex", "_shard", "_r1")
     )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    multipliers: Mapping[str, float],
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    default_multiplier: float = 1.0,
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "epoch:",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Repeat-upsampling by per-stratum epoch multipliers — the other half
+    of mixture control: :func:`weighted_mixture` downweights (rate < 1),
+    this op upweights (multiplier ≥ 0, fractional allowed). A multiplier
+    of 2.5 emits every row twice and a deterministic hash-chosen half of
+    rows a third time, so the expected stratum size is exactly 2.5× and
+    the realized sample is reproducible row-for-row (the standard
+    "epochs per domain" knob of LLM pre-training data recipes).
+
+    All arithmetic is integer: multipliers are snapped to
+    ``round(m · buckets)`` bucket units, whole copies are
+    ``mtb div buckets``, and the extra copy fires iff the row's hash
+    bucket falls below ``mtb mod buckets`` — engine-exact, map-side,
+    zero shuffles. Output repeats input rows with ``out_col`` = 1..n
+    (rows with 0 copies disappear), so downstream shuffles (e.g. the
+    :func:`deterministic_shuffle` rank) see distinct physical rows.
+    """
+    pairs: list[Column] = []
+    for stratum, mult in sorted(multipliers.items()):
+        if mult < 0:
+            raise ValueError(f"negative multiplier for {stratum!r}: {mult}")
+        pairs.extend([F.lit(stratum), F.lit(int(round(mult * buckets)))])
+    mtb = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(int(round(default_multiplier * buckets))),
+    )
+    extra = (hash_bucket(key_col, buckets, salt) < F.pmod(mtb, F.lit(buckets))).cast(
+        "int"
+    )
+    copies = (mtb / buckets).cast("long") + extra
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle:",
+    out_col: str = "shuffle_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global pseudorandom permutation rank (1..N) — the training-order
+    shuffle every pretraining pipeline runs before sharding, made
+    deterministic and scale-safe.
+
+    The order key is the md5 fold of the salted row key (uniform,
+    reproducible; ``rand()`` would re-draw on task retry), tie-broken by
+    the key itself so the permutation is total. The rank is NOT a global
+    ``row_number`` window — that moves the corpus to one task. Instead,
+    the classic two-pass distributed rank:
+
+    1. range-repartition + sort by the hash (Spark samples boundaries;
+       whatever boundaries it picks, ordered ranges make step 3 exact),
+    2. count rows per sorted partition — a partition-count-sized frame —
+       and prefix-sum it into per-partition rank offsets,
+    3. broadcast offsets back and add each row's within-partition
+       row_number.
+
+    Every heavy stage is corpus-partition-parallel; the only single-task
+    work is the prefix sum over ~thousands of partition counts.
+    """
+    h = hash_bucket(key_col, 1 << 48, salt).alias("_h")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint: the counts branch and the rank branch must see the
+    # IDENTICAL range partitioning — recomputing the plan could re-sample
+    # different boundaries and misalign offsets with local row numbers
+    ranged = (
+        df.withColumn("_h", h)
+        .repartitionByRange(n, "_h", key_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_off"),
+    ).fillna(0, subset=["_off"])
+    local = Window.partitionBy("_pid").orderBy("_h", key_col)
+    return (
+        ranged.withColumn("_lr", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_h", "_pid", "_lr", "_off")
+    )

@@ -366,3 +366,50 @@ def test_unigram_logloss_rare_tokens_score_worse(spark):
     )
     out = {r.doc_id: r.avg_neg_logp for r in unigram_logloss(df).collect()}
     assert out["rare"] > out["c0"]
+
+
+def _md5_bucket(salt: str, key, buckets: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{salt}{key}".encode()).hexdigest()
+    return int(h[:12], 16) % buckets
+
+
+def test_upsample_mixture_exact_copy_counts(spark):
+    from data_pipeline_ine_spark.operators.sampling import upsample_mixture
+
+    rows = [(i, "src0" if i % 2 == 0 else "other") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_mixture(
+        df, {"src0": 2.5, "other": 0.0}, default_multiplier=1.0
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r.copy_idx)
+    # zero-multiplier stratum disappears entirely
+    assert all(i % 2 == 0 for i in got)
+    for i, copies in got.items():
+        expected = 2 + (1 if _md5_bucket("epoch:", i, 10000) < 5000 else 0)
+        assert sorted(copies) == list(range(1, expected + 1)), i
+    # expected stratum size ~2.5x: between 2x and 3x always
+    n_src0 = 100
+    total = sum(len(v) for v in got.values())
+    assert 2 * n_src0 <= total <= 3 * n_src0
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    import hashlib
+
+    from data_pipeline_ine_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df).collect()}
+    b = {r.doc_id: r.shuffle_rank for r in deterministic_shuffle(df).collect()}
+    assert a == b, "shuffle rank must be identical across runs"
+    assert sorted(a.values()) == list(range(1, 501)), "must be a permutation"
+
+    def key(i):
+        return (int(hashlib.md5(f"shuffle:{i}".encode()).hexdigest()[:12], 16), i)
+
+    want = {i: r + 1 for r, i in enumerate(sorted(range(500), key=key))}
+    assert a == want, "rank must equal the salted-md5 global order"

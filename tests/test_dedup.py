@@ -147,3 +147,24 @@ def test_ppjoin_no_nested_loop_and_matches_bruteforce(spark, sf_dir):
             if inter * 5 >= uni * 3:
                 want[(a, b)] = round(inter / uni, 6)
     assert got == want
+
+
+def test_incremental_dedup_drops_only_corpus_near_dups(spark):
+    from data_pipeline_ine_spark.operators.dedup import incremental_near_dup_filter
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows_corpus = [(i, corpus_text) for i in range(1, 4)]
+    rows_new = [
+        (100, corpus_text),                        # exact dup of corpus -> drop
+        (101, corpus_text + " tail"),              # near dup -> drop
+        (102, "completely different subject matter with novel words only"),
+    ]
+    corpus = spark.createDataFrame(rows_corpus, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id for r in incremental_near_dup_filter(new, corpus).collect()
+    )
+    assert kept == [102]
+    # survivors keep their full payload
+    out = incremental_near_dup_filter(new, corpus).collect()
+    assert out[0].text.startswith("completely different")

@@ -306,3 +306,26 @@ def test_temporal_lookup_zero_width_intervals_never_match(spark):
         payload_cols=("state",),
     ).first()
     assert got.state_asof == "c"
+
+
+def test_profile_columns_single_scan_and_values(spark):
+    from pyspark.sql import functions as F
+    from data_pipeline_ine_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (3, 4.0, "b")],
+        "k long, v double, s string",
+    )
+    out = profile_columns(df, numeric_cols=["k", "v"], string_cols=["s"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ") == 1, (
+        "profiler must read the table exactly once"
+    )
+    rows = {r.col_name: r for r in out.collect()}
+    assert rows["k"].n_rows == 4 and rows["k"].n_nonnull == 4
+    assert rows["k"].n_distinct == 3
+    assert (rows["k"].min_num, rows["k"].max_num) == (1.0, 3.0)
+    assert rows["v"].n_nonnull == 3 and rows["v"].n_distinct == 2
+    assert rows["s"].n_nonnull == 3 and rows["s"].n_distinct == 2
+    assert (rows["s"].min_str, rows["s"].max_str) == ("a", "b")
+    assert rows["s"].min_num is None and rows["k"].min_str is None
