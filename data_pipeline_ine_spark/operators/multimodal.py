@@ -211,6 +211,7 @@ def decode_media(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
+        import numpy as _np
         import io
         import math
         import struct
@@ -269,8 +270,13 @@ def decode_media(
                     rms = None
                     if sw == 2 and frames:
                         n = len(frames) // 2
-                        samples = struct.unpack("<%dh" % n, frames[: 2 * n])
-                        rms = math.isqrt(sum(s * s for s in samples) // n) if n else 0
+                        # int64 square-sum is exact (max s² = 2^30; no
+                        # overflow below ~2^33 samples), so this equals the
+                        # pure-Python isqrt(sum(s²)//n) bit-for-bit
+                        s = _np.frombuffer(
+                            frames[: 2 * n], dtype="<i2"
+                        ).astype(_np.int64)
+                        rms = math.isqrt(int((s * s).sum()) // n) if n else 0
                     out.update(
                         modality="audio/wav", decode_ok=True, n_channels=ch,
                         sample_rate=rate, n_frames=nf,
@@ -338,15 +344,17 @@ def with_synthetic_media(
             return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
 
         def _wav(rate: int, amp: int, nf: int) -> bytes:
+            import numpy as _np
+
+            samples = _np.empty(nf, dtype="<i2")
+            samples[0::2] = amp
+            samples[1::2] = -amp
             buf = io.BytesIO()
             with wave.open(buf, "wb") as wf:
                 wf.setnchannels(1)
                 wf.setsampwidth(2)
                 wf.setframerate(rate)
-                wf.writeframes(
-                    struct.pack("<%dh" % nf,
-                                *((amp if i % 2 == 0 else -amp) for i in range(nf)))
-                )
+                wf.writeframes(samples.tobytes())
             return buf.getvalue()
 
         for pdf in batches:
