@@ -3836,6 +3836,34 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-status order totals: values clipped to the global
+    [p05, p95] then cent-snapped and integer-accumulated — robust sums
+    that are engine-exact despite the interpolated percentile bounds
+    (operators/features.py::winsorized_sums)."""
+    from data_pipeline_ine_spark.operators.features import winsorized_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    return winsorized_sums(orders, "o_totalprice", "o_orderstatus")
+
+
+ORACLE_WINSORIZED = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders
+), c AS (
+  SELECT o_orderstatus,
+    CAST(FLOOR(LEAST(GREATEST(o_totalprice, lo), hi) * 100 + 0.5) AS BIGINT)
+      AS cents
+  FROM orders, b
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(cents) AS DOUBLE) / 100.0 AS wsum
+FROM c GROUP BY o_orderstatus
+"""
+
+
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan column profiler over orders: per-column row/non-null/
     distinct counts and typed min/max, all from ONE aggregate (Expand for
@@ -4821,6 +4849,7 @@ _CHECK_ORDER = [
     "shuffle_rank",
     "incremental_dedup",
     "profile_orders",
+    "winsorized_revenue",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4838,10 +4867,10 @@ _CHECK_ORDER = [
     "ann_kmeans_topk",
     "v_estaciones",
     "q8_market_share",
-    "q9_profit_by_nation",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "q9_profit_by_nation",
     "q13_order_distribution",
     "q15_top_supplier",
     # r02-evidence queries that didn't fit this round: keep them at the head
@@ -4916,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_exact": q_ppjoin_exact,
         "incremental_dedup": q_incremental_dedup,
         "profile_orders": q_profile_orders,
+        "winsorized_revenue": q_winsorized_revenue,
         "dedup_components": q_dedup_components,
         "embedding_norms": q_embedding_norms,
         "cosine_consecutive": q_cosine_consecutive,
@@ -5050,6 +5080,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_exact": ORACLE_PPJOIN,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "profile_orders": ORACLE_PROFILE,
+        "winsorized_revenue": ORACLE_WINSORIZED,
         "dedup_components": ORACLE_COMPONENTS,
         "embedding_norms": ORACLE_EMB_NORMS,
         "cosine_consecutive": ORACLE_COSINE_PAIRS,

@@ -340,3 +340,44 @@ def quantile_normalize(
         ranked.withColumn(out_col, qn).drop("_lt", "_n"),
         [group_col, value_col],
     )
+
+
+def winsorized_sums(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Winsorized (percentile-clipped) per-group sums — the robust
+    aggregate that keeps a handful of fat-tail outliers from dominating a
+    revenue/length/score rollup.
+
+    Global lo/hi cutoffs come from ONE exact-percentile aggregate (a
+    1-row frame, broadcast back over the corpus — the corpus itself is
+    never re-shuffled for the bounds); each value is clipped into
+    [lo, hi] and snapped to exact cents with ``FLOOR(v·100 + 0.5)``
+    (IEEE-exact ops), then accumulated as integers — so the sum is
+    partial-aggregation-order invariant and engine-exact even though the
+    interpolated percentile bounds are full-precision doubles. At extreme
+    cardinality swap the exact percentile for KLL on the same plan shape
+    (see ``group_percentile_gate``).
+    """
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, {lo_p})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi_p})").alias("_hi"),
+    )
+    clipped = df.join(broadcast(bounds)).select(
+        group_col,
+        F.floor(
+            F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+            * 100
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("_cents"),
+    )
+    return clipped.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("_cents").cast("double") / 100.0).alias("wsum"),
+    )
