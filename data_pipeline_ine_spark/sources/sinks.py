@@ -195,3 +195,105 @@ def jdbc_scalar(
         reader = reader.option(k, v)
     row = reader.load().collect()[0]
     return row[0]
+
+
+# ---------------------------------------------------------------------------
+# PostgreSQL bulk load via COPY (the psql client path)
+# ---------------------------------------------------------------------------
+_PG_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "string": "TEXT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def pg_ddl_for(df: DataFrame, table: str) -> str:
+    """Render CREATE TABLE DDL for a DataFrame schema in PostgreSQL types
+    (decimal precision carried through; unsupported types fail loudly
+    rather than silently degrading to TEXT)."""
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith("decimal"):
+            pg = t.upper().replace("DECIMAL", "NUMERIC")
+        else:
+            try:
+                pg = _PG_TYPES[t]
+            except KeyError:
+                raise ValueError(
+                    f"no PostgreSQL mapping for column {f.name!r} type {t!r}"
+                ) from None
+        cols.append(f'"{f.name}" {pg}')
+    return f'CREATE TABLE "{table}" ({", ".join(cols)})'
+
+
+def copy_to_postgres(
+    df: DataFrame,
+    table: str,
+    psql_args: list[str],
+    staging_dir: str,
+    psql_bin: str = "psql",
+) -> int:
+    """S5 alternative — bulk-load a DataFrame into PostgreSQL through the
+    ``COPY`` protocol (``psql \\copy``), replacing the table.
+
+    Reference parity: ``steps/step6_upload_to_db.py:133-142`` uploads each
+    view with pandas ``to_sql(method='multi', chunksize=1000)`` — row
+    batches through INSERT statements. COPY is the PostgreSQL-native bulk
+    path (one order of magnitude faster than batched INSERTs) and needs
+    only the stock ``psql`` client — no JDBC driver jar, no DBAPI module.
+
+    Flow: the cluster writes the DataFrame as headerless CSV part files
+    (fully parallel — this is the 100 TB-scale stage), then the driver
+    streams each part through ``\\copy`` in one transaction per file.
+    The serial COPY leg is the sink's bandwidth ceiling exactly as a
+    single PG endpoint is; at real scale you point ``psql_args`` at a
+    load balancer / partitioned foreign table and run one loader per
+    partition directory.
+
+    Empty strings are written as NULL markers (``nullValue``) matching
+    the reference's NaN→None normalization (``step6:55-74``).
+
+    Returns the number of rows loaded (PG-side count after the load).
+    """
+    import glob
+    import subprocess
+
+    (
+        df.write.mode("overwrite")
+        .option("header", False)
+        .option("nullValue", "")
+        .option("emptyValue", "\"\"")
+        # RFC 4180 doubled quotes — Spark's default backslash escape is not
+        # valid CSV for PostgreSQL COPY
+        .option("escape", '"')
+        .csv(staging_dir)
+    )
+
+    def run_sql(sql: str) -> str:
+        out = subprocess.run(
+            [psql_bin, *psql_args, "-v", "ON_ERROR_STOP=1", "-qAt", "-c", sql],
+            capture_output=True,
+            text=True,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"psql failed: {out.stderr.strip()}")
+        return out.stdout.strip()
+
+    run_sql(f'DROP TABLE IF EXISTS "{table}"')
+    run_sql(pg_ddl_for(df, table))
+    for part in sorted(glob.glob(f"{staging_dir}/part-*.csv")) or sorted(
+        glob.glob(f"{staging_dir}/part-*")
+    ):
+        run_sql(
+            f"\\copy \"{table}\" FROM '{part}' WITH (FORMAT csv, NULL '')"
+        )
+    return int(run_sql(f'SELECT COUNT(*) FROM "{table}"'))

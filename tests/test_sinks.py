@@ -105,3 +105,117 @@ def test_layer_schema_evolution_merges(spark, sf_dir, tmp_path):
     assert old.filter(F.col("r_flag").isNull()).count() == old.count()
     new = merged.filter(F.col("run_date") == "2026-01-02")
     assert new.filter(F.col("r_flag") == "new").count() == new.count()
+
+
+# ---------------------------------------------------------------------------
+# Live-PostgreSQL COPY sink (runs against a scratch server when the stock
+# PG binaries exist; skipped otherwise)
+# ---------------------------------------------------------------------------
+def _scratch_pg(tmpdir: str):
+    """Init + start a throwaway PostgreSQL on a unix socket as an
+    unprivileged user (PG refuses to run as root). Returns (psql_args,
+    stop_fn) or None when unavailable."""
+    import shutil
+    import subprocess
+    import time
+
+    if not (shutil.which("psql") and shutil.which("initdb") or
+            os.path.exists("/usr/local/bin/initdb")):
+        return None
+    initdb = shutil.which("initdb") or "/usr/local/bin/initdb"
+    pg_ctl = shutil.which("pg_ctl") or "/usr/local/bin/pg_ctl"
+    data = f"{tmpdir}/data"
+    os.makedirs(tmpdir, exist_ok=True)
+    run_as = None
+    if os.geteuid() == 0:
+        subprocess.run(["chown", "nobody", tmpdir], check=True)
+        run_as = ["su", "-s", "/bin/sh", "nobody", "-c"]
+
+    def sh(cmd: str):
+        full = run_as + [cmd] if run_as else ["/bin/sh", "-c", cmd]
+        return subprocess.run(full, capture_output=True, text=True, cwd="/tmp")
+
+    r = sh(f"{initdb} -D {data} --no-sync -A trust")
+    if r.returncode != 0:
+        return None
+    r = sh(
+        f"{pg_ctl} -D {data} -o '-k {tmpdir} -p 54329 -c listen_addresses=' "
+        f"-l {tmpdir}/log start"
+    )
+    if r.returncode != 0:
+        return None
+    for _ in range(50):
+        probe = subprocess.run(
+            ["psql", "-h", tmpdir, "-p", "54329", "-U", "nobody",
+             "-d", "postgres", "-qAt", "-c", "SELECT 1"],
+            capture_output=True, text=True,
+        )
+        if probe.returncode == 0:
+            break
+        time.sleep(0.2)
+    else:
+        sh(f"{pg_ctl} -D {data} stop -m immediate")
+        return None
+
+    args = ["-h", tmpdir, "-p", "54329", "-U", "nobody", "-d", "postgres"]
+    return args, lambda: sh(f"{pg_ctl} -D {data} stop -m immediate")
+
+
+def test_copy_to_postgres_roundtrip(spark, tmp_path):
+    """End-to-end against a REAL PostgreSQL 15: schema DDL from the
+    DataFrame, parallel CSV staging, \\copy load, and value-faithful
+    round-trip including NULLs, commas, and quotes."""
+    import subprocess
+
+    import pytest as _pytest
+
+    from data_pipeline_ine_spark.sources.sinks import copy_to_postgres
+
+    import tempfile
+
+    # PG data lives under /tmp directly: the server runs as an unprivileged
+    # user who cannot traverse pytest's 0700 root-owned tmp_path
+    pg_dir = tempfile.mkdtemp(prefix="pgsink_", dir="/tmp")
+    pg = _scratch_pg(pg_dir)
+    if pg is None:
+        _pytest.skip("no usable PostgreSQL binaries in this environment")
+    psql_args, stop = pg
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, 10.5, "plain", True),
+                (2, None, 'comma, and "quotes"', False),
+                (3, -0.25, None, None),
+            ],
+            "id bigint, v double, s string, flag boolean",
+        )
+        n = copy_to_postgres(
+            df, "t_roundtrip", psql_args, str(tmp_path / "stage")
+        )
+        assert n == 3
+
+        def q(sql):
+            out = subprocess.run(
+                ["psql", *psql_args, "-qAt", "-c", sql],
+                capture_output=True, text=True,
+            )
+            assert out.returncode == 0, out.stderr
+            return out.stdout.strip()
+
+        assert q('SELECT COUNT(*) FROM "t_roundtrip" WHERE v IS NULL') == "1"
+        assert q('SELECT COUNT(*) FROM "t_roundtrip" WHERE s IS NULL') == "1"
+        assert q('SELECT SUM(v) FROM "t_roundtrip"') == "10.25"
+        assert q("SELECT s FROM \"t_roundtrip\" WHERE id = 2") == (
+            'comma, and "quotes"'
+        )
+        assert q('SELECT flag FROM "t_roundtrip" WHERE id = 1') == "t"
+        # overwrite semantics: a second load replaces, never appends
+        n2 = copy_to_postgres(
+            df.limit(2), "t_roundtrip", psql_args, str(tmp_path / "stage2")
+        )
+        assert n2 == 2
+    finally:
+        stop()
+        import shutil as _shutil
+
+        _shutil.rmtree(pg_dir, ignore_errors=True)
