@@ -860,23 +860,29 @@ SELECT doc_id FROM n WHERE doc_id NOT IN (SELECT new_id FROM dup)
 
 
 def q_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact set-similarity self-join (prefix filtering, Jaccard >= 3/5).
+    """Exact set-similarity self-join (prefix filtering + length filter,
+    3-shingle Jaccard >= 3/5).
 
     The oracle is the ground-truth ALL-PAIRS join — so a green hash match
     doesn't just check the scores, it PROVES the prefix filter's 100%
     recall claim on this corpus: any pair the filter pruned incorrectly
-    would be a missing row.
+    would be a missing row. Shingle elements (not word tokens): the
+    synthetic corpus has a 31-word vocabulary, on which word-set Jaccard
+    is inherently quadratic — in output, not just in work.
     """
     from data_pipeline_ine_spark.operators.dedup import prefix_filter_jaccard_join
 
-    return prefix_filter_jaccard_join(_docs_parallel(spark, sf_dir))
+    return prefix_filter_jaccard_join(_docs_parallel(spark, sf_dir), shingle_k=3)
 
 
 ORACLE_PPJOIN = r"""
-WITH d AS (
-  SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS ts
-  FROM documents
-  WHERE len(list_distinct(regexp_extract_all(text, '\S+'))) > 0
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
+), d AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, GREATEST(len(tokens) - 2, 1) + 1),
+        i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS ts
+  FROM t WHERE len(tokens) > 0
 ), pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
     len(list_intersect(a.ts, b.ts)) AS inter,

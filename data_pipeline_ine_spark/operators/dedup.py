@@ -570,6 +570,7 @@ def prefix_filter_jaccard_join(
     threshold_num: int = 3,
     threshold_den: int = 5,
     round_to: int = 6,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin
     family — Bayardo et al., WWW'07; Xiao et al., WWW'08).
@@ -600,19 +601,27 @@ def prefix_filter_jaccard_join(
     into a long doc's prefix), (5) the ids-only candidate dedupe. Token
     sets ride only the two final id-equi-joins, once per verified side —
     same array-attachment discipline as ``_banded_shingle_pairs``.
-    Frequency-skew hot spots (a rare-but-shared token appearing in k docs
-    costs k²/2 candidates) are bounded by the verify being per-pair O(set
-    size); production corpora additionally cap candidate fan-out by
-    length-bucketing (|y| within [t·|x|, |x|/t] — the length filter), which
-    ``threshold_den``/``threshold_num`` make exact here too.
+    The candidate stage also applies the exact LENGTH filter (J ≥ t forces
+    ``t·|x| ≤ |y| ≤ |x|/t``) as integer inequalities riding the prefix
+    join — pairs with incompatible sizes never reach the verify.
+
+    ``shingle_k``: set elements are word tokens by default; pass k to use
+    sliding word k-shingles instead. The prefix filter's efficiency rests
+    on rare tokens existing — on a corpus with a tiny/uniform vocabulary
+    (every word common), word-level prefix buckets degenerate toward
+    all-pairs AND the J ≥ t result itself goes quadratic, because sets
+    drawn from 31 words genuinely overlap. Shingles restore a
+    combinatorial, Zipf-tailed element space, which is why production
+    near-dup joins operate on shingles, not bags of words.
     """
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.array_distinct(
-                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
-            ).alias("ts"),
+    if shingle_k is not None:
+        elems = F.array_distinct(word_shingles(text_col, k=shingle_k))
+    else:
+        elems = F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
         )
+    toks = (
+        df.select(F.col(id_col), elems.alias("ts"))
         .filter(F.size("ts") > 0)
         .localCheckpoint(eager=False)  # tokenization runs once, reused 3x
     )
@@ -641,12 +650,26 @@ def prefix_filter_jaccard_join(
         + F.lit(1)
     ).cast("int")
     pref = ordered.select(
-        F.col(id_col), F.explode(F.slice("ordered", F.lit(1), p)).alias("token")
+        F.col(id_col),
+        "n",
+        F.explode(F.slice("ordered", F.lit(1), p)).alias("token"),
+    )
+    # length filter: J >= t implies t·|x| <= |y| <= |x|/t — integer-exact
+    compatible = (
+        (F.col("a_n") * threshold_num <= F.col("b_n") * threshold_den)
+        & (F.col("b_n") * threshold_num <= F.col("a_n") * threshold_den)
     )
     cand = (
-        pref.select(F.col(id_col).alias("a_id"), "token")
-        .join(pref.select(F.col(id_col).alias("b_id"), "token"), "token")
-        .filter(F.col("a_id") < F.col("b_id"))
+        pref.select(
+            F.col(id_col).alias("a_id"), F.col("n").alias("a_n"), "token"
+        )
+        .join(
+            pref.select(
+                F.col(id_col).alias("b_id"), F.col("n").alias("b_n"), "token"
+            ),
+            "token",
+        )
+        .filter((F.col("a_id") < F.col("b_id")) & compatible)
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
