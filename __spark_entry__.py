@@ -1065,6 +1065,36 @@ GROUP BY 1, 2
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: gap-sessionized event-type sequences
+    rendered as ordered path strings and counted corpus-wide
+    (operators/timeseries.py::session_paths). Total (ts, event_id) order
+    + array_sort re-render keep the strings engine-exact."""
+    from data_pipeline_ine_spark.operators.timeseries import session_paths
+
+    return session_paths(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SESSION_PATHS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              <= INTERVAL 1800 SECOND THEN 0 ELSE 1 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT path, COUNT(*) AS n FROM paths
+GROUP BY path HAVING COUNT(*) >= 2
+"""
+
+
 def q_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (width 6h, slide 3h): every event lands in width/slide
     overlapping windows. Spark materializes the window memberships at the
@@ -4856,6 +4886,7 @@ _CHECK_ORDER = [
     "incremental_dedup",
     "profile_orders",
     "winsorized_revenue",
+    "session_paths",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4872,10 +4903,10 @@ _CHECK_ORDER = [
     "ann_ivf_topk",
     "ann_kmeans_topk",
     "v_estaciones",
-    "q8_market_share",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "q8_market_share",
     "q9_profit_by_nation",
     "q13_order_distribution",
     "q15_top_supplier",
@@ -5027,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "event_transitions": q_event_transitions,
         "overlap_shipments": q_overlap_shipments,
+        "session_paths": q_session_paths,
         "source_quality_gate": q_source_quality_gate,
         "bm25_scores": q_bm25_scores,
         "dq_audit": q_dq_audit,
@@ -5162,6 +5194,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": ORACLE_FUNNEL,
         "event_transitions": ORACLE_TRANSITIONS,
         "overlap_shipments": ORACLE_OVERLAP_SHIPMENTS,
+        "session_paths": ORACLE_SESSION_PATHS,
         "source_quality_gate": ORACLE_QUALITY_GATE,
         "bm25_scores": ORACLE_BM25,
         "dq_audit": ORACLE_DQ_AUDIT,

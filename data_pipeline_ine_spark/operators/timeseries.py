@@ -325,3 +325,55 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(row_total), round_to).alias("p"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top clickstream paths: gap-based sessions rendered as ordered
+    event-type strings (``view>click>purchase``), counted across the
+    corpus — the path/attribution analysis that sits one level above the
+    funnel (which fixes the stage order in advance; paths discover it).
+
+    Determinism: events order by (ts, tiebreak) — a total order — and the
+    per-session event list is rebuilt with ``array_sort`` over collected
+    (ts, tiebreak, type) structs rather than trusting ``collect_list``
+    arrival order, so the rendered path is engine-exact.
+
+    Scale shape: session numbering runs two window passes on ONE
+    user-keyed shuffle (the sessionize discipline); the path render is a
+    (user, session)-keyed aggregate whose state is one session's events
+    (bounded by session length, not user history); the final count
+    shuffles only distinct path strings.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(ts_col).over(w)
+    is_new = prev.isNull() | (
+        F.col(ts_col) > prev + F.expr(f"INTERVAL {gap_seconds} SECONDS")
+    )
+    numbered = df.withColumn(
+        "_sid",
+        F.sum(F.when(is_new, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = numbered.groupBy(user_col, "_sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(ts_col, tiebreak_col, type_col))
+                ),
+                lambda s: s[type_col],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= min_count
+    )

@@ -599,3 +599,58 @@ def test_knn_with_lsh_bucket_block_stays_subquadratic(spark, sf_dir):
     out = knn_join_blocked(bucketed, k=3, block_col="bucket")
     assert out.count() > 0
     assert out.filter(F.col("rank") > 3).count() == 0
+
+
+def test_interval_overlap_join_never_nested_loop(spark, sf_dir):
+    """The grid rewrite must plan the overlap join as a hash/SMJ equi-join
+    — a raw interval predicate would fall back to BroadcastNestedLoopJoin."""
+    import __spark_entry__ as contract
+
+    plan = (
+        contract.q_overlap_shipments(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_window_is_user_partitioned(spark, sf_dir):
+    """The sequence window must partition by user — a global (empty-
+    partition) window would drag the corpus through one task."""
+    import __spark_entry__ as contract
+
+    plan = (
+        contract.q_event_transitions(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    lead_windows = [
+        ln for ln in plan.splitlines() if "lead(" in ln and "Window" in ln
+    ]
+    assert lead_windows, "expected a lead() window in the plan"
+    assert all("user_id" in ln for ln in lead_windows)
+
+
+def test_deterministic_shuffle_no_global_window(spark, sf_dir):
+    """The permutation rank must come from the two-pass distributed rank:
+    every row_number window partitions by _pid, never SinglePartition."""
+    from data_pipeline_ine_spark.operators.sampling import deterministic_shuffle
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = (
+        deterministic_shuffle(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rn_lines = [
+        ln for ln in plan.splitlines() if "row_number" in ln.lower()
+    ]
+    assert rn_lines, "expected a row_number window"
+    assert all("_pid" in ln for ln in rn_lines)

@@ -72,6 +72,15 @@ HEAVY = [
     "inverted_index",
     "quantile_normalize",
     "dup_cluster_sizes",
+    # round-4 additions over the probe corpus (overlap_shipments /
+    # part_bfs_hops / zorder_keys read TPC-H tables — their bounds are
+    # grid-cell occupancy, frontier size, and a pure projection, pinned by
+    # plan/property tests instead)
+    "ppjoin_exact",
+    "incremental_dedup",
+    "media_decode",
+    "upsample_epochs",
+    "shuffle_rank",
 ]
 
 
