@@ -3001,6 +3001,74 @@ def _oracle_estaciones() -> str:
     return station_values_sql()
 
 
+def q_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor over the reference's 98-station geo catalog
+    (``dictionary/estaciones_aire_data.json`` → ``v_estaciones``,
+    step5_create_views.py:503-539): each station's closest other station
+    by squared-degree distance — multiplications only, no trig, so both
+    engines compute bit-identical doubles and the tie-broken ranking is
+    engine-exact.
+
+    The catalog is a 98-row dimension, so all-pairs + a per-station
+    row_number is the right plan here (one broadcast, one tiny window).
+    At corpus scale the same query becomes a grid-bucketed join: Morton
+    keys over quantized (lat, lon) (operators/layout.py) as the block
+    key, neighbors searched in the 3×3 adjacent cells — the knn_within_
+    label blocking pattern with a spatial key.
+    """
+    from data_pipeline_ine_spark.sources.station_catalog import (
+        load_station_catalog,
+    )
+
+    cat = load_station_catalog(spark).select("nombre", "latitud", "longitud")
+    a = cat.select(
+        F.col("nombre").alias("nombre"),
+        F.col("latitud").alias("a_lat"),
+        F.col("longitud").alias("a_lon"),
+    )
+    b = cat.select(
+        F.col("nombre").alias("nearest"),
+        F.col("latitud").alias("b_lat"),
+        F.col("longitud").alias("b_lon"),
+    )
+    d2 = (F.col("a_lat") - F.col("b_lat")) * (
+        F.col("a_lat") - F.col("b_lat")
+    ) + (F.col("a_lon") - F.col("b_lon")) * (F.col("a_lon") - F.col("b_lon"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("nombre") != F.col("nearest"))
+        .select("nombre", "nearest", d2.alias("d2"))
+    )
+    w = Window.partitionBy("nombre").orderBy("d2", "nearest")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nombre", "nearest", F.round("d2", 9).alias("dist2"))
+    )
+
+
+def _oracle_nearest_station() -> str:
+    from data_pipeline_ine_spark.sources.station_catalog import (
+        station_values_sql,
+    )
+
+    return f"""
+WITH s AS ({station_values_sql()}),
+p AS (
+  SELECT a.nombre AS nombre, b.nombre AS nearest,
+    (a.latitud - b.latitud) * (a.latitud - b.latitud)
+      + (a.longitud - b.longitud) * (a.longitud - b.longitud) AS d2
+  FROM s a JOIN s b ON a.nombre <> b.nombre
+),
+r AS (
+  SELECT nombre, nearest, d2,
+    ROW_NUMBER() OVER (PARTITION BY nombre ORDER BY d2, nearest) AS rn
+  FROM p
+)
+SELECT nombre, nearest, ROUND(d2, 9) AS dist2 FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Ranking-function suite, CUBE, unpivot, deterministic corpus split,
 # salted skew join (round 2 breadth batch)
@@ -4887,6 +4955,7 @@ _CHECK_ORDER = [
     "profile_orders",
     "winsorized_revenue",
     "session_paths",
+    "nearest_station",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4902,10 +4971,10 @@ _CHECK_ORDER = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_kmeans_topk",
-    "v_estaciones",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "v_estaciones",
     "q8_market_share",
     "q9_profit_by_nation",
     "q13_order_distribution",
@@ -5015,6 +5084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "v_estaciones": q_v_estaciones,
+        "nearest_station": q_nearest_station,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q13_order_distribution": q_q13_order_distribution,
@@ -5151,6 +5221,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ORACLE_ANN_IVF,
         "ann_kmeans_topk": ORACLE_ANN_KMEANS,
         "v_estaciones": _oracle_estaciones(),
+        "nearest_station": _oracle_nearest_station(),
         "q8_market_share": ORACLE_Q8,
         "q9_profit_by_nation": ORACLE_Q9,
         "q13_order_distribution": ORACLE_Q13,
