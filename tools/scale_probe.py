@@ -87,23 +87,41 @@ HEAVY = [
 def generate(spark, out_dir: str, factor: int) -> None:
     n_docs = 5000 * factor
     n_vecs = 2000 * factor
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    # Heaps' law: real corpora grow vocabulary ~ corpus^beta (beta ≈ 0.5).
+    # A FIXED vocabulary makes token/shingle document frequency scale
+    # linearly with corpus size, which drives any similarity join —
+    # including the quadratic ground-truth oracle — superlinear for
+    # reasons that are a property of the DATA, not the plan. Words here
+    # are Zipf-ish over a size-scaled vocabulary: a 31-word common head
+    # (frequent function words) plus a hash-derived tail whose size grows
+    # with the corpus, so df stays corpus-share-bounded for the head and
+    # absolutely bounded for the tail — the shape prefix filters and LSH
+    # banding are designed for.
+    tail_vocab = max(1000, int(24 * (n_docs ** 0.55)))
+    head = F.array(*[F.lit(w) for w in VOCAB])
     words_per_doc = (F.pmod(F.xxhash64(F.col("id")), F.lit(160)) + 40).cast("int")
+
+    def word(i):
+        h = F.xxhash64(F.col("id") * 1000 + i)
+        # ~30% head words, 70% tail words (Zipf-ish head/tail split)
+        return F.when(
+            F.pmod(h, F.lit(10)) < 3,
+            F.element_at(
+                head, (F.pmod(h, F.lit(len(VOCAB))) + 1).cast("int")
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(h), F.lit(tail_vocab)).cast("string"),
+            )
+        )
+
     docs = (
         spark.range(n_docs)
         .select(
             F.col("id").alias("doc_id"),
             F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), words_per_doc),
-                    lambda i: F.element_at(
-                        vocab,
-                        (
-                            F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(len(VOCAB)))
-                            + 1
-                        ).cast("int"),
-                    ),
-                ),
+                F.transform(F.sequence(F.lit(1), words_per_doc), word),
                 " ",
             ).alias("text"),
             F.lit("en").alias("lang"),
@@ -149,17 +167,22 @@ def time_query(fn, spark, sf_dir: str, reps: int = 2) -> float:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or HEAVY
+    # Baseline is a GENERATED 1x corpus, not /root/testdata: both points
+    # must come from the same generator (same vocabulary-growth law) or
+    # the ratio measures corpus-shape differences instead of plan scaling.
+    base_dir = "/tmp/scale_probe_sf1x"
     out_dir = f"/tmp/scale_probe_sf{factor}x"
     spark = get_spark()
-    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
-        print(f"generating {factor}x corpus at {out_dir}", flush=True)
-        generate(spark, out_dir, factor)
+    for d, f in ((base_dir, 1), (out_dir, factor)):
+        if not os.path.exists(f"{d}/embeddings.parquet"):
+            print(f"generating {f}x corpus at {d}", flush=True)
+            generate(spark, d, f)
     queries = contract.queries()
-    print(f"{'query':28s} {'sf0.1':>8s} {factor:>7d}x {'ratio':>7s}")
+    print(f"{'query':28s} {'1x':>8s} {factor:>7d}x {'ratio':>7s}")
     flagged = []
     for name in names:
         fn = queries[name]
-        t1 = time_query(fn, spark, SF01)
+        t1 = time_query(fn, spark, base_dir)
         t2 = time_query(fn, spark, out_dir)
         ratio = t2 / max(t1, 1e-9)
         mark = ""
