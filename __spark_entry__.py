@@ -1095,6 +1095,69 @@ GROUP BY path HAVING COUNT(*) >= 2
 """
 
 
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day via the explode
+    rewrite (operators/timeseries.py::sliding_distinct_count). The oracle
+    is the DIRECT inequality-join formulation (grid BETWEEN join), so a
+    green match proves the scalable rewrite's equivalence."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        sliding_distinct_count,
+    )
+
+    return sliding_distinct_count(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grid AS (
+  SELECT DISTINCT day + k * INTERVAL 1 DAY AS obs_day
+  FROM ud, UNNEST(range(0, 7)) AS t(k)
+)
+SELECT CAST(g.obs_day AS DATE) AS obs_day,
+  COUNT(DISTINCT a.user_id) AS n_active
+FROM grid g JOIN ud a
+  ON a.day BETWEEN g.obs_day - 6 * INTERVAL 1 DAY AND g.obs_day
+GROUP BY 1
+"""
+
+
+def q_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per ship month (VWAP): decimal-
+    accumulated Σ(price·qty) / Σ(qty) — partial-aggregation-order
+    invariant, one fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    month = F.date_trunc("month", "l_shipdate").cast("date")
+    pq = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(38,4)")
+    return (
+        li.groupBy(month.alias("ship_month"))
+        .agg(
+            F.sum(pq).alias("_spq"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        )
+        .select(
+            "ship_month",
+            F.round(
+                (F.col("_spq") / F.col("_sq")).cast("double"), 6
+            ).alias("vwap"),
+        )
+    )
+
+
+ORACLE_VWAP = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+  ROUND(CAST(
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+    / SUM(CAST(l_quantity AS DECIMAL(18,2)))
+  AS DOUBLE), 6) AS vwap
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (width 6h, slide 3h): every event lands in width/slide
     overlapping windows. Spark materializes the window memberships at the
@@ -4956,6 +5019,8 @@ _CHECK_ORDER = [
     "winsorized_revenue",
     "session_paths",
     "nearest_station",
+    "weekly_active_users",
+    "daily_vwap",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -4969,11 +5034,11 @@ _CHECK_ORDER = [
     "rolling_fingerprint",
     "embedding_near_dup",
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_kmeans_topk",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "ann_ivf_topk",
+    "ann_kmeans_topk",
     "v_estaciones",
     "q8_market_share",
     "q9_profit_by_nation",
@@ -5129,6 +5194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "overlap_shipments": q_overlap_shipments,
         "session_paths": q_session_paths,
+        "weekly_active_users": q_weekly_active_users,
+        "daily_vwap": q_daily_vwap,
         "source_quality_gate": q_source_quality_gate,
         "bm25_scores": q_bm25_scores,
         "dq_audit": q_dq_audit,
@@ -5266,6 +5333,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": ORACLE_TRANSITIONS,
         "overlap_shipments": ORACLE_OVERLAP_SHIPMENTS,
         "session_paths": ORACLE_SESSION_PATHS,
+        "weekly_active_users": ORACLE_WAU,
+        "daily_vwap": ORACLE_VWAP,
         "source_quality_gate": ORACLE_QUALITY_GATE,
         "bm25_scores": ORACLE_BM25,
         "dq_audit": ORACLE_DQ_AUDIT,

@@ -377,3 +377,46 @@ def session_paths(
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= min_count
     )
+
+
+def sliding_distinct_count(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    out_day: str = "obs_day",
+    out_count: str = "n_active",
+) -> DataFrame:
+    """Trailing-window distinct counts — e.g. weekly active users: for
+    every day, how many distinct keys were active in the ``window_days``
+    window ending that day.
+
+    Sliding COUNT(DISTINCT) has no mergeable incremental form (a key
+    leaving the window can't be "subtracted"), and the naive formulation
+    — day grid ⨝ activity on a BETWEEN predicate — is an inequality join
+    Spark can only nested-loop. The scalable rewrite: reduce the corpus
+    to distinct (key, day) pairs map-side, explode each pair onto the
+    ``window_days`` observation days it contributes to (a bounded,
+    narrow ×W multiplication — W=7 here), then one exact distinct-count
+    per observation day. Shuffle volume is active-(key,day)-pairs × W,
+    never events × W; the oracle proves the rewrite against the direct
+    BETWEEN formulation.
+
+    Observation days extend ``window_days − 1`` days past the last
+    activity (a key active on day d is still "active in the trailing
+    week" six days later).
+    """
+    key_days = df.select(
+        key_col, F.to_date(ts_col).alias("_day")
+    ).distinct()
+    exploded = key_days.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("_day"), F.date_add("_day", window_days - 1)
+            )
+        ).alias(out_day),
+    )
+    return exploded.groupBy(out_day).agg(
+        F.countDistinct(key_col).alias(out_count)
+    )

@@ -139,3 +139,31 @@ def test_transition_matrix_tiebreak_makes_lead_deterministic(spark):
             for r in transition_matrix(df).collect()
         ]
         assert got == [("x", "y", 1)]
+
+
+def test_sliding_distinct_count_hand_case(spark):
+    from data_pipeline_ine_spark.operators.timeseries import (
+        sliding_distinct_count,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 11:00:00"),  # same user same day: counted once
+        (2, "2024-01-03 09:00:00"),
+        (1, "2024-01-10 09:00:00"),  # outside user 2's window by day 10
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        str(r.obs_day): r.n_active
+        for r in sliding_distinct_count(df, window_days=7).collect()
+    }
+    assert got["2024-01-01"] == 1          # only user 1 active yet
+    assert got["2024-01-03"] == 2          # users 1 (Jan 1) and 2 (Jan 3)
+    assert got["2024-01-07"] == 2          # Jan 1 still within 7-day window
+    assert got["2024-01-08"] == 1          # Jan 1 aged out; user 2 remains
+    assert got["2024-01-09"] == 1          # user 2's last contributing day
+    assert got["2024-01-10"] == 1          # only user 1's new activity
+    assert got["2024-01-16"] == 1          # tail of user 1's Jan 10 window
+    assert "2024-01-17" not in got
