@@ -413,3 +413,26 @@ def test_deterministic_shuffle_is_stable_permutation(spark):
 
     want = {i: r + 1 for r, i in enumerate(sorted(range(500), key=key))}
     assert a == want, "rank must equal the salted-md5 global order"
+
+
+def test_source_kl_divergence_properties(spark):
+    from data_pipeline_ine_spark.operators.text import source_kl_divergence
+
+    rows = [
+        # sources a and b identical, c very different
+        (1, "alpha beta gamma delta", "a"),
+        (2, "alpha beta gamma delta", "b"),
+        (3, "zzz yyy xxx www vvv uuu", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): (r.kl_ab, r.kl_ba)
+        for r in source_kl_divergence(df).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # identical distributions diverge by exactly 0 in both directions
+    assert got[("a", "b")] == (0.0, 0.0)
+    # disjoint vocabularies diverge strictly positively, both directions
+    assert got[("a", "c")][0] > 0 and got[("a", "c")][1] > 0
+    # a and b are the same distribution, so their divergence from c matches
+    assert got[("a", "c")] == got[("b", "c")]
