@@ -400,3 +400,88 @@ def test_event_stream_constructs_on_empty_landing_dir(spark, tmp_path):
     stream = read_event_stream(spark, str(land))
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_transform_with_state_topk_matches_batch(spark, sf_dir, stream_dir):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas): draining the
+    stream must leave each user's final top-3 equal to the batch
+    row_number()<=3 window over the same data. The stream emits per-batch
+    snapshots; with AvailableNow + one file there is one batch, so the
+    memory sink holds exactly the final state."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithState needs protobuf (state-server protocol); "
+            "not available in this environment"
+        )
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.streaming.stateful import running_topk
+
+    stream = read_event_stream(spark, stream_dir).select("user_id", "value")
+    _drain(running_topk(stream, k=3), "running_topk")
+    got = {
+        (r.user_id, r.rank): r.value
+        for r in spark.sql("select * from running_topk").collect()
+    }
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    batch = (
+        events.select("user_id", F.col("value").cast("double").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    want = {(r.user_id, r.rank): r.value for r in batch.collect()}
+    assert len(got) > 0
+    assert got.keys() == want.keys()
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-9, key
+
+
+def test_topk_processor_logic_without_runtime():
+    """The StatefulProcessor's eviction logic, exercised directly with a
+    stubbed state cell (the Spark runtime path is environment-gated on
+    protobuf; the per-key logic is plain pandas and testable as-is)."""
+    import pandas as pd
+
+    from data_pipeline_ine_spark.streaming.stateful import TopKProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    p = TopKProcessor(k=3)
+    h = FakeHandle()
+    p.init(h)
+    out1 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"value": [5.0, 1.0]})]), None)
+    )[0]
+    assert list(out1.value) == [5.0, 1.0]
+    # second batch: state carries over, eviction keeps the 3 largest
+    out2 = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [9.0, 2.0, None]})]), None
+        )
+    )[0]
+    assert list(out2.value) == [9.0, 5.0, 2.0]
+    assert list(out2["rank"]) == [1, 2, 3]
+    assert h.state.get() == ([9.0, 5.0, 2.0],)
