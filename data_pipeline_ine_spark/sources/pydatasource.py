@@ -1,0 +1,131 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+the INE observation feed modeled as an engine-native source.
+
+The reference's ingestion is a Playwright scraper that lands one CSV per
+dataset (``steps/step1_scraper.py:92-267``, SURVEY §2.1 S7). This source
+is its engine-side analog with the three properties a production
+connector needs, demonstrated on a deterministic synthetic feed:
+
+- **Partition planning** (``partitions``): one input partition per
+  dataset, so a 87-dataset catalog reads with 87-way parallelism and
+  Spark schedules/retries each dataset independently — the asyncio
+  worker-pool of the reference replaced by engine-native task
+  parallelism.
+- **Filter pushdown** (``pushFilters``): ``dataset = 'x'`` predicates
+  prune partitions at PLAN time — unselected datasets are never
+  generated/fetched (the custom-source equivalent of partition pruning;
+  remaining filters are returned to Spark for post-evaluation).
+- **Arrow-friendly row generation** (``read``): rows are yielded
+  per-partition on executors; a real connector would stream HTTP/SFTP
+  bytes here. Generation is a pure hash function of (dataset, row index)
+  — deterministic across runs, retries, and engines, so tests can
+  assert exact contents.
+
+Usage::
+
+    spark.dataSource.register(IneObservationsDataSource)
+    df = (spark.read.format("ine_observations")
+          .option("datasets", "temperatura,precipitacion")
+          .option("rows_per_dataset", "1000").load())
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_DATASETS = "temperatura,precipitacion,caudal,nieve"
+
+SCHEMA_DDL = (
+    "dataset STRING, period_code INT, station_code STRING, value DOUBLE"
+)
+
+
+class _DatasetPartition(InputPartition):
+    def __init__(self, dataset: str, n_rows: int):
+        self.dataset = dataset
+        self.n_rows = n_rows
+
+
+class IneObservationsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._datasets = [
+            d.strip()
+            for d in options.get("datasets", DEFAULT_DATASETS).split(",")
+            if d.strip()
+        ]
+        self._rows = int(options.get("rows_per_dataset", "100"))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Accept dataset-equality filters as partition pruning; every
+        other predicate is returned for Spark to evaluate post-scan."""
+        remaining = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("dataset",):
+                self._datasets = [d for d in self._datasets if d == f.value]
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_DatasetPartition(d, self._rows) for d in self._datasets]
+
+    def read(self, partition: _DatasetPartition) -> Iterator[tuple]:
+        # Deterministic synthetic observations: md5-derived fields keyed by
+        # (dataset, i) — stable across runs/retries, reproducible anywhere.
+        d = partition.dataset
+        for i in range(partition.n_rows):
+            h = hashlib.md5(f"{d}:{i}".encode()).hexdigest()
+            period = 202401 + int(h[:2], 16) % 12
+            station = f"ST{int(h[2:6], 16) % 97:03d}"
+            value = round(int(h[6:12], 16) % 10_000 / 100.0, 2)
+            yield (d, period, station, value)
+
+
+class IneObservationsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ine_observations"
+
+    def schema(self) -> StructType | str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> IneObservationsReader:
+        return IneObservationsReader(self.options)
+
+
+def register_ine_source(spark) -> None:
+    """Register the source on a session, shipping this module BY VALUE.
+
+    Python workers don't share the driver's sys.path, and cloudpickle
+    serializes importable classes by reference — so a plain
+    ``spark.dataSource.register`` dies with ModuleNotFoundError on any
+    executor that can't import this repo. Registering the module for
+    by-value pickling makes the source self-contained, the same
+    discipline as the engine's mapInPandas closures.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # vendored location varies across minor versions
+        import pyspark.cloudpickle as cloudpickle  # type: ignore[no-redef]
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # runtime-settable; required or Spark refuses a reader with pushFilters
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IneObservationsDataSource)
+
+
+def expected_rows(dataset: str, n_rows: int) -> list[tuple]:
+    """Driver-side reference generator for tests — same hash derivation."""
+    reader = IneObservationsReader({"datasets": dataset, "rows_per_dataset": str(n_rows)})
+    return list(reader.read(_DatasetPartition(dataset, n_rows)))
