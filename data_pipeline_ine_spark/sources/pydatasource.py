@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -102,6 +103,9 @@ class IneObservationsDataSource(DataSource):
     def reader(self, schema: StructType) -> IneObservationsReader:
         return IneObservationsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return IneObservationsStreamReader(self.options)
+
 
 def register_ine_source(spark) -> None:
     """Register the source on a session, shipping this module BY VALUE.
@@ -129,3 +133,54 @@ def expected_rows(dataset: str, n_rows: int) -> list[tuple]:
     """Driver-side reference generator for tests — same hash derivation."""
     reader = IneObservationsReader({"datasets": dataset, "rows_per_dataset": str(n_rows)})
     return list(reader.read(_DatasetPartition(dataset, n_rows)))
+
+
+class IneObservationsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed streaming read of the same feed — the custom
+    STREAMING source half of the Python DataSource API.
+
+    The offset is ``{"i": rows_emitted_per_dataset}``; each micro-batch
+    advances it by ``batch_rows`` until ``total_rows``, after which
+    ``read`` reports no new data (same offset back). ``readBetweenOffsets``
+    regenerates any [start, end) slice bit-identically — that replayability
+    is what gives a custom source exactly-once semantics under retries:
+    the engine can re-ask for a batch after a crash and MUST get the same
+    rows. Determinism comes free here because generation is a pure hash
+    of (dataset, i); a real connector achieves it by anchoring offsets to
+    immutable upstream positions (file offsets, log sequence numbers).
+    """
+
+    def __init__(self, options: dict):
+        self._datasets = [
+            d.strip()
+            for d in options.get("datasets", DEFAULT_DATASETS).split(",")
+            if d.strip()
+        ]
+        self._batch_rows = int(options.get("batch_rows", "25"))
+        self._total_rows = int(options.get("total_rows", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self._batch_rows, self._total_rows)
+        if hi <= lo:
+            return [], start
+        # materialized list, not a generator: the engine pickles the batch
+        # into its prefetch cache so replanning never re-reads the source
+        return list(self.readBetweenOffsets(start, {"i": hi})), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import hashlib as _hashlib
+
+        for d in self._datasets:
+            for i in range(start["i"], end["i"]):
+                h = _hashlib.md5(f"{d}:{i}".encode()).hexdigest()
+                period = 202401 + int(h[:2], 16) % 12
+                station = f"ST{int(h[2:6], 16) % 97:03d}"
+                value = round(int(h[6:12], 16) % 10_000 / 100.0, 2)
+                yield (d, period, station, value)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -59,3 +59,59 @@ def test_pyds_deterministic_across_reads(spark):
         )
 
     assert read() == read()
+
+
+def test_pyds_streaming_drains_exact_content(spark, tmp_path):
+    """Custom streaming source: micro-batches advance the offset by
+    batch_rows until total_rows (availableNow would stop after the first
+    prefetch — a generator source must be drained on a running trigger);
+    the union of batches must equal the batch-side generator exactly."""
+    import time
+
+    register_ine_source(spark)
+    stream = (
+        spark.readStream.format("ine_observations")
+        .option("datasets", "temperatura,caudal")
+        .option("batch_rows", "7")
+        .option("total_rows", "30")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select count(*) n from pyds_stream").first().n >= 60:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from pyds_stream").collect()
+    )
+    want = sorted(expected_rows("temperatura", 30) + expected_rows("caudal", 30))
+    assert got == want
+
+
+def test_pyds_stream_replay_is_identical(spark):
+    """readBetweenOffsets must regenerate any slice bit-identically —
+    the exactly-once-under-retry property."""
+    from data_pipeline_ine_spark.sources.pydatasource import (
+        IneObservationsStreamReader,
+    )
+
+    r = IneObservationsStreamReader({"datasets": "nieve"})
+    a = list(r.readBetweenOffsets({"i": 5}, {"i": 12}))
+    b = list(r.readBetweenOffsets({"i": 5}, {"i": 12}))
+    assert a == b and len(a) == 7
+    # batches tile the stream: [0,7) + [7,12) == [0,12)
+    tiled = list(r.readBetweenOffsets({"i": 0}, {"i": 7})) + list(
+        r.readBetweenOffsets({"i": 7}, {"i": 12})
+    )
+    assert tiled == list(r.readBetweenOffsets({"i": 0}, {"i": 12}))
