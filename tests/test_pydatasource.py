@@ -115,3 +115,36 @@ def test_pyds_stream_replay_is_identical(spark):
         r.readBetweenOffsets({"i": 7}, {"i": 12})
     )
     assert tiled == list(r.readBetweenOffsets({"i": 0}, {"i": 12}))
+
+
+def test_manifest_jsonl_two_phase_commit(spark, tmp_path):
+    """Custom DataSourceWriter: shards + atomic manifest publish. Readers
+    see only manifest-listed shards, so pre-commit orphans are invisible."""
+    import json
+    import os
+
+    from data_pipeline_ine_spark.sources.pydatasink import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS bucket"
+    ).repartition(4)
+    df.write.format("manifest_jsonl").mode("append").option("path", out).save()
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 100
+    assert len(manifest["shards"]) == 4
+    assert sorted(manifest["columns"]) == ["bucket", "id"]
+
+    # plant an orphan shard (a failed attempt's leftover): must stay invisible
+    with open(os.path.join(out, "shard-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999999, "bucket": "x"}\n')
+    back = read_manifest_jsonl(spark, out)
+    assert back.count() == 100
+    assert back.filter("id = 999999").count() == 0
+    assert back.selectExpr("sum(id) s").first().s == sum(range(100))
