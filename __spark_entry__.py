@@ -1208,7 +1208,7 @@ FROM documents
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL encode→decode round-trip over binary media columns.
 
-    Spark-side: synthesize genuine PNG/GIF/WAV container bytes per document
+    Spark-side: synthesize genuine PNG/GIF/WAV/MP4 container bytes per document
     (``with_synthetic_media``, deterministic in doc_id/n_chars), then parse
     them back with the stdlib decoder (``decode_media``) — actual byte-level
     container parsing, CRC checks, and 16-bit PCM sample decoding, all
@@ -1237,23 +1237,27 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MEDIA_DECODE = """
 SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-       ELSE 'audio/wav' END AS modality,
+  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS modality,
   TRUE AS decode_ok,
-  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
-       WHEN 1 THEN 4 + doc_id % 64 END AS INT) AS width,
-  CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 16
-       WHEN 1 THEN 4 + doc_id % 32 END AS INT) AS height,
-  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS INT)
-    AS n_channels,
-  CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 4) * 4000 END AS INT)
-    AS sample_rate,
-  CAST(CASE doc_id % 3 WHEN 2 THEN 400 + COALESCE(n_chars, 0) % 600 END AS INT)
-    AS n_frames,
-  CAST(CASE doc_id % 3 WHEN 2 THEN
-    ((400 + COALESCE(n_chars, 0) % 600) * 1000000)
-      // (8000 + (doc_id % 4) * 4000) END AS BIGINT) AS duration_us,
-  CAST(CASE doc_id % 3 WHEN 2 THEN 1000 + doc_id % 5000 END AS INT) AS rms
+  CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 32
+       WHEN 1 THEN 4 + doc_id % 64
+       WHEN 3 THEN 160 + (doc_id % 8) * 40 END AS INT) AS width,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 8 + doc_id % 16
+       WHEN 1 THEN 4 + doc_id % 32
+       WHEN 3 THEN 120 + (doc_id % 6) * 40 END AS INT) AS height,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+       END AS INT) AS n_channels,
+  CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + ((doc_id // 4) % 4) * 4000
+       END AS INT) AS sample_rate,
+  CAST(CASE doc_id % 4 WHEN 2 THEN 400 + COALESCE(n_chars, 0) % 600
+       END AS INT) AS n_frames,
+  CAST(CASE doc_id % 4
+    WHEN 2 THEN ((400 + COALESCE(n_chars, 0) % 600) * 1000000)
+      // (8000 + ((doc_id // 4) % 4) * 4000)
+    WHEN 3 THEN ((1000 + COALESCE(n_chars, 0) % 9000) * 1000000)
+      // (600 * (1 + doc_id % 5)) END AS BIGINT) AS duration_us,
+  CAST(CASE doc_id % 4 WHEN 2 THEN 1000 + doc_id % 5000 END AS INT) AS rms
 FROM documents
 """
 

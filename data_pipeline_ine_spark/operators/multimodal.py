@@ -105,13 +105,41 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def _parse_mp4_boxes(b: bytes) -> dict | None:
+    """ISO-BMFF box walk: mvhd (timescale, duration) + first tkhd dims."""
+    import struct
+
+    out: dict = {}
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            (n,) = struct.unpack(">I", b[i : i + 4])
+            t = b[i + 4 : i + 8]
+            if n < 8 or i + n > hi:
+                break
+            if t in (b"moov", b"trak"):
+                walk(i + 8, i + n)
+            elif t == b"mvhd" and n >= 28:
+                ts, d = struct.unpack(">II", b[i + 20 : i + 28])
+                out["timescale"], out["duration"] = ts, d
+            elif t == b"tkhd" and n >= 24 and "w" not in out:
+                w16, h16 = struct.unpack(">II", b[i + n - 8 : i + n])
+                out["w"], out["h"] = w16 >> 16, h16 >> 16
+            i += n
+
+    walk(0, len(b))
+    return out if "timescale" in out else None
+
+
 def decode_media_bytes(blob: bytes) -> dict:
     """Parse real container bytes into typed metadata. Pure stdlib.
 
     Supported: PNG (signature + IHDR, CRC-verified), GIF87a/89a (logical
     screen descriptor), BMP (BITMAPINFOHEADER), JPEG (SOF0/1/2 marker
     scan), WAV (RIFF fmt chunk + exact integer RMS over 16-bit PCM
-    samples). Unknown/torn containers -> ``decode_ok=False`` row, never an
+    samples), MP4/ISO-BMFF (ftyp + moov/mvhd duration, tkhd dims).
+    Unknown/torn containers -> ``decode_ok=False`` row, never an
     exception — at 100 TB a poison blob must not kill the stage.
 
     This is the driver-side reference implementation; the Spark operator
@@ -191,6 +219,17 @@ def decode_media_bytes(blob: bytes) -> dict:
                 duration_us=(nf * 1_000_000) // rate if rate else None,
                 rms=rms,
             )
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            meta = _parse_mp4_boxes(b)
+            if meta:
+                out.update(
+                    modality="video/mp4", decode_ok=True,
+                    width=meta.get("w"), height=meta.get("h"),
+                    duration_us=(meta["duration"] * 1_000_000)
+                    // meta["timescale"]
+                    if meta["timescale"]
+                    else None,
+                )
     except Exception:
         return {**out, "decode_ok": False}
     return out
@@ -283,6 +322,40 @@ def decode_media(
                         duration_us=(nf * 1_000_000) // rate if rate else None,
                         rms=rms,
                     )
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    meta = {}
+
+                    def _walk(lo, hi):
+                        i2 = lo
+                        while i2 + 8 <= hi:
+                            (n2,) = struct.unpack(">I", b[i2 : i2 + 4])
+                            t2 = b[i2 + 4 : i2 + 8]
+                            if n2 < 8 or i2 + n2 > hi:
+                                break
+                            if t2 in (b"moov", b"trak"):
+                                _walk(i2 + 8, i2 + n2)
+                            elif t2 == b"mvhd" and n2 >= 28:
+                                ts2, d2 = struct.unpack(
+                                    ">II", b[i2 + 20 : i2 + 28]
+                                )
+                                meta["timescale"], meta["duration"] = ts2, d2
+                            elif t2 == b"tkhd" and n2 >= 24 and "w" not in meta:
+                                w16, h16 = struct.unpack(
+                                    ">II", b[i2 + n2 - 8 : i2 + n2]
+                                )
+                                meta["w"], meta["h"] = w16 >> 16, h16 >> 16
+                            i2 += n2
+
+                    _walk(0, len(b))
+                    if "timescale" in meta:
+                        out.update(
+                            modality="video/mp4", decode_ok=True,
+                            width=meta.get("w"), height=meta.get("h"),
+                            duration_us=(meta["duration"] * 1_000_000)
+                            // meta["timescale"]
+                            if meta["timescale"]
+                            else None,
+                        )
             except Exception:
                 return {
                     "modality": None, "decode_ok": False, "width": None,
@@ -308,16 +381,20 @@ def with_synthetic_media(
 ) -> DataFrame:
     """Encode REAL container bytes deterministically from row attributes.
 
-    Modality rotates on ``id % 3``: a valid PNG (zlib-compressed IDAT,
-    correct CRCs), a GIF89a, or a 16-bit PCM WAV whose samples are a
-    square wave (alternating +A/-A) — chosen because its exact integer RMS
-    is the amplitude itself, so downstream decode output is predictable in
-    closed form (the basis of the ``media_decode`` oracle):
+    Modality rotates on ``id % 4``: a valid PNG (zlib-compressed IDAT,
+    correct CRCs), a GIF89a, a 16-bit PCM WAV whose samples are a square
+    wave (alternating +A/-A — its exact integer RMS is the amplitude
+    itself), or an MP4 (ftyp + moov/mvhd/trak/tkhd boxes). Every decoded
+    field is predictable in closed form (the basis of the
+    ``media_decode`` oracle):
 
         png: width = 16 + id % 32,  height = 8 + id % 16   (grayscale)
         gif: width = 4 + id % 64,   height = 4 + id % 32
-        wav: rate = 8000 + (id % 4) * 4000, amplitude = 1000 + id % 5000,
-             n_frames = 400 + (len % 600)
+        wav: rate = 8000 + ((id // 4) % 4) * 4000, amplitude =
+             1000 + id % 5000, n_frames = 400 + (len % 600)
+        mp4: timescale = 600 * (1 + id % 5), duration units =
+             1000 + len % 9000, width = 160 + (id % 8) * 40,
+             height = 120 + (id % 6) * 40
 
     Runs as Arrow-batched ``mapInPandas`` — encoding is embarrassingly
     parallel and never leaves the executor.
@@ -357,19 +434,50 @@ def with_synthetic_media(
                 wf.writeframes(samples.tobytes())
             return buf.getvalue()
 
+        def _mp4(timescale: int, duration: int, w: int, h: int) -> bytes:
+            def box(t: bytes, body: bytes) -> bytes:
+                return struct.pack(">I", 8 + len(body)) + t + body
+
+            ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            mvhd = box(
+                b"mvhd",
+                bytes(4) + bytes(8) + struct.pack(">II", timescale, duration)
+                + bytes(80),
+            )
+            tkhd = box(
+                b"tkhd",
+                b"\x00\x00\x00\x07" + bytes(72)
+                + struct.pack(">II", w << 16, h << 16),
+            )
+            return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
         for pdf in batches:
             blobs = []
             for doc_id, n in zip(pdf[id_col], pdf[len_col]):
                 i = int(doc_id)
                 n = int(n) if _pd.notna(n) else 0
-                m = i % 3
+                m = i % 4
                 if m == 0:
                     blobs.append(_png(16 + i % 32, 8 + i % 16))
                 elif m == 1:
                     blobs.append(_gif(4 + i % 64, 4 + i % 32))
+                elif m == 2:
+                    # (i // 4) % 4: i % 4 is constant inside this branch
+                    blobs.append(
+                        _wav(
+                            8000 + ((i // 4) % 4) * 4000,
+                            1000 + i % 5000,
+                            400 + n % 600,
+                        )
+                    )
                 else:
                     blobs.append(
-                        _wav(8000 + (i % 4) * 4000, 1000 + i % 5000, 400 + n % 600)
+                        _mp4(
+                            600 * (1 + i % 5),
+                            1000 + n % 9000,
+                            160 + (i % 8) * 40,
+                            120 + (i % 6) * 40,
+                        )
                     )
             yield _pd.DataFrame({id_col: pdf[id_col], len_col: pdf[len_col],
                                  "media": blobs})

@@ -102,10 +102,23 @@ def test_decode_media_bytes_real_containers():
     assert (m["modality"], m["width"], m["height"], m["n_channels"]) == (
         "image/jpeg", 44, 33, 3)
 
+    # MP4: ftyp + moov(mvhd + trak(tkhd))
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 5500) + bytes(80))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + bytes(72)
+               + struct.pack(">II", 320 << 16, 240 << 16))
+    mp4 = box(b"ftyp", b"isom") + box(b"moov", mvhd + box(b"trak", tkhd))
+    m = decode_media_bytes(mp4)
+    assert (m["modality"], m["width"], m["height"]) == ("video/mp4", 320, 240)
+    assert m["duration_us"] == 5500 * 1_000_000 // 1000
+
     # garbage and truncated containers fail soft
     assert not decode_media_bytes(b"")["decode_ok"]
     assert not decode_media_bytes(b"\x89PNG\r\n\x1a\n\x00")["decode_ok"]
     assert not decode_media_bytes(b"RIFFxxxxWAVEjunk")["decode_ok"]
+    assert not decode_media_bytes(b"\x00\x00\x00\x08ftyp")["decode_ok"]
 
 
 def test_synthetic_media_roundtrip_spark(spark, sf_dir):
@@ -125,19 +138,25 @@ def test_synthetic_media_roundtrip_spark(spark, sf_dir):
     for i, n in base.items():
         r = out[i]
         assert r.decode_ok, i
-        if i % 3 == 0:
+        if i % 4 == 0:
             assert (r.modality, r.width, r.height, r.n_channels) == (
                 "image/png", 16 + i % 32, 8 + i % 16, 1)
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             assert (r.modality, r.width, r.height) == (
                 "image/gif", 4 + i % 64, 4 + i % 32)
-        else:
-            rate = 8000 + (i % 4) * 4000
+        elif i % 4 == 2:
+            rate = 8000 + ((i // 4) % 4) * 4000
             nf = 400 + n % 600
             assert (r.modality, r.sample_rate, r.n_frames) == (
                 "audio/wav", rate, nf)
             assert r.duration_us == nf * 1_000_000 // rate
             assert r.rms == 1000 + i % 5000
+        else:
+            ts = 600 * (1 + i % 5)
+            dur = 1000 + n % 9000
+            assert (r.modality, r.width, r.height) == (
+                "video/mp4", 160 + (i % 8) * 40, 120 + (i % 6) * 40)
+            assert r.duration_us == dur * 1_000_000 // ts
 
 
 def test_sample_frames_fan_out(spark, sf_dir):
