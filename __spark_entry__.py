@@ -1164,6 +1164,49 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (dynamic-gap session TVF) in
+    batch: per user, windows merge while events arrive within 30 min;
+    the window END is last-event + gap (vs. the manual sessionize's
+    max(ts)) — both sessionizations ship, this one exercises the native
+    operator (UpdatingSessionsExec) on one user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              < INTERVAL 1800 SECOND THEN 0 ELSE 1 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
 def q_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (width 6h, slide 3h): every event lands in width/slide
     overlapping windows. Spark materializes the window memberships at the
@@ -5283,16 +5326,17 @@ _CHECK_ORDER = [
     "order_value_extremes",
     "pyds_observations",
     "ivm_revenue",
+    "session_window_batch",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
     "sparse_entity_counts",
     "json_props_sum",
     "bpe_token_total",
-    "sessionize_batch",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "sessionize_batch",
     "q12_priority_class",
     "sequence_packing",
     "simhash_fingerprints",
@@ -5414,6 +5458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_station": q_nearest_station,
         "pyds_observations": q_pyds_observations,
         "ivm_revenue": q_ivm_revenue,
+        "session_window_batch": q_session_window_batch,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q13_order_distribution": q_q13_order_distribution,
@@ -5559,6 +5604,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_station": _oracle_nearest_station(),
         "pyds_observations": ORACLE_PYDS,
         "ivm_revenue": ORACLE_IVM,
+        "session_window_batch": ORACLE_SESSION_WINDOW,
         "q8_market_share": ORACLE_Q8,
         "q9_profit_by_nation": ORACLE_Q9,
         "q13_order_distribution": ORACLE_Q13,

@@ -654,3 +654,26 @@ def test_deterministic_shuffle_no_global_window(spark, sf_dir):
     ]
     assert rn_lines, "expected a row_number window"
     assert all("_pid" in ln for ln in rn_lines)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dim must carry a
+    dynamicpruning expression in its partition filters — the runtime
+    partition pruning that keeps star joins from scanning every partition
+    at 100 TB. Uses sf0.01: the DPP benefit estimator declines the
+    sf0.001 fixture's KB-sized partitions."""
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    fact_dir = str(tmp_path / "orders_by_status")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    from pyspark.sql import functions as sf
+
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).filter(sf.col("label") == "closed")  # the selective dim predicate DPP keys on
+    joined = fact.join(dim, "o_orderstatus").groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
