@@ -4547,7 +4547,7 @@ def q_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = ins.unionByName(upd).unionByName(dels)
     return maintain_group_aggregate(
         base, changes, ["o_orderkey"], "o_orderstatus", "o_totalprice"
-    )
+    ).select("o_orderstatus", "n_rows", "value_sum")
 
 
 # recompute-from-merged-snapshot ground truth: reuse the cdc_merge body

@@ -171,6 +171,7 @@ def maintain_group_aggregate(
     value_col: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    stored_agg: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental view maintenance (IVM) for a grouped aggregate:
     keep ``GROUP BY group → (COUNT(*), SUM(value))`` correct under an
@@ -193,6 +194,15 @@ def maintain_group_aggregate(
     |groups| rows; the final merge is aggregate×delta. Value sums
     accumulate in DECIMAL so retract/insert ordering cannot wiggle a
     cent. Groups whose count reaches 0 are dropped (no ghost rows).
+
+    ``stored_agg``: the previously maintained output of THIS function
+    (columns ``group_col, n_rows, value_sum_exact``). When given, the
+    stored side is aggregate-sized and the snapshot is touched only by
+    the key-equi retraction probe — the fully incremental steady state;
+    when omitted, the stored aggregate is bootstrapped from the snapshot
+    (the one-time initialization). The exact DECIMAL ``value_sum_exact``
+    column exists precisely so chained maintenance never re-accumulates
+    through a rounded double.
     """
     keys = list(key_cols)
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.desc(seq_col))
@@ -219,9 +229,17 @@ def maintain_group_aggregate(
         .groupBy("_g")
         .agg(F.sum("_dn").alias("_dn"), F.sum("_dv").alias("_dv"))
     )
-    stored = base.groupBy(F.col(group_col).alias("_g")).agg(
-        F.count(F.lit(1)).alias("_n"), F.sum(dec(F.col(value_col))).alias("_v")
-    )
+    if stored_agg is not None:
+        stored = stored_agg.select(
+            F.col(group_col).alias("_g"),
+            F.col("n_rows").alias("_n"),
+            F.col("value_sum_exact").alias("_v"),
+        )
+    else:
+        stored = base.groupBy(F.col(group_col).alias("_g")).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec(F.col(value_col))).alias("_v"),
+        )
     merged = stored.join(delta, "_g", "full_outer").select(
         F.col("_g").alias(group_col),
         (F.coalesce("_n", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
@@ -236,4 +254,5 @@ def maintain_group_aggregate(
         group_col,
         "n_rows",
         F.round(F.col("_sum").cast("double"), 2).alias("value_sum"),
+        F.col("_sum").cast("decimal(18,2)").alias("value_sum_exact"),
     )

@@ -485,3 +485,83 @@ def test_topk_processor_logic_without_runtime():
     assert list(out2.value) == [9.0, 5.0, 2.0]
     assert list(out2["rank"]) == [1, 2, 3]
     assert h.state.get() == ([9.0, 5.0, 2.0],)
+
+
+def test_stream_maintained_aggregate_matches_final_snapshot(spark, sf_dir, tmp_path):
+    """Streaming materialized-view maintenance: after draining a
+    multi-batch CDC stream, the maintained (count, sum) aggregate must
+    equal a fresh GROUP BY over the final snapshot — delta maintenance ≡
+    recomputation across micro-batch boundaries too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_aggregate,
+        latest_snapshot,
+        stream_maintain_aggregate,
+        write_base_snapshot,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 2 == 0)
+    )
+    snap_dir = str(tmp_path / "snapshots")
+    write_base_snapshot(base, snap_dir)
+
+    land = tmp_path / "changes"
+    land.mkdir()
+    keys = [r.o_orderkey for r in base.limit(30).collect()]
+    batch_a = [(k, "F", 11.5, "U", 1) for k in keys[:10]] + [
+        (k, "F", 0.0, "D", 2) for k in keys[10:20]
+    ]
+    batch_b = [(k, "P", 7.25, "U", 3) for k in keys[:5]] + [
+        (10**9 + i, "X", 42.0, "I", 4) for i in range(5)
+    ]
+    for name, rows in (("a", batch_a), ("b", batch_b)):
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[1] for r in rows], pa.string()),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "op": pa.array([r[3] for r in rows], pa.string()),
+                "seq": pa.array([r[4] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, land / f"{name}.parquet")
+
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "op string, seq int"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = stream_maintain_aggregate(
+        stream, snap_dir, str(tmp_path / "agg"), str(tmp_path / "ckpt"),
+        ["o_orderkey"], "o_orderstatus", "o_totalprice",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.o_orderstatus, r.n_rows, r.value_sum)
+        for r in latest_aggregate(spark, str(tmp_path / "agg")).collect()
+    }
+    final = latest_snapshot(spark, snap_dir)
+    want = {
+        (r.o_orderstatus, r.n, r.s)
+        for r in final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert {"X"} <= {g for g, _, _ in got}  # batch-b inserts visible
