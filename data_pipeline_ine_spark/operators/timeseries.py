@@ -420,3 +420,54 @@ def sliding_distinct_count(
     return exploded.groupBy(out_day).agg(
         F.countDistinct(key_col).alias(out_count)
     )
+
+
+def scd2_apply(
+    intervals: DataFrame,
+    new_events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Incrementally maintain an SCD2 dimension under an append-only
+    change batch: keys untouched by the batch pass through; affected
+    keys' histories are rebuilt from their (change-point-sized) interval
+    rows plus the new events — closing open intervals and appending new
+    validity rows, the warehouse "SCD2 MERGE" without recomputing the
+    untouched 99.9% of the dimension.
+
+    Assumes per-key append-only arrival (every new event at or after the
+    key's last change — the in-order CDC contract, same as
+    ``streaming/cdc.py``). Change-point reconstruction orders by
+    (valid_from, valid_to NULLS LAST), which reproduces the original
+    (ts, tiebreak) order even for zero-length intervals born from
+    same-timestamp changes; reconstructed rows get negative synthetic
+    tiebreaks so they can never interleave after a real event at an
+    equal timestamp.
+
+    Scale shape: the anti/semi probes are key-equi joins against the
+    (small) affected-key set; the rebuild shuffles only affected keys'
+    change points + the batch — work is batch-driven, never
+    dimension-sized.
+    """
+    affected = new_events.select(key_col).distinct()
+    untouched = intervals.join(affected, key_col, "left_anti")
+    w = Window.partitionBy(key_col).orderBy(
+        "valid_from", F.col("valid_to").asc_nulls_last()
+    )
+    hist = (
+        intervals.join(affected, key_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            key_col,
+            F.col("valid_from").alias(ts_col),
+            F.col("state").alias(attr_col),
+            (F.col("_rn") - F.lit(10**9)).alias(tiebreak_col),
+        )
+    )
+    combined = hist.unionByName(
+        new_events.select(key_col, ts_col, attr_col, tiebreak_col)
+    )
+    rebuilt = scd2_intervals(combined, key_col, ts_col, attr_col, tiebreak_col)
+    return untouched.unionByName(rebuilt)

@@ -167,3 +167,39 @@ def test_sliding_distinct_count_hand_case(spark):
     assert got["2024-01-10"] == 1          # only user 1's new activity
     assert got["2024-01-16"] == 1          # tail of user 1's Jan 10 window
     assert "2024-01-17" not in got
+
+
+def test_scd2_apply_edge_cases(spark):
+    """Incremental SCD2: untouched keys pass through BY REFERENCE (no
+    rebuild), brand-new keys build from the batch alone, and a batch
+    repeating the current state must NOT open a new interval."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-02 00:00:00", "b"),
+            (3, 2, "2024-01-01 00:00:00", "x"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    new = spark.createDataFrame(
+        [
+            (4, 1, "2024-01-05 00:00:00", "b"),   # repeat current state: no-op
+            (5, 1, "2024-01-06 00:00:00", "c"),   # real change
+            (6, 9, "2024-01-06 00:00:00", "z"),   # brand-new key
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = scd2_apply(scd2_intervals(old), new)
+    full = scd2_intervals(old.unionByName(new))
+    key = lambda r: (r.user_id, r.state, str(r.valid_from), str(r.valid_to))  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, full.collect()))
+    rows = {(r.user_id, r.state): (r.valid_from, r.valid_to) for r in got.collect()}
+    assert (2, "x") in rows and rows[(2, "x")][1] is None   # untouched, still open
+    assert (9, "z") in rows                                  # new key present
+    assert rows[(1, "b")][1] is not None                     # closed by the change
