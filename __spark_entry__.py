@@ -5011,6 +5011,41 @@ SELECT node, MIN(h) AS hops FROM (
 """
 
 
+# ONE SQL text, executed verbatim by BOTH engines (Spark 4 WITH RECURSIVE
+# — UNION ALL only, so each level applies DISTINCT to stay node-bounded
+# instead of path-bounded; the depth guard terminates the fixpoint).
+_RECURSIVE_BFS_SQL = """
+WITH RECURSIVE bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), und AS (
+  SELECT a.item AS u, b.item AS v
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), e AS (
+  SELECT u AS src, v AS dst FROM und UNION SELECT v, u FROM und
+), reach(node, depth) AS (
+  SELECT CAST(p_partkey AS BIGINT), 0 FROM part WHERE p_partkey % 151 = 0
+  UNION ALL
+  SELECT DISTINCT e.dst, r.depth + 1
+  FROM reach r JOIN e ON e.src = r.node WHERE r.depth < 3
+)
+SELECT node, MIN(depth) AS hops FROM reach GROUP BY node
+"""
+
+
+def q_recursive_bfs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): the SAME SQL text runs
+    verbatim on Spark and on the DuckDB oracle — multi-hop reachability
+    as pure declarative SQL, cross-validated against the iterative
+    DataFrame BFS (part_bfs_hops returns the identical result). Each
+    recursion level is DISTINCT-deduped so level size is node-bounded,
+    never path-bounded (UNION ALL recursion would otherwise enumerate
+    paths)."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_BFS_SQL)
+
+
 def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents scored under a corpus-trained add-one BIGRAM LM
     (operators/text.py::bigram_logloss) — the transition-aware quality
@@ -5382,13 +5417,14 @@ _CHECK_ORDER = [
     "session_window_batch",
     "variant_props",
     "scd2_apply_incremental",
+    "recursive_bfs_sql",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
     "q1_pricing_summary",
-    "sparse_entity_counts",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "sparse_entity_counts",
     "json_props_sum",
     "bpe_token_total",
     "sessionize_batch",
@@ -5516,6 +5552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_batch": q_session_window_batch,
         "variant_props": q_variant_props,
         "scd2_apply_incremental": q_scd2_apply_incremental,
+        "recursive_bfs_sql": q_recursive_bfs_sql,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q13_order_distribution": q_q13_order_distribution,
@@ -5664,6 +5701,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_batch": ORACLE_SESSION_WINDOW,
         "variant_props": ORACLE_VARIANT,
         "scd2_apply_incremental": ORACLE_SCD2,
+        "recursive_bfs_sql": _RECURSIVE_BFS_SQL,
         "q8_market_share": ORACLE_Q8,
         "q9_profit_by_nation": ORACLE_Q9,
         "q13_order_distribution": ORACLE_Q13,
