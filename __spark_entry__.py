@@ -5011,6 +5011,33 @@ SELECT node, MIN(h) AS hops FROM (
 """
 
 
+# ONE SQL text for both engines: LATERAL correlated subquery — per-row
+# top-k without a window-over-everything (the planner turns it into a
+# partial-sort join; with a window the same result costs a full child
+# sort per partition even for k=2).
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 50 = 0
+"""
+
+
+def q_lateral_topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (same SQL text on Spark and the
+    oracle): each sampled customer's top-2 orders by price with a
+    deterministic tiebreak — the per-row-subquery surface of the SQL
+    engine, complementing the window-function top-k family."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
 # ONE SQL text, executed verbatim by BOTH engines (Spark 4 WITH RECURSIVE
 # — UNION ALL only, so each level applies DISTINCT to stay node-bounded
 # instead of path-bounded; the depth guard terminates the fixpoint).
@@ -5418,12 +5445,13 @@ _CHECK_ORDER = [
     "variant_props",
     "scd2_apply_incremental",
     "recursive_bfs_sql",
+    "lateral_topk_sql",
     # -- last green row is r02; re-evidence before it goes 2 rounds stale
     "v_consolidation",
-    "q1_pricing_summary",
     "domain_mixture",
     "stratified_sample",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
+    "q1_pricing_summary",
     "sparse_entity_counts",
     "json_props_sum",
     "bpe_token_total",
@@ -5553,6 +5581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props": q_variant_props,
         "scd2_apply_incremental": q_scd2_apply_incremental,
         "recursive_bfs_sql": q_recursive_bfs_sql,
+        "lateral_topk_sql": q_lateral_topk_sql,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q13_order_distribution": q_q13_order_distribution,
@@ -5702,6 +5731,7 @@ def oracle_sql() -> dict[str, str]:
         "variant_props": ORACLE_VARIANT,
         "scd2_apply_incremental": ORACLE_SCD2,
         "recursive_bfs_sql": _RECURSIVE_BFS_SQL,
+        "lateral_topk_sql": _LATERAL_TOPK_SQL,
         "q8_market_share": ORACLE_Q8,
         "q9_profit_by_nation": ORACLE_Q9,
         "q13_order_distribution": ORACLE_Q13,
