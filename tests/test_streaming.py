@@ -39,7 +39,7 @@ def _drain(query_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return q
 
 
@@ -120,7 +120,7 @@ def test_foreach_batch_layered_sink(spark, sf_dir, stream_dir, tmp_path):
         stream, str(tmp_path / "layer"), str(tmp_path / "ckpt"),
         partition_col="event_date",
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     out = spark.read.parquet(str(tmp_path / "layer"))
     assert out.count() == load_table(spark, sf_dir, "events").count()
     # partition directories materialized by event_date
@@ -290,7 +290,7 @@ def test_stream_cdc_apply_matches_batch_merge(spark, sf_dir, tmp_path):
     q = stream_apply_changelog(
         stream, snap_dir, str(tmp_path / "ckpt"), ["o_orderkey"]
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     all_changes = spark.createDataFrame(batch_a + batch_b, schema)
     want = {
@@ -370,7 +370,7 @@ def test_cdc_replay_of_committed_batch_is_skipped(spark, sf_dir, tmp_path):
         q = stream_apply_changelog(
             stream, snap_dir, str(tmp_path / "ckpt"), ["o_orderkey"]
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     run()
     first = sorted(
@@ -545,7 +545,7 @@ def test_stream_maintained_aggregate_matches_final_snapshot(spark, sf_dir, tmp_p
         stream, snap_dir, str(tmp_path / "agg"), str(tmp_path / "ckpt"),
         ["o_orderkey"], "o_orderstatus", "o_totalprice",
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = {
         (r.o_orderstatus, r.n_rows, r.value_sum)
