@@ -3968,7 +3968,7 @@ WITH toks AS (
   -- (IEEE mul/add/floor only), accumulated order-invariantly in exact
   -- integer arithmetic, mirroring operators/text.py::unigram_logloss.
   -- The contract surface is integer-only: no float survives to the hash.
-  SELECT tf.doc_id, SUM(tf.cnt) AS n_tokens,
+  SELECT tf.doc_id, CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
     CAST(SUM(tf.cnt * CAST(FLOOR(
               -ln(CAST(vocab.c + 1 AS DOUBLE)
                   / (totals.n_total + totals.v_size)) * 1e12 + 0.5
@@ -5108,7 +5108,7 @@ WITH toks AS (
 ), scored AS (
   -- 12-decimal fixed point per bigram (IEEE mul/add/floor only), exact
   -- integer accumulation — mirrors operators/text.py::bigram_logloss
-  SELECT tf.doc_id, SUM(tf.cnt) AS n_bigrams,
+  SELECT tf.doc_id, CAST(SUM(tf.cnt) AS BIGINT) AS n_bigrams,
     CAST(SUM(tf.cnt * CAST(FLOOR(
               -ln(CAST(bg.c12 + 1 AS DOUBLE) / (ctx.c1 + vocab.v_size))
               * 1e12 + 0.5
