@@ -148,3 +148,60 @@ def test_manifest_jsonl_two_phase_commit(spark, tmp_path):
     assert back.count() == 100
     assert back.filter("id = 999999").count() == 0
     assert back.selectExpr("sum(id) s").first().s == sum(range(100))
+
+
+def test_pyds_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the stream mid-flight and restart on the SAME checkpoint: the
+    union of both runs must be exactly the full feed — no duplicates, no
+    gaps (offsets committed to the checkpoint + deterministic
+    readBetweenOffsets replay = exactly-once across restarts)."""
+    import time
+
+    register_ine_source(spark)
+    out = str(tmp_path / "out")
+
+    def count_rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    def start():
+        # parquet sink: the memory sink refuses checkpoint recovery
+        return (
+            spark.readStream.format("ine_observations")
+            .option("datasets", "temperatura")
+            .option("batch_rows", "5")
+            .option("total_rows", "40")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if 5 <= count_rows() < 40:
+            break
+        time.sleep(0.2)
+    q.stop()  # mid-flight kill
+    assert count_rows() < 40, "stream finished before the kill — lower the wait"
+
+    q2 = start()  # same checkpoint: must resume, not replay
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if count_rows() >= 40:
+                break
+            time.sleep(0.3)
+    finally:
+        q2.stop()
+    rows = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert len(rows) == len(set(rows)) == 40, (
+        f"expected exactly-once 40 rows, got {len(rows)} "
+        f"({len(set(rows))} distinct)"
+    )
+    assert sorted(rows) == sorted(expected_rows("temperatura", 40))
