@@ -388,3 +388,41 @@ def test_interval_overlap_grid_matches_naive(spark, left, right, grid):
         and la <= ra + rd and ra <= la + ld
     }
     assert set(got) == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+        min_size=2, max_size=12,
+    ),
+    num=st.integers(1, 9),
+    den=st.integers(2, 10),
+)
+def test_ppjoin_exact_for_any_threshold(spark, docs, num, den):
+    """Prefix+length filtering must return EXACTLY the brute-force
+    Jaccard >= num/den pairs for ANY rational threshold in (0, 1] and any
+    tiny-vocabulary corpus (the adversarial case for prefix buckets)."""
+    from data_pipeline_ine_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    if num >= den:
+        num = den  # threshold 1.0: only identical sets
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_filter_jaccard_join(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    sets = {i: frozenset(words) for i, words in enumerate(docs)}
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and len(sets[a] & sets[b]) * den >= len(sets[a] | sets[b]) * num
+    }
+    assert got == want
