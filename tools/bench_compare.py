@@ -1,0 +1,47 @@
+"""Compare two bench.py JSON lines and flag per-query regressions.
+
+    python tools/bench_compare.py OLD.json NEW.json [ratio]
+
+Prints queries whose timing changed by more than ``ratio`` (default 1.5x)
+in either direction, plus totals. Timings on this box carry ~±2x noise
+for sub-second queries (codegen warmup, CPU contention), so only
+sustained multi-run regressions on queries >1s are actionable.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        line = f.read().strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    print(f"shared queries: {len(shared)}  (old-only: {len(set(oq)-set(nq))},"
+          f" new-only: {len(set(nq)-set(oq))})")
+    print(f"headline_total: {old['value']} -> {new['value']}")
+    print(f"all-shared total: {round(sum(oq[n] for n in shared), 1)} -> "
+          f"{round(sum(nq[n] for n in shared), 1)}")
+    flagged = []
+    for n in shared:
+        a, b = max(oq[n], 0.01), max(nq[n], 0.01)
+        r = b / a
+        if (r > ratio or r < 1 / ratio) and max(a, b) > 1.0:
+            flagged.append((r, n, a, b))
+    for r, n, a, b in sorted(flagged, reverse=True):
+        tag = "SLOWER" if r > 1 else "faster"
+        print(f"  {n:32s} {a:7.2f} -> {b:7.2f}  {r:5.2f}x {tag}")
+    if not flagged:
+        print("  no per-query change beyond the noise threshold")
+
+
+if __name__ == "__main__":
+    main()
