@@ -163,10 +163,18 @@ def stream_maintain_aggregate(
             )
         batch = batch_df.localCheckpoint()  # consumed by both branches
         # steady state is fully incremental: the stored aggregate comes
-        # from the previous committed aggregate version (exact decimal
-        # column), never a snapshot re-aggregation; the first batch
-        # bootstraps from the snapshot
-        stored = latest_snapshot(spark, agg_dir)
+        # from the committed aggregate version (exact decimal column),
+        # never a snapshot re-aggregation; the first batch bootstraps
+        # from the snapshot.
+        # VERSION-MATCHED, not "latest": after a crash between the agg
+        # write and the snapshot write, agg v{N+1} is committed while the
+        # snapshot is still v{N} — pairing "latest agg" with the older
+        # snapshot would re-apply the batch delta on top of an aggregate
+        # that already contains it. The stored side must be the aggregate
+        # AT the current snapshot's version (None → bootstrap).
+        snap_version = _versions(snapshot_dir)[-1][0]
+        agg_match = [p for v, p in _versions(agg_dir) if v == snap_version]
+        stored = spark.read.parquet(agg_match[0]) if agg_match else None
         maintained = maintain_group_aggregate(
             current, batch, key_cols, group_col, value_col, seq_col, op_col,
             stored_agg=stored,

@@ -565,3 +565,76 @@ def test_stream_maintained_aggregate_matches_final_snapshot(spark, sf_dir, tmp_p
     }
     assert got == want
     assert {"X"} <= {g for g, _, _ in got}  # batch-b inserts visible
+
+
+def test_stream_maintained_aggregate_survives_torn_agg_version(spark, tmp_path):
+    """Crash window: the aggregate version commits but the snapshot write
+    dies. On replay the stored side must be the aggregate AT the current
+    snapshot's version — pairing 'latest agg' with the older snapshot
+    would re-apply the batch delta onto an aggregate that already
+    contains it. A sentinel torn agg v1 proves the replay recomputes
+    rather than trusts it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_aggregate,
+        stream_maintain_aggregate,
+        write_base_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(k, "g", 1.0) for k in range(10)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    snap_dir = str(tmp_path / "snapshots")
+    write_base_snapshot(base, snap_dir)
+
+    # plant the torn state: agg v1 committed (with a sentinel value no
+    # correct computation would produce), snapshot still at v0
+    agg_dir = tmp_path / "agg"
+    torn = agg_dir / "v1"
+    torn.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderstatus": pa.array(["g"]),
+                "n_rows": pa.array([999], pa.int64()),
+                "value_sum": pa.array([999.0]),
+                "value_sum_exact": pa.array([999.0]),
+            }
+        ),
+        torn / "part-0.parquet",
+    )
+    (torn / "_SUCCESS").touch()
+
+    land = tmp_path / "changes"
+    land.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100], pa.int64()),
+                "o_orderstatus": pa.array(["g"]),
+                "o_totalprice": pa.array([5.0]),
+                "op": pa.array(["I"]),
+                "seq": pa.array([1], pa.int32()),
+            }
+        ),
+        land / "a.parquet",
+    )
+    stream = spark.readStream.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "op string, seq int"
+    ).parquet(str(land))
+    q = stream_maintain_aggregate(
+        stream, snap_dir, str(agg_dir), str(tmp_path / "ckpt"),
+        ["o_orderkey"], "o_orderstatus", "o_totalprice",
+    )
+    q.awaitTermination(300)
+
+    got = latest_aggregate(spark, str(agg_dir)).collect()
+    assert len(got) == 1
+    # correct: 10 base rows + 1 insert = 11 rows, sum 15.0 — the sentinel
+    # must have been recomputed away, not delta-merged into (which would
+    # give 1000/1004.0)
+    assert (got[0].n_rows, got[0].value_sum) == (11, 15.0)
