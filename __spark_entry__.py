@@ -5184,10 +5184,24 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays) for the 50 highest-df corpus terms
     (operators/text.py::inverted_index). The cap applies BEFORE
     aggregation via a term-keyed row_number window, so no reducer ever
-    materializes a stopword's corpus-sized posting list."""
+    materializes a stopword's corpus-sized posting list.
+
+    The contract surface serializes the posting ARRAY to a
+    comma-joined STRING: the driver's canonicalizer hashes cell values
+    through a pandas factorize, which cannot hash list cells
+    (r04 err: ``TypeError: unhashable type: 'list'``). The library
+    operator keeps the semantic array form; only this oracle-facing
+    projection flattens it — same information, hashable shape."""
     from data_pipeline_ine_spark.operators.text import inverted_index
 
-    return inverted_index(_docs_parallel(spark, sf_dir))
+    idx = inverted_index(_docs_parallel(spark, sf_dir))
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
 
 
 ORACLE_INVERTED_INDEX = """
@@ -5201,7 +5215,8 @@ WITH toks AS (
   SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 50
 )
 SELECT t.term, t.df,
-  list_slice(list_sort(list(k.doc_id)), 1, 1000) AS postings
+  array_to_string(list_slice(list_sort(list(k.doc_id)), 1, 1000), ',')
+    AS postings
 FROM top t JOIN toks k USING (term)
 GROUP BY t.term, t.df
 """
@@ -5376,6 +5391,124 @@ SELECT node, r AS rank_scaled FROM r3
 )
 
 
+def q_grid_nearest_depot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale spatial NN: each customer's nearest supplier depot
+    within Euclidean radius 25 (operators/layout.py::grid_nn_join) —
+    the promised scale path for ``nearest_station``'s broadcast
+    (reference geo catalog, step5_create_views.py:503-539), now code:
+    eps-grid cell keys, a 9-cell probe explode, ONE equi-join on the
+    cell key — density-bounded work, never |customers|x|suppliers|.
+    Coordinates are deterministic modular-hash placements of the keys
+    (integer arithmetic, engine-identical), so the all-pairs oracle
+    reproduces the result bit-for-bit."""
+    from data_pipeline_ine_spark.operators.layout import grid_nn_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        ((F.col("c_custkey") * 48271 % 18000) / F.lit(100.0)).alias("x"),
+        ((F.col("c_custkey") * 16807 % 36000) / F.lit(100.0)).alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("depot"),
+        ((F.col("s_suppkey") * 12345 % 18000) / F.lit(100.0)).alias("x"),
+        ((F.col("s_suppkey") * 54321 % 36000) / F.lit(100.0)).alias("y"),
+    )
+    nn = grid_nn_join(
+        cust, supp, eps=25.0, point_id="cust", site_id="depot"
+    )
+    return nn.select("cust", "depot", F.round("d2", 6).alias("d2"))
+
+
+ORACLE_GRID_NEAREST_DEPOT = """
+WITH pts AS (
+  SELECT c_custkey AS cust,
+    (c_custkey * 48271 % 18000) / 100.0 AS x,
+    (c_custkey * 16807 % 36000) / 100.0 AS y
+  FROM customer
+), st AS (
+  SELECT s_suppkey AS depot,
+    (s_suppkey * 12345 % 18000) / 100.0 AS x,
+    (s_suppkey * 54321 % 36000) / 100.0 AS y
+  FROM supplier
+), cand AS (
+  SELECT p.cust, s.depot,
+    (p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y) AS d2
+  FROM pts p CROSS JOIN st s
+)
+SELECT cust, depot, ROUND(d2, 6) AS d2
+FROM (
+  SELECT cust, depot, d2,
+    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY d2, depot) AS rn
+  FROM cand WHERE d2 <= 625.0
+) q
+WHERE rn = 1
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 adjacent-word bigrams by exact
+    integer-count PMI lift (operators/text.py::pmi_collocations).
+    Transcendental log deliberately excluded from the hash surface —
+    the unigram_logloss r2/r3 lesson — so the emitted lift is one IEEE
+    division of exact BIGINT products, engine-identical."""
+    from data_pipeline_ine_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents
+), idx AS (
+  SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i FROM toks
+), big AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM idx
+), pair AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY 1, 2
+), lft AS (
+  SELECT w1, SUM(n_ab) AS n_a FROM pair GROUP BY 1
+), rgt AS (
+  SELECT w2, SUM(n_ab) AS n_b FROM pair GROUP BY 1
+), tot AS (
+  SELECT SUM(n_ab) AS n_total FROM pair
+)
+SELECT p.w1, p.w2, CAST(p.n_ab AS BIGINT) AS n_ab,
+  CAST(l.n_a AS BIGINT) AS n_a, CAST(r.n_b AS BIGINT) AS n_b,
+  ROUND(CAST(p.n_ab AS DOUBLE) * t.n_total / (l.n_a * r.n_b), 6) AS lift
+FROM pair p
+JOIN lft l USING (w1)
+JOIN rgt r USING (w2)
+CROSS JOIN tot t
+WHERE p.n_ab >= 3
+ORDER BY lift DESC, w1, w2
+LIMIT 100
+"""
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of the part catalog on (price low,
+    size high) (operators/windows.py::skyline_2d) — multi-criteria
+    shortlist with NO all-pairs comparison: a two-phase distributed
+    cumulative max over price groups replaces both the quadratic
+    dominance test and the single-task global window."""
+    from data_pipeline_ine_spark.operators.windows import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    sky = skyline_2d(part, minimize="p_retailprice", maximize="p_size")
+    return sky.select("p_partkey", "p_retailprice", "p_size")
+
+
+ORACLE_PARETO_PARTS = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5386,120 +5519,171 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-facing enumeration order. The driver records CORRECTNESS rows for the
 # first 50 queries() entries per round, so insertion order is a priority
-# ranking for evidence freshness. Round-4 rotation (VERDICT r3 task #1):
-#   1. the 9 evidence gaps — unigram_logloss (r03 red the judge could not
-#      reproduce; hash surface now integer-only) + the 8 round-3 queries that
-#      landed past slot 50 and have NEVER had a driver row (all judge-verified
-#      exact in r3) — these close the contract at every-query-has-evidence,
-#   2. queries newly added in round 4 (no evidence yet),
-#   3. the oldest-evidence queries (last green row r02) fill the remaining
-#      slots; the 14 that don't fit stay FIRST in line after the window so
-#      they lead round 5's rotation.
-# Everything green in r03 rotates to the back (natural insertion order).
+# ranking for evidence freshness. Round-5 rotation (VERDICT r4 tasks #1, #3):
+#   1. inverted_index — the single never-green query (r04 harness err on its
+#      ArrayType column; postings now string-serialized on both sides),
+#   2. the 46 queries whose newest green row is r02 (strict oldest-first:
+#      with 148 queries and a 50-slot window this bounds every query's
+#      evidence age to 3 rounds),
+#   3. the 3 queries new in round 5 (grid NN join, PMI collocations,
+#      skyline) — no evidence yet.
+# The r03-green cohort follows immediately after the boundary so it leads
+# round 6's window; r04-green rotates to the back.
 _CHECK_ORDER = [
-    # -- evidence gaps: close the 107-query contract (r3 task #1)
-    "unigram_logloss",
-    "dq_audit",
-    "retention_cohorts",
-    "cdc_merge",
-    "entity_resolution",
-    "temporal_state_lookup",
-    "grouped_correlation",
-    "cross_source_duplication",
-    "vocab_coverage",
-    # -- new in round 4 (no driver evidence yet)
-    "cdc_roundtrip",
-    "copurchase_lift",
-    "part_triangles",
-    "bigram_logloss",
-    "key_skew_profile",
-    "mad_outliers",
+    # -- never-green: r04 err was output SHAPE (list cell), math judge-verified
     "inverted_index",
-    "quantile_normalize",
-    "dup_cluster_sizes",
-    "user_growth_curve",
-    "state_occupancy",
-    "part_pagerank",
-    "media_decode",
-    "ppjoin_exact",
-    "event_transitions",
-    "overlap_shipments",
-    "part_bfs_hops",
-    "zorder_keys",
-    "upsample_epochs",
-    "shuffle_rank",
-    "incremental_dedup",
-    "profile_orders",
-    "winsorized_revenue",
-    "session_paths",
-    "nearest_station",
-    "weekly_active_users",
-    "daily_vwap",
-    "source_divergence",
-    "grouping_sets_revenue",
-    "centered_moving_avg",
-    "order_value_extremes",
-    "pyds_observations",
-    "ivm_revenue",
-    "session_window_batch",
-    "variant_props",
-    "scd2_apply_incremental",
-    "recursive_bfs_sql",
-    "lateral_topk_sql",
-    # -- last green row is r02; re-evidence before it goes 2 rounds stale
-    "v_consolidation",
-    "domain_mixture",
-    "stratified_sample",
-    # ---- 50-slot window boundary (the driver checks the entries above) ----
-    "q1_pricing_summary",
-    "sparse_entity_counts",
-    "json_props_sum",
-    "bpe_token_total",
-    "sessionize_batch",
-    "q12_priority_class",
-    "sequence_packing",
-    "simhash_fingerprints",
-    "rolling_fingerprint",
-    "embedding_near_dup",
-    "ann_lsh_topk",
+    # -- newest green row is r02: re-evidence before it goes 3 rounds stale
     "ann_ivf_topk",
     "ann_kmeans_topk",
-    "v_estaciones",
-    "q8_market_share",
-    "q9_profit_by_nation",
+    "ann_lsh_topk",
+    "asof_next_click",
+    "bpe_token_total",
+    "chunk_documents",
+    "contamination_overlap",
+    "cube_order_stats",
+    "curation_pipeline",
+    "embedding_near_dup",
+    "fuzzy_part_names",
+    "gap_fill_locf",
+    "json_props_sum",
+    "melt_lineitem",
+    "pii_redaction",
+    "q11_important_stock",
+    "q12_priority_class",
     "q13_order_distribution",
     "q15_top_supplier",
-    # r02-evidence queries that didn't fit this round: keep them at the head
-    # of the overflow so they are round 5's first slots
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
     "q19_or_predicates",
+    "q1_pricing_summary",
     "q20_qualified_suppliers",
-    "q22_dormant_customers",
-    "q11_important_stock",
     "q21_waiting_suppliers",
-    "repetition_stats",
-    "pii_redaction",
-    "contamination_overlap",
-    "simhash_near_dup",
-    "tfidf_top_terms",
-    "curation_pipeline",
-    "user_value_ranks",
-    "cube_order_stats",
-    "melt_lineitem",
-    "train_val_test_split",
-    "salted_join_totals",
-    "asof_next_click",
-    "chunk_documents",
-    "trailing_7d_value",
-    "gap_fill_locf",
-    "zscore_outliers",
-    "value_histogram",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "q9_profit_by_nation",
     "quantile_bins",
+    "repetition_stats",
+    "rolling_fingerprint",
+    "salted_join_totals",
+    "sequence_packing",
+    "sessionize_batch",
+    "simhash_fingerprints",
+    "simhash_near_dup",
     "snapshot_diff",
+    "sparse_entity_counts",
+    "tfidf_top_terms",
+    "trailing_7d_value",
+    "train_val_test_split",
+    "user_value_ranks",
+    "v_estaciones",
+    "value_histogram",
     "weighted_doc_sample",
-    "fuzzy_part_names",
-]
+    "zscore_outliers",
+    # -- new in round 5 (no driver evidence yet)
+    "grid_nearest_depot",
+    "pmi_collocations",
+    "pareto_parts",
+    # ---- 50-slot window boundary (the driver checks the entries above) ----
+    # newest green r03 — these lead round 6's rotation
+    "ann_topk",
+    "asof_last_click",
+    "bm25_scores",
+    "containment_pairs",
+    "cosine_consecutive",
+    "customers_no_big_orders",
+    "dedup_catalog_docs",
+    "dedup_components",
+    "dedup_survivors",
+    "distinct_event_types",
+    "embedding_norms",
+    "entity_catalog",
+    "exact_dup_groups",
+    "except_users",
+    "filtered_net_price",
+    "funnel_conversion",
+    "intersect_users",
+    "jaccard_pairs",
+    "knn_within_label",
+    "label_join_orders",
+    "lag_daily_delta",
+    "language_id",
+    "minhash_signature",
+    "multimodal_features",
+    "near_dup_buckets",
+    "numeric_coercion_ratio",
+    "orders_stats",
+    "percentiles_by_type",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_volume",
+    "q2_min_price_parts",
+    "q3_shipping_priority",
+    "q4_priority_semi",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "quality_scores",
+    "range_click_attribution",
+    "rollup_revenue",
+    "scd2_intervals",
+    "sliding_6h_3h",
+    "source_quality_gate",
+    "text_stats",
+    "top5_users",
+    "tumbling_6h",
+    "union_scaffold",
+    "users_per_event_type",
+    "window_top_day",
+    # newest green r04 — freshest evidence, back of the line
+    "bigram_logloss",
+    "cdc_merge",
+    "cdc_roundtrip",
+    "centered_moving_avg",
+    "copurchase_lift",
+    "cross_source_duplication",
+    "daily_vwap",
+    "domain_mixture",
+    "dq_audit",
+    "dup_cluster_sizes",
+    "entity_resolution",
+    "event_transitions",
+    "grouped_correlation",
+    "grouping_sets_revenue",
+    "incremental_dedup",
+    "ivm_revenue",
+    "key_skew_profile",
+    "lateral_topk_sql",
+    "mad_outliers",
+    "media_decode",
+    "nearest_station",
+    "order_value_extremes",
+    "overlap_shipments",
+    "part_bfs_hops",
+    "part_pagerank",
+    "part_triangles",
+    "ppjoin_exact",
+    "profile_orders",
+    "pyds_observations",
+    "quantile_normalize",
+    "recursive_bfs_sql",
+    "retention_cohorts",
+    "scd2_apply_incremental",
+    "session_paths",
+    "session_window_batch",
+    "shuffle_rank",
+    "source_divergence",
+    "state_occupancy",
+    "stratified_sample",
+    "temporal_state_lookup",
+    "unigram_logloss",
+    "upsample_epochs",
+    "user_growth_curve",
+    "v_consolidation",
+    "variant_props",
+    "vocab_coverage",
+    "weekly_active_users",
+    "winsorized_revenue",
+    "zorder_keys",]
 
 
 def _check_ordered(reg: dict) -> dict:
@@ -5656,6 +5840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_growth_curve": q_user_growth_curve,
         "state_occupancy": q_state_occupancy,
         "part_pagerank": q_part_pagerank,
+        "grid_nearest_depot": q_grid_nearest_depot,
+        "pmi_collocations": q_pmi_collocations,
+        "pareto_parts": q_pareto_parts,
     })
 
 
@@ -5806,4 +5993,7 @@ def oracle_sql() -> dict[str, str]:
         "user_growth_curve": ORACLE_USER_GROWTH,
         "state_occupancy": ORACLE_STATE_OCCUPANCY,
         "part_pagerank": ORACLE_PAGERANK,
+        "grid_nearest_depot": ORACLE_GRID_NEAREST_DEPOT,
+        "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+        "pareto_parts": ORACLE_PARETO_PARTS,
     })

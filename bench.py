@@ -10,11 +10,14 @@ Runs each headline query from ``__spark_entry__.queries()`` against
      "sf": 0.1}
 
 ``value`` totals the stable 27-query HEADLINE set (round-over-round
-comparable); the ``queries`` map times EVERY contract entry so
-regressions in non-headline operators are visible per-round too. The
-line is kept compact (one map, 2-decimal timings, no spaces) because
-the driver captures only the stdout tail — r03's longer line was
-truncated from the front and failed to parse.
+comparable) and the final line's ``queries`` map holds ONLY those 27
+entries: the driver captures just the stdout TAIL (2,000 chars), and a
+map of all 145 contract queries is ~3.5 kB — r02/r03/r04 all lost the
+front of the line and failed to parse. The full per-query map is still
+recorded every run, twice: as its own earlier stdout line (tagged
+``all_queries``) and as the committed ``BENCH_FULL.json`` that
+``tools/bench_compare.py`` reads. ``tests/test_contract_parity.py``
+asserts a worst-case final line stays under 1,900 bytes.
 
 Execution is forced with the ``noop`` sink — full pipeline runs on the
 cluster, nothing funnels back to the driver, so timings measure the engine,
@@ -71,6 +74,24 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def final_line(all_timings: dict[str, float], sf: float) -> str:
+    """The LAST stdout line: headline total + ONLY the 27 headline
+    timings. Must stay under the driver's 2,000-char tail buffer —
+    unit-tested against worst-case float widths."""
+    head = {n: all_timings[n] for n in HEADLINE if n in all_timings}
+    total = round(sum(head.values()), 2)
+    return json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": head,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+
+
 def run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -98,32 +119,30 @@ def main() -> None:
     for name in names + sorted(set(queries) - set(names)):
         t0 = time.perf_counter()
         run(queries[name](spark, sf_dir))
-        # 2 decimals: the driver's tail-capture buffer truncated r03's line
-        # (107 queries × 3-decimal floats + a duplicated headline map); keep
-        # this line SHORT or the front of the JSON is lost and parse fails.
         all_timings[name] = round(time.perf_counter() - t0, 2)
 
-    total = round(sum(all_timings[n] for n in names), 2)
+    sf = _sf_of(sf_dir)
     # stop the session BEFORE printing so no late executor/JVM output can
     # interleave; lead with a newline to sever any partial stdout line
     spark.stop()
-    sys.stdout.write(
-        "\n"
-        + json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                # ONE map only (contract key "queries") holding every contract
-                # entry; the headline subset is the HEADLINE names within it.
-                # r03's duplicated all_queries map overflowed the buffer.
-                "queries": all_timings,
-                "sf": _sf_of(sf_dir),
-            },
-            separators=(",", ":"),
-        )
-        + "\n"
+    full = json.dumps(
+        {"metric": "all_queries", "queries": all_timings, "sf": sf},
+        separators=(",", ":"),
     )
+    # full per-query map: committed file (bench_compare reads it) + an
+    # EARLIER stdout line for the run log. Never the last line — at 145
+    # queries it is ~3.5 kB and the driver's tail buffer is 2,000 chars.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            f.write(full + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the map
+    sys.stdout.write("\n" + full + "\n")
+    sys.stdout.write(final_line(all_timings, sf) + "\n")
     sys.stdout.flush()
 
 

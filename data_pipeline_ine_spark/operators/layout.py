@@ -83,3 +83,88 @@ def cluster_by_zorder(
     return keyed.repartitionByRange(num_partitions, "_zkey").sortWithinPartitions(
         "_zkey"
     )
+
+
+def grid_nn_join(
+    points: DataFrame,
+    sites: DataFrame,
+    eps: float,
+    point_id: str = "point_id",
+    point_xy: tuple[str, str] = ("x", "y"),
+    site_id: str = "site_id",
+    site_xy: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Blocked spatial nearest-neighbor join: for every point, the
+    nearest site within Euclidean radius ``eps`` (points with no site
+    in range emit no row). Returns ``(point_id, site_id, d2)`` with
+    ``d2`` the squared distance — multiplications only, no sqrt/trig,
+    so any engine reproduces it bit-for-bit.
+
+    This is the scale path promised by the 98-station broadcast in
+    ``nearest_station`` (reference semantics:
+    ``step5_create_views.py:503-539``'s geo catalog): when BOTH sides
+    are corpus-sized, all-pairs is quadratic and a broadcast is
+    impossible. Here space is cut into an ``eps``-sized grid
+    (``floor(coord/eps)``); each point probes its own cell plus the 8
+    neighbors (a 9-row explode), sites land in exactly one cell, and
+    the match is ONE equi-join on the cell key. Any site within ``eps``
+    of a point differs by at most one cell index per axis, so the 3x3
+    neighborhood provably contains every in-range candidate; the
+    post-join ``d2 <= eps^2`` filter discards corner candidates that
+    the coarse grid admits. Work is sum-over-cells(9*|P_c|*|S_c|) —
+    density-bounded, never |P|*|S| — and the shuffle key is the cell,
+    so skew follows spatial density (saltable per-cell if one city
+    dominates). Per-point ranking is a WindowGroupLimit-pushed
+    row_number over the candidate set, tie-broken by site id.
+    """
+    px, py = point_xy
+    sx, sy = site_xy
+    cell = F.lit(float(eps))
+    p = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col(px).cast("double").alias("_px"),
+        F.col(py).cast("double").alias("_py"),
+    )
+    s = sites.select(
+        F.col(site_id).alias("_sid"),
+        F.col(sx).cast("double").alias("_sx"),
+        F.col(sy).cast("double").alias("_sy"),
+        F.floor(F.col(sx).cast("double") / cell).alias("_kx"),
+        F.floor(F.col(sy).cast("double") / cell).alias("_ky"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = p.select(
+        "*", F.explode(offsets).alias("_o")
+    ).select(
+        "_pid",
+        "_px",
+        "_py",
+        (F.floor(F.col("_px") / cell) + F.col("_o.dx")).alias("_kx"),
+        (F.floor(F.col("_py") / cell) + F.col("_o.dy")).alias("_ky"),
+    )
+    d2 = (F.col("_px") - F.col("_sx")) * (F.col("_px") - F.col("_sx")) + (
+        F.col("_py") - F.col("_sy")
+    ) * (F.col("_py") - F.col("_sy"))
+    cand = (
+        probes.join(s, ["_kx", "_ky"])
+        .select("_pid", "_sid", d2.alias("d2"))
+        .filter(F.col("d2") <= F.lit(float(eps) * float(eps)))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("d2", "_sid")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_pid").alias(point_id),
+            F.col("_sid").alias(site_id),
+            "d2",
+        )
+    )

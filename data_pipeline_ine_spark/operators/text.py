@@ -762,3 +762,74 @@ def source_kl_divergence(
             F.round(F.col("_sba").cast("double") / 1e12, round_to).alias("kl_ba"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation (phrase) mining: the ``top_k`` adjacent-word bigrams
+    ranked by pointwise-mutual-information lift — how much more often
+    ``w1 w2`` occurs than its words' positional frequencies predict.
+    The corpus-analysis primitive behind phrase vocabularies ("new
+    york", "machine learning") for tokenizer and n-gram LM curation.
+
+    ``lift = n_ab * N / (n_a * n_b)`` where ``n_ab`` counts the bigram,
+    ``n_a`` counts bigrams with ``w1`` on the left, ``n_b`` with ``w2``
+    on the right, ``N`` all bigrams. PMI itself is ``log2(lift)`` —
+    deliberately NOT emitted: all four counts are exact BIGINTs, one
+    IEEE division of exact integers is engine-reproducible, while
+    transcendental ``log`` is libm-dependent (the unigram_logloss r2/r3
+    lesson). Callers wanting nats/bits take the log client-side.
+
+    Scale shape: bigram generation is a JVM higher-order-function
+    ``transform`` over each doc's token array — zero Python, explosion
+    bounded by corpus token count. Three aggregates follow, all
+    vocabulary-squared sized at worst (bigram-distinct in practice);
+    marginals re-aggregate FROM the bigram counts (bigram-distinct
+    input, not corpus), the single-row total broadcast-joins back, and
+    the final ranking is TakeOrdered over distinct bigrams — the
+    corpus itself is shuffled exactly once, on the bigram key.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+    # materialize the token array under a stable name so the HOF expr
+    # can index it positionally
+    bigrams = (
+        df.select(toks.alias("_toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+                    " (t, i) -> struct(t AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("_b")
+        )
+        .select("_b.w1", "_b.w2")
+    )
+    pair = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    left = pair.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    right = pair.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    total = pair.agg(F.sum("n_ab").alias("n_total"))
+    lift = F.col("n_ab").cast("double") * F.col("n_total") / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return (
+        pair.filter(F.col("n_ab") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(top_k)
+    )

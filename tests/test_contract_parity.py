@@ -35,3 +35,20 @@ def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only entries are allowed but should be rare and deliberate
     assert missing == set(), f"queries without oracle: {missing}"
+
+
+def test_bench_final_line_fits_driver_tail_buffer():
+    """The driver records only the last 2,000 stdout chars; r02–r04's
+    bench lines were truncated from the front and failed to parse.
+    Assert the final line stays under 1,900 bytes even with worst-case
+    timing widths (9999.99 s per query)."""
+    import bench
+
+    worst = {n: 9999.99 for n in bench.HEADLINE}
+    line = bench.final_line(worst, 0.1)
+    assert len(line) < 1900, f"bench final line {len(line)} bytes"
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)

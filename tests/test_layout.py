@@ -85,3 +85,68 @@ def test_cluster_by_zorder_plans_range_partitioning(spark, sf_dir):
     rows = parts.collect()
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+# ---------------------------------------------------------------------------
+# grid_nn_join
+# ---------------------------------------------------------------------------
+def _brute_nn(points, sites, eps):
+    out = {}
+    for pid, px, py in points:
+        best = None
+        for sid, sx, sy in sites:
+            d2 = (px - sx) ** 2 + (py - sy) ** 2
+            if d2 <= eps * eps and (best is None or (d2, sid) < best):
+                best = (d2, sid)
+        if best is not None:
+            out[pid] = (best[1], best[0])
+    return out
+
+
+def test_grid_nn_join_matches_brute_force(spark):
+    from data_pipeline_ine_spark.operators.layout import grid_nn_join
+
+    # pseudo-random but deterministic scatter incl. negative coordinates
+    points = [(i, (i * 37 % 200) - 100 + 0.25, (i * 91 % 160) - 80 + 0.5)
+              for i in range(120)]
+    sites = [(j, (j * 53 % 200) - 100 + 0.75, (j * 29 % 160) - 80 + 0.125)
+             for j in range(25)]
+    eps = 18.0
+    p = spark.createDataFrame(points, "point_id long, x double, y double")
+    s = spark.createDataFrame(sites, "site_id long, x double, y double")
+    got = {
+        r.point_id: (r.site_id, r.d2)
+        for r in grid_nn_join(p, s, eps=eps).collect()
+    }
+    want = _brute_nn(points, sites, eps)
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid][0] == want[pid][0], pid
+        assert abs(got[pid][1] - want[pid][1]) < 1e-9, pid
+    # sanity: some points matched, some out of range
+    assert 0 < len(want) < len(points)
+
+
+def test_grid_nn_join_cross_cell_and_ties(spark):
+    from data_pipeline_ine_spark.operators.layout import grid_nn_join
+
+    # site B sits across a cell boundary from the point but within eps;
+    # sites C and D are exactly equidistant -> lower id wins
+    p = spark.createDataFrame(
+        [(1, 9.9, 0.0), (2, 50.0, 50.0)], "point_id long, x double, y double"
+    )
+    s = spark.createDataFrame(
+        [(10, 10.1, 0.0), (20, 49.0, 50.0), (21, 51.0, 50.0)],
+        "site_id long, x double, y double",
+    )
+    got = {r.point_id: r.site_id for r in grid_nn_join(p, s, eps=10.0).collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_grid_nn_join_plan_has_no_cartesian(spark):
+    from data_pipeline_ine_spark.operators.layout import grid_nn_join
+
+    p = spark.createDataFrame([(1, 0.0, 0.0)], "point_id long, x double, y double")
+    s = spark.createDataFrame([(1, 1.0, 1.0)], "site_id long, x double, y double")
+    plan = grid_nn_join(p, s, eps=5.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

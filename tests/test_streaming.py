@@ -638,3 +638,114 @@ def test_stream_maintained_aggregate_survives_torn_agg_version(spark, tmp_path):
     # must have been recomputed away, not delta-merged into (which would
     # give 1000/1004.0)
     assert (got[0].n_rows, got[0].value_sum) == (11, 15.0)
+
+
+def test_stream_maintained_aggregate_restarts_from_mid_stream_kill(
+    spark, tmp_path
+):
+    """Live restart: kill the maintenance query between micro-batches
+    (not a planted torn version — an actual stop mid-drain), restart
+    from the same checkpoint, and assert the final aggregate equals a
+    recompute over the final snapshot. Complements the torn-agg replay
+    test: this drives the real checkpoint/offset-log recovery path."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_aggregate,
+        latest_snapshot,
+        stream_maintain_aggregate,
+        write_base_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(k, "g" if k % 2 else "h", float(k)) for k in range(40)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    snap_dir = str(tmp_path / "snapshots")
+    write_base_snapshot(base, snap_dir)
+
+    land = tmp_path / "changes"
+    land.mkdir()
+    batches = [
+        [(k, "g", 100.0, "U", 1) for k in range(0, 10)],
+        [(k, "h", 0.0, "D", 2) for k in range(10, 20)],
+        [(1000 + i, "x", 7.0, "I", 3) for i in range(10)],
+    ]
+    def write_batch(i):
+        rows = batches[i]
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "o_orderstatus": pa.array([r[1] for r in rows]),
+                    "o_totalprice": pa.array([r[2] for r in rows]),
+                    "op": pa.array([r[3] for r in rows]),
+                    "seq": pa.array([r[4] for r in rows], pa.int32()),
+                }
+            ),
+            land / f"b{i}.parquet",
+        )
+
+    # the third batch lands only AFTER the kill, so run 1 provably stops
+    # mid-stream (deterministic, no stop-vs-drain race)
+    write_batch(0)
+    write_batch(1)
+
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "op string, seq int"
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+        return stream_maintain_aggregate(
+            stream, snap_dir, str(tmp_path / "agg"), str(tmp_path / "ckpt"),
+            ["o_orderkey"], "o_orderstatus", "o_totalprice",
+        )
+
+    # run 1: kill as soon as the first aggregate version commits
+    q = start()
+    deadline = time.time() + 120
+    first = tmp_path / "agg" / "v1" / "_SUCCESS"
+    while time.time() < deadline and not first.exists():
+        time.sleep(0.05)
+    assert first.exists(), "first micro-batch never committed"
+    q.stop()
+    q.awaitTermination(60)
+    # provably mid-stream: the third batch does not even exist yet
+    committed = {p.parent.name for p in (tmp_path / "agg").glob("v*/_SUCCESS")}
+    assert len(committed) <= 2
+    write_batch(2)
+
+    # run 2: restart from the same checkpoint; drain the rest
+    q = start()
+    q.awaitTermination(300)
+
+    got = {
+        (r.o_orderstatus, r.n_rows, r.value_sum)
+        for r in latest_aggregate(spark, str(tmp_path / "agg")).collect()
+    }
+    final = latest_snapshot(spark, snap_dir)
+    want = {
+        (r.g, r.n, r.s)
+        for r in final.groupBy(F.col("o_orderstatus").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert {"x"} <= {g for g, _, _ in got}  # last batch's inserts present

@@ -27,7 +27,8 @@ def main() -> None:
     shared = sorted(set(oq) & set(nq))
     print(f"shared queries: {len(shared)}  (old-only: {len(set(oq)-set(nq))},"
           f" new-only: {len(set(nq)-set(oq))})")
-    print(f"headline_total: {old['value']} -> {new['value']}")
+    # BENCH_FULL.json ("all_queries") carries no headline total
+    print(f"headline_total: {old.get('value', '-')} -> {new.get('value', '-')}")
     print(f"all-shared total: {round(sum(oq[n] for n in shared), 1)} -> "
           f"{round(sum(nq[n] for n in shared), 1)}")
     flagged = []
