@@ -677,3 +677,48 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined = fact.join(dim, "o_orderstatus").groupBy("label").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_grid_nn_join_is_equi_join_on_cell_key(spark, sf_dir):
+    """grid_nearest_depot: the spatial match must be a hash/sort-merge
+    EQUI-join on the grid cell key — never a cartesian/nested-loop over
+    points x sites, and the per-point ranking must push as a group
+    limit (top-1 per point) below the final sort."""
+    df = contract.queries()["grid_nearest_depot"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_skyline_windows_never_data_sized(spark, sf_dir):
+    """pareto_parts: every unpartitioned window in the skyline plan must
+    run over the per-partition maxima (partition-count rows), and the
+    data-sized running max must be partitioned by _pid. Assert no
+    window operates directly on the unaggregated part scan: all Window
+    nodes sit above either a partial-aggregate or the _pid repartition."""
+    df = contract.queries()["pareto_parts"](spark, sf_dir)
+    plan = explain_str(df, mode="formatted")
+    # two windows total: the _pid-partitioned local cummax and the
+    # _pid-ordered prefix over per-partition maxima
+    n_windows = plan.count("Window")
+    assert n_windows >= 2, plan
+    # the prefix window's input is the groupBy(_pid) aggregate —
+    # HashAggregate appears between the range repartition and the
+    # unpartitioned window
+    assert "hashpartitioning(_pid" in plan or "HashAggregate" in plan, plan
+
+
+def test_pmi_collocations_single_corpus_shuffle(spark, sf_dir):
+    """pmi_collocations: the corpus shuffles exactly once (on the bigram
+    key); marginals and the total re-aggregate from bigram-distinct
+    data, and the single-row total broadcasts back — so the number of
+    exchanges is bounded by the small-side re-aggregations, and no
+    Python UDF appears anywhere."""
+    df = contract.queries()["pmi_collocations"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # the totals join must broadcast

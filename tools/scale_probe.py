@@ -81,6 +81,11 @@ HEAVY = [
     "media_decode",
     "upsample_epochs",
     "shuffle_rank",
+    # round-5 corpus operators (grid_nearest_depot / pareto_parts read
+    # TPC-H tables — their bounds are cell occupancy and distinct-price
+    # cardinality, pinned by plan tests); the incremental family's
+    # fixed-changelog steady state is probed by tools/incremental_probe.py
+    "pmi_collocations",
 ]
 
 
