@@ -16,8 +16,22 @@ import sys
 
 def load(path: str) -> dict:
     with open(path) as f:
-        line = f.read().strip().splitlines()[-1]
-    return json.loads(line)
+        text = f.read().strip()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = json.loads(text.splitlines()[-1])
+    if "queries" in doc:
+        return doc
+    # BENCH_rN.json driver wrapper: {"tail": "...", "parsed": ...}. When
+    # parsed is null (r02–r04: the 2,000-char tail buffer lost the front
+    # of the line), recover the surviving per-query pairs by regex.
+    if doc.get("parsed"):
+        return doc["parsed"]
+    import re
+
+    pairs = re.findall(r'"([a-z0-9_]+)":([0-9.]+)', doc.get("tail", ""))
+    return {"queries": {k: float(v) for k, v in pairs if k != "sf"}}
 
 
 def main() -> None:
