@@ -5509,6 +5509,70 @@ WHERE NOT EXISTS (
 """
 
 
+def q_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage over the part catalog
+    (operators/fuzzy.py::record_linkage_scores): Fellegi-Sunter
+    likelihood-ratio scores with frequency-based u-probabilities,
+    blocked on (brand, size), comparing type and the name's head token.
+    The score surface is a fixed-order product of IEEE divisions of
+    exact BIGINT counts — the oracle spells the disagreement prior as
+    the expression (1.0 - 0.9), matching Python float semantics
+    bit-for-bit (the literal 0.1 is a DIFFERENT double)."""
+    from data_pipeline_ine_spark.operators.fuzzy import record_linkage_scores
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        "p_brand",
+        "p_size",
+        "p_type",
+        F.split("p_name", " ")[0].alias("name_head"),
+    )
+    return record_linkage_scores(
+        p,
+        id_col="id",
+        block_cols=["p_brand", "p_size"],
+        compare_cols=["p_type", "name_head"],
+        m=0.9,
+        top_k=200,
+    )
+
+
+ORACLE_LINKAGE_SCORES = """
+WITH p AS (
+  SELECT p_partkey AS id, p_brand, p_size, p_type,
+         split_part(p_name, ' ', 1) AS name_head
+  FROM part
+), n AS (SELECT COUNT(*) AS n_total FROM p),
+st AS (SELECT SUM(c*c) AS s_type
+       FROM (SELECT COUNT(*) AS c FROM p GROUP BY p_type)),
+sh AS (SELECT SUM(c*c) AS s_head
+       FROM (SELECT COUNT(*) AS c FROM p GROUP BY name_head)),
+pr AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    NOT (a.p_type IS DISTINCT FROM b.p_type) AS agree_p_type,
+    NOT (a.name_head IS DISTINCT FROM b.name_head) AS agree_name_head,
+    (CASE WHEN NOT (a.p_type IS DISTINCT FROM b.p_type)
+       THEN 0.9 / (CAST(st.s_type AS DOUBLE) / (n.n_total * n.n_total))
+       ELSE (1.0 - 0.9)
+            / (1.0 - CAST(st.s_type AS DOUBLE) / (n.n_total * n.n_total))
+     END)
+    * (CASE WHEN NOT (a.name_head IS DISTINCT FROM b.name_head)
+       THEN 0.9 / (CAST(sh.s_head AS DOUBLE) / (n.n_total * n.n_total))
+       ELSE (1.0 - 0.9)
+            / (1.0 - CAST(sh.s_head AS DOUBLE) / (n.n_total * n.n_total))
+     END) AS score
+  FROM p a
+  JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.id < b.id
+  CROSS JOIN n CROSS JOIN st CROSS JOIN sh
+)
+SELECT id_a, id_b, agree_p_type, agree_name_head,
+       ROUND(score, 6) AS score
+FROM pr
+ORDER BY ROUND(score, 6) DESC, id_a, id_b
+LIMIT 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5584,7 +5648,9 @@ _CHECK_ORDER = [
     "pmi_collocations",
     "pareto_parts",
     # ---- 50-slot window boundary (the driver checks the entries above) ----
-    # newest green r03 — these lead round 6's rotation
+    # never-checked (added after the round-5 window filled) — lead round 6
+    "linkage_scores",
+    # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
     "bm25_scores",
@@ -5843,6 +5909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_nearest_depot": q_grid_nearest_depot,
         "pmi_collocations": q_pmi_collocations,
         "pareto_parts": q_pareto_parts,
+        "linkage_scores": q_linkage_scores,
     })
 
 
@@ -5996,4 +6063,5 @@ def oracle_sql() -> dict[str, str]:
         "grid_nearest_depot": ORACLE_GRID_NEAREST_DEPOT,
         "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
         "pareto_parts": ORACLE_PARETO_PARTS,
+        "linkage_scores": ORACLE_LINKAGE_SCORES,
     })

@@ -133,3 +133,88 @@ def resolve_entities(
         "value",
         F.min("value").over(Window.partitionBy(group)).alias("canonical"),
     )
+
+
+def record_linkage_scores(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    compare_cols: list[str],
+    m: float = 0.9,
+    top_k: int = 200,
+) -> DataFrame:
+    """Probabilistic record linkage scoring (Fellegi & Sunter 1969, with
+    Winkler's frequency-based u-probabilities): for every candidate pair
+    sharing the blocking key, the likelihood-ratio match score
+
+        score = prod over fields f of  (m / u_f)        if f agrees
+                                       ((1-m)/(1-u_f))  if f disagrees
+
+    where ``u_f`` — the probability two RANDOM records agree on f — is
+    estimated from the field's own value distribution:
+    ``u_f = sum_v n_v^2 / N^2``. Skewed fields (a value shared by half
+    the table) therefore contribute weak evidence and rare-value
+    agreement contributes strong evidence, which is the whole point of
+    the FS framework over naive agreement counting. ``m`` (agreement
+    probability among true matches) is the standard fixed prior.
+
+    The emitted score is a product of IEEE divisions of exact BIGINT
+    counts in a fixed field order — engine-reproducible, no logs (the
+    classical log2 "match weight" is monotone in it; take it
+    client-side). Returns the ``top_k`` pairs by (score desc, id_a,
+    id_b) with per-field agreement flags.
+
+    Scale shape: candidate generation is ONE equi-join on the blocking
+    key (sum-of-block^2 pairs, never N^2 — the fuzzy_match_pairs
+    discipline); each u_f is a value-cardinality-sized aggregate
+    collapsing to ONE row that broadcast-joins back; ranking is
+    TakeOrdered, never a global sort materialization. Constant fields
+    (u_f = 1) are a caller error — their disagreement factor divides by
+    zero, exactly as in the literature.
+    """
+    from functools import reduce
+
+    n_total = df.agg(F.count(F.lit(1)).alias("_n"))
+    stats = n_total
+    for f in compare_cols:
+        s_f = (
+            df.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c") * F.col("_c")).alias(f"_s_{f}"))
+        )
+        stats = stats.crossJoin(s_f)
+
+    keep = [id_col, *block_cols, *compare_cols]
+    a = df.select([F.col(c).alias(f"_a_{c}") for c in keep])
+    b = df.select([F.col(c).alias(f"_b_{c}") for c in keep])
+    pairs = a.join(
+        b,
+        on=[
+            F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}")) for c in block_cols
+        ]
+        + [F.col(f"_a_{id_col}") < F.col(f"_b_{id_col}")],
+    ).crossJoin(F.broadcast(stats))
+
+    factors = []
+    agree_flags = []
+    for f in compare_cols:
+        u = F.col(f"_s_{f}").cast("double") / (F.col("_n") * F.col("_n"))
+        agree = F.col(f"_a_{f}").eqNullSafe(F.col(f"_b_{f}"))
+        factors.append(
+            F.when(agree, F.lit(m) / u).otherwise(
+                F.lit(1.0 - m) / (F.lit(1.0) - u)
+            )
+        )
+        agree_flags.append(agree.alias(f"agree_{f}"))
+    score = reduce(lambda x, y: x * y, factors)
+
+    return (
+        pairs.select(
+            F.col(f"_a_{id_col}").alias("id_a"),
+            F.col(f"_b_{id_col}").alias("id_b"),
+            *agree_flags,
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(top_k)
+    )

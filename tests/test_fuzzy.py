@@ -51,3 +51,45 @@ def test_fuzzy_join_is_equi_on_block_key(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_record_linkage_frequency_weights(spark):
+    """Fellegi-Sunter with frequency-based u: agreement on a RARE field
+    value must outscore agreement on a skewed field's dominant value,
+    and full disagreement must score below both."""
+    from data_pipeline_ine_spark.operators.fuzzy import record_linkage_scores
+
+    # field f1: value 'common' on 8 of 10 rows, rare values elsewhere;
+    # field f2: near-unique values
+    rows = [
+        (1, "blk", "common", "u1"),
+        (2, "blk", "common", "u1"),   # agrees with 1 on BOTH (rare f2)
+        (3, "blk", "common", "u3"),   # agrees with 1/2 on f1 only
+        (4, "blk", "rare_a", "u4"),
+        (5, "blk", "rare_a", "u5"),   # agrees with 4 on the RARE f1 value
+        (6, "blk", "common", "u6"),
+        (7, "blk", "common", "u7"),
+        (8, "blk", "common", "u8"),
+        (9, "blk", "common", "u9"),
+        (10, "blk", "rare_b", "u10"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, f1 string, f2 string")
+    out = {
+        (r.id_a, r.id_b): r
+        for r in record_linkage_scores(
+            df, "id", ["blk"], ["f1", "f2"], top_k=1000
+        ).collect()
+    }
+    assert len(out) == 45  # all within-block pairs scored
+    both_agree = out[(1, 2)].score
+    common_only = out[(1, 3)].score
+    rare_agree = out[(4, 5)].score
+    disagree = out[(4, 10)].score
+    # u is field-wide, so agreement weight m/u is per-field: the pair
+    # agreeing on both fields tops everything; agreeing on f1 alone beats
+    # full disagreement; the f2 (near-unique => tiny u) agreement in
+    # (1,2) dominates
+    assert both_agree > rare_agree > 0
+    assert common_only > disagree
+    assert out[(1, 2)].agree_f1 and out[(1, 2)].agree_f2
+    assert out[(1, 3)].agree_f1 and not out[(1, 3)].agree_f2

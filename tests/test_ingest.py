@@ -91,3 +91,46 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     assert rows == {(2020, "st1", 1.5), (2022, "st3", 3.5)}
     [quarantined] = bad.collect()
     assert "not_a_year" in quarantined["_corrupt_record"]
+
+
+# ---------------------------------------------------------------------------
+# raw-text corpus source
+# ---------------------------------------------------------------------------
+def test_read_text_corpus_line_per_doc(spark, tmp_path):
+    from data_pipeline_ine_spark.sources.rawtext import read_text_corpus
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc here\n\nsecond doc here\n   \n")
+    (d / "b.txt").write_text("third doc here\nfirst doc here\n")
+
+    docs = read_text_corpus(spark, str(d))
+    rows = docs.collect()
+    # 4 non-blank lines survive; blanks/whitespace dropped at the scan
+    assert len(rows) == 4
+    assert set(docs.columns) == {"doc_id", "text", "source", "file", "n_chars"}
+    assert all(r.n_chars == len(r.text) for r in rows)
+    assert {r.source for r in rows} == {"dump"}
+    # content-addressed ids: same (file, text) -> same id on a re-read...
+    again = {r.doc_id for r in read_text_corpus(spark, str(d)).collect()}
+    assert again == {r.doc_id for r in rows}
+    # ...and the SAME text in DIFFERENT files gets different ids
+    first_ids = {r.doc_id for r in rows if r.text == "first doc here"}
+    assert len(first_ids) == 2
+
+
+def test_read_text_corpus_per_file_composes_with_dedup(spark, tmp_path):
+    from data_pipeline_ine_spark.operators.dedup import exact_dup_groups
+    from data_pipeline_ine_spark.sources.rawtext import read_text_corpus
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "x.txt").write_text("alpha beta gamma delta epsilon words")
+    (d / "y.txt").write_text("alpha beta gamma delta epsilon words")
+    (d / "z.txt").write_text("entirely different file body text")
+
+    docs = read_text_corpus(spark, str(d), per_file=True, source="files")
+    assert docs.count() == 3
+    groups = exact_dup_groups(docs)
+    dup = [g for g in groups.collect() if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].n_docs == 2

@@ -426,3 +426,79 @@ def test_ppjoin_exact_for_any_threshold(spark, docs, num, den):
         and len(sets[a] & sets[b]) * den >= len(sets[a] | sets[b]) * num
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    points=st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(-40, 40)),
+        min_size=1, max_size=25,
+    ),
+    sites=st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(-40, 40)),
+        min_size=1, max_size=10,
+    ),
+    eps_tenths=st.integers(5, 300),
+)
+def test_grid_nn_join_matches_naive_for_any_radius(spark, points, sites, eps_tenths):
+    """For ANY radius (including eps smaller than coordinate spacing and
+    eps spanning many cells) the grid join must return exactly the naive
+    in-range nearest site per point, tie-broken by site id — the 3x3
+    neighborhood coverage guarantee under hypothesis-chosen geometry."""
+    from data_pipeline_ine_spark.operators.layout import grid_nn_join
+
+    eps = eps_tenths / 10.0
+    p = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(points)],
+        "point_id long, x double, y double",
+    )
+    s = spark.createDataFrame(
+        [(j, float(x), float(y)) for j, (x, y) in enumerate(sites)],
+        "site_id long, x double, y double",
+    )
+    got = {
+        r.point_id: r.site_id for r in grid_nn_join(p, s, eps=eps).collect()
+    }
+    want = {}
+    for i, (px, py) in enumerate(points):
+        best = None
+        for j, (sx, sy) in enumerate(sites):
+            d2 = float(px - sx) ** 2 + float(py - sy) ** 2
+            if d2 <= eps * eps and (best is None or (d2, j) < best):
+                best = (d2, j)
+        if best is not None:
+            want[i] = best[1]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=40,
+    ),
+    parts=st.integers(1, 6),
+)
+def test_skyline_matches_dominance_reference(spark, rows, parts):
+    """skyline_2d ≡ the quadratic dominance test for ANY value
+    distribution (heavy duplicates included — small integer domains
+    force value-group and exact-duplicate collisions) and ANY partition
+    count (1 = degenerate single range, 6 > distinct values sometimes)."""
+    from data_pipeline_ine_spark.operators.windows import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, float(a), b) for i, (a, b) in enumerate(rows)],
+        "id long, price double, size int",
+    )
+    got = sorted(
+        r.id for r in skyline_2d(df, "price", "size", num_partitions=parts).collect()
+    )
+    want = sorted(
+        i
+        for i, (a, b) in enumerate(rows)
+        if not any(
+            (a2 <= a and b2 >= b and (a2 < a or b2 > b))
+            for (a2, b2) in rows
+        )
+    )
+    assert got == want

@@ -749,3 +749,88 @@ def test_stream_maintained_aggregate_restarts_from_mid_stream_kill(
     }
     assert got == want
     assert {"x"} <= {g for g, _, _ in got}  # last batch's inserts present
+
+
+def test_stream_dedup_corpus_matches_sequential_batches(spark, tmp_path):
+    """Streaming corpus dedup ≡ sequential per-batch application of the
+    same pure function: cross-batch near-dups are dropped against the
+    ADVANCED corpus (a doc admitted in batch 0 blocks its near-dup in
+    batch 1), within-batch clusters collapse to the min-id rep, and the
+    final corpus version equals the batch-sequential reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        write_base_snapshot,
+    )
+    from data_pipeline_ine_spark.streaming.dedup import (
+        dedup_batch_against_corpus,
+        stream_dedup_corpus,
+    )
+
+    base_docs = [
+        (1, "the quick brown fox jumps over the lazy sleeping dog"),
+        (2, "spark shuffles partition data across the cluster network fabric"),
+        (3, "completely unrelated text about cooking pasta with garlic butter"),
+    ]
+    batches = [
+        [
+            # near-dup of corpus doc 1 -> dropped
+            (10, "the quick brown fox jumps over the lazy sleeping cat"),
+            # novel -> kept
+            (11, "gradient descent updates model weights using batch statistics"),
+            # within-batch near-dup cluster {12, 13} -> 12 kept
+            (12, "tokenizers split raw text into subword units for models"),
+            (13, "tokenizers split raw text into subword units for training"),
+        ],
+        [
+            # near-dup of doc 11 (admitted LAST batch) -> dropped only if
+            # the corpus advanced between batches
+            (20, "gradient descent updates model weights using mini statistics"),
+            # novel -> kept
+            (21, "vector databases index embeddings for nearest neighbor search"),
+        ],
+    ]
+
+    schema = "doc_id long, text string"
+    corpus_dir = str(tmp_path / "corpus")
+    write_base_snapshot(spark.createDataFrame(base_docs, schema), corpus_dir)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            land / f"b{i}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = stream_dedup_corpus(
+        stream, corpus_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        r.doc_id for r in latest_snapshot(spark, corpus_dir).collect()
+    )
+
+    # sequential reference through the SAME pure per-batch function
+    ref = spark.createDataFrame(base_docs, schema)
+    for rows in batches:
+        batch = spark.createDataFrame(rows, schema)
+        ref = ref.unionByName(dedup_batch_against_corpus(batch, ref))
+    want = sorted(r.doc_id for r in ref.collect())
+
+    assert got == want
+    # pin the planted semantics so the reference itself can't silently rot
+    assert got == [1, 2, 3, 11, 12, 21]
