@@ -5573,6 +5573,53 @@ LIMIT 200
 """
 
 
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor (operators/quality.py::
+    distribution_drift): the post-cutoff event values bucketed by the
+    pre-cutoff sample's exact decile edges, with per-bucket Pearson
+    chi-square contributions — expected-vs-actual over exact counts,
+    chosen over PSI/KL because chi-square needs no transcendental log
+    in the hash surface."""
+    from data_pipeline_ine_spark.operators.quality import distribution_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp_ntz")
+    return distribution_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        "value",
+    )
+
+
+_DRIFT_FRACS = ", ".join(str(i / 10) for i in range(1, 10))
+ORACLE_VALUE_DRIFT = f"""
+WITH ref AS (
+  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-20'
+), cur AS (
+  SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+), e AS (
+  SELECT quantile_cont(value, [{_DRIFT_FRACS}]) AS edges FROM ref
+), rb AS (
+  SELECT len(list_filter(e.edges, x -> r.value > x)) AS bucket,
+         COUNT(*) AS ref_n
+  FROM ref r, e GROUP BY 1
+), cb AS (
+  SELECT len(list_filter(e.edges, x -> c.value > x)) AS bucket,
+         COUNT(*) AS cur_n
+  FROM cur c, e GROUP BY 1
+), t AS (
+  SELECT (SELECT COUNT(*) FROM ref) AS rn, (SELECT COUNT(*) FROM cur) AS cn
+)
+SELECT rb.bucket, CAST(rb.ref_n AS BIGINT) AS ref_n,
+  CAST(COALESCE(cb.cur_n, 0) AS BIGINT) AS cur_n,
+  ROUND(
+    (COALESCE(cb.cur_n, 0) - CAST(rb.ref_n AS DOUBLE) / t.rn * t.cn)
+    * (COALESCE(cb.cur_n, 0) - CAST(rb.ref_n AS DOUBLE) / t.rn * t.cn)
+    / (CAST(rb.ref_n AS DOUBLE) / t.rn * t.cn), 6) AS chi2
+FROM rb LEFT JOIN cb USING (bucket) CROSS JOIN t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5650,6 +5697,7 @@ _CHECK_ORDER = [
     # ---- 50-slot window boundary (the driver checks the entries above) ----
     # never-checked (added after the round-5 window filled) — lead round 6
     "linkage_scores",
+    "value_drift",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -5910,6 +5958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "pareto_parts": q_pareto_parts,
         "linkage_scores": q_linkage_scores,
+        "value_drift": q_value_drift,
     })
 
 
@@ -6064,4 +6113,5 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": ORACLE_PMI_COLLOCATIONS,
         "pareto_parts": ORACLE_PARETO_PARTS,
         "linkage_scores": ORACLE_LINKAGE_SCORES,
+        "value_drift": ORACLE_VALUE_DRIFT,
     })

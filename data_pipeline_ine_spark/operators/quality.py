@@ -192,3 +192,71 @@ def profile_columns(
         "(col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, "
         "min_str, max_str)"
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Two-sample distribution drift report: bucket the CURRENT sample
+    by the REFERENCE sample's exact quantile edges and emit each
+    bucket's (ref_n, cur_n, chi2) — the Pearson chi-square contribution
+    ``(cur_n - expected)^2 / expected`` with
+    ``expected = ref_n / ref_N * cur_N``. The monitoring primitive
+    behind "did this week's data shift from the training distribution"
+    — the chi-square form is chosen over PSI/KL deliberately: PSI needs
+    ``ln`` (libm-dependent, the unigram_logloss lesson) while chi-square
+    is IEEE arithmetic over exact counts, engine-reproducible to the
+    last bit. Buckets are an equal-count split of the reference, so
+    under no-drift every bucket expects cur_N/n_buckets and
+    contributions are comparable. Bucket indices skipped by heavy ties
+    in the reference (possible only when an edge value repeats) carry
+    zero expected count — the statistic is undefined there and those
+    rows are excluded (the ref-side join is the driver).
+
+    Scale shape: edge computation is one exact-percentile aggregate on
+    the reference (single-pass, mergeable partials) collapsing to a
+    1-row array that broadcast-joins to both sides; bucket assignment
+    is a JVM higher-order ``filter`` over the ``n_buckets-1`` edges
+    (zero Python, no per-bucket scans); each side then aggregates to
+    ``n_buckets`` rows. Two corpus scans total, no corpus shuffle — the
+    groupBy keys are bucket ids.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = ref.agg(
+        F.percentile(value_col, F.array(*[F.lit(f) for f in fracs])).alias(
+            "_edges"
+        )
+    )
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col)
+        b = F.size(F.filter("_edges", lambda e: v > e))
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rb = bucketed(ref, "ref_n")
+    cb = bucketed(cur, "cur_n")
+    totals = (
+        ref.agg(F.count(F.lit(1)).alias("_rn"))
+        .crossJoin(cur.agg(F.count(F.lit(1)).alias("_cn")))
+    )
+    joined = (
+        rb.join(cb, "bucket", "left")
+        .withColumn("cur_n", F.coalesce("cur_n", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+    )
+    expected = F.col("ref_n").cast("double") / F.col("_rn") * F.col("_cn")
+    diff = F.col("cur_n") - expected
+    return joined.select(
+        "bucket",
+        F.col("ref_n").cast("bigint").alias("ref_n"),
+        F.col("cur_n").cast("bigint").alias("cur_n"),
+        F.round(diff * diff / expected, 6).alias("chi2"),
+    )

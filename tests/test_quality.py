@@ -329,3 +329,38 @@ def test_profile_columns_single_scan_and_values(spark):
     assert rows["s"].n_nonnull == 3 and rows["s"].n_distinct == 2
     assert (rows["s"].min_str, rows["s"].max_str) == ("a", "b")
     assert rows["s"].min_num is None and rows["k"].min_str is None
+
+
+def test_distribution_drift_no_drift_is_flat(spark):
+    """Identical ref/cur samples: every bucket's chi2 contribution is
+    exactly 0 and counts pair off decile-evenly."""
+    from data_pipeline_ine_spark.operators.quality import distribution_drift
+
+    rows = [(float(i),) for i in range(1000)]
+    ref = spark.createDataFrame(rows, "value double")
+    out = distribution_drift(ref, ref, "value").collect()
+    assert len(out) == 10
+    assert all(r.chi2 == 0.0 for r in out)
+    assert all(r.ref_n == r.cur_n == 100 for r in out)
+
+
+def test_distribution_drift_detects_shift_and_skips_tied_buckets(spark):
+    from data_pipeline_ine_spark.operators.quality import distribution_drift
+
+    # tie-heavy reference: half the mass on one value collapses several
+    # decile edges -> those bucket indices are skipped (undefined chi2),
+    # the remainder still partitions both samples
+    ref = spark.createDataFrame(
+        [(5.0,)] * 500 + [(float(i),) for i in range(500)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(float(i) + 400.0,) for i in range(500)], "value double"
+    )
+    out = distribution_drift(ref, cur, "value").collect()
+    assert 0 < len(out) < 10  # tied edges collapsed some buckets
+    assert sum(r.ref_n for r in out) == 1000
+    # shifted sample: upper buckets heavy, lower empty
+    by_bucket = sorted(out, key=lambda r: r.bucket)
+    assert by_bucket[0].cur_n == 0
+    assert by_bucket[-1].cur_n > by_bucket[-1].ref_n
+    assert any(r.chi2 > 0 for r in out)
