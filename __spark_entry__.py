@@ -5620,6 +5620,74 @@ FROM rb LEFT JOIN cb USING (bucket) CROSS JOIN t
 """
 
 
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-tier decode, oracle-checked cross-engine: synthesize
+    genuine PNGs whose raster is the gradient ``(x + y + id) % 256``
+    (``with_synthetic_media``), fully decode them — zlib inflate +
+    scanline un-filtering, no PIL (operators/pixels.py::png_decode) —
+    and emit exact integer pixel statistics
+    (operators/multimodal.py::image_pixel_stats). The oracle never sees
+    a byte: it regenerates every pixel from the closed form in SQL and
+    aggregates, so any inflate/filter/indexing bug breaks the match."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        image_pixel_stats,
+        with_synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars")
+    )
+    return image_pixel_stats(with_synthetic_media(docs))
+
+
+ORACLE_MEDIA_PIXEL_STATS = """
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+  FROM documents WHERE doc_id % 4 = 0
+), xs AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d
+), px AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(1 AS INT) AS n_channels,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(SUM((x + y + doc_id) % 256) AS BIGINT) AS pixel_sum,
+  CAST(MIN((x + y + doc_id) % 256) AS INT) AS px_min,
+  CAST(MAX((x + y + doc_id) % 256) AS INT) AS px_max
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+def q_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio spectral analysis, oracle-checked: decode the
+    synthetic 16-bit PCM WAVs (square wave, alternating +A/-A), window
+    into 256-sample frames, FFT each (numpy), emit the dominant
+    frequency bin (operators/multimodal.py::audio_dominant_freq). A
+    square wave at the sample-alternation rate concentrates its energy
+    at Nyquist, so the oracle knows the argmax bin in closed form
+    (n_fft/2 = 128) and the window count from the generator's frame
+    formula — integer-only surface, no float crosses the hash."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        audio_dominant_freq,
+        with_synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars")
+    )
+    return audio_dominant_freq(with_synthetic_media(docs))
+
+
+ORACLE_AUDIO_DOMINANT_FREQ = """
+SELECT doc_id,
+  CAST((400 + COALESCE(n_chars, 0) % 600) // 256 AS INT) AS n_windows,
+  CAST(128 AS INT) AS dominant_bin
+FROM documents WHERE doc_id % 4 = 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5698,6 +5766,8 @@ _CHECK_ORDER = [
     # never-checked (added after the round-5 window filled) — lead round 6
     "linkage_scores",
     "value_drift",
+    "media_pixel_stats",
+    "audio_dominant_freq",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -5959,6 +6029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_parts": q_pareto_parts,
         "linkage_scores": q_linkage_scores,
         "value_drift": q_value_drift,
+        "media_pixel_stats": q_media_pixel_stats,
+        "audio_dominant_freq": q_audio_dominant_freq,
     })
 
 
@@ -6114,4 +6186,6 @@ def oracle_sql() -> dict[str, str]:
         "pareto_parts": ORACLE_PARETO_PARTS,
         "linkage_scores": ORACLE_LINKAGE_SCORES,
         "value_drift": ORACLE_VALUE_DRIFT,
+        "media_pixel_stats": ORACLE_MEDIA_PIXEL_STATS,
+        "audio_dominant_freq": ORACLE_AUDIO_DOMINANT_FREQ,
     })

@@ -1,18 +1,25 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched Pandas functions.
 
-Two decode tiers:
+Three decode tiers:
 
-- ``decode_media`` / ``decode_media_features`` — REAL decoding with the
-  standard library only: container/header parsing for PNG (IHDR + CRC
-  check), GIF, BMP, and JPEG (SOF marker scan), and full WAV audio decode
-  (fmt chunk + PCM sample RMS) via ``wave`` + ``struct``. No external
-  codec needed; these run anywhere.
-- ``decode_stub`` — placeholder for pixel-level decode (full raster
-  decode, resampling, spectrograms), which DOES need codec libraries
-  (PIL/libjpeg/ffmpeg) that are not in this environment. The Spark-side
-  plumbing (schema, ``mapInPandas`` batch shape, partitioning) is shared
-  with the real tier, so swapping in PIL is a one-function change.
+- ``decode_media`` / ``decode_media_features`` — REAL metadata decoding
+  with the standard library only: container/header parsing for PNG
+  (IHDR + CRC check), GIF, BMP, JPEG (SOF marker scan), MP4 (box walk),
+  and full WAV audio decode (fmt chunk + PCM sample RMS) via ``wave``
+  + ``struct``. No external codec needed; these run anywhere.
+- REAL pixel tier (``operators/pixels.py``): full PNG raster decode
+  (zlib inflate + all five scanline filters), uncompressed-BMP decode,
+  integer-exact nearest-neighbor resize + PNG re-encode
+  (``resize_images``), per-image pixel statistics
+  (``image_pixel_stats``), and FFT spectrogram features for PCM audio
+  (``audio_dominant_freq``) — PNG's entropy layer is zlib (stdlib) and
+  its filters are integer arithmetic, so none of this needs PIL.
+- ``decode_stub`` — placeholder for the rasters whose ENTROPY CODERS do
+  need external codec libraries (JPEG DCT/Huffman, GIF LZW, video frame
+  demux); env-gated until PIL/ffmpeg appear. The Spark-side plumbing
+  (schema, ``mapInPandas`` batch shape, partitioning) is shared with
+  the real tiers, so swapping in PIL is a one-function change.
 
 Scale notes:
 - ``mapInPandas`` streams Arrow batches (``spark.sql.execution.arrow.
@@ -386,7 +393,11 @@ def with_synthetic_media(
     wave (alternating +A/-A — its exact integer RMS is the amplitude
     itself), or an MP4 (ftyp + moov/mvhd/trak/tkhd boxes). Every decoded
     field is predictable in closed form (the basis of the
-    ``media_decode`` oracle):
+    ``media_decode`` oracle). The PNG raster carries the gradient
+    ``pixel(x, y) = (x + y + id) % 256`` so PIXEL-level statistics have
+    a closed form too (the ``media_pixel_stats`` oracle sums that
+    expression in SQL); the WAV square wave's spectrum peaks at the
+    Nyquist bin (the ``audio_dominant_freq`` oracle):
 
         png: width = 16 + id % 32,  height = 8 + id % 16   (grayscale)
         gif: width = 4 + id % 64,   height = 4 + id % 32
@@ -407,13 +418,17 @@ def with_synthetic_media(
         import wave
         import zlib
 
-        def _png(w: int, h: int) -> bytes:
+        def _png(w: int, h: int, i: int) -> bytes:
             def chunk(tag: bytes, body: bytes) -> bytes:
                 return (struct.pack(">I", len(body)) + tag + body
                         + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
-            raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+            # gradient raster (x + y + id) % 256: closed-form pixel stats
+            raw = b"".join(
+                b"\x00" + bytes((x + y + i) % 256 for x in range(w))
+                for y in range(h)
+            )
             return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                     + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
@@ -458,7 +473,7 @@ def with_synthetic_media(
                 n = int(n) if _pd.notna(n) else 0
                 m = i % 4
                 if m == 0:
-                    blobs.append(_png(16 + i % 32, 8 + i % 16))
+                    blobs.append(_png(16 + i % 32, 8 + i % 16, i))
                 elif m == 1:
                     blobs.append(_gif(4 + i % 64, 4 + i % 32))
                 elif m == 2:
@@ -499,34 +514,148 @@ def resize_images(
     blob_col: str = "media",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Image resize over a binary column — 1 row in, 1 row out.
+    """REAL image resize over a binary column — 1 row in, 1 row out.
 
-    The real implementation is PIL ``Image.open(io.BytesIO(b)).resize(...)``;
-    stubbed to a deterministic byte-level transform (truncate/pad to
-    ``target_w*target_h//64`` bytes) since no codec libs exist here. The
-    Spark plumbing is the part under test: Arrow batch streaming, binary
-    out-column, and a fully self-contained closure (workers don't share the
-    driver's sys.path).
+    PNG/BMP blobs are pixel-decoded (``operators/pixels.py``: zlib +
+    scanline un-filtering, no PIL), resampled with the integer-exact
+    nearest-neighbor mapping, and re-encoded as PNG; blobs in formats
+    whose raster tier is env-gated (JPEG/GIF/video) or invalid streams
+    come back ``resize_ok=false`` with a NULL payload. Output bytes are
+    bit-deterministic (integer index mapping, filter-0 encode, fixed
+    zlib level), so re-runs and replays produce identical blobs.
+
+    The pixel functions ship to executors BY VALUE (cloudpickle module
+    registration in pixels.py) — workers never import this repo.
     """
+    from data_pipeline_ine_spark.operators import pixels
+
+    decode_raster = pixels.decode_raster
+    resize_nearest = pixels.resize_nearest
+    png_encode = pixels.png_encode
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        size = max(1, target_w * target_h // 64)
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob) if blob is not None else b""
-                if not b:
+                arr = decode_raster(b) if b else None
+                if arr is None:
                     rows.append((doc_id, None, target_w, target_h, False))
                     continue
-                fake = (b * (size // len(b) + 1))[:size]  # deterministic stub
-                rows.append((doc_id, fake, target_w, target_h, True))
+                resized = resize_nearest(arr, target_w, target_h)
+                rows.append(
+                    (doc_id, png_encode(resized), target_w, target_h, True)
+                )
             yield _pd.DataFrame(
                 rows, columns=[id_col, "resized", "target_w", "target_h", "resize_ok"]
             )
 
     return df.select(id_col, blob_col).mapInPandas(compute, RESIZE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, n_pixels long, "
+    "pixel_sum long, px_min int, px_max int"
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, blob_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL pixel statistics over PNG/BMP blobs: per-image pixel count,
+    exact integer pixel-value sum, min and max — the quality-screen
+    features (all-black detection, exposure outliers) a vision-data
+    pipeline gates on. All-integer outputs hash identically across
+    engines, which is what lets the driver oracle verify a PIXEL-level
+    decode cross-engine (query ``media_pixel_stats``). Non-raster or
+    undecodable blobs emit no row (they have no pixels to report)."""
+    from data_pipeline_ine_spark.operators import pixels
+
+    decode_raster = pixels.decode_raster
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                arr = decode_raster(b) if b else None
+                if arr is None:
+                    continue
+                h, w, c = arr.shape
+                rows.append(
+                    (
+                        doc_id, int(w), int(h), int(c), int(h) * int(w) * int(c),
+                        int(arr.sum(dtype="int64")), int(arr.min()), int(arr.max()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_channels", "n_pixels",
+                    "pixel_sum", "px_min", "px_max",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(compute, PIXEL_STATS_SCHEMA)
+
+
+SPECTRO_SCHEMA = "doc_id long, n_windows int, dominant_bin int"
+
+
+def audio_dominant_freq(
+    df: DataFrame,
+    n_fft: int = 256,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio frequency analysis: decode WAV PCM (stdlib ``wave``),
+    frame into non-overlapping ``n_fft`` windows, FFT each
+    (``numpy.fft``), and emit the dominant frequency bin of the mean
+    magnitude spectrum plus the window count. FFT magnitudes are floats
+    but only INTEGER outputs (argmax bin, count) enter the correctness
+    surface — a clearly-peaked spectrum's argmax is stable, and for the
+    synthetic square-wave corpus it is the Nyquist bin ``n_fft // 2`` in
+    closed form (the ``audio_dominant_freq`` oracle). Non-WAV blobs emit
+    no row."""
+    from data_pipeline_ine_spark.operators import pixels
+
+    dominant = pixels.dominant_bin
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                try:
+                    with wave.open(io.BytesIO(b)) as wf:
+                        if wf.getsampwidth() != 2:
+                            continue
+                        pcm = _np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2"
+                        )
+                        if wf.getnchannels() > 1:
+                            pcm = pcm[:: wf.getnchannels()]
+                except wave.Error:
+                    continue
+                bin_idx, n_win = dominant(pcm, n_fft)
+                rows.append((doc_id, n_win, bin_idx))
+            yield _pd.DataFrame(
+                rows, columns=[id_col, "n_windows", "dominant_bin"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(compute, SPECTRO_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"

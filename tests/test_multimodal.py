@@ -1,5 +1,6 @@
-"""Multimodal plumbing: schema, batch shape, and flat-map fan-out of the
-Arrow-batched media ops (decode is stubbed; the Spark side is real)."""
+"""Multimodal: Arrow-batched media ops — metadata tier (container
+parsing), REAL pixel tier (PNG/BMP raster decode, integer-exact resize,
+FFT spectrogram — operators/pixels.py), and the flat-map frame stub."""
 
 from __future__ import annotations
 
@@ -35,16 +36,44 @@ def test_extract_features_schema_and_counts(spark, sf_dir):
     assert all(r.n_bytes > 0 for r in rows)
 
 
-def test_resize_deterministic_and_sized(spark, sf_dir):
-    out = resize_images(_media_docs(spark, sf_dir), target_w=32, target_h=32)
-    rows = {r.doc_id: r for r in out.collect()}
-    assert len(rows) == 50
-    expected = 32 * 32 // 64
-    assert all(len(r.resized) == expected for r in rows.values())
-    # deterministic: re-run yields identical bytes
-    again = {r.doc_id: r for r in resize_images(
-        _media_docs(spark, sf_dir), target_w=32, target_h=32).collect()}
-    assert all(rows[i].resized == again[i].resized for i in rows)
+def test_resize_real_raster_roundtrip(spark, sf_dir):
+    """REAL resize: PNG blobs pixel-decode, nearest-resample, re-encode —
+    the output must itself decode to the target raster with exactly the
+    pixels integer index mapping predicts; non-raster modalities
+    (GIF/WAV/MP4: env-gated or non-image) come back resize_ok=false."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.multimodal import (
+        with_synthetic_media,
+    )
+    from data_pipeline_ine_spark.operators.pixels import (
+        png_decode,
+        resize_nearest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    ).select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+    media = with_synthetic_media(docs)
+    out = {r.doc_id: r for r in resize_images(media, 32, 24).collect()}
+    assert len(out) == 40
+    blobs = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for i, r in out.items():
+        if i % 4 == 0:  # PNG
+            assert r.resize_ok
+            dec = png_decode(bytes(r.resized))
+            assert dec is not None and dec.shape == (24, 32, 1)
+            src = png_decode(blobs[i])
+            assert np.array_equal(dec, resize_nearest(src, 32, 24))
+        else:  # GIF raster is LZW (env-gated); WAV/MP4 aren't images
+            assert not r.resize_ok and r.resized is None
+    # bit-deterministic re-run
+    again = {r.doc_id: r for r in resize_images(media, 32, 24).collect()}
+    assert all(
+        (out[i].resized is None and again[i].resized is None)
+        or bytes(out[i].resized) == bytes(again[i].resized)
+        for i in out
+    )
 
 
 def test_decode_media_bytes_real_containers():
@@ -171,3 +200,148 @@ def test_sample_frames_fan_out(spark, sf_dir):
     one = docs.filter(F.col("doc_id") == 0).select(F.length("media")).first()[0]
     n_expected = (one // 16 + 1) // 2
     assert (pdf.doc_id == 0).sum() == n_expected
+
+
+# ---------------------------------------------------------------------------
+# pixel tier (operators/pixels.py): pure-codec correctness
+# ---------------------------------------------------------------------------
+def _adversarial_png(filters, arr):
+    """Encode arr as a PNG using the GIVEN per-row filter types — forces
+    the decoder to reverse Sub/Up/Average/Paeth, not just filter 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    out_rows = []
+    prev = np.zeros(w * c, np.int16)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int16)
+        f = filters[y % len(filters)]
+        bpp = c
+        enc = row.copy()
+        if f == 1:
+            for x in range(w * c - 1, bpp - 1, -1):
+                enc[x] = (enc[x] - row[x - bpp]) & 0xFF
+        elif f == 2:
+            enc = (row - prev) & 0xFF
+        elif f == 3:
+            for x in range(w * c):
+                left = row[x - bpp] if x >= bpp else 0
+                enc[x] = (enc[x] - ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(w * c):
+                a_ = int(row[x - bpp]) if x >= bpp else 0
+                c_ = int(prev[x - bpp]) if x >= bpp else 0
+                b_ = int(prev[x])
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                enc[x] = (enc[x] - pred) & 0xFF
+        out_rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = row
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(out_rows)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_codec_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import png_decode, png_encode
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 5), (6, 7, 3), (4, 4, 4), (3, 9, 2)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        dec = png_decode(png_encode(a))
+        want = a if a.ndim == 3 else a[:, :, None]
+        assert dec is not None and np.array_equal(dec, want), shape
+
+
+def test_png_decoder_reverses_all_five_filters():
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import png_decode
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, size=(10, 6, 3)).astype(np.uint8)
+    for filt in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        dec = png_decode(_adversarial_png(filt, a))
+        assert dec is not None and np.array_equal(dec, a), filt
+
+
+def test_png_decode_rejects_garbage():
+    from data_pipeline_ine_spark.operators.pixels import png_decode
+
+    assert png_decode(b"") is None
+    assert png_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+    # valid signature, truncated IDAT
+    from data_pipeline_ine_spark.operators.pixels import png_encode
+    import numpy as np
+
+    good = png_encode(np.zeros((4, 4), np.uint8))
+    assert png_decode(good[:40]) is None
+
+
+def test_bmp_decode_bottom_up_and_padding():
+    import struct
+
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import bmp_decode
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)  # w=7: stride pad
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        bytes(a[y][:, ::-1].reshape(-1)) + bytes(stride - w * 3)
+        for y in range(h - 1, -1, -1)
+    )
+    off = 54
+    hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    dec = bmp_decode(hdr + dib + rows)
+    assert dec is not None and np.array_equal(dec, a)
+
+
+def test_spectrogram_square_wave_peaks_at_nyquist():
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import dominant_bin
+
+    s = np.empty(1024, dtype=np.int16)
+    s[0::2], s[1::2] = 2000, -2000
+    assert dominant_bin(s, 256) == (128, 4)
+    # a slow alternation (period 8) peaks at bin n_fft/8
+    t = np.repeat(np.tile(np.array([1500, -1500], np.int16), 128), 4)
+    assert dominant_bin(t, 256) == (32, 4)
+
+
+def test_image_pixel_stats_spark(spark, sf_dir):
+    from data_pipeline_ine_spark.operators.multimodal import (
+        image_pixel_stats,
+        with_synthetic_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+    out = {r.doc_id: r for r in image_pixel_stats(
+        with_synthetic_media(docs)).collect()}
+    # only PNG docs (id % 4 == 0) are pixel-decodable
+    assert set(out) == {i for i in range(20) if i % 4 == 0}
+    for i, r in out.items():
+        w, h = 16 + i % 32, 8 + i % 16
+        assert (r.width, r.height, r.n_channels) == (w, h, 1)
+        assert r.pixel_sum == sum(
+            (x + y + i) % 256 for x in range(w) for y in range(h)
+        )
