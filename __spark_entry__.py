@@ -5622,13 +5622,15 @@ FROM rb LEFT JOIN cb USING (bucket) CROSS JOIN t
 
 def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel-tier decode, oracle-checked cross-engine: synthesize
-    genuine PNGs whose raster is the gradient ``(x + y + id) % 256``
-    (``with_synthetic_media``), fully decode them — zlib inflate +
-    scanline un-filtering, no PIL (operators/pixels.py::png_decode) —
-    and emit exact integer pixel statistics
-    (operators/multimodal.py::image_pixel_stats). The oracle never sees
-    a byte: it regenerates every pixel from the closed form in SQL and
-    aggregates, so any inflate/filter/indexing bug breaks the match."""
+    genuine PNGs AND GIFs whose rasters carry the gradient
+    ``(x + y + id) % 256`` (``with_synthetic_media``; the GIF's raster
+    is a real LZW stream over a grayscale palette), fully decode them —
+    zlib inflate + scanline un-filtering for PNG, pure-Python LZW for
+    GIF, no PIL (operators/pixels.py) — and emit exact integer pixel
+    statistics (operators/multimodal.py::image_pixel_stats). The oracle
+    never sees a byte: it regenerates every pixel from the closed form
+    in SQL and aggregates, so any inflate/filter/LZW/indexing bug
+    breaks the match."""
     from data_pipeline_ine_spark.operators.multimodal import (
         image_pixel_stats,
         with_synthetic_media,
@@ -5642,21 +5644,24 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MEDIA_PIXEL_STATS = """
 WITH d AS (
-  SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+  SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h, 1 AS ch
   FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 4 + doc_id % 64 AS w, 4 + doc_id % 32 AS h, 3 AS ch
+  FROM documents WHERE doc_id % 4 = 1
 ), xs AS (
-  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d
+  SELECT doc_id, w, h, ch, unnest(generate_series(0, w - 1)) AS x FROM d
 ), px AS (
-  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+  SELECT doc_id, w, h, ch, x, unnest(generate_series(0, h - 1)) AS y FROM xs
 )
 SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-  CAST(1 AS INT) AS n_channels,
-  CAST(w * h AS BIGINT) AS n_pixels,
-  CAST(SUM((x + y + doc_id) % 256) AS BIGINT) AS pixel_sum,
+  CAST(ch AS INT) AS n_channels,
+  CAST(w * h * ch AS BIGINT) AS n_pixels,
+  CAST(ch * SUM((x + y + doc_id) % 256) AS BIGINT) AS pixel_sum,
   CAST(MIN((x + y + doc_id) % 256) AS INT) AS px_min,
   CAST(MAX((x + y + doc_id) % 256) AS INT) AS px_max
 FROM px
-GROUP BY doc_id, w, h
+GROUP BY doc_id, w, h, ch
 """
 
 

@@ -393,11 +393,13 @@ def with_synthetic_media(
     wave (alternating +A/-A — its exact integer RMS is the amplitude
     itself), or an MP4 (ftyp + moov/mvhd/trak/tkhd boxes). Every decoded
     field is predictable in closed form (the basis of the
-    ``media_decode`` oracle). The PNG raster carries the gradient
-    ``pixel(x, y) = (x + y + id) % 256`` so PIXEL-level statistics have
-    a closed form too (the ``media_pixel_stats`` oracle sums that
-    expression in SQL); the WAV square wave's spectrum peaks at the
-    Nyquist bin (the ``audio_dominant_freq`` oracle):
+    ``media_decode`` oracle). The PNG raster (grayscale) and the GIF
+    raster (REAL LZW stream over a 256-entry grayscale palette) both
+    carry the gradient ``pixel(x, y) = (x + y + id) % 256`` so
+    PIXEL-level statistics have a closed form too (the
+    ``media_pixel_stats`` oracle regenerates that expression in SQL);
+    the WAV square wave's spectrum peaks at the Nyquist bin (the
+    ``audio_dominant_freq`` oracle):
 
         png: width = 16 + id % 32,  height = 8 + id % 16   (grayscale)
         gif: width = 4 + id % 64,   height = 4 + id % 32
@@ -432,8 +434,37 @@ def with_synthetic_media(
             return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                     + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
-        def _gif(w: int, h: int) -> bytes:
-            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+        def _gif(w: int, h: int, i: int) -> bytes:
+            # full GIF89a: 256-entry grayscale palette + a REAL LZW
+            # raster of the same (x + y + id) % 256 gradient as the PNGs.
+            # Encoder uses the fixed-width clear-per-code LZW variant
+            # (spec-valid; the general decoder lives in pixels.py).
+            gct = bytes(k for v in range(256) for k in (v, v, v))
+            head = (b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+                    + gct + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                    + b"\x00\x08")
+            clear, eoi = 256, 257
+            codes = []
+            for y in range(h):
+                for x in range(w):
+                    codes.extend((clear, (x + y + i) % 256))
+            codes.append(eoi)
+            acc = nbits = 0
+            stream = bytearray()
+            for code in codes:
+                acc |= code << nbits
+                nbits += 9
+                while nbits >= 8:
+                    stream.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                stream.append(acc & 0xFF)
+            blocks = b"".join(
+                bytes([len(stream[p:p + 255])]) + bytes(stream[p:p + 255])
+                for p in range(0, len(stream), 255)
+            )
+            return head + blocks + b"\x00\x3b"
 
         def _wav(rate: int, amp: int, nf: int) -> bytes:
             import numpy as _np
@@ -475,7 +506,7 @@ def with_synthetic_media(
                 if m == 0:
                     blobs.append(_png(16 + i % 32, 8 + i % 16, i))
                 elif m == 1:
-                    blobs.append(_gif(4 + i % 64, 4 + i % 32))
+                    blobs.append(_gif(4 + i % 64, 4 + i % 32, i))
                 elif m == 2:
                     # (i // 4) % 4: i % 4 is constant inside this branch
                     blobs.append(
@@ -516,13 +547,14 @@ def resize_images(
 ) -> DataFrame:
     """REAL image resize over a binary column — 1 row in, 1 row out.
 
-    PNG/BMP blobs are pixel-decoded (``operators/pixels.py``: zlib +
-    scanline un-filtering, no PIL), resampled with the integer-exact
-    nearest-neighbor mapping, and re-encoded as PNG; blobs in formats
-    whose raster tier is env-gated (JPEG/GIF/video) or invalid streams
-    come back ``resize_ok=false`` with a NULL payload. Output bytes are
-    bit-deterministic (integer index mapping, filter-0 encode, fixed
-    zlib level), so re-runs and replays produce identical blobs.
+    PNG/BMP/GIF blobs are pixel-decoded (``operators/pixels.py``: zlib
+    + scanline un-filtering for PNG, pure-Python LZW for GIF, no PIL),
+    resampled with the integer-exact nearest-neighbor mapping, and
+    re-encoded as PNG; blobs in formats whose raster tier is env-gated
+    (JPEG/video) or invalid streams come back ``resize_ok=false`` with
+    a NULL payload. Output bytes are bit-deterministic (integer index
+    mapping, filter-0 encode, fixed zlib level), so re-runs and replays
+    produce identical blobs.
 
     The pixel functions ship to executors BY VALUE (cloudpickle module
     registration in pixels.py) — workers never import this repo.
@@ -564,7 +596,7 @@ PIXEL_STATS_SCHEMA = (
 def image_pixel_stats(
     df: DataFrame, blob_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL pixel statistics over PNG/BMP blobs: per-image pixel count,
+    """REAL pixel statistics over PNG/BMP/GIF blobs: per-image pixel count,
     exact integer pixel-value sum, min and max — the quality-screen
     features (all-black detection, exposure outliers) a vision-data
     pipeline gates on. All-integer outputs hash identically across

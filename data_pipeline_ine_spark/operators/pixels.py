@@ -5,9 +5,11 @@ at: full PNG raster decode (zlib inflate + scanline un-filtering per the
 PNG spec's five filter types), uncompressed-BMP decode, deterministic
 nearest-neighbor resize, PNG re-encode, and FFT spectrogram features for
 PCM audio. No PIL/libjpeg/ffmpeg anywhere — PNG's entropy layer is zlib
-(stdlib) and its prediction filters are pure integer arithmetic, so a
-complete decoder needs nothing the sandbox lacks. JPEG raster (DCT +
-Huffman) and GIF raster (LZW) remain in the env-gated stub tier.
+(stdlib), its prediction filters are pure integer arithmetic, and GIF's
+LZW is self-contained enough to implement directly (``_lzw_decode`` /
+``lzw_encode`` below), so complete decoders need nothing the sandbox
+lacks. Only JPEG raster (DCT + Huffman) and video-frame demux remain in
+the env-gated stub tier.
 
 Determinism notes (these functions feed oracle-checked queries):
 - resize uses INTEGER index mapping ``src = (dst_i * src_n) // dst_n``
@@ -189,12 +191,14 @@ def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 
 
 def decode_raster(b: bytes) -> np.ndarray | None:
-    """Dispatch: PNG or BMP raster, else None (JPEG/GIF raster stay
-    env-gated — their entropy coders need codec libraries)."""
+    """Dispatch: PNG, BMP, or GIF raster, else None (JPEG stays
+    env-gated — its DCT/Huffman entropy coder needs libjpeg)."""
     if b[:8] == PNG_SIG:
         return png_decode(b)
     if b[:2] == b"BM":
         return bmp_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode(b)
     return None
 
 
@@ -216,3 +220,152 @@ def dominant_bin(samples: np.ndarray, n_fft: int = 256) -> tuple[int, int]:
     if spec.shape[0] == 0:
         return -1, 0
     return int(spec.mean(axis=0).argmax()), int(spec.shape[0])
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """General GIF-variant LZW decode (LSB-first bit packing, growing
+    code widths up to 12 bits, CLEAR/EOI handling) → pixel index list."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def gif_decode(b: bytes) -> np.ndarray | None:
+    """GIF87a/89a raster decode → ``(h, w, 3)`` uint8 RGB via the color
+    table — pure-Python LZW (the format's only entropy coder), no
+    codec library. First image only; interlace unsupported (returns
+    None); extension blocks skipped per spec."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    _sw, _sh = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    try:
+        while pos < len(b):
+            marker = b[pos]
+            if marker == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif marker == 0x2C:  # image descriptor
+                _ix, _iy, w, h = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+                ipacked = b[pos + 9]
+                pos += 10
+                pal = gct
+                if ipacked & 0x80:  # local color table
+                    n = 2 << (ipacked & 0x07)
+                    pal = np.frombuffer(
+                        b, np.uint8, count=3 * n, offset=pos
+                    ).reshape(n, 3)
+                    pos += 3 * n
+                if ipacked & 0x40 or pal is None:  # interlace / no palette
+                    return None
+                mcs = b[pos]
+                pos += 1
+                stream = bytearray()
+                while b[pos] != 0:
+                    ln = b[pos]
+                    stream += b[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _lzw_decode(bytes(stream), mcs)
+                if idx is None or len(idx) < w * h:
+                    return None
+                pix = np.asarray(idx[: w * h], dtype=np.int32)
+                if pix.max(initial=0) >= len(pal):
+                    return None
+                return pal[pix].reshape(h, w, 3)
+            elif marker == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+    except IndexError:
+        return None
+    return None
+
+
+def lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """True compressing GIF-LZW encoder (dictionary growth, width
+    escalation, table-full clear) — the counterpart ``_lzw_decode`` is
+    tested against. LSB-first packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for px in indices:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)

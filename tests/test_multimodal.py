@@ -37,16 +37,17 @@ def test_extract_features_schema_and_counts(spark, sf_dir):
 
 
 def test_resize_real_raster_roundtrip(spark, sf_dir):
-    """REAL resize: PNG blobs pixel-decode, nearest-resample, re-encode —
-    the output must itself decode to the target raster with exactly the
-    pixels integer index mapping predicts; non-raster modalities
-    (GIF/WAV/MP4: env-gated or non-image) come back resize_ok=false."""
+    """REAL resize: PNG and GIF blobs pixel-decode, nearest-resample,
+    re-encode — the output must itself decode to the target raster with
+    exactly the pixels integer index mapping predicts; non-image
+    modalities (WAV/MP4) come back resize_ok=false."""
     import numpy as np
 
     from data_pipeline_ine_spark.operators.multimodal import (
         with_synthetic_media,
     )
     from data_pipeline_ine_spark.operators.pixels import (
+        decode_raster,
         png_decode,
         resize_nearest,
     )
@@ -59,13 +60,14 @@ def test_resize_real_raster_roundtrip(spark, sf_dir):
     assert len(out) == 40
     blobs = {r.doc_id: bytes(r.media) for r in media.collect()}
     for i, r in out.items():
-        if i % 4 == 0:  # PNG
+        if i % 4 in (0, 1):  # PNG (gray) / GIF (palette RGB via LZW)
             assert r.resize_ok
             dec = png_decode(bytes(r.resized))
-            assert dec is not None and dec.shape == (24, 32, 1)
-            src = png_decode(blobs[i])
+            channels = 1 if i % 4 == 0 else 3
+            assert dec is not None and dec.shape == (24, 32, channels)
+            src = decode_raster(blobs[i])
             assert np.array_equal(dec, resize_nearest(src, 32, 24))
-        else:  # GIF raster is LZW (env-gated); WAV/MP4 aren't images
+        else:  # WAV/MP4 aren't images; video demux stays env-gated
             assert not r.resize_ok and r.resized is None
     # bit-deterministic re-run
     again = {r.doc_id: r for r in resize_images(media, 32, 24).collect()}
@@ -337,11 +339,50 @@ def test_image_pixel_stats_spark(spark, sf_dir):
     ).select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
     out = {r.doc_id: r for r in image_pixel_stats(
         with_synthetic_media(docs)).collect()}
-    # only PNG docs (id % 4 == 0) are pixel-decodable
-    assert set(out) == {i for i in range(20) if i % 4 == 0}
+    # PNG (id%4==0) and GIF (id%4==1) docs are pixel-decodable
+    assert set(out) == {i for i in range(20) if i % 4 in (0, 1)}
     for i, r in out.items():
-        w, h = 16 + i % 32, 8 + i % 16
-        assert (r.width, r.height, r.n_channels) == (w, h, 1)
-        assert r.pixel_sum == sum(
+        if i % 4 == 0:
+            w, h, c = 16 + i % 32, 8 + i % 16, 1
+        else:
+            w, h, c = 4 + i % 64, 4 + i % 32, 3
+        assert (r.width, r.height, r.n_channels) == (w, h, c)
+        assert r.pixel_sum == c * sum(
             (x + y + i) % 256 for x in range(w) for y in range(h)
         )
+
+
+def test_gif_decode_real_lzw_stream():
+    """gif_decode against a GENUINELY COMPRESSING LZW encoder (dictionary
+    growth + width escalation + table-full clears), not just the
+    fixed-width clear-per-code stream the synthetic generator emits."""
+    import struct
+
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import gif_decode, lzw_encode
+
+    def make_gif(w, h, idx):
+        gct = bytes(k for v in range(256) for k in (v, v, v))
+        head = (b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+                + gct + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                + b"\x00\x08")
+        stream = lzw_encode(idx, 8)
+        blocks = b"".join(
+            bytes([len(stream[p:p + 255])]) + bytes(stream[p:p + 255])
+            for p in range(0, len(stream), 255)
+        )
+        return head + blocks + b"\x00\x3b"
+
+    rng = np.random.RandomState(1)
+    idx = list(rng.randint(0, 256, size=40 * 30))
+    arr = gif_decode(make_gif(40, 30, idx))
+    assert arr is not None and arr.shape == (30, 40, 3)
+    assert list(arr[:, :, 0].reshape(-1)) == idx
+    # repetitive raster drives heavy dictionary growth
+    idx = ([7] * 900 + [1, 2] * 300 + list(range(64)) * 10)[: 40 * 30]
+    arr = gif_decode(make_gif(40, 30, idx))
+    assert arr is not None and list(arr[:, :, 0].reshape(-1)) == idx
+    # garbage rejection
+    assert gif_decode(b"GIF89a\x00") is None
+    assert gif_decode(b"") is None
