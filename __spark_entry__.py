@@ -1303,8 +1303,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_synthetic_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return decode_media(with_synthetic_media(docs)).select(
         "doc_id", "modality", "decode_ok", "width", "height", "n_channels",
@@ -5636,8 +5638,12 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_synthetic_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars")
+    # single-row-group testdata parquet -> one task without this; the
+    # per-doc LZW/inflate work is the dominant cost and must fan out
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return image_pixel_stats(with_synthetic_media(docs))
 
@@ -5679,8 +5685,10 @@ def q_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_synthetic_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return audio_dominant_freq(with_synthetic_media(docs))
 
