@@ -833,3 +833,113 @@ def pmi_collocations(
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """DISTRIBUTED byte-pair-encoding vocabulary training (Sennrich et
+    al. 2016): learn the ``n_merges`` highest-frequency adjacent-symbol
+    merges over the corpus, word-internal (no merges across whitespace),
+    returning the ranked merge list a tokenizer ships.
+
+    The classic iterative Spark shape (like PageRank): the evolving
+    tokenization lives in a DataFrame of per-word symbol arrays
+    COLLAPSED TO THE WORD VOCABULARY with counts — Heaps' law makes the
+    distinct-word frame orders of magnitude smaller than the corpus,
+    and symbol statistics are identical on the weighted vocabulary, so
+    every iteration after the first scan works on vocabulary-sized
+    data. Per iteration: adjacent-pair explode → weighted count (one
+    vocabulary-sized shuffle, map-side partials) → TakeOrdered(1) to
+    the driver (a single row — the only driver traffic) → merge applied
+    corpus-side as a JVM ``aggregate`` fold (greedy left-to-right,
+    exactly the reference semantics; zero Python in the loop).
+    ``localCheckpoint`` cuts lineage each round so iteration N never
+    replans rounds 1..N-1. Ties break lexicographically so training is
+    deterministic.
+
+    Stops early when no pair reaches ``min_pair_count``.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+                    " (s, i) -> struct(s AS a, syms[i + 1] AS b))"
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # greedy left-to-right merge as a JVM fold: append each symbol,
+        # replacing the trailing (a, b) pair with the merged token. The
+        # accumulator's last element can itself be the merged token — it
+        # only re-merges if (merged, b) is a LATER rule, exactly per BPE.
+        words = words.select(
+            F.expr(_merge_fold_sql("syms", a, b)).alias("syms"), "n"
+        ).localCheckpoint()
+    return merges
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (symbols may contain quotes/backslashes —
+    apostrophes survive the whitespace split)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_fold_sql(arr_expr: str, a: str, b: str) -> str:
+    """One greedy left-to-right BPE merge rule as a JVM aggregate fold."""
+    la, lb, lm = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    return (
+        f"aggregate({arr_expr}, CAST(array() AS array<string>),"
+        f" (acc, s) -> CASE WHEN size(acc) > 0"
+        f"   AND element_at(acc, -1) = {la} AND s = {lb}"
+        f"  THEN concat(slice(acc, 1, size(acc) - 1), array({lm}))"
+        f"  ELSE concat(acc, array(s)) END)"
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a trained merge list: per word, apply every merge
+    rule in rank order (the standard greedy BPE inference). Each rule is
+    one JVM ``aggregate`` fold over the symbol array — the whole
+    tokenizer is a single narrow projection, zero shuffles, zero
+    Python; cost O(tokens × n_merges) per row, embarrassingly parallel.
+    """
+    syms = F.split(F.col(text_col), "")
+    expr = "syms"
+    col_df = df.withColumn("syms", syms)
+    for a, b in merges:
+        expr = _merge_fold_sql(expr, a, b)
+    return col_df.withColumn(out_col, F.expr(expr)).drop("syms")

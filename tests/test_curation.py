@@ -436,3 +436,116 @@ def test_source_kl_divergence_properties(spark):
     assert got[("a", "c")][0] > 0 and got[("a", "c")][1] > 0
     # a and b are the same distribution, so their divergence from c matches
     assert got[("a", "c")] == got[("b", "c")]
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE training / application
+# ---------------------------------------------------------------------------
+def _ref_bpe_train(texts, n_merges, min_pair_count=2):
+    """Reference implementation: classic dict-based BPE on word counts."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0][0]]))
+        # deterministic: max count, then lexicographically smallest pair
+        top_cnt = max(pairs.values())
+        cands = sorted(p for p, c in pairs.items() if c == top_cnt)
+        best = cands[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from data_pipeline_ine_spark.operators.text import bpe_train
+
+    texts = [
+        "the quick brown fox the quick fox",
+        "the the the banana bandana",
+        "low lower lowest slow slower",
+        "don't stop the low flow now",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, n_merges=8)
+    want = _ref_bpe_train(texts, 8)
+    assert got == want
+    assert len(got) == 8  # corpus has at least 8 productive merges
+
+
+def test_bpe_train_early_stop_and_tie_break(spark):
+    from data_pipeline_ine_spark.operators.text import bpe_train
+
+    # every word unique, each pair appears at most once -> no merge
+    df = spark.createDataFrame([("ab cd ef",)], "text string")
+    assert bpe_train(df, n_merges=5, min_pair_count=2) == []
+    # tie between (a,b) and (c,d): lexicographically smaller pair wins
+    df = spark.createDataFrame([("ab ab cd cd",)], "text string")
+    assert bpe_train(df, n_merges=1)[0] == ("a", "b")
+
+
+def test_bpe_apply_matches_sequential_reference(spark):
+    from data_pipeline_ine_spark.operators.text import bpe_apply, bpe_train
+
+    texts = [
+        "the quick brown fox the quick fox",
+        "the the the banana bandana",
+        "low lower lowest slow slower",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe_train(df, n_merges=6)
+
+    def ref_apply(text):
+        syms = list(text)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    got = {r.text: r.bpe_tokens for r in bpe_apply(df, merges).collect()}
+    for t in texts:
+        assert got[t] == ref_apply(t), t
+    # merges never cross whitespace: every token is space-free or a space
+    for toks in got.values():
+        assert all((" " not in tok) or tok == " " for tok in toks)
+
+
+def test_bpe_apply_handles_quote_symbols(spark):
+    from data_pipeline_ine_spark.operators.text import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [("don't don't don't won't",)], "text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+    # apostrophe participates in learned merges without breaking the SQL
+    assert any("'" in a + b for a, b in merges)
+    out = bpe_apply(df, merges).collect()[0].bpe_tokens
+    assert "".join(out) == "don't don't don't won't"

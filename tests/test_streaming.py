@@ -834,3 +834,59 @@ def test_stream_dedup_corpus_matches_sequential_batches(spark, tmp_path):
     assert got == want
     # pin the planted semantics so the reference itself can't silently rot
     assert got == [1, 2, 3, 11, 12, 21]
+
+
+def test_raw_text_to_streaming_dedup_pipeline(spark, tmp_path):
+    """End-to-end ingestion: raw text dumps -> read_text_corpus shape ->
+    file stream -> stream_dedup_corpus. The full front door of a
+    training-data pipeline: content-addressed ids, near-dup admission
+    against the advancing corpus, versioned snapshots."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.sources.rawtext import read_text_corpus
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        write_base_snapshot,
+    )
+    from data_pipeline_ine_spark.streaming.dedup import stream_dedup_corpus
+
+    # seed corpus from a raw-text dump via the batch source
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "seed.txt").write_text(
+        "the quick brown fox jumps over the lazy sleeping dog\n"
+        "spark shuffles partition data across the cluster network fabric\n"
+    )
+    seed = read_text_corpus(spark, str(dump)).select("doc_id", "text")
+    corpus_dir = str(tmp_path / "corpus")
+    write_base_snapshot(seed, corpus_dir)
+    seed_ids = {r.doc_id for r in seed.collect()}
+
+    # stream two landing batches: one near-dup of a seed line, one novel
+    land = tmp_path / "landing"
+    land.mkdir()
+    batches = [
+        [(900, "the quick brown fox jumps over the lazy sleeping cat")],
+        [(901, "vector databases index embeddings for nearest neighbor search")],
+    ]
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            land / f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = stream_dedup_corpus(stream, corpus_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    final = {r.doc_id for r in latest_snapshot(spark, corpus_dir).collect()}
+    assert final == seed_ids | {901}  # near-dup 900 rejected, novel kept
