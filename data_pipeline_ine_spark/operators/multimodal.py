@@ -9,17 +9,19 @@ Three decode tiers:
   and full WAV audio decode (fmt chunk + PCM sample RMS) via ``wave``
   + ``struct``. No external codec needed; these run anywhere.
 - REAL pixel tier (``operators/pixels.py``): full PNG raster decode
-  (zlib inflate + all five scanline filters), uncompressed-BMP decode,
-  integer-exact nearest-neighbor resize + PNG re-encode
-  (``resize_images``), per-image pixel statistics
-  (``image_pixel_stats``), and FFT spectrogram features for PCM audio
-  (``audio_dominant_freq``) — PNG's entropy layer is zlib (stdlib) and
-  its filters are integer arithmetic, so none of this needs PIL.
-- ``decode_stub`` — placeholder for the rasters whose ENTROPY CODERS do
-  need external codec libraries (JPEG DCT/Huffman, GIF LZW, video frame
-  demux); env-gated until PIL/ffmpeg appear. The Spark-side plumbing
-  (schema, ``mapInPandas`` batch shape, partitioning) is shared with
-  the real tiers, so swapping in PIL is a one-function change.
+  (zlib inflate + all five scanline filters), GIF raster decode
+  (pure-Python general LZW), baseline JPEG decode AND encode (canonical
+  Huffman + 8x8 DCT in numpy), uncompressed-BMP decode, integer-exact
+  nearest-neighbor resize + PNG re-encode (``resize_images``),
+  per-image pixel statistics (``image_pixel_stats``), and FFT
+  spectrogram features for PCM audio (``audio_dominant_freq``) — every
+  entropy coder involved (zlib, LZW, canonical Huffman) is stdlib or
+  short pure Python, so none of this needs PIL/libjpeg.
+- ``decode_stub`` — placeholder for VIDEO FRAME DEMUX only, the one
+  modality whose codecs (H.264 etc.) genuinely need ffmpeg; env-gated.
+  The Spark-side plumbing (schema, ``mapInPandas`` batch shape,
+  partitioning) is shared with the real tiers, so swapping in pyav is a
+  one-function change.
 
 Scale notes:
 - ``mapInPandas`` streams Arrow batches (``spark.sql.execution.arrow.
@@ -547,14 +549,15 @@ def resize_images(
 ) -> DataFrame:
     """REAL image resize over a binary column — 1 row in, 1 row out.
 
-    PNG/BMP/GIF blobs are pixel-decoded (``operators/pixels.py``: zlib
-    + scanline un-filtering for PNG, pure-Python LZW for GIF, no PIL),
-    resampled with the integer-exact nearest-neighbor mapping, and
-    re-encoded as PNG; blobs in formats whose raster tier is env-gated
-    (JPEG/video) or invalid streams come back ``resize_ok=false`` with
-    a NULL payload. Output bytes are bit-deterministic (integer index
-    mapping, filter-0 encode, fixed zlib level), so re-runs and replays
-    produce identical blobs.
+    PNG/BMP/GIF/baseline-JPEG blobs are pixel-decoded
+    (``operators/pixels.py``: zlib + scanline un-filtering, pure-Python
+    LZW, canonical-Huffman + DCT — no PIL), resampled with the
+    integer-exact nearest-neighbor mapping, and re-encoded as PNG;
+    video blobs (frame demux is the one env-gated modality) and invalid
+    streams come back ``resize_ok=false`` with a NULL payload. Output
+    bytes are bit-deterministic (integer index mapping, filter-0
+    encode, fixed zlib level), so re-runs and replays produce identical
+    blobs.
 
     The pixel functions ship to executors BY VALUE (cloudpickle module
     registration in pixels.py) — workers never import this repo.

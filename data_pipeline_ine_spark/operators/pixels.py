@@ -5,11 +5,13 @@ at: full PNG raster decode (zlib inflate + scanline un-filtering per the
 PNG spec's five filter types), uncompressed-BMP decode, deterministic
 nearest-neighbor resize, PNG re-encode, and FFT spectrogram features for
 PCM audio. No PIL/libjpeg/ffmpeg anywhere — PNG's entropy layer is zlib
-(stdlib), its prediction filters are pure integer arithmetic, and GIF's
-LZW is self-contained enough to implement directly (``_lzw_decode`` /
-``lzw_encode`` below), so complete decoders need nothing the sandbox
-lacks. Only JPEG raster (DCT + Huffman) and video-frame demux remain in
-the env-gated stub tier.
+(stdlib), its prediction filters are pure integer arithmetic, GIF's LZW
+is self-contained enough to implement directly (``_lzw_decode`` /
+``lzw_encode``), and baseline JPEG is canonical Huffman (spec BITS/
+HUFFVAL lists) plus an 8x8 DCT — numpy matrix algebra — implemented as
+``jpeg_decode`` / ``jpeg_encode`` below (grayscale + 4:4:4, restart
+markers, byte stuffing; hand-assembled spec vector in the tests). Only
+video-frame demux remains in the env-gated stub tier.
 
 Determinism notes (these functions feed oracle-checked queries):
 - resize uses INTEGER index mapping ``src = (dst_i * src_n) // dst_n``
@@ -191,14 +193,16 @@ def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 
 
 def decode_raster(b: bytes) -> np.ndarray | None:
-    """Dispatch: PNG, BMP, or GIF raster, else None (JPEG stays
-    env-gated — its DCT/Huffman entropy coder needs libjpeg)."""
+    """Dispatch: PNG, BMP, GIF, or baseline JPEG raster, else None
+    (only video-frame demux remains env-gated)."""
     if b[:8] == PNG_SIG:
         return png_decode(b)
     if b[:2] == b"BM":
         return bmp_decode(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode(b)
+    if b[:2] == b"\xff\xd8":
+        return jpeg_decode(b)
     return None
 
 
@@ -368,4 +372,480 @@ def lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT, 8-bit): pure Python + numpy.
+# Entropy layer is canonical Huffman (buildable from the spec's BITS/
+# HUFFVAL lists), the transform is an 8x8 DCT — numpy matrix algebra — so
+# like PNG/GIF nothing here needs libjpeg. Supported: grayscale and 4:4:4
+# YCbCr, no progressive, no arithmetic coding, restart markers honored.
+# ---------------------------------------------------------------------------
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# standard quantization tables (T.81 Annex K.1) in zigzag-natural order
+_STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+_STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+# standard Huffman specs (T.81 Annex K.3): (BITS[1..16], HUFFVAL)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    c = np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= np.sqrt(1 / 2)
+    return c * 0.5  # orthonormal: C @ C.T = I
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huffman_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, canonical assignment per T.81 C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huffman_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length)."""
+    return {v: (c, ln) for (ln, c), v in _huffman_decode_table(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.b):
+            return False
+        byte = self.b[self.pos]
+        if byte == 0xFF:
+            nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else None
+            if nxt != 0x00:
+                return False  # RST/EOI/segment marker — caller handles
+            self.pos += 2  # stuffed FF00 -> literal 0xFF data byte
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def resync_restart(self) -> bool:
+        """Skip to just past the next RSTn marker; reset bit state."""
+        self.acc = self.nbits = 0
+        while self.pos + 1 < len(self.b):
+            if self.b[self.pos] == 0xFF and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return True
+            self.pos += 1
+        return False
+
+    def read_huffman(self, table: dict[tuple[int, int], int]) -> int | None:
+        code = 0
+        for ln in range(1, 17):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            if (ln, code) in table:
+                return table[(ln, code)]
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(b: bytes) -> np.ndarray | None:
+    """Baseline JPEG raster decode → ``(h, w, 1|3)`` uint8 (gray or
+    RGB), or None for progressive/arithmetic/12-bit/subsampled streams
+    and corrupt data. Supports grayscale and 4:4:4 YCbCr, restart
+    markers, FF00 byte stuffing; IDCT is the orthonormal 8x8 DCT matrix
+    in float64 (numpy), YCbCr→RGB per JFIF."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # list of (comp_id, qt_id)
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+            seg = b[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                    if pq != 0:
+                        return None  # 12-bit tables unsupported
+                    tbl = np.zeros(64, np.int32)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        seg, np.uint8, count=64, offset=i + 1
+                    )
+                    qt[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+                if seg[0] != 8:
+                    return None
+                h, w = struct.unpack(">HH", seg[1:5])
+                ncomp = seg[5]
+                if ncomp not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(ncomp):
+                    cid = seg[6 + 3 * ci]
+                    sampling = seg[7 + 3 * ci]
+                    if sampling != 0x11:
+                        return None  # 4:4:4 / grayscale only
+                    comps.append((cid, seg[8 + 3 * ci]))
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic/lossless
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    bits = list(seg[i + 1 : i + 17])
+                    nvals = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + nvals])
+                    tbl = _huffman_decode_table(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                    i += 17 + nvals
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                if comps is None or ns != len(comps):
+                    return None
+                scan = []  # (qt_id, dc_table, ac_table)
+                for ci in range(ns):
+                    cid, tables = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                    qt_id = dict(comps)[cid]
+                    scan.append(
+                        (qt[qt_id], huff_dc[tables >> 4], huff_ac[tables & 0x0F])
+                    )
+                data_start = pos + 2 + seg_len
+                return _jpeg_scan(b, data_start, w, h, scan, restart_interval)
+            pos += 2 + seg_len
+    except (struct.error, IndexError, KeyError):
+        return None
+    return None
+
+
+def _jpeg_scan(b, pos, w, h, scan, restart_interval):
+    ncomp = len(scan)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in range(ncomp)]
+    reader = _BitReader(b, pos)
+    pred = [0] * ncomp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not reader.resync_restart():
+                    return None
+                pred = [0] * ncomp
+            for ci, (q, dc_tbl, ac_tbl) in enumerate(scan):
+                t = reader.read_huffman(dc_tbl)
+                if t is None:
+                    return None
+                diff_bits = reader.read_bits(t)
+                if diff_bits is None:
+                    return None
+                pred[ci] += _extend(diff_bits, t)
+                zz = np.zeros(64, np.int32)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_huffman(ac_tbl)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        return None
+                    mag = reader.read_bits(s)
+                    if mag is None:
+                        return None
+                    zz[k] = _extend(mag, s)
+                    k += 1
+                block = np.zeros(64, np.float64)
+                block[_ZIGZAG] = zz
+                coeff = block.reshape(8, 8) * q
+                spatial = _DCT_C.T @ coeff @ _DCT_C + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+            mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with FF00 stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+
+def _encode_coef(v: int) -> tuple[int, int]:
+    """(category t, t-bit magnitude code) per T.81 F.1.2.1."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 75, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF encoder: grayscale or RGB input, 4:4:4 (no chroma
+    subsampling), standard Annex-K quantization tables scaled by the
+    libjpeg quality convention, standard Huffman tables, optional DRI +
+    RSTn emission. Pairs with :func:`jpeg_decode` for lossy round-trip
+    tests with a quantization-bounded error."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if ncomp not in (1, 3):
+        raise ValueError("grayscale or RGB input required")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def scaled(tbl):
+        q = np.clip((tbl.astype(np.int64) * scale + 50) // 100, 1, 255)
+        return q.astype(np.int32)
+    qts = [scaled(_STD_LUMA_Q)]
+    if ncomp == 3:
+        qts.append(scaled(_STD_CHROMA_Q))
+        x = arr.astype(np.float64)
+        y = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+        cb = -0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2] + 128
+        cr = 0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1] - 0.081312 * x[:, :, 2] + 128
+        chans = [y, cb, cr]
+        comp_qt = [0, 1, 1]
+    else:
+        chans = [arr[:, :, 0].astype(np.float64)]
+        comp_qt = [0]
+
+    dc_enc = [_huffman_encode_table(*_STD_DC_LUMA)]
+    ac_enc = [_huffman_encode_table(*_STD_AC_LUMA)]
+    if ncomp == 3:
+        dc_enc.append(_huffman_encode_table(*_STD_DC_CHROMA))
+        ac_enc.append(_huffman_encode_table(*_STD_AC_CHROMA))
+    comp_huff = [0, 1, 1][:ncomp]
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    def segment(marker, body):
+        out.extend(marker)
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+    for tq, q in enumerate(qts):
+        # zigzag-order serialization: byte k is q.flat[_ZIGZAG[k]]
+        zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        segment(b"\xff\xdb", bytes([tq]) + bytes(zz))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, comp_qt[ci]])
+    segment(b"\xff\xc0", bytes(sof))
+    tables = [(_STD_DC_LUMA, 0x00), (_STD_AC_LUMA, 0x10)]
+    if ncomp == 3:
+        tables += [(_STD_DC_CHROMA, 0x01), (_STD_AC_CHROMA, 0x11)]
+    for (bits, vals), tc_th in tables:
+        segment(b"\xff\xc4", bytes([tc_th] + bits + vals))
+    if restart_interval:
+        segment(b"\xff\xdd", struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (comp_huff[ci] << 4) | comp_huff[ci]])
+    sos += bytes([0, 63, 0])
+    segment(b"\xff\xda", bytes(sos))
+
+    # entropy-coded data
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    mcu = 0
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for ch in chans:
+        p = np.empty((bh_ * 8, bw_ * 8), np.float64)
+        p[:h, :w] = ch
+        p[h:, :w] = ch[-1:, :]  # edge-replicate padding
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+    for by in range(bh_):
+        for bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                pred = [0] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeff = _DCT_C @ (block - 128.0) @ _DCT_C.T
+                q = qts[comp_qt[ci]]
+                zz = np.round(coeff / q).astype(np.int32).reshape(-1)[_ZIGZAG]
+                # DC
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t, mag = _encode_coef(diff)
+                code, ln = dc_enc[comp_huff[ci]][t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(mag, t)
+                # AC
+                ac = ac_enc[comp_huff[ci]]
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac[0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    t, mag = _encode_coef(v)
+                    code, ln = ac[(run << 4) | t]
+                    writer.write(code, ln)
+                    writer.write(mag, t)
+                    run = 0
+                if run:
+                    code, ln = ac[0x00]
+                    writer.write(code, ln)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

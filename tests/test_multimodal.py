@@ -386,3 +386,88 @@ def test_gif_decode_real_lzw_stream():
     # garbage rejection
     assert gif_decode(b"GIF89a\x00") is None
     assert gif_decode(b"") is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (operators/pixels.py)
+# ---------------------------------------------------------------------------
+def test_jpeg_decode_hand_assembled_spec_vector():
+    """Decoder vs a BY-HAND bitstream (independent of our encoder): one
+    8x8 grayscale block, uniform Q=16, flat value 136. DC coefficient
+    8*(136-128)=64 quantizes to 4 (category 3, code '100' in the
+    standard DC-luma table, magnitude bits '100'), EOB is '1010' in the
+    standard AC-luma table; 1-padded to two bytes = 0x92 0xBF. Any
+    zigzag/Huffman/dequant/IDCT-scaling bug breaks the exact 136."""
+    import struct
+
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import (
+        _STD_AC_LUMA,
+        _STD_DC_LUMA,
+        jpeg_decode,
+    )
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(b"\xff\xdb", bytes([0]) + bytes([16] * 64))
+    sof = seg(b"\xff\xc0", bytes([8]) + struct.pack(">HH", 8, 8)
+              + bytes([1, 1, 0x11, 0]))
+    dht = seg(b"\xff\xc4", bytes([0x00] + _STD_DC_LUMA[0] + _STD_DC_LUMA[1])) \
+        + seg(b"\xff\xc4", bytes([0x10] + _STD_AC_LUMA[0] + _STD_AC_LUMA[1]))
+    sos = seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
+    jpg = b"\xff\xd8" + dqt + sof + dht + sos + bytes([0x92, 0xBF]) + b"\xff\xd9"
+    dec = jpeg_decode(jpg)
+    assert dec is not None and dec.shape == (8, 8, 1)
+    assert np.array_equal(dec, np.full((8, 8, 1), 136, np.uint8))
+
+
+def test_jpeg_roundtrip_error_is_quantization_bounded():
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import jpeg_decode, jpeg_encode
+
+    flat = np.full((16, 24), 130, np.uint8)
+    dec = jpeg_decode(jpeg_encode(flat, quality=90))
+    assert np.array_equal(dec[:, :, 0], flat)  # DC-only: exact
+
+    smooth = np.fromfunction(
+        lambda y, x: (x * 3 + y * 2) % 200 + 20, (32, 40)
+    ).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(smooth, quality=95))
+    assert int(np.abs(dec[:, :, 0].astype(int) - smooth.astype(int)).max()) <= 2
+
+    rgb = np.dstack([smooth, smooth[::-1], np.full_like(smooth, 99)])
+    dec = jpeg_decode(jpeg_encode(rgb, quality=95))
+    assert dec.shape == rgb.shape
+    # chroma rotation adds a few levels; still tightly bounded at q95
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 12
+
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(noise, quality=95))
+    assert int(np.abs(dec[:, :, 0].astype(int) - noise.astype(int)).max()) <= 8
+
+
+def test_jpeg_restart_markers_and_dispatch():
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import (
+        decode_raster,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    g = np.fromfunction(
+        lambda y, x: (x * 5 + y * 3) % 200 + 20, (40, 56)
+    ).astype(np.uint8)
+    plain = jpeg_decode(jpeg_encode(g, quality=92))
+    for ri in (1, 2, 5):
+        rst = jpeg_decode(jpeg_encode(g, quality=92, restart_interval=ri))
+        assert np.array_equal(rst, plain)  # restarts change bytes, not pixels
+    assert decode_raster(jpeg_encode(g)) is not None  # dispatch covers JPEG
+    # progressive and corrupt streams are rejected, not misdecoded
+    assert jpeg_decode(b"\xff\xd8\xff\xc2\x00\x04\x08\x00") is None
+    assert jpeg_decode(b"\xff\xd8junk") is None
+    assert jpeg_decode(b"") is None
