@@ -17,11 +17,11 @@ Three decode tiers:
   spectrogram features for PCM audio (``audio_dominant_freq``) — every
   entropy coder involved (zlib, LZW, canonical Huffman) is stdlib or
   short pure Python, so none of this needs PIL/libjpeg.
-- ``decode_stub`` — placeholder for VIDEO FRAME DEMUX only, the one
-  modality whose codecs (H.264 etc.) genuinely need ffmpeg; env-gated.
-  The Spark-side plumbing (schema, ``mapInPandas`` batch shape,
-  partitioning) is shared with the real tiers, so swapping in pyav is a
-  one-function change.
+- Video: REAL frame demux for Motion-JPEG AVI (``demux_video_frames``
+  — RIFF chunk walk + the in-repo JPEG codec, the format capture
+  pipelines emit). Only non-MJPEG video CODECS (H.264 etc.) remain
+  env-gated behind ``decode_stub``/``sample_frames``; their demux would
+  reuse the same flat-map plumbing with pyav dropped into one function.
 
 Scale notes:
 - ``mapInPandas`` streams Arrow batches (``spark.sql.execution.arrow.
@@ -724,6 +724,47 @@ def sample_frames(
                     ids.append(doc_id)
                     idxs.append(k)
                     frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+            yield _pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(compute, FRAME_SCHEMA)
+
+
+def demux_video_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL video frame demux for Motion-JPEG AVI blobs — 1 row in,
+    N rows out. RIFF chunk walking extracts the '00dc' frame payloads
+    (operators/pixels.py::avi_mjpeg_frames) and every ``every_n``-th
+    frame is emitted as its raw baseline-JPEG bytes, which
+    ``image_pixel_stats`` / ``resize_images`` decode downstream with
+    the same pure-Python codec stack. MJPEG is what capture pipelines
+    and webcams emit; H.264-family payloads would demux the same way
+    but stay undecodable without ffmpeg, and non-AVI blobs emit no
+    rows. Flat-map shape with memory bounded per Arrow batch — the
+    demux/explode pattern for any media container at 100 TB."""
+    from data_pipeline_ine_spark.operators import pixels
+
+    demux = pixels.avi_mjpeg_frames
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                payloads = demux(b)
+                if not payloads:
+                    continue
+                for k in range(0, len(payloads), every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(payloads[k])
             yield _pd.DataFrame(
                 {id_col: ids, "frame_idx": idxs, "frame": frames}
             )

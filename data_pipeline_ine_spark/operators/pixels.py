@@ -10,8 +10,10 @@ is self-contained enough to implement directly (``_lzw_decode`` /
 ``lzw_encode``), and baseline JPEG is canonical Huffman (spec BITS/
 HUFFVAL lists) plus an 8x8 DCT — numpy matrix algebra — implemented as
 ``jpeg_decode`` / ``jpeg_encode`` below (grayscale + 4:4:4, restart
-markers, byte stuffing; hand-assembled spec vector in the tests). Only
-video-frame demux remains in the env-gated stub tier.
+markers, byte stuffing; hand-assembled spec vector in the tests).
+Video: Motion-JPEG AVI demux is real too (RIFF chunk walk +
+``jpeg_decode`` per frame); only non-MJPEG video codecs (H.264 etc.)
+remain in the env-gated stub tier.
 
 Determinism notes (these functions feed oracle-checked queries):
 - resize uses INTEGER index mapping ``src = (dst_i * src_n) // dst_n``
@@ -849,3 +851,83 @@ def jpeg_encode(
     out.extend(writer.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG in AVI: the one video path that needs no external codec —
+# the container is RIFF chunk walking (struct) and every frame is a
+# baseline JPEG our own jpeg_decode handles. H.264-family codecs remain
+# genuinely env-gated; MJPEG is what webcams/capture pipelines emit and
+# makes the frame-demux operator REAL end to end.
+# ---------------------------------------------------------------------------
+def avi_mjpeg_encode(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 85
+) -> bytes:
+    """Minimal spec-valid AVI container holding JPEG-compressed frames
+    ('00dc' chunks in the movi list, MJPG fourcc, avih/strh/strf
+    headers). All frames must share one (h, w[, c]) shape."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    payloads = [jpeg_encode(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0, 0x10,        # max bytes/s, padding, flags (HASINDEX off)
+        len(payloads), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I2H2I", 0, 0, 0, 1, fps, 0, len(payloads), 0,
+                      0xFFFFFFFF, 0, 0, 0, 0, 0)[:44]
+    )
+    strh = strh[:56] if len(strh) >= 56 else strh + bytes(56 - len(strh))
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_mjpeg_frames(b: bytes) -> list[bytes] | None:
+    """Demux an AVI: the ordered list of video-frame payloads ('##dc' /
+    '##db' chunks inside the movi list). Returns None for non-AVI or
+    corrupt containers; payload codec is the caller's problem (for
+    MJPG each payload is a baseline JPEG)."""
+    if b[:4] != b"RIFF" or len(b) < 12 or b[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> bool:
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (ln,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + ln > end:
+                return False
+            if cid == b"LIST" and ln >= 4:
+                if not walk(body_start + 4, body_start + ln):
+                    return False
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(b[body_start : body_start + ln])
+            pos = body_start + ln + (ln & 1)
+        return True
+
+    if not walk(12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0])):
+        return None
+    return frames

@@ -471,3 +471,44 @@ def test_jpeg_restart_markers_and_dispatch():
     assert jpeg_decode(b"\xff\xd8\xff\xc2\x00\x04\x08\x00") is None
     assert jpeg_decode(b"\xff\xd8junk") is None
     assert jpeg_decode(b"") is None
+
+
+def test_demux_video_frames_real_mjpeg(spark):
+    """REAL video demux end to end: MJPEG-AVI blobs -> every_n frame
+    JPEGs -> pixel decode, all with the in-repo codec stack."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.multimodal import (
+        demux_video_frames,
+        image_pixel_stats,
+    )
+    from data_pipeline_ine_spark.operators.pixels import (
+        avi_mjpeg_encode,
+        jpeg_decode,
+    )
+
+    def clip(doc_id, n_frames):
+        frames = [
+            np.full((16, 24), 30 + 10 * (doc_id + k), np.uint8)
+            for k in range(n_frames)
+        ]
+        return (doc_id, bytearray(avi_mjpeg_encode(frames, quality=92)))
+
+    rows = [clip(1, 6), clip(2, 3), (3, bytearray(b"not a video"))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = demux_video_frames(df, every_n=2).collect()
+    got = {(r.doc_id, r.frame_idx) for r in out}
+    assert got == {(1, 0), (1, 2), (1, 4), (2, 0), (2, 2)}
+    for r in out:
+        dec = jpeg_decode(bytes(r.frame))
+        assert dec is not None and dec.shape == (16, 24, 1)
+        assert int(dec[0, 0, 0]) == 30 + 10 * (r.doc_id + r.frame_idx)
+
+    # frames compose with the pixel-stats operator (JPEG dispatch)
+    frames_df = demux_video_frames(df, every_n=2).select(
+        (F.col("doc_id") * 100 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("media"),
+    )
+    stats = image_pixel_stats(frames_df).collect()
+    assert len(stats) == 5
+    assert all(s.width == 24 and s.height == 16 for s in stats)
