@@ -5701,6 +5701,60 @@ FROM documents WHERE doc_id % 4 = 2
 """
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE video path oracle-checked cross-engine: synthesize an
+    MJPEG-AVI clip per document (operators/multimodal.py::
+    with_synthetic_video — flat grayscale frames, JPEG q92), demux
+    every 2nd frame through the RIFF walker (demux_video_frames), pixel
+    -decode each frame with the in-repo baseline-JPEG codec, and emit
+    exact integer pixel statistics. Flat frames make the lossy codec
+    exact (all AC = 0; DC quant step 3 ⇒ error < 0.5 px, rounds back),
+    so the oracle predicts every demuxed frame's pixel sum in closed
+    form — any container/Huffman/DCT/demux bug breaks the match."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        demux_video_frames,
+        image_pixel_stats,
+        with_synthetic_video,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    frames = demux_video_frames(with_synthetic_video(docs), every_n=2)
+    keyed = frames.select(
+        (F.col("doc_id") * 1000 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("media"),
+    )
+    stats = image_pixel_stats(keyed)
+    return stats.select(
+        F.floor(F.col("doc_id") / 1000).cast("bigint").alias("doc_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "pixel_sum",
+    )
+
+
+ORACLE_VIDEO_FRAME_STATS = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+  FROM d
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(w * h * ((doc_id * 7 + frame_idx * 31) % 200 + 28) AS BIGINT)
+    AS pixel_sum
+FROM fr
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5781,6 +5835,7 @@ _CHECK_ORDER = [
     "value_drift",
     "media_pixel_stats",
     "audio_dominant_freq",
+    "video_frame_stats",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6044,6 +6099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift": q_value_drift,
         "media_pixel_stats": q_media_pixel_stats,
         "audio_dominant_freq": q_audio_dominant_freq,
+        "video_frame_stats": q_video_frame_stats,
     })
 
 
@@ -6201,4 +6257,5 @@ def oracle_sql() -> dict[str, str]:
         "value_drift": ORACLE_VALUE_DRIFT,
         "media_pixel_stats": ORACLE_MEDIA_PIXEL_STATS,
         "audio_dominant_freq": ORACLE_AUDIO_DOMINANT_FREQ,
+        "video_frame_stats": ORACLE_VIDEO_FRAME_STATS,
     })

@@ -770,3 +770,40 @@ def demux_video_frames(
             )
 
     return df.select(id_col, blob_col).mapInPandas(compute, FRAME_SCHEMA)
+
+
+def with_synthetic_video(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic MJPEG-AVI clip per row (the video analog of
+    ``with_synthetic_media``): ``n_frames = 2 + id % 4`` flat grayscale
+    frames of ``w = 8 + id % 16, h = 8 + id % 8``, frame ``k`` filled
+    with ``(id*7 + k*31) % 200 + 28``, JPEG quality 92.
+
+    Flat frames make the lossy codec EXACT by construction: all AC
+    coefficients are zero and the DC quantization step at q92 is 3, so
+    the reconstruction error per pixel is at most 3/16 < 0.5 and rounds
+    back to the original value — which is what lets a SQL oracle
+    predict every demuxed frame's pixel statistics in closed form
+    (query ``video_frame_stats``)."""
+    from data_pipeline_ine_spark.operators import pixels
+
+    encode = pixels.avi_mjpeg_encode
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 16, 8 + i % 8
+                frames = [
+                    _np.full((h, w), (i * 7 + k * 31) % 200 + 28, _np.uint8)
+                    for k in range(2 + i % 4)
+                ]
+                blobs.append(bytearray(encode(frames, quality=92)))
+            yield _pd.DataFrame({id_col: pdf[id_col], "media": blobs})
+
+    return df.select(id_col).mapInPandas(compute, f"{id_col} long, media binary")
