@@ -722,3 +722,30 @@ def test_pmi_collocations_single_corpus_shuffle(spark, sf_dir):
     plan = explain_str(df, mode="simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan  # the totals join must broadcast
+
+
+def test_linkage_scores_blocked_equi_join(spark, sf_dir):
+    """linkage_scores: candidate generation must be an EQUI-join on the
+    blocking key (sum-of-block-squared pairs), never a cartesian over
+    the table; the three 1-row stats frames broadcast back; ranking is
+    TakeOrdered, not a global sort materialization."""
+    df = contract.queries()["linkage_scores"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_value_drift_no_corpus_shuffle(spark, sf_dir):
+    """value_drift: the only aggregates are the 1-row percentile frame,
+    the two 10-row bucket counts, and the 1-row totals — the corpus is
+    scanned, never shuffled on a data-sized key. Assert every join is a
+    broadcast (edges/totals) and no Python appears."""
+    df = contract.queries()["value_drift"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
