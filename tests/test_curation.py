@@ -549,3 +549,99 @@ def test_bpe_apply_handles_quote_symbols(spark):
     assert any("'" in a + b for a, b in merges)
     out = bpe_apply(df, merges).collect()[0].bpe_tokens
     assert "".join(out) == "don't don't don't won't"
+
+
+def test_full_curation_composition_end_to_end(spark, sf_dir, tmp_path):
+    """Capstone: the complete training-data front door in one chain —
+    raw text dump -> canonical documents -> quality/language gates ->
+    exact dedup -> near-dup dedup -> benchmark decontamination ->
+    deterministic split assignment -> BPE vocabulary trained on the
+    train split and applied back. Asserts the invariants each stage
+    must preserve and full determinism across a re-run."""
+    from data_pipeline_ine_spark.operators.dedup import (
+        dedup_components,
+        jaccard_candidate_pairs,
+    )
+    from data_pipeline_ine_spark.operators.text import (
+        bpe_apply,
+        bpe_train,
+        contamination_overlap,
+        fingerprint,
+        language_id,
+        quality_score,
+    )
+    from data_pipeline_ine_spark.operators.sampling import split_assign
+    from data_pipeline_ine_spark.sources.rawtext import read_text_corpus
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    # raw dump: real docs from the testdata table + planted junk
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    texts = [r.text.replace("\n", " ") for r in docs.collect()]
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "part0.txt").write_text(
+        "\n".join(texts[:60]) + "\n!!!\n\n"  # junk line: punct-only
+    )
+    (dump / "part1.txt").write_text(
+        "\n".join(texts[60:]) + "\n" + texts[0] + "\n"  # exact dup
+    )
+
+    corpus = read_text_corpus(spark, str(dump))
+    n0 = corpus.count()
+    assert n0 == len(texts) + 2  # junk + replanted dup survive the scan
+
+    # 1. gates: quality + language
+    gated = corpus.withColumn("q", quality_score("text")).withColumn(
+        "lang_guess", language_id("text")
+    ).filter((F.col("q") > 0.2) & (F.col("lang_guess") == "en"))
+    n1 = gated.count()
+    assert 0 < n1 < n0  # junk line gated out, bulk survives
+
+    # 2. exact dedup on the content fingerprint (keep min doc_id)
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    exact = gated.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    n2 = exact.count()
+    assert n2 == n1 - 1  # exactly the planted duplicate collapsed
+
+    # 3. near-dup dedup: LSH candidates -> components -> min-id reps
+    pairs = jaccard_candidate_pairs(exact).filter(F.col("jaccard") >= 0.5)
+    comp = dedup_components(pairs)
+    drop = comp.join(
+        comp.groupBy("component").agg(F.min("doc_id").alias("keep")),
+        "component",
+    ).filter(F.col("doc_id") != F.col("keep")).select("doc_id")
+    deduped = exact.join(drop, "doc_id", "left_anti")
+    n3 = deduped.count()
+    assert 0 < n3 <= n2
+
+    # 4. decontamination against a fake benchmark built from one doc
+    bench = spark.createDataFrame([(texts[5],)], "text string")
+    overlap = contamination_overlap(deduped, bench)
+    contaminated = overlap.filter(F.col("contamination") >= 0.8).select("doc_id")
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    n4 = clean.count()
+    assert n4 < n3  # the benchmark's source doc must flag itself out
+
+    # 5. deterministic splits: disjoint, complete, stable
+    split = split_assign(clean, key_col="doc_id")
+    by = {r.split: r.n for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(by.values()) == n4 and set(by) <= {"train", "val", "test"}
+
+    # 6. BPE learned on train, applied to everything
+    train = split.filter(F.col("split") == "train")
+    merges = bpe_train(train, n_merges=4)
+    assert len(merges) == 4
+    toks = bpe_apply(split, merges)
+    row = toks.limit(1).collect()[0]
+    assert "".join(row.bpe_tokens) == row.text  # lossless tokenization
+
+    # full-chain determinism: identical survivor set on a re-run
+    again = exact.join(drop, "doc_id", "left_anti").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )

@@ -502,3 +502,83 @@ def test_skyline_matches_dominance_reference(spark, rows, parts):
         )
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_any_shape(w, h, c, seed):
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import png_decode, png_encode
+
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w, c)).astype(np.uint8)
+    dec = png_decode(png_encode(arr))
+    assert dec is not None and np.array_equal(dec, arr)
+
+
+@SETTINGS
+@given(
+    mcs=st.integers(2, 8),
+    idx=st.lists(st.integers(0, 255), min_size=1, max_size=400),
+)
+def test_gif_lzw_roundtrip_any_stream(mcs, idx):
+    from data_pipeline_ine_spark.operators.pixels import _lzw_decode, lzw_encode
+
+    idx = [v % (1 << mcs) for v in idx]
+    assert _lzw_decode(lzw_encode(idx, mcs), mcs) == idx
+
+
+@SETTINGS
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    tw=st.integers(1, 24),
+    th=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_nearest_matches_index_map(w, h, tw, th, seed):
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import resize_nearest
+
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    out = resize_nearest(arr, tw, th)
+    assert out.shape == (th, tw)
+    for y in range(th):
+        for x in range(tw):
+            assert out[y, x] == arr[(y * h) // th, (x * w) // tw]
+
+
+@SETTINGS
+@given(
+    n_frames=st.integers(1, 6),
+    w=st.integers(8, 24),
+    h=st.integers(8, 16),
+    base=st.integers(28, 220),
+)
+def test_avi_mjpeg_flat_frames_roundtrip_exact(n_frames, w, h, base):
+    """Container + codec property: flat frames at q92 survive the lossy
+    JPEG EXACTLY (DC quant step 3 ⇒ error < 0.5 px) through a full AVI
+    mux/demux cycle, for any geometry and frame count."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import (
+        avi_mjpeg_encode,
+        avi_mjpeg_frames,
+        jpeg_decode,
+    )
+
+    frames = [
+        np.full((h, w), (base + 3 * k) % 228 + 28, np.uint8)
+        for k in range(n_frames)
+    ]
+    payloads = avi_mjpeg_frames(avi_mjpeg_encode(frames, quality=92))
+    assert payloads is not None and len(payloads) == n_frames
+    for k, p in enumerate(payloads):
+        dec = jpeg_decode(p)
+        assert dec is not None and np.array_equal(dec[:, :, 0], frames[k])
