@@ -456,3 +456,89 @@ def knn_join_blocked(
         )
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``q_i = round(127 * x_i /
+    amax)`` with the per-vector ``amax`` scale kept alongside — the
+    4x memory compression every billion-vector ANN serving layer runs
+    (FAISS SQ8 and friends). Returns ``(id, qvec: array<tinyint>,
+    scale: double)``; dequantized error per component is at most
+    ``scale/254``.
+
+    Scale shape: one narrow projection of JVM higher-order functions —
+    zero shuffles, zero Python; the amax is a single ``aggregate`` fold
+    let-bound so it computes once per row, not once per component.
+    All-zero vectors quantize to all-zero with scale 0 (guarded
+    divide)."""
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    v = F.col(vec_col)
+
+    def build(amax: Column) -> Column:
+        safe = F.when(amax > 0, amax).otherwise(F.lit(1.0))
+        return F.struct(
+            F.transform(
+                v,
+                lambda x: F.round(F.lit(127.0) * x.cast("double") / safe)
+                .cast("tinyint"),
+            ).alias("qvec"),
+            amax.alias("scale"),
+        )
+
+    amax = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    packed = let_(amax, build)
+    return df.select(
+        id_col, packed["qvec"].alias("qvec"), packed["scale"].alias("scale")
+    )
+
+
+def quantized_topk(
+    qdf: DataFrame,
+    query_vec: "Sequence[float]",
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors
+    (:func:`quantize_embeddings` output): the query is quantized with
+    the same rule, dot products run in EXACT integer arithmetic
+    (sum of int16 products — deterministic on every platform, no float
+    accumulation order), and ranking rescales by the two amax scales.
+    Memory-bound scans read 1/4 the bytes of float32; ranking is
+    TakeOrdered. Recall loss is the quantization error only — bounded,
+    and measured against the exact ranker in the tests."""
+    import numpy as np
+
+    qarr = np.asarray(list(query_vec), dtype=np.float64)
+    qmax = float(np.abs(qarr).max()) or 1.0
+    qq = [int(x) for x in np.round(127.0 * qarr / qmax)]
+    q = F.array(*[F.lit(x).cast("int") for x in qq])
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qvec"), q, lambda a, b: a.cast("bigint") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qnorm = float(np.sqrt(sum(x * x for x in qq))) or 1.0
+    inorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda a: a.cast("bigint") * a),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    sim = F.round(
+        int_dot.cast("double") / (F.greatest(inorm, F.lit(1e-12)) * qnorm), 6
+    )
+    return (
+        qdf.select(id_col, sim.alias("qcosine"))
+        .orderBy(F.desc("qcosine"), F.asc(id_col))
+        .limit(k)
+    )

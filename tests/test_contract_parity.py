@@ -52,3 +52,20 @@ def test_bench_final_line_fits_driver_tail_buffer():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_total"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_check_order_is_a_permutation_of_the_contract():
+    """_CHECK_ORDER drives which queries get driver evidence each round;
+    a typo'd or stale name would silently drop out of the rotation
+    (_check_ordered skips unknown keys). Assert it is exactly a
+    duplicate-free permutation of the query registry, and that the
+    oracle registry enumerates in the same order."""
+    order = contract._CHECK_ORDER
+    assert len(order) == len(set(order)), "duplicate names in _CHECK_ORDER"
+    assert set(order) == set(QUERIES), (
+        f"missing from order: {set(QUERIES) - set(order)}; "
+        f"stale in order: {set(order) - set(QUERIES)}"
+    )
+    assert list(QUERIES) == list(ORACLES), "queries/oracles enumerate differently"
+    # the driver checks the first 50: they must all have oracles
+    assert all(n in ORACLES for n in list(QUERIES)[:50])

@@ -168,3 +168,51 @@ def test_incremental_dedup_drops_only_corpus_near_dups(spark):
     # survivors keep their full payload
     out = incremental_near_dup_filter(new, corpus).collect()
     assert out[0].text.startswith("completely different")
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+def test_quantize_embeddings_bounds_and_determinism(spark, sf_dir):
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.similarity import quantize_embeddings
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    out = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    src = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert set(out) == set(src)
+    for vid, r in out.items():
+        xs = np.asarray(src[vid], dtype=np.float64)
+        amax = float(np.abs(xs).max())
+        assert abs(r.scale - amax) < 1e-6
+        q = np.asarray(r.qvec, dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        # dequantization error bounded by scale/254 per component
+        deq = q * amax / 127.0
+        assert float(np.abs(deq - xs).max()) <= amax / 254.0 + 1e-9
+    again = {r.vec_id: list(r.qvec) for r in quantize_embeddings(emb).collect()}
+    assert all(again[v] == list(out[v].qvec) for v in out)
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    from data_pipeline_ine_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in quantized_topk(quantize_embeddings(emb), qvec, k=10).collect()
+    ]
+    # int8 error is tiny relative to cosine gaps: near-total agreement
+    assert len(set(exact) & set(approx)) >= 8
+    assert approx[0] == exact[0]  # the query's own vector tops both
