@@ -890,3 +890,55 @@ def test_raw_text_to_streaming_dedup_pipeline(spark, tmp_path):
 
     final = {r.doc_id for r in latest_snapshot(spark, corpus_dir).collect()}
     assert final == seed_ids | {901}  # near-dup 900 rejected, novel kept
+
+
+def test_stream_drift_monitor_matches_batch_reports(spark, tmp_path):
+    """Streaming drift ≡ per-batch application of distribution_drift
+    against the frozen reference: an in-distribution batch reports flat
+    chi2, a shifted batch lights up, and per-batch reports land under
+    idempotent batch_id partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.operators.quality import distribution_drift
+    from data_pipeline_ine_spark.streaming.quality import (
+        read_drift_reports,
+        stream_drift_monitor,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "value double"
+    )
+    batches = [
+        [float(i) for i in range(0, 1000, 3)],      # in-distribution
+        [float(i) + 900.0 for i in range(400)],     # shifted right
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, vals in enumerate(batches):
+        pq.write_table(pa.table({"value": pa.array(vals)}), land / f"b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = stream_drift_monitor(
+        stream, ref, str(tmp_path / "reports"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    reports = read_drift_reports(spark, str(tmp_path / "reports"))
+    got = {
+        (r.batch_id, r.bucket): (r.ref_n, r.cur_n, r.chi2)
+        for r in reports.collect()
+    }
+    # batch-wise reference application must match exactly
+    for bid, vals in enumerate(batches):
+        cur = spark.createDataFrame([(v,) for v in vals], "value double")
+        for r in distribution_drift(ref, cur, "value").collect():
+            assert got[(bid, r.bucket)] == (r.ref_n, r.cur_n, r.chi2), (bid, r.bucket)
+    # in-distribution batch is flat-ish; the shifted batch's top bucket spikes
+    chi_b0 = max(v[2] for (b, _), v in got.items() if b == 0)
+    chi_b1 = max(v[2] for (b, _), v in got.items() if b == 1)
+    assert chi_b1 > 10 * max(chi_b0, 0.1)
