@@ -5769,7 +5769,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   1. inverted_index — the single never-green query (r04 harness err on its
 #      ArrayType column; postings now string-serialized on both sides),
 #   2. the 46 queries whose newest green row is r02 (strict oldest-first:
-#      with 148 queries and a 50-slot window this bounds every query's
+#      with 153 queries and a 50-slot window this bounds every query's
 #      evidence age to 3 rounds),
 #   3. the 3 queries new in round 5 (grid NN join, PMI collocations,
 #      skyline) — no evidence yet.

@@ -556,10 +556,11 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_decode(b: bytes) -> np.ndarray | None:
     """Baseline JPEG raster decode → ``(h, w, 1|3)`` uint8 (gray or
-    RGB), or None for progressive/arithmetic/12-bit/subsampled streams
-    and corrupt data. Supports grayscale and 4:4:4 YCbCr, restart
-    markers, FF00 byte stuffing; IDCT is the orthonormal 8x8 DCT matrix
-    in float64 (numpy), YCbCr→RGB per JFIF."""
+    RGB), or None for progressive/arithmetic/12-bit streams and corrupt
+    data. Supports grayscale and YCbCr with any 1-2 sampling factors
+    (4:4:4, 4:2:2, 4:2:0 — subsampled chroma upsamples by replication),
+    restart markers, FF00 byte stuffing; IDCT is the orthonormal 8x8
+    DCT matrix in float64 (numpy), YCbCr→RGB per JFIF."""
     if b[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -601,9 +602,10 @@ def jpeg_decode(b: bytes) -> np.ndarray | None:
                 for ci in range(ncomp):
                     cid = seg[6 + 3 * ci]
                     sampling = seg[7 + 3 * ci]
-                    if sampling != 0x11:
-                        return None  # 4:4:4 / grayscale only
-                    comps.append((cid, seg[8 + 3 * ci]))
+                    hs, vs = sampling >> 4, sampling & 0x0F
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return None  # 4:4:4 / 4:2:2 / 4:2:0 families only
+                    comps.append((cid, (hs, vs), seg[8 + 3 * ci]))
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive/arithmetic/lossless
@@ -623,12 +625,14 @@ def jpeg_decode(b: bytes) -> np.ndarray | None:
                 ns = seg[0]
                 if comps is None or ns != len(comps):
                     return None
-                scan = []  # (qt_id, dc_table, ac_table)
+                by_id = {cid: (hv, qi) for cid, hv, qi in comps}
+                scan = []  # (h, v, qt, dc_table, ac_table)
                 for ci in range(ns):
                     cid, tables = seg[1 + 2 * ci], seg[2 + 2 * ci]
-                    qt_id = dict(comps)[cid]
+                    (hs, vs), qt_id = by_id[cid]
                     scan.append(
-                        (qt[qt_id], huff_dc[tables >> 4], huff_ac[tables & 0x0F])
+                        (hs, vs, qt[qt_id],
+                         huff_dc[tables >> 4], huff_ac[tables & 0x0F])
                     )
                 data_start = pos + 2 + seg_len
                 return _jpeg_scan(b, data_start, w, h, scan, restart_interval)
@@ -638,59 +642,88 @@ def jpeg_decode(b: bytes) -> np.ndarray | None:
     return None
 
 
+def _jpeg_decode_block(reader, q, dc_tbl, ac_tbl, pred, ci):
+    """One 8x8 block: DC diff + AC RLE -> dequantized spatial samples."""
+    t = reader.read_huffman(dc_tbl)
+    if t is None:
+        return None
+    diff_bits = reader.read_bits(t)
+    if diff_bits is None:
+        return None
+    pred[ci] += _extend(diff_bits, t)
+    zz = np.zeros(64, np.int32)
+    zz[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = reader.read_huffman(ac_tbl)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += r
+        if k > 63:
+            return None
+        mag = reader.read_bits(s)
+        if mag is None:
+            return None
+        zz[k] = _extend(mag, s)
+        k += 1
+    block = np.zeros(64, np.float64)
+    block[_ZIGZAG] = zz
+    coeff = block.reshape(8, 8) * q
+    return _DCT_C.T @ coeff @ _DCT_C + 128.0
+
+
 def _jpeg_scan(b, pos, w, h, scan, restart_interval):
+    """Interleaved MCU scan, general 1-2 sampling factors: each MCU
+    carries h_i x v_i blocks per component; subsampled planes upsample
+    by pixel replication after the scan (4:2:0/4:2:2 chroma)."""
     ncomp = len(scan)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in range(ncomp)]
+    hmax = max(s[0] for s in scan)
+    vmax = max(s[1] for s in scan)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+        for hs, vs, *_ in scan
+    ]
     reader = _BitReader(b, pos)
     pred = [0] * ncomp
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 if not reader.resync_restart():
                     return None
                 pred = [0] * ncomp
-            for ci, (q, dc_tbl, ac_tbl) in enumerate(scan):
-                t = reader.read_huffman(dc_tbl)
-                if t is None:
-                    return None
-                diff_bits = reader.read_bits(t)
-                if diff_bits is None:
-                    return None
-                pred[ci] += _extend(diff_bits, t)
-                zz = np.zeros(64, np.int32)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huffman(ac_tbl)
-                    if rs is None:
-                        return None
-                    r, s = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        return None
-                    mag = reader.read_bits(s)
-                    if mag is None:
-                        return None
-                    zz[k] = _extend(mag, s)
-                    k += 1
-                block = np.zeros(64, np.float64)
-                block[_ZIGZAG] = zz
-                coeff = block.reshape(8, 8) * q
-                spatial = _DCT_C.T @ coeff @ _DCT_C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+            for ci, (hs, vs, q, dc_tbl, ac_tbl) in enumerate(scan):
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        spatial = _jpeg_decode_block(
+                            reader, q, dc_tbl, ac_tbl, pred, ci
+                        )
+                        if spatial is None:
+                            return None
+                        y0 = (my * vs + byy) * 8
+                        x0 = (mx * hs + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    full = []
+    for ci, (hs, vs, *_rest) in enumerate(scan):
+        p = planes[ci]
+        if vs < vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        if hs < hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        full.append(p[:h, :w])
     if ncomp == 1:
-        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return gray[:, :, None]
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
@@ -730,13 +763,18 @@ def _encode_coef(v: int) -> tuple[int, int]:
 
 
 def jpeg_encode(
-    arr: np.ndarray, quality: int = 75, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 75,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline JFIF encoder: grayscale or RGB input, 4:4:4 (no chroma
-    subsampling), standard Annex-K quantization tables scaled by the
-    libjpeg quality convention, standard Huffman tables, optional DRI +
-    RSTn emission. Pairs with :func:`jpeg_decode` for lossy round-trip
-    tests with a quantization-bounded error."""
+    """Baseline JFIF encoder: grayscale or RGB input, standard Annex-K
+    quantization tables scaled by the libjpeg quality convention,
+    standard Huffman tables, optional DRI + RSTn emission.
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + mean-downsampled chroma — the dominant
+    real-world layout). Pairs with :func:`jpeg_decode` for lossy
+    round-trip tests with a quantization-bounded error."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
@@ -776,9 +814,13 @@ def jpeg_encode(
         # zigzag-order serialization: byte k is q.flat[_ZIGZAG[k]]
         zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
         segment(b"\xff\xdb", bytes([tq]) + bytes(zz))
+    use_420 = subsampling == "420" and ncomp == 3
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling: {subsampling}")
+    samp = [0x22, 0x11, 0x11] if use_420 else [0x11] * ncomp
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, comp_qt[ci]])
+        sof += bytes([ci + 1, samp[ci], comp_qt[ci]])
     segment(b"\xff\xc0", bytes(sof))
     tables = [(_STD_DC_LUMA, 0x00), (_STD_AC_LUMA, 0x10)]
     if ncomp == 3:
@@ -797,56 +839,90 @@ def jpeg_encode(
     writer = _BitWriter()
     pred = [0] * ncomp
     mcu = 0
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    padded = []
-    for ch in chans:
-        p = np.empty((bh_ * 8, bw_ * 8), np.float64)
-        p[:h, :w] = ch
-        p[h:, :w] = ch[-1:, :]  # edge-replicate padding
-        p[:, w:] = p[:, w - 1 : w]
-        padded.append(p)
-    for by in range(bh_):
-        for bx in range(bw_):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.flush()
-                writer.out += bytes(
-                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
-                )
-                pred = [0] * ncomp
-            mcu += 1
-            for ci in range(ncomp):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coeff = _DCT_C @ (block - 128.0) @ _DCT_C.T
-                q = qts[comp_qt[ci]]
-                zz = np.round(coeff / q).astype(np.int32).reshape(-1)[_ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                t, mag = _encode_coef(diff)
-                code, ln = dc_enc[comp_huff[ci]][t]
+
+    def pad_to(ch: np.ndarray, mh: int, mw: int) -> np.ndarray:
+        """Edge-replicate pad to multiples of (mh, mw)."""
+        ph = ((ch.shape[0] + mh - 1) // mh) * mh
+        pw = ((ch.shape[1] + mw - 1) // mw) * mw
+        p = np.empty((ph, pw), np.float64)
+        p[: ch.shape[0], : ch.shape[1]] = ch
+        p[ch.shape[0] :, : ch.shape[1]] = ch[-1:, :]
+        p[:, ch.shape[1] :] = p[:, ch.shape[1] - 1 : ch.shape[1]]
+        return p
+
+    def emit_block(block: np.ndarray, ci: int) -> None:
+        coeff = _DCT_C @ (block - 128.0) @ _DCT_C.T
+        q = qts[comp_qt[ci]]
+        zz = np.round(coeff / q).astype(np.int32).reshape(-1)[_ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t, mag = _encode_coef(diff)
+        code, ln = dc_enc[comp_huff[ci]][t]
+        writer.write(code, ln)
+        if t:
+            writer.write(mag, t)
+        ac = ac_enc[comp_huff[ci]]
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac[0xF0]
                 writer.write(code, ln)
-                if t:
-                    writer.write(mag, t)
-                # AC
-                ac = ac_enc[comp_huff[ci]]
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac[0xF0]
-                        writer.write(code, ln)
-                        run -= 16
-                    t, mag = _encode_coef(v)
-                    code, ln = ac[(run << 4) | t]
-                    writer.write(code, ln)
-                    writer.write(mag, t)
-                    run = 0
-                if run:
-                    code, ln = ac[0x00]
-                    writer.write(code, ln)
+                run -= 16
+            t, mag = _encode_coef(v)
+            code, ln = ac[(run << 4) | t]
+            writer.write(code, ln)
+            writer.write(mag, t)
+            run = 0
+        if run:
+            code, ln = ac[0x00]
+            writer.write(code, ln)
+
+    def maybe_restart() -> None:
+        nonlocal pred
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes(
+                [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+            )
+            pred = [0] * ncomp
+
+    if use_420:
+        luma = pad_to(chans[0], 16, 16)
+        # chroma: 2x2 mean downsample of the 16-padded plane, then the
+        # half-res plane is already an 8-multiple
+        subs = []
+        for ch in chans[1:]:
+            p = pad_to(ch, 16, 16)
+            subs.append(
+                (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
+                / 4.0
+            )
+        for my in range(luma.shape[0] // 16):
+            for mx in range(luma.shape[1] // 16):
+                maybe_restart()
+                mcu += 1
+                for byy in range(2):
+                    for bxx in range(2):
+                        y0, x0 = my * 16 + byy * 8, mx * 16 + bxx * 8
+                        emit_block(luma[y0 : y0 + 8, x0 : x0 + 8], 0)
+                for ci, p in enumerate(subs, start=1):
+                    y0, x0 = my * 8, mx * 8
+                    emit_block(p[y0 : y0 + 8, x0 : x0 + 8], ci)
+    else:
+        padded = [pad_to(ch, 8, 8) for ch in chans]
+        for by in range(padded[0].shape[0] // 8):
+            for bx in range(padded[0].shape[1] // 8):
+                maybe_restart()
+                mcu += 1
+                for ci in range(ncomp):
+                    emit_block(
+                        padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        ci,
+                    )
     writer.flush()
     out.extend(writer.out)
     out.extend(b"\xff\xd9")  # EOI

@@ -512,3 +512,38 @@ def test_demux_video_frames_real_mjpeg(spark):
     stats = image_pixel_stats(frames_df).collect()
     assert len(stats) == 5
     assert all(s.width == 24 and s.height == 16 for s in stats)
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — the dominant real-world JPEG layout: 2x2 luma blocks per
+    MCU, mean-downsampled chroma, replication upsample on decode.
+    Grayscale-content RGB has FLAT chroma, so downsampling is lossless
+    and the error stays luma-quantization-bounded; colored images get a
+    slightly looser chroma-smoothing bound; restart markers and
+    non-16-multiple dimensions must not disturb pixels."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import jpeg_decode, jpeg_encode
+
+    g = np.fromfunction(
+        lambda y, x: (x * 3 + y * 2) % 200 + 20, (30, 42)
+    ).astype(np.uint8)
+    gray_rgb = np.dstack([g, g, g])
+    dec = jpeg_decode(jpeg_encode(gray_rgb, quality=95, subsampling="420"))
+    assert dec.shape == gray_rgb.shape
+    assert int(np.abs(dec.astype(int) - gray_rgb.astype(int)).max()) <= 2
+
+    color = np.dstack([g, g[::-1], np.full_like(g, 99)])
+    dec = jpeg_decode(jpeg_encode(color, quality=95, subsampling="420"))
+    assert int(np.abs(dec.astype(int) - color.astype(int)).max()) <= 12
+
+    plain = jpeg_decode(jpeg_encode(color, quality=95, subsampling="420"))
+    rst = jpeg_decode(
+        jpeg_encode(color, quality=95, subsampling="420", restart_interval=2)
+    )
+    assert np.array_equal(rst, plain)
+
+    odd = color[:29, :41]
+    dec = jpeg_decode(jpeg_encode(odd, quality=95, subsampling="420"))
+    assert dec.shape == odd.shape
+    assert int(np.abs(dec.astype(int) - odd.astype(int)).max()) <= 12
