@@ -49,8 +49,9 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def png_decode(b: bytes) -> np.ndarray | None:
     """Full PNG raster decode → ``(h, w, channels)`` uint8 array, or
-    None for non-PNG / unsupported variants (palette color, bit depths
-    other than 8, interlacing) / corrupt streams.
+    None for non-PNG / unsupported variants (bit depths other than 8,
+    interlacing) / corrupt streams. Indexed-color (PLTE) images decode
+    through the palette to RGB, like the GIF path.
 
     Scanline reconstruction implements all five spec filters. Filter 0
     (None) and 2 (Up) are fully vectorized; Sub/Average/Paeth carry a
@@ -63,6 +64,7 @@ def png_decode(b: bytes) -> np.ndarray | None:
     pos, w = 8, None
     h = depth = ctype = interlace = None
     idat = []
+    plte = None
     try:
         while pos + 8 <= len(b):
             (ln,) = struct.unpack(">I", b[pos : pos + 4])
@@ -74,6 +76,10 @@ def png_decode(b: bytes) -> np.ndarray | None:
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", body
                 )
+            elif tag == b"PLTE":
+                if ln % 3:
+                    return None
+                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
                 idat.append(body)
             elif tag == b"IEND":
@@ -81,9 +87,14 @@ def png_decode(b: bytes) -> np.ndarray | None:
             pos += 12 + ln  # len + tag + body + crc
         if w is None or depth != 8 or interlace != 0:
             return None
-        channels = _PNG_CHANNELS.get(ctype)
-        if channels is None:
-            return None
+        if ctype == 3:  # indexed color: one palette index per pixel
+            if plte is None:
+                return None
+            channels = 1
+        else:
+            channels = _PNG_CHANNELS.get(ctype)
+            if channels is None:
+                return None
         raw = zlib.decompress(b"".join(idat))
     except (struct.error, zlib.error):
         return None
@@ -125,6 +136,11 @@ def png_decode(b: bytes) -> np.ndarray | None:
         else:
             return None
         out[y] = (rec & 0xFF).astype(np.uint8)
+    if ctype == 3:  # palette lookup -> RGB, like the GIF path
+        idx = out.reshape(h, w).astype(np.int32)
+        if idx.max(initial=0) >= len(plte):
+            return None
+        return plte[idx]
     return out.reshape(h, w, channels)
 
 

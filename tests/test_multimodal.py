@@ -547,3 +547,33 @@ def test_jpeg_420_subsampling_roundtrip():
     dec = jpeg_decode(jpeg_encode(odd, quality=95, subsampling="420"))
     assert dec.shape == odd.shape
     assert int(np.abs(dec.astype(int) - odd.astype(int)).max()) <= 12
+
+
+def test_png_indexed_color_decodes_through_palette():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import png_decode
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (9, 13)).astype(np.uint8)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 13, 9, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(idx[y]) for y in range(9))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", bytes(pal.reshape(-1)))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    dec = png_decode(png)
+    assert dec is not None and dec.shape == (9, 13, 3)
+    assert np.array_equal(dec, pal[idx.astype(np.int32)])
+    # indexed stream without its palette is corrupt, not misdecoded
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert png_decode(bad) is None
