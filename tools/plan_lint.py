@@ -1,0 +1,106 @@
+"""Plan-hygiene sweep: lint EVERY contract query's physical plan for
+scale anti-patterns — the fleet-wide version of the targeted assertions
+in tests/test_plan_quality.py.
+
+Flags per plan:
+  - CartesianProduct                (unbounded pair blow-up)
+  - BroadcastNestedLoopJoin        (non-equi join fallback) — EXCEPT the
+    documented one-row broadcast pattern (global aggregates/thresholds
+    crossJoined back), which Spark plans as a BNLJ of a 1-row side;
+    those queries are allowlisted with the reason inline
+  - BatchEvalPython                (row-at-a-time Python UDF)
+  - row_number/Window over an empty partition spec fed by a data-sized
+    input is NOT detectable from strings alone — that stays with the
+    targeted plan tests.
+
+Usage: python tools/plan_lint.py [sf_dir]
+Exit code 1 if any unallowlisted hit appears.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_ine_spark.session import get_spark
+
+# query -> reason a BroadcastNestedLoopJoin is legitimate there
+BNLJ_ALLOWED = {
+    # one-row global aggregate broadcast back (documented in SCALING.md)
+    "orders_stats": "1-row global stats frame",
+    "numeric_coercion_ratio": "1-row coercion-ratio frame",
+    "bm25_scores": "1-row (N, avgdl) frame",
+    "unigram_logloss": "1-row vocab-size frame",
+    "bigram_logloss": "1-row vocab-size frame",
+    "source_divergence": "1-row vocab-size frame; |sources|x|vocab| grid",
+    "vocab_coverage": "1-row corpus-total frame",
+    "dq_audit": "1-row audit-total frames",
+    "winsorized_revenue": "1-row percentile frame",
+    "zscore_outliers": "1-row group-moment frame join",
+    "grouped_correlation": "1-row moment frames",
+    "mad_outliers": "1-row median/MAD frames",
+    "quantile_bins": "1-row cutpoint frame",
+    "value_histogram": "1-row min/max frame",
+    "value_drift": "1-row decile-edge + totals frames",
+    "pmi_collocations": "1-row bigram-total frame",
+    "copurchase_lift": "1-row basket-total frame",
+    "linkage_scores": "1-row u-probability stats frames",
+    "contamination_overlap": "eval-suite shingle broadcast",
+    "weighted_doc_sample": "1-row threshold frame",
+    "quantile_normalize": "distinct-value frames",
+    "curation_pipeline": "1-row quality-threshold frame",
+    "source_quality_gate": "per-source threshold frame",
+    "user_growth_curve": "calendar-sized running frame",
+    "stratified_sample": "1-row stratum-count frame",
+    "q11_important_stock": "TPC-H Q11 HAVING: 1-row national-value total",
+    "q22_dormant_customers": "TPC-H Q22 scalar avg(acctbal) subquery",
+    "tfidf_top_terms": "1-row corpus doc-count frame (idf)",
+    "key_skew_profile": "1-row total-count frame (key share)",
+    "nearest_station": "98-row geo catalog all-pairs (dimension-sized)",
+    "state_occupancy": "1-row data-horizon frame (open-interval clip)",
+}
+
+
+def explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan_lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as contract
+
+    findings: list[str] = []
+    n = 0
+    for name, fn in contract.queries().items():
+        try:
+            plan = explain(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            findings.append(f"{name}: PLAN BUILD FAILED: {str(e)[:120]}")
+            continue
+        n += 1
+        if "CartesianProduct" in plan:
+            findings.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            findings.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            findings.append(f"{name}: BroadcastNestedLoopJoin (unallowlisted)")
+    print(f"linted {n} plans")
+    if findings:
+        print("FINDINGS:")
+        for f in findings:
+            print(" ", f)
+        sys.exit(1)
+    print("no unallowlisted anti-patterns")
+
+
+if __name__ == "__main__":
+    main()
