@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_ine_spark.streaming.cdc import _versions, latest_snapshot
+from data_pipeline_ine_spark.streaming.cdc import latest_snapshot
 
 
 def dedup_batch_against_corpus(
