@@ -757,3 +757,60 @@ def incremental_near_dup_filter(
         .distinct()
     )
     return new_df.join(dup_ids, id_col, "left_anti")
+
+
+def near_dup_survivors(
+    df: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Quality-aware NEAR-dup deduplication: collapse each transitive
+    near-dup cluster (exact Jaccard >= threshold over shingles, LSH
+    candidates, connected components) to its HIGHEST-QUALITY member —
+    ties broken by min id. The cluster-level twin of the exact-hash
+    ``dedup_survivors`` pattern, and what a curation pipeline actually
+    wants: when five scrapes of one article survive near-dup detection,
+    keep the cleanest copy, not the lowest doc id.
+
+    Returns the surviving rows of ``df`` unchanged, plus
+    ``group_size`` (1 for docs in no cluster) for downstream weighting.
+
+    Recall follows the banding config exactly as in the rest of the
+    LSH stack: pass ``rows_per_band``/``num_hashes`` to trade candidate
+    volume against miss probability ``(1 - J^r)^b``.
+
+    Scale shape: inherits the banded candidate discipline
+    (ids-only through the band join, pair-bounded verify), components
+    in O(log diameter) rounds on the edge list, then ONE
+    component-keyed window over cluster members only — never the
+    corpus. Non-clustered docs bypass every shuffle except the
+    broadcast anti-join membership probe.
+    """
+    from pyspark.sql import Window
+
+    pairs = jaccard_candidate_pairs(df, id_col=id_col, **minhash_kwargs).filter(
+        F.col("jaccard") * threshold_den >= F.lit(threshold_num)
+    )
+    comp = dedup_components(pairs).select(
+        F.col("doc_id").alias(id_col), "component"
+    )
+    members = df.join(F.broadcast(comp), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    kept_clustered = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "group_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "component")
+    )
+    untouched = df.join(
+        F.broadcast(comp.select(id_col)), id_col, "left_anti"
+    ).withColumn("group_size", F.lit(1).cast("bigint"))
+    return untouched.unionByName(kept_clustered)

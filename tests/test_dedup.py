@@ -216,3 +216,44 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     # int8 error is tiny relative to cosine gaps: near-total agreement
     assert len(set(exact) & set(approx)) >= 8
     assert approx[0] == exact[0]  # the query's own vector tops both
+
+
+def test_near_dup_survivors_keep_highest_quality(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.dedup import near_dup_survivors
+
+    docs = spark.createDataFrame(
+        [
+            # cluster A: 10~11 near-dups; 11 has higher quality -> kept
+            (10, "the quick brown fox jumps over the lazy sleeping dog", 0.4),
+            (11, "the quick brown fox jumps over the lazy sleeping cat", 0.9),
+            # cluster B: 20~21~22 chain; 20 highest quality
+            (20, "spark shuffles partition data across the cluster fabric", 0.8),
+            (21, "spark shuffles partition data across the cluster network", 0.7),
+            (22, "spark shuffles partition data across the network fabric", 0.6),
+            # unclustered
+            (30, "completely unrelated text about cooking pasta and garlic", 0.5),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    # rows_per_band=1: per-band match prob = J, 16 bands -> recall
+    # 1-(1-J)^16, negligible miss at J>=0.5 (the default 4x4 banding is
+    # tuned for corpus scale, not 6-doc tests)
+    out = {
+        r.doc_id: r
+        for r in near_dup_survivors(docs, "quality", rows_per_band=1).collect()
+    }
+    assert set(out) == {11, 20, 30}
+    assert out[11].group_size == 2
+    assert out[20].group_size == 3
+    assert out[30].group_size == 1
+    # survivors carry their original payload untouched
+    assert out[30].quality == 0.5
+    # equal quality -> min id wins
+    eq = docs.withColumn("quality", F.lit(1.0))
+    out2 = {
+        r.doc_id
+        for r in near_dup_survivors(eq, "quality", rows_per_band=1).collect()
+    }
+    assert out2 == {10, 20, 30}

@@ -582,3 +582,48 @@ def test_avi_mjpeg_flat_frames_roundtrip_exact(n_frames, w, h, base):
     for k, p in enumerate(payloads):
         dec = jpeg_decode(p)
         assert dec is not None and np.array_equal(dec[:, :, 0], frames[k])
+
+
+@SETTINGS
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 28),
+    val=st.integers(0, 255),
+    quality=st.integers(89, 98),
+)
+def test_jpeg_flat_image_exact_for_any_value_and_high_quality(w, h, val, quality):
+    """The exactness argument behind the video_frame_stats oracle,
+    property-tested: a flat image has all-zero AC coefficients, and for
+    quality >= 89 the DC quantization step is < 8, so the per-pixel
+    reconstruction error is < 0.5 and rounds back exactly — for ANY
+    dimensions (8-multiple or not) and ANY gray value."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import jpeg_decode, jpeg_encode
+
+    img = np.full((h, w), val, np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=quality))
+    assert dec is not None and np.array_equal(dec[:, :, 0], img)
+
+
+@SETTINGS
+@given(
+    w=st.integers(4, 32),
+    h=st.integers(4, 24),
+    seed=st.integers(0, 2**31 - 1),
+    use_420=st.booleans(),
+)
+def test_jpeg_noise_roundtrip_error_bounded(w, h, seed, use_420):
+    """Quantization-bounded lossy round-trip for arbitrary noise at
+    q95, both subsampling modes — the codec never produces wild
+    pixels, only bounded quantization error."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import jpeg_decode, jpeg_encode
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+    sub = "420" if use_420 else "444"
+    rgb = np.dstack([img, img, img])  # gray content: flat chroma
+    dec = jpeg_decode(jpeg_encode(rgb, quality=95, subsampling=sub))
+    assert dec is not None and dec.shape == rgb.shape
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 10
