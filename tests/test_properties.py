@@ -627,3 +627,57 @@ def test_jpeg_noise_roundtrip_error_bounded(w, h, seed, use_420):
     dec = jpeg_decode(jpeg_encode(rgb, quality=95, subsampling=sub))
     assert dec is not None and dec.shape == rgb.shape
     assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 10
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=5),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=6,
+    ),
+    n_merges=st.integers(1, 5),
+)
+def test_bpe_train_matches_dict_reference_any_corpus(spark, docs, n_merges):
+    """Distributed BPE ≡ the classic dict-based algorithm for ANY tiny
+    corpus (hypothesis explores heavy repetition, single-char words,
+    merge chains) — counts, tie-breaks, and early stopping."""
+    from collections import Counter
+
+    from data_pipeline_ine_spark.operators.text import bpe_train
+
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, n_merges=n_merges)
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[tuple(w)] += 1
+    want = []
+    cur = dict(vocab)
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in cur.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        top_cnt = max(pairs.values())
+        if top_cnt < 2:
+            break
+        a, b = sorted(p for p, c in pairs.items() if c == top_cnt)[0]
+        want.append((a, b))
+        nxt: dict = {}
+        for syms, c in cur.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        cur = nxt
+    assert got == want
