@@ -681,3 +681,61 @@ def test_bpe_train_matches_dict_reference_any_corpus(spark, docs, n_merges):
             nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
         cur = nxt
     assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                  # block
+            st.sampled_from(["p", "q", "r"]),   # field 1
+            st.sampled_from(["x", "y"]),        # field 2
+        ),
+        min_size=2, max_size=14,
+    ),
+)
+def test_record_linkage_matches_fs_reference(spark, rows):
+    """record_linkage_scores ≡ a direct Fellegi-Sunter computation for
+    ANY small table: same candidate pairs (within-block only), same
+    frequency-based u-probabilities, same fixed-order product — the
+    hypothesis corpus forces heavy value skew and constant-block
+    degenerate cases."""
+    import math
+
+    from data_pipeline_ine_spark.operators.fuzzy import record_linkage_scores
+
+    data = [(i, f"b{blk}", f1, f2) for i, (blk, f1, f2) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, blk string, f1 string, f2 string")
+    got = {
+        (r.id_a, r.id_b): (r.agree_f1, r.agree_f2, r.score)
+        for r in record_linkage_scores(
+            df, "id", ["blk"], ["f1", "f2"], top_k=1000
+        ).collect()
+    }
+
+    n = len(data)
+    want = {}
+    for fi, field in ((2, "f1"), (3, "f2")):
+        counts = {}
+        for rec in data:
+            counts[rec[fi]] = counts.get(rec[fi], 0) + 1
+        s = sum(c * c for c in counts.values())
+        u = s / (n * n)
+        want[field] = u
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if data[i][1] != data[j][1]:
+                continue
+            score = 1.0
+            flags = []
+            for fi, field in ((2, "f1"), (3, "f2")):
+                agree = data[i][fi] == data[j][fi]
+                flags.append(agree)
+                u = want[field]
+                score = score * (0.9 / u if agree else (1.0 - 0.9) / (1.0 - u))
+            expect[(i, j)] = (flags[0], flags[1], round(score, 6))
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0] and got[k][1] == expect[k][1], k
+        assert math.isclose(got[k][2], expect[k][2], rel_tol=1e-9, abs_tol=1e-9), k
