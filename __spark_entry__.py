@@ -5755,6 +5755,173 @@ FROM fr
 """
 
 
+def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplicated-span coverage per document: the share
+    of each doc's distinct word 3-grams that occur in at least one OTHER
+    document (operators/text.py::dup_span_stats) — the exact-substring
+    train-data dedup signal (Lee et al. 2022). Spans travel as 48-bit
+    md5 folds; two span-keyed shuffles, nothing quadratic."""
+    from data_pipeline_ine_spark.operators.text import dup_span_stats
+
+    return dup_span_stats(_docs_parallel(spark, sf_dir), k=3)
+
+
+ORACLE_DUP_SPAN = (
+    r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens FROM documents
+), s AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, GREATEST(len(tokens) - 2, 1) + 1),
+      i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS shs
+  FROM t
+), spans AS (
+  SELECT doc_id, len(shs) AS n_spans, unnest(shs) AS sh FROM s
+), hashed AS (
+  SELECT doc_id, n_spans, HEX_FOLD AS sh_hash FROM spans
+), dup AS (
+  SELECT sh_hash FROM hashed GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT h.doc_id, h.n_spans, COUNT(*) AS n_dup_spans,
+  ROUND(COUNT(*) / h.n_spans, 6) AS dup_ratio
+FROM hashed h JOIN dup USING (sh_hash)
+GROUP BY 1, 2
+"""
+).replace("HEX_FOLD", _HEX12.format(h="md5(sh)"))
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an engine-portable count-min sketch
+    (operators/sketches.py::cms_heavy_hitters): multiply-shift hashes in
+    plain BIGINT, d=4 × w=512 cells, est = min over rows — the oracle
+    reproduces the sketch cell-for-cell, which the binary DataSketches
+    aggregates can't offer. est ≥ exact always (one-sided error)."""
+    from data_pipeline_ine_spark.operators.sketches import cms_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", threshold=80)
+
+
+ORACLE_CMS = """
+WITH params(hrow, a, b) AS (
+  VALUES (0, 1000003, 12345), (1, 2000029, 67891),
+         (2, 3000073, 24681), (3, 4000037, 13579)
+), cells AS (
+  SELECT p.hrow,
+         ((e.user_id * p.a + p.b) % 2305843009213693951) % 512 AS bucket,
+         COUNT(*) AS cell_count
+  FROM events e CROSS JOIN params p
+  GROUP BY 1, 2
+), keys AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1
+), est AS (
+  SELECT k.user_id, MIN(c.cell_count) AS cms_count
+  FROM keys k CROSS JOIN params p
+  JOIN cells c ON c.hrow = p.hrow
+   AND c.bucket = ((k.user_id * p.a + p.b) % 2305843009213693951) % 512
+  GROUP BY 1
+)
+SELECT e.user_id, e.cms_count, k.exact_count
+FROM est e JOIN keys k USING (user_id)
+WHERE e.cms_count >= 80
+"""
+
+
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=1/2, trailing-16 truncation) of event values
+    (operators/timeseries.py::ewma_smooth). Values are fixed-pointed to
+    integer cents and every weight is an exact power of two, so the fold
+    is EXACT IEEE arithmetic — hash-reproducible by any engine, which a
+    naive float EWMA is not. One key-partitioned window, bounded state."""
+    from data_pipeline_ine_spark.operators.timeseries import ewma_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_smooth(ev, "value", "user_id", "ts", "event_id", window=16)
+
+
+ORACLE_EWMA = """
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_id, a.user_id, a.ts, a.value,
+  -- no ROUND: the weighted sum is exact dyadic arithmetic and /100.0 is one
+  -- correctly-rounded IEEE divide — bit-identical across engines, whereas
+  -- ROUND(x, 6) lands exactly on half-way points where engines disagree
+  SUM(b.vc * (CASE WHEN b.rn = GREATEST(a.rn - 15, 1)
+              THEN 1.0 / CAST(1 << (a.rn - b.rn) AS DOUBLE)
+              ELSE 1.0 / CAST(1 << (a.rn - b.rn + 1) AS DOUBLE)
+              END)) / 100.0 AS ewma
+FROM e a JOIN e b
+  ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+GROUP BY a.event_id, a.user_id, a.ts, a.value
+"""
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end: deterministic codebook (the
+    8 lowest-id vectors, fixed-point ints), per-vector PQ codes via a
+    zero-shuffle integer argmin fold, and asymmetric-distance top-10 for
+    the highest-id vector as query (operators/similarity.py::
+    pq_codebook/pq_encode/pq_topk). 64 float dims become 4 byte-codes —
+    the compression layer of IVF-PQ — and every distance is exact BIGINT
+    so the oracle reproduces the ranking bit-for-bit."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=4, n_codes=8)
+    qrow = emb.orderBy(F.desc("vec_id")).select("embedding").head()
+    codes = pq_encode(emb, cb)
+    return pq_topk(codes, cb, qrow[0], k=10)
+
+
+ORACLE_PQ_TOPK = """
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), vint AS (
+  SELECT vec_id, i, CAST((i - 1) // 16 AS INT) AS s,
+         CAST(floor(x * 10000 + 0.5) AS BIGINT) AS vi
+  FROM dims
+), cb AS (
+  SELECT vec_id AS cb_vec, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), cbdims AS (
+  SELECT cb.c, v.i, v.s, v.vi AS cv
+  FROM cb JOIN vint v ON v.vec_id = cb.cb_vec
+), enc_dist AS (
+  SELECT v.vec_id, v.s, cb.c,
+         SUM((v.vi - cb.cv) * (v.vi - cb.cv)) AS d
+  FROM vint v JOIN cbdims cb ON cb.i = v.i
+  GROUP BY 1, 2, 3
+), enc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rk
+    FROM enc_dist) WHERE rk = 1
+), q AS (
+  SELECT s, i, vi FROM vint
+  WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+), lut AS (
+  SELECT cb.s, cb.c, SUM((q.vi - cb.cv) * (q.vi - cb.cv)) AS d
+  FROM q JOIN cbdims cb ON cb.i = q.i
+  GROUP BY 1, 2
+)
+SELECT e.vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
+FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.c
+GROUP BY 1
+ORDER BY pq_dist, vec_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5836,6 +6003,10 @@ _CHECK_ORDER = [
     "media_pixel_stats",
     "audio_dominant_freq",
     "video_frame_stats",
+    "dup_span_ratio",
+    "cms_heavy_hitters",
+    "ewma_value",
+    "pq_topk",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6100,6 +6271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixel_stats": q_media_pixel_stats,
         "audio_dominant_freq": q_audio_dominant_freq,
         "video_frame_stats": q_video_frame_stats,
+        "dup_span_ratio": q_dup_span_ratio,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "ewma_value": q_ewma_value,
+        "pq_topk": q_pq_topk,
     })
 
 
@@ -6258,4 +6433,8 @@ def oracle_sql() -> dict[str, str]:
         "media_pixel_stats": ORACLE_MEDIA_PIXEL_STATS,
         "audio_dominant_freq": ORACLE_AUDIO_DOMINANT_FREQ,
         "video_frame_stats": ORACLE_VIDEO_FRAME_STATS,
+        "dup_span_ratio": ORACLE_DUP_SPAN,
+        "cms_heavy_hitters": ORACLE_CMS,
+        "ewma_value": ORACLE_EWMA,
+        "pq_topk": ORACLE_PQ_TOPK,
     })

@@ -542,3 +542,174 @@ def quantized_topk(
         .orderBy(F.desc("qcosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- Product quantization (IVF-PQ's compression half), integer-exact -------
+
+PQ_SCALE = 10_000  # fixed-point quantizer: floor(x·1e4 + 0.5), engine-exact
+
+
+def pq_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 8,
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebook: the ``n_codes`` lowest-id vectors,
+    split into ``m`` subvectors and fixed-point quantized —
+    ``cb[s][c]`` is code ``c``'s integer subvector for subspace ``s``.
+
+    A production codebook would k-means each subspace (kmeans_fit above);
+    selection-by-id keeps the oracle reproducible while exercising the
+    identical encode/ADC machinery. Driver pull is O(n_codes · dim) —
+    the same benign scalar class as the k-means centroid pull."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0][1])
+    sub = dim // m
+    import math
+
+    q = lambda x: int(math.floor(float(x) * PQ_SCALE + 0.5))  # noqa: E731
+    return [
+        [[q(r[1][s * sub + d]) for d in range(sub)] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_lit(codebook: list[list[list[int]]]) -> Column:
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(v).cast("bigint") for v in code])
+                    for code in sub
+                ]
+            )
+            for sub in codebook
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encode: each vector becomes ``m`` one-byte codes — the nearest
+    codebook entry per subspace by squared L2 distance over the SAME
+    fixed-point integers the oracle sees (ties break to the lowest code).
+    64 float32 dims compress to 4 codes: a 64× scan-size cut.
+
+    Scale shape: the codebook rides along as a literal nested array, so
+    encoding is ONE narrow whole-stage-codegen projection — zero
+    shuffles, zero Python, no join; argmin is an integer fold over
+    codes nested in a fold over subspace dims, all exact BIGINT."""
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    m = len(codebook)
+    n_codes = len(codebook[0])
+    sub = len(codebook[0][0])
+    cb = _pq_lit(codebook)
+    vint = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+    def codes(vi: Column) -> Column:
+        def code_for(s: Column) -> Column:
+            def _diff(c: Column, d: Column) -> Column:
+                return F.element_at(vi, (s * sub + d + 1).cast("int")) - F.element_at(
+                    F.element_at(F.element_at(cb, s.cast("int") + 1), c),
+                    d.cast("int") + 1,
+                )
+
+            # (a-b)·(a-b) in BIGINT: diffs ≤ 2·PQ_SCALE·|x|max so squares
+            # stay far inside int64 — exact, no float in the hot loop
+            cdist = lambda c: F.aggregate(  # noqa: E731
+                F.sequence(F.lit(0), F.lit(sub - 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + _diff(c, d) * _diff(c, d),
+            )
+            best = F.aggregate(
+                F.sequence(F.lit(1), F.lit(n_codes)),
+                F.struct(
+                    F.lit(2**62).cast("bigint").alias("dist"),
+                    F.lit(-1).alias("code"),
+                ),
+                lambda acc, c: F.when(
+                    cdist(c) < acc["dist"],
+                    F.struct(
+                        cdist(c).alias("dist"), (c - 1).cast("int").alias("code")
+                    ),
+                ).otherwise(acc),
+            )
+            return best["code"]
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+    return df.select(id_col, let_(vint, codes).alias("pq_codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebook: list[list[list[int]]],
+    query_vec: "Sequence[float]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    distance to every codebook entry is precomputed into an m×n_codes
+    lookup table (driver-side, pure integers), and each candidate's
+    approximate distance is ``m`` table lookups + adds — the scan that
+    makes billion-vector ANN serveable.
+
+    Scale shape: the LUT is a 32-entry literal riding the plan; the scan
+    is one narrow projection over the (64×-compressed) code table and a
+    TakeOrdered top-k — zero shuffles, zero Python, deterministic
+    integer distances with id tie-break."""
+    import math
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    q = [
+        int(math.floor(float(x) * PQ_SCALE + 0.5)) for x in list(query_vec)
+    ]
+    lut = [
+        [
+            sum(
+                (q[s * sub + d] - code[d]) ** 2
+                for d in range(sub)
+            )
+            for code in codebook[s]
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(v).cast("bigint") for v in row])
+            for row in lut
+        ]
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(lut_lit, s.cast("int") + 1),
+            F.element_at(F.col(codes_col), s.cast("int") + 1) + 1,
+        ),
+    )
+    return (
+        codes_df.select(id_col, dist.alias("pq_dist"))
+        .orderBy(F.asc("pq_dist"), F.asc(id_col))
+        .limit(k)
+    )

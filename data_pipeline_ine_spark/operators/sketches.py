@@ -109,3 +109,107 @@ def kll_quantiles(
     out = grouped.agg(sketch.alias("_kll"))
     keep = [strata_col] if strata_col else []
     return out.select(*keep, *quants)
+
+
+# --- Count-min sketch with ENGINE-PORTABLE integer hashing -----------------
+#
+# Unlike the DataSketches families above, this CMS uses explicit
+# multiply-shift hashing ((a*key + b) mod p mod w) in plain BIGINT
+# arithmetic, so an external SQL engine reproduces every cell — and the
+# whole estimate — bit-for-bit. That buys the one thing the binary sketches
+# can't have: a DuckDB oracle for the full build→estimate pipeline.
+
+CMS_P = (1 << 61) - 1  # Mersenne prime, exact in BIGINT
+CMS_W = 512  # cells per hash row
+# fixed pairwise-independent hash parameters; a*key must stay inside int64,
+# so a < 2^63 / max(key) — fine for catalog-sized id domains (keys here are
+# < 2^20). A 64-bit key domain needs a split multiply (hi/lo 32-bit limbs);
+# documented, not needed for these tables.
+CMS_PARAMS: list[tuple[int, int]] = [
+    (1_000_003, 12_345),
+    (2_000_029, 67_891),
+    (3_000_073, 24_681),
+    (4_000_037, 13_579),
+]
+
+
+def _cms_bucket(key: Column, a: int, b: int) -> Column:
+    return ((key * F.lit(a) + F.lit(b)) % F.lit(CMS_P)) % F.lit(CMS_W)
+
+
+def cms_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Count-min sketch build: ``(row, bucket, cell_count)`` — d×w = 4×512
+    cells regardless of input size.
+
+    Scale shape: one generator explode (d=4 rows per input row) feeding a
+    single hash aggregate; map-side partial aggregation collapses each
+    partition to ≤ 2,048 cells before the shuffle, so the exchange carries
+    O(partitions × d × w) bytes, never O(rows). The result is a mergeable
+    partial: cell-wise SUM unions two sketches."""
+    key = F.col(key_col).cast("bigint")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_bucket(key, a, b).alias("bucket")
+            )
+            for i, (a, b) in enumerate(CMS_PARAMS)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point estimates for ``keys`` against a built sketch: est(key) =
+    min over rows of the key's cell — the classic CMS upper-bounded
+    estimate (over-counts on collision, never under).
+
+    Scale shape: the sketch is 2,048 rows — broadcast — so probing any
+    number of keys is one narrow broadcast-hash join + a key-grouped min.
+    """
+    key = F.col(key_col).cast("bigint")
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(key, a, b).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(CMS_PARAMS)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cell_count").alias("cms_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key_col: str, threshold: int
+) -> DataFrame:
+    """Heavy hitters by CMS estimate: every distinct key whose estimated
+    count is ≥ ``threshold``, with the exact count alongside for audit.
+    CMS guarantees est ≥ exact, so this NEVER misses a true heavy hitter
+    (one-sided error: collision can only promote light keys).
+
+    Scale shape: sketch build (one O(d·w)-wide shuffle) + one distinct-
+    key aggregate that also produces the exact audit counts + a broadcast
+    probe. The distinct-key side is the only rows-proportional shuffle —
+    the same cost any exact per-key count pays; the sketch itself would
+    serve unlimited later probes for free."""
+    sketch = cms_build(df, key_col)
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(sketch, exact.select(key_col), key_col)
+    return (
+        est.filter(F.col("cms_count") >= threshold)
+        .join(exact, key_col)
+        .select(key_col, "cms_count", "exact_count")
+    )

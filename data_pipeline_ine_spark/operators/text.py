@@ -943,3 +943,68 @@ def bpe_apply(
     for a, b in merges:
         expr = _merge_fold_sql(expr, a, b)
     return col_df.withColumn(out_col, F.expr(expr)).drop("syms")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Duplicated-span coverage: for every document, how many of its
+    distinct word ``k``-gram spans also occur in at least one OTHER
+    document — the corpus-internal substring-duplication signal behind
+    exact-substring train-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"; the reference pipeline
+    has no corpus-level text ops — this is beyond-reference capability).
+
+    Returns ``(id_col, n_spans, n_dup_spans, dup_ratio)`` where
+    ``n_spans`` counts the doc's DISTINCT k-grams and ``n_dup_spans``
+    those of them whose document frequency is ≥ 2.
+
+    Scale shape: spans travel as 48-bit md5 folds (8 bytes, engine-
+    invariant), never as strings. One explode of per-doc DISTINCT span
+    hashes feeds both sides: (a) a span-keyed partial-aggregated count
+    of distinct docs (doc-distinct is free — the explode already
+    deduped per doc), (b) an equi-join of the duplicated-span set back
+    to the exploded spans. Two shuffles on the span hash, both AQE-
+    sized; nothing is quadratic, no stopword span ever materializes a
+    corpus-sized list, and the doc bodies never travel — only hashes.
+    """
+    from .dedup import _hex12_to_long, word_shingles
+
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, k)).alias("shs"),
+        )
+        .select(
+            id_col,
+            F.size("shs").alias("n_spans"),
+            F.explode("shs").alias("sh"),
+        )
+        .select(
+            id_col, "n_spans", _hex12_to_long(F.md5(F.col("sh"))).alias("sh_hash")
+        )
+    )
+    # document frequency per span: rows are (doc, span)-distinct already,
+    # so COUNT(*) == COUNT(DISTINCT doc) with no second Expand pass
+    dup_spans = (
+        spans.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .filter(F.col("span_df") >= 2)
+        .select("sh_hash")
+    )
+    return (
+        spans.join(dup_spans, "sh_hash")
+        .groupBy(id_col, "n_spans")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -471,3 +471,79 @@ def scd2_apply(
     )
     rebuilt = scd2_intervals(combined, key_col, ts_col, attr_col, tiebreak_col)
     return untouched.unionByName(rebuilt)
+
+
+def ewma_smooth(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) over each key's
+    event sequence, truncated to the trailing ``window`` events — the
+    smoothing primitive behind rate limiting, trend baselines, and
+    per-entity drift scores.
+
+    Determinism engineering (the reason this is hash-oracle-able where a
+    naive EWMA is not): values are first scaled to integer cents via
+    ``floor(v·100 + 0.5)``, and α = 1/2 makes every weight a power of
+    two — each term ``cents · 2^-j`` is exactly representable in a
+    double, and with the span capped at ``window`` bits the running sum
+    stays inside 53 bits, so the fold is EXACT and order-independent on
+    any IEEE-754 engine. The truncated recursion keeps standard EWMA
+    semantics: weight 2^-(j+1) for lag j, with the oldest in-window term
+    absorbing the tail mass (2^-(m-1) when m rows are visible), so
+    weights always sum to 1.
+
+    Scale shape: one window spec (partition by key, order by ts, rows
+    [-window+1, 0]) — a single shuffle on the key, state bounded at
+    ``window`` structs per row, no per-key history materialized beyond
+    the frame. The collect_list frame is re-sorted in place so the fold
+    never depends on frame-append order."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    frame = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"), F.col(id_col).alias("i"), cents.alias("vc")
+            )
+        ).over(w)
+    )
+
+    def fold(arr: Column) -> Column:
+        m = F.size(arr)
+        # idx 1..m ascending time; lag j = m - idx; oldest (j = m-1)
+        # takes 2^-j, everything newer takes 2^-(j+1). Weights come from
+        # a literal table of Python floats 2.0**-k — dyadics a double
+        # stores EXACTLY, so no reliance on a libm pow being correctly
+        # rounded on either engine.
+        wtab = F.array(*[F.lit(2.0 ** -j) for j in range(window + 1)])
+        inv_pow2 = lambda k: F.element_at(wtab, k + 1)  # noqa: E731
+        term = lambda i: F.element_at(arr, i)["vc"].cast("double") * F.when(  # noqa: E731
+            i == 1, inv_pow2((m - i).cast("int"))
+        ).otherwise(inv_pow2((m - i + 1).cast("int")))
+        return F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0.0),
+            lambda acc, i: acc + term(i),
+        )
+
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    # NO decimal rounding on purpose: the fold is exact and /100 is one
+    # correctly-rounded IEEE divide, so the double is already bit-identical
+    # on every engine — while ROUND(x, 6) would sit exactly ON half-way
+    # decimal boundaries (the values are dyadics) where engines disagree.
+    return df.select(
+        id_col,
+        key_col,
+        ts_col,
+        value_col,
+        (let_(frame, fold) / F.lit(100.0)).alias("ewma"),
+    )

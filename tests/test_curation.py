@@ -645,3 +645,25 @@ def test_full_curation_composition_end_to_end(spark, sf_dir, tmp_path):
     assert sorted(r.doc_id for r in clean.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_dup_span_stats_counts_cross_doc_spans_only(spark):
+    """Handcrafted corpus: doc 1 and 2 share exactly one 3-gram
+    ('b c d'); doc 3 shares nothing. Repeating a span INSIDE one doc
+    must not make it 'duplicated' (df counts distinct docs)."""
+    from data_pipeline_ine_spark.operators.text import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "z b c d y"),
+            (3, "p q r s t"),
+            (4, "m n o m n o"),  # internal repeat only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, k=3).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[1]["n_spans"] == 3
+    assert out[2]["n_dup_spans"] == 1
+    assert 3 not in out  # inner-join drops docs with zero duplicated spans
+    assert 4 not in out

@@ -8,6 +8,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -257,3 +258,82 @@ def test_near_dup_survivors_keep_highest_quality(spark):
         for r in near_dup_survivors(eq, "quality", rows_per_band=1).collect()
     }
     assert out2 == {10, 20, 30}
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def _emb(spark, sf_dir):
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """A codebook source vector has distance 0 to its own code in every
+    subspace, so it must encode to [its index] * m exactly."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebook(emb, m=4, n_codes=8)
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(8).collect()]
+    codes = {
+        r["vec_id"]: r["pq_codes"]
+        for r in pq_encode(emb, cb).filter(F.col("vec_id").isin(ids)).collect()
+    }
+    for c, vid in enumerate(ids):
+        assert codes[vid] == [c] * 4, (vid, codes[vid])
+
+
+def test_pq_topk_query_equals_codeword_ranks_it_first(spark, sf_dir):
+    """Querying WITH a codebook vector: ADC distance to that vector is 0
+    (its LUT entries are hit exactly), so it ranks first."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebook(emb, m=4, n_codes=8)
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    out = pq_topk(pq_encode(emb, cb), cb, first["embedding"], k=3).collect()
+    assert out[0]["vec_id"] == first["vec_id"]
+    assert out[0]["pq_dist"] == 0
+
+
+def test_pq_recall_vs_exact_topk(spark, sf_dir):
+    """PQ is lossy but must stay useful: with an 8-entry codebook over
+    this corpus, the ADC top-10 for a held-out query shares members with
+    the exact L2 top-10 (sanity floor, not a tuned benchmark)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebook(emb, m=4, n_codes=8)
+    q = emb.orderBy(F.desc("vec_id")).limit(1).collect()[0]["embedding"]
+    approx = {r["vec_id"] for r in pq_topk(pq_encode(emb, cb), cb, q, k=10).collect()}
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    exact_dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            qlit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.select("vec_id", exact_dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(approx & exact) >= 1, (approx, exact)

@@ -123,3 +123,70 @@ def test_kll_global_quantiles_no_strata(spark, sf_dir):
         .collect()[0]["e"]
     )
     assert row["q50"] == pytest.approx(exact, rel=0.10)
+
+
+# --- portable count-min sketch ---------------------------------------------
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    """CMS one-sided error law: est ≥ exact for EVERY key (collisions can
+    only inflate)."""
+    from data_pipeline_ine_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = _events(spark, sf_dir)
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id")
+    bad = (
+        est.join(exact, "user_id")
+        .filter(F.col("cms_count") < F.col("exact"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cms_sketches_merge_cellwise(spark, sf_dir):
+    """Mergeability: build on two disjoint halves, cell-wise SUM the
+    sketches — identical to one build over the union. This is the law
+    that makes per-shard sketches roll up without rescans."""
+    from data_pipeline_ine_spark.operators.sketches import cms_build
+
+    ev = _events(spark, sf_dir)
+    a = cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        a.unionAll(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    whole = cms_build(ev, "user_id")
+    diff = merged.join(
+        whole.withColumnRenamed("cell_count", "w"), ["row", "bucket"], "full"
+    ).filter(
+        F.coalesce(F.col("cell_count"), F.lit(-1))
+        != F.coalesce(F.col("w"), F.lit(-1))
+    )
+    assert diff.count() == 0
+
+
+def test_cms_heavy_hitters_superset_of_true(spark, sf_dir):
+    """Every TRUE heavy hitter is reported (no false negatives — the CMS
+    guarantee), and reported estimates equal exact counts when the
+    sketch is collision-free at this scale."""
+    from data_pipeline_ine_spark.operators.sketches import cms_heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    thr = 30
+    out = cms_heavy_hitters(ev, "user_id", thr)
+    true_hh = {
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= thr)
+        .collect()
+    }
+    got = {r["user_id"] for r in out.collect()}
+    assert true_hh <= got

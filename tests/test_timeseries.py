@@ -203,3 +203,54 @@ def test_scd2_apply_edge_cases(spark):
     assert (2, "x") in rows and rows[(2, "x")][1] is None   # untouched, still open
     assert (9, "z") in rows                                  # new key present
     assert rows[(1, "b")][1] is not None                     # closed by the change
+
+
+# --- ewma_smooth ------------------------------------------------------------
+
+
+def test_ewma_matches_direct_recursion(spark):
+    """ewma_smooth == the plain Python recursion ewma_n = (x_n + e_{n-1})/2
+    while history fits the window; values are chosen off half-way points
+    so the comparison is unambiguous."""
+    rows = [
+        (i, 1, f"2024-01-01 00:0{i}:00", float(v))
+        for i, v in enumerate([10.0, 20.0, 40.0, 40.0, 10.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from data_pipeline_ine_spark.operators.timeseries import ewma_smooth
+
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(df, window=16).collect()
+    }
+    e = None
+    for i, v in enumerate([10.0, 20.0, 40.0, 40.0, 10.0]):
+        e = v if e is None else (v + e) / 2
+        assert out[i] == e, (i, out[i], e)
+
+
+def test_ewma_truncates_to_window(spark):
+    """Beyond the window, old history must stop influencing the value:
+    two series identical in their trailing `window` rows but different
+    before that produce the SAME ewma on the last row."""
+    from data_pipeline_ine_spark.operators.timeseries import ewma_smooth
+
+    def series(uid, prefix):
+        vals = prefix + [float(j % 7) for j in range(4)]
+        return [
+            (uid * 100 + i, uid, f"2024-01-01 00:{i:02d}:00", v)
+            for i, v in enumerate(vals)
+        ]
+
+    df = spark.createDataFrame(
+        series(1, [999.0] * 3) + series(2, [1.0] * 3),
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ewma_smooth(df, window=4)
+    last = {
+        r["user_id"]: r["ewma"]
+        for r in out.filter(F.col("event_id") % 100 == 6).collect()
+    }
+    assert last[1] == last[2]
