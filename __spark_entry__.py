@@ -5881,7 +5881,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, cb, qrow[0], k=10)
 
 
-ORACLE_PQ_TOPK = """
+# Shared PQ CTE chain: fixed-point dims, deterministic lowest-id codebook,
+# integer-exact per-subspace argmin encode — reused by pq_topk and
+# pq_dedup_groups oracles.
+_PQ_ENC_CTE = """
 WITH dims AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
@@ -5906,7 +5909,11 @@ WITH dims AS (
     SELECT vec_id, s, c,
            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rk
     FROM enc_dist) WHERE rk = 1
-), q AS (
+)
+"""
+
+ORACLE_PQ_TOPK = _PQ_ENC_CTE + """
+, q AS (
   SELECT s, i, vi FROM vint
   WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
 ), lut AS (
@@ -5919,6 +5926,32 @@ FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.c
 GROUP BY 1
 ORDER BY pq_dist, vec_id
 LIMIT 10
+"""
+
+
+def q_pq_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup by PQ quantization bucket (operators/similarity.py
+    ::pq_dedup_groups): identical 4-code cells = semantic near-dup
+    groups; one groupBy on the serialized code key, no pairwise join.
+    The deterministic SemDeDup-style first pass at corpus scale."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_codebook,
+        pq_dedup_groups,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=4, n_codes=8)
+    return pq_dedup_groups(pq_encode(emb, cb))
+
+
+ORACLE_PQ_DEDUP = _PQ_ENC_CTE + """
+, keys AS (
+  SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS pq_key
+  FROM enc GROUP BY 1
+)
+SELECT pq_key, COUNT(*) AS n_members, MIN(vec_id) AS survivor_id
+FROM keys GROUP BY 1 HAVING COUNT(*) >= 2
 """
 
 
@@ -6007,6 +6040,7 @@ _CHECK_ORDER = [
     "cms_heavy_hitters",
     "ewma_value",
     "pq_topk",
+    "pq_dedup_groups",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6275,6 +6309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ewma_value": q_ewma_value,
         "pq_topk": q_pq_topk,
+        "pq_dedup_groups": q_pq_dedup_groups,
     })
 
 
@@ -6437,4 +6472,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": ORACLE_CMS,
         "ewma_value": ORACLE_EWMA,
         "pq_topk": ORACLE_PQ_TOPK,
+        "pq_dedup_groups": ORACLE_PQ_DEDUP,
     })

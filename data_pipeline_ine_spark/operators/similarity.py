@@ -713,3 +713,33 @@ def pq_topk(
         .orderBy(F.asc("pq_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_dedup_groups(
+    codes_df: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Semantic dedup by quantization bucket (the SemDeDup idea reduced
+    to its deterministic core): vectors whose PQ codes are IDENTICAL
+    fell into the same cell of the product-quantized space in every
+    subspace — semantic near-duplicates at the codebook's resolution.
+    Returns each bucket with ≥2 members and its keeper (min id).
+
+    Scale shape: the code array serializes to a short string key and the
+    whole operator is ONE groupBy on it — map-side combined, no pairwise
+    anything, no similarity join. Resolution (and so precision/recall)
+    is set upstream by codebook size: more codes ⇒ finer cells ⇒ fewer,
+    tighter dup groups. The classic 100 TB first-pass before any
+    pairwise verify."""
+    key = F.concat_ws(
+        ",", F.transform(F.col(codes_col), lambda x: x.cast("string"))
+    )
+    return (
+        codes_df.groupBy(key.alias("pq_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias("survivor_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -1008,3 +1008,49 @@ def dup_span_stats(
             ),
         )
     )
+
+
+def chunk_documents_udtf(
+    spark,
+    df: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 20,
+) -> DataFrame:
+    """Python-UDTF rendering of :func:`chunk_documents` — SAME semantics
+    (pinned by a parity test), different execution tier: rows stream
+    through a Python worker as a user-defined TABLE function (Spark 4
+    ``udtf`` API) instead of a JVM explode.
+
+    This exists to pin the engine's UDF-boundary guidance with working
+    code: the JVM explode is the production path (whole-stage codegen,
+    no Python), and the UDTF is the template for chunkers whose logic
+    genuinely can't be a Catalyst expression (model-based sentence
+    segmentation, tokenizer-aware splitting). A UDTF is still the
+    scale-correct Python shape — per-partition streaming, no
+    collect, fan-out bounded by doc length — just with serialization
+    cost at the boundary.
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"need 0 <= overlap < chunk_chars: {overlap}, {chunk_chars}")
+    from pyspark.sql.functions import udtf
+
+    stride = chunk_chars - overlap
+
+    @udtf(returnType="chunk_id int, chunk_text string, chunk_len int")
+    class Chunker:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            import math
+
+            n = max(1, math.ceil(max(len(text) - overlap, 1) / stride))
+            for i in range(n):
+                piece = text[i * stride : i * stride + chunk_chars]
+                yield i, piece, len(piece)
+
+    spark.udtf.register("chunk_udtf", Chunker)
+    df.createOrReplaceTempView("_chunk_in")
+    return spark.sql(
+        "SELECT i.doc_id, i.source, c.chunk_id, c.chunk_text, c.chunk_len "
+        "FROM _chunk_in i, LATERAL chunk_udtf(i.text) c"
+    )

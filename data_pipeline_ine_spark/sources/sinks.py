@@ -18,11 +18,16 @@ def write_layer(
     path: str,
     run_date: str | None = None,
     partition_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
 ) -> None:
-    """Write a curated layer as Parquet. ``run_date`` (YYYY-MM-DD) becomes a
-    partition column — the Spark replacement for the reference's
-    ``outputs/DD-MM-YYYY/`` folder-per-run layout (``step1_scraper.py:31``).
-    """
+    """Write a curated layer as Parquet (default) or ORC. ``run_date``
+    (YYYY-MM-DD) becomes a partition column — the Spark replacement for the
+    reference's ``outputs/DD-MM-YYYY/`` folder-per-run layout
+    (``step1_scraper.py:31``). Both formats are columnar with predicate
+    pushdown and per-stripe/row-group statistics; the knob exists because
+    downstream consumers (Hive/Trino estates) are often ORC-native."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported layer format: {fmt}")
     out = df
     parts = list(partition_cols)
     if run_date is not None:
@@ -31,7 +36,7 @@ def write_layer(
     writer = out.write.mode("overwrite")
     if parts:
         writer = writer.partitionBy(*parts)
-    writer.option("partitionOverwriteMode", "dynamic").parquet(path)
+    writer.option("partitionOverwriteMode", "dynamic").format(fmt).save(path)
 
 
 def latest_run_date(spark, path: str) -> str | None:

@@ -667,3 +667,23 @@ def test_dup_span_stats_counts_cross_doc_spans_only(spark):
     assert out[2]["n_dup_spans"] == 1
     assert 3 not in out  # inner-join drops docs with zero duplicated spans
     assert 4 not in out
+
+
+def test_udtf_chunker_matches_jvm_explode(spark, sf_dir):
+    """The Python-UDTF chunker is semantics-identical to the production
+    JVM explode chunker — the parity that licenses swapping in a
+    genuinely-Python splitter behind the same contract."""
+    from data_pipeline_ine_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    a = chunk_documents(docs, chunk_chars=120, overlap=30)
+    b = chunk_documents_udtf(spark, docs, chunk_chars=120, overlap=30)
+    cols = ["doc_id", "chunk_id", "chunk_text", "chunk_len"]
+    diff = a.select(cols).exceptAll(b.select(cols)).count() + b.select(
+        cols
+    ).exceptAll(a.select(cols)).count()
+    assert diff == 0

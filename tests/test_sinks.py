@@ -219,3 +219,45 @@ def test_copy_to_postgres_roundtrip(spark, tmp_path):
         import shutil as _shutil
 
         _shutil.rmtree(pg_dir, ignore_errors=True)
+
+
+def test_write_layer_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC layer: dynamic-partitioned write → read-back equality, and the
+    read plan pushes predicates into the ORC scan (same contract as the
+    parquet path)."""
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.sources.sinks import write_layer
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orc_layer")
+    write_layer(orders, path, run_date="2026-08-14", fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    diff = (
+        back.select(orders.columns).exceptAll(orders).count()
+        + orders.exceptAll(back.select(orders.columns)).count()
+    )
+    assert diff == 0
+    plan = (
+        back.filter(F.col("o_totalprice") > 100000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+
+
+def test_write_layer_rejects_unknown_format(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.sources.sinks import write_layer
+
+    with _pytest.raises(ValueError):
+        write_layer(
+            load_table(spark, sf_dir, "orders"), str(tmp_path / "x"), fmt="avro"
+        )
