@@ -194,3 +194,52 @@ def stream_maintain_aggregate(
 def latest_aggregate(spark: SparkSession, agg_dir: str) -> DataFrame | None:
     """Newest committed aggregate version (same _SUCCESS discipline)."""
     return latest_snapshot(spark, agg_dir)
+
+
+def stream_maintain_cms(
+    events_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint: str,
+    key_col: str,
+):
+    """Streaming heavy-hitter sketch maintenance: per micro-batch, build a
+    count-min sketch of the batch (operators/sketches.py::cms_build) and
+    merge it cell-wise-SUM — the CMS merge law — into the last committed
+    sketch version. The always-current 2,048-cell sketch answers "who is
+    heavy so far" at any moment without ever rescanning history.
+
+    Crash-safety is the module's standard discipline: batch N owns
+    version ``v{batch_id+1}``; a replay of a committed batch is skipped
+    via its ``_SUCCESS`` marker, a torn write is invisible to
+    ``latest_snapshot`` and overwritten on replay — effectively-once.
+
+    Scale shape: per batch, one batch-sized build aggregate (shuffle
+    carries ≤ d·w cells per map task) + a 2,048-row merge. State on
+    disk is O(d·w) per version regardless of stream length — the whole
+    point of maintaining the sketch instead of exact per-key counts."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.sketches import cms_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = os.path.join(sketch_dir, f"v{batch_id + 1}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # committed replay — skip, never rewrite
+        delta = cms_build(batch_df, key_col)
+        prev = latest_snapshot(spark, sketch_dir)
+        merged = (
+            delta
+            if prev is None
+            else prev.unionAll(delta)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cell_count").alias("cell_count"))
+        )
+        merged.write.mode("overwrite").parquet(target)
+
+    return (
+        events_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

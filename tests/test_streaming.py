@@ -942,3 +942,55 @@ def test_stream_drift_monitor_matches_batch_reports(spark, tmp_path):
     chi_b0 = max(v[2] for (b, _), v in got.items() if b == 0)
     chi_b1 = max(v[2] for (b, _), v in got.items() if b == 1)
     assert chi_b1 > 10 * max(chi_b0, 0.1)
+
+
+def test_stream_cms_equals_batch_sketch_and_replays_skip(spark, sf_dir, tmp_path):
+    """Streaming CMS maintenance: after draining a 2-micro-batch stream,
+    the committed sketch must equal ONE batch cms_build over all events
+    (the cell-wise merge law end-to-end), and re-running the drained
+    stream against the same checkpoint must commit nothing new."""
+    from data_pipeline_ine_spark.operators.sketches import cms_build
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        stream_maintain_cms,
+    )
+
+    d = tmp_path / "cms_land"
+    d.mkdir()
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    for name, pred in (
+        ("a", F.col("event_id") % 2 == 0),
+        ("b", F.col("event_id") % 2 == 1),
+    ):
+        staging = tmp_path / f"cms_stage_{name}"
+        raw.filter(pred).coalesce(1).write.parquet(str(staging))
+        part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, d / f"{name}.parquet")
+
+    sketch_dir = str(tmp_path / "cms_sketch")
+    ckpt = str(tmp_path / "cms_ckpt")
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    stream_maintain_cms(stream, sketch_dir, ckpt, "user_id").awaitTermination()
+
+    versions = sorted(os.listdir(sketch_dir))
+    assert versions == ["v1", "v2"], versions
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = cms_build(ev, "user_id")
+    merged = latest_snapshot(spark, sketch_dir)
+    diff = (
+        merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    )
+    assert diff == 0
+
+    # drained replay: same checkpoint, no new files → no new versions,
+    # committed versions untouched (mtime probe)
+    mtimes = {
+        v: os.path.getmtime(os.path.join(sketch_dir, v, "_SUCCESS"))
+        for v in versions
+    }
+    stream2 = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    stream_maintain_cms(stream2, sketch_dir, ckpt, "user_id").awaitTermination()
+    assert sorted(os.listdir(sketch_dir)) == ["v1", "v2"]
+    for v, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(sketch_dir, v, "_SUCCESS")) == t
