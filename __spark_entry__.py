@@ -5955,6 +5955,147 @@ FROM keys GROUP BY 1 HAVING COUNT(*) >= 2
 """
 
 
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend (value vs days since 2024-01-01) via
+    closed-form OLS over decimal-exact moment sums
+    (operators/features.py::grouped_ols) — millions of independent
+    regressions in ONE group-keyed aggregate, engine-exact."""
+    from data_pipeline_ine_spark.operators.features import grouped_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    return grouped_ols(ev, x, F.col("value"), ["event_type"])
+
+
+ORACLE_GROUPED_OLS = """
+WITH b AS (
+  SELECT event_type, value,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x
+  FROM events
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(25,4))) AS sx,
+    SUM(CAST(value AS DECIMAL(25,4))) AS sy,
+    SUM(CAST(x AS DECIMAL(25,4)) * CAST(value AS DECIMAL(25,4))) AS sxy,
+    SUM(CAST(x AS DECIMAL(25,4)) * CAST(x AS DECIMAL(25,4))) AS sxx
+  FROM b GROUP BY 1
+)
+SELECT event_type, n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+"""
+
+
+def q_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint signal: next-8-mean minus previous-8-mean of value at
+    every event, per event type (operators/features.py::
+    level_shift_scores). Integer-cents frame sums + two IEEE divides —
+    bit-identical cross-engine with no rounding; bounded 2×8-row frames,
+    one shuffle."""
+    from data_pipeline_ine_spark.operators.features import level_shift_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    return level_shift_scores(ev, "value", "event_type", "ts", "event_id", w=8)
+
+
+ORACLE_LEVEL_SHIFT = """
+WITH e AS (
+  SELECT event_id, event_type, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT event_id, event_type, ts,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS nb,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING) AS na,
+    SUM(vc) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS sb,
+    SUM(vc) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING) AS sa
+  FROM e
+)
+SELECT event_id, event_type, ts,
+  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+   - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0 AS level_shift
+FROM w WHERE nb = 8 AND na = 8
+"""
+
+
+def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style reconciliation (operators/diff.py::bucket_hash_diff):
+    lineitem vs a replica missing every 997th order — only cell hashes
+    cross the network, and exactly the buckets holding dropped rows
+    report bucket_match = false. Doubles are canonicalized to integer
+    cents BEFORE hashing so the row digest is engine-portable."""
+    from data_pipeline_ine_spark.operators.diff import bucket_hash_diff
+
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qty_c"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    replica = canon.filter(F.col("l_orderkey") % 997 != 0)
+    return bucket_hash_diff(
+        canon,
+        replica,
+        ["l_orderkey", "l_linenumber"],
+        ["qty_c", "price_c"],
+        n_buckets=64,
+    )
+
+
+ORACLE_TABLE_RECONCILE = (
+    r"""
+WITH canon AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+), hashed AS (
+  SELECT KEY_FOLD % 64 AS bucket, ROW_FOLD AS h, l_orderkey FROM (
+    SELECT concat_ws(chr(31), CAST(l_orderkey AS VARCHAR),
+      CAST(l_linenumber AS VARCHAR)) AS ksh,
+      concat_ws(chr(31), CAST(l_orderkey AS VARCHAR),
+      CAST(l_linenumber AS VARCHAR), CAST(qty_c AS VARCHAR),
+      CAST(price_c AS VARCHAR)) AS sh, l_orderkey
+    FROM canon)
+), l AS (
+  SELECT bucket, COUNT(*) AS left_rows,
+    CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS left_hash
+  FROM hashed GROUP BY 1
+), r AS (
+  SELECT bucket, COUNT(*) AS right_rows,
+    CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS right_hash
+  FROM hashed WHERE l_orderkey % 997 != 0 GROUP BY 1
+)
+SELECT COALESCE(l.bucket, r.bucket) AS bucket,
+  COALESCE(left_rows, 0) AS left_rows,
+  COALESCE(right_rows, 0) AS right_rows,
+  (COALESCE(left_hash, -1) = COALESCE(right_hash, -2)
+   AND COALESCE(left_rows, 0) = COALESCE(right_rows, -1)) AS bucket_match
+FROM l FULL OUTER JOIN r ON l.bucket = r.bucket
+"""
+).replace("KEY_FOLD", _HEX12.format(h="md5(ksh)")).replace(
+    "ROW_FOLD", _HEX12.format(h="md5(sh)")
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6041,6 +6182,9 @@ _CHECK_ORDER = [
     "ewma_value",
     "pq_topk",
     "pq_dedup_groups",
+    "grouped_ols",
+    "level_shift",
+    "table_reconcile",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6310,6 +6454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_value": q_ewma_value,
         "pq_topk": q_pq_topk,
         "pq_dedup_groups": q_pq_dedup_groups,
+        "grouped_ols": q_grouped_ols,
+        "level_shift": q_level_shift,
+        "table_reconcile": q_table_reconcile,
     })
 
 
@@ -6473,4 +6620,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_value": ORACLE_EWMA,
         "pq_topk": ORACLE_PQ_TOPK,
         "pq_dedup_groups": ORACLE_PQ_DEDUP,
+        "grouped_ols": ORACLE_GROUPED_OLS,
+        "level_shift": ORACLE_LEVEL_SHIFT,
+        "table_reconcile": ORACLE_TABLE_RECONCILE,
     })

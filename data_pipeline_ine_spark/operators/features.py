@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -380,4 +380,88 @@ def winsorized_sums(
     return clipped.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("_cents").cast("double") / 100.0).alias("wsum"),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    group_cols: Sequence[str],
+    scale: int = 4,
+) -> DataFrame:
+    """Closed-form per-group simple linear regression (OLS): slope and
+    intercept of y on x from the same decimal-exact moment sums as
+    :func:`grouped_corr` — slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    intercept = (Σy − slope·Σx)/n. The distributed trend-fit behind
+    per-entity drift lines, per-segment elasticities, and forecasting
+    features — millions of independent regressions in ONE group-keyed
+    aggregate, no ML library, no iteration.
+
+    Accepts Column expressions for x (e.g. an epoch-seconds cast of a
+    timestamp). Moment accumulation is order-invariant decimal, so the
+    fit is engine-exact; only the final closed form runs in doubles.
+    Groups with zero x-variance return NULL slope (guarded divide)."""
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    xd = xc.cast(f"decimal(25,{scale})")
+    yd = yc.cast(f"decimal(25,{scale})")
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+    return g.select(
+        *group_cols,
+        F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def level_shift_scores(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    w: int = 8,
+) -> DataFrame:
+    """Changepoint (level-shift) signal per key: at each event, the gap
+    between the NEXT-``w`` mean and the PREVIOUS-``w`` mean of the
+    value, from two bounded window frames — the monitoring primitive
+    for "did this entity's level jump here". Rows need full windows on
+    both sides (edges are not scored against partial means).
+
+    Engineered like ewma_smooth for cross-engine exactness: values go
+    through integer cents, each frame SUM is exact BIGINT, and the two
+    divisions are correctly-rounded IEEE ops from exact integers —
+    bit-identical everywhere with NO decimal rounding. One shuffle on
+    the key; state bounded at 2·w rows per frame."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    order = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    before = order.rowsBetween(-w, -1)
+    after = order.rowsBetween(1, w)
+    out = df.select(
+        id_col,
+        key_col,
+        ts_col,
+        F.count(F.lit(1)).over(before).alias("_nb"),
+        F.count(F.lit(1)).over(after).alias("_na"),
+        F.sum(cents).over(before).alias("_sb"),
+        F.sum(cents).over(after).alias("_sa"),
+    )
+    shift = (
+        F.col("_sa").cast("double") / F.col("_na").cast("double")
+        - F.col("_sb").cast("double") / F.col("_nb").cast("double")
+    ) / F.lit(100.0)
+    return out.filter((F.col("_nb") == w) & (F.col("_na") == w)).select(
+        id_col, key_col, ts_col, shift.alias("level_shift")
     )

@@ -260,3 +260,36 @@ def distribution_drift(
         F.col("cur_n").cast("bigint").alias("cur_n"),
         F.round(diff * diff / expected, 6).alias("chi2"),
     )
+
+
+def schema_diff(left: DataFrame, right: DataFrame) -> list[dict]:
+    """Schema drift report between two DataFrames (snapshot vs snapshot,
+    landing vs curated): per column, presence on each side and the two
+    type strings — the check every scheduled pipeline runs before an
+    incompatible upstream change silently corrupts a layer. Pure
+    metadata: no job, no scan.
+
+    Returns a list of ``{column, left_type, right_type, status}`` dicts
+    with status in added/removed/type_changed/ok, ordered by column
+    name."""
+    lt = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rt = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    out = []
+    for c in sorted(set(lt) | set(rt)):
+        if c not in lt:
+            status = "added"
+        elif c not in rt:
+            status = "removed"
+        elif lt[c] != rt[c]:
+            status = "type_changed"
+        else:
+            status = "ok"
+        out.append(
+            {
+                "column": c,
+                "left_type": lt.get(c),
+                "right_type": rt.get(c),
+                "status": status,
+            }
+        )
+    return out

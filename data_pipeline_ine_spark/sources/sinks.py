@@ -302,3 +302,40 @@ def copy_to_postgres(
             f"\\copy \"{table}\" FROM '{part}' WITH (FORMAT csv, NULL '')"
         )
     return int(run_sql(f'SELECT COUNT(*) FROM "{table}"'))
+
+
+def write_sorted_layer(
+    df: DataFrame,
+    path: str,
+    range_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+    n_files: int | None = None,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Range-partitioned, within-file-sorted layout: repartitionByRange on
+    ``range_cols`` (global key ranges, one per output file) + a
+    sortWithinPartitions — so every file's min/max statistics are TIGHT
+    and DISJOINT along the sort axis, and any later range/point predicate
+    prunes to the few files whose stats admit it. The single-dimension
+    complement to the Z-order layout (operators/layout.py): Z-order
+    trades per-axis tightness for multi-axis pruning; this is the
+    maximally-tight single-axis form.
+
+    ``n_files`` sizes the range exchange (default: current parallelism);
+    ``max_records_per_file`` bounds file size without re-shuffling.
+    Range partitioning samples key quantiles — skewed keys get
+    proportionally many files, so no output file becomes a straggler."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported layer format: {fmt}")
+    parts = [F.col(c) for c in range_cols]
+    out = (
+        df.repartitionByRange(n_files, *parts)
+        if n_files
+        else df.repartitionByRange(*parts)
+    )
+    out = out.sortWithinPartitions(*(list(range_cols) + list(sort_cols)))
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.format(fmt).save(path)

@@ -97,3 +97,41 @@ def test_ivm_handles_group_moves_and_zero_groups(spark):
     }
     assert got == want == {"a": (2, 15.0), "c": (1, 20.0)}
     assert "b" not in got
+
+
+def test_bucket_hash_diff_identical_tables_all_match(spark, sf_dir):
+    from data_pipeline_ine_spark.operators.diff import bucket_hash_diff
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    out = bucket_hash_diff(
+        orders, orders, ["o_orderkey"], ["o_orderstatus"], n_buckets=32
+    )
+    assert out.filter(~F.col("bucket_match")).count() == 0
+
+
+def test_bucket_hash_diff_localizes_single_mutation(spark, sf_dir):
+    """Mutating ONE row must flip exactly one bucket (same row count both
+    sides, so only the hash betrays it) — the property that makes
+    bucket-granular re-scan cheap."""
+    from data_pipeline_ine_spark.operators.diff import bucket_hash_diff
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == key, F.lit("MUTATED")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    out = bucket_hash_diff(
+        orders, mutated, ["o_orderkey"], ["o_orderstatus"], n_buckets=32
+    ).collect()
+    bad = [r for r in out if not r["bucket_match"]]
+    assert len(bad) == 1
+    assert bad[0]["left_rows"] == bad[0]["right_rows"]  # hash-only mismatch

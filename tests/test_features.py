@@ -88,3 +88,54 @@ def test_kll_cutpoints_match_exact_at_sf01(spark):
             f"p{p}: sketch {got} outside rank-error band [{lo}, {hi}] "
             f"(exact {ex})"
         )
+
+
+def test_grouped_ols_recovers_exact_line(spark):
+    """Perfectly linear groups: OLS must recover slope/intercept exactly
+    (decimal moments make the closed form exact on exact inputs)."""
+    from data_pipeline_ine_spark.operators.features import grouped_ols
+
+    rows = [("a", x, 3.0 * x + 7.0) for x in range(10)] + [
+        ("b", x, -0.5 * x + 2.0) for x in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r["g"]: r for r in grouped_ols(df, "x", "y", ["g"]).collect()}
+    assert out["a"]["slope"] == 3.0 and out["a"]["intercept"] == 7.0
+    assert out["b"]["slope"] == -0.5 and out["b"]["intercept"] == 2.0
+
+
+def test_grouped_ols_null_on_zero_x_variance(spark):
+    from data_pipeline_ine_spark.operators.features import grouped_ols
+
+    df = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 5, 2.0)], "g string, x int, y double"
+    )
+    row = grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    assert row["slope"] is None and row["intercept"] is None
+
+
+def test_level_shift_detects_step(spark):
+    """Step function 10→30 between rows 9 and 10 (w=4): the last pre-step
+    row sees the full +20 shift, rows deep inside a flat region score 0,
+    and edge rows without full frames are not scored at all."""
+    from data_pipeline_ine_spark.operators.features import level_shift_scores
+
+    rows = [
+        (i, "k", f"2024-01-01 00:{i:02d}:00", 10.0 if i < 10 else 30.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["event_id"]: r["level_shift"]
+        for r in level_shift_scores(
+            df, "value", "event_type", "ts", "event_id", w=4
+        ).collect()
+    }
+    # full frames exist for ids 4..15 only
+    assert sorted(out) == list(range(4, 16))
+    assert out[9] == 20.0  # before 5-8 all 10, after 10-13 all 30
+    assert out[4] == 0.0  # deep inside the flat low region
+    assert out[15] == 0.0  # deep inside the flat high region
+    assert out[11] == 15.0  # before 7-10 = (10,10,10,30) mean 15, after 30

@@ -364,3 +364,17 @@ def test_distribution_drift_detects_shift_and_skips_tied_buckets(spark):
     assert by_bucket[0].cur_n == 0
     assert by_bucket[-1].cur_n > by_bucket[-1].ref_n
     assert any(r.chi2 > 0 for r in out)
+
+
+def test_schema_diff_reports_all_statuses(spark):
+    from data_pipeline_ine_spark.operators.quality import schema_diff
+
+    left = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    right = spark.createDataFrame([(1, 2, True)], "a int, b int, d boolean")
+    out = {r["column"]: r["status"] for r in schema_diff(left, right)}
+    assert out == {
+        "a": "ok",
+        "b": "type_changed",
+        "c": "removed",
+        "d": "added",
+    }

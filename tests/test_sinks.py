@@ -261,3 +261,34 @@ def test_write_layer_rejects_unknown_format(spark, sf_dir, tmp_path):
         write_layer(
             load_table(spark, sf_dir, "orders"), str(tmp_path / "x"), fmt="avro"
         )
+
+
+def test_write_sorted_layer_files_are_range_disjoint(spark, sf_dir, tmp_path):
+    """Range-partitioned sorted layout: per-file [min, max] intervals on
+    the range column must be pairwise DISJOINT — the property that lets a
+    point/range predicate prune to O(1) files."""
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.sources.sinks import write_sorted_layer
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "sorted_layer")
+    write_sorted_layer(orders, path, ("o_totalprice",), n_files=8)
+    import glob
+
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        mm = (
+            spark.read.parquet(f)
+            .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+            .collect()[0]
+        )
+        if mm[0] is not None:
+            spans.append((mm[0], mm[1]))
+    spans.sort()
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
