@@ -986,6 +986,11 @@ def dup_span_stats(
         .select(
             id_col, "n_spans", _hex12_to_long(F.md5(F.col("sh"))).alias("sh_hash")
         )
+        # both consumers (span-df aggregate, join back) read the SAME
+        # materialized span table — without this the corpus tokenizes and
+        # explodes twice, once per plan branch (the bm25 single-pass trick;
+        # lazy so nothing materializes until the first action)
+        .localCheckpoint(eager=False)
     )
     # document frequency per span: rows are (doc, span)-distinct already,
     # so COUNT(*) == COUNT(DISTINCT doc) with no second Expand pass

@@ -86,6 +86,14 @@ HEAVY = [
     # cardinality, pinned by plan tests); the incremental family's
     # fixed-changelog steady state is probed by tools/incremental_probe.py
     "pmi_collocations",
+    # round-5 second wave over the probe corpus (cms_heavy_hitters /
+    # ewma_value / level_shift / grouped_ols / table_reconcile read
+    # events/lineitem, which the probe doesn't scale — their bounds are
+    # O(d·w) sketch cells, bounded window frames, moment sums, and
+    # n_buckets cells, pinned by plan/unit tests instead)
+    "dup_span_ratio",
+    "pq_topk",
+    "pq_dedup_groups",
 ]
 
 
