@@ -739,3 +739,125 @@ def test_record_linkage_matches_fs_reference(spark, rows):
     for k in expect:
         assert got[k][0] == expect[k][0] and got[k][1] == expect[k][1], k
         assert math.isclose(got[k][2], expect[k][2], rel_tol=1e-9, abs_tol=1e-9), k
+
+
+@SETTINGS
+@given(
+    series=st.lists(
+        st.tuples(
+            key_strategy,
+            ts_strategy,
+            st.floats(
+                min_value=-1e5,
+                max_value=1e5,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    window=st.sampled_from([1, 2, 4, 16]),
+)
+def test_ewma_matches_python_reference(spark, series, window):
+    """ewma_smooth == the direct truncated-recursion reference on
+    arbitrary keyed float series, BIT-EXACTLY — the dyadic-weights
+    design claims exact IEEE arithmetic, so the comparison is ==, not
+    approx. Duplicate timestamps are disambiguated by event_id exactly
+    as the operator's sort key does."""
+    import math
+
+    from data_pipeline_ine_spark.operators.timeseries import ewma_smooth
+
+    rows = [
+        (i, k, f"2024-01-01 00:{t:02d}:00", v)
+        for i, (k, t, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(df, window=window).collect()
+    }
+    by_key: dict[int, list] = {}
+    for i, (k, t, v) in enumerate(series):
+        by_key.setdefault(k, []).append((t, i, v))
+    want = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        cents = [math.floor(v * 100 + 0.5) for _, _, v in evs]
+        for n in range(len(evs)):
+            lo = max(0, n - window + 1)
+            frame = cents[lo : n + 1]
+            m = len(frame)
+            acc = 0.0
+            for idx, c in enumerate(frame):  # idx 0 = oldest in frame
+                j = m - 1 - idx
+                w = 2.0 ** -j if idx == 0 else 2.0 ** -(j + 1)
+                acc += c * w
+            want[evs[n][1]] = acc / 100.0
+    assert got == want
+
+
+@SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=60
+    ),
+    threshold=st.integers(min_value=1, max_value=5),
+)
+def test_cms_one_sided_error_on_arbitrary_multisets(spark, keys, threshold):
+    """CMS law on arbitrary key multisets: estimates never undercount,
+    and cms_heavy_hitters reports a SUPERSET of the true heavy set."""
+    from collections import Counter
+
+    from data_pipeline_ine_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    exact = Counter(keys)
+    est = {
+        r["user_id"]: r["cms_count"]
+        for r in cms_estimate(
+            cms_build(df, "user_id"), df.select("user_id").distinct(), "user_id"
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert est[k] >= c
+    hh = {
+        r["user_id"] for r in cms_heavy_hitters(df, "user_id", threshold).collect()
+    }
+    assert {k for k, c in exact.items() if c >= threshold} <= hh
+
+
+@SETTINGS
+@given(
+    n_rows=st.integers(min_value=2, max_value=50),
+    mutate_at=st.integers(min_value=0, max_value=49),
+)
+def test_bucket_hash_diff_localizes_any_single_mutation(spark, n_rows, mutate_at):
+    """For ANY table and any single-row value mutation: exactly one
+    bucket mismatches, with equal row counts (the key-hash bucketing
+    guarantee)."""
+    from data_pipeline_ine_spark.operators.diff import bucket_hash_diff
+
+    mutate_at = mutate_at % n_rows
+    left = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n_rows)], "k long, val string"
+    )
+    right = spark.createDataFrame(
+        [
+            (i, "MUTATED" if i == mutate_at else f"v{i}")
+            for i in range(n_rows)
+        ],
+        "k long, val string",
+    )
+    out = bucket_hash_diff(left, right, ["k"], ["val"], n_buckets=8).collect()
+    bad = [r for r in out if not r["bucket_match"]]
+    assert len(bad) == 1
+    assert bad[0]["left_rows"] == bad[0]["right_rows"]
