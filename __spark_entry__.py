@@ -6096,6 +6096,97 @@ FROM l FULL OUTER JOIN r ON l.bucket = r.bucket
 )
 
 
+def q_rp_cosine_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→16 dims (operators/
+    similarity.py::random_projection — formula matrix, integer-exact,
+    zero shuffles) verified end-to-end: cosine between consecutive ids
+    IN THE PROJECTED SPACE, with exact DECIMAL(38,0) dot/norm sums so
+    the only doubles are two sqrt's and one divide from exact inputs."""
+    from data_pipeline_ine_spark.operators.similarity import random_projection
+
+    proj = random_projection(load_table(spark, sf_dir, "embeddings"), out_dim=16)
+    a = proj.select(F.col("vec_id"), F.col("proj").alias("pa"))
+    b = proj.select((F.col("vec_id") - 1).alias("vec_id"), F.col("proj").alias("pb"))
+
+    def ddot(x: str, y: str) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(x),
+                F.col(y),
+                lambda u, v: u.cast("decimal(38,0)") * v,
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, t: acc + t,
+        )
+
+    return (
+        a.join(b, "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                ddot("pa", "pb").cast("double")
+                / (
+                    F.sqrt(ddot("pa", "pa").cast("double"))
+                    * F.sqrt(ddot("pb", "pb").cast("double"))
+                ),
+                6,
+            ).alias("rp_cosine"),
+        )
+    )
+
+
+ORACLE_RP_COSINE = """
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), vint AS (
+  SELECT vec_id, i, CAST(floor(x * 10000 + 0.5) AS BIGINT) AS vi FROM dims
+), proj AS (
+  SELECT v.vec_id, js.j,
+    SUM(v.vi * (((v.i - 1) * 2654435761 + js.j * 40503 + 12345) % 65536
+                - 32768)) AS p
+  FROM vint v CROSS JOIN (SELECT unnest(range(16)) AS j) js
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.vec_id,
+    SUM(CAST(a.p AS HUGEINT) * b.p) AS dot,
+    SUM(CAST(a.p AS HUGEINT) * a.p) AS na,
+    SUM(CAST(b.p AS HUGEINT) * b.p) AS nb
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+  GROUP BY 1
+)
+SELECT vec_id,
+  ROUND(CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+    AS rp_cosine
+FROM pairs
+"""
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick) in long sparse format
+    (operators/text.py::hashed_features): token counts folded into 64
+    md5 buckets — bounded-width features with no vocabulary pass. One
+    explode + one (doc, bucket) aggregate."""
+    from data_pipeline_ine_spark.operators.text import hashed_features
+
+    return hashed_features(_docs_parallel(spark, sf_dir), n_buckets=64)
+
+
+ORACLE_HASHED_FEATURES = (
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+)
+SELECT doc_id, HEX_FOLD % 64 AS bucket, COUNT(*) AS tf
+FROM toks GROUP BY 1, 2
+"""
+).replace("HEX_FOLD", _HEX12.format(h="md5(tok)"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6185,6 +6276,8 @@ _CHECK_ORDER = [
     "grouped_ols",
     "level_shift",
     "table_reconcile",
+    "rp_cosine_consecutive",
+    "hashed_features",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6457,6 +6550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": q_grouped_ols,
         "level_shift": q_level_shift,
         "table_reconcile": q_table_reconcile,
+        "rp_cosine_consecutive": q_rp_cosine_consecutive,
+        "hashed_features": q_hashed_features,
     })
 
 
@@ -6623,4 +6718,6 @@ def oracle_sql() -> dict[str, str]:
         "grouped_ols": ORACLE_GROUPED_OLS,
         "level_shift": ORACLE_LEVEL_SHIFT,
         "table_reconcile": ORACLE_TABLE_RECONCILE,
+        "rp_cosine_consecutive": ORACLE_RP_COSINE,
+        "hashed_features": ORACLE_HASHED_FEATURES,
     })

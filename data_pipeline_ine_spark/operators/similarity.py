@@ -743,3 +743,63 @@ def pq_dedup_groups(
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# --- Random projection (Johnson–Lindenstrauss), integer-deterministic ------
+
+RP_MOD = 65536
+RP_HALF = 32768
+
+
+def rp_component(i: Column | int, j: Column | int) -> Column:
+    """Projection-matrix entry P[i][j] from the same integer-LCG formula
+    family as hyperplane_signature — exact integer arithmetic in
+    [-32768, 32767], so ANY SQL engine regenerates the matrix
+    bit-for-bit (a float PRNG would not replicate)."""
+    ii = F.lit(i) if isinstance(i, int) else i
+    jj = F.lit(j) if isinstance(j, int) else j
+    return (ii * 2654435761 + jj * 40503 + 12345) % RP_MOD - RP_HALF
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    vector through a deterministic dense integer matrix — pairwise
+    distances are preserved within ~ sqrt(in_dim/out_dim) relative
+    error (JL lemma; the pytest pins the measured distortion), so every
+    downstream ANN/dedup pass runs on out_dim/in_dim of the bytes.
+
+    Scale shape: ONE narrow whole-stage-codegen projection — the matrix
+    is a formula, not data (nothing to broadcast, nothing to train),
+    each output component an INTEGER fold over the fixed-pointed input
+    (``floor(x·1e4 + 0.5)``) — zero shuffles, zero Python, and the
+    output is exact BIGINT (order-free, engine-portable), not an
+    order-sensitive float accumulation. Magnitudes: |component| ≤
+    |x|·1e4 · 2^15 · in_dim ≈ 2^38 for unit-scale inputs — far inside
+    int64."""
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    vint = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+    def project(vv: Column) -> Column:
+        def comp(j: Column) -> Column:
+            return F.aggregate(
+                F.sequence(F.lit(1), F.size(vv)),
+                F.lit(0).cast("bigint"),
+                lambda acc, i: acc
+                + F.element_at(vv, i) * rp_component(i - 1, j).cast("bigint"),
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), comp)
+
+    return df.select(id_col, let_(vint, project).alias(out_col))

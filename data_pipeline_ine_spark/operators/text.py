@@ -1059,3 +1059,37 @@ def chunk_documents_udtf(
         "SELECT i.doc_id, i.source, c.chunk_id, c.chunk_text, c.chunk_len "
         "FROM _chunk_in i, LATERAL chunk_udtf(i.text) c"
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing (the hashing trick): token counts folded into a
+    fixed number of hash buckets — the bounded-width featurizer that
+    feeds linear classifiers/regressors at corpus scale without a
+    vocabulary pass or a fit stage. Long format ``(id, bucket,
+    tf)`` — the sparse representation itself.
+
+    Buckets come from the engine-invariant 48-bit md5 fold mod
+    n_buckets, so an external SQL engine reproduces every cell. One
+    explode + one (id, bucket) aggregate — a single shuffle whose width
+    is bounded by n_buckets per doc, never vocabulary-sized."""
+    from .dedup import _hex12_to_long
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("tok"),
+    )
+    return (
+        toks.select(
+            id_col,
+            (_hex12_to_long(F.md5(F.col("tok"))) % n_buckets).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

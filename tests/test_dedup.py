@@ -337,3 +337,43 @@ def test_pq_recall_vs_exact_topk(spark, sf_dir):
         .collect()
     }
     assert len(approx & exact) >= 1, (approx, exact)
+
+
+def test_random_projection_preserves_relative_distances(spark, sf_dir):
+    """JL property: 64→16 projection keeps pairwise distance RATIOS
+    concentrated — per consecutive pair, projected/original distance
+    normalized by the median ratio stays within a 2x band for ~all
+    pairs (loose bound; the point is no collapse and no blow-up)."""
+    from data_pipeline_ine_spark.operators.similarity import random_projection
+
+    emb = _emb(spark, sf_dir)
+    proj = random_projection(emb, out_dim=16)
+
+    def pair_dist(df, col, alias):
+        a = df.select(F.col("vec_id"), F.col(col).alias("xa"))
+        b = df.select((F.col("vec_id") - 1).alias("vec_id"), F.col(col).alias("xb"))
+        d = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("xa"),
+                    F.col("xb"),
+                    lambda u, v: (u.cast("double") - v.cast("double"))
+                    * (u.cast("double") - v.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+        return a.join(b, "vec_id").select("vec_id", d.alias(alias))
+
+    orig = pair_dist(emb.select("vec_id", F.col("embedding").alias("v")), "v", "d0")
+    pr = pair_dist(proj.select("vec_id", F.col("proj").alias("v")), "v", "d1")
+    rows = orig.join(pr, "vec_id").filter(F.col("d0") > 0).collect()
+    ratios = sorted(r["d1"] / r["d0"] for r in rows)
+    med = ratios[len(ratios) // 2]
+    assert med > 0
+    within = [r for r in ratios if 0.5 * med <= r <= 2.0 * med]
+    assert len(within) / len(ratios) > 0.98, (
+        ratios[0] / med,
+        ratios[-1] / med,
+    )

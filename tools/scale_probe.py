@@ -94,6 +94,8 @@ HEAVY = [
     "dup_span_ratio",
     "pq_topk",
     "pq_dedup_groups",
+    "rp_cosine_consecutive",
+    "hashed_features",
 ]
 
 
