@@ -6187,6 +6187,72 @@ FROM toks GROUP BY 1, 2
 ).replace("HEX_FOLD", _HEX12.format(h="md5(tok)"))
 
 
+def q_nb_source_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained and scored entirely in Catalyst
+    (operators/classify.py): hashed 64-bucket features → one-pass keyed
+    aggregates for the model (labels × buckets BIGINT weights via the
+    fixed-point -ln recipe) → broadcast-join scoring with integer
+    argmin. The supervised curation gate (source attribution) with a
+    full cross-engine oracle — no ML library anywhere."""
+    from data_pipeline_ine_spark.operators.classify import nb_predict, nb_train
+    from data_pipeline_ine_spark.operators.text import hashed_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    feats = hashed_features(docs, n_buckets=64).localCheckpoint(eager=False)
+    labels = docs.select("doc_id", F.col("source").alias("label"))
+    priors, lik = nb_train(feats, labels, n_buckets=64)
+    return nb_predict(feats, priors, lik)
+
+
+ORACLE_NB = (
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), feats AS (
+  SELECT doc_id, HEX_FOLD % 64 AS bucket, COUNT(*) AS tf
+  FROM toks GROUP BY 1, 2
+), lab AS (
+  SELECT doc_id, source AS label FROM documents
+), tagged AS (
+  SELECT f.doc_id, f.bucket, f.tf, l.label
+  FROM feats f JOIN lab l USING (doc_id)
+), cells AS (
+  SELECT label, bucket, SUM(tf) AS cnt FROM tagged GROUP BY 1, 2
+), ltot AS (
+  SELECT label, SUM(tf) AS tot FROM tagged GROUP BY 1
+), grid AS (
+  SELECT l.label, l.tot, b.bucket
+  FROM ltot l CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+), lik AS (
+  SELECT g.label, g.bucket,
+    CAST(floor(-ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+                   / CAST(g.tot + 64 AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)
+      AS nlp
+  FROM grid g LEFT JOIN cells c ON c.label = g.label AND c.bucket = g.bucket
+), pri AS (
+  SELECT label,
+    CAST(floor(-ln(CAST(COUNT(*) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM lab) AS DOUBLE)) * 1e12
+               + 0.5) AS BIGINT) AS nlp_prior
+  FROM lab GROUP BY 1
+), ll AS (
+  SELECT f.doc_id, k.label, SUM(f.tf * k.nlp) AS s
+  FROM feats f JOIN lik k USING (bucket)
+  GROUP BY 1, 2
+), sc AS (
+  SELECT ll.doc_id, ll.label,
+    CAST(ll.s + p.nlp_prior AS BIGINT) AS score_e12,
+    row_number() OVER (PARTITION BY ll.doc_id
+                       ORDER BY ll.s + p.nlp_prior, ll.label) AS rk
+  FROM ll JOIN pri p ON p.label = ll.label
+)
+SELECT doc_id, label AS predicted, score_e12 FROM sc WHERE rk = 1
+"""
+).replace("HEX_FOLD", _HEX12.format(h="md5(tok)"))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6278,6 +6344,7 @@ _CHECK_ORDER = [
     "table_reconcile",
     "rp_cosine_consecutive",
     "hashed_features",
+    "nb_source_prediction",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6552,6 +6619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_reconcile": q_table_reconcile,
         "rp_cosine_consecutive": q_rp_cosine_consecutive,
         "hashed_features": q_hashed_features,
+        "nb_source_prediction": q_nb_source_prediction,
     })
 
 
@@ -6720,4 +6788,5 @@ def oracle_sql() -> dict[str, str]:
         "table_reconcile": ORACLE_TABLE_RECONCILE,
         "rp_cosine_consecutive": ORACLE_RP_COSINE,
         "hashed_features": ORACLE_HASHED_FEATURES,
+        "nb_source_prediction": ORACLE_NB,
     })

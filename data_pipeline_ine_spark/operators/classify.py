@@ -1,0 +1,123 @@
+"""Distributed multinomial Naive Bayes over hashed text features — train
+AND score as pure Catalyst aggregates, no ML library, engine-exact.
+
+Why this exists in a data-pipeline engine: corpus curation constantly
+needs cheap supervised gates (source attribution, quality-tier routing,
+contamination triage) where a linear model over hashing-trick features is
+the standard tool. Training here is ONE pass of keyed aggregates and
+scoring is one broadcast join — both shapes hold at 100 TB, and every
+number is reproducible by an external SQL engine:
+
+- features come from :func:`operators.text.hashed_features` (md5-fold
+  buckets — engine-invariant);
+- every log-probability is snapped to 12-decimal fixed point
+  (``floor(-ln p · 1e12 + 0.5)`` — the unigram_logloss recipe) so model
+  weights are BIGINTs;
+- per-document scores are exact integer sums; the argmax is an integer
+  comparison with lexicographic label tie-break.
+
+Laplace smoothing makes every (label, bucket) cell well-defined; the
+model is materialized DENSE on a labels × n_buckets scaffold so scoring
+never needs a null-path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+E12 = 1_000_000_000_000
+
+
+def _neglog_e12(p_num, p_den) -> "F.Column":
+    """floor(-ln(num/den)·1e12 + 0.5) — fixed-point negative log prob.
+    Only IEEE multiply/divide/ln/floor on exact integer inputs, so the
+    BIGINT result is reproducible across engines (the proven
+    unigram_logloss determinism recipe)."""
+    return F.floor(
+        -F.log(p_num.cast("double") / p_den.cast("double")) * E12 + F.lit(0.5)
+    ).cast("bigint")
+
+
+def nb_train(
+    features: DataFrame,
+    labels: DataFrame,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB on long-format features ``(id, bucket, tf)``
+    joined to ``(id, label)``. Returns ``(priors, likelihoods)``:
+    priors ``(label, prior_e12)`` with prior = n_label/n_docs;
+    likelihoods ``(label, bucket, nlp_e12)`` dense over the
+    labels × n_buckets scaffold, Laplace-smoothed
+    ``p = (cnt + 1) / (label_total + n_buckets)``.
+
+    Scale shape: one id-equi join to attach labels (broadcast-able when
+    labels ride a dimension; shuffle join otherwise), one
+    (label, bucket) aggregate — output is labels × n_buckets rows (the
+    MODEL — tiny by construction), one label aggregate for priors."""
+    lab = labels.select(id_col, label_col)
+    tagged = features.join(lab, id_col)
+    cells = tagged.groupBy(label_col, "bucket").agg(F.sum("tf").alias("cnt"))
+    label_tot = tagged.groupBy(label_col).agg(F.sum("tf").alias("tot"))
+    # dense scaffold: every label × bucket, missing cells count 0
+    grid = label_tot.select(label_col, "tot").crossJoin(
+        F.broadcast(
+            features.sparkSession.range(n_buckets).select(
+                F.col("id").cast("bigint").alias("bucket")
+            )
+        )
+    )
+    likelihoods = (
+        grid.join(cells, [label_col, "bucket"], "left")
+        .select(
+            label_col,
+            "bucket",
+            _neglog_e12(
+                F.coalesce(F.col("cnt"), F.lit(0)) + 1,
+                F.col("tot") + F.lit(n_buckets),
+            ).alias("nlp_e12"),
+        )
+    )
+    n_docs = lab.count()
+    priors = lab.groupBy(label_col).agg(
+        _neglog_e12(F.count(F.lit(1)), F.lit(n_docs)).alias("nlp_prior_e12")
+    )
+    return priors, likelihoods
+
+
+def nb_predict(
+    features: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Score documents: for each label, total negative log prob =
+    prior + Σ tf·nlp(label, bucket); predict the MIN (ties to the
+    lexicographically smallest label). All integer arithmetic —
+    tf ≤ 1e6 · nlp ≤ 4e13 stays far inside BIGINT per doc.
+
+    Scale shape: the model is labels × n_buckets rows — broadcast — so
+    scoring is one narrow broadcast join (each feature row fans out to
+    n_labels) + one (doc, label) aggregate + one doc-keyed argmin."""
+    scored = (
+        features.join(F.broadcast(likelihoods), "bucket")
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("tf") * F.col("nlp_e12")).alias("ll"))
+        .join(F.broadcast(priors), label_col)
+        .select(
+            id_col,
+            label_col,
+            (F.col("ll") + F.col("nlp_prior_e12")).alias("score_e12"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("score_e12", label_col)).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.col("b")[label_col].alias("predicted"),
+        F.col("b")["score_e12"].alias("score_e12"),
+    )
