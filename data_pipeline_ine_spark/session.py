@@ -60,6 +60,12 @@ def get_spark(
         # broadcast build at 10x sf0.1). Only effective before JVM launch; a
         # cluster submit's --driver-memory takes precedence there.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # A 160+-query session codegens 160+ unique plans; the JVM's default
+        # 240 MB reserved code cache fills mid-run, the JIT disables itself,
+        # and every LATER query runs partially interpreted (observed: the
+        # alphabetical tail of bench.py degrading 2-4x with no code change).
+        # Only effective before JVM launch, like driver.memory.
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
         # --- optimizer / execution -----------------------------------------
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
