@@ -26,6 +26,7 @@ engine operator.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -86,3 +87,49 @@ def write_range_layout(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def vacuum_versions(snapshot_dir: str, keep_last: int = 3) -> list[str]:
+    """Retention for versioned snapshot directories (the streaming CDC /
+    IVM / CMS sinks write immutable ``v{N}`` versions forever): delete
+    all but the newest ``keep_last`` COMMITTED versions, plus every torn
+    (marker-less) directory older than the newest committed version —
+    a crash's half-written ``v{N}`` is overwritten on replay, but one
+    abandoned by a checkpoint reset would otherwise leak forever.
+
+    Readers are never endangered: only versions strictly older than the
+    ``keep_last`` committed tail are removed, the newest committed
+    version is always kept (``keep_last`` floors at 1), and deletion
+    takes the _SUCCESS marker FIRST so a concurrent reader that raced
+    the listing sees a torn (invisible) directory, not a partial table.
+    Returns the deleted paths."""
+    import shutil
+
+    from data_pipeline_ine_spark.streaming.cdc import _versions
+
+    keep_last = max(1, keep_last)
+    committed = _versions(snapshot_dir)
+    if not committed:
+        return []
+    cutoff_version = committed[-1][0]
+    drop = [p for _, p in committed[:-keep_last]]
+    # torn directories older than the committed head (never the head
+    # itself: an in-flight write may be mid-commit)
+    if os.path.isdir(snapshot_dir):
+        import re
+
+        for name in os.listdir(snapshot_dir):
+            m = re.fullmatch(r"v(\d+)", name)
+            path = os.path.join(snapshot_dir, name)
+            if (
+                m
+                and int(m.group(1)) < cutoff_version
+                and not os.path.exists(os.path.join(path, "_SUCCESS"))
+            ):
+                drop.append(path)
+    for path in drop:
+        marker = os.path.join(path, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)  # version becomes invisible before teardown
+        shutil.rmtree(path, ignore_errors=True)
+    return sorted(drop)

@@ -81,3 +81,32 @@ def test_range_layout_scan_prunes_with_pushed_filter(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,5)]" in plan
+
+
+def test_vacuum_versions_keeps_tail_and_removes_torn(spark, tmp_path):
+    """Retention: only the newest keep_last committed versions survive;
+    torn directories older than the committed head are swept; the head
+    itself is never touched even when keep_last=1."""
+    import os
+
+    from data_pipeline_ine_spark.sources.maintenance import vacuum_versions
+
+    d = tmp_path / "versions"
+    df = spark.range(5)
+    for v in (1, 2, 3, 4):
+        df.write.mode("overwrite").parquet(str(d / f"v{v}"))
+    # torn: no _SUCCESS
+    (d / "v0").mkdir()
+    (d / "v0" / "part-junk.parquet").write_bytes(b"torn")
+
+    deleted = vacuum_versions(str(d), keep_last=2)
+    left = sorted(os.listdir(d))
+    assert left == ["v3", "v4"], left
+    assert any(p.endswith("v0") for p in deleted)
+
+    # keep_last floors at 1: the committed head always survives
+    vacuum_versions(str(d), keep_last=0)
+    assert sorted(os.listdir(d)) == ["v4"]
+
+    # empty dir: no-op
+    assert vacuum_versions(str(tmp_path / "nope")) == []
