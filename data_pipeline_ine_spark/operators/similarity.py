@@ -644,12 +644,18 @@ def pq_encode(
                     F.lit(2**62).cast("bigint").alias("dist"),
                     F.lit(-1).alias("code"),
                 ),
-                lambda acc, c: F.when(
-                    cdist(c) < acc["dist"],
-                    F.struct(
-                        cdist(c).alias("dist"), (c - 1).cast("int").alias("code")
-                    ),
-                ).otherwise(acc),
+                # let-bind the code distance: evaluated once per codeword
+                # instead of twice (condition + struct), and the codegen
+                # tree is half the size
+                lambda acc, c: let_(
+                    cdist(c),
+                    lambda d: F.when(
+                        d < acc["dist"],
+                        F.struct(
+                            d.alias("dist"), (c - 1).cast("int").alias("code")
+                        ),
+                    ).otherwise(acc),
+                ),
             )
             return best["code"]
 
