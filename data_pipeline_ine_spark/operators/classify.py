@@ -61,14 +61,13 @@ def nb_train(
     tagged = features.join(lab, id_col)
     cells = tagged.groupBy(label_col, "bucket").agg(F.sum("tf").alias("cnt"))
     label_tot = tagged.groupBy(label_col).agg(F.sum("tf").alias("tot"))
-    # dense scaffold: every label × bucket, missing cells count 0
-    grid = label_tot.select(label_col, "tot").crossJoin(
-        F.broadcast(
-            features.sparkSession.range(n_buckets).select(
-                F.col("id").cast("bigint").alias("bucket")
-            )
-        )
-    )
+    # dense scaffold: every label × bucket, missing cells count 0 — an
+    # explode of a bucket sequence per label row, no join of any kind
+    grid = label_tot.select(
+        label_col,
+        "tot",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
     likelihoods = (
         grid.join(cells, [label_col, "bucket"], "left")
         .select(
