@@ -6253,6 +6253,63 @@ SELECT doc_id, label AS predicted, score_e12 FROM sc WHERE rk = 1
 ).replace("HEX_FOLD", _HEX12.format(h="md5(tok)"))
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb curation step):
+    segments recurring in >9/10 of a source's documents are discovered
+    per source (integer-rational ratio test — the testdata's 31-word
+    vocabulary makes the usual 1/2 threshold degenerate, same tiny-vocab
+    caveat as PPJoin) and scrubbed from every document with a BROADCAST
+    dictionary + higher-order filter — zero corpus-sized shuffle in the
+    apply (operators/text.py::scrub_boilerplate). The single-line
+    testdata corpus uses the token delimiter; the operator's default is
+    newline (pytest covers the multi-line path). ``clean_md5`` hashes
+    the re-joined kept segments, so a single mis-kept/mis-dropped
+    segment anywhere breaks the match."""
+    from data_pipeline_ine_spark.operators.text import scrub_boilerplate
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id", "source", "text")
+    out = scrub_boilerplate(
+        docs, delim=" ", max_doc_ratio_num=9, max_doc_ratio_den=10
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_segments",
+        "n_boiler",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+ORACLE_BOILERPLATE_SCRUB = """
+WITH nd AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1
+), segs AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split(text, ' '), s -> s <> '')) AS segment
+  FROM documents
+), segdf AS (
+  SELECT source, segment, COUNT(DISTINCT doc_id) AS seg_df
+  FROM segs GROUP BY 1, 2
+), boiler AS (
+  SELECT s.source, list(s.segment) AS bl
+  FROM segdf s JOIN nd USING (source)
+  WHERE s.seg_df >= 2 AND s.seg_df * 10 > nd.n_docs * 9
+  GROUP BY 1
+), cleaned AS (
+  SELECT d.doc_id, d.source,
+    list_filter(string_split(d.text, ' '), s -> s <> '') AS segs,
+    list_filter(segs,
+                s -> NOT list_contains(COALESCE(b.bl, []), s)) AS kept
+  FROM documents d LEFT JOIN boiler b USING (source)
+)
+SELECT doc_id, source,
+  CAST(len(segs) AS INT) AS n_segments,
+  CAST(len(segs) - len(kept) AS INT) AS n_boiler,
+  md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+FROM cleaned
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6345,6 +6402,7 @@ _CHECK_ORDER = [
     "rp_cosine_consecutive",
     "hashed_features",
     "nb_source_prediction",
+    "boilerplate_scrub",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6620,6 +6678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_cosine_consecutive": q_rp_cosine_consecutive,
         "hashed_features": q_hashed_features,
         "nb_source_prediction": q_nb_source_prediction,
+        "boilerplate_scrub": q_boilerplate_scrub,
     })
 
 
@@ -6789,4 +6848,5 @@ def oracle_sql() -> dict[str, str]:
         "rp_cosine_consecutive": ORACLE_RP_COSINE,
         "hashed_features": ORACLE_HASHED_FEATURES,
         "nb_source_prediction": ORACLE_NB,
+        "boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
     })

@@ -1093,3 +1093,129 @@ def hashed_features(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    delim: str = "\n",
+    max_doc_ratio_num: int = 1,
+    max_doc_ratio_den: int = 2,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Discover per-source boilerplate segments: split each document on
+    ``delim`` and flag segments that recur across more than
+    ``max_doc_ratio_num/max_doc_ratio_den`` of the source's documents
+    (and at least ``min_docs`` of them) — headers, footers, nav bars,
+    cookie banners. The CCNet/RefinedWeb line-level dedup signal, with
+    the delimiter configurable (newline for web text; any separator for
+    single-line corpora).
+
+    The ratio is a rational compared in integers
+    (``df · den > n_docs · num``), never a float — the discovery
+    decision is bit-identical in any SQL engine.
+
+    Scale shape: one narrow explode, then a (source, segment) aggregate
+    whose shuffle is segment-dictionary-sized (Heaps-law bounded, not
+    corpus-sized); per-source doc counts broadcast. Output is the tiny
+    boilerplate dictionary ``(source, segment, seg_df, n_docs)`` —
+    at most (segments-per-doc)/ratio rows per source by counting.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(F.split(F.col(text_col), delim)).alias("segment"),
+    ).filter(F.col("segment") != "")
+    seg_df = segs.groupBy(source_col, "segment").agg(
+        F.countDistinct(id_col).alias("seg_df")
+    )
+    n_docs = df.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    return (
+        seg_df.join(F.broadcast(n_docs), source_col)
+        .filter(
+            (F.col("seg_df") >= min_docs)
+            & (F.col("seg_df") * max_doc_ratio_den
+               > F.col("n_docs") * max_doc_ratio_num)
+        )
+        .select(source_col, "segment", "seg_df", "n_docs")
+    )
+
+
+def scrub_boilerplate(
+    df: DataFrame,
+    boiler: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    delim: str = "\n",
+    join_delim: str | None = None,
+    **discover_kwargs,
+) -> DataFrame:
+    """Remove discovered boilerplate segments from every document —
+    the apply half of line-level boilerplate removal.
+
+    ZERO corpus-sized shuffle in the apply: the boilerplate dictionary
+    (tiny by construction — see ``boilerplate_segments``) is collapsed
+    to one array per source and BROADCAST; each document is cleaned in
+    the scan stage with a higher-order ``filter`` over its own split
+    segments. No explode/re-assemble round trip, no per-segment join.
+
+    Output keeps ``(id, source)``, adds ``n_segments`` (before),
+    ``n_boiler`` (segment instances removed) and ``clean_text`` (kept
+    segments re-joined with ``join_delim``, default = ``delim``).
+    """
+    if boiler is None:
+        boiler = boilerplate_segments(
+            df, text_col=text_col, id_col=id_col,
+            source_col=source_col, delim=delim, **discover_kwargs,
+        )
+    if join_delim is None:
+        join_delim = delim
+    boiler_arr = boiler.groupBy(source_col).agg(
+        F.collect_list("segment").alias("_boiler_segs")
+    )
+    from ..functions.scalars import let_
+
+    out = df.join(F.broadcast(boiler_arr), source_col, "left")
+    bl = F.coalesce(F.col("_boiler_segs"), F.array())
+    # let-bind the split: `segs` is referenced by two expressions below
+    # and must not re-split per reference (see let_ docstring)
+    return out.select(
+        F.col(id_col),
+        F.col(source_col),
+        let_(
+            # stage 1: split once, pair with the broadcast dictionary
+            F.struct(
+                F.filter(
+                    F.split(F.col(text_col), delim),
+                    lambda s: s != "",
+                ).alias("segs"),
+                bl.alias("bl"),
+            ),
+            # stage 2: filter once; both outputs read the kept array
+            lambda v: let_(
+                F.struct(
+                    F.size(v["segs"]).alias("n_segments"),
+                    F.filter(
+                        v["segs"],
+                        lambda s: ~F.array_contains(v["bl"], s),
+                    ).alias("kept"),
+                ),
+                lambda k: F.struct(
+                    k["n_segments"].alias("n_segments"),
+                    (k["n_segments"] - F.size(k["kept"])).alias("n_boiler"),
+                    F.array_join(k["kept"], join_delim).alias("clean_text"),
+                ),
+            ),
+        ).alias("_s"),
+    ).select(
+        id_col,
+        source_col,
+        F.col("_s.n_segments").alias("n_segments"),
+        F.col("_s.n_boiler").alias("n_boiler"),
+        F.col("_s.clean_text").alias("clean_text"),
+    )

@@ -687,3 +687,46 @@ def test_udtf_chunker_matches_jvm_explode(spark, sf_dir):
         cols
     ).exceptAll(a.select(cols)).count()
     assert diff == 0
+
+
+def test_boilerplate_scrub_multiline(spark):
+    """Newline-delimited path: per-source recurring lines (banner,
+    footer) are discovered and removed; unique lines and
+    under-threshold sources survive; segment/boiler counts agree."""
+    from data_pipeline_ine_spark.operators.text import (
+        boilerplate_segments,
+        scrub_boilerplate,
+    )
+
+    rows = [
+        (1, "a", "BANNER\nalpha text\nFOOTER"),
+        (2, "a", "BANNER\nbeta text\nFOOTER"),
+        (3, "a", "gamma only\nno chrome"),
+        (4, "b", "BANNER\nsolo doc"),  # min_docs=2 protects singletons
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    boiler = {
+        (r["source"], r["segment"])
+        for r in boilerplate_segments(df).collect()
+    }
+    assert boiler == {("a", "BANNER"), ("a", "FOOTER")}
+
+    out = {r["doc_id"]: r for r in scrub_boilerplate(df).collect()}
+    assert out[1]["clean_text"] == "alpha text"
+    assert out[1]["n_segments"] == 3 and out[1]["n_boiler"] == 2
+    assert out[3]["clean_text"] == "gamma only\nno chrome"
+    assert out[3]["n_boiler"] == 0
+    assert out[4]["clean_text"] == "BANNER\nsolo doc"
+
+
+def test_boilerplate_apply_broadcasts_dictionary(spark):
+    """The apply half must carry NO corpus-sized shuffle: the boiler
+    dictionary joins in as a broadcast, and the cleaned output plan
+    contains no SortMergeJoin/Exchange on the corpus side."""
+    from data_pipeline_ine_spark.operators.text import scrub_boilerplate
+
+    rows = [(i, "s", f"HEAD\ndoc {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = scrub_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
