@@ -6310,6 +6310,59 @@ FROM cleaned
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing for vision-data dedup, oracle-checked at
+    the BIT level: synthesize real PNGs and GIFs (gradient rasters),
+    fully decode them (zlib/filters/LZW — operators/pixels.py), then
+    compute the 64-bit dHash — integer grayscale, pure-integer
+    nearest-neighbor downscale to 9x8, one bit per adjacent-cell
+    comparison (operators/multimodal.py::image_dhash). The oracle never
+    decodes a byte: it regenerates the downscaled grid from the
+    closed-form gradient ``(x + y + id) % 256`` and rebuilds both hash
+    halves in SQL, so any decode, resample, or bit-packing bug flips
+    bits and breaks the match."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        image_dhash,
+        with_synthetic_media,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return image_dhash(with_synthetic_media(docs))
+
+
+ORACLE_IMAGE_DHASH = """
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 4 + doc_id % 64 AS w, 4 + doc_id % 32 AS h
+  FROM documents WHERE doc_id % 4 = 1
+), rws AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS r FROM d
+), cells AS (
+  SELECT doc_id, w, h, r, unnest(generate_series(0, 7)) AS c FROM rws
+), bits AS (
+  SELECT doc_id, w, h, r, c,
+    CASE WHEN ((((c + 1) * w) // 9 + (r * h) // 8 + doc_id) % 256)
+            > (((c * w) // 9 + (r * h) // 8 + doc_id) % 256)
+         THEN 1 ELSE 0 END AS bit
+  FROM cells
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(SUM(CASE WHEN r * 8 + c >= 32
+                THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c - 32))
+                ELSE 0 END) AS BIGINT) AS dhash_hi,
+  CAST(SUM(CASE WHEN r * 8 + c < 32
+                THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c))
+                ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits GROUP BY doc_id, w, h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6403,6 +6456,7 @@ _CHECK_ORDER = [
     "hashed_features",
     "nb_source_prediction",
     "boilerplate_scrub",
+    "image_dhash",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6679,6 +6733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "nb_source_prediction": q_nb_source_prediction,
         "boilerplate_scrub": q_boilerplate_scrub,
+        "image_dhash": q_image_dhash,
     })
 
 
@@ -6849,4 +6904,5 @@ def oracle_sql() -> dict[str, str]:
         "hashed_features": ORACLE_HASHED_FEATURES,
         "nb_source_prediction": ORACLE_NB,
         "boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
+        "image_dhash": ORACLE_IMAGE_DHASH,
     })

@@ -807,3 +807,51 @@ def with_synthetic_video(
             yield _pd.DataFrame({id_col: pdf[id_col], "media": blobs})
 
     return df.select(id_col).mapInPandas(compute, f"{id_col} long, media binary")
+
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash_hi long, dhash_lo long"
+
+
+def image_dhash(
+    df: DataFrame,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+    grid_w: int = 9,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate signature for vision training data: resize-invariant,
+    robust to re-encoding, 64 bits per image. Emitted as two unsigned
+    32-bit halves ``(dhash_hi, dhash_lo)`` so no engine ever wraps a
+    signed 64-bit value; Hamming near-dup search reuses the banded
+    fingerprint machinery (``operators/dedup.py``) on the halves.
+
+    Real decode (PNG/BMP/GIF/baseline-JPEG, ``operators/pixels.py``),
+    integer-only grayscale + downscale, Arrow-batched ``mapInPandas`` —
+    embarrassingly parallel, no shuffle. Non-raster blobs emit no row.
+    """
+    from data_pipeline_ine_spark.operators import pixels
+
+    decode_raster = pixels.decode_raster
+    dhash_bits = pixels.dhash_bits
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                arr = decode_raster(b) if b else None
+                if arr is None:
+                    continue
+                hi, lo = dhash_bits(arr, grid_w, grid_h)
+                rows.append(
+                    (doc_id, int(arr.shape[1]), int(arr.shape[0]), hi, lo)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "dhash_hi", "dhash_lo"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(compute, DHASH_SCHEMA)

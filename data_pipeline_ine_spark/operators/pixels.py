@@ -1023,3 +1023,31 @@ def avi_mjpeg_frames(b: bytes) -> list[bytes] | None:
     if not walk(12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0])):
         return None
     return frames
+
+
+def dhash_bits(arr: np.ndarray, grid_w: int = 9, grid_h: int = 8) -> tuple[int, int]:
+    """Difference hash (dHash) of a decoded raster, as two unsigned
+    32-bit halves ``(hi, lo)``.
+
+    Integer-only pipeline: grayscale by per-pixel integer mean
+    (``sum // n_channels``), downscale with the pure-integer
+    ``resize_nearest`` (no float coordinates), then one bit per
+    horizontally-adjacent cell pair — ``bit(r, c) = g[r][c+1] > g[r][c]``,
+    bit index ``k = r * (grid_w - 1) + c``. Every step is deterministic
+    and reproducible in plain SQL, which is what lets an external engine
+    verify the hash per image (contract query ``image_dhash``). The
+    split-halves representation avoids signed-64 wraparound entirely on
+    both sides.
+    """
+    gray = arr.sum(axis=2, dtype=np.int64) // arr.shape[2]
+    small = resize_nearest(gray, grid_w, grid_h)
+    hi = lo = 0
+    for r in range(grid_h):
+        for c in range(grid_w - 1):
+            if int(small[r, c + 1]) > int(small[r, c]):
+                k = r * (grid_w - 1) + c
+                if k >= 32:
+                    hi |= 1 << (k - 32)
+                else:
+                    lo |= 1 << k
+    return hi, lo

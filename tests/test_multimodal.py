@@ -577,3 +577,64 @@ def test_png_indexed_color_decodes_through_palette():
     bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     assert png_decode(bad) is None
+
+
+def test_dhash_resize_and_reencode_invariant():
+    """The perceptual property that makes dHash a dedup signature: the
+    same image content hashes identically across (a) a lossless
+    re-encode and (b) an integer upscale; a materially different image
+    lands far away in Hamming distance."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.pixels import (
+        dhash_bits,
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 48), dtype=np.uint8)
+    arr = base[:, :, None]                      # h, w, 1
+    h0 = dhash_bits(arr)
+
+    # (a) PNG round-trip: decode(encode(x)) is bit-identical -> same hash
+    assert dhash_bits(png_decode(png_encode(base))) == h0
+
+    # (b) exact 2x nearest upscale samples back to the same grid
+    up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)[:, :, None]
+    assert dhash_bits(up) == h0
+
+    # (c) a different random image differs in many bits
+    other = rng.randint(0, 256, size=(32, 48), dtype=np.uint8)[:, :, None]
+    hi1, lo1 = dhash_bits(other)
+    ham = bin((hi1 ^ h0[0])).count("1") + bin((lo1 ^ h0[1])).count("1")
+    assert ham > 10
+
+
+def test_image_dhash_spark_groups_duplicates(spark, sf_dir):
+    """End-to-end over synthetic media: gradient rasters with equal
+    (size, id mod 256) are pixel-identical, so their dHashes collide —
+    the grouping a vision dedup pass keys on."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_ine_spark.operators.multimodal import (
+        image_dhash,
+        with_synthetic_media,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .filter(F.col("doc_id") % 4 == 0)       # PNG modality
+        .limit(200)
+    )
+    hashed = image_dhash(with_synthetic_media(docs))
+    rows = hashed.collect()
+    assert rows and all(
+        r["dhash_hi"] >= 0 and r["dhash_lo"] >= 0 for r in rows
+    )
+    by_id = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"]) for r in rows}
+    # doc 0 and doc 256 share w,h (id%32 equal) and raster (id%256 equal)
+    if 0 in by_id and 256 in by_id:
+        assert by_id[0] == by_id[256]
