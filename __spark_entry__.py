@@ -6363,6 +6363,81 @@ FROM bits GROUP BY doc_id, w, h
 """
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership screening: build one 2048-bit
+    filter per non-src0 source over document texts, probe every src0
+    document against all of them, and count per probe how many sources
+    *possibly* contain it (operators/sketches.py::bloom_build/probe).
+    The filter's md5-sliced bit positions are engine-invariant, so the
+    oracle rebuilds every 32-bit word cell-exactly in SQL — including
+    the deterministic false positives. The 100 TB role is semi-join
+    pruning: a KB-sized filter broadcast ahead of the shuffle."""
+    from data_pipeline_ine_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bloom = bloom_build(docs.filter(F.col("source") != "src0"), "text")
+    probes = docs.filter(F.col("source") == "src0")
+    maybe = bloom_probe(probes, bloom, key_col="text", id_col="doc_id")
+    counts = maybe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sources_maybe")
+    )
+    return (
+        probes.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sources_maybe", F.lit(0)).alias("n_sources_maybe"),
+        )
+    )
+
+
+_HEX8_OFF = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(8), _i -> CAST(strpos('0123456789abcdef', "
+    "substr({h}, CAST(_i AS INT) + {off}, 1)) - 1 AS BIGINT))), "
+    "(_a, _c) -> _a * 16 + _c)"
+)
+
+ORACLE_BLOOM_MEMBERSHIP = """
+WITH pos AS (
+  SELECT source,
+    unnest([F1 % 2048, F2 % 2048, F3 % 2048]) AS p
+  FROM documents WHERE source <> 'src0'
+), bloom AS (
+  SELECT source, p // 32 AS word_idx,
+    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM pos GROUP BY 1, 2
+), ppos AS (
+  SELECT doc_id,
+    unnest([F1 % 2048, F2 % 2048, F3 % 2048]) AS p
+  FROM documents WHERE source = 'src0'
+), hits AS (
+  SELECT pp.doc_id, b.source
+  FROM ppos pp JOIN bloom b
+    ON b.word_idx = pp.p // 32
+   AND (b.word & (CAST(1 AS BIGINT) << CAST(pp.p % 32 AS INT))) <> 0
+  GROUP BY pp.doc_id, b.source
+  HAVING COUNT(*) = 3
+)
+SELECT d.doc_id,
+  CAST(COALESCE(COUNT(h.source), 0) AS BIGINT) AS n_sources_maybe
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.source = 'src0'
+GROUP BY d.doc_id
+""".replace(
+    "F1", _HEX8_OFF.format(h="md5(text)", off=1)
+).replace(
+    "F2", _HEX8_OFF.format(h="md5(text)", off=9)
+).replace(
+    "F3", _HEX8_OFF.format(h="md5(text)", off=17)
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6457,6 +6532,7 @@ _CHECK_ORDER = [
     "nb_source_prediction",
     "boilerplate_scrub",
     "image_dhash",
+    "bloom_membership",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6734,6 +6810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_source_prediction": q_nb_source_prediction,
         "boilerplate_scrub": q_boilerplate_scrub,
         "image_dhash": q_image_dhash,
+        "bloom_membership": q_bloom_membership,
     })
 
 
@@ -6905,4 +6982,5 @@ def oracle_sql() -> dict[str, str]:
         "nb_source_prediction": ORACLE_NB,
         "boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
         "image_dhash": ORACLE_IMAGE_DHASH,
+        "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
     })

@@ -213,3 +213,109 @@ def cms_heavy_hitters(
         .join(exact, key_col)
         .select(key_col, "cms_count", "exact_count")
     )
+
+
+# -- Portable Bloom filter ---------------------------------------------------
+# Unlike the DataSketches family above, the Bloom filter here is built from
+# engine-invariant md5 bit positions, so an external SQL engine reproduces
+# every word CELL-EXACTLY — membership answers (including the false
+# positives) are deterministic and cross-checkable, the same portability
+# design as the count-min sketch above.
+
+BLOOM_M = 2048  # bits per filter
+BLOOM_K = 3     # hash functions (8-hex-char md5 slices)
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """k bit positions as an array<bigint>: independent 32-bit slices of
+    the md5 hex digest, reduced mod ``m_bits``. Slice ``i`` reads hex
+    chars ``[1 + 8i, 8 + 8i]`` — reproducible in any engine with md5
+    and a base-16 fold."""
+    if k * 8 > 32:
+        raise ValueError(f"md5 provides at most 4 independent 32-bit slices: k={k}")
+    return F.array(
+        *[
+            (F.conv(F.substring(F.md5(key), 1 + 8 * i, 8), 16, 10)
+             .cast("bigint") % m_bits)
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    group_col: str = "source",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """One Bloom filter per group, in long format: ``(group, word_idx,
+    word)`` with 32 bits per word (positive in a signed 64-bit lane on
+    every engine — no sign wraparound at bit 63). Only words with at
+    least one set bit are materialized.
+
+    The 100 TB role: a filter over a partition's join keys is a few KB —
+    broadcast it and pre-filter the probe side BEFORE the shuffle (Bloom
+    semi-join pruning), or persist per-day filters and answer "possibly
+    seen before?" across months by OR-merging rows (``bit_or`` is the
+    merge law — associative, commutative, idempotent).
+
+    Shuffle shape: one explode (k rows/key, narrow) + one (group,
+    word_idx) aggregate bounded by ``groups x m_bits/32`` rows — never
+    corpus-sized.
+    """
+    pos = df.select(
+        F.col(group_col),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("p"),
+    )
+    return (
+        pos.groupBy(
+            group_col, (F.col("p") / 32).cast("bigint").alias("word_idx")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str,
+    group_col: str = "source",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe every key against every group's filter: ``(id, group)``
+    pairs where ALL k bits are set — i.e. the key is *possibly* in the
+    group (one-sided error: a true member is never missed; a
+    non-member may false-positive at the standard Bloom rate, and the
+    false positives themselves are deterministic cross-engine).
+
+    Join shape: k probe positions equi-join the filter rows on
+    ``word_idx`` — output bounded by probes x k x n_groups (groups are
+    the small dimension: sources, days, shards), then a probe-sized
+    aggregate. The filter side is tiny; Spark broadcasts it.
+    """
+    ppos = probes.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("p"),
+    )
+    hits = (
+        ppos.join(
+            F.broadcast(bloom),
+            (F.col("word_idx") == (F.col("p") / 32).cast("bigint"))
+            & (
+                F.expr(
+                    "word & shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"
+                )
+                != 0
+            ),
+        )
+        .groupBy(id_col, group_col)
+        .agg(F.count(F.lit(1)).alias("nbits"))
+    )
+    return hits.filter(F.col("nbits") == k).select(id_col, group_col)

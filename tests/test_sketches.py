@@ -190,3 +190,52 @@ def test_cms_heavy_hitters_superset_of_true(spark, sf_dir):
     }
     got = {r["user_id"] for r in out.collect()}
     assert true_hh <= got
+
+
+def test_bloom_merge_law_and_one_sided_error(spark):
+    """bit_or is the Bloom merge: building one filter over A∪B equals
+    merging the filters of A and B row-wise. And membership never
+    false-negatives: every true member probes positive."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_ine_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    rows = [(i, "g", f"key-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a, b = df.filter("doc_id < 100"), df.filter("doc_id >= 100")
+
+    merged = (
+        bloom_build(a, "text").unionByName(bloom_build(b, "text"))
+        .groupBy("source", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    whole = bloom_build(df, "text")
+    sym_diff = (
+        merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    )
+    assert sym_diff == 0
+
+    # every true member is flagged (one-sided error)
+    flagged = bloom_probe(
+        df, whole, key_col="text", id_col="doc_id"
+    ).count()
+    assert flagged == 200
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """The probe side must never shuffle: the KB-sized filter joins in
+    as a broadcast (the semi-join pruning pattern)."""
+    from data_pipeline_ine_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    rows = [(i, "g", f"key-{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = bloom_probe(df, bloom_build(df, "text"), key_col="text", id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
