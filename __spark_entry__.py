@@ -6438,6 +6438,61 @@ GROUP BY d.doc_id
 )
 
 
+def q_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: top-20
+    NON-adjacent part pairs by the resource-allocation index
+    ``Σ 1/deg(common neighbor)`` (operators/graph.py::
+    link_prediction_ra) — the "should these be connected" candidates a
+    recommender or KG-completion pass consumes. The reciprocal is
+    integer fixed-point (``10^12 div deg``, BIGINT sum), so scores are
+    engine-exact; the top-k is a TakeOrderedAndProject, not a global
+    sort."""
+    from data_pipeline_ine_spark.operators.graph import (
+        cooccurrence_edges,
+        link_prediction_ra,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    return link_prediction_ra(edges, top_k=20)
+
+
+ORACLE_RA_LINK = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), pair AS (
+  SELECT a.item AS item_a, b.item AS item_b
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), nbr AS (
+  SELECT item_a AS leaf, item_b AS center FROM pair
+  UNION ALL
+  SELECT item_b AS leaf, item_a AS center FROM pair
+), deg AS (
+  SELECT center, COUNT(*) AS deg FROM nbr GROUP BY 1
+), wedge AS (
+  SELECT x.leaf AS u, y.leaf AS v, d.deg
+  FROM nbr x
+  JOIN nbr y ON x.center = y.center AND x.leaf < y.leaf
+  JOIN deg d ON d.center = x.center
+), sc AS (
+  SELECT u, v, SUM(1000000000000 // deg) AS ra_e12,
+         COUNT(*) AS n_common
+  FROM wedge GROUP BY 1, 2
+), non AS (
+  SELECT s.* FROM sc s
+  LEFT JOIN pair p ON p.item_a = s.u AND p.item_b = s.v
+  WHERE p.item_a IS NULL
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY ra_e12 DESC, u, v) AS rank
+  FROM non
+)
+SELECT u AS item_a, v AS item_b, CAST(ra_e12 AS BIGINT) AS ra_e12,
+       CAST(n_common AS BIGINT) AS n_common, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6533,6 +6588,7 @@ _CHECK_ORDER = [
     "boilerplate_scrub",
     "image_dhash",
     "bloom_membership",
+    "ra_link_prediction",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6811,6 +6867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": q_boilerplate_scrub,
         "image_dhash": q_image_dhash,
         "bloom_membership": q_bloom_membership,
+        "ra_link_prediction": q_ra_link_prediction,
     })
 
 
@@ -6983,4 +7040,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_scrub": ORACLE_BOILERPLATE_SCRUB,
         "image_dhash": ORACLE_IMAGE_DHASH,
         "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
+        "ra_link_prediction": ORACLE_RA_LINK,
     })

@@ -322,3 +322,82 @@ def bfs_hops(
         )
         dist = dist.unionByName(frontier)
     return dist.groupBy("node").agg(F.min("hops").alias("hops"))
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    top_k: int = 20,
+    scale: int = 10**12,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by the resource-allocation index:
+    ``RA(u, v) = Σ_{w ∈ N(u) ∩ N(v)} 1/deg(w)`` over non-adjacent pairs
+    — "which items/entities SHOULD be connected" (recommendation
+    candidates, knowledge-graph completion, missing co-purchase links).
+
+    RA is Adamic-Adar's better-behaved sibling (Zhou et al. 2009):
+    ``1/deg`` instead of ``1/log deg``. Chosen here deliberately — the
+    reciprocal is computed in integer fixed-point (``scale // deg``,
+    summed as BIGINT), so scores are bit-identical in any SQL engine;
+    a logarithm would hang correctness on libm ulp agreement.
+
+    Returns the ``top_k`` non-adjacent pairs: ``(item_a, item_b,
+    ra_e12, n_common, rank)``, ties broken by (score desc, a, b).
+
+    Scale shape: wedge enumeration through each common neighbor w costs
+    Σ deg(w)² pairs — arboricity-bounded on real co-occurrence graphs,
+    but a power-law hub is quadratic in its degree. ``max_degree``
+    drops hub CENTERS from scoring; principled, because a hub
+    contributes only ``1/deg ≈ 0`` per wedge while costing deg² work —
+    the classic accuracy-for-cost trade at corpus scale. The final
+    top-k is a rank-window over the scored pair list, never a global
+    sort of the corpus.
+    """
+    nbr = edges.select(
+        F.col(a_col).alias("leaf"), F.col(b_col).alias("center")
+    ).union(
+        edges.select(
+            F.col(b_col).alias("leaf"), F.col(a_col).alias("center")
+        )
+    )
+    deg = nbr.groupBy("center").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    nw = nbr.join(deg, "center")
+    x, y = nw.alias("x"), nw.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.center") == F.col("y.center"))
+        & (F.col("x.leaf") < F.col("y.leaf")),
+    ).select(
+        F.col("x.leaf").alias("u"),
+        F.col("y.leaf").alias("v"),
+        # integer fixed-point reciprocal: exact in every engine
+        F.expr(f"CAST({scale} AS BIGINT) div x.deg").alias("w_e12"),
+    )
+    scores = wedges.groupBy("u", "v").agg(
+        F.sum("w_e12").alias("ra_e12"), F.count(F.lit(1)).alias("n_common")
+    )
+    non_adjacent = scores.join(
+        edges,
+        (scores["u"] == edges[a_col]) & (scores["v"] == edges[b_col]),
+        "left_anti",
+    )
+    from pyspark.sql import Window
+
+    # sort+limit compiles to TakeOrderedAndProject — a distributed
+    # top-k (per-partition heads merged on the driver), never a global
+    # sort; the rank window then runs over <= top_k rows only
+    top = non_adjacent.orderBy(
+        F.desc("ra_e12"), F.asc("u"), F.asc("v")
+    ).limit(top_k)
+    w = Window.orderBy(F.desc("ra_e12"), F.asc("u"), F.asc("v"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("u").alias(a_col),
+        F.col("v").alias(b_col),
+        "ra_e12",
+        "n_common",
+        "rank",
+    )

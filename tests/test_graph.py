@@ -107,3 +107,55 @@ def test_bfs_hops_min_distance_wins_over_revisit(spark):
     sources = spark.createDataFrame([(1,)], "node long")
     got = {r.node: r.hops for r in bfs_hops(edges, sources, max_hops=3).collect()}
     assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_link_prediction_ra_hand_graph(spark):
+    """Closed-form check on a path graph 1-2-3-4-5: non-adjacent pairs
+    at distance 2 share exactly one common neighbor; RA = 1/deg of it
+    (10^12 or 5*10^11 fixed-point); distance-3+ pairs score nothing."""
+    from data_pipeline_ine_spark.operators.graph import link_prediction_ra
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "item_a long, item_b long"
+    )
+    rows = {
+        (r["item_a"], r["item_b"]): (r["ra_e12"], r["n_common"])
+        for r in link_prediction_ra(edges, top_k=10).collect()
+    }
+    # centers 2,3,4 all have deg 2 -> each distance-2 pair scores 5e11
+    assert rows == {
+        (1, 3): (500_000_000_000, 1),
+        (2, 4): (500_000_000_000, 1),
+        (3, 5): (500_000_000_000, 1),
+    }
+
+
+def test_link_prediction_hub_cap_drops_hub_wedges(spark):
+    """max_degree removes hub CENTERS: a star hub (deg 4) stops
+    contributing wedges, leaving only low-degree centers."""
+    from data_pipeline_ine_spark.operators.graph import link_prediction_ra
+
+    # star: hub 0 - {1,2,3,4}, plus a path edge 1-2's common... none
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "item_a long, item_b long"
+    )
+    full = link_prediction_ra(edges, top_k=100).count()
+    capped = link_prediction_ra(edges, top_k=100, max_degree=3).count()
+    assert full == 6      # C(4,2) leaf pairs through the hub
+    assert capped == 0    # hub center dropped -> no wedges at all
+
+
+def test_link_prediction_topk_is_distributed(spark):
+    """The top-k must compile to TakeOrderedAndProject (per-partition
+    heads), never a single-partition global Sort over all scored
+    pairs."""
+    from data_pipeline_ine_spark.operators.graph import link_prediction_ra
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "item_a long, item_b long"
+    )
+    plan = (
+        link_prediction_ra(edges, top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
