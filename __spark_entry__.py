@@ -6493,6 +6493,37 @@ FROM rk WHERE rank <= 20
 """
 
 
+def q_snm_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates over the part
+    name dictionary (operators/fuzzy.py::sorted_neighborhood_pairs):
+    lexicographic sort, window 3 — each name pairs with its next two
+    neighbors, (w−1)·|dict| candidates by construction. The global sort
+    rank is the two-pass distributed rank (never a one-task window);
+    Levenshtein on each candidate is the verify. Complements the
+    equi-block `fuzzy_part_names`: SNM catches typos that break the
+    block key."""
+    from data_pipeline_ine_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(part, "p_name", window=3)
+
+
+ORACLE_SNM_PART_PAIRS = """
+WITH d AS (
+  SELECT DISTINCT p_name AS value FROM part WHERE p_name IS NOT NULL
+), rk AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rank FROM d
+)
+SELECT a.value AS name_a, b.value AS name_b,
+  CAST(levenshtein(a.value, b.value) AS INT) AS dist,
+  a.rank AS rank_a, b.rank AS rank_b
+FROM rk a JOIN rk b
+  ON b.rank > a.rank AND b.rank - a.rank < 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6589,6 +6620,7 @@ _CHECK_ORDER = [
     "image_dhash",
     "bloom_membership",
     "ra_link_prediction",
+    "snm_part_pairs",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6868,6 +6900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "bloom_membership": q_bloom_membership,
         "ra_link_prediction": q_ra_link_prediction,
+        "snm_part_pairs": q_snm_part_pairs,
     })
 
 
@@ -7041,4 +7074,5 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": ORACLE_IMAGE_DHASH,
         "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
         "ra_link_prediction": ORACLE_RA_LINK,
+        "snm_part_pairs": ORACLE_SNM_PART_PAIRS,
     })

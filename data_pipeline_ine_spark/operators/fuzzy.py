@@ -218,3 +218,86 @@ def record_linkage_scores(
         .orderBy(F.desc("score"), "id_a", "id_b")
         .limit(top_k)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    value_col: str,
+    window: int = 3,
+    sort_key: Column | None = None,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic entity-resolution candidate generator that complements the
+    equi-block join in :func:`fuzzy_match_pairs`: sort the value
+    dictionary by a key, slide a width-``window`` window, and pair each
+    value with its next ``window − 1`` neighbors. Catches typos that
+    CHANGE the block key (where equi-blocking structurally misses) as
+    long as the sort still lands the variants near each other.
+
+    Output: ``(name_a, name_b, dist, rank_a, rank_b)`` with
+    ``rank_b − rank_a < window``; ``dist`` is Levenshtein (JVM codegen),
+    optionally capped by ``max_dist``.
+
+    Scale shape: the dictionary is vocabulary-sized; its global sort
+    rank uses the two-pass distributed rank (range-repartition + local
+    row_number + broadcast prefix-sum offsets — same discipline as
+    ``sampling.deterministic_shuffle``), NEVER a one-task global
+    window. Candidate pairs come from an offset explode (window − 1
+    rows/value) equi-joined on rank — (w−1)·|dict| pairs by
+    construction, no quadratic stage anywhere.
+    """
+    from pyspark.sql import Window
+
+    key = sort_key if sort_key is not None else F.col("value")
+    dict_ = (
+        df.select(F.col(value_col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .withColumn("_k", key)
+    )
+    n = df.sparkSession.sparkContext.defaultParallelism
+    # two-pass distributed rank over (_k, value); localCheckpoint pins
+    # the sampled range boundaries so both branches see one partitioning
+    ranged = (
+        dict_.repartitionByRange(n, "_k", "value")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        F.sum("_n")
+        .over(
+            Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("_off"),
+    ).fillna(0, subset=["_off"])
+    local = Window.partitionBy("_pid").orderBy("_k", "value")
+    ranked = (
+        ranged.withColumn("_lr", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "value", (F.col("_off") + F.col("_lr")).cast("long").alias("rank")
+        )
+    )
+    probe = ranked.select(
+        F.col("value").alias("name_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, window)])
+        ).alias("_d"),
+    ).withColumn("_target", F.col("rank_a") + F.col("_d"))
+    out = (
+        probe.join(ranked, probe["_target"] == ranked["rank"])
+        .select(
+            "name_a",
+            F.col("value").alias("name_b"),
+            F.levenshtein("name_a", "value").alias("dist"),
+            "rank_a",
+            F.col("rank").alias("rank_b"),
+        )
+    )
+    if max_dist is not None:
+        out = out.filter(F.col("dist") <= max_dist)
+    return out

@@ -93,3 +93,55 @@ def test_record_linkage_frequency_weights(spark):
     assert common_only > disagree
     assert out[(1, 2)].agree_f1 and out[(1, 2)].agree_f2
     assert out[(1, 3)].agree_f1 and not out[(1, 3)].agree_f2
+
+
+def test_snm_pairs_complete_and_catches_block_breaking_typo(spark):
+    """Width-3 SNM yields exactly (n-1)+(n-2) candidate pairs, and a
+    typo in the LAST token (which breaks last-token equi-blocking)
+    still pairs with its original because the lexicographic sort keeps
+    them adjacent."""
+    from data_pipeline_ine_spark.operators.fuzzy import (
+        fuzzy_match_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    names = [
+        "alpha blue", "alpha blur",  # typo in last token: blocks differ
+        "beta green", "gamma red", "delta white", "epsilon black",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    pairs = sorted_neighborhood_pairs(df, "name", window=3).collect()
+    n = len(names)
+    assert len(pairs) == (n - 1) + (n - 2)
+    cand = {(r["name_a"], r["name_b"]) for r in pairs}
+    assert ("alpha blue", "alpha blur") in cand
+    # ranks are a permutation of 1..n and neighbors stay within window
+    assert all(0 < r["rank_b"] - r["rank_a"] < 3 for r in pairs)
+
+    # the equi-block path structurally misses this pair (its block key
+    # IS the typo'd token) — the documented complementarity
+    eq = fuzzy_match_pairs(df, "name", max_dist=2)
+    eq_pairs = {(r[0], r[1]) for r in eq.collect()}
+    assert ("alpha blue", "alpha blur") not in eq_pairs
+
+
+def test_snm_rank_is_two_pass_not_one_task_window(spark):
+    """The dictionary rank must come from the range-partitioned
+    two-pass, not a global row_number: the plan's row_number window is
+    partitioned by the range partition id."""
+    from data_pipeline_ine_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(f"name {i:04d}",) for i in range(500)], "name string"
+    )
+    out = sorted_neighborhood_pairs(df, "name", window=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in plan  # sanity: string form differs; check below
+    import re
+
+    # every row_number window spec in the plan names _pid as partition
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_pid" in s for s in specs)
+    assert out.count() == 499

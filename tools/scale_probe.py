@@ -96,6 +96,12 @@ HEAVY = [
     "pq_dedup_groups",
     "rp_cosine_consecutive",
     "hashed_features",
+    # round-5 third wave over the probe corpus (ra_link_prediction reads
+    # lineitem — its wedge bound is Σ deg², hub-cappable, pinned by
+    # tests/test_graph.py)
+    "boilerplate_scrub",
+    "bloom_membership",
+    "image_dhash",
 ]
 
 
