@@ -110,3 +110,69 @@ def test_vacuum_versions_keeps_tail_and_removes_torn(spark, tmp_path):
 
     # empty dir: no-op
     assert vacuum_versions(str(tmp_path / "nope")) == []
+
+
+def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
+    """RTBF contract: doomed keys vanish, every other row survives
+    exactly, and files without a doomed key are copied BYTE-identical
+    (locality: with a key-clustered layout the delete touches a
+    fraction of the files)."""
+    import hashlib
+    import os
+
+    from data_pipeline_ine_spark.sources.maintenance import (
+        targeted_delete,
+        write_range_layout,
+    )
+
+    src = str(tmp_path / "table")
+    out = str(tmp_path / "after_delete")
+    df = spark.range(10_000).selectExpr(
+        "id AS user_id", "CAST(id % 97 AS INT) AS v"
+    )
+    write_range_layout(df, src, ("user_id",), n_files=8)
+
+    keys = spark.createDataFrame([(5,), (6,), (7,)], "user_id long")
+    stats = targeted_delete(spark, src, out, keys, "user_id")
+
+    assert stats["rows_deleted"] == 3
+    assert stats["files_total"] == 8
+    # range layout clusters 5,6,7 into ONE file
+    assert stats["files_rewritten"] == 1
+
+    after = spark.read.parquet(out)
+    assert after.filter("user_id IN (5, 6, 7)").count() == 0
+    assert after.count() == 10_000 - 3
+    # survivors identical
+    expected = df.filter("user_id NOT IN (5, 6, 7)")
+    assert after.exceptAll(expected).count() == 0
+    assert expected.exceptAll(after).count() == 0
+
+    # untouched files: same basename, same bytes
+    def md5s(d):
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_sums, after_sums = md5s(src), md5s(out)
+    untouched = set(before_sums) & set(after_sums)
+    assert len(untouched) == 7
+    assert all(before_sums[f] == after_sums[f] for f in untouched)
+
+
+def test_targeted_delete_no_affected_files_copies_all(spark, tmp_path):
+    """A delete list that matches nothing rewrites nothing: all files
+    copied verbatim, zero rows deleted."""
+    from data_pipeline_ine_spark.sources.maintenance import targeted_delete
+
+    src = str(tmp_path / "t2")
+    out = str(tmp_path / "t2_out")
+    spark.range(100).selectExpr("id AS user_id").repartition(4).write.parquet(src)
+    keys = spark.createDataFrame([(10**9,)], "user_id long")
+    stats = targeted_delete(spark, src, out, keys, "user_id")
+    assert stats == {
+        "files_total": 4, "files_rewritten": 0, "rows_deleted": 0
+    }
+    assert spark.read.parquet(out).count() == 100
