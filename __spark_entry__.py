@@ -6524,6 +6524,45 @@ FROM rk a JOIN rk b
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift vs the corpus centroid
+    (operators/similarity.py::centroid_drift) — the embedding-space
+    domain-shift monitor. Components snap once to integer fixed-point;
+    the drift statistic is the division-free cross-multiple
+    ``Σ_d (s_ld·N − S_d·n_l)²`` in DECIMAL(38,0), so the entire surface
+    is exact integer arithmetic — no float sum order, no rounding rule,
+    no sqrt."""
+    from data_pipeline_ine_spark.operators.similarity import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(emb)
+
+
+ORACLE_EMBEDDING_DRIFT = """
+WITH comp AS (
+  SELECT label,
+    unnest(generate_series(1, len(embedding))) AS dim,
+    unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), snapped AS (
+  SELECT label, dim, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS v
+  FROM comp
+), ld AS (
+  SELECT label, dim, SUM(v) AS s, COUNT(*) AS n
+  FROM snapped GROUP BY 1, 2
+), g AS (
+  SELECT dim, SUM(s) AS gs, SUM(n) AS gn FROM ld GROUP BY 1
+)
+SELECT ld.label, CAST(MIN(ld.n) AS BIGINT) AS n_vecs,
+  CAST(SUM(
+    (CAST(ld.s AS DECIMAL(38,0)) * g.gn - CAST(g.gs AS DECIMAL(38,0)) * ld.n)
+    * (CAST(ld.s AS DECIMAL(38,0)) * g.gn - CAST(g.gs AS DECIMAL(38,0)) * ld.n)
+  ) AS DECIMAL(38,0)) AS drift_num
+FROM ld JOIN g USING (dim)
+GROUP BY ld.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6621,6 +6660,7 @@ _CHECK_ORDER = [
     "bloom_membership",
     "ra_link_prediction",
     "snm_part_pairs",
+    "embedding_drift",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6901,6 +6941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "ra_link_prediction": q_ra_link_prediction,
         "snm_part_pairs": q_snm_part_pairs,
+        "embedding_drift": q_embedding_drift,
     })
 
 
@@ -7075,4 +7116,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": ORACLE_BLOOM_MEMBERSHIP,
         "ra_link_prediction": ORACLE_RA_LINK,
         "snm_part_pairs": ORACLE_SNM_PART_PAIRS,
+        "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     })

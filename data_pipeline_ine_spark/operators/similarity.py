@@ -809,3 +809,56 @@ def random_projection(
         return F.transform(F.sequence(F.lit(0), F.lit(out_dim - 1)), comp)
 
     return df.select(id_col, let_(vint, project).alias(out_col))
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-group embedding centroid drift vs the corpus centroid — the
+    embedding-space health check a training pipeline runs per source /
+    per day: a group whose mean vector wanders from the corpus mean
+    signals domain shift, a broken encoder, or a poisoned slice.
+    (Mean-pooling is THE embedding reduce; this is its monitored form.)
+
+    Engine-exact by construction: each component is snapped once to
+    integer fixed-point (``floor(x·scale + 0.5)`` — IEEE-exact ops),
+    summed as BIGINT, and the drift is the division-free cross-multiple
+    ``Σ_d (s_ld·N − S_d·n_l)²`` in DECIMAL(38,0): comparing
+    ``s_ld/n_l`` with ``S_d/N`` without ever dividing, so no rounding
+    rule enters the surface. (Magnitude: |x|·scale·n·N must stay under
+    1e19 per term — holds to ~1e6 vectors per group at scale=1e6.)
+
+    Shuffle shape: one narrow posexplode, one (label, dim) aggregate
+    (labels × dim rows — tiny), a dim-keyed broadcast of the global
+    sums, one label-sized aggregate. The corpus is touched once.
+    """
+    comp = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x") * scale + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    ld = comp.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    g = ld.groupBy("dim").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    term = (
+        F.col("s").cast("decimal(38,0)") * F.col("gn")
+        - F.col("gs").cast("decimal(38,0)") * F.col("n")
+    )
+    return (
+        ld.join(F.broadcast(g), "dim")
+        .groupBy("label")
+        .agg(
+            F.min("n").alias("n_vecs"),
+            F.sum(term * term).alias("drift_num"),
+        )
+        .select("label", "n_vecs", "drift_num")
+    )

@@ -139,3 +139,23 @@ def test_level_shift_detects_step(spark):
     assert out[4] == 0.0  # deep inside the flat low region
     assert out[15] == 0.0  # deep inside the flat high region
     assert out[11] == 15.0  # before 7-10 = (10,10,10,30) mean 15, after 30
+
+
+def test_centroid_drift_flags_shifted_group(spark):
+    """A group whose vectors are offset from the corpus mean scores a
+    strictly larger drift numerator than groups drawn identically."""
+    import random
+
+    from data_pipeline_ine_spark.operators.similarity import centroid_drift
+
+    rnd = random.Random(13)
+    rows = []
+    for i in range(300):
+        label = i % 3
+        shift = 0.5 if label == 2 else 0.0
+        rows.append((i, label, [rnd.uniform(-1, 1) + shift for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r for r in centroid_drift(df).collect()}
+    assert out[2]["drift_num"] > out[0]["drift_num"]
+    assert out[2]["drift_num"] > out[1]["drift_num"]
+    assert all(out[k]["n_vecs"] == 100 for k in out)
