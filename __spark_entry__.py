@@ -6563,6 +6563,49 @@ GROUP BY ld.label
 """
 
 
+def q_ivm_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-status moment sums
+    (COUNT, SUM, SUM(value²)) under the same I/U/D changelog as
+    ivm_revenue (operators/diff.py::maintain_group_moments) — the
+    standing variance/z-score basis kept correct with changelog-sized
+    work. The oracle recomputes Σx² from the fully merged snapshot, so
+    a green row proves moment-delta maintenance ≡ recomputation, exact
+    to the DECIMAL(38,4) low digit."""
+    from data_pipeline_ine_spark.operators.diff import maintain_group_moments
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    ins = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "*", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    dels = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+    )
+    changes = ins.unionByName(upd).unionByName(dels)
+    return maintain_group_moments(
+        base, changes, ["o_orderkey"], "o_orderstatus", "o_totalprice"
+    )
+
+
+ORACLE_IVM_MOMENTS = (
+    "WITH merged AS (" + ORACLE_CDC_MERGE + """)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+    AS value_sum_exact,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))
+           * CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(38,4))
+    AS value_sumsq_exact
+FROM merged GROUP BY o_orderstatus
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6661,6 +6704,7 @@ _CHECK_ORDER = [
     "ra_link_prediction",
     "snm_part_pairs",
     "embedding_drift",
+    "ivm_moments",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6942,6 +6986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ra_link_prediction": q_ra_link_prediction,
         "snm_part_pairs": q_snm_part_pairs,
         "embedding_drift": q_embedding_drift,
+        "ivm_moments": q_ivm_moments,
     })
 
 
@@ -7117,4 +7162,5 @@ def oracle_sql() -> dict[str, str]:
         "ra_link_prediction": ORACLE_RA_LINK,
         "snm_part_pairs": ORACLE_SNM_PART_PAIRS,
         "embedding_drift": ORACLE_EMBEDDING_DRIFT,
+        "ivm_moments": ORACLE_IVM_MOMENTS,
     })

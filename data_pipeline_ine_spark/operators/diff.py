@@ -324,3 +324,93 @@ def bucket_hash_diff(
             )
         ).alias("bucket_match"),
     )
+
+
+def maintain_group_moments(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    group_col: str,
+    value_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    stored_agg: DataFrame | None = None,
+) -> DataFrame:
+    """IVM for the moment sums ``(COUNT, SUM, SUM(value²))`` per group —
+    the basis every mean/variance/z-score gate reads. Same retract/
+    insert delta algebra as :func:`maintain_group_aggregate` (which
+    see for the shape argument): moments are sums, so they maintain
+    under I/U/D with changelog-sized work, which is what makes a
+    STANDING variance monitor affordable at 100 TB — the alternative
+    recomputes Σx² over the snapshot per refresh.
+
+    Exactness: value enters as DECIMAL(18,2); its square is
+    DECIMAL(38,4) (wide enough that the square never overflows and
+    partial-sum order cannot wiggle the low digit). Output columns:
+    ``group, n_rows, value_sum_exact DECIMAL(18,2),
+    value_sumsq_exact DECIMAL(38,4)`` — feed them back as
+    ``stored_agg`` for the chained steady state.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.desc(seq_col))
+    winner = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    sq = lambda c: (dec(c) * dec(c)).cast("decimal(38,4)")  # noqa: E731
+    minus = base.join(
+        winner.select(*keys).distinct(), keys, "left_semi"
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.lit(-1).alias("_dn"),
+        (-dec(F.col(value_col))).alias("_dv"),
+        (-sq(F.col(value_col))).alias("_dq"),
+    )
+    plus = winner.filter(F.col(op_col) != "D").select(
+        F.col(group_col).alias("_g"),
+        F.lit(1).alias("_dn"),
+        dec(F.col(value_col)).alias("_dv"),
+        sq(F.col(value_col)).alias("_dq"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("_g")
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            F.sum("_dv").alias("_dv"),
+            F.sum("_dq").alias("_dq"),
+        )
+    )
+    if stored_agg is not None:
+        stored = stored_agg.select(
+            F.col(group_col).alias("_g"),
+            F.col("n_rows").alias("_n"),
+            F.col("value_sum_exact").alias("_v"),
+            F.col("value_sumsq_exact").alias("_q"),
+        )
+    else:
+        stored = base.groupBy(F.col(group_col).alias("_g")).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec(F.col(value_col))).alias("_v"),
+            F.sum(sq(F.col(value_col))).alias("_q"),
+        )
+    zero2 = F.lit(0).cast("decimal(18,2)")
+    zero4 = F.lit(0).cast("decimal(38,4)")
+    merged = stored.join(delta, "_g", "full_outer").select(
+        F.col("_g").alias(group_col),
+        (F.coalesce("_n", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
+            "n_rows"
+        ),
+        (F.coalesce(F.col("_v"), zero2) + F.coalesce(F.col("_dv"), zero2))
+        .alias("_sum"),
+        (F.coalesce(F.col("_q"), zero4) + F.coalesce(F.col("_dq"), zero4))
+        .alias("_sumsq"),
+    )
+    return merged.filter(F.col("n_rows") > 0).select(
+        group_col,
+        "n_rows",
+        F.col("_sum").cast("decimal(18,2)").alias("value_sum_exact"),
+        F.col("_sumsq").cast("decimal(38,4)").alias("value_sumsq_exact"),
+    )

@@ -135,3 +135,61 @@ def test_bucket_hash_diff_localizes_single_mutation(spark, sf_dir):
     bad = [r for r in out if not r["bucket_match"]]
     assert len(bad) == 1
     assert bad[0]["left_rows"] == bad[0]["right_rows"]  # hash-only mismatch
+
+
+def test_ivm_moments_chained_equals_recompute(spark):
+    """Two successive changelogs applied through the stored-aggregate
+    chain (the steady state) must equal a one-shot recompute over the
+    final snapshot — count, sum, and sum-of-squares all exact."""
+    from decimal import Decimal
+
+    from data_pipeline_ine_spark.operators.diff import (
+        apply_changelog,
+        maintain_group_moments,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 7.5)],
+        "k long, g string, v double",
+    )
+    c1 = spark.createDataFrame(
+        [(2, "c", 20.0, "U", 1), (5, "a", 2.25, "I", 1)],
+        "k long, g string, v double, op string, seq int",
+    )
+    c2 = spark.createDataFrame(
+        [(3, "b", 30.0, "D", 1), (1, "a", 11.0, "U", 1)],
+        "k long, g string, v double, op string, seq int",
+    )
+    s1_snap = apply_changelog(base, c1, ["k"], "seq", "op")
+    agg1 = maintain_group_moments(base, c1, ["k"], "g", "v")
+    # chained: second delta applied against snapshot-1 with stored agg
+    agg2 = maintain_group_moments(
+        s1_snap, c2, ["k"], "g", "v", stored_agg=agg1
+    )
+    final = apply_changelog(s1_snap, c2, ["k"], "seq", "op")
+    want = {
+        r.g: (r.n, r.s, r.q)
+        for r in final.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            F.sum(
+                (F.col("v").cast("decimal(18,2)")
+                 * F.col("v").cast("decimal(18,2)")).cast("decimal(38,4)")
+            ).alias("q"),
+        )
+        .collect()
+    }
+    got = {
+        r.g: (r.n_rows, r.value_sum_exact, r.value_sumsq_exact)
+        for r in agg2.collect()
+    }
+    assert got == want
+    # spot-check one closed form: group a = {11.0, 2.25} (k=2 moved to
+    # group c in changelog 1; k=1 updated 10 -> 11 in changelog 2)
+    assert got["a"] == (
+        2,
+        Decimal("13.25"),
+        Decimal("121.0000") + Decimal("5.0625"),
+    )
