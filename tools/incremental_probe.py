@@ -148,6 +148,76 @@ def probe_ivm(spark, factor: int):
     )
 
 
+def probe_ivm_moments(spark, factor: int):
+    """Same harness as probe_ivm for the moment-sum maintainer
+    (count/sum/sum-of-squares): identical changelog, stored moments
+    materialized aggregate-sized."""
+    from data_pipeline_ine_spark.operators.diff import maintain_group_moments
+
+    paths = {}
+    for f in (1, factor):
+        p = f"/tmp/inc_probe_orders_{f}x"
+        if not os.path.exists(p):
+            gen_orders(spark, p, BASE_ORDERS * f)
+        paths[f] = p
+
+    def changes():
+        return spark.range(CHANGELOG_ROWS).select(
+            (F.col("id") * 7).alias("o_orderkey"),
+            F.lit(0).alias("o_custkey"),
+            F.lit("O").alias("o_orderstatus"),
+            (F.pmod(F.xxhash64("id"), F.lit(90000)) / 100.0).alias(
+                "o_totalprice"
+            ),
+            F.when(F.col("id") % 3 == 0, "D").otherwise("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+
+    def run_inc(f):
+        base = spark.read.parquet(paths[f])
+        agg_path = f"/tmp/inc_probe_orders_mom_{f}x"
+        if not os.path.exists(agg_path):
+            dec = F.col("o_totalprice").cast("decimal(18,2)")
+            base.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec).alias("value_sum_exact"),
+                F.sum((dec * dec).cast("decimal(38,4)")).alias(
+                    "value_sumsq_exact"
+                ),
+            ).write.mode("overwrite").parquet(agg_path)
+        stored = spark.read.parquet(agg_path)
+        maintain_group_moments(
+            base, changes(), ["o_orderkey"], "o_orderstatus",
+            "o_totalprice", stored_agg=stored,
+        ).count()
+
+    def run_full(f):
+        base = spark.read.parquet(paths[f])
+        ch = changes().select("o_orderkey", "op", "o_totalprice")
+        merged = (
+            base.join(ch, "o_orderkey", "left")
+            .filter(F.coalesce(F.col("op"), F.lit("K")) != "D")
+            .select(
+                "o_orderstatus",
+                F.coalesce(ch["o_totalprice"], base["o_totalprice"]).alias(
+                    "price"
+                ),
+            )
+        )
+        dec = F.col("price").cast("decimal(18,2)")
+        merged.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)),
+            F.sum(dec),
+            F.sum((dec * dec).cast("decimal(38,4)")),
+        ).count()
+
+    return (
+        timed(lambda: run_inc(1)),
+        timed(lambda: run_inc(factor)),
+        timed(lambda: run_full(factor)),
+    )
+
+
 def probe_scd2(spark, factor: int):
     from data_pipeline_ine_spark.operators.timeseries import (
         scd2_apply,
@@ -246,6 +316,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     probes = [
         ("ivm_maintain_group_aggregate", probe_ivm),
+        ("ivm_maintain_group_moments", probe_ivm_moments),
         ("scd2_apply", probe_scd2),
         ("incremental_near_dup_filter", probe_incremental_dedup),
     ]
