@@ -861,3 +861,193 @@ def test_bucket_hash_diff_localizes_any_single_mutation(spark, n_rows, mutate_at
     bad = [r for r in out if not r["bucket_match"]]
     assert len(bad) == 1
     assert bad[0]["left_rows"] == bad[0]["right_rows"]
+
+
+@SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=8),
+        min_size=1, max_size=14, unique=True,
+    ),
+    window=st.integers(min_value=2, max_value=4),
+)
+def test_snm_matches_sorted_window_reference(spark, names, window):
+    """Sorted-neighborhood pairs == the dict reference: sort the
+    dictionary, pair each value with its next w-1 neighbors."""
+    from data_pipeline_ine_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in sorted_neighborhood_pairs(df, "name", window=window).collect()
+    }
+    s = sorted(set(names))
+    want = {
+        (s[i], s[j])
+        for i in range(len(s))
+        for j in range(i + 1, min(i + window, len(s)))
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=16,
+    ),
+)
+def test_link_prediction_ra_matches_wedge_reference(spark, edges):
+    """RA scores == the dict reference: for every non-adjacent pair,
+    sum 10^12 // deg(w) over common neighbors w."""
+    from data_pipeline_ine_spark.operators.graph import link_prediction_ra
+
+    es = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not es:
+        return
+    df = spark.createDataFrame(es, "item_a long, item_b long")
+    nbrs: dict[int, set[int]] = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in nbrs[u]:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if common:
+                want[(u, v)] = (
+                    sum(10**12 // len(nbrs[w]) for w in common), len(common)
+                )
+    got = {
+        (r["item_a"], r["item_b"]): (r["ra_e12"], r["n_common"])
+        for r in link_prediction_ra(df, top_k=1000).collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    members=st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                     max_size=25, unique=True),
+    probes=st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                    max_size=10, unique=True),
+)
+def test_bloom_never_false_negative_any_keys(spark, members, probes):
+    """One-sided error as a law: every true member probes positive for
+    ANY key set (including empty strings and unicode); non-members may
+    false-positive but never crash or miss."""
+    from data_pipeline_ine_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", m) for i, m in enumerate(members)],
+        "doc_id long, source string, text string",
+    )
+    bloom = bloom_build(df, "text")
+    flagged = {
+        r["doc_id"]
+        for r in bloom_probe(df, bloom, key_col="text", id_col="doc_id")
+        .collect()
+    }
+    assert flagged == set(range(len(members)))
+
+
+@SETTINGS
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from("ab"),
+                  st.integers(0, 500)),
+        min_size=0, max_size=12,
+    ),
+    changes=st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from("ab"),
+                  st.integers(0, 500), st.sampled_from("IUD"),
+                  st.integers(1, 5)),
+        min_size=1, max_size=12,
+    ),
+)
+def test_ivm_moments_matches_recompute_any_changelog(spark, base, changes):
+    """Moment-delta maintenance == recompute over the merged snapshot
+    for arbitrary I/U/D changelogs (duplicate keys, conflicting seqs,
+    deletes of absent keys)."""
+    from data_pipeline_ine_spark.operators.diff import (
+        apply_changelog,
+        maintain_group_moments,
+    )
+
+    base = list({b[0]: b for b in base}.values())  # unique keys
+    bdf = spark.createDataFrame(
+        [(k, g, v / 4.0) for k, g, v in base] or [(99, "a", 0.0)],
+        "k long, g string, v double",
+    )
+    if not base:
+        bdf = bdf.filter("k < 0")
+    cdf = spark.createDataFrame(
+        [(k, g, v / 4.0, op, sq) for k, g, v, op, sq in changes],
+        "k long, g string, v double, op string, seq int",
+    )
+    got = {
+        r.g: (r.n_rows, r.value_sum_exact, r.value_sumsq_exact)
+        for r in maintain_group_moments(bdf, cdf, ["k"], "g", "v").collect()
+    }
+    merged = apply_changelog(bdf, cdf, ["k"], "seq", "op")
+    dec = F.col("v").cast("decimal(18,2)")
+    want = {
+        r.g: (r.n, r.s, r.q)
+        for r in merged.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("s"),
+            F.sum((dec * dec).cast("decimal(38,4)")).alias("q"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["HEAD", "FOOT", "x", "y", "z", "w"]),
+                 min_size=1, max_size=5),
+        min_size=2, max_size=10,
+    ),
+)
+def test_boilerplate_scrub_matches_reference_and_idempotent(spark, docs):
+    """Scrub == the dict reference (segments in > half the docs, >= 2
+    docs, removed everywhere), and scrubbing a scrubbed corpus changes
+    nothing (idempotence: removal never lifts a survivor over the
+    ratio because doc counts are unchanged)."""
+    from collections import Counter
+
+    from data_pipeline_ine_spark.operators.text import scrub_boilerplate
+
+    rows = [(i, "s", "\n".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = scrub_boilerplate(df)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+
+    df_count = Counter()
+    for d in docs:
+        for seg in set(d):
+            df_count[seg] += 1
+    n = len(docs)
+    boiler = {s for s, c in df_count.items() if c >= 2 and 2 * c > n}
+    want = {
+        i: "\n".join(s for s in d if s not in boiler)
+        for i, d in enumerate(docs)
+    }
+    assert got == want
+
+    again = scrub_boilerplate(
+        out.select("doc_id", "source", F.col("clean_text").alias("text"))
+    )
+    got2 = {r["doc_id"]: r["clean_text"] for r in again.collect()}
+    assert got2 == got
