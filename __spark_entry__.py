@@ -6606,6 +6606,52 @@ FROM merged GROUP BY o_orderstatus
 )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per event type
+    (operators/quality.py::ks_drift) — the binless complement to
+    value_drift's chi-square: D = max|n2·cum1 − n1·cum2|/(n1·n2) over
+    the pooled sample's distinct values, emitted as the integer
+    numerator + sample sizes so no division or float enters the
+    surface."""
+    from data_pipeline_ine_spark.operators.quality import ks_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp_ntz")
+    return ks_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        "value",
+        group_col="event_type",
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH perv AS (
+  SELECT event_type, v, SUM(c1) AS c1, SUM(c2) AS c2
+  FROM (
+    SELECT event_type, value AS v, 1 AS c1, 0 AS c2 FROM events
+    WHERE ts < TIMESTAMP '2024-01-20'
+    UNION ALL
+    SELECT event_type, value AS v, 0 AS c1, 1 AS c2 FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20'
+  )
+  GROUP BY 1, 2
+), cums AS (
+  SELECT event_type,
+    SUM(c1) OVER (PARTITION BY event_type ORDER BY v) AS cum1,
+    SUM(c2) OVER (PARTITION BY event_type ORDER BY v) AS cum2
+  FROM perv
+), ns AS (
+  SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2 FROM perv GROUP BY 1
+)
+SELECT c.event_type, CAST(MIN(n.n1) AS BIGINT) AS n1,
+  CAST(MIN(n.n2) AS BIGINT) AS n2,
+  CAST(MAX(ABS(n.n2 * c.cum1 - n.n1 * c.cum2)) AS BIGINT) AS ks_num
+FROM cums c JOIN ns n USING (event_type)
+GROUP BY c.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6705,6 +6751,7 @@ _CHECK_ORDER = [
     "snm_part_pairs",
     "embedding_drift",
     "ivm_moments",
+    "ks_drift",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -6987,6 +7034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_part_pairs": q_snm_part_pairs,
         "embedding_drift": q_embedding_drift,
         "ivm_moments": q_ivm_moments,
+        "ks_drift": q_ks_drift,
     })
 
 
@@ -7163,4 +7211,5 @@ def oracle_sql() -> dict[str, str]:
         "snm_part_pairs": ORACLE_SNM_PART_PAIRS,
         "embedding_drift": ORACLE_EMBEDDING_DRIFT,
         "ivm_moments": ORACLE_IVM_MOMENTS,
+        "ks_drift": ORACLE_KS_DRIFT,
     })

@@ -293,3 +293,72 @@ def schema_diff(left: DataFrame, right: DataFrame) -> list[dict]:
             }
         )
     return out
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic, exactly — the
+    binless complement to :func:`distribution_drift` (chi-square over
+    decile buckets): KS sees ANY distribution change, not just mass
+    moving between the reference's bins, at the cost of ordering the
+    pooled sample.
+
+    Division-free integer surface: the ECDFs only step at pooled sample
+    values, so ``D = max |F_ref − F_cur| = max |n2·cum1 − n1·cum2| /
+    (n1·n2)``; this emits the integer numerator ``ks_num`` plus
+    ``(n1, n2)`` — callers divide (or compare against
+    ``c(α)·sqrt(...)·n1·n2`` cross-multiplied, staying in integers).
+    BIGINT holds to ~3e9 rows per side per group (``n·cum`` products);
+    widen to DECIMAL beyond.
+
+    Shuffle shape: one union + one (group, value) count aggregate —
+    distinct-value-bounded, not row-bounded; one per-group
+    running-sum window over those distinct values (at 100 TB, quantize
+    the value to a fixed grid first to bound per-group cardinality —
+    the statistic degrades gracefully with grid size); one group-sized
+    aggregate at the end.
+    """
+    from pyspark.sql import Window
+
+    g = [group_col] if group_col else []
+    a = ref.select(
+        *g, F.col(value_col).alias("_v"),
+        F.lit(1).alias("_c1"), F.lit(0).alias("_c2"),
+    )
+    b = cur.select(
+        *g, F.col(value_col).alias("_v"),
+        F.lit(0).alias("_c1"), F.lit(1).alias("_c2"),
+    )
+    per_v = (
+        a.unionByName(b)
+        .groupBy(*g, "_v")
+        .agg(F.sum("_c1").alias("c1"), F.sum("_c2").alias("c2"))
+    )
+    w = (
+        Window.partitionBy(*g).orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = per_v.select(
+        *g,
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    ns = per_v.groupBy(*g).agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    joined = (
+        cums.join(F.broadcast(ns), g)
+        if g
+        else cums.crossJoin(F.broadcast(ns))  # 1-row global frame
+    )
+    return joined.groupBy(*g).agg(
+        F.min("n1").cast("bigint").alias("n1"),
+        F.min("n2").cast("bigint").alias("n2"),
+        F.max(
+            F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+        ).cast("bigint").alias("ks_num"),
+    )

@@ -378,3 +378,23 @@ def test_schema_diff_reports_all_statuses(spark):
         "c": "removed",
         "d": "added",
     }
+
+
+def test_ks_drift_closed_form_and_detects_shift(spark):
+    """KS numerator matches the closed form on a hand sample, is zero
+    for identical samples, and grows when one sample shifts."""
+    from data_pipeline_ine_spark.operators.quality import ks_drift
+
+    ref = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4]], "value double"
+    )
+    same = ks_drift(ref, ref, "value").collect()[0]
+    assert (same["n1"], same["n2"], same["ks_num"]) == (4, 4, 0)
+
+    cur = spark.createDataFrame(
+        [(float(v),) for v in [3, 4, 5, 6]], "value double"
+    )
+    r = ks_drift(ref, cur, "value").collect()[0]
+    # ECDF gap peaks at v=2: ref 2/4 vs cur 0/4 -> |4*2 - 4*0| = 8
+    assert (r["n1"], r["n2"], r["ks_num"]) == (4, 4, 8)
+    # D = 8 / (4*4) = 0.5: exactly the textbook two-sample KS here
