@@ -6652,6 +6652,74 @@ GROUP BY c.event_type
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card (operators/text.py::corpus_datacard)
+    — the governance one-pager a training-data release ships: volume,
+    token mass, quality (integer-millionths sum — no division in the
+    surface), dominant language (deterministic tie-break), exact-dup
+    rate. One corpus scan computes every per-doc signal; three
+    sources-sized rollups join broadcast."""
+    from data_pipeline_ine_spark.operators.text import corpus_datacard
+
+    return corpus_datacard(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_CORPUS_DATACARD = r"""
+WITH s AS (
+  SELECT source, doc_id, text,
+    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS s_en,
+    length(regexp_extract_all(lower(text), '\b(el|la|los|las|que|y|en|un|una)\b')) AS s_es,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein|zu)\b')) AS s_de,
+    length(regexp_extract_all(lower(text), '\b(le|les|des|et|un|une|est|dans)\b')) AS s_fr,
+    length(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh,
+    md5(text) AS fp
+  FROM documents
+), sig AS (
+  SELECT source, doc_id, n_tokens, fp,
+    CAST(floor(ROUND(
+      0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+      + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1), 1.0))
+      + 0.3 * LEAST(CAST(s_en AS DOUBLE) * 3.0 / GREATEST(n_tokens, 1), 1.0),
+      6) * 1000000 + 0.5) AS BIGINT) AS q_e6,
+    CASE
+      WHEN s_en > 0 AND s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+      WHEN s_es > 0 AND s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+      WHEN s_de > 0 AND s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+      WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+      WHEN s_zh > 0 AND s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+      ELSE 'und'
+    END AS lang_guess
+  FROM s
+), base AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(q_e6) AS BIGINT) AS quality_e6_sum,
+    CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_texts
+  FROM sig GROUP BY 1
+), dup AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS dup_docs
+  FROM (SELECT source, fp, COUNT(*) AS c FROM sig GROUP BY 1, 2)
+  WHERE c > 1 GROUP BY 1
+), tl AS (
+  SELECT source, lang_guess AS top_lang, CAST(n AS BIGINT) AS top_lang_docs
+  FROM (
+    SELECT source, lang_guess, COUNT(*) AS n,
+      row_number() OVER (PARTITION BY source
+                         ORDER BY COUNT(*) DESC, lang_guess) AS rk
+    FROM sig GROUP BY source, lang_guess
+  ) WHERE rk = 1
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.quality_e6_sum,
+  t.top_lang, t.top_lang_docs, b.distinct_texts,
+  CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs
+FROM base b
+LEFT JOIN dup d USING (source)
+JOIN tl t USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6752,6 +6820,7 @@ _CHECK_ORDER = [
     "embedding_drift",
     "ivm_moments",
     "ks_drift",
+    "corpus_datacard",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
@@ -7035,6 +7104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "ivm_moments": q_ivm_moments,
         "ks_drift": q_ks_drift,
+        "corpus_datacard": q_corpus_datacard,
     })
 
 
@@ -7212,4 +7282,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": ORACLE_EMBEDDING_DRIFT,
         "ivm_moments": ORACLE_IVM_MOMENTS,
         "ks_drift": ORACLE_KS_DRIFT,
+        "corpus_datacard": ORACLE_CORPUS_DATACARD,
     })

@@ -1219,3 +1219,83 @@ def scrub_boilerplate(
         F.col("_s.n_boiler").alias("n_boiler"),
         F.col("_s.clean_text").alias("clean_text"),
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus data card — the one-page governance summary a
+    training-data release ships: volume, token mass, quality level,
+    dominant language, and exact-duplication rate, per source, in one
+    pass over the corpus.
+
+    Columns: ``source, n_docs, total_tokens, quality_e6_sum`` (quality
+    snapped to integer millionths and SUMMED — divide by n_docs for the
+    mean; no division in the surface), ``top_lang, top_lang_docs``
+    (argmax language with deterministic count-desc/name-asc
+    tie-break), ``distinct_texts, dup_docs`` (docs whose exact
+    fingerprint recurs within the source).
+
+    Shuffle shape: one scan computes all per-doc signals (token count,
+    quality, language, md5 fingerprint) in the scan stage; then three
+    source-keyed aggregates (base stats, fingerprint dup rollup,
+    language argmax) — each output is sources-sized, joined broadcast.
+    The corpus is shuffled once, by fingerprint, for the dup count; at
+    100 TB that is the same shuffle exact dedup already pays.
+    """
+    from pyspark.sql import Window
+
+    scored = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        token_count(text_col).alias("_toks"),
+        F.floor(quality_score(text_col) * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("_q_e6"),
+        language_id(text_col).alias("_lang"),
+        F.md5(F.col(text_col)).alias("_fp"),
+    )
+    base = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").cast("bigint").alias("total_tokens"),
+        F.sum("_q_e6").alias("quality_e6_sum"),
+        F.countDistinct("_fp").alias("distinct_texts"),
+    )
+    dup = (
+        scored.groupBy("source", "_fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .groupBy("source")
+        .agg(F.sum("_c").cast("bigint").alias("dup_docs"))
+    )
+    lw = Window.partitionBy("source").orderBy(
+        F.desc("_n"), F.asc("_lang")
+    )
+    top_lang = (
+        scored.groupBy("source", "_lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_rk", F.row_number().over(lw))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "source",
+            F.col("_lang").alias("top_lang"),
+            F.col("_n").cast("bigint").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.join(F.broadcast(dup), "source", "left")
+        .join(F.broadcast(top_lang), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "quality_e6_sum",
+            "top_lang",
+            "top_lang_docs",
+            "distinct_texts",
+            F.coalesce("dup_docs", F.lit(0)).cast("bigint").alias("dup_docs"),
+        )
+    )

@@ -730,3 +730,25 @@ def test_boilerplate_apply_broadcasts_dictionary(spark):
     plan = scrub_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_corpus_datacard_closed_form(spark):
+    """Data card on a hand corpus: dup counting, language argmax
+    tie-break, and the no-division quality sum."""
+    from data_pipeline_ine_spark.operators.text import corpus_datacard
+
+    rows = [
+        (1, "a", "the cat and the dog"),      # en
+        (2, "a", "the cat and the dog"),      # exact dup of 1
+        (3, "a", "el perro y la casa"),       # es
+        (4, "b", "unique text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in corpus_datacard(df).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 3 and a["distinct_texts"] == 2
+    assert a["dup_docs"] == 2            # both members of the dup group
+    assert a["top_lang"] == "en" and a["top_lang_docs"] == 2
+    assert a["total_tokens"] == 5 + 5 + 5
+    b = out["b"]
+    assert b["dup_docs"] == 0 and b["distinct_texts"] == 1
