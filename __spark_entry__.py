@@ -6741,61 +6741,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # The r03-green cohort follows immediately after the boundary so it leads
 # round 6's window; r04-green rotates to the back.
 _CHECK_ORDER = [
-    # -- never-green: r04 err was output SHAPE (list cell), math judge-verified
+    # Round-5 window policy: NEVER-driver-checked queries outrank stale-but-
+    # green ones — a query with no CORRECTNESS row at all is the bigger
+    # evidence gap (VERDICT r4 ranked the one never-green query its #1 issue).
+    # Window = inverted_index (r04 harness err on output shape, now string-
+    # serialized) + the 28 queries with no driver evidence + the 21 stalest
+    # r02 queries. The remaining 25 r02 entries sit just past the boundary
+    # and lead round 6 (their age bound: checked again at r06).
     "inverted_index",
-    # -- newest green row is r02: re-evidence before it goes 3 rounds stale
-    "ann_ivf_topk",
-    "ann_kmeans_topk",
-    "ann_lsh_topk",
-    "asof_next_click",
-    "bpe_token_total",
-    "chunk_documents",
-    "contamination_overlap",
-    "cube_order_stats",
-    "curation_pipeline",
-    "embedding_near_dup",
-    "fuzzy_part_names",
-    "gap_fill_locf",
-    "json_props_sum",
-    "melt_lineitem",
-    "pii_redaction",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_or_predicates",
-    "q1_pricing_summary",
-    "q20_qualified_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "quantile_bins",
-    "repetition_stats",
-    "rolling_fingerprint",
-    "salted_join_totals",
-    "sequence_packing",
-    "sessionize_batch",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "snapshot_diff",
-    "sparse_entity_counts",
-    "tfidf_top_terms",
-    "trailing_7d_value",
-    "train_val_test_split",
-    "user_value_ranks",
-    "v_estaciones",
-    "value_histogram",
-    "weighted_doc_sample",
-    "zscore_outliers",
-    # -- new in round 5 (no driver evidence yet)
+    # -- new in round 5, no driver evidence yet (first wave)
     "grid_nearest_depot",
     "pmi_collocations",
     "pareto_parts",
-    # ---- 50-slot window boundary (the driver checks the entries above) ----
-    # never-checked (added after the round-5 window filled) — lead round 6
+    # -- added after the first round-5 session filled the plan (second/third waves)
     "linkage_scores",
     "value_drift",
     "media_pixel_stats",
@@ -6821,6 +6779,55 @@ _CHECK_ORDER = [
     "ivm_moments",
     "ks_drift",
     "corpus_datacard",
+    # -- newest green row is r02: the 21 stalest re-evidence slots
+    "ann_ivf_topk",
+    "ann_kmeans_topk",
+    "ann_lsh_topk",
+    "asof_next_click",
+    "bpe_token_total",
+    "chunk_documents",
+    "contamination_overlap",
+    "cube_order_stats",
+    "curation_pipeline",
+    "embedding_near_dup",
+    "fuzzy_part_names",
+    "gap_fill_locf",
+    "json_props_sum",
+    "melt_lineitem",
+    "pii_redaction",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    # ---- 50-slot window boundary (the driver checks the entries above) ----
+    # r02-green remainder — leads round 6's rotation
+    "q19_or_predicates",
+    "q1_pricing_summary",
+    "q20_qualified_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "quantile_bins",
+    "repetition_stats",
+    "rolling_fingerprint",
+    "salted_join_totals",
+    "sequence_packing",
+    "sessionize_batch",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "snapshot_diff",
+    "sparse_entity_counts",
+    "tfidf_top_terms",
+    "trailing_7d_value",
+    "train_val_test_split",
+    "user_value_ranks",
+    "v_estaciones",
+    "value_histogram",
+    "weighted_doc_sample",
+    "zscore_outliers",
     # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
