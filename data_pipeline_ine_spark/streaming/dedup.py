@@ -115,3 +115,144 @@ def stream_dedup_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- Bloom-gated EXACT dedup admission ---------------------------------------
+# The near-dup path above pays an LSH band join per batch. For EXACT dedup
+# (identical fingerprints) the standing state can be far cheaper: a portable
+# Bloom filter (operators/sketches.py) over the corpus fingerprints prunes
+# every definitely-new batch doc WITHOUT touching the corpus; only the few
+# bloom-positive candidates (true dups + the deterministic false-positive
+# trickle) are confirmed against the fingerprint table. The bloom is a pure
+# PERFORMANCE layer — false positives only send extra candidates to the
+# exact confirm, so admission results are bit-identical with or without it.
+
+_BLOOM_GROUP = "corpus"
+
+
+def exact_dedup_batch(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    bloom: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pure per-batch function: batch docs admitted by exact-fingerprint
+    dedup — not already in the corpus (bloom-pruned, then CONFIRMED
+    against ``corpus_fps``), within-batch collapsed to the min-id doc
+    per fingerprint. Shared by the stream sink and the sequential
+    reference in tests.
+
+    INVARIANT: ``bloom`` must contain every fingerprint in
+    ``corpus_fps`` (the Bloom's no-false-negative direction) — a
+    bloom-negative doc skips the exact confirm entirely, so a bloom
+    MISSING corpus keys would leak duplicates. The sink below maintains
+    the two in lock-step per version; given the invariant, Bloom false
+    positives only cost extra confirm probes and admission is exact.
+
+    Scale shape: the bloom (KB, broadcast) splits the batch;
+    bloom-NEGATIVE docs never join anything — at a steady state where
+    most arrivals are novel, the corpus-sized fingerprint table is
+    probed only by the candidate sliver. Returns the admitted docs with
+    a ``_fp`` column (the sink persists it to the fingerprint table).
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.operators.sketches import bloom_probe
+
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    uniq = (
+        batch.withColumn("_fp", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    flagged = bloom_probe(
+        uniq.withColumn("_g", F.lit(_BLOOM_GROUP)),
+        bloom,
+        key_col=text_col,
+        id_col=id_col,
+        group_col="_g",
+    ).select(id_col)
+    candidates = uniq.join(F.broadcast(flagged), id_col, "left_semi")
+    definite_new = uniq.join(F.broadcast(flagged), id_col, "left_anti")
+    confirmed_new = candidates.join(corpus_fps, "_fp", "left_anti")
+    return definite_new.unionByName(confirmed_new)
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming exact-dedup admission: per micro-batch, admit only docs
+    whose fingerprint the corpus has never seen, then advance BOTH state
+    tables — ``{state_dir}/fps/v{N}`` (fingerprints, confirm side) and
+    ``{state_dir}/bloom/v{N}`` (filter rows, OR-merged — ``bit_or`` is
+    the Bloom merge law) — plus ``{state_dir}/admitted/v{N}`` (the
+    batch's accepted docs, the stream's output).
+
+    Crash-safety discipline of streaming/cdc.py: versions named by
+    batch id, ``_SUCCESS``-gated reads, committed versions never
+    rewritten — a replayed batch is an exactly-once no-op; a torn
+    multi-dir write is invisible because the NEXT version's reads go
+    through ``latest_snapshot`` per directory (fps and bloom commit
+    last-to-first so no committed fps version ever lacks its bloom).
+
+    Seed with ``write_base_snapshot(fps_df, f"{state_dir}/fps")`` and
+    ``write_base_snapshot(bloom_df, f"{state_dir}/bloom")`` (empty
+    frames are fine for a cold start).
+    """
+    from data_pipeline_ine_spark.operators.sketches import bloom_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps_dir = os.path.join(state_dir, "fps")
+        bloom_dir = os.path.join(state_dir, "bloom")
+        adm_dir = os.path.join(state_dir, "admitted")
+        fps_target = os.path.join(fps_dir, f"v{batch_id + 1}")
+        bloom_target = os.path.join(bloom_dir, f"v{batch_id + 1}")
+        if os.path.exists(
+            os.path.join(fps_target, "_SUCCESS")
+        ) and os.path.exists(os.path.join(bloom_target, "_SUCCESS")):
+            return  # replayed batch: committed, exactly-once no-op
+        corpus_fps = latest_snapshot(spark, fps_dir)
+        bloom = latest_snapshot(spark, bloom_dir)
+        if corpus_fps is None or bloom is None:
+            raise RuntimeError(
+                f"{state_dir} missing fps/bloom base snapshots — seed "
+                "with write_base_snapshot before starting the stream"
+            )
+        batch = batch_df.localCheckpoint()
+        admitted = exact_dedup_batch(
+            batch, corpus_fps, bloom, id_col=id_col, text_col=text_col
+        ).localCheckpoint()  # read 3x below: output, fps delta, bloom delta
+        admitted.drop("_fp").write.mode("overwrite").parquet(
+            os.path.join(adm_dir, f"v{batch_id + 1}")
+        )
+        new_bloom = (
+            bloom.unionByName(
+                bloom_build(
+                    admitted.withColumn("_g", F.lit(_BLOOM_GROUP)),
+                    text_col,
+                    group_col="_g",
+                )
+            )
+            .groupBy("_g", "word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        # bloom first, fps last: a crash between the two leaves the new
+        # fps version uncommitted -> next run replays the whole batch
+        new_bloom.write.mode("overwrite").parquet(bloom_target)
+        corpus_fps.unionByName(admitted.select("_fp")).write.mode(
+            "overwrite"
+        ).parquet(fps_target)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -994,3 +994,108 @@ def test_stream_cms_equals_batch_sketch_and_replays_skip(spark, sf_dir, tmp_path
     assert sorted(os.listdir(sketch_dir)) == ["v1", "v2"]
     for v, t in mtimes.items():
         assert os.path.getmtime(os.path.join(sketch_dir, v, "_SUCCESS")) == t
+
+
+def test_stream_exact_dedup_bloom_gated_matches_sequential(spark, tmp_path):
+    """Bloom-gated exact-dedup admission ≡ the sequential per-batch
+    reference: cross-batch exact dups rejected against the advancing
+    fingerprint state, within-batch dups collapse to min id, and the
+    final bloom equals a one-shot build over everything admitted (the
+    merge law holding THROUGH the stream)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.operators.sketches import bloom_build
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        write_base_snapshot,
+    )
+    from data_pipeline_ine_spark.streaming.dedup import (
+        exact_dedup_batch,
+        stream_exact_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],       # 3 dups 1 in-batch
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")],   # 10 dups batch-0
+        [(20, "beta"), (21, "delta")],                   # 20 dups batch-0
+    ]
+    state = str(tmp_path / "state")
+    empty = spark.createDataFrame([], schema)
+    write_base_snapshot(
+        empty.select(F.md5("text").alias("_fp")), f"{state}/fps"
+    )
+    write_base_snapshot(
+        bloom_build(empty.withColumn("_g", F.lit("corpus")), "text",
+                    group_col="_g"),
+        f"{state}/bloom",
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }),
+            land / f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = stream_exact_dedup(stream, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    admitted = []
+    for v in sorted((tmp_path / "state" / "admitted").iterdir()):
+        admitted += [
+            r.doc_id for r in spark.read.parquet(str(v)).collect()
+        ]
+    assert sorted(admitted) == [1, 2, 11, 21]
+
+    # sequential reference through the SAME pure function
+    fps = empty.select(F.md5("text").alias("_fp"))
+    bloom = bloom_build(
+        empty.withColumn("_g", F.lit("corpus")), "text", group_col="_g"
+    )
+    ref_ids = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        adm = exact_dedup_batch(b, fps, bloom)
+        ref_ids += [r.doc_id for r in adm.select("doc_id").collect()]
+        fps = fps.unionByName(adm.select("_fp"))
+        # the bloom must advance in lock-step with fps (the documented
+        # invariant) — a stale bloom would leak dups past the confirm
+        bloom = (
+            bloom.unionByName(
+                bloom_build(
+                    b.join(adm.select("doc_id"), "doc_id", "left_semi")
+                    .withColumn("_g", F.lit("corpus")),
+                    "text", group_col="_g",
+                )
+            )
+            .groupBy("_g", "word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+    assert sorted(admitted) == sorted(ref_ids)
+
+    # bloom state law: stream-final bloom == one-shot build over admitted
+    final_bloom = latest_snapshot(spark, f"{state}/bloom")
+    all_admitted = spark.createDataFrame(
+        [r for rows in batches for r in rows if r[0] in set(admitted)],
+        schema,
+    ).withColumn("_g", F.lit("corpus"))
+    want_bloom = bloom_build(all_admitted, "text", group_col="_g")
+    diff = (
+        final_bloom.exceptAll(want_bloom).count()
+        + want_bloom.exceptAll(final_bloom).count()
+    )
+    assert diff == 0
+
+    # final fps state matches the admitted set exactly
+    final_fps = latest_snapshot(spark, f"{state}/fps")
+    assert final_fps.count() == 4 and final_fps.distinct().count() == 4
