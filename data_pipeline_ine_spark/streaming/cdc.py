@@ -63,6 +63,45 @@ def write_base_snapshot(base: DataFrame, snapshot_dir: str) -> None:
     base.write.mode("overwrite").parquet(os.path.join(snapshot_dir, "v0"))
 
 
+def read_version(
+    spark: SparkSession, snapshot_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time travel over the snapshot chain: read a specific committed
+    version (default: latest) — the `VERSION AS OF` read the immutable
+    ``v{N}`` layout gives for free. Torn (marker-less) directories are
+    invisible; asking for one, or for a vacuumed/unknown version, raises
+    with the committed-version list so callers can recover.
+
+    Pair with ``history()`` for what exists and
+    ``sources/maintenance.py::vacuum_versions`` for retention — the
+    three together are the minimal lakehouse time-travel surface."""
+    versions = dict(_versions(snapshot_dir))
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {snapshot_dir}")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not committed under {snapshot_dir}; "
+            f"available: {sorted(versions)}"
+        )
+    return spark.read.parquet(versions[version])
+
+
+def history(snapshot_dir: str) -> list[dict]:
+    """Commit history of a snapshot chain: one row per committed
+    version with its path and modification time — the DESCRIBE HISTORY
+    analog for the ``v{N}`` layout."""
+    return [
+        {
+            "version": v,
+            "path": p,
+            "committed_at": os.path.getmtime(os.path.join(p, "_SUCCESS")),
+        }
+        for v, p in _versions(snapshot_dir)
+    ]
+
+
 def stream_apply_changelog(
     changes_stream: DataFrame,
     snapshot_dir: str,

@@ -1099,3 +1099,33 @@ def test_stream_exact_dedup_bloom_gated_matches_sequential(spark, tmp_path):
     # final fps state matches the admitted set exactly
     final_fps = latest_snapshot(spark, f"{state}/fps")
     assert final_fps.count() == 4 and final_fps.distinct().count() == 4
+
+
+def test_time_travel_reads_any_committed_version(spark, tmp_path):
+    """read_version: exact per-version contents, latest by default,
+    torn versions invisible, helpful error for unknown/vacuumed ones."""
+    import os
+
+    import pytest
+
+    from data_pipeline_ine_spark.streaming.cdc import (
+        history,
+        read_version,
+        write_base_snapshot,
+    )
+
+    d = str(tmp_path / "chain")
+    write_base_snapshot(spark.range(3), d)
+    spark.range(5).write.parquet(f"{d}/v1")
+    spark.range(7).write.parquet(f"{d}/v2")
+    # torn write: v3 exists but never committed
+    os.makedirs(f"{d}/v3")
+
+    assert read_version(spark, d, 0).count() == 3
+    assert read_version(spark, d, 1).count() == 5
+    assert read_version(spark, d).count() == 7          # latest = v2
+    assert [h["version"] for h in history(d)] == [0, 1, 2]
+    with pytest.raises(ValueError, match=r"available: \[0, 1, 2\]"):
+        read_version(spark, d, 3)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, str(tmp_path / "nope"))
