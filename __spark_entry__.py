@@ -6720,6 +6720,52 @@ JOIN tl t USING (source)
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneously-in-transit shipments per supplier
+    (operators/timeseries.py::peak_concurrency): relational sweep line —
+    ±1 deltas, per-instant pre-aggregate (distinct-dates-bounded), one
+    per-supplier running-sum window, group-sized max. Inclusive-touch
+    convention realized by counting an instant's opens with the prefix
+    through the previous instant — no intra-instant ordering tricks.
+    Transit windows derive deterministically as in overlap_shipments
+    (testdata lineitem has no receiptdate):
+    [shipdate, shipdate + quantity % 20 + 3 days]."""
+    from data_pipeline_ine_spark.operators.timeseries import peak_concurrency
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("ship"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            F.col("l_quantity").cast("int") % 20 + 3,
+        ).alias("receipt"),
+    )
+    return peak_concurrency(li, "ship", "receipt", group_col="l_suppkey")
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship,
+    CAST(l_shipdate AS DATE)
+      + CAST((CAST(l_quantity AS INT) % 20 + 3) AS INT) AS receipt
+  FROM lineitem
+), deltas AS (
+  SELECT l_suppkey, ship AS t, 1 AS opens, 1 AS net FROM iv
+  UNION ALL
+  SELECT l_suppkey, receipt AS t, 0 AS opens, -1 AS net FROM iv
+), per_t AS (
+  SELECT l_suppkey, t, SUM(opens) AS opens, SUM(net) AS net
+  FROM deltas GROUP BY 1, 2
+), curve AS (
+  SELECT l_suppkey,
+    SUM(net) OVER (PARTITION BY l_suppkey ORDER BY t) - net + opens AS occ
+  FROM per_t
+)
+SELECT l_suppkey, CAST(MAX(occ) AS BIGINT) AS peak_concurrency
+FROM curve GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6779,6 +6825,7 @@ _CHECK_ORDER = [
     "ivm_moments",
     "ks_drift",
     "corpus_datacard",
+    "peak_concurrency",
     # -- newest green row is r02: the 21 stalest re-evidence slots
     "ann_ivf_topk",
     "ann_kmeans_topk",
@@ -7112,6 +7159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_moments": q_ivm_moments,
         "ks_drift": q_ks_drift,
         "corpus_datacard": q_corpus_datacard,
+        "peak_concurrency": q_peak_concurrency,
     })
 
 
@@ -7290,4 +7338,5 @@ def oracle_sql() -> dict[str, str]:
         "ivm_moments": ORACLE_IVM_MOMENTS,
         "ks_drift": ORACLE_KS_DRIFT,
         "corpus_datacard": ORACLE_CORPUS_DATACARD,
+        "peak_concurrency": ORACLE_PEAK_CONCURRENCY,
     })

@@ -254,3 +254,25 @@ def test_ewma_truncates_to_window(spark):
         for r in out.filter(F.col("event_id") % 100 == 6).collect()
     }
     assert last[1] == last[2]
+
+
+def test_peak_concurrency_closed_form(spark):
+    """Sweep line on hand intervals: overlapping triple peaks at 3,
+    touching-at-an-instant counts as concurrent (inclusive convention),
+    disjoint group stays at 1."""
+    from data_pipeline_ine_spark.operators.timeseries import peak_concurrency
+
+    rows = [
+        # group a: [1,5] [2,6] [4,8] -> at t=4,5 three are open
+        ("a", 1, 5), ("a", 2, 6), ("a", 4, 8),
+        # group b: [1,2] [2,3] touch at 2 -> inclusive peak 2
+        ("b", 1, 2), ("b", 2, 3),
+        # group c: disjoint [1,2] [5,6]
+        ("c", 1, 2), ("c", 5, 6),
+    ]
+    df = spark.createDataFrame(rows, "g string, s int, e int")
+    got = {
+        r["g"]: r["peak_concurrency"]
+        for r in peak_concurrency(df, "s", "e", group_col="g").collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 1}
