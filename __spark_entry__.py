@@ -6766,6 +6766,42 @@ FROM curve GROUP BY 1
 """
 
 
+def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Powers-of-two order-value histogram per order priority
+    (operators/features.py::log2_histogram) — the heavy-tail
+    distribution view, bucketed WITHOUT a logarithm: bucket = binary
+    digit count of the cent value (integer/string ops, engine-exact
+    where libm log2 flips at power boundaries); exact [2^(b-1), 2^b-1]
+    bounds emitted."""
+    from data_pipeline_ine_spark.operators.features import log2_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return log2_histogram(
+        orders, "o_totalprice", group_col="o_orderpriority"
+    )
+
+
+ORACLE_LOG2_HISTOGRAM = """
+WITH u AS (
+  SELECT o_orderpriority,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS units
+  FROM orders
+), b AS (
+  SELECT o_orderpriority,
+    CASE WHEN units <= 0 THEN 0
+         ELSE CAST(length(bin(units)) AS INT) END AS bucket
+  FROM u
+)
+SELECT o_orderpriority, bucket,
+  CASE WHEN bucket = 0 THEN 0
+       ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS lo_units,
+  CASE WHEN bucket = 0 THEN 0
+       ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS hi_units,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6826,6 +6862,7 @@ _CHECK_ORDER = [
     "ks_drift",
     "corpus_datacard",
     "peak_concurrency",
+    "log2_histogram",
     # -- newest green row is r02: the 21 stalest re-evidence slots
     "ann_ivf_topk",
     "ann_kmeans_topk",
@@ -7160,6 +7197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "corpus_datacard": q_corpus_datacard,
         "peak_concurrency": q_peak_concurrency,
+        "log2_histogram": q_log2_histogram,
     })
 
 
@@ -7339,4 +7377,5 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": ORACLE_KS_DRIFT,
         "corpus_datacard": ORACLE_CORPUS_DATACARD,
         "peak_concurrency": ORACLE_PEAK_CONCURRENCY,
+        "log2_histogram": ORACLE_LOG2_HISTOGRAM,
     })

@@ -465,3 +465,49 @@ def level_shift_scores(
     return out.filter((F.col("_nb") == w) & (F.col("_na") == w)).select(
         id_col, key_col, ts_col, shift.alias("level_shift")
     )
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Log-scaled (powers-of-two) histogram for heavy-tailed positive
+    values — the latency/size/price distribution view where equal-width
+    bins (:func:`value_histogram`) put 99% of mass in one bin.
+
+    Engine-exact bucketing with NO logarithm: the value is fixed-pointed
+    to integer units (``floor(v·scale)``) and its bucket is the BINARY
+    DIGIT COUNT (``length(bin(units))`` = ``floor(log2) + 1``) — pure
+    integer/string ops every engine agrees on, where ``floor(log2(x))``
+    via libm flips at power-of-two boundaries. Bucket b covers units
+    ``[2^(b−1), 2^b − 1]``, emitted as exact bounds. Non-positive
+    values land in bucket 0 (``[0, 0]``) rather than vanishing.
+
+    One narrow projection + one (group, bucket) aggregate — bucket
+    cardinality is ≤ 63 + 1 per group by construction.
+    """
+    g = [group_col] if group_col else []
+    units = F.floor(F.col(value_col) * scale).cast("bigint")
+    bucket = F.when(units <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(units))
+    ).cast("int")
+    lo = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    )
+    hi = F.when(F.col("bucket") == 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+    )
+    return (
+        df.select(*g, bucket.alias("bucket"))
+        .groupBy(*g, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *g,
+            "bucket",
+            lo.alias("lo_units"),
+            hi.alias("hi_units"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -159,3 +159,22 @@ def test_centroid_drift_flags_shifted_group(spark):
     assert out[2]["drift_num"] > out[0]["drift_num"]
     assert out[2]["drift_num"] > out[1]["drift_num"]
     assert all(out[k]["n_vecs"] == 100 for k in out)
+
+
+def test_log2_histogram_buckets_exact_boundaries(spark):
+    """Power-of-two boundaries land in the right bucket (the exact case
+    libm log2 gets wrong): 1.27 -> 127 units (bucket 7), 1.28 -> 128
+    units (bucket 8); zero and negative collapse to bucket 0."""
+    from data_pipeline_ine_spark.operators.features import log2_histogram
+
+    rows = [(1.27,), (1.28,), (2.55,), (2.56,), (0.0,), (-3.5,), (0.01,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {
+        r["bucket"]: (r["lo_units"], r["hi_units"], r["n"])
+        for r in log2_histogram(df, "v").collect()
+    }
+    assert got[7] == (64, 127, 1)          # 127
+    assert got[8] == (128, 255, 2)         # 128 and 255 cents
+    assert got[9] == (256, 511, 1)         # 256
+    assert got[0] == (0, 0, 2)             # 0.0 and -3.5
+    assert got[1] == (1, 1, 1)             # 1 cent
