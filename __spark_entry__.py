@@ -6802,6 +6802,58 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap of per-status revenue
+    (operators/sampling.py::poisson_bootstrap): 32 deterministic
+    resamples via pinned integer Poisson(1) thresholds on the md5 hash
+    — the assumption-free confidence-interval machinery, with every
+    replicate sum exact DECIMAL and bit-identical in any engine. The
+    only shuffle moves |groups|·B pre-combined partials."""
+    from data_pipeline_ine_spark.operators.sampling import poisson_bootstrap
+
+    orders = load_table(spark, sf_dir, "orders")
+    return poisson_bootstrap(
+        orders, "o_totalprice", "o_orderstatus", id_col="o_orderkey"
+    )
+
+
+def _poisson_case() -> str:
+    """CASE ladder over the pinned Poisson(1) thresholds — generated
+    from the SAME constants the Spark operator uses, so the two engines
+    cannot drift."""
+    from data_pipeline_ine_spark.operators.sampling import POISSON1_CUM_48
+
+    clauses = "".join(
+        f" WHEN hv < {t} THEN {k}" for k, t in enumerate(POISSON1_CUM_48)
+    )
+    return f"CASE{clauses} ELSE 8 END"
+
+
+ORACLE_POISSON_BOOTSTRAP = (
+    """
+WITH r AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+    unnest(generate_series(0, 31)) AS replicate
+  FROM orders
+), h AS (
+  SELECT o_orderstatus, replicate, o_totalprice, ("""
+    + _HEX12.format(
+        h="md5('boot:' || CAST(o_orderkey AS VARCHAR) || ':' "
+          "|| CAST(replicate AS VARCHAR))"
+    )
+    + """) AS hv
+  FROM r
+)
+SELECT o_orderstatus, CAST(replicate AS INT) AS replicate,
+  CAST(SUM(("""
+    + _poisson_case()
+    + """) * CAST(o_totalprice AS DECIMAL(18,2)))
+       AS DECIMAL(18,2)) AS boot_sum
+FROM h GROUP BY 1, 2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6863,6 +6915,7 @@ _CHECK_ORDER = [
     "corpus_datacard",
     "peak_concurrency",
     "log2_histogram",
+    "poisson_bootstrap",
     # -- newest green row is r02: the 21 stalest re-evidence slots
     "ann_ivf_topk",
     "ann_kmeans_topk",
@@ -7198,6 +7251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "peak_concurrency": q_peak_concurrency,
         "log2_histogram": q_log2_histogram,
+        "poisson_bootstrap": q_poisson_bootstrap,
     })
 
 
@@ -7378,4 +7432,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": ORACLE_CORPUS_DATACARD,
         "peak_concurrency": ORACLE_PEAK_CONCURRENCY,
         "log2_histogram": ORACLE_LOG2_HISTOGRAM,
+        "poisson_bootstrap": ORACLE_POISSON_BOOTSTRAP,
     })

@@ -283,3 +283,79 @@ def deterministic_shuffle(
         .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_h", "_pid", "_lr", "_off")
     )
+
+
+# Poisson(1) cumulative thresholds scaled to the 48-bit hash domain,
+# precomputed once and pinned as integer literals so the Spark plan and
+# any SQL oracle draw the IDENTICAL weights. Weights cap at 8
+# (P ~ 1e-6 per draw): the truncation bias is statistically invisible
+# and the cap makes the CASE ladder finite on both engines.
+POISSON1_CUM_48 = [
+    103548857136060,   # P(X <= 0)
+    207097714272121,   # P(X <= 1)
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,   # P(X <= 7)
+]
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "o_orderkey",
+    n_replicates: int = 32,
+    salt: str = "boot:",
+) -> DataFrame:
+    """Distributed Poisson bootstrap of a grouped sum — confidence
+    intervals for any per-group total WITHOUT distributional
+    assumptions and WITHOUT resampling shuffles: resample-with-
+    replacement is approximated per row by an independent Poisson(1)
+    count per (row, replicate), the standard streaming/parallel
+    bootstrap (each row's inclusion count is independent, so no global
+    coordination).
+
+    Determinism: the weight comes from the 48-bit md5 fold of
+    ``salt || id || ':' || replicate`` laddered through pinned integer
+    thresholds (``POISSON1_CUM_48``) — reproducible across engines,
+    runs, retries, partitionings.
+
+    Output: the FULL replicate distribution ``(group, replicate,
+    boot_sum)`` in exact DECIMAL — B·|groups| rows; consumers read any
+    CI off it (the 2.5%/97.5% replicate quantiles) without this
+    operator baking in an interpolation rule.
+
+    Scale shape: one narrow B-way explode (the cost knob — B times the
+    scan, all map-side) into a (group, replicate) aggregate whose
+    partial combine collapses each task to |groups|·B rows before the
+    only shuffle. No row ever moves uncombined.
+    """
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("replicate")
+    h = hash_bucket(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("replicate").cast("string"),
+        ),
+        1 << 48,
+        salt,
+    )
+    w = F.lit(8)
+    for k in reversed(range(len(POISSON1_CUM_48))):
+        w = F.when(h < POISSON1_CUM_48[k], k).otherwise(w)
+    return (
+        df.select(group_col, id_col, value_col)
+        .select(group_col, id_col, value_col, b)
+        .select(
+            group_col,
+            "replicate",
+            (w * F.col(value_col).cast("decimal(18,2)")).alias("_wv"),
+        )
+        .groupBy(group_col, "replicate")
+        .agg(F.sum("_wv").cast("decimal(18,2)").alias("boot_sum"))
+    )

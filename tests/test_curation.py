@@ -752,3 +752,39 @@ def test_corpus_datacard_closed_form(spark):
     assert a["total_tokens"] == 5 + 5 + 5
     b = out["b"]
     assert b["dup_docs"] == 0 and b["distinct_texts"] == 1
+
+
+def test_poisson_bootstrap_centers_on_truth_and_varies(spark):
+    """Bootstrap law checks: replicate sums center on the true total
+    (Poisson(1) weights have mean 1), replicates genuinely vary, and
+    the weight ladder draws ~e^-1 zeros."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_ine_spark.operators.sampling import (
+        POISSON1_CUM_48,
+        hash_bucket,
+        poisson_bootstrap,
+    )
+
+    df = spark.range(2000).selectExpr(
+        "id AS k", "'g' AS grp", "CAST(1.0 + id % 7 AS DOUBLE) AS v"
+    )
+    true_total = df.agg(F.sum("v")).first()[0]
+    boots = poisson_bootstrap(
+        df, "v", "grp", id_col="k", n_replicates=20
+    ).collect()
+    sums = [float(r["boot_sum"]) for r in boots]
+    assert len(sums) == 20
+    mean = sum(sums) / len(sums)
+    assert abs(mean - true_total) / true_total < 0.05
+    assert len(set(sums)) > 1  # resamples differ
+
+    # weight ladder: P(w=0) = e^-1 within sampling noise on 10k draws
+    h = hash_bucket(F.col("id").cast("string"), 1 << 48, "boot:")
+    zeros = (
+        spark.range(10_000)
+        .select((h < POISSON1_CUM_48[0]).cast("int").alias("z"))
+        .agg(F.sum("z"))
+        .first()[0]
+    )
+    assert abs(zeros / 10_000 - 0.3679) < 0.02
