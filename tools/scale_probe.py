@@ -102,6 +102,11 @@ HEAVY = [
     "boilerplate_scrub",
     "bloom_membership",
     "image_dhash",
+    # round-5 fourth wave over the probe corpus (ks_drift/peak_concurrency/
+    # log2_histogram/poisson_bootstrap read events/lineitem/orders — their
+    # bounds are distinct-instant windows, <=64 buckets, and B-way explode
+    # with map-side combine, pinned by closed-form/statistical pytests)
+    "corpus_datacard",
 ]
 
 
