@@ -6854,6 +6854,41 @@ FROM h GROUP BY 1, 2
 )
 
 
+def q_video_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level dedup signatures over REAL decode
+    (operators/multimodal.py::video_signature): synthesize MJPEG-AVI
+    clips, demux every 2nd frame (RIFF walk), pixel-decode (in-repo
+    baseline JPEG), reduce each frame to its exact integer mean (flat
+    frames are DC-exact at q92), md5 the ordered sequence. The oracle
+    regenerates every sampled frame's mean from the generator's closed
+    form and hashes the same string — any demux/Huffman/DCT/ordering
+    bug flips the signature."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        video_signature,
+        with_synthetic_video,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return video_signature(with_synthetic_video(docs), every_n=2)
+
+
+ORACLE_VIDEO_SIGNATURE = """
+SELECT doc_id,
+  CAST(len(generate_series(0, (2 + doc_id % 4) - 1, 2)) AS INT)
+    AS n_frames_sampled,
+  md5(array_to_string(
+    list_transform(
+      generate_series(0, (2 + doc_id % 4) - 1, 2),
+      k -> CAST((doc_id * 7 + k * 31) % 200 + 28 AS VARCHAR)
+    ), ',')) AS video_sig
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6916,6 +6951,7 @@ _CHECK_ORDER = [
     "peak_concurrency",
     "log2_histogram",
     "poisson_bootstrap",
+    "video_signature",
     # -- newest green row is r02: the 21 stalest re-evidence slots
     "ann_ivf_topk",
     "ann_kmeans_topk",
@@ -7252,6 +7288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "log2_histogram": q_log2_histogram,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "video_signature": q_video_signature,
     })
 
 
@@ -7433,4 +7470,5 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": ORACLE_PEAK_CONCURRENCY,
         "log2_histogram": ORACLE_LOG2_HISTOGRAM,
         "poisson_bootstrap": ORACLE_POISSON_BOOTSTRAP,
+        "video_signature": ORACLE_VIDEO_SIGNATURE,
     })

@@ -855,3 +855,66 @@ def image_dhash(
             )
 
     return df.select(id_col, blob_col).mapInPandas(compute, DHASH_SCHEMA)
+
+
+def video_signature(
+    df: DataFrame,
+    every_n: int = 2,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content signature per video for VIDEO-LEVEL dedup — the modality
+    the text/image dedup stack doesn't reach: demux every
+    ``every_n``-th frame (real RIFF walk), pixel-decode it (in-repo
+    baseline-JPEG codec), reduce each frame to its exact integer mean
+    gray level (the DC signature — flat-field/slate/test-card dups and
+    re-muxed copies collapse onto it), and md5 the ordered
+    mean-sequence. Re-encoded-at-the-same-codec and re-containered
+    copies hash identically; any frame content change breaks it.
+
+    Columns: ``(id, n_frames_sampled, video_sig)``. Group by
+    ``video_sig`` for dup clusters, or band the sequence for
+    near-dup (a frame-set Jaccard over per-frame hashes — the
+    minhash machinery applies unchanged).
+
+    Scale shape: demux flat-map + per-frame decode are Arrow-batched
+    map work; the only shuffle reassembles per-video sequences —
+    (video, sampled-frame) sized, never pixel-sized (frames reduce to
+    one BIGINT before moving).
+    """
+    frames = demux_video_frames(
+        df, every_n=every_n, blob_col=blob_col, id_col=id_col
+    )
+    # pack (video, frame) into one long key for the frame-stats pass
+    # (frame_idx < 1000 by contract of the sampler's every_n grid)
+    stats = image_pixel_stats(
+        frames.select(
+            (F.col(id_col) * 1000 + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("media"),
+        )
+    )
+    per_frame = stats.select(
+        F.expr("doc_id div 1000").alias(id_col),
+        F.pmod("doc_id", F.lit(1000)).cast("int").alias("frame_idx"),
+        # flat-exact integer mean: pixel_sum / n_pixels divides evenly
+        (F.col("pixel_sum") / F.col("n_pixels")).cast("bigint").alias("_mean"),
+    )
+    return (
+        per_frame.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames_sampled"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("frame_idx", "_mean")
+                            )
+                        ),
+                        lambda s: s["_mean"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("video_sig"),
+        )
+    )

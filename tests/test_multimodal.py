@@ -638,3 +638,30 @@ def test_image_dhash_spark_groups_duplicates(spark, sf_dir):
     # doc 0 and doc 256 share w,h (id%32 equal) and raster (id%256 equal)
     if 0 in by_id and 256 in by_id:
         assert by_id[0] == by_id[256]
+
+
+def test_video_signature_groups_content_duplicates(spark, sf_dir):
+    """Videos with identical frame content (same generator class) share
+    a signature; any differing frame splits them. Classes follow the
+    generator's closed form, so dup groups are predictable."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_ine_spark.operators.multimodal import (
+        video_signature,
+        with_synthetic_video,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(120)
+    sigs = video_signature(with_synthetic_video(docs), every_n=2)
+    rows = {r["doc_id"]: r for r in sigs.collect()}
+    assert rows  # every doc produced a signature
+    # generator law: content class = (id mod 200 for frame values,
+    # id mod 4 for count) -> id and id+200 with equal id%4 share frames
+    if 0 in rows and 200 in rows:
+        assert rows[0]["video_sig"] == rows[200]["video_sig"]
+    if 0 in rows and 1 in rows:
+        assert rows[0]["video_sig"] != rows[1]["video_sig"]
+    # sampled count follows ceil(n_frames / 2) of n = 2 + id % 4
+    for i, r in rows.items():
+        assert r["n_frames_sampled"] == (2 + i % 4 + 1) // 2
