@@ -6889,6 +6889,40 @@ FROM documents
 """
 
 
+def q_audio_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-level dedup signatures — the audio leg of the modality
+    dedup sweep (operators/multimodal.py::audio_signature): REAL WAV
+    container decode (rate, frames, exact square-wave RMS) joined with
+    the REAL FFT dominant bin, md5'd into one key. The oracle predicts
+    all four fields in closed form from the generator and hashes the
+    same string — container math, PCM decode, and spectrum must ALL be
+    right for the signature to match."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        audio_signature,
+        with_synthetic_media,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return audio_signature(with_synthetic_media(docs))
+
+
+ORACLE_AUDIO_SIGNATURE = """
+SELECT doc_id,
+  CAST(8000 + ((doc_id // 4) % 4) * 4000 AS BIGINT) AS sample_rate,
+  CAST(128 AS INT) AS dominant_bin,
+  md5(
+    CAST(8000 + ((doc_id // 4) % 4) * 4000 AS VARCHAR) || ':' ||
+    CAST(400 + COALESCE(n_chars, 0) % 600 AS VARCHAR) || ':' ||
+    CAST(1000 + doc_id % 5000 AS VARCHAR) || ':' || '128'
+  ) AS audio_sig
+FROM documents WHERE doc_id % 4 = 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6952,6 +6986,7 @@ _CHECK_ORDER = [
     "log2_histogram",
     "poisson_bootstrap",
     "video_signature",
+    "audio_signature",
     # -- newest green row is r02: the 21 stalest re-evidence slots
     "ann_ivf_topk",
     "ann_kmeans_topk",
@@ -7289,6 +7324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log2_histogram": q_log2_histogram,
         "poisson_bootstrap": q_poisson_bootstrap,
         "video_signature": q_video_signature,
+        "audio_signature": q_audio_signature,
     })
 
 
@@ -7471,4 +7507,5 @@ def oracle_sql() -> dict[str, str]:
         "log2_histogram": ORACLE_LOG2_HISTOGRAM,
         "poisson_bootstrap": ORACLE_POISSON_BOOTSTRAP,
         "video_signature": ORACLE_VIDEO_SIGNATURE,
+        "audio_signature": ORACLE_AUDIO_SIGNATURE,
     })

@@ -918,3 +918,46 @@ def video_signature(
             ).alias("video_sig"),
         )
     )
+
+
+def audio_signature(
+    df: DataFrame,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+    n_fft: int = 256,
+) -> DataFrame:
+    """Content signature per audio clip — the audio leg of
+    modality-level dedup (text fingerprints / image dHash /
+    video DC signature are the siblings): REAL WAV decode yields the
+    container facts (rate, frame count, exact square-wave RMS) and the
+    REAL FFT yields the dominant spectral bin; the md5 over the four
+    is the dedup key. Re-containered copies collapse; any content or
+    format change splits.
+
+    Production note: for speech/music the spectral part widens from
+    one argmax bin to a peak-constellation hash (Shazam-style) over
+    the same ``pixels.spectrogram`` frames — same plan shape, more
+    bins per window. Two Arrow-batched decode passes joined on id —
+    one id-equi shuffle of four ints per clip, never samples.
+    """
+    meta = decode_media(df, blob_col=blob_col, id_col=id_col).filter(
+        (F.col("modality") == "audio/wav") & F.col("decode_ok")
+    ).select(id_col, "sample_rate", "n_frames", "rms")
+    dom = audio_dominant_freq(
+        df, n_fft=n_fft, blob_col=blob_col, id_col=id_col
+    ).select(id_col, "dominant_bin")
+    j = meta.join(dom, id_col)
+    return j.select(
+        id_col,
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("dominant_bin").cast("int").alias("dominant_bin"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("sample_rate").cast("bigint"),
+                F.col("n_frames").cast("bigint"),
+                F.col("rms").cast("bigint"),
+                F.col("dominant_bin").cast("bigint"),
+            )
+        ).alias("audio_sig"),
+    )

@@ -665,3 +665,28 @@ def test_video_signature_groups_content_duplicates(spark, sf_dir):
     # sampled count follows ceil(n_frames / 2) of n = 2 + id % 4
     for i, r in rows.items():
         assert r["n_frames_sampled"] == (2 + i % 4 + 1) // 2
+
+
+def test_audio_signature_distinguishes_and_repeats(spark, sf_dir):
+    """Audio signatures: deterministic across invocations, sensitive to
+    content (different rate/amplitude/length -> different sig), and
+    computed only for WAV-modality docs."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_ine_spark.operators.multimodal import (
+        audio_signature,
+        with_synthetic_media,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .limit(100)
+    )
+    media = with_synthetic_media(docs)
+    a = {r["doc_id"]: r["audio_sig"] for r in audio_signature(media).collect()}
+    b = {r["doc_id"]: r["audio_sig"] for r in audio_signature(media).collect()}
+    assert a == b and a
+    assert all(i % 4 == 2 for i in a)            # WAV modality only
+    assert len(set(a.values())) > 1              # content-sensitive
