@@ -6947,10 +6947,10 @@ _CHECK_ORDER = [
     # Round-5 window policy: NEVER-driver-checked queries outrank stale-but-
     # green ones — a query with no CORRECTNESS row at all is the bigger
     # evidence gap (VERDICT r4 ranked the one never-green query its #1 issue).
-    # Window = inverted_index (r04 harness err on output shape, now string-
-    # serialized) + the 28 queries with no driver evidence + the 21 stalest
-    # r02 queries. The remaining 25 r02 entries sit just past the boundary
-    # and lead round 6 (their age bound: checked again at r06).
+    # The driver checks the FIRST 50 entries: inverted_index (r04 harness err
+    # on output shape, now string-serialized) + every query with no driver
+    # evidence (the round-5 waves) + as many of the stalest r02 queries as
+    # fit. The r02 remainder follows immediately and leads round 6.
     "inverted_index",
     # -- new in round 5, no driver evidence yet (first wave)
     "grid_nearest_depot",
@@ -6987,7 +6987,7 @@ _CHECK_ORDER = [
     "poisson_bootstrap",
     "video_signature",
     "audio_signature",
-    # -- newest green row is r02: the 21 stalest re-evidence slots
+    # -- newest green row is r02: stalest re-evidence (window takes what fits)
     "ann_ivf_topk",
     "ann_kmeans_topk",
     "ann_lsh_topk",
@@ -7009,7 +7009,7 @@ _CHECK_ORDER = [
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
-    # ---- 50-slot window boundary (the driver checks the entries above) ----
+    # ---- ~50-slot window boundary (driver checks the first 50 entries) ----
     # r02-green remainder — leads round 6's rotation
     "q19_or_predicates",
     "q1_pricing_summary",
