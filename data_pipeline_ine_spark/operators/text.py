@@ -1123,10 +1123,16 @@ def boilerplate_segments(
     boilerplate dictionary ``(source, segment, seg_df, n_docs)`` —
     at most (segments-per-doc)/ratio rows per source by counting.
     """
+    import re as _re
+
     segs = df.select(
         F.col(id_col),
         F.col(source_col),
-        F.explode(F.split(F.col(text_col), delim)).alias("segment"),
+        # the delimiter is a LITERAL separator, not a regex — escape it
+        # (Spark's split takes a Java regex; '.'/'|' would explode per char)
+        F.explode(
+            F.split(F.col(text_col), _re.escape(delim))
+        ).alias("segment"),
     ).filter(F.col("segment") != "")
     seg_df = segs.groupBy(source_col, "segment").agg(
         F.countDistinct(id_col).alias("seg_df")
@@ -1175,6 +1181,9 @@ def scrub_boilerplate(
         )
     if join_delim is None:
         join_delim = delim
+    import re as _re
+
+    split_pat = _re.escape(delim)
     boiler_arr = boiler.groupBy(source_col).agg(
         F.collect_list("segment").alias("_boiler_segs")
     )
@@ -1191,7 +1200,8 @@ def scrub_boilerplate(
             # stage 1: split once, pair with the broadcast dictionary
             F.struct(
                 F.filter(
-                    F.split(F.col(text_col), delim),
+                    # literal delimiter, escaped for Spark's regex split
+                    F.split(F.col(text_col), split_pat),
                     lambda s: s != "",
                 ).alias("segs"),
                 bl.alias("bl"),

@@ -788,3 +788,20 @@ def test_poisson_bootstrap_centers_on_truth_and_varies(spark):
         .first()[0]
     )
     assert abs(zeros / 10_000 - 0.3679) < 0.02
+
+
+def test_boilerplate_delimiter_is_literal_not_regex(spark):
+    """A regex-special delimiter ('|') must split literally — the
+    un-escaped form would explode every character into its own
+    segment."""
+    from data_pipeline_ine_spark.operators.text import scrub_boilerplate
+
+    rows = [
+        (1, "s", "AD|keep one"),
+        (2, "s", "AD|keep two"),
+        (3, "s", "solo|no ad here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in scrub_boilerplate(df, delim="|").collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["clean_text"] == "keep one"
+    assert out[3]["clean_text"] == "solo|no ad here"
