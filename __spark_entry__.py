@@ -6829,27 +6829,39 @@ def _poisson_case() -> str:
     return f"CASE{clauses} ELSE 8 END"
 
 
+_HEX12_AT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(12), _i -> CAST(strpos('0123456789abcdef', "
+    "substr({h}, CAST(_i AS INT) + {off}, 1)) - 1 AS BIGINT))), "
+    "(_a, _c) -> _a * 16 + _c)"
+)
+
+# one md5 per ROW (not per replicate — the 6x hash-budget win the
+# operator documents); replicate b draws (ha + b*hb) mod 2^48, the
+# Carter-Wegman family shared with minhash
 ORACLE_POISSON_BOOTSTRAP = (
     """
-WITH r AS (
-  SELECT o_orderstatus, o_orderkey, o_totalprice,
-    unnest(generate_series(0, 31)) AS replicate
+WITH seeds AS (
+  SELECT o_orderstatus, o_totalprice,
+    ("""
+    + _HEX12_AT.format(h="md5('boot:' || CAST(o_orderkey AS VARCHAR))", off=1)
+    + """) AS ha,
+    ("""
+    + _HEX12_AT.format(h="md5('boot:' || CAST(o_orderkey AS VARCHAR))", off=13)
+    + """) AS hb
   FROM orders
-), h AS (
-  SELECT o_orderstatus, replicate, o_totalprice, ("""
-    + _HEX12.format(
-        h="md5('boot:' || CAST(o_orderkey AS VARCHAR) || ':' "
-          "|| CAST(replicate AS VARCHAR))"
-    )
-    + """) AS hv
-  FROM r
+), r AS (
+  SELECT o_orderstatus, o_totalprice,
+    (ha + unnest(generate_series(0, 31)) * hb) % 281474976710656 AS hv,
+    unnest(generate_series(0, 31)) AS replicate
+  FROM seeds
 )
 SELECT o_orderstatus, CAST(replicate AS INT) AS replicate,
   CAST(SUM(("""
     + _poisson_case()
     + """) * CAST(o_totalprice AS DECIMAL(18,2)))
        AS DECIMAL(18,2)) AS boot_sum
-FROM h GROUP BY 1, 2
+FROM r GROUP BY 1, 2
 """
 )
 

