@@ -6935,6 +6935,41 @@ FROM documents WHERE doc_id % 4 = 2
 """
 
 
+def q_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical hour→day→month event rollup where each coarser
+    level aggregates the PREVIOUS level's partials
+    (operators/timeseries.py::cascade_rollup — the hypertable
+    continuous-aggregate refresh plan: day reads 24x less than raw,
+    month ~30x less again). The oracle recomputes every level directly
+    from raw rows, so a green match proves the cascade is exactly
+    associative, decimal to the cent."""
+    from data_pipeline_ine_spark.operators.timeseries import cascade_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return cascade_rollup(ev, "ts", "value")
+
+
+ORACLE_CASCADE_ROLLUP = """
+SELECT 'hour' AS level,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day',
+  strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+  CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month',
+  strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
+  CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+FROM events GROUP BY 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -6999,6 +7034,7 @@ _CHECK_ORDER = [
     "poisson_bootstrap",
     "video_signature",
     "audio_signature",
+    "cascade_rollup",
     # -- newest green row is r02: stalest re-evidence (window takes what fits)
     "ann_ivf_topk",
     "ann_kmeans_topk",
@@ -7337,6 +7373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": q_poisson_bootstrap,
         "video_signature": q_video_signature,
         "audio_signature": q_audio_signature,
+        "cascade_rollup": q_cascade_rollup,
     })
 
 
@@ -7520,4 +7557,5 @@ def oracle_sql() -> dict[str, str]:
         "poisson_bootstrap": ORACLE_POISSON_BOOTSTRAP,
         "video_signature": ORACLE_VIDEO_SIGNATURE,
         "audio_signature": ORACLE_AUDIO_SIGNATURE,
+        "cascade_rollup": ORACLE_CASCADE_ROLLUP,
     })

@@ -611,3 +611,83 @@ def peak_concurrency(
     return curve.groupBy(*g).agg(
         F.max("_occ").cast("bigint").alias("peak_concurrency")
     )
+
+
+def cascade_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    levels: Sequence[str] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    pattern): hour/day/month aggregates where EVERY level after the
+    first is computed from the PREVIOUS level's partials, never from
+    the raw rows — the day pass reads 24x less than the corpus, the
+    month pass ~30x less again. Sums and counts are associative, so
+    cascading is exact; the driver oracle recomputes each level
+    directly from raw rows, and a green match IS the associativity
+    proof.
+
+    Output: ``(level, bucket, n, total)`` with ``bucket`` formatted as
+    a string (truncation granularities return different temporal types
+    across engines; the formatted form is the portable surface) and
+    ``total`` exact DECIMAL.
+
+    Scale shape: one corpus shuffle for the finest level; every
+    coarser level shuffles the previous AGGREGATE (bucket-cardinality-
+    sized). This is the materialized-rollup refresh plan at 100 TB:
+    persist the hour level, derive day/month from it, never rescan.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    # each level is branched twice (emitted + fed to the next level);
+    # lazy localCheckpoint pins the computed partials so the union does
+    # NOT re-aggregate raw rows per branch — the cascade saving is
+    # physical, not just notational (same reuse pattern as bm25)
+    cur = (
+        df.select(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"), dec.alias("_v")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_v").alias("total"))
+        .localCheckpoint(eager=False)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    out = cur.select(
+        F.lit(levels[0]).alias("level"),
+        F.date_format("bucket", fmt).alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("decimal(18,2)").alias("total"),
+        F.col("bucket").alias("_raw_bucket"),
+        F.col("n").alias("_n"),
+        F.col("total").alias("_t"),
+    )
+    frames = [out.drop("_raw_bucket", "_n", "_t")]
+    prev = out.select("_raw_bucket", "_n", "_t")
+    for lvl in levels[1:]:
+        nxt = (
+            prev.select(
+                F.date_trunc(lvl, F.col("_raw_bucket")).alias("bucket"),
+                "_n",
+                "_t",
+            )
+            .groupBy("bucket")
+            .agg(F.sum("_n").alias("n"), F.sum("_t").alias("total"))
+            .localCheckpoint(eager=False)
+        )
+        frames.append(
+            nxt.select(
+                F.lit(lvl).alias("level"),
+                F.date_format("bucket", fmt).alias("bucket"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("total").cast("decimal(18,2)").alias("total"),
+            )
+        )
+        prev = nxt.select(
+            F.col("bucket").alias("_raw_bucket"),
+            F.col("n").alias("_n"),
+            F.col("total").alias("_t"),
+        )
+    result = frames[0]
+    for fr in frames[1:]:
+        result = result.unionByName(fr)
+    return result

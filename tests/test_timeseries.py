@@ -276,3 +276,35 @@ def test_peak_concurrency_closed_form(spark):
         for r in peak_concurrency(df, "s", "e", group_col="g").collect()
     }
     assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_cascade_rollup_levels_consistent_and_exact(spark):
+    """Each level's totals are exactly the finer level's re-grouping
+    (associativity), counts conserve across levels, and the hand
+    corpus's closed-form buckets come out right."""
+    import datetime
+    from decimal import Decimal
+
+    from data_pipeline_ine_spark.operators.timeseries import cascade_rollup
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (base, 1.25),
+        (base + datetime.timedelta(minutes=30), 2.50),   # same hour
+        (base + datetime.timedelta(hours=5), 4.00),      # same day
+        (base + datetime.timedelta(days=3), 8.00),       # same month
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, v double")
+    out = cascade_rollup(df, "ts", "v")
+    by_level = {}
+    for r in out.collect():
+        by_level.setdefault(r["level"], {})[r["bucket"]] = (
+            r["n"], r["total"]
+        )
+    assert by_level["hour"]["2024-03-01 10:00:00"] == (2, Decimal("3.75"))
+    assert by_level["day"]["2024-03-01 00:00:00"] == (3, Decimal("7.75"))
+    assert by_level["month"]["2024-03-01 00:00:00"] == (4, Decimal("15.75"))
+    # conservation: every level sums to the same corpus totals
+    for lvl, cells in by_level.items():
+        assert sum(n for n, _ in cells.values()) == 4
+        assert sum(t for _, t in cells.values()) == Decimal("15.75")
