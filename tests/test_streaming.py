@@ -1129,3 +1129,68 @@ def test_time_travel_reads_any_committed_version(spark, tmp_path):
         read_version(spark, d, 3)
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "nope"))
+
+
+def test_stream_exact_dedup_replay_is_exactly_once(spark, tmp_path):
+    """Checkpoint loss forces a full source replay with the same batch
+    ids: every committed version must no-op (committed versions are
+    never rewritten) and the final fps/bloom/admitted state must be
+    byte-for-byte what the first run left."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.operators.sketches import bloom_build
+    from data_pipeline_ine_spark.streaming.cdc import write_base_snapshot
+    from data_pipeline_ine_spark.streaming.dedup import stream_exact_dedup
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    empty = spark.createDataFrame([], schema)
+    write_base_snapshot(
+        empty.select(F.md5("text").alias("_fp")), f"{state}/fps"
+    )
+    write_base_snapshot(
+        bloom_build(empty.withColumn("_g", F.lit("corpus")), "text",
+                    group_col="_g"),
+        f"{state}/bloom",
+    )
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(3, "a"), (4, "c")]]):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }),
+            land / f"b{i}.parquet",
+        )
+
+    def run(ckpt):
+        q = stream_exact_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            state, str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+
+    def fingerprint():
+        sums = {}
+        for sub in ("fps", "bloom", "admitted"):
+            for root, _, files in os.walk(os.path.join(state, sub)):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    if f.endswith(".parquet"):
+                        sums[os.path.relpath(p, state)] = hashlib.md5(
+                            open(p, "rb").read()
+                        ).hexdigest()
+        return sums
+
+    run("ckpt1")
+    before = fingerprint()
+    # simulate checkpoint loss: everything replays with the same ids
+    run("ckpt2")
+    assert fingerprint() == before
