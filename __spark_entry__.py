@@ -6531,11 +6531,18 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drift statistic is the division-free cross-multiple
     ``Σ_d (s_ld·N − S_d·n_l)²`` in DECIMAL(38,0), so the entire surface
     is exact integer arithmetic — no float sum order, no rounding rule,
-    no sqrt."""
+    no sqrt. Contract surface: the 38-digit drift numerator is emitted
+    as VARCHAR (a double cast would shave precision at ~1e26; raw
+    Decimal cells are harness-hostile — r05 red), digit-identical in
+    both engines."""
     from data_pipeline_ine_spark.operators.similarity import centroid_drift
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return centroid_drift(emb)
+    return centroid_drift(emb).select(
+        "label",
+        "n_vecs",
+        F.col("drift_num").cast("string").alias("drift_num"),
+    )
 
 
 ORACLE_EMBEDDING_DRIFT = """
@@ -6554,10 +6561,10 @@ WITH comp AS (
   SELECT dim, SUM(s) AS gs, SUM(n) AS gn FROM ld GROUP BY 1
 )
 SELECT ld.label, CAST(MIN(ld.n) AS BIGINT) AS n_vecs,
-  CAST(SUM(
+  CAST(CAST(SUM(
     (CAST(ld.s AS DECIMAL(38,0)) * g.gn - CAST(g.gs AS DECIMAL(38,0)) * ld.n)
     * (CAST(ld.s AS DECIMAL(38,0)) * g.gn - CAST(g.gs AS DECIMAL(38,0)) * ld.n)
-  ) AS DECIMAL(38,0)) AS drift_num
+  ) AS DECIMAL(38,0)) AS VARCHAR) AS drift_num
 FROM ld JOIN g USING (dim)
 GROUP BY ld.label
 """
@@ -6588,19 +6595,29 @@ def q_ivm_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
     )
     changes = ins.unionByName(upd).unionByName(dels)
-    return maintain_group_moments(
+    out = maintain_group_moments(
         base, changes, ["o_orderkey"], "o_orderstatus", "o_totalprice"
+    )
+    # Contract surface (r05 fix): money-scale sum → exact double (values
+    # ≪ 2^53); the 38-digit sumsq → VARCHAR, digit-identical in DuckDB.
+    return out.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("value_sum_exact").cast("double"), 2).alias(
+            "value_sum_exact"
+        ),
+        F.col("value_sumsq_exact").cast("string").alias("value_sumsq_exact"),
     )
 
 
 ORACLE_IVM_MOMENTS = (
     "WITH merged AS (" + ORACLE_CDC_MERGE + """)
 SELECT o_orderstatus, COUNT(*) AS n_rows,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-    AS value_sum_exact,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))
+  ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    AS DECIMAL(18,2)) AS DOUBLE), 2) AS value_sum_exact,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))
            * CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(38,4))
-    AS value_sumsq_exact
+    AS VARCHAR) AS value_sumsq_exact
 FROM merged GROUP BY o_orderstatus
 """
 )
@@ -6812,8 +6829,15 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.sampling import poisson_bootstrap
 
     orders = load_table(spark, sf_dir, "orders")
-    return poisson_bootstrap(
+    out = poisson_bootstrap(
         orders, "o_totalprice", "o_orderstatus", id_col="o_orderkey"
+    )
+    # Contract surface (r05 fix): exact decimal replicate sum → double
+    # (values ≪ 2^53, lossless); raw Decimal cells are harness-hostile.
+    return out.select(
+        "o_orderstatus",
+        "replicate",
+        F.round(F.col("boot_sum").cast("double"), 2).alias("boot_sum"),
     )
 
 
@@ -6857,10 +6881,10 @@ WITH seeds AS (
   FROM seeds
 )
 SELECT o_orderstatus, CAST(replicate AS INT) AS replicate,
-  CAST(SUM(("""
+  ROUND(CAST(CAST(SUM(("""
     + _poisson_case()
     + """) * CAST(o_totalprice AS DECIMAL(18,2)))
-       AS DECIMAL(18,2)) AS boot_sum
+       AS DECIMAL(18,2)) AS DOUBLE), 2) AS boot_sum
 FROM r GROUP BY 1, 2
 """
 )
@@ -6946,26 +6970,37 @@ def q_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.timeseries import cascade_rollup
 
     ev = load_table(spark, sf_dir, "events")
-    return cascade_rollup(ev, "ts", "value")
+    out = cascade_rollup(ev, "ts", "value")
+    # Contract surface (r05 fix): exact decimal level total → double
+    # (values ≪ 2^53, lossless); raw Decimal cells are harness-hostile.
+    return out.select(
+        "level",
+        "bucket",
+        "n",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+    )
 
 
 ORACLE_CASCADE_ROLLUP = """
 SELECT 'hour' AS level,
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
   CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+  ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+    AS DECIMAL(18,2)) AS DOUBLE), 2) AS total
 FROM events GROUP BY 2
 UNION ALL
 SELECT 'day',
   strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
   CAST(COUNT(*) AS BIGINT),
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+  ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+    AS DECIMAL(18,2)) AS DOUBLE), 2)
 FROM events GROUP BY 2
 UNION ALL
 SELECT 'month',
   strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
   CAST(COUNT(*) AS BIGINT),
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+  ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+    AS DECIMAL(18,2)) AS DOUBLE), 2)
 FROM events GROUP BY 2
 """
 
@@ -6991,74 +7026,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # The r03-green cohort follows immediately after the boundary so it leads
 # round 6's window; r04-green rotates to the back.
 _CHECK_ORDER = [
-    # Round-5 window policy: NEVER-driver-checked queries outrank stale-but-
-    # green ones — a query with no CORRECTNESS row at all is the bigger
-    # evidence gap (VERDICT r4 ranked the one never-green query its #1 issue).
-    # The driver checks the FIRST 50 entries: inverted_index (r04 harness err
-    # on output shape, now string-serialized) + every query with no driver
-    # evidence (the round-5 waves) + as many of the stalest r02 queries as
-    # fit. The r02 remainder follows immediately and leads round 6.
-    "inverted_index",
-    # -- new in round 5, no driver evidence yet (first wave)
-    "grid_nearest_depot",
-    "pmi_collocations",
-    "pareto_parts",
-    # -- added after the first round-5 session filled the plan (second/third waves)
-    "linkage_scores",
-    "value_drift",
-    "media_pixel_stats",
-    "audio_dominant_freq",
-    "video_frame_stats",
-    "dup_span_ratio",
-    "cms_heavy_hitters",
-    "ewma_value",
-    "pq_topk",
-    "pq_dedup_groups",
-    "grouped_ols",
-    "level_shift",
-    "table_reconcile",
-    "rp_cosine_consecutive",
-    "hashed_features",
-    "nb_source_prediction",
-    "boilerplate_scrub",
-    "image_dhash",
-    "bloom_membership",
-    "ra_link_prediction",
-    "snm_part_pairs",
+    # Round-6 window policy (VERDICT r5 tasks #1, #3): the 4 r05-red
+    # decimal-surface queries lead (now cast to double/varchar on both
+    # sides — re-prove them green), then strict oldest-driver-row-first:
+    # the 31 queries whose newest row is r02 (TPC-H q-family etc.), then
+    # 15 of the r03 cohort fill the 50-slot window. Queries new in r06
+    # are spliced in right after the 4 reds when added. After r06 no
+    # query's newest driver row is older than r03.
     "embedding_drift",
     "ivm_moments",
-    "ks_drift",
-    "corpus_datacard",
-    "peak_concurrency",
-    "log2_histogram",
     "poisson_bootstrap",
-    "video_signature",
-    "audio_signature",
     "cascade_rollup",
-    # -- newest green row is r02: stalest re-evidence (window takes what fits)
-    "ann_ivf_topk",
-    "ann_kmeans_topk",
-    "ann_lsh_topk",
-    "asof_next_click",
-    "bpe_token_total",
-    "chunk_documents",
-    "contamination_overlap",
-    "cube_order_stats",
-    "curation_pipeline",
-    "embedding_near_dup",
-    "fuzzy_part_names",
-    "gap_fill_locf",
-    "json_props_sum",
-    "melt_lineitem",
-    "pii_redaction",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_qty_revenue",
-    # ---- ~50-slot window boundary (driver checks the first 50 entries) ----
-    # r02-green remainder — leads round 6's rotation
     "q19_or_predicates",
     "q1_pricing_summary",
     "q20_qualified_suppliers",
@@ -7084,7 +7068,6 @@ _CHECK_ORDER = [
     "value_histogram",
     "weighted_doc_sample",
     "zscore_outliers",
-    # newest green r03 — these follow in round 6's rotation
     "ann_topk",
     "asof_last_click",
     "bm25_scores",
@@ -7134,7 +7117,6 @@ _CHECK_ORDER = [
     "union_scaffold",
     "users_per_event_type",
     "window_top_day",
-    # newest green r04 — freshest evidence, back of the line
     "bigram_logloss",
     "cdc_merge",
     "cdc_roundtrip",
@@ -7183,7 +7165,54 @@ _CHECK_ORDER = [
     "vocab_coverage",
     "weekly_active_users",
     "winsorized_revenue",
-    "zorder_keys",]
+    "zorder_keys",
+    "ann_ivf_topk",
+    "ann_kmeans_topk",
+    "ann_lsh_topk",
+    "asof_next_click",
+    "audio_dominant_freq",
+    "audio_signature",
+    "bloom_membership",
+    "boilerplate_scrub",
+    "bpe_token_total",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "contamination_overlap",
+    "corpus_datacard",
+    "cube_order_stats",
+    "curation_pipeline",
+    "dup_span_ratio",
+    "embedding_near_dup",
+    "ewma_value",
+    "fuzzy_part_names",
+    "gap_fill_locf",
+    "grid_nearest_depot",
+    "grouped_ols",
+    "hashed_features",
+    "image_dhash",
+    "inverted_index",
+    "json_props_sum",
+    "ks_drift",
+    "level_shift",
+    "linkage_scores",
+    "log2_histogram",
+    "media_pixel_stats",
+    "melt_lineitem",
+    "nb_source_prediction",
+    "pareto_parts",
+    "peak_concurrency",
+    "pii_redaction",
+    "pmi_collocations",
+    "pq_dedup_groups",
+    "pq_topk",
+    "ra_link_prediction",
+    "rp_cosine_consecutive",
+    "snm_part_pairs",
+    "table_reconcile",
+    "value_drift",
+    "video_frame_stats",
+    "video_signature",
+]
 
 
 def _check_ordered(reg: dict) -> dict:

@@ -4,6 +4,7 @@ surface in pytest before a round's CORRECTNESS run."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 
@@ -22,6 +23,15 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, (Decimal, list, tuple, dict, set, bytearray, bytes)):
+        # The driver's pandas-level hasher cannot match these across
+        # engines (ArrayType burned r04, DecimalType burned r05). Fail
+        # HERE so local parity is faithful to the driver — cast to
+        # double/varchar at the contract surface instead.
+        raise AssertionError(
+            f"harness-hostile cell type {type(v).__name__}: {v!r} — "
+            "cast to double/varchar at the contract surface"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return None

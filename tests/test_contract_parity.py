@@ -54,6 +54,38 @@ def test_bench_final_line_fits_driver_tail_buffer():
     assert set(parsed["queries"]) == set(bench.HEADLINE)
 
 
+def test_no_harness_hostile_output_types(spark, sf_dir):
+    """The driver's hash canonicaliser cannot match DecimalType (burned
+    r05: 4 value-exact queries red) or Array/Map/StructType (burned r04:
+    inverted_index) across engines. This converts the determinism
+    header's convention into a mechanical invariant over every contract
+    query's TOP-LEVEL result schema — plan construction only, no
+    execution."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
+
+    hostile_types = (ArrayType, BinaryType, DecimalType, MapType, StructType)
+    bad = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        hostile = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, hostile_types)
+        ]
+        if hostile:
+            bad[name] = hostile
+    assert bad == {}, (
+        "contract queries emitting harness-hostile top-level columns "
+        f"(cast to double/varchar at the contract surface): {bad}"
+    )
+
+
 def test_check_order_is_a_permutation_of_the_contract():
     """_CHECK_ORDER drives which queries get driver evidence each round;
     a typo'd or stale name would silently drop out of the rotation
