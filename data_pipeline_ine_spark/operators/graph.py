@@ -354,7 +354,25 @@ def link_prediction_ra(
     the classic accuracy-for-cost trade at corpus scale. The final
     top-k is a rank-window over the scored pair list, never a global
     sort of the corpus.
+
+    Edges are canonicalized internally (ADVICE r5): undirected input
+    may carry either orientation, duplicates, or self-loops — each row
+    is folded to ``(least, greatest)``, self-loops dropped, and the
+    list deduped before degrees, wedges, and the non-adjacency
+    anti-join are computed. Without this, a ``(v,u)``-stored edge
+    escapes the anti-join (it tests only one orientation) and
+    both-orientation duplicates double ``deg``, corrupting every RA
+    score. Cost: one edge-list-sized distinct — noise next to the
+    Σdeg² wedge join.
     """
+    edges = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias(a_col),
+            F.greatest(F.col(a_col), F.col(b_col)).alias(b_col),
+        )
+        .filter(F.col(a_col) != F.col(b_col))
+        .distinct()
+    )
     nbr = edges.select(
         F.col(a_col).alias("leaf"), F.col(b_col).alias("center")
     ).union(

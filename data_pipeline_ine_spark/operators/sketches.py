@@ -137,6 +137,43 @@ def _cms_bucket(key: Column, a: int, b: int) -> Column:
     return ((key * F.lit(a) + F.lit(b)) % F.lit(CMS_P)) % F.lit(CMS_W)
 
 
+def _cms_key(df: DataFrame, key_col: str) -> Column:
+    """Engine-portable integer key for the CMS hash family.
+
+    Integral columns cast straight to BIGINT. STRING keys are folded
+    through md5 → first 10 hex digits → a 40-bit integer (keeps
+    ``a*key`` inside int64 for the fixed multipliers); a pre-hash
+    collision merges two keys across ALL d rows, which only OVER-counts
+    — the CMS one-sided guarantee survives. Anything else (float,
+    decimal, date…) raises: pre-fix, a silent ``cast('bigint')`` turned
+    non-numeric keys into NULL, collapsing every such key into one cell
+    and returning garbage estimates (ADVICE r5;
+    ``stream_maintain_cms`` exposes caller-supplied key columns)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return F.col(key_col).cast("bigint")
+    if isinstance(dt, StringType):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms:"), F.col(key_col))), 1, 10
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    raise ValueError(
+        f"cms key column {key_col!r} has unsupported type "
+        f"{dt.simpleString()}: expected an integral or string column"
+    )
+
+
 def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     """Count-min sketch build: ``(row, bucket, cell_count)`` — d×w = 4×512
     cells regardless of input size.
@@ -145,8 +182,9 @@ def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     single hash aggregate; map-side partial aggregation collapses each
     partition to ≤ 2,048 cells before the shuffle, so the exchange carries
     O(partitions × d × w) bytes, never O(rows). The result is a mergeable
-    partial: cell-wise SUM unions two sketches."""
-    key = F.col(key_col).cast("bigint")
+    partial: cell-wise SUM unions two sketches. Keys may be integral or
+    string (md5-folded); see ``_cms_key``."""
+    key = _cms_key(df, key_col)
     rows = F.array(
         *[
             F.struct(
@@ -170,7 +208,7 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     Scale shape: the sketch is 2,048 rows — broadcast — so probing any
     number of keys is one narrow broadcast-hash join + a key-grouped min.
     """
-    key = F.col(key_col).cast("bigint")
+    key = _cms_key(keys, key_col)
     probes = keys.select(
         key_col,
         F.explode(

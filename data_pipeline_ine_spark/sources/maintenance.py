@@ -33,6 +33,25 @@ from pyspark.sql import DataFrame, SparkSession
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+def _norm_file_uri(uri: str) -> str:
+    """Decode a Spark-reported file URI to a canonical, unescaped form.
+
+    ``input_file_name()`` and ``df.inputFiles()`` both return
+    URL-encoded URIs (space → %20, %25 for a literal %, UTF-8
+    percent-escapes for non-ASCII) and disagree on slash style
+    (``file:///p`` vs ``file:/p``). Feeding those back into
+    ``spark.read.parquet`` or ``hadoop.fs.Path`` resolves the ENCODED
+    name and misses the real file. One canonical form —
+    ``scheme://netloc + unquoted path`` — makes re-reads, set
+    membership, and FS copies agree."""
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(uri)
+    if not parts.scheme:
+        return unquote(uri)
+    return f"{parts.scheme}://{parts.netloc}{unquote(parts.path)}"
+
+
 def table_bytes(spark: SparkSession, path: str) -> int:
     """Total on-disk bytes under ``path`` — Hadoop FS metadata only (works
     for any supported scheme: file://, hdfs://, s3a://, ...)."""
@@ -154,11 +173,12 @@ def targeted_delete(
     O(table metadata), the same contract as Delta/Iceberg
     DELETE-with-file-pruning, expressed on plain parquet:
 
-    1. one metadata-cheap pass tags rows with ``input_file_name()`` and
-       semi-joins the (broadcast, small by nature) key list → the
-       affected-file list; a driver-side collect of FILE NAMES only
-       (bounded by file count, never rows — same class as the ingest
-       manifest),
+    1. the full file list comes from ``df.inputFiles()`` — pure
+       FileIndex metadata, zero rows scanned (ADVICE r5; the previous
+       ``distinct()`` over ``input_file_name()`` read every row); ONE
+       key-column scan then semi-joins the (broadcast, small by nature)
+       key list → the affected-file list, a driver-side collect of FILE
+       NAMES only (bounded by file count, never rows),
     2. the affected files are re-read and anti-joined → rewritten,
     3. untouched files are FS-copied unchanged (scheme-independent
        Hadoop ``FileUtil``), preserving their stats/layout — readers of
@@ -170,19 +190,22 @@ def targeted_delete(
     """
     from pyspark.sql import functions as F
 
-    tagged = spark.read.parquet(path).withColumn(
-        "_file", F.input_file_name()
-    )
-    all_files = [
-        r[0] for r in tagged.select("_file").distinct().collect()
-    ]
-    affected = [
-        r[0]
-        for r in tagged.join(F.broadcast(keys), key_col, "leftsemi")
+    df = spark.read.parquet(path)
+    tagged = df.withColumn("_file", F.input_file_name())
+    # input_file_name()/inputFiles() return URL-ENCODED URIs (space →
+    # %20, % → %25) with inconsistent slash forms (file:/ vs file:///);
+    # normalize BOTH sides to decoded scheme://path before any re-read,
+    # set membership, or Hadoop Path construction (ADVICE r5 — encoded
+    # names failed the rewrite under paths with spaces/%/non-ASCII).
+    all_files = sorted(_norm_file_uri(f) for f in df.inputFiles())
+    affected = sorted(
+        _norm_file_uri(r[0])
+        for r in tagged.select("_file", key_col)
+        .join(F.broadcast(keys), key_col, "leftsemi")
         .select("_file")
         .distinct()
         .collect()
-    ]
+    )
     rows_deleted = 0
     if affected:
         doomed = spark.read.parquet(*affected)

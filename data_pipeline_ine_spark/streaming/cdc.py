@@ -58,6 +58,27 @@ def latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
     return spark.read.parquet(versions[-1][1])
 
 
+def latest_version(snapshot_dir: str) -> int | None:
+    """Highest committed version number (None when empty)."""
+    versions = _versions(snapshot_dir)
+    return versions[-1][0] if versions else None
+
+
+def snapshot_at_or_below(
+    spark: SparkSession, snapshot_dir: str, version: int
+) -> DataFrame | None:
+    """Highest committed snapshot with version <= ``version`` (None when
+    nothing qualifies). The lock-step read for multi-directory state: a
+    crash between two directories' commits leaves one a version ahead;
+    reading the follower AT the leader's version restores the pair the
+    original (pre-crash) run saw, so the replay is deterministic and
+    never reads the path it is about to overwrite."""
+    versions = [(v, p) for v, p in _versions(snapshot_dir) if v <= version]
+    if not versions:
+        return None
+    return spark.read.parquet(versions[-1][1])
+
+
 def write_base_snapshot(base: DataFrame, snapshot_dir: str) -> None:
     """Seed the snapshot chain at version v0."""
     base.write.mode("overwrite").parquet(os.path.join(snapshot_dir, "v0"))

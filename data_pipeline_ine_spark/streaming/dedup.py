@@ -30,7 +30,11 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_ine_spark.streaming.cdc import latest_snapshot
+from data_pipeline_ine_spark.streaming.cdc import (
+    latest_snapshot,
+    latest_version,
+    snapshot_at_or_below,
+)
 
 
 def dedup_batch_against_corpus(
@@ -155,6 +159,12 @@ def exact_dedup_batch(
     most arrivals are novel, the corpus-sized fingerprint table is
     probed only by the candidate sliver. Returns the admitted docs with
     a ``_fp`` column (the sink persists it to the fingerprint table).
+
+    NULL-text docs are DROPPED up front (ADVICE r5): ``md5(NULL)`` is
+    NULL, which matches nothing in the anti-join confirm and hashes to
+    nothing in the bloom — such rows would be re-admitted every batch
+    and accumulate NULL fingerprints in state. No content ⇒ nothing to
+    deduplicate ⇒ not admitted.
     """
     from pyspark.sql import Window
 
@@ -162,7 +172,8 @@ def exact_dedup_batch(
 
     w = Window.partitionBy("_fp").orderBy(id_col)
     uniq = (
-        batch.withColumn("_fp", F.md5(F.col(text_col)))
+        batch.filter(F.col(text_col).isNotNull())
+        .withColumn("_fp", F.md5(F.col(text_col)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -214,12 +225,28 @@ def stream_exact_dedup(
         adm_dir = os.path.join(state_dir, "admitted")
         fps_target = os.path.join(fps_dir, f"v{batch_id + 1}")
         bloom_target = os.path.join(bloom_dir, f"v{batch_id + 1}")
-        if os.path.exists(
-            os.path.join(fps_target, "_SUCCESS")
-        ) and os.path.exists(os.path.join(bloom_target, "_SUCCESS")):
+        bloom_committed = os.path.exists(
+            os.path.join(bloom_target, "_SUCCESS")
+        )
+        if (
+            os.path.exists(os.path.join(fps_target, "_SUCCESS"))
+            and bloom_committed
+        ):
             return  # replayed batch: committed, exactly-once no-op
+        # Lock-step as-of read (ADVICE r5): a crash after the bloom
+        # v{N+1} commit but before the fps commit leaves the bloom one
+        # version ahead. latest_snapshot(bloom_dir) would then read the
+        # very path this replay overwrites (Spark refuses) — so read the
+        # bloom AT the fps chain's version, restoring exactly the state
+        # pair the original run saw; the replay recomputes v{N+1}
+        # deterministically and skips the already-committed bloom write.
+        fps_v = latest_version(fps_dir)
         corpus_fps = latest_snapshot(spark, fps_dir)
-        bloom = latest_snapshot(spark, bloom_dir)
+        bloom = (
+            None
+            if fps_v is None
+            else snapshot_at_or_below(spark, bloom_dir, fps_v)
+        )
         if corpus_fps is None or bloom is None:
             raise RuntimeError(
                 f"{state_dir} missing fps/bloom base snapshots — seed "
@@ -244,8 +271,13 @@ def stream_exact_dedup(
             .agg(F.bit_or("word").alias("word"))
         )
         # bloom first, fps last: a crash between the two leaves the new
-        # fps version uncommitted -> next run replays the whole batch
-        new_bloom.write.mode("overwrite").parquet(bloom_target)
+        # fps version uncommitted -> next run replays the whole batch.
+        # On that replay the bloom target is already committed with
+        # byte-identical content (same v{N} inputs, deterministic
+        # OR-merge) — keep the committed-versions-are-immutable
+        # discipline and skip it.
+        if not bloom_committed:
+            new_bloom.write.mode("overwrite").parquet(bloom_target)
         corpus_fps.unionByName(admitted.select("_fp")).write.mode(
             "overwrite"
         ).parquet(fps_target)

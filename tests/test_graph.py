@@ -159,3 +159,32 @@ def test_link_prediction_topk_is_distributed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_link_prediction_ra_canonicalizes_dirty_edges(spark):
+    """ADVICE r5: reversed orientations, both-orientation duplicates,
+    and self-loops must not corrupt RA — (v,u)-stored edges previously
+    escaped the one-orientation anti-join and duplicates doubled deg.
+    A dirty rendering of the path graph 1-2-3-4-5 must score exactly
+    like the canonical one."""
+    from data_pipeline_ine_spark.operators.graph import link_prediction_ra
+
+    dirty = spark.createDataFrame(
+        [
+            (2, 1),          # reversed
+            (2, 3), (3, 2),  # both orientations
+            (3, 4), (3, 4),  # duplicate
+            (5, 4),          # reversed
+            (3, 3),          # self-loop
+        ],
+        "item_a long, item_b long",
+    )
+    rows = {
+        (r["item_a"], r["item_b"]): (r["ra_e12"], r["n_common"])
+        for r in link_prediction_ra(dirty, top_k=10).collect()
+    }
+    assert rows == {
+        (1, 3): (500_000_000_000, 1),
+        (2, 4): (500_000_000_000, 1),
+        (3, 5): (500_000_000_000, 1),
+    }

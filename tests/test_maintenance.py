@@ -176,3 +176,24 @@ def test_targeted_delete_no_affected_files_copies_all(spark, tmp_path):
         "files_total": 4, "files_rewritten": 0, "rows_deleted": 0
     }
     assert spark.read.parquet(out).count() == 100
+
+
+def test_targeted_delete_hostile_path_characters(spark, tmp_path):
+    """ADVICE r5: input_file_name() returns URL-encoded URIs — a table
+    under a directory with spaces, a literal %, and non-ASCII must
+    still rewrite only the affected file and byte-copy the rest."""
+    from data_pipeline_ine_spark.sources.maintenance import targeted_delete
+
+    base = tmp_path / "rtbf año 100% raw"
+    src, out = str(base / "t"), str(base / "t_out")
+    spark.range(0, 100).withColumn("k", F.col("id")).repartition(
+        4, "id"
+    ).write.parquet(src)
+    keys = spark.createDataFrame([(7,), (13,)], "k long")
+    stats = targeted_delete(spark, src, out, keys, "k")
+    assert stats["files_total"] >= 2
+    assert stats["rows_deleted"] == 2
+    assert 1 <= stats["files_rewritten"] < stats["files_total"]
+    left = spark.read.parquet(out)
+    assert left.count() == 98
+    assert left.filter(F.col("k").isin(7, 13)).count() == 0

@@ -239,3 +239,32 @@ def test_bloom_probe_broadcasts_filter(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_string_keys_hash_instead_of_nulling(spark):
+    """ADVICE r5: a string key column used to be silently
+    cast('bigint') → NULL, collapsing every string key into one cell.
+    String keys now fold through md5 and estimates keep the one-sided
+    CMS guarantee (est >= exact, exact here with no collisions)."""
+    import pytest
+
+    from data_pipeline_ine_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [("alpha",)] * 7 + [("beta",)] * 3 + [("gamma",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    sketch = cms_build(df, "k")
+    est = {
+        r.k: r.cms_count
+        for r in cms_estimate(sketch, df.select("k").distinct(), "k").collect()
+    }
+    assert est["alpha"] >= 7 and est["beta"] >= 3 and est["gamma"] >= 1
+    # distinct strings land in distinct cells here: estimates are exact
+    assert sum(est.values()) == 11
+
+    # non-hashable key types fail loudly instead of returning garbage
+    bad = spark.createDataFrame([(1.5,)], "k double")
+    with pytest.raises(ValueError, match="unsupported type"):
+        cms_build(bad, "k")

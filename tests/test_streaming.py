@@ -1194,3 +1194,103 @@ def test_stream_exact_dedup_replay_is_exactly_once(spark, tmp_path):
     # simulate checkpoint loss: everything replays with the same ids
     run("ckpt2")
     assert fingerprint() == before
+
+
+def test_stream_exact_dedup_survives_bloom_ahead_crash(spark, tmp_path):
+    """ADVICE r5 (medium): crash AFTER the bloom v{N+1} commit but
+    BEFORE the fps v{N+1} commit — the discipline's own target window.
+    The replay must not read the bloom path it is about to overwrite
+    (pre-fix: Spark 'Cannot overwrite a path that is also being read
+    from' on every restart); with the lock-step as-of read it replays
+    the batch against the v{N} state pair, skips the already-committed
+    bloom write, and converges to exactly the healthy end state."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.operators.sketches import bloom_build
+    from data_pipeline_ine_spark.streaming.cdc import write_base_snapshot
+    from data_pipeline_ine_spark.streaming.dedup import stream_exact_dedup
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    empty = spark.createDataFrame([], schema)
+    write_base_snapshot(
+        empty.select(F.md5("text").alias("_fp")), f"{state}/fps"
+    )
+    write_base_snapshot(
+        bloom_build(empty.withColumn("_g", F.lit("corpus")), "text",
+                    group_col="_g"),
+        f"{state}/bloom",
+    )
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, rows in enumerate([[(1, "a"), (2, "b")], [(3, "a"), (4, "c")]]):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }),
+            land / f"b{i}.parquet",
+        )
+
+    def run(ckpt):
+        q = stream_exact_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            state, str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+
+    def fingerprint():
+        # content-level: the fps v2 rewrite mints fresh part-file UUIDs,
+        # so key by version dir and compare sorted content hashes
+        sums = {}
+        for sub in ("fps", "bloom", "admitted"):
+            for root, _, files in os.walk(os.path.join(state, sub)):
+                hashes = sorted(
+                    hashlib.md5(
+                        open(os.path.join(root, f), "rb").read()
+                    ).hexdigest()
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+                if hashes:
+                    sums[os.path.relpath(root, state)] = hashes
+        return sums
+
+    run("ckpt1")
+    healthy = fingerprint()
+
+    # surgically reopen the crash window: bloom v2 committed, fps v2 not
+    shutil.rmtree(os.path.join(state, "fps", "v2"))
+    assert os.path.exists(os.path.join(state, "bloom", "v2", "_SUCCESS"))
+
+    run("ckpt2")  # full source replay with the same batch ids
+    assert fingerprint() == healthy
+
+
+def test_exact_dedup_batch_drops_null_text(spark):
+    """ADVICE r5: md5(NULL) is NULL — pre-fix, NULL-text docs were
+    admitted in EVERY batch (the anti-join confirm can't match NULL)
+    and NULL fingerprints accumulated in state. They are now dropped at
+    the door."""
+    from data_pipeline_ine_spark.operators.sketches import bloom_build
+    from data_pipeline_ine_spark.streaming.dedup import exact_dedup_batch
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    fps = empty.select(F.md5("text").alias("_fp"))
+    bloom = bloom_build(
+        empty.withColumn("_g", F.lit("corpus")), "text", group_col="_g"
+    )
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], schema
+    )
+    admitted = exact_dedup_batch(batch, fps, bloom)
+    rows = admitted.collect()
+    assert sorted(r.doc_id for r in rows) == [1, 4]
+    assert all(r._fp is not None for r in rows)
