@@ -93,6 +93,7 @@ def grid_nn_join(
     point_xy: tuple[str, str] = ("x", "y"),
     site_id: str = "site_id",
     site_xy: tuple[str, str] = ("x", "y"),
+    salt: int = 1,
 ) -> DataFrame:
     """Blocked spatial nearest-neighbor join: for every point, the
     nearest site within Euclidean radius ``eps`` (points with no site
@@ -113,10 +114,19 @@ def grid_nn_join(
     post-join ``d2 <= eps^2`` filter discards corner candidates that
     the coarse grid admits. Work is sum-over-cells(9*|P_c|*|S_c|) —
     density-bounded, never |P|*|S| — and the shuffle key is the cell,
-    so skew follows spatial density (saltable per-cell if one city
-    dominates). Per-point ranking is a WindowGroupLimit-pushed
-    row_number over the candidate set, tie-broken by site id.
+    so skew follows spatial density. When one cell dominates (a dense
+    city), pass ``salt > 1``: each point hashes deterministically into
+    one of ``salt`` sub-cells and the SITE side replicates ``salt``×,
+    so the hot cell's probe work spreads over ``salt`` tasks at the
+    cost of a site-side row multiplier — the standard hot-key salting
+    trade, worth it exactly when |P_hot| >> salt·|S|. The salt key
+    never touches the math: results are bit-identical for every
+    ``salt`` (pinned by test). Per-point ranking is a
+    WindowGroupLimit-pushed row_number over the candidate set,
+    tie-broken by site id.
     """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     px, py = point_xy
     sx, sy = site_xy
     cell = F.lit(float(eps))
@@ -132,6 +142,18 @@ def grid_nn_join(
         F.floor(F.col(sx).cast("double") / cell).alias("_kx"),
         F.floor(F.col(sy).cast("double") / cell).alias("_ky"),
     )
+    join_keys = ["_kx", "_ky"]
+    if salt > 1:
+        # replicate every site into all `salt` sub-cells; each point
+        # picks one deterministically — partition-placement only, the
+        # candidate set (and thus the result) is unchanged
+        s = s.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(salt)])
+            ).alias("_salt"),
+        )
+        join_keys = ["_kx", "_ky", "_salt"]
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -139,20 +161,21 @@ def grid_nn_join(
             for dy in (-1, 0, 1)
         ]
     )
-    probes = p.select(
-        "*", F.explode(offsets).alias("_o")
-    ).select(
-        "_pid",
-        "_px",
-        "_py",
+    probe_cols = [
+        F.col("_pid"),
+        F.col("_px"),
+        F.col("_py"),
         (F.floor(F.col("_px") / cell) + F.col("_o.dx")).alias("_kx"),
         (F.floor(F.col("_py") / cell) + F.col("_o.dy")).alias("_ky"),
-    )
+    ]
+    if salt > 1:
+        probe_cols.append(F.pmod(F.hash("_pid"), F.lit(salt)).alias("_salt"))
+    probes = p.select("*", F.explode(offsets).alias("_o")).select(*probe_cols)
     d2 = (F.col("_px") - F.col("_sx")) * (F.col("_px") - F.col("_sx")) + (
         F.col("_py") - F.col("_sy")
     ) * (F.col("_py") - F.col("_sy"))
     cand = (
-        probes.join(s, ["_kx", "_ky"])
+        probes.join(s, join_keys)
         .select("_pid", "_sid", d2.alias("d2"))
         .filter(F.col("d2") <= F.lit(float(eps) * float(eps)))
     )

@@ -54,6 +54,30 @@ def test_bench_final_line_fits_driver_tail_buffer():
     assert set(parsed["queries"]) == set(bench.HEADLINE)
 
 
+def test_bench_headline_membership_is_pinned():
+    """headline_total is only round-over-round comparable if the
+    HEADLINE set never drifts silently (VERDICT r5 task #4). The set is
+    recorded in tests/headline_manifest.json; changing bench.HEADLINE
+    requires updating the manifest in the same commit — a deliberate,
+    reviewable act. Every member must also still exist in the contract
+    (a renamed query would silently drop out of the bench via the
+    `if n in queries` filter)."""
+    import json
+
+    import bench
+
+    with open(
+        os.path.join(os.path.dirname(__file__), "headline_manifest.json")
+    ) as f:
+        manifest = json.load(f)["queries"]
+    assert sorted(bench.HEADLINE) == manifest, (
+        "bench.HEADLINE drifted from tests/headline_manifest.json — "
+        "update the manifest deliberately if the change is intended"
+    )
+    missing = set(bench.HEADLINE) - set(QUERIES)
+    assert missing == set(), f"HEADLINE names not in the contract: {missing}"
+
+
 def test_no_harness_hostile_output_types(spark, sf_dir):
     """The driver's hash canonicaliser cannot match DecimalType (burned
     r05: 4 value-exact queries red) or Array/Map/StructType (burned r04:

@@ -150,3 +150,33 @@ def test_grid_nn_join_plan_has_no_cartesian(spark):
     s = spark.createDataFrame([(1, 1.0, 1.0)], "site_id long, x double, y double")
     plan = grid_nn_join(p, s, eps=5.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_grid_nn_join_salt_is_result_invariant(spark):
+    """VERDICT r5 task #6: the hot-cell salt knob must change only
+    partition placement — results bit-identical for every salt, the
+    salt column present in the physical join keys when salt > 1."""
+    import random
+
+    from data_pipeline_ine_spark.operators.layout import grid_nn_join
+
+    rng = random.Random(7)
+    # one dominating cell: 300 points in [0, 1)^2 with eps = 1.0
+    pts = [(i, rng.random(), rng.random()) for i in range(300)]
+    sites = [(j, rng.random() * 3, rng.random() * 3) for j in range(20)]
+    p = spark.createDataFrame(pts, "point_id long, x double, y double")
+    s = spark.createDataFrame(sites, "site_id long, x double, y double")
+
+    base = grid_nn_join(p, s, eps=1.0)
+    salted = grid_nn_join(p, s, eps=1.0, salt=8)
+    diff = base.exceptAll(salted).count() + salted.exceptAll(base).count()
+    assert diff == 0
+    assert base.count() > 0
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="salt"):
+        grid_nn_join(p, s, eps=1.0, salt=0)
