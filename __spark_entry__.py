@@ -6204,7 +6204,9 @@ def q_nb_source_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_predict(feats, priors, lik)
 
 
-ORACLE_NB = (
+# NB model CTEs (tokenize → hashed features → trained model) shared by
+# the prediction oracle and the decile-lift oracle.
+_NB_MODEL_CTE = (
     r"""
 WITH toks AS (
   SELECT doc_id,
@@ -6237,7 +6239,12 @@ WITH toks AS (
                    / CAST((SELECT COUNT(*) FROM lab) AS DOUBLE)) * 1e12
                + 0.5) AS BIGINT) AS nlp_prior
   FROM lab GROUP BY 1
-), ll AS (
+)
+"""
+).replace("HEX_FOLD", _HEX12.format(h="md5(tok)"))
+
+ORACLE_NB = _NB_MODEL_CTE + r"""
+, ll AS (
   SELECT f.doc_id, k.label, SUM(f.tf * k.nlp) AS s
   FROM feats f JOIN lik k USING (bucket)
   GROUP BY 1, 2
@@ -6250,7 +6257,6 @@ WITH toks AS (
 )
 SELECT doc_id, label AS predicted, score_e12 FROM sc WHERE rk = 1
 """
-).replace("HEX_FOLD", _HEX12.format(h="md5(tok)"))
 
 
 def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7006,6 +7012,308 @@ FROM events GROUP BY 2
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions: curation/privacy/eval operators
+# ---------------------------------------------------------------------------
+def q_dup_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware loss weights (operators/dedup.py::
+    dup_weighted_docs) — the soft-dedup alternative: every doc kept,
+    weighted ``10^6 div family_size`` so an n-times-duplicated document
+    contributes one document of training signal. One fingerprint
+    groupBy + one fp-keyed join back; same md5 fingerprint as
+    exact_dup_groups."""
+    from data_pipeline_ine_spark.operators.dedup import dup_weighted_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_weighted_docs(docs).select("doc_id", "n_copies", "weight_e6")
+
+
+ORACLE_DUP_WEIGHTED = r"""
+WITH fp AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM documents
+), s AS (
+  SELECT f, COUNT(*) AS n_copies FROM fp GROUP BY 1
+)
+SELECT fp.doc_id, s.n_copies,
+  CAST(1000000 // s.n_copies AS BIGINT) AS weight_e6
+FROM fp JOIN s USING (f)
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit (operators/dedup.py::
+    split_leakage): near-dup pairs (LSH candidates, exact Jaccard >=
+    0.5) tagged with both docs' split_assign buckets — off-diagonal
+    rows are eval-set leakage. The audit every held-out number needs
+    before it can be believed."""
+    from data_pipeline_ine_spark.operators.dedup import split_leakage
+    from data_pipeline_ine_spark.operators.sampling import split_assign
+
+    docs = _docs_parallel(spark, sf_dir)
+    return split_leakage(split_assign(docs, "doc_id"))
+
+
+ORACLE_SPLIT_LEAKAGE = (
+    _MINHASH_CTE
+    + r"""
+, d AS (
+  SELECT doc_id, list_distinct(shingles) AS sh, bands FROM banded
+), e AS (
+  SELECT doc_id, sh, UNNEST(bands) AS band_hash FROM d
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM e a JOIN e b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), jac AS (
+  SELECT p.a_id, p.b_id
+  FROM pairs p
+  JOIN d da ON da.doc_id = p.a_id
+  JOIN d db ON db.doc_id = p.b_id
+  WHERE ROUND(len(list_intersect(da.sh, db.sh))
+        / GREATEST(len(list_distinct(list_concat(da.sh, db.sh))), 1), 6)
+        >= 0.5
+), spl AS (
+  SELECT doc_id,
+    CASE WHEN bucket < 80 THEN 'train'
+         WHEN bucket < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, (SPLIT_FOLD % 100) AS bucket FROM documents
+  )
+), x AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b
+  FROM jac
+  JOIN spl sa ON sa.doc_id = jac.a_id
+  JOIN spl sb ON sb.doc_id = jac.b_id
+)
+SELECT split_a, split_b, COUNT(*) AS n_pairs FROM x GROUP BY 1, 2
+"""
+).replace(
+    "SPLIT_FOLD", _HEX12.format(h="md5('split:' || CAST(doc_id AS VARCHAR))")
+)
+
+
+def q_source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level trigram diversity per source (operators/text.py::
+    source_ngram_diversity) — the mode-collapse / templated-source
+    detector: per-doc stats look normal while the SOURCE repeats
+    itself. Map-side n-gram build, (source, ngram) partial-agg bounded
+    by observed vocabulary, |sources|-row output."""
+    from data_pipeline_ine_spark.operators.text import source_ngram_diversity
+
+    docs = _docs_parallel(spark, sf_dir)
+    return source_ngram_diversity(docs)
+
+
+ORACLE_NGRAM_DIVERSITY = r"""
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), g AS (
+  SELECT source,
+    unnest(list_transform(range(1, len(toks) - 2 + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ngram
+  FROM t WHERE len(toks) >= 3
+), c AS (
+  SELECT source, ngram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / GREATEST(SUM(cnt), 1), 6) AS diversity
+FROM c GROUP BY source
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (operators/quality.py::
+    k_anonymity_audit): equivalence classes over the quasi-identifiers
+    (lang, source, n_chars div 50) smaller than k=5 — the classes an
+    attacker can re-identify by joining public attributes. One hash
+    aggregate; risk-sized output."""
+    from data_pipeline_ine_spark.operators.quality import k_anonymity_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 50").alias("chars_bucket")
+    )
+    return k_anonymity_audit(docs, ["lang", "source", "chars_bucket"], k=5)
+
+
+ORACLE_K_ANONYMITY = """
+SELECT lang, source, n_chars // 50 AS chars_bucket,
+  CAST(COUNT(*) AS BIGINT) AS class_size
+FROM documents GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+"""
+
+
+def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user mode (operators/aggregates.py::
+    mode_per_group): most frequent event_type, smallest value on ties —
+    a total order, so every engine returns the identical row. Two hash
+    aggregates on the same key prefix, no windows."""
+    from data_pipeline_ine_spark.operators.aggregates import mode_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return mode_per_group(ev, ["user_id"], "event_type")
+
+
+ORACLE_MODAL_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS modal_event_type,
+  CAST(cnt AS BIGINT) AS n_modal
+FROM r WHERE rk = 1
+"""
+
+
+def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key pseudonymization (operators/text.py::
+    pseudonymize): user ids replaced by salted md5 tokens that keep
+    join-ability and longitudinal structure — proven here by grouping
+    events on the PSEUDONYM and matching the per-user counts the raw
+    id would give. Narrow map + one aggregate."""
+    from data_pipeline_ine_spark.operators.text import pseudonymize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return pseudonymize(ev, "user_id").groupBy("pseudo_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+ORACLE_PSEUDONYMIZE = """
+SELECT md5('pseud:' || CAST(user_id AS VARCHAR)) AS pseudo_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per active day
+    (operators/timeseries.py::rolling_distinct_users) — rolling WAU.
+    Distinct-over-a-sliding-frame via contribution explosion on the
+    (user, day)-deduped activity table: the explode multiplies
+    activity grain by 7, never raw events."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct_users(ev, "ts", "user_id", window_days=7)
+
+
+ORACLE_ROLLING_7D = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+), x AS (
+  SELECT ud.user_id, days.d AS day
+  FROM ud JOIN days ON days.d BETWEEN ud.d AND ud.d + 6
+)
+SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+FROM x GROUP BY 1
+"""
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the NB source classifier
+    (operators/classify.py::decile_lift): docs ranked by the 'src0'
+    class score (two-pass distributed rank — never a one-task window),
+    cut into 10 equal-count bins by integer arithmetic; per bin the
+    positive rate and lift vs base rate in fixed-point — the standard
+    is-this-ranking-worth-anything eval for curation classifiers."""
+    from data_pipeline_ine_spark.operators.classify import decile_lift, nb_train
+    from data_pipeline_ine_spark.operators.text import hashed_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    feats = hashed_features(docs, n_buckets=64).localCheckpoint(eager=False)
+    labels = docs.select("doc_id", F.col("source").alias("label"))
+    priors, lik = nb_train(feats, labels, n_buckets=64)
+    s0 = lik.filter(F.col("label") == "src0").drop("label")
+    p0 = priors.filter(F.col("label") == "src0").drop("label")
+    scored = (
+        feats.join(F.broadcast(s0), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("nlp_e12")).alias("_ll"))
+        .crossJoin(F.broadcast(p0))
+        .select(
+            "doc_id", (F.col("_ll") + F.col("nlp_prior_e12")).alias("score_e12")
+        )
+    )
+    truth = docs.select(
+        "doc_id",
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_pos"),
+    )
+    return decile_lift(scored.join(truth, "doc_id"), "score_e12", "is_pos")
+
+
+ORACLE_DECILE_LIFT = _NB_MODEL_CTE + r"""
+, s0 AS (
+  SELECT f.doc_id,
+    CAST(SUM(f.tf * k.nlp)
+         + (SELECT nlp_prior FROM pri WHERE label = 'src0') AS BIGINT)
+      AS score
+  FROM feats f JOIN lik k USING (bucket)
+  WHERE k.label = 'src0'
+  GROUP BY 1
+), tr AS (
+  SELECT s0.doc_id, s0.score,
+    CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS pos
+  FROM s0 JOIN documents d USING (doc_id)
+), rk AS (
+  SELECT doc_id, pos,
+    row_number() OVER (ORDER BY score, doc_id) AS r,
+    COUNT(*) OVER () AS nt,
+    SUM(pos) OVER () AS pt
+  FROM tr
+), b AS (
+  SELECT ((r - 1) * 10 // nt) + 1 AS bin, pos, nt, pt FROM rk
+)
+SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(pos) AS BIGINT) AS n_pos,
+  CAST(1000000 * SUM(pos) // COUNT(*) AS BIGINT) AS pos_rate_e6,
+  CAST(1000000 * SUM(pos) * MIN(nt) // (COUNT(*) * MIN(pt)) AS BIGINT)
+    AS lift_e6
+FROM b GROUP BY bin
+"""
+
+
+def q_user_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dormancy signal (operators/timeseries.py::
+    user_max_gap): longest silence between consecutive events in whole
+    engine-exact seconds (NTZ field arithmetic), single-event users at
+    0. One user-partitioned lag window + one aggregate sharing the
+    exchange."""
+    from data_pipeline_ine_spark.operators.timeseries import user_max_gap
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_max_gap(ev)
+
+
+ORACLE_USER_MAX_GAP = """
+WITH g AS (
+  SELECT user_id,
+    CAST(epoch(date_trunc('second', ts))
+         - lag(epoch(date_trunc('second', ts))) OVER (
+             PARTITION BY user_id
+             ORDER BY date_trunc('second', ts), event_id)
+      AS BIGINT) AS gap
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_s
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -7037,6 +7345,16 @@ _CHECK_ORDER = [
     "ivm_moments",
     "poisson_bootstrap",
     "cascade_rollup",
+    # new in r06 — no driver evidence yet
+    "dup_weighted_docs",
+    "split_leakage",
+    "source_ngram_diversity",
+    "k_anonymity",
+    "modal_event_type",
+    "pseudonymize_users",
+    "rolling_7d_users",
+    "decile_lift",
+    "user_max_gap",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -7403,6 +7721,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_signature": q_video_signature,
         "audio_signature": q_audio_signature,
         "cascade_rollup": q_cascade_rollup,
+        "dup_weighted_docs": q_dup_weighted_docs,
+        "split_leakage": q_split_leakage,
+        "source_ngram_diversity": q_source_ngram_diversity,
+        "k_anonymity": q_k_anonymity,
+        "modal_event_type": q_modal_event_type,
+        "pseudonymize_users": q_pseudonymize_users,
+        "rolling_7d_users": q_rolling_7d_users,
+        "decile_lift": q_decile_lift,
+        "user_max_gap": q_user_max_gap,
     })
 
 
@@ -7587,4 +7914,13 @@ def oracle_sql() -> dict[str, str]:
         "video_signature": ORACLE_VIDEO_SIGNATURE,
         "audio_signature": ORACLE_AUDIO_SIGNATURE,
         "cascade_rollup": ORACLE_CASCADE_ROLLUP,
+        "dup_weighted_docs": ORACLE_DUP_WEIGHTED,
+        "split_leakage": ORACLE_SPLIT_LEAKAGE,
+        "source_ngram_diversity": ORACLE_NGRAM_DIVERSITY,
+        "k_anonymity": ORACLE_K_ANONYMITY,
+        "modal_event_type": ORACLE_MODAL_EVENT,
+        "pseudonymize_users": ORACLE_PSEUDONYMIZE,
+        "rolling_7d_users": ORACLE_ROLLING_7D,
+        "decile_lift": ORACLE_DECILE_LIFT,
+        "user_max_gap": ORACLE_USER_MAX_GAP,
     })

@@ -73,3 +73,34 @@ def percentile_summary(
         fn(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}") for p in percentiles
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def mode_per_group(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent value, ties
+    broken by the smallest value — the categorical summary statistic
+    (typical event type per user, dominant language per domain, modal
+    flag per station) with a total order, so any engine returns the
+    identical row.
+
+    Scale shape: one (group, value) count aggregate, then ONE more
+    group-keyed aggregate taking ``min(struct(-count, value))`` — the
+    argmin trick keeps it a pure hash aggregate: no window, no sort,
+    no per-group row explosion. Both shuffles hash-partition on the
+    group prefix, so AQE folds them into one exchange where
+    partitioning already matches.
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    best = counts.groupBy(*group_cols).agg(
+        F.min(F.struct((-F.col("_cnt")).alias("nc"), F.col(value_col))).alias(
+            "_b"
+        )
+    )
+    return best.select(
+        *group_cols,
+        F.col("_b")[value_col].alias(f"modal_{value_col}"),
+        (-F.col("_b")["nc"]).cast("bigint").alias("n_modal"),
+    )

@@ -120,3 +120,71 @@ def nb_predict(
         F.col("b")[label_col].alias("predicted"),
         F.col("b")["score_e12"].alias("score_e12"),
     )
+
+
+def decile_lift(
+    scored: DataFrame,
+    score_col: str,
+    pos_col: str,
+    id_col: str = "doc_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile lift table — the standard model-quality report for a
+    ranking classifier (here: rank docs by a class's NB score, ask how
+    concentrated the true positives are in the top deciles; lift@1
+    far above 1.0 = the ranking works, ~1.0 = it's noise).
+
+    ``scored`` carries one row per example with ``score_col`` (lower =
+    more positive, the neg-log convention of ``nb_predict``) and
+    integer ``pos_col`` in {0,1}. Rows are globally ranked by
+    ``(score, id)`` (total order), cut into ``n_bins`` equal-count
+    bins by integer arithmetic ``(rank-1)*n_bins div N``, and each bin
+    reports size, positives, and fixed-point rates:
+    ``pos_rate_e6 = 1e6*pos/n`` and ``lift_e6 = 1e6*pos*N/(n*P)`` —
+    all truncating integer division over non-negative operands, so
+    Spark ``div`` and DuckDB ``//`` agree digit-for-digit.
+
+    Scale shape: the global rank is the two-pass distributed rank
+    (``sampling.two_pass_rank`` — never a one-task window); totals N
+    and P ride a 1-row broadcast cross join; the final aggregate is
+    n_bins rows.
+    """
+    from data_pipeline_ine_spark.operators.sampling import two_pass_rank
+
+    ranked = two_pass_rank(
+        scored.select(id_col, score_col, pos_col),
+        [score_col, id_col],
+        out_col="_rank",
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("_n_total"),
+        F.sum(pos_col).cast("bigint").alias("_n_pos_total"),
+    )
+    binned = ranked.crossJoin(F.broadcast(totals)).select(
+        F.expr(f"CAST((_rank - 1) * {n_bins} div _n_total AS INT) + 1").alias(
+            "bin"
+        ),
+        F.col(pos_col).alias("_pos"),
+        "_n_total",
+        "_n_pos_total",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_pos").cast("bigint").alias("n_pos"),
+            F.min("_n_total").alias("_nt"),
+            F.min("_n_pos_total").alias("_pt"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("CAST(1000000 AS BIGINT) * n_pos div n").alias(
+                "pos_rate_e6"
+            ),
+            F.expr(
+                "CAST(1000000 AS BIGINT) * n_pos * _nt div (n * _pt)"
+            ).alias("lift_e6"),
+        )
+    )

@@ -814,3 +814,82 @@ def near_dup_survivors(
         F.broadcast(comp.select(id_col)), id_col, "left_anti"
     ).withColumn("group_size", F.lit(1).cast("bigint"))
     return untouched.unionByName(kept_clustered)
+
+
+def dup_weighted_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplication-aware loss weights: every doc keeps its row, tagged
+    with its exact-duplicate family size and ``weight_e6 = 10^6 / size``
+    (integer fixed-point, truncating division — non-negative, so Spark
+    ``div`` and DuckDB ``//`` agree).
+
+    The soft alternative to hard dedup used by several pretraining
+    recipes: instead of dropping copies, down-weight each so a document
+    duplicated n times contributes ~one document of gradient signal.
+    Cluster identity is the same normalized-text fingerprint as
+    ``exact_dup_groups`` (engine-invariant md5).
+
+    Scale shape: ONE fingerprint groupBy (count per family) + one
+    fp-keyed join back — both shuffles on the same key, and AQE
+    coalesces the tiny family-count side; never a self-join.
+    """
+    from data_pipeline_ine_spark.operators.text import fingerprint
+
+    fp = df.withColumn("fp", fingerprint(text_col))
+    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return fp.join(sizes, "fp").select(
+        id_col,
+        "n_copies",
+        F.expr("CAST(1000000 AS BIGINT) div n_copies").alias("weight_e6"),
+    )
+
+
+def split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Train/val/test contamination audit: near-duplicate pairs that
+    CROSS split boundaries — the leakage every eval pipeline must prove
+    absent before trusting held-out numbers (a val doc near-duplicating
+    a train doc inflates the score without generalization).
+
+    Input must carry ``split_col`` (e.g. from ``sampling.split_assign``).
+    Returns one row per ordered split pair ``(split_a, split_b,
+    n_pairs)`` with ``split_a <= split_b``: the diagonal rows are
+    benign in-split duplication, every off-diagonal row is leakage.
+
+    Scale shape: the pair generation is the banded-LSH candidate path
+    (never all-pairs); splits attach via two id-keyed joins against the
+    (id, split) projection — at 100 TB, the same cost class as the
+    dedup sweep the pipeline already runs.
+    """
+    pairs = jaccard_candidate_pairs(docs, id_col=id_col, **minhash_kwargs)
+    pairs = pairs.filter(F.col("jaccard") >= F.lit(threshold))
+    s = docs.select(F.col(id_col), F.col(split_col))
+    tagged = (
+        pairs.join(
+            s.select(
+                F.col(id_col).alias("a_id"),
+                F.col(split_col).alias("_sa"),
+            ),
+            "a_id",
+        )
+        .join(
+            s.select(
+                F.col(id_col).alias("b_id"),
+                F.col(split_col).alias("_sb"),
+            ),
+            "b_id",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+    )
+    return tagged.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

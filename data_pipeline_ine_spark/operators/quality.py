@@ -362,3 +362,27 @@ def ks_drift(
             F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
         ).cast("bigint").alias("ks_num"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity risk audit: equivalence classes over the
+    quasi-identifier columns whose size is below ``k`` — each is a set
+    of rows an attacker can narrow to fewer than ``k`` candidates by
+    joining public attributes (Sweeney's re-identification model). The
+    release gate for any dataset carrying indirect identifiers:
+    generalize/suppress until this returns zero rows.
+
+    Returns ``(quasi..., class_size)`` for the risky classes only,
+    NULL-safe (NULL is a value an attacker can also match on — grouped,
+    not dropped).
+
+    Scale shape: ONE hash aggregate over the quasi-identifier key +
+    a size filter; the output is risk-sized, not corpus-sized.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )

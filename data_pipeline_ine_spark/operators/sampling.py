@@ -376,3 +376,47 @@ def _ladder(h: Column) -> Column:
     for k in reversed(range(len(POISSON1_CUM_48))):
         w = F.when(h < POISSON1_CUM_48[k], k).otherwise(w)
     return w
+
+
+def two_pass_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global dense 1..N rank by ``order_cols`` (which must totally
+    order the rows — append a unique tiebreaker) WITHOUT a one-task
+    global window: the same three-step distributed rank as
+    ``deterministic_shuffle``, generalized to caller-supplied order
+    columns — range-repartition + sort, per-partition counts prefix-
+    summed into offsets, local row_number + broadcast offset add. The
+    only single-task work is the prefix sum over ~thousands of
+    partition counts.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    # localCheckpoint: counts branch and rank branch must see the SAME
+    # sampled range boundaries (see deterministic_shuffle)
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_off"),
+    ).fillna(0, subset=["_off"])
+    local = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_lr", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )

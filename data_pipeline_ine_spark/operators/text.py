@@ -1309,3 +1309,83 @@ def corpus_datacard(
             F.coalesce("dup_docs", F.lit(0)).cast("bigint").alias("dup_docs"),
         )
     )
+
+
+def source_ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level n-gram diversity per source: total n-gram
+    occurrences, distinct n-grams, and their ratio — the type-token
+    ratio lifted from document grain (``repetition_stats``) to SOURCE
+    grain. Low corpus-level diversity with normal per-doc diversity is
+    the signature of templated/synthetic/mode-collapsed sources: each
+    doc looks fine, the corpus repeats itself.
+
+    Returns ``(group, n_ngrams, n_distinct_ngrams, diversity)`` with
+    diversity = distinct/total rounded to 6 (both engines divide the
+    same exact integers).
+
+    Scale shape: tokenize + per-doc n-gram build are narrow map work;
+    the explode lands in a (group, ngram) hash aggregate whose partial
+    (map-side) combine bounds the shuffle at |sources| x |vocab^n
+    observed| — the Heaps-law vocabulary, not the corpus; the final
+    per-group rollup is |sources| rows.
+    """
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+
+    def ngrams(t: Column) -> Column:
+        # docs shorter than n tokens contribute NOTHING (empty array →
+        # explode drops the row); sequence() with start > stop would
+        # otherwise generate a DESCENDING index list and fabricate
+        # garbage n-grams
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(let_(toks, ngrams)).alias("ngram"),
+    )
+    per_gram = exploded.groupBy("grp", "ngram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy("grp").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.round(
+            F.count(F.lit(1)) / F.greatest(F.sum("cnt"), F.lit(1)), 6
+        ).alias("diversity"),
+    ).withColumnRenamed("grp", group_col)
+
+
+def pseudonymize(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "pseud:",
+    out_col: str = "pseudo_id",
+) -> DataFrame:
+    """Deterministic pseudonymization: replace an identifier column with
+    ``md5(salt || key)`` — irreversible without the salt, yet STABLE, so
+    joins, group-bys, and longitudinal analyses still line up across
+    tables and runs (the property plain row-dropping anonymization
+    destroys). The companion to ``pii_redaction``: redaction cleans
+    free text, pseudonymization cleans keys.
+
+    Narrow map-side projection — zero shuffles; same salt => same
+    mapping in any engine (portable md5).
+    """
+    return df.withColumn(
+        out_col,
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+    ).drop(key_col)

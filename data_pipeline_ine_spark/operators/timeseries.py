@@ -691,3 +691,80 @@ def cascade_rollup(
     for fr in frames[1:]:
         result = result.unionByName(fr)
     return result
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-N-day DISTINCT user count per active day (rolling
+    WAU/MAU). Distinct-over-a-sliding-frame is NOT a window function in
+    any SQL engine — the standard exact formulation is contribution
+    explosion: dedupe to (user, day) grain, then each pair contributes
+    to its own day and the next ``window_days - 1`` days; one
+    count-distinct per target day finishes it. Only days that are
+    themselves active emit a row (a day with zero events has no
+    business reading as "N users active").
+
+    Scale shape: the (user, day) dedupe collapses the corpus to
+    activity grain FIRST, so the explode multiplies the small deduped
+    table by window_days — a bounded constant — never the raw event
+    count; the final aggregate shuffles (day, user) pairs once. At
+    100 TB of events with bounded daily actives, every stage is
+    activity-sized.
+    """
+    ud = df.select(
+        F.col(user_col).alias("_u"),
+        F.to_date(ts_col).alias("_d"),
+    ).distinct()
+    days = ud.select("_d").distinct()
+    contrib = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), window_days - 1),
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.join(days.withColumnRenamed("_d", "day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("_u").alias(f"users_{window_days}d"))
+    )
+
+
+def user_max_gap(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user maximum inter-event gap in whole seconds — the dormancy
+    / churn-risk signal (a user whose longest silence exceeds the
+    product's habit loop is churning regardless of total volume).
+    Single-event users emit ``max_gap_s = 0`` (no gap observed), never
+    NULL, so downstream thresholds need no null-handling.
+
+    Engine-exact: gaps are integer second differences of the NTZ
+    field-arithmetic epoch (operators/joins.py::_ntz_epoch_seconds) —
+    no timezone, no float. One user-partitioned lag window ordered by
+    (ts, tiebreak) + one user aggregate; both hash on the user key, so
+    the sort-window and the aggregate share a single exchange.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.operators.joins import _ntz_epoch_seconds
+
+    sec = _ntz_epoch_seconds(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(sec, F.col(tiebreak_col))
+    gapped = df.select(
+        F.col(user_col),
+        (sec - F.lag(sec).over(w)).alias("_gap"),
+    )
+    return gapped.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.max("_gap"), F.lit(0)).cast("bigint").alias("max_gap_s"),
+    )

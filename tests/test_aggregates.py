@@ -60,3 +60,19 @@ def test_union_by_name_widen_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_mode_per_group_deterministic_tiebreak(spark):
+    """Equal counts must resolve to the SMALLEST value — a total order,
+    not whichever partition answered first."""
+    from data_pipeline_ine_spark.operators.aggregates import mode_per_group
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (2, "z")],
+        "g int, v string",
+    )
+    got = {
+        r.g: (r.modal_v, r.n_modal)
+        for r in mode_per_group(df, ["g"], "v").collect()
+    }
+    assert got == {1: ("a", 2), 2: ("z", 1)}

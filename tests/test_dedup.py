@@ -377,3 +377,38 @@ def test_random_projection_preserves_relative_distances(spark, sf_dir):
         ratios[0] / med,
         ratios[-1] / med,
     )
+
+
+def test_dup_weighted_docs_weights_every_row(spark):
+    """Soft dedup: unique docs weigh 1e6, an n-family 1e6 div n; every
+    input row keeps exactly one output row."""
+    from data_pipeline_ine_spark.operators.dedup import dup_weighted_docs
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same  text"), (4, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_copies, r.weight_e6)
+            for r in dup_weighted_docs(df).collect()}
+    # whitespace-normalized fingerprint: docs 1-3 are one family
+    assert rows == {
+        1: (3, 333333), 2: (3, 333333), 3: (3, 333333), 4: (1, 1000000)
+    }
+
+
+def test_split_leakage_counts_cross_split_pairs(spark):
+    """An off-diagonal (train, val) row must appear when a near-dup
+    pair crosses the split boundary, with least/greatest ordering."""
+    from data_pipeline_ine_spark.operators.dedup import split_leakage
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, text, "train"), (2, text, "val"), (3, text + " iota", "train")],
+        "doc_id long, text string, split string",
+    )
+    got = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage(df, threshold=0.5).collect()
+    }
+    assert got.get(("train", "val"), 0) >= 1     # the leak
+    assert all(a <= b for a, b in got)

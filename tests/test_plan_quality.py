@@ -749,3 +749,59 @@ def test_value_drift_no_corpus_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mode_per_group_is_pure_hash_aggregation(spark, sf_dir):
+    """Two hash aggregates, no window, no sort: the argmin-struct trick
+    must not degrade into a per-group row_number window."""
+    df = contract.queries()["modal_event_type"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_decile_lift_never_uses_global_window(spark, sf_dir):
+    """The global rank must be the two-pass distributed rank: any
+    Window in the plan must be partitioned (a one-task global
+    row_number would funnel the corpus through one task). The model
+    and totals ride broadcasts."""
+    df = contract.queries()["decile_lift"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # every window spec must carry a partition key (here _pid,
+            # and the prefix-sum over ~1k partition counts)
+            assert "windowspecdefinition(_pid" in line or (
+                "windowspecdefinition(" in line and "_pid" in line
+            ), line
+    assert "BroadcastExchange" in plan
+
+
+def test_rolling_distinct_users_dedupes_before_explode(spark, sf_dir):
+    """The contribution explode must run over the (user, day)-deduped
+    activity table — an aggregate (the distinct) strictly below the
+    generator in the plan — so the 7x multiplier applies to activity
+    grain, not raw events."""
+    df = contract.queries()["rolling_7d_users"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    gen = plan.find("Generate explode")
+    assert gen != -1, plan
+    below = plan[gen:]
+    assert "HashAggregate" in below, "explode not fed by the dedup aggregate"
+
+
+def test_dup_weighted_family_join_builds_on_aggregate(spark, sf_dir):
+    """dup_weighted_docs: the family-size join may broadcast ONLY the
+    aggregated counts side (at 100 TB stats flip it to a same-key
+    shuffle join — also fine); what must never happen is a broadcast
+    of the raw-text scan. Assert any BroadcastExchange sits above a
+    HashAggregate, not a FileScan of text."""
+    df = contract.queries()["dup_weighted_docs"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    if "BroadcastExchange" in plan:
+        below = plan.split("BroadcastExchange", 1)[1]
+        agg_i = below.find("HashAggregate")
+        scan_i = below.find("FileScan")
+        assert agg_i != -1 and (scan_i == -1 or agg_i < scan_i), plan
+    else:
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan

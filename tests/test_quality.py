@@ -398,3 +398,19 @@ def test_ks_drift_closed_form_and_detects_shift(spark):
     # ECDF gap peaks at v=2: ref 2/4 vs cur 0/4 -> |4*2 - 4*0| = 8
     assert (r["n1"], r["n2"], r["ks_num"]) == (4, 4, 8)
     # D = 8 / (4*4) = 0.5: exactly the textbook two-sample KS here
+
+
+def test_k_anonymity_audit_flags_small_classes_null_safe(spark):
+    from data_pipeline_ine_spark.operators.quality import k_anonymity_audit
+
+    rows = (
+        [("en", "a")] * 5          # safe at k=5
+        + [("en", "b")] * 2        # risky
+        + [(None, "b")] * 1        # NULL is a matchable value: risky
+    )
+    df = spark.createDataFrame(rows, "lang string, src string")
+    got = {
+        (r.lang, r.src): r.class_size
+        for r in k_anonymity_audit(df, ["lang", "src"], k=5).collect()
+    }
+    assert got == {("en", "b"): 2, (None, "b"): 1}

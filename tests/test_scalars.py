@@ -48,3 +48,17 @@ def test_let_binds_value_once_semantically(spark):
         lambda a: F.array_max(a) * 10 + F.array_min(a),
     )
     assert _one(spark, arr) == 31
+
+
+def test_pseudonymize_is_stable_and_join_preserving(spark):
+    from data_pipeline_ine_spark.operators.text import pseudonymize
+
+    df = spark.createDataFrame([(1,), (2,), (1,)], "user_id long")
+    out = pseudonymize(df, "user_id")
+    assert "user_id" not in out.columns
+    vals = [r.pseudo_id for r in out.collect()]
+    assert len(set(vals)) == 2          # same key -> same token
+    out2 = [r.pseudo_id for r in pseudonymize(
+        spark.createDataFrame([(1,)], "user_id long"), "user_id"
+    ).collect()]
+    assert out2[0] in vals              # stable across frames/runs

@@ -308,3 +308,47 @@ def test_cascade_rollup_levels_consistent_and_exact(spark):
     for lvl, cells in by_level.items():
         assert sum(n for n, _ in cells.values()) == 4
         assert sum(t for _, t in cells.values()) == Decimal("15.75")
+
+
+def test_rolling_distinct_users_window_edges(spark):
+    """Hand-checkable 7-day WAU: users contribute for exactly 7 days,
+    only active days emit rows."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-08 09:00:00"),   # day 8: day-1 activity expired
+        (3, "2024-01-05 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    got = {
+        str(r.day): r.users_7d
+        for r in rolling_distinct_users(df, "ts", "user_id", 7).collect()
+    }
+    # active days only: 1st (u1,u2), 5th (u1,u2,u3), 8th (u3 from the
+    # 5th still in range + u1's new event; the Jan 1 events aged out)
+    assert got == {"2024-01-01": 2, "2024-01-05": 3, "2024-01-08": 2}
+
+
+def test_user_max_gap_single_event_is_zero(spark):
+    from data_pipeline_ine_spark.operators.timeseries import user_max_gap
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (1, 11, "2024-01-01 00:00:30"),
+        (1, 12, "2024-01-01 01:00:30"),  # 3600s gap = max
+        (2, 20, "2024-01-01 00:00:00"),  # single event
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    got = {r.user_id: (r.n_events, r.max_gap_s)
+           for r in user_max_gap(df).collect()}
+    assert got == {1: (3, 3600), 2: (1, 0)}
