@@ -7313,6 +7313,116 @@ FROM g GROUP BY user_id
 """
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB source classifier
+    (operators/classify.py::confusion_matrix): which sources get
+    mistaken for which — the canonical error decomposition behind any
+    accuracy number. One id join + one (truth, pred) aggregate;
+    |labels|² output."""
+    from data_pipeline_ine_spark.operators.classify import (
+        confusion_matrix,
+        nb_predict,
+        nb_train,
+    )
+    from data_pipeline_ine_spark.operators.text import hashed_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    feats = hashed_features(docs, n_buckets=64).localCheckpoint(eager=False)
+    labels = docs.select("doc_id", F.col("source").alias("label"))
+    priors, lik = nb_train(feats, labels, n_buckets=64)
+    pred = nb_predict(feats, priors, lik)
+    return confusion_matrix(pred, labels)
+
+
+ORACLE_NB_CONFUSION = ORACLE_NB.replace(
+    "SELECT doc_id, label AS predicted, score_e12 FROM sc WHERE rk = 1",
+    """SELECT t.label, s.label AS predicted,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM sc s JOIN lab t USING (doc_id)
+WHERE s.rk = 1 GROUP BY 1, 2""",
+)
+
+
+def q_nb_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the NB source classifier
+    (operators/classify.py::cohens_kappa): chance-corrected agreement —
+    the honest single-number grade for a classifier over imbalanced
+    sources, emitted as exact integers (N·A − E over N² − E) plus a
+    1e-6 fixed-point quotient."""
+    from data_pipeline_ine_spark.operators.classify import (
+        cohens_kappa,
+        nb_predict,
+        nb_train,
+    )
+    from data_pipeline_ine_spark.operators.text import hashed_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    feats = hashed_features(docs, n_buckets=64).localCheckpoint(eager=False)
+    labels = docs.select("doc_id", F.col("source").alias("label"))
+    priors, lik = nb_train(feats, labels, n_buckets=64)
+    pred = nb_predict(feats, priors, lik)
+    return cohens_kappa(pred, labels)
+
+
+ORACLE_NB_KAPPA = ORACLE_NB.replace(
+    "SELECT doc_id, label AS predicted, score_e12 FROM sc WHERE rk = 1",
+    """, j AS (
+  SELECT p.predicted, t.label
+  FROM (SELECT doc_id, label AS predicted FROM sc WHERE rk = 1) p
+  JOIN lab t USING (doc_id)
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_agree
+  FROM j
+), e AS (
+  SELECT CAST(COALESCE(SUM(nt * np), 0) AS BIGINT) AS e
+  FROM (SELECT label AS c, COUNT(*) AS nt FROM j GROUP BY 1) a
+  JOIN (SELECT predicted AS c, COUNT(*) AS np FROM j GROUP BY 1) b
+    USING (c)
+)
+SELECT n, n_agree,
+  CAST(n * n_agree - e AS BIGINT) AS kappa_num,
+  CAST(n * n - e AS BIGINT) AS kappa_den,
+  CASE WHEN n * n - e = 0 THEN NULL
+    WHEN n * n_agree - e >= 0
+      THEN CAST(1000000 * (n * n_agree - e) // (n * n - e) AS BIGINT)
+    ELSE CAST(-((1000000 * (e - n * n_agree)) // (n * n - e)) AS BIGINT)
+  END AS kappa_e6
+FROM tot, e""",
+)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (operators/sampling.py::shard_manifest):
+    the corpus in deterministic-shuffle order cut into 256-doc shards,
+    each reporting docs, rank range, and character mass — what a
+    dataloader needs to plan epochs and verify completeness. One
+    shard-keyed aggregate over the two-pass distributed rank."""
+    from data_pipeline_ine_spark.operators.sampling import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, 256, size_col="n_chars")
+
+
+ORACLE_SHARD_MANIFEST = (
+    """
+WITH rk AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY """
+    + _HEX12.format(h="md5('shuffle:' || CAST(doc_id AS VARCHAR))")
+    + """, doc_id) AS r
+  FROM documents
+)
+SELECT CAST((r - 1) // 256 AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(r) AS BIGINT) AS min_rank,
+  CAST(MAX(r) AS BIGINT) AS max_rank,
+  CAST(SUM(n_chars) AS BIGINT) AS size_sum
+FROM rk GROUP BY 1
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7355,6 +7465,9 @@ _CHECK_ORDER = [
     "rolling_7d_users",
     "decile_lift",
     "user_max_gap",
+    "nb_confusion",
+    "nb_kappa",
+    "shard_manifest",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -7730,6 +7843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7d_users": q_rolling_7d_users,
         "decile_lift": q_decile_lift,
         "user_max_gap": q_user_max_gap,
+        "nb_confusion": q_nb_confusion,
+        "nb_kappa": q_nb_kappa,
+        "shard_manifest": q_shard_manifest,
     })
 
 
@@ -7923,4 +8039,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7d_users": ORACLE_ROLLING_7D,
         "decile_lift": ORACLE_DECILE_LIFT,
         "user_max_gap": ORACLE_USER_MAX_GAP,
+        "nb_confusion": ORACLE_NB_CONFUSION,
+        "nb_kappa": ORACLE_NB_KAPPA,
+        "shard_manifest": ORACLE_SHARD_MANIFEST,
     })

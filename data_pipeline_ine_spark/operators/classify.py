@@ -188,3 +188,93 @@ def decile_lift(
             ).alias("lift_e6"),
         )
     )
+
+
+def confusion_matrix(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "predicted",
+    truth_col: str = "label",
+) -> DataFrame:
+    """Confusion matrix ``(label, predicted, n)`` — the canonical
+    classifier error decomposition (which sources get mistaken for
+    which). One id-equi join + one (truth, pred) hash aggregate;
+    output is |labels|² rows."""
+    return (
+        pred.select(id_col, pred_col)
+        .join(truth.select(id_col, truth_col), id_col)
+        .groupBy(truth_col, pred_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cohens_kappa(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "predicted",
+    truth_col: str = "label",
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two labelings
+    (classifier vs truth, annotator vs annotator). Accuracy alone
+    flatters majority-class predictors; kappa subtracts the agreement
+    two independent raters with these marginals would reach anyway:
+    ``κ = (p_o − p_e) / (1 − p_e)``.
+
+    Emitted as exact integers so any engine reproduces it digit-for-
+    digit: with N rows, A agreements, and per-class marginal products
+    ``E = Σ_c n_truth(c)·n_pred(c)``, κ = (N·A − E)/(N² − E); the row
+    carries ``(n, n_agree, kappa_num, kappa_den, kappa_e6)`` with
+    ``kappa_e6`` the 1e-6 fixed-point quotient (truncating division;
+    numerator sign handled by symmetric truncation toward zero in both
+    engines for non-negative denominators).
+
+    Scale shape: one id-equi join; agreements via one conditional
+    aggregate; marginals via two |labels|-sized aggregates joined on
+    class — everything after the join is labels-sized.
+    """
+    joined = (
+        pred.select(id_col, pred_col)
+        .join(truth.select(id_col, truth_col), id_col)
+        .localCheckpoint(eager=False)
+    )
+    totals = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col(pred_col) == F.col(truth_col), 1).otherwise(0)
+        ).cast("bigint").alias("n_agree"),
+    )
+    mt = joined.groupBy(F.col(truth_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    mp = joined.groupBy(F.col(pred_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    expected = (
+        mt.join(mp, "c", "inner")
+        .agg(F.sum(F.col("nt") * F.col("np")).alias("e"))
+        .select(F.coalesce(F.col("e"), F.lit(0)).cast("bigint").alias("e"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(expected))
+        .select(
+            "n",
+            "n_agree",
+            (F.col("n") * F.col("n_agree") - F.col("e")).alias("kappa_num"),
+            (F.col("n") * F.col("n") - F.col("e")).alias("kappa_den"),
+        )
+        .select(
+            "n",
+            "n_agree",
+            "kappa_num",
+            "kappa_den",
+            F.expr(
+                "CASE WHEN kappa_den = 0 THEN NULL "
+                "WHEN kappa_num >= 0 THEN "
+                "  CAST(1000000 AS BIGINT) * kappa_num div kappa_den "
+                "ELSE -(CAST(1000000 AS BIGINT) * (-kappa_num) div kappa_den) "
+                "END"
+            ).alias("kappa_e6"),
+        )
+    )

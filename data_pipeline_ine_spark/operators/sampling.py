@@ -420,3 +420,35 @@ def two_pass_rank(
         .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    docs_per_shard: int,
+    key_col: str = "doc_id",
+    size_col: str | None = None,
+    salt: str = "shuffle:",
+) -> DataFrame:
+    """Training-data shard manifest — the write-side final step of a
+    corpus pipeline: docs in deterministic-shuffle order are cut into
+    fixed-size shards and each shard reports ``(shard, n_docs,
+    min_rank, max_rank[, size_sum])`` — exactly what a dataloader needs
+    to plan epochs, resume mid-run, and verify completeness
+    (contiguous ranks, uniform sizes).
+
+    Shard id is ``(rank − 1) div docs_per_shard`` over
+    ``deterministic_shuffle``'s global permutation: reproducible across
+    runs/engines/partitionings, and every shard except the last has
+    exactly ``docs_per_shard`` docs by construction. One shard-keyed
+    aggregate on top of the two-pass rank; output is |shards| rows.
+    """
+    ranked = deterministic_shuffle(df, key_col=key_col, salt=salt)
+    shard = F.expr(f"CAST((shuffle_rank - 1) div {docs_per_shard} AS BIGINT)")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("shuffle_rank").alias("min_rank"),
+        F.max("shuffle_rank").alias("max_rank"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(size_col).cast("bigint").alias("size_sum"))
+    return ranked.withColumn("shard", shard).groupBy("shard").agg(*aggs)

@@ -107,6 +107,16 @@ HEAVY = [
     # bounds are distinct-instant windows, <=64 buckets, and B-way explode
     # with map-side combine, pinned by closed-form/statistical pytests)
     "corpus_datacard",
+    # round-6 corpus operators (modal_event_type / pseudonymize_users /
+    # rolling_7d_users / user_max_gap read events, which the probe
+    # doesn't scale — their bounds are two same-key hash aggregates, a
+    # narrow projection, a 7x activity-grain explode, and a single
+    # user-keyed exchange, pinned by plan tests)
+    "dup_weighted_docs",
+    "split_leakage",
+    "source_ngram_diversity",
+    "k_anonymity",
+    "decile_lift",
 ]
 
 
