@@ -1051,3 +1051,89 @@ def test_boilerplate_scrub_matches_reference_and_idempotent(spark, docs):
     )
     got2 = {r["doc_id"]: r["clean_text"] for r in again.collect()}
     assert got2 == got
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_mode_per_group_matches_counter_reference(spark, rows):
+    """mode_per_group == Counter argmax with smallest-value tiebreak,
+    on arbitrary grouped data."""
+    from collections import Counter
+
+    from data_pipeline_ine_spark.operators.aggregates import mode_per_group
+
+    df = spark.createDataFrame(
+        [(g, f"v{v}") for g, v in rows], "g long, v string"
+    )
+    got = {
+        r.g: (r.modal_v, r.n_modal)
+        for r in mode_per_group(df, ["g"], "v").collect()
+    }
+    want = {}
+    for g in {g for g, _ in rows}:
+        c = Counter(f"v{v}" for gg, v in rows if gg == g)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[g] = best
+    assert got == want
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40, unique=True),
+    parts=st.integers(1, 5),
+)
+def test_two_pass_rank_is_a_permutation_rank(spark, vals, parts):
+    """two_pass_rank assigns exactly 1..N in sorted order regardless of
+    partition count."""
+    from data_pipeline_ine_spark.operators.sampling import two_pass_rank
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(
+        parts
+    )
+    got = {
+        r.x: r.rank
+        for r in two_pass_rank(df, ["x"], num_partitions=parts).collect()
+    }
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    days=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    ),
+    w=st.integers(1, 9),
+)
+def test_rolling_distinct_matches_naive_window(spark, days, w):
+    """rolling_distinct_users == the brute-force 'distinct users in
+    [d-w+1, d]' for every active day."""
+    import datetime
+
+    from data_pipeline_ine_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(u, base + datetime.timedelta(days=d)) for u, d in days],
+        "user_id long, ts timestamp_ntz",
+    )
+    got = {
+        r.day: r[f"users_{w}d"]
+        for r in rolling_distinct_users(df, "ts", "user_id", w).collect()
+    }
+    active = sorted({d for _, d in days})
+    for d in active:
+        want = len({u for u, dd in days if d - w + 1 <= dd <= d})
+        day = (base + datetime.timedelta(days=d)).date()
+        assert got[day] == want, (d, w)
+    assert len(got) == len(active)

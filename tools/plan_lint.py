@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "key_skew_profile": "1-row total-count frame (key share)",
     "nearest_station": "98-row geo catalog all-pairs (dimension-sized)",
     "state_occupancy": "1-row data-horizon frame (open-interval clip)",
+    "decile_lift": "1-row N/P totals frame + 1-row prior frame",
+    "nb_kappa": "1-row totals and expected-agreement frames",
 }
 
 
