@@ -7423,6 +7423,109 @@ FROM rk GROUP BY 1
 )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-method CI off the Poisson bootstrap replicates
+    (operators/sampling.py::bootstrap_ci): per status, the 2nd-smallest
+    and 2nd-largest of the 32 replicate sums (~[3%, 97%] envelope) as
+    ORDER STATISTICS of exact values — no interpolation rule for
+    engines to disagree on. Completes the bootstrap machinery:
+    poisson_bootstrap proves the replicate table, this reads the
+    interval off it."""
+    from data_pipeline_ine_spark.operators.sampling import (
+        bootstrap_ci,
+        poisson_bootstrap,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    boot = poisson_bootstrap(
+        orders, "o_totalprice", "o_orderstatus", id_col="o_orderkey"
+    )
+    ci = bootstrap_ci(boot, "o_orderstatus")
+    return ci.select(
+        "o_orderstatus",
+        "n_replicates",
+        F.round(F.col("ci_lo").cast("double"), 2).alias("ci_lo"),
+        F.round(F.col("ci_hi").cast("double"), 2).alias("ci_hi"),
+    )
+
+
+ORACLE_BOOTSTRAP_CI = (
+    """
+WITH boot AS ("""
+    + ORACLE_POISSON_BOOTSTRAP
+    + """
+), r AS (
+  SELECT o_orderstatus, boot_sum,
+    row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY boot_sum ASC, replicate) AS rlo,
+    row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY boot_sum DESC, replicate) AS rhi
+  FROM boot
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_replicates,
+  MAX(CASE WHEN rlo = 2 THEN boot_sum END) AS ci_lo,
+  MAX(CASE WHEN rhi = 2 THEN boot_sum END) AS ci_hi
+FROM r GROUP BY 1
+"""
+)
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (operators/joins.py::
+    linear_attribution): each purchase's value split in equal exact-
+    cent shares across its 1-hour-lookback clicks, remainder cents to
+    the earliest touch — per-conversion attribution sums to the
+    conversion value to the cent. Candidates via the binned range join
+    (never a nested loop); complements range_click_attribution's
+    aggregate view with the per-touch ledger."""
+    from data_pipeline_ine_spark.operators.joins import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    out = linear_attribution(conv, touches)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("touch_rank").cast("int").alias("touch_rank"),
+        "attributed_cents",
+    )
+
+
+ORACLE_LINEAR_ATTRIBUTION = """
+WITH conv AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts AS click_ts, event_id AS touch_id FROM events
+  WHERE event_type = 'click'
+), c AS (
+  SELECT conv.event_id, conv.user_id, conv.value, t.click_ts, t.touch_id
+  FROM conv JOIN t USING (user_id)
+  WHERE t.click_ts >= conv.ts - INTERVAL 3600 SECOND
+    AND t.click_ts < conv.ts
+), r AS (
+  SELECT event_id, user_id,
+    CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+    row_number() OVER (PARTITION BY event_id
+                       ORDER BY click_ts, touch_id) AS touch_rank,
+    COUNT(*) OVER (PARTITION BY event_id) AS n
+  FROM c
+)
+SELECT event_id, user_id, CAST(touch_rank AS INT) AS touch_rank,
+  CAST(cents // n
+       + CASE WHEN touch_rank = 1 THEN cents % n ELSE 0 END
+    AS BIGINT) AS attributed_cents
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7468,6 +7571,8 @@ _CHECK_ORDER = [
     "nb_confusion",
     "nb_kappa",
     "shard_manifest",
+    "bootstrap_ci",
+    "linear_attribution",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -7846,6 +7951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": q_nb_confusion,
         "nb_kappa": q_nb_kappa,
         "shard_manifest": q_shard_manifest,
+        "bootstrap_ci": q_bootstrap_ci,
+        "linear_attribution": q_linear_attribution,
     })
 
 
@@ -8042,4 +8149,6 @@ def oracle_sql() -> dict[str, str]:
         "nb_confusion": ORACLE_NB_CONFUSION,
         "nb_kappa": ORACLE_NB_KAPPA,
         "shard_manifest": ORACLE_SHARD_MANIFEST,
+        "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
+        "linear_attribution": ORACLE_LINEAR_ATTRIBUTION,
     })

@@ -261,3 +261,64 @@ def interval_overlap_join(
         )
         .drop("_cell")
     )
+
+
+def linear_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    on: str = "user_id",
+    conv_id: str = "event_id",
+    conv_ts: str = "ts",
+    touch_ts: str = "click_ts",
+    touch_tiebreak: str = "touch_id",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's value is split
+    in equal exact-cent shares across every touch in its lookback
+    window, remainder cents to the EARLIEST touch — so per-conversion
+    attribution sums to the conversion value to the cent (conservation,
+    property-tested), unlike a float split that leaks pennies.
+
+    Returns one row per (conversion, touch): ``(conv_id, user, touch
+    rank, attributed_cents)``; conversions with no touch in window emit
+    nothing (they're the last-touch-unattributable bucket a marketing
+    report shows separately).
+
+    Scale shape: the candidate join is the binned ``windowed_range_join``
+    (equi-join on (key, time-bin), never key-only); the per-conversion
+    rank window and count are conversion-keyed — touch fan-in per
+    conversion is window-bounded. All arithmetic is integer cents:
+    ``share = cents div n``, ``cents mod n`` extra to rank 1.
+    ``touch_tiebreak`` (a unique touch id) makes the rank — and
+    therefore who receives the remainder — a total order.
+    """
+    cands = windowed_range_join(
+        conversions.select(conv_id, on, conv_ts, value_col),
+        touches,
+        on=on,
+        left_ts=conv_ts,
+        right_ts=touch_ts,
+        window_seconds=window_seconds,
+    )
+    w = Window.partitionBy(conv_id).orderBy(touch_ts, touch_tiebreak)
+    cents = F.round(F.col(value_col).cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    ranked = cands.select(
+        conv_id,
+        F.col(on),
+        cents.alias("_cents"),
+        F.row_number().over(w).alias("touch_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy(conv_id)).alias("_n"),
+    )
+    share = F.expr("_cents div _n")
+    rem = F.expr("_cents % _n")
+    return ranked.select(
+        conv_id,
+        F.col(on),
+        "touch_rank",
+        (
+            share + F.when(F.col("touch_rank") == 1, rem).otherwise(F.lit(0))
+        ).cast("bigint").alias("attributed_cents"),
+    )

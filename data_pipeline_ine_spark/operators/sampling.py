@@ -452,3 +452,38 @@ def shard_manifest(
     if size_col is not None:
         aggs.append(F.sum(size_col).cast("bigint").alias("size_sum"))
     return ranked.withColumn("shard", shard).groupBy("shard").agg(*aggs)
+
+
+def bootstrap_ci(
+    replicates: DataFrame,
+    group_col: str,
+    value_col: str = "boot_sum",
+    trim: int = 1,
+) -> DataFrame:
+    """Percentile-method confidence interval off a bootstrap replicate
+    table (``poisson_bootstrap``'s output): per group, the
+    ``trim+1``-th smallest and largest replicate sums — with B=32 and
+    trim=1 that is the ~[3%, 97%] envelope — as ORDER STATISTICS of
+    exact values, no quantile interpolation rule to disagree on
+    between engines.
+
+    Scale shape: the input is |groups|·B rows (tiny by construction);
+    one group-partitioned rank window each way + a group aggregate.
+    """
+    w_lo = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    w_hi = Window.partitionBy(group_col).orderBy(F.col(value_col).desc())
+    ranked = replicates.select(
+        group_col,
+        value_col,
+        F.row_number().over(w_lo).alias("_rlo"),
+        F.row_number().over(w_hi).alias("_rhi"),
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.max(
+            F.when(F.col("_rlo") == trim + 1, F.col(value_col))
+        ).alias("ci_lo"),
+        F.max(
+            F.when(F.col("_rhi") == trim + 1, F.col(value_col))
+        ).alias("ci_hi"),
+    )

@@ -1137,3 +1137,25 @@ def test_rolling_distinct_matches_naive_window(spark, days, w):
         day = (base + datetime.timedelta(days=d)).date()
         assert got[day] == want, (d, w)
     assert len(got) == len(active)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(0, 10_000), min_size=4, max_size=40, unique=True
+    ),
+)
+def test_bootstrap_ci_selects_order_statistics(spark, vals):
+    """ci_lo/ci_hi are exactly the 2nd-smallest / 2nd-largest replicate
+    values per group."""
+    from data_pipeline_ine_spark.operators.sampling import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "grp string, replicate int, boot_sum long",
+    )
+    row = bootstrap_ci(df, "grp").collect()[0]
+    s = sorted(vals)
+    assert (row.n_replicates, row.ci_lo, row.ci_hi) == (
+        len(vals), s[1], s[-2]
+    )

@@ -352,3 +352,33 @@ def test_user_max_gap_single_event_is_zero(spark):
     got = {r.user_id: (r.n_events, r.max_gap_s)
            for r in user_max_gap(df).collect()}
     assert got == {1: (3, 3600), 2: (1, 0)}
+
+
+def test_linear_attribution_conserves_cents(spark):
+    """Per-conversion attributed cents must sum EXACTLY to the
+    conversion value in cents — remainder policy, not float leakage —
+    and the remainder goes to the earliest touch."""
+    from data_pipeline_ine_spark.operators.joins import linear_attribution
+
+    conv = spark.createDataFrame(
+        [(100, 1, "2024-01-01 10:00:00", 1.00)],
+        "event_id long, user_id long, ts string, value double",
+    ).select("event_id", "user_id",
+             F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
+    touches = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:10:00", 7),
+            (1, "2024-01-01 09:20:00", 8),
+            (1, "2024-01-01 09:30:00", 9),
+        ],
+        "user_id long, click_ts string, touch_id long",
+    ).select("user_id",
+             F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+             "touch_id")
+    rows = sorted(
+        linear_attribution(conv, touches).collect(),
+        key=lambda r: r.touch_rank,
+    )
+    # 100 cents over 3 touches: 34 (33+1 remainder), 33, 33
+    assert [r.attributed_cents for r in rows] == [34, 33, 33]
+    assert sum(r.attributed_cents for r in rows) == 100
