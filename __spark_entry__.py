@@ -7526,6 +7526,50 @@ FROM r
 """
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of (quantity, extendedprice) per
+    returnflag (operators/features.py::spearman_by_group) — the robust
+    complement to grouped_correlation's Pearson: tie-averaged ranks
+    kept as exact integers (2·avg_rank is always integral), Pearson's
+    closed form over decimal-exact moment sums of those integers."""
+    from data_pipeline_ine_spark.operators.features import spearman_by_group
+
+    return spearman_by_group(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH rk AS (
+  SELECT l_returnflag,
+    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+      + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+      + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    SUM(CAST(rx2 AS DECIMAL(25,0))) AS sx,
+    SUM(CAST(ry2 AS DECIMAL(25,0))) AS sy,
+    SUM(CAST(rx2 AS DECIMAL(25,0)) * CAST(ry2 AS DECIMAL(25,0))) AS sxy,
+    SUM(CAST(rx2 AS DECIMAL(25,0)) * CAST(rx2 AS DECIMAL(25,0))) AS sxx,
+    SUM(CAST(ry2 AS DECIMAL(25,0)) * CAST(ry2 AS DECIMAL(25,0))) AS syy
+  FROM rk GROUP BY 1
+)
+SELECT l_returnflag, n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7573,6 +7617,7 @@ _CHECK_ORDER = [
     "shard_manifest",
     "bootstrap_ci",
     "linear_attribution",
+    "spearman_corr",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -7953,6 +7998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "bootstrap_ci": q_bootstrap_ci,
         "linear_attribution": q_linear_attribution,
+        "spearman_corr": q_spearman_corr,
     })
 
 
@@ -8151,4 +8197,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": ORACLE_SHARD_MANIFEST,
         "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
         "linear_attribution": ORACLE_LINEAR_ATTRIBUTION,
+        "spearman_corr": ORACLE_SPEARMAN,
     })

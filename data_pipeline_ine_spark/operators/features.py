@@ -511,3 +511,38 @@ def log2_histogram(
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson on tie-averaged
+    ranks, the robust/monotonic complement to ``grouped_corr`` (outlier
+    prices can't drag it, and any monotone nonlinearity scores 1).
+
+    Engine-exactness: the tie-averaged rank ``(2·min_rank + ties − 1)/2``
+    is kept as the INTEGER ``2·avg_rank = 2·rank() + count(ties) − 1``
+    (rank() is the tie-group's min position, so the doubled average is
+    always integral); the five Pearson moment sums over these integers
+    accumulate as decimals — exact, order-invariant — and only the final
+    closed form runs in doubles, deterministically from exact inputs.
+
+    Scale shape: two group-partitioned rank windows (one per variable,
+    same partition key — one exchange) + the single moment aggregate of
+    ``grouped_corr``. Never a global window.
+    """
+    from pyspark.sql import Window
+
+    gx = Window.partitionBy(*group_cols).orderBy(F.col(x_col))
+    gy = Window.partitionBy(*group_cols).orderBy(F.col(y_col))
+    tx = Window.partitionBy(*group_cols, x_col)
+    ty = Window.partitionBy(*group_cols, y_col)
+    ranked = df.select(
+        *group_cols,
+        (2 * F.rank().over(gx) + F.count(F.lit(1)).over(tx) - 1).alias("_rx2"),
+        (2 * F.rank().over(gy) + F.count(F.lit(1)).over(ty) - 1).alias("_ry2"),
+    )
+    return grouped_corr(ranked, "_rx2", "_ry2", group_cols, scale=0)

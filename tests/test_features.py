@@ -178,3 +178,28 @@ def test_log2_histogram_buckets_exact_boundaries(spark):
     assert got[9] == (256, 511, 1)         # 256
     assert got[0] == (0, 0, 2)             # 0.0 and -3.5
     assert got[1] == (1, 1, 1)             # 1 cent
+
+
+def test_spearman_by_group_closed_form(spark):
+    """Perfect monotone (nonlinear) relation scores 1.0; perfect
+    inverse scores -1.0; ties average correctly (scipy-checkable hand
+    case)."""
+    from data_pipeline_ine_spark.operators.features import spearman_by_group
+
+    mono = [(i, float(i), float(i * i)) for i in range(1, 11)]
+    inv = [(i, float(i), float(-i)) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        [("m", *r[1:]) for r in mono] + [("i", *r[1:]) for r in inv],
+        "g string, x double, y double",
+    )
+    got = {r.g: r.corr for r in spearman_by_group(df, "x", "y", ["g"]).collect()}
+    assert got == {"m": 1.0, "i": -1.0}
+
+    # tie case: x = [1,1,2], y = [1,2,3] -> rank_x = [1.5,1.5,3],
+    # rank_y = [1,2,3]; Pearson of those = 0.866025
+    tie = spark.createDataFrame(
+        [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)],
+        "g string, x double, y double",
+    )
+    row = spearman_by_group(tie, "x", "y", ["g"]).collect()[0]
+    assert abs(row.corr - 0.866025) < 1e-6
