@@ -303,3 +303,139 @@ def stream_maintain_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_maintain_rolling_wau(
+    events_stream: DataFrame,
+    activity_dir: str,
+    wau_dir: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+):
+    """Continuously-maintained rolling WAU (trailing ``window_days``
+    distinct users per active day) under an event stream — the
+    streaming shape of ``operators/timeseries.py::
+    rolling_distinct_users``, maintained like a hypertable continuous
+    aggregate: per batch, only the CALENDAR WINDOW the batch touches is
+    recomputed.
+
+    Per micro-batch:
+
+    1. the batch reduces to its distinct (user, day) pairs; pairs
+       already in the activity state are dropped (idempotent under
+       replays and duplicate events),
+    2. genuinely-new pairs advance the activity chain to v{N+1},
+    3. the affected target days — each new pair's day plus the next
+       ``window_days − 1`` — are recomputed against activity RESTRICTED
+       to ``[min(affected) − window, max(affected)]`` (steady-state
+       arrivals are recent, so this is a bounded recent slice, never
+       history), and spliced into the stored WAU by anti-join + union.
+
+    Crash-safety is the version-matched discipline of
+    ``stream_maintain_aggregate``: WAU v{N+1} commits first, activity
+    v{N+1} last; the stored WAU is read AT the activity chain's version
+    so a crash between the two commits replays the batch against the
+    exact state pair the original run saw. Distinct-day counts make the
+    splice idempotent (recomputing an already-recomputed day yields the
+    same rows).
+
+    Scale shape: batch dedup is batch-sized; the anti-join probes the
+    activity table on its (user, day) key; the recompute scans only the
+    touched calendar slice of activity; the WAU splice is
+    affected-days-sized against a days-cardinality table.
+    """
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        act_target = os.path.join(activity_dir, f"v{batch_id + 1}")
+        wau_target = os.path.join(wau_dir, f"v{batch_id + 1}")
+        if os.path.exists(
+            os.path.join(act_target, "_SUCCESS")
+        ) and os.path.exists(os.path.join(wau_target, "_SUCCESS")):
+            return
+        current = latest_snapshot(spark, activity_dir)
+        if current is None:
+            raise RuntimeError(
+                f"{activity_dir} has no base snapshot — call "
+                "write_base_snapshot before starting the stream"
+            )
+        act_version = _versions(activity_dir)[-1][0]
+        wau_match = [p for v, p in _versions(wau_dir) if v == act_version]
+        if not wau_match:
+            raise RuntimeError(
+                f"{wau_dir} has no version v{act_version} matching the "
+                "activity chain — seed both with write_base_snapshot"
+            )
+        stored_wau = spark.read.parquet(wau_match[0])
+
+        pairs = (
+            batch_df.select(
+                F.col(user_col).alias("user_id"),
+                F.to_date(ts_col).alias("day"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        new_pairs = pairs.join(
+            current, ["user_id", "day"], "left_anti"
+        ).localCheckpoint()
+        new_activity = current.unionByName(new_pairs).localCheckpoint()
+
+        affected = (
+            new_pairs.select(
+                F.explode(
+                    F.sequence(
+                        F.col("day"), F.date_add(F.col("day"), window_days - 1)
+                    )
+                ).alias("day")
+            )
+            .distinct()
+            .join(new_activity.select("day").distinct(), "day", "left_semi")
+            .localCheckpoint()
+        )
+        bounds = affected.agg(
+            F.min("day").alias("lo"), F.max("day").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            recomputed = stored_wau.limit(0)
+        else:
+            slice_ = new_activity.filter(
+                (F.col("day") >= F.date_sub(F.lit(bounds["lo"]), window_days - 1))
+                & (F.col("day") <= F.lit(bounds["hi"]))
+            )
+            recomputed = (
+                slice_.select(
+                    "user_id",
+                    F.explode(
+                        F.sequence(
+                            F.col("day"),
+                            F.date_add(F.col("day"), window_days - 1),
+                        )
+                    ).alias("day"),
+                )
+                .join(F.broadcast(affected), "day", "left_semi")
+                .groupBy("day")
+                .agg(
+                    F.count_distinct("user_id").alias(
+                        f"users_{window_days}d"
+                    )
+                )
+            )
+        new_wau = stored_wau.join(
+            F.broadcast(affected), "day", "left_anti"
+        ).unionByName(recomputed).localCheckpoint()
+        # WAU first, activity last: a crash between the two leaves the
+        # activity chain behind -> the replay reads the version-matched
+        # (older) WAU and recomputes the same splice deterministically.
+        new_wau.write.mode("overwrite").parquet(wau_target)
+        new_activity.write.mode("overwrite").parquet(act_target)
+
+    return (
+        events_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

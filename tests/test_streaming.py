@@ -1294,3 +1294,82 @@ def test_exact_dedup_batch_drops_null_text(spark):
     rows = admitted.collect()
     assert sorted(r.doc_id for r in rows) == [1, 4]
     assert all(r._fp is not None for r in rows)
+
+
+def test_stream_rolling_wau_matches_batch_recompute(spark, tmp_path):
+    """The incrementally-maintained rolling WAU must equal
+    rolling_distinct_users over ALL events after every batch is
+    drained — including duplicate (user, day) arrivals across
+    batches — and a full checkpoint-loss replay must converge to the
+    identical state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        stream_maintain_rolling_wau,
+        write_base_snapshot,
+    )
+
+    def ts(day, hour=10):
+        return 1704067200_000_000 + (day * 24 + hour) * 3600 * 1_000_000
+
+    batches = [
+        [(1, ts(0)), (2, ts(0)), (1, ts(2))],
+        [(1, ts(0, 12)), (3, ts(3)), (2, ts(9))],      # dup (1, day0)
+        [(1, ts(9)), (3, ts(15))],
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows],
+                               pa.timestamp("us")),
+            }),
+            land / f"b{i}.parquet",
+        )
+    state = tmp_path / "state"
+    empty_act = spark.createDataFrame([], "user_id long, day date")
+    empty_wau = spark.createDataFrame([], "day date, users_7d long")
+    write_base_snapshot(empty_act, str(state / "activity"))
+    write_base_snapshot(empty_wau, str(state / "wau"))
+
+    def run(ckpt):
+        q = stream_maintain_rolling_wau(
+            spark.readStream.schema("user_id long, ts timestamp_ntz")
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            str(state / "activity"), str(state / "wau"),
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    got = {
+        str(r.day): r.users_7d
+        for r in latest_snapshot(spark, str(state / "wau")).collect()
+    }
+    all_events = spark.createDataFrame(
+        [r for rows in batches for r in rows], "user_id long, ts long"
+    ).select("user_id",
+             F.timestamp_micros(F.col("ts")).alias("ts"))
+    want = {
+        str(r.day): r.users_7d
+        for r in rolling_distinct_users(all_events, "ts", "user_id", 7)
+        .collect()
+    }
+    assert got == want
+
+    # checkpoint loss: full replay must be a committed-version no-op
+    before = sorted(
+        tuple(r) for r in latest_snapshot(spark, str(state / "wau")).collect()
+    )
+    run("ckpt2")
+    after = sorted(
+        tuple(r) for r in latest_snapshot(spark, str(state / "wau")).collect()
+    )
+    assert after == before
