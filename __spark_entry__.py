@@ -7570,6 +7570,56 @@ FROM m
 """
 
 
+def q_ab_test_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test (operators/quality.py::ab_test_chisq):
+    users hash-split 50/50, conversion = any purchase; the 2×2
+    chi-square in one fixed double expression over exact integer cells
+    — bit-identical cross-engine (no p-value: incomplete gamma is a
+    libm trap; χ² > 3.84 is the 5% line)."""
+    from data_pipeline_ine_spark.operators.quality import ab_test_chisq
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_test_chisq(
+        ev, "user_id", F.col("event_type") == "purchase"
+    )
+
+
+ORACLE_AB_TEST = (
+    """
+WITH units AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), tagged AS (
+  SELECT (AB_FOLD % 2) AS variant, conv FROM units
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS a_conv,
+    CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS a_fail,
+    CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS b_conv,
+    CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS b_fail
+  FROM tagged
+)
+SELECT a_conv, a_fail, b_conv, b_fail,
+  CASE WHEN (CAST(a_conv AS DOUBLE) + a_fail) * (CAST(b_conv AS DOUBLE) + b_fail)
+         * (CAST(a_conv AS DOUBLE) + b_conv) * (CAST(a_fail AS DOUBLE) + b_fail) > 0
+  THEN (CAST(a_conv AS DOUBLE) + a_fail + b_conv + b_fail)
+       * (CAST(a_conv AS DOUBLE) * b_fail - CAST(a_fail AS DOUBLE) * b_conv)
+       * (CAST(a_conv AS DOUBLE) * b_fail - CAST(a_fail AS DOUBLE) * b_conv)
+       / ((CAST(a_conv AS DOUBLE) + a_fail) * (CAST(b_conv AS DOUBLE) + b_fail)
+          * (CAST(a_conv AS DOUBLE) + b_conv) * (CAST(a_fail AS DOUBLE) + b_fail))
+  END AS chisq
+FROM cells
+"""
+).replace(
+    "AB_FOLD", _HEX12.format(h="md5('ab:' || CAST(user_id AS VARCHAR))")
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7618,6 +7668,7 @@ _CHECK_ORDER = [
     "bootstrap_ci",
     "linear_attribution",
     "spearman_corr",
+    "ab_test_chisq",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -7999,6 +8050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "linear_attribution": q_linear_attribution,
         "spearman_corr": q_spearman_corr,
+        "ab_test_chisq": q_ab_test_chisq,
     })
 
 
@@ -8198,4 +8250,5 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
         "linear_attribution": ORACLE_LINEAR_ATTRIBUTION,
         "spearman_corr": ORACLE_SPEARMAN,
+        "ab_test_chisq": ORACLE_AB_TEST,
     })

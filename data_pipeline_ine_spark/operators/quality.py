@@ -386,3 +386,56 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .filter(F.col("class_size") < k)
     )
+
+
+def ab_test_chisq(
+    df: DataFrame,
+    unit_col: str,
+    success_pred,
+    salt: str = "ab:",
+) -> DataFrame:
+    """Two-proportion A/B test: units (users) hash-assigned 50/50 to
+    variants A/B — exactly how production experiment bucketing works
+    (deterministic, engine-portable md5 split, no assignment table) —
+    then the 2×2 contingency chi-square with Yates-free closed form
+    ``χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`` over per-unit
+    conversion (did the unit ever satisfy ``success_pred``).
+
+    Determinism: the four cells are exact integers; the statistic is
+    ONE fixed double expression over them — IEEE multiply/divide are
+    correctly rounded, so two engines evaluating the same expression
+    tree on the same integers produce the bit-identical double (the
+    ewma/level_shift precedent). No p-value: that needs an incomplete
+    gamma, which is a libm-agreement trap — χ² > 3.84 IS the 5% line.
+
+    Scale shape: one unit-grain aggregate (conversion flag per unit,
+    map-side combinable), one 4-cell aggregate, one projection. The
+    contingency table never exceeds 4 numbers regardless of corpus.
+    """
+    from data_pipeline_ine_spark.operators.sampling import hash_bucket
+
+    units = df.groupBy(unit_col).agg(
+        F.max(F.when(success_pred, 1).otherwise(0)).alias("_conv")
+    )
+    tagged = units.select(
+        hash_bucket(unit_col, 2, salt).alias("_variant"), "_conv"
+    )
+    cells = tagged.agg(
+        F.sum(F.when((F.col("_variant") == 0) & (F.col("_conv") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("a_conv"),
+        F.sum(F.when((F.col("_variant") == 0) & (F.col("_conv") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("a_fail"),
+        F.sum(F.when((F.col("_variant") == 1) & (F.col("_conv") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("b_conv"),
+        F.sum(F.when((F.col("_variant") == 1) & (F.col("_conv") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("b_fail"),
+    )
+    a, b = F.col("a_conv").cast("double"), F.col("a_fail").cast("double")
+    c, d = F.col("b_conv").cast("double"), F.col("b_fail").cast("double")
+    n = a + b + c + d
+    det = a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    return cells.select(
+        "a_conv", "a_fail", "b_conv", "b_fail",
+        F.when(den > 0, n * det * det / den).alias("chisq"),
+    )

@@ -414,3 +414,35 @@ def test_k_anonymity_audit_flags_small_classes_null_safe(spark):
         for r in k_anonymity_audit(df, ["lang", "src"], k=5).collect()
     }
     assert got == {("en", "b"): 2, (None, "b"): 1}
+
+
+def test_ab_test_chisq_closed_form_and_null_split(spark):
+    """Hand 2x2 table via controlled variants is impossible through the
+    hash split, so verify the STATISTIC itself on a known table by
+    reconstructing cells, and the null case (a variant empty -> NULL
+    chisq, no division blowup)."""
+    from data_pipeline_ine_spark.operators.quality import ab_test_chisq
+
+    # 40 units: ids chosen freely; conversion iff id % 4 == 0
+    df = spark.createDataFrame(
+        [(i, "purchase" if i % 4 == 0 else "view") for i in range(40)],
+        "user_id long, event_type string",
+    )
+    row = ab_test_chisq(
+        df, "user_id", F.col("event_type") == "purchase"
+    ).collect()[0]
+    a, b, c, d = row.a_conv, row.a_fail, row.b_conv, row.b_fail
+    assert a + b + c + d == 40
+    n = a + b + c + d
+    det = a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    want = n * det * det / den if den else None
+    if want is None:
+        assert row.chisq is None
+    else:
+        assert abs(row.chisq - want) < 1e-12
+
+    # single unit: one variant empty -> den == 0 -> NULL
+    one = spark.createDataFrame([(1, "view")], "user_id long, event_type string")
+    r1 = ab_test_chisq(one, "user_id", F.col("event_type") == "purchase").collect()[0]
+    assert r1.chisq is None
