@@ -305,6 +305,80 @@ def stream_maintain_cms(
     )
 
 
+
+def maintain_rolling_wau_batch(
+    batch: DataFrame,
+    activity: DataFrame,
+    stored_wau: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The pure per-batch function behind ``stream_maintain_rolling_wau``
+    (shared with the incremental probe, same pattern as
+    ``dedup.exact_dedup_batch``): returns ``(new_activity, new_wau)``.
+    Work is bounded by the batch's NEW (user, day) pairs — the affected
+    calendar window is recomputed against activity RESTRICTED to that
+    slice; untouched WAU days pass through by anti-join."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        batch.select(
+            F.col(user_col).alias("user_id"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    new_pairs = pairs.join(
+        activity, ["user_id", "day"], "left_anti"
+    ).localCheckpoint()
+    new_activity = activity.unionByName(new_pairs).localCheckpoint()
+
+    affected = (
+        new_pairs.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), window_days - 1)
+                )
+            ).alias("day")
+        )
+        .distinct()
+        .join(new_activity.select("day").distinct(), "day", "left_semi")
+        .localCheckpoint()
+    )
+    bounds = affected.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        recomputed = stored_wau.limit(0)
+    else:
+        slice_ = new_activity.filter(
+            (F.col("day") >= F.date_sub(F.lit(bounds["lo"]), window_days - 1))
+            & (F.col("day") <= F.lit(bounds["hi"]))
+        )
+        recomputed = (
+            slice_.select(
+                "user_id",
+                F.explode(
+                    F.sequence(
+                        F.col("day"),
+                        F.date_add(F.col("day"), window_days - 1),
+                    )
+                ).alias("day"),
+            )
+            .join(F.broadcast(affected), "day", "left_semi")
+            .groupBy("day")
+            .agg(
+                F.count_distinct("user_id").alias(f"users_{window_days}d")
+            )
+        )
+    new_wau = stored_wau.join(
+        F.broadcast(affected), "day", "left_anti"
+    ).unionByName(recomputed).localCheckpoint()
+    return new_activity, new_wau
+
+
 def stream_maintain_rolling_wau(
     events_stream: DataFrame,
     activity_dir: str,
@@ -346,7 +420,6 @@ def stream_maintain_rolling_wau(
     touched calendar slice of activity; the WAU splice is
     affected-days-sized against a days-cardinality table.
     """
-    from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -371,62 +444,14 @@ def stream_maintain_rolling_wau(
             )
         stored_wau = spark.read.parquet(wau_match[0])
 
-        pairs = (
-            batch_df.select(
-                F.col(user_col).alias("user_id"),
-                F.to_date(ts_col).alias("day"),
-            )
-            .distinct()
-            .localCheckpoint()
+        new_activity, new_wau = maintain_rolling_wau_batch(
+            batch_df,
+            current,
+            stored_wau,
+            window_days=window_days,
+            ts_col=ts_col,
+            user_col=user_col,
         )
-        new_pairs = pairs.join(
-            current, ["user_id", "day"], "left_anti"
-        ).localCheckpoint()
-        new_activity = current.unionByName(new_pairs).localCheckpoint()
-
-        affected = (
-            new_pairs.select(
-                F.explode(
-                    F.sequence(
-                        F.col("day"), F.date_add(F.col("day"), window_days - 1)
-                    )
-                ).alias("day")
-            )
-            .distinct()
-            .join(new_activity.select("day").distinct(), "day", "left_semi")
-            .localCheckpoint()
-        )
-        bounds = affected.agg(
-            F.min("day").alias("lo"), F.max("day").alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
-            recomputed = stored_wau.limit(0)
-        else:
-            slice_ = new_activity.filter(
-                (F.col("day") >= F.date_sub(F.lit(bounds["lo"]), window_days - 1))
-                & (F.col("day") <= F.lit(bounds["hi"]))
-            )
-            recomputed = (
-                slice_.select(
-                    "user_id",
-                    F.explode(
-                        F.sequence(
-                            F.col("day"),
-                            F.date_add(F.col("day"), window_days - 1),
-                        )
-                    ).alias("day"),
-                )
-                .join(F.broadcast(affected), "day", "left_semi")
-                .groupBy("day")
-                .agg(
-                    F.count_distinct("user_id").alias(
-                        f"users_{window_days}d"
-                    )
-                )
-            )
-        new_wau = stored_wau.join(
-            F.broadcast(affected), "day", "left_anti"
-        ).unionByName(recomputed).localCheckpoint()
         # WAU first, activity last: a crash between the two leaves the
         # activity chain behind -> the replay reads the version-matched
         # (older) WAU and recomputes the same splice deterministically.

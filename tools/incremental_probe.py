@@ -319,6 +319,7 @@ def main() -> None:
         ("ivm_maintain_group_moments", probe_ivm_moments),
         ("scd2_apply", probe_scd2),
         ("incremental_near_dup_filter", probe_incremental_dedup),
+        ("stream_rolling_wau_batch", probe_rolling_wau),
     ]
     print(
         f"{'operator':30s} {'inc(1x)':>8s} {'inc(' + str(factor) + 'x)':>8s}"
@@ -339,6 +340,109 @@ def main() -> None:
             flush=True,
         )
     print(f"\nflagged: {flagged or 'none'}")
+
+
+
+
+def probe_rolling_wau(spark, factor: int):
+    """Streaming rolling-WAU maintenance: a fixed 2k-event batch of
+    RECENT days against a 1x vs Nx activity history — per-batch cost
+    must track the touched calendar slice, not total history."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+    from data_pipeline_ine_spark.streaming.cdc import (
+        maintain_rolling_wau_batch,
+    )
+
+    def gen_state(f):
+        # f years of daily activity for 3,000 users (activity grain)
+        n_days = 365 * f
+        act = (
+            spark.range(n_days * 1500)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(3000)).alias("user_id"),
+                F.date_add(
+                    F.lit("2020-01-01").cast("date"),
+                    F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_days)).cast(
+                        "int"
+                    ),
+                ).alias("day"),
+            )
+            .distinct()
+        )
+        d = f"/tmp/wau_probe_{f}x"
+        if not os.path.exists(f"{d}/activity/_SUCCESS"):
+            act.write.mode("overwrite").parquet(f"{d}/activity")
+            a = spark.read.parquet(f"{d}/activity")
+            (
+                a.select(
+                    "user_id",
+                    F.explode(
+                        F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+                    ).alias("day"),
+                )
+                .join(a.select("day").distinct(), "day", "left_semi")
+                .groupBy("day")
+                .agg(F.count_distinct("user_id").alias("users_7d"))
+                .write.mode("overwrite")
+                .parquet(f"{d}/wau")
+            )
+        return d
+
+    def fixed_batch(f):
+        # 2k events in the final 10 days of the f-year history
+        n_days = 365 * f
+        return spark.range(CHANGELOG_ROWS).select(
+            F.pmod(F.xxhash64("id"), F.lit(5000)).alias("user_id"),
+            (
+                F.lit("2020-01-01").cast("timestamp_ntz")
+                + F.make_dt_interval(
+                    days=(
+                        n_days
+                        - 10
+                        + F.pmod(F.xxhash64(F.col("id") + 3), F.lit(10))
+                    ).cast("int")
+                )
+            ).alias("ts"),
+        )
+
+    def run_inc(f):
+        d = gen_state(f)
+        act = spark.read.parquet(f"{d}/activity")
+        wau = spark.read.parquet(f"{d}/wau")
+        na, nw = maintain_rolling_wau_batch(fixed_batch(f), act, wau)
+        nw.count()
+
+    def run_full(f):
+        d = gen_state(f)
+        act = spark.read.parquet(f"{d}/activity")
+        merged = act.unionByName(
+            fixed_batch(f).select(
+                "user_id", F.to_date("ts").alias("day")
+            )
+        ).distinct()
+        # full recompute via the batch operator's contribution explosion
+        (
+            merged.select(
+                "user_id",
+                F.explode(
+                    F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+                ).alias("day"),
+            )
+            .join(merged.select("day").distinct(), "day", "left_semi")
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias("users_7d"))
+            .count()
+        )
+
+    gen_state(1)
+    gen_state(factor)
+    return (
+        timed(lambda: run_inc(1)),
+        timed(lambda: run_inc(factor)),
+        timed(lambda: run_full(factor)),
+    )
 
 
 if __name__ == "__main__":
