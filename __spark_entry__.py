@@ -7620,6 +7620,51 @@ FROM cells
 )
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope per source (operators/text.py::zipf_slope): OLS of
+    ln(freq) on ln(rank) over the top-200 terms — the corpus-health
+    scalar (natural text ≈ −1; templated sources drift). Logs snap to
+    e6 integers via the proven floor(ln·1e6+0.5) recipe; the slope is
+    scale-invariant so the fixed-point factor cancels."""
+    from data_pipeline_ine_spark.operators.text import zipf_slope
+
+    return zipf_slope(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_ZIPF_SLOPE = """
+WITH freqs AS (
+  SELECT source AS grp, tok AS term, COUNT(*) AS cnt
+  FROM (
+    SELECT source,
+      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+), ranked AS (
+  SELECT grp,
+    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM (
+    SELECT grp, cnt,
+      row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, term) AS rk
+    FROM freqs
+  ) WHERE rk <= 200
+), m AS (
+  SELECT grp, COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(25,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(25,0))) AS sy,
+    SUM(CAST(x AS DECIMAL(25,0)) * CAST(y AS DECIMAL(25,0))) AS sxy,
+    SUM(CAST(x AS DECIMAL(25,0)) * CAST(x AS DECIMAL(25,0))) AS sxx
+  FROM ranked GROUP BY 1
+)
+SELECT grp AS source, CAST(n AS BIGINT) AS n_terms,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7669,6 +7714,7 @@ _CHECK_ORDER = [
     "linear_attribution",
     "spearman_corr",
     "ab_test_chisq",
+    "zipf_slope",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8051,6 +8097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_attribution": q_linear_attribution,
         "spearman_corr": q_spearman_corr,
         "ab_test_chisq": q_ab_test_chisq,
+        "zipf_slope": q_zipf_slope,
     })
 
 
@@ -8251,4 +8298,5 @@ def oracle_sql() -> dict[str, str]:
         "linear_attribution": ORACLE_LINEAR_ATTRIBUTION,
         "spearman_corr": ORACLE_SPEARMAN,
         "ab_test_chisq": ORACLE_AB_TEST,
+        "zipf_slope": ORACLE_ZIPF_SLOPE,
     })

@@ -1389,3 +1389,61 @@ def pseudonymize(
         out_col,
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
     ).drop(key_col)
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 200,
+) -> DataFrame:
+    """Zipf slope per source: OLS fit of ln(freq) on ln(rank) over the
+    top-``top_k`` terms — the corpus-health scalar (natural language
+    sits near −1; templated/synthetic or truncated-vocabulary sources
+    drift far off, complementing ``source_ngram_diversity``).
+
+    Determinism: ranks are a total order (freq desc, term asc,
+    row_number); both logs snap to e6 fixed-point integers via the
+    proven ``floor(ln·1e6 + 0.5)`` recipe (classify's ``_neglog_e12``),
+    and the OLS slope is scale-invariant (x and y carry the same 1e6
+    factor), so the slope equals the unscaled fit while the moment
+    sums stay exact integers.
+
+    Scale shape: one (source, term) count (vocab-bounded by map-side
+    combine), a per-source top-k rank window (WindowGroupLimit pushes
+    the k cut into the sort), and grouped_ols's single moment
+    aggregate over |sources|·k rows.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.operators.features import grouped_ols
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+            )
+        ).alias("term"),
+    )
+    freqs = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = (
+        freqs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "grp",
+            F.floor(F.log(F.col("rk").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("ln_rank_e6"),
+            F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("ln_freq_e6"),
+        )
+    )
+    out = grouped_ols(ranked, "ln_rank_e6", "ln_freq_e6", ["grp"], scale=0)
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_terms"),
+        "slope",
+    )

@@ -805,3 +805,22 @@ def test_boilerplate_delimiter_is_literal_not_regex(spark):
     out = {r["doc_id"]: r for r in scrub_boilerplate(df, delim="|").collect()}
     assert out[1]["n_segments"] == 2 and out[1]["clean_text"] == "keep one"
     assert out[3]["clean_text"] == "solo|no ad here"
+
+
+def test_zipf_slope_recovers_minus_one(spark):
+    """A synthetic corpus with freq(rank) = 720/rank exactly must fit a
+    slope of -1 (exact power law); flat frequencies must fit ~0."""
+    from data_pipeline_ine_spark.operators.text import zipf_slope
+
+    # 720 = lcm-rich: 720/r is exact for r in 1..6
+    zipf_words = " ".join(
+        f"w{r} " * (720 // r) for r in range(1, 7)
+    )
+    flat_words = " ".join(f"u{r} " * 50 for r in range(1, 7))
+    df = spark.createDataFrame(
+        [(1, "zipf", zipf_words), (2, "flat", flat_words)],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: (r.n_terms, r.slope) for r in zipf_slope(df).collect()}
+    assert got["zipf"][0] == 6 and abs(got["zipf"][1] + 1.0) < 1e-6
+    assert got["flat"][0] == 6 and abs(got["flat"][1]) < 1e-6
