@@ -768,3 +768,55 @@ def user_max_gap(
         F.count(F.lit(1)).alias("n_events"),
         F.coalesce(F.max("_gap"), F.lit(0)).cast("bigint").alias("max_gap_s"),
     )
+
+
+def rolling_distinct_users_approx(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate trailing-N-day distinct users — the 100 TB scale path
+    for ``rolling_distinct_users``: ONE HLL sketch per day (mergeable
+    partial, ~KBs regardless of daily actives), then each target day
+    unions its trailing ``window_days`` sketches. The exact version
+    explodes (user, day) pairs — activity-grain × window; this one
+    explodes DAY SKETCHES — calendar-grain × window — so the heavy
+    per-user work happens exactly once per day and the rolling merge
+    is calendar-sized. Typical HLL error at lg_k=12 is ~1.6%
+    (tolerance-tested against the exact operator).
+
+    The sketch column is an internal intermediate only — the output is
+    ``(day, users_Nd_approx)`` BIGINTs (estimates rounded), same shape
+    as the exact operator; only ACTIVE days emit rows.
+    """
+    daily = (
+        df.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(user_col).cast("string").alias("_u"),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("_u", F.lit(lg_k)).alias("_sk"))
+    )
+    days = daily.select("day")
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("target"),
+        "_sk",
+    )
+    return (
+        contrib.join(
+            days.withColumnRenamed("day", "target"), "target", "left_semi"
+        )
+        .groupBy("target")
+        .agg(
+            F.round(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"), F.lit(False)))
+            )
+            .cast("bigint")
+            .alias(f"users_{window_days}d_approx")
+        )
+        .withColumnRenamed("target", "day")
+    )

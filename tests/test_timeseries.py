@@ -382,3 +382,27 @@ def test_linear_attribution_conserves_cents(spark):
     # 100 cents over 3 touches: 34 (33+1 remainder), 33, 33
     assert [r.attributed_cents for r in rows] == [34, 33, 33]
     assert sum(r.attributed_cents for r in rows) == 100
+
+
+def test_rolling_distinct_approx_tracks_exact(spark, sf_dir):
+    """The HLL day-sketch rolling WAU must agree with the exact
+    contribution-explosion operator within HLL tolerance on every
+    active day (lg_k=12 => ~1.6% typical, assert 5%)."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        rolling_distinct_users,
+        rolling_distinct_users_approx,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.day: r.users_7d
+        for r in rolling_distinct_users(ev, "ts", "user_id", 7).collect()
+    }
+    approx = {
+        r.day: r.users_7d_approx
+        for r in rolling_distinct_users_approx(ev, "ts", "user_id", 7).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
