@@ -7665,6 +7665,137 @@ FROM m
 """
 
 
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals
+    (operators/quality.py::benford_leading_digit): observed leading-
+    digit counts vs the log10(1+1/d) expectation — the synthetic-data
+    / fraud / capped-field smell test. Digits come from exact integer
+    cents; the only float is the snapped-e6 Benford constant."""
+    from data_pipeline_ine_spark.operators.quality import benford_leading_digit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_leading_digit(orders, "o_totalprice")
+
+
+ORACLE_BENFORD = """
+WITH units AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS u FROM orders
+), counts AS (
+  SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n_obs
+  FROM units WHERE u > 0 GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM counts
+)
+SELECT digit, n_obs,
+  CAST((t * CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6
+                       + 0.5) AS BIGINT)) // 10000 AS BIGINT) AS expected_e2
+FROM counts, total
+ORDER BY digit
+"""
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Gini coefficient of customer revenue
+    concentration (operators/quality.py::gini_concentration): ranked
+    closed form over exact integer cents — whale-account risk next to
+    pareto_parts' top-heavy cut. The within-segment rank rides the
+    two-pass distributed rank, never a few-groups one-task window."""
+    from data_pipeline_ine_spark.operators.quality import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("decimal(25,0)"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_custkey", "rev_cents")
+    )
+    return gini_concentration(
+        rev, "rev_cents", "c_mktsegment", "o_custkey"
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_REVENUE_GINI = """
+WITH rev AS (
+  SELECT c_mktsegment, o_custkey,
+    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, x,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY x, o_custkey) AS rk
+  FROM rev
+), m AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(rk AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS srx
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n_units,
+  CASE WHEN sx > 0 THEN
+    ROUND((2.0 * CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)
+           * CAST(sx AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  END AS gini
+FROM m
+ORDER BY c_mktsegment
+"""
+
+
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of per-user inter-event
+    gaps (operators/timeseries.py::interarrival_burstiness): exact
+    integer second gaps and DECIMAL moments, the statistic one fixed
+    sqrt expression — separates binge users from metronomic bots at
+    identical event counts."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_burstiness(ev)
+
+
+ORACLE_BURSTINESS = """
+WITH sec AS (
+  SELECT user_id, event_id,
+    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+  FROM events
+), gaps AS (
+  SELECT user_id,
+    s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS g
+  FROM sec
+), m AS (
+  SELECT user_id, COUNT(*) AS n,
+    SUM(CAST(g AS DECIMAL(25,0))) AS sg,
+    SUM(CAST(g AS DECIMAL(25,0)) * CAST(g AS DECIMAL(25,0))) AS sg2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+  CAST(sg AS BIGINT) AS gap_sum_s,
+  CASE WHEN sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0))
+            + CAST(sg AS DOUBLE) > 0 THEN
+    ROUND((sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0))
+           - CAST(sg AS DOUBLE))
+          / (sqrt(GREATEST(CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0))
+             + CAST(sg AS DOUBLE)), 6)
+  END AS burstiness
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7715,6 +7846,9 @@ _CHECK_ORDER = [
     "spearman_corr",
     "ab_test_chisq",
     "zipf_slope",
+    "benford_digits",
+    "revenue_gini",
+    "interarrival_burstiness",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8098,6 +8232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "ab_test_chisq": q_ab_test_chisq,
         "zipf_slope": q_zipf_slope,
+        "benford_digits": q_benford_digits,
+        "revenue_gini": q_revenue_gini,
+        "interarrival_burstiness": q_interarrival_burstiness,
     })
 
 
@@ -8299,4 +8436,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_corr": ORACLE_SPEARMAN,
         "ab_test_chisq": ORACLE_AB_TEST,
         "zipf_slope": ORACLE_ZIPF_SLOPE,
+        "benford_digits": ORACLE_BENFORD,
+        "revenue_gini": ORACLE_REVENUE_GINI,
+        "interarrival_burstiness": ORACLE_BURSTINESS,
     })

@@ -439,3 +439,114 @@ def ab_test_chisq(
         "a_conv", "a_fail", "b_conv", "b_fail",
         F.when(den > 0, n * det * det / den).alias("chisq"),
     )
+
+
+def benford_leading_digit(
+    df: DataFrame, value_col: str, unit_scale: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic synthetic-data / fraud / unit-mix smell test (naturally
+    grown monetary amounts follow ``P(d) = log10(1 + 1/d)``; uniform
+    generators, capped fields, and fabricated figures don't).
+
+    Values snap to exact integer units (``floor(value·unit_scale)``,
+    the repo-wide cents recipe) and the leading digit is the first
+    character of that integer's decimal string — pure integer/string
+    work, no float log on data. The Benford expectation is the only
+    float: ``log10(1+1/d)`` snapped to e6 fixed-point via the proven
+    ``floor(·1e6 + 0.5)`` recipe, and the expected count ships as
+    ``expected_e2 = (total·ln_e6) div 10000`` — an exact integer
+    product and a truncating integer division over non-negative
+    operands (Spark ``div`` ≡ DuckDB ``//`` digit-for-digit; a
+    ROUND(double) here can land on a half boundary where the engines'
+    rounding modes disagree).
+
+    Scale shape: one 9-bucket hash aggregate (map-side combinable) +
+    a 1-row total broadcast; output is 9 rows regardless of corpus.
+    """
+    units = F.floor(F.col(value_col) * unit_scale).cast("bigint")
+    digit = F.substring(units.cast("string"), 1, 1).cast("bigint")
+    counts = (
+        df.filter(units > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").cast("bigint").alias("_total"))
+    ln_e6 = (
+        F.floor(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            * 1e6
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_lne6", ln_e6)
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("(_total * _lne6) div 10000")
+            .cast("bigint")
+            .alias("expected_e2"),
+        )
+        .orderBy("digit")
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of value concentration — the one
+    scalar that says "is this segment's revenue a healthy long tail or
+    three whale accounts" (0 = perfectly equal, →1 = one unit holds
+    everything). The standard concentration audit next to
+    ``pareto_parts``' top-heavy cut.
+
+    ``df`` carries one row per unit with an exact integer
+    ``value_col`` (cents). Units are ranked within group by
+    ``(value, id)`` — a total order, so every engine agrees on ties —
+    and the closed form over exact integer moments is
+    ``G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx)``: the rank-weighted sum and
+    the plain sum stay DECIMAL(38,0)-exact, and the statistic is ONE
+    fixed double expression over them (the ewma/chisq precedent).
+
+    Scale shape: the within-group rank rides the two-pass distributed
+    rank over ``(group, value, id)`` (``sampling.two_pass_rank`` —
+    never a one-task window, immune to few-groups skew), localized by
+    subtracting each group's broadcast min rank; then one |groups|-row
+    moment aggregate. Output is |groups| rows.
+    """
+    from data_pipeline_ine_spark.operators.sampling import two_pass_rank
+
+    ranked = two_pass_rank(
+        df.select(group_col, value_col, id_col),
+        [group_col, value_col, id_col],
+        out_col="_gr",
+    )
+    bases = ranked.groupBy(group_col).agg(F.min("_gr").alias("_g0"))
+    rk = (F.col("_gr") - F.col("_g0") + 1).cast("decimal(19,0)")
+    x = F.col(value_col).cast("decimal(19,0)")
+    m = (
+        ranked.join(F.broadcast(bases), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(x).cast("decimal(38,0)").alias("_sx"),
+            F.sum(rk * x).cast("decimal(38,0)").alias("_srx"),
+        )
+    )
+    nd = F.col("n_units").cast("double")
+    sx = F.col("_sx").cast("double")
+    srx = F.col("_srx").cast("double")
+    return m.select(
+        group_col,
+        "n_units",
+        F.when(
+            F.col("_sx") > 0,
+            F.round((2.0 * srx - (nd + 1.0) * sx) / (nd * sx), 6),
+        ).alias("gini"),
+    )

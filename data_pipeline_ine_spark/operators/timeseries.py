@@ -820,3 +820,62 @@ def rolling_distinct_users_approx(
         )
         .withColumnRenamed("target", "day")
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user burstiness of inter-event gaps — Goh & Barabási's
+    ``B = (σ − μ)/(σ + μ)`` over the inter-arrival distribution
+    (−1 = metronome, 0 = Poisson, →1 = bursty): separates the
+    steady-habit user from the binge user at identical event counts,
+    and flags bot traffic (B ≈ −1) that rate metrics miss.
+
+    Engine-exact: gaps are integer second differences of the NTZ
+    field-arithmetic epoch (the ``user_max_gap`` recipe); the moment
+    sums (n, Σg, Σg²) stay DECIMAL(25,0)-exact; and since
+    ``σ = sqrt(n·Σg² − (Σg)²)/n`` and ``μ = Σg/n`` share the 1/n, the
+    statistic collapses to ``(sqrt(D) − Σg)/(sqrt(D) + Σg)`` with
+    ``D = n·Σg² − (Σg)²`` — ONE fixed double expression over exact
+    integers (IEEE sqrt is correctly rounded), NULL when every gap is
+    zero (σ = μ = 0 leaves B undefined).
+
+    Scale shape: one user-partitioned lag window + one user aggregate
+    sharing a single exchange (the ``user_max_gap`` shape); output is
+    one row per user with ≥2 events.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.operators.joins import _ntz_epoch_seconds
+
+    sec = _ntz_epoch_seconds(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(sec, F.col(tiebreak_col))
+    gaps = (
+        df.select(
+            F.col(user_col),
+            (sec - F.lag(sec).over(w)).alias("_gap"),
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    m = gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("_gap").cast("decimal(25,0)")).cast("decimal(25,0)").alias("_sg"),
+        F.sum(
+            F.col("_gap").cast("decimal(25,0)") * F.col("_gap").cast("decimal(25,0)")
+        ).cast("decimal(38,0)").alias("_sg2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sg = F.col("_sg").cast("double")
+    disc = nd * F.col("_sg2").cast("double") - sg * sg
+    root = F.sqrt(F.greatest(disc, F.lit(0.0)))
+    return m.select(
+        user_col,
+        "n_gaps",
+        F.col("_sg").cast("bigint").alias("gap_sum_s"),
+        F.when(root + sg > 0, F.round((root - sg) / (root + sg), 6)).alias(
+            "burstiness"
+        ),
+    )

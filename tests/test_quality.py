@@ -446,3 +446,44 @@ def test_ab_test_chisq_closed_form_and_null_split(spark):
     one = spark.createDataFrame([(1, "view")], "user_id long, event_type string")
     r1 = ab_test_chisq(one, "user_id", F.col("event_type") == "purchase").collect()[0]
     assert r1.chisq is None
+
+
+def test_benford_leading_digit_counts_and_expectation(spark):
+    """Digits come from exact cents; expected_e2 is the truncating
+    integer fixed-point (total * ln_e6) div 10000."""
+    import math
+
+    from data_pipeline_ine_spark.operators.quality import benford_leading_digit
+
+    vals = [1.00, 1.50, 2.00, 9.99, 0.001, 100.00, 0.25, 935.12]
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    rows = {r.digit: r for r in benford_leading_digit(df, "amount").collect()}
+    # 0.001 -> 0 cents, excluded; leading digits of cents:
+    # 100->1, 150->1, 200->2, 999->9, 10000->1, 25->2, 93512->9
+    assert {d: r.n_obs for d, r in rows.items()} == {1: 3, 2: 2, 9: 2}
+    total = 7
+    for d, r in rows.items():
+        lne6 = math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5)
+        assert r.expected_e2 == (total * lne6) // 10000
+
+
+def test_gini_concentration_extremes(spark):
+    """Equal values -> 0; one unit holding everything -> (n-1)/n scaled
+    closed form; exact on hand-computable groups."""
+    from data_pipeline_ine_spark.operators.quality import gini_concentration
+
+    rows = [
+        ("eq", 1, 50), ("eq", 2, 50), ("eq", 3, 50), ("eq", 4, 50),
+        ("whale", 1, 0), ("whale", 2, 0), ("whale", 3, 0), ("whale", 4, 100),
+        ("zero", 1, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, uid long, cents long")
+    out = {
+        r.grp: r
+        for r in gini_concentration(df, "cents", "grp", "uid").collect()
+    }
+    assert out["eq"].gini == 0.0
+    # ranked x = [0,0,0,100]: (2*(4*100) - 5*100) / (4*100) = 0.75
+    assert out["whale"].gini == 0.75
+    assert out["zero"].gini is None
+    assert out["eq"].n_units == 4

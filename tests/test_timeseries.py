@@ -406,3 +406,33 @@ def test_rolling_distinct_approx_tracks_exact(spark, sf_dir):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
+
+
+def test_interarrival_burstiness_known_cases(spark):
+    """Metronomic gaps -> B = -1 (sigma=0); gaps [10,30] -> mu=20,
+    sigma=10 -> B = -1/3; all-zero gaps -> NULL (0/0 undefined);
+    single-event users dropped."""
+    from datetime import datetime
+
+    from data_pipeline_ine_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def at(s):
+        return datetime(2024, 1, 1, s // 3600, (s % 3600) // 60, s % 60)
+
+    rows = (
+        [(1, i, at(i * 60)) for i in range(4)]           # metronome, gap=60
+        + [(2, 10, at(0)), (2, 11, at(10)), (2, 12, at(40))]  # gaps 10,30
+        + [(3, 20, t0), (3, 21, t0), (3, 22, t0)]        # all-zero gaps
+        + [(4, 30, t0)]                                   # single event
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {r.user_id: r for r in interarrival_burstiness(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].burstiness == -1.0 and out[1].n_gaps == 3
+    assert out[2].burstiness == round(-1.0 / 3.0, 6)
+    assert out[2].gap_sum_s == 40
+    assert out[3].burstiness is None

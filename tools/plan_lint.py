@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "state_occupancy": "1-row data-horizon frame (open-interval clip)",
     "decile_lift": "1-row N/P totals frame + 1-row prior frame",
     "nb_kappa": "1-row totals and expected-agreement frames",
+    "benford_digits": "1-row total-count frame (Benford expectation)",
 }
 
 
