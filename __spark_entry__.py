@@ -7796,6 +7796,143 @@ FROM m
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event values, first half of
+    January vs the rest (operators/quality.py::psi_drift): log2-bucket
+    histograms, each shared bin's (aB−bA)·ln_e6 contribution exact
+    integer work, one final divide — the monitoring-dashboard drift
+    magnitude next to ks_drift's sharp test."""
+    from data_pipeline_ine_spark.operators.quality import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    return psi_drift(
+        ev.filter(F.to_date("ts") < cut),
+        ev.filter(F.to_date("ts") >= cut),
+        "value",
+    )
+
+
+ORACLE_PSI = """
+WITH ref AS (
+  SELECT CASE WHEN CAST(floor(value * 100) AS BIGINT) > 0
+    THEN length(bin(CAST(floor(value * 100) AS BIGINT))) ELSE 0 END AS bucket
+  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+), cur AS (
+  SELECT CASE WHEN CAST(floor(value * 100) AS BIGINT) > 0
+    THEN length(bin(CAST(floor(value * 100) AS BIGINT))) ELSE 0 END AS bucket
+  FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+), ac AS (
+  SELECT bucket, COUNT(*) AS a FROM ref GROUP BY 1
+), bc AS (
+  SELECT bucket, COUNT(*) AS b FROM cur GROUP BY 1
+), cells AS (
+  SELECT COALESCE(ac.bucket, bc.bucket) AS bucket,
+    COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+  FROM ac FULL OUTER JOIN bc ON ac.bucket = bc.bucket
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+  FROM cells
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_bins,
+  CAST(SUM(CASE WHEN a = 0 OR b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_one_sided,
+  ROUND(CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN
+      CAST(a * tb - b * ta AS DECIMAL(19,0))
+      * CAST(floor(ln(CAST(a * tb AS DOUBLE) / CAST(b * ta AS DOUBLE))
+                   * 1e6 + 0.5) AS DECIMAL(19,0))
+    ELSE CAST(0 AS DECIMAL(19,0)) END) AS DOUBLE)
+    / CAST(MIN(ta) * MIN(tb) AS DOUBLE) / 1e6, 6) AS psi
+FROM cells, tot
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the part co-purchase graph
+    (operators/graph.py::degree_assortativity): Pearson correlation of
+    endpoint degrees over edge stubs from exact DECIMAL moments — does
+    this graph link hubs to hubs (clique risk) or hubs to leaves
+    (star risk)? Decides whether max_degree cuts / hot-key salting hit
+    a community or a spoke set."""
+    from data_pipeline_ine_spark.operators.graph import (
+        cooccurrence_edges,
+        degree_assortativity,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    return degree_assortativity(edges)
+
+
+ORACLE_ASSORTATIVITY = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), e AS (
+  SELECT a.item AS u, b.item AS v
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY 1
+), m AS (
+  SELECT COUNT(*) AS n_edges,
+    SUM(CAST(da.d AS DECIMAL(19,0)) + CAST(db.d AS DECIMAL(19,0))) AS sx,
+    SUM(CAST(da.d AS DECIMAL(19,0)) * CAST(da.d AS DECIMAL(19,0))
+        + CAST(db.d AS DECIMAL(19,0)) * CAST(db.d AS DECIMAL(19,0))) AS sxx,
+    SUM(CAST(da.d AS DECIMAL(19,0)) * CAST(db.d AS DECIMAL(19,0)) * 2) AS sxy
+  FROM e JOIN deg da ON e.u = da.n JOIN deg db ON e.v = db.n
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+  CASE WHEN CAST(n_edges * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+    ROUND((CAST(n_edges * 2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          / (CAST(n_edges * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+  END AS assortativity
+FROM m
+"""
+
+
+def q_novel_trigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-accretion novelty curve (operators/text.py::
+    novel_ngram_rate): per 100-doc ingestion snapshot, the share of
+    trigram occurrences whose trigram first appears in that snapshot —
+    exact integers end-to-end; the is-this-crawl-still-finding-new-text
+    dial that schedules dedup and re-crawl budgets."""
+    from data_pipeline_ine_spark.operators.text import novel_ngram_rate
+
+    return novel_ngram_rate(_docs_parallel(spark, sf_dir))
+
+
+ORACLE_NOVEL_TRIGRAM = """
+WITH t AS (
+  SELECT doc_id // 100 AS snapshot,
+    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), g AS (
+  SELECT snapshot,
+    unnest(list_transform(range(1, GREATEST(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS ngram
+  FROM t
+), occ AS (
+  SELECT snapshot, ngram, COUNT(*) AS c FROM g GROUP BY 1, 2
+), fs AS (
+  SELECT ngram, MIN(snapshot) AS first_snap FROM occ GROUP BY 1
+)
+SELECT snapshot,
+  CAST(SUM(c) AS BIGINT) AS n_occ,
+  CAST(SUM(CASE WHEN snapshot = first_snap THEN c ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST((1000000 * SUM(CASE WHEN snapshot = first_snap THEN c ELSE 0 END))
+       // SUM(c) AS BIGINT) AS novel_rate_e6
+FROM occ JOIN fs USING (ngram)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7849,6 +7986,9 @@ _CHECK_ORDER = [
     "benford_digits",
     "revenue_gini",
     "interarrival_burstiness",
+    "psi_drift",
+    "degree_assortativity",
+    "novel_trigram_rate",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8235,6 +8375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "revenue_gini": q_revenue_gini,
         "interarrival_burstiness": q_interarrival_burstiness,
+        "psi_drift": q_psi_drift,
+        "degree_assortativity": q_degree_assortativity,
+        "novel_trigram_rate": q_novel_trigram_rate,
     })
 
 
@@ -8439,4 +8582,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_digits": ORACLE_BENFORD,
         "revenue_gini": ORACLE_REVENUE_GINI,
         "interarrival_burstiness": ORACLE_BURSTINESS,
+        "psi_drift": ORACLE_PSI,
+        "degree_assortativity": ORACLE_ASSORTATIVITY,
+        "novel_trigram_rate": ORACLE_NOVEL_TRIGRAM,
     })

@@ -419,3 +419,60 @@ def link_prediction_ra(
         "n_common",
         "rank",
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+) -> DataFrame:
+    """Degree assortativity of an undirected graph — Newman's Pearson
+    correlation of endpoint degrees over the edge stubs (r > 0: hubs
+    link hubs, social-network shape; r < 0: hub-and-spoke, the usual
+    co-purchase/dependency shape). The one scalar that says whether
+    hub-targeted strategies (``max_degree`` cuts, hot-key salting)
+    will touch a clique or a star.
+
+    Expects the repo-wide canonical edge list (``item_a < item_b``,
+    one row per edge — ``cooccurrence_edges``' contract); a defensive
+    ``distinct`` makes duplicates harmless. Each undirected edge
+    contributes both orientations, so the stub moments are symmetric
+    (Σx = Σy, Σx² = Σy²) and the correlation collapses to
+    ``r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²)`` with ``m = 2·|E|`` —
+    exact DECIMAL(38,0) integer moments, ONE fixed double expression
+    (the chisq/gini precedent). NULL for degree-regular graphs
+    (denominator 0: every degree equal, correlation undefined).
+
+    Scale shape: one stub-grain degree aggregate, two node-keyed
+    equi-joins hanging degrees on edge endpoints (shuffle joins —
+    the degree table is node-sized, never assumed broadcastable), one
+    1-row moment aggregate. Output is exactly one row.
+    """
+    e = edges.select(a_col, b_col).distinct()
+    stubs = e.select(F.col(a_col).alias("_n")).unionAll(
+        e.select(F.col(b_col).alias("_n"))
+    )
+    deg = stubs.groupBy("_n").agg(F.count(F.lit(1)).alias("_deg"))
+    da = F.col("_da").cast("decimal(19,0)")
+    db = F.col("_db").cast("decimal(19,0)")
+    m = (
+        e.join(deg.select(F.col("_n").alias(a_col), F.col("_deg").alias("_da")), a_col)
+        .join(deg.select(F.col("_n").alias(b_col), F.col("_deg").alias("_db")), b_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(da + db).cast("decimal(38,0)").alias("_sx"),
+            F.sum(da * da + db * db).cast("decimal(38,0)").alias("_sxx"),
+            F.sum(da * db * 2).cast("decimal(38,0)").alias("_sxy"),
+        )
+    )
+    md = (F.col("n_edges") * 2).cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = md * sxx - sx * sx
+    return m.select(
+        "n_edges",
+        F.when(den > 0, F.round((md * sxy - sx * sx) / den, 6)).alias(
+            "assortativity"
+        ),
+    )

@@ -550,3 +550,91 @@ def gini_concentration(
             F.round((2.0 * srx - (nd + 1.0) * sx) / (nd * sx), 6),
         ).alias("gini"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of one numeric column — THE industry drift gate next to the
+    exact-KS test (``ks_drift``): PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over
+    shared bins; < 0.1 stable, > 0.25 act. Where KS gives a sharp
+    hypothesis test, PSI gives the monitoring dashboard's magnitude.
+
+    Bins are engine-exact log2 buckets of integer units:
+    ``length(bin(floor(v·unit_scale)))`` — the proven power-of-two-safe
+    recipe (never libm ``log2``); non-positive values get bucket 0.
+    Each bin's contribution ``(aᵢ·B − bᵢ·A)·ln_e6(aᵢ·B/(bᵢ·A))``
+    stays an exact DECIMAL(38,0) product of integers and one snapped-e6
+    log (the KL/zipf recipe); the total divides once by ``A·B·1e6`` at
+    the end. Bins present on only one side carry infinite PSI — they
+    are EXCLUDED from the sum and reported via ``n_one_sided`` (the
+    epsilon-fudge alternative makes the statistic depend on an
+    arbitrary constant; a one-sided bin should page a human, not tune
+    an epsilon).
+
+    Scale shape: one ~64-bucket hash aggregate per side (map-side
+    combinable), a bucket-keyed outer join of two ≤64-row frames, a
+    1-row total. Output is one row.
+    """
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        units = F.floor(F.col(value_col) * unit_scale).cast("bigint")
+        bucket = F.when(units > 0, F.length(F.bin(units))).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+        return (
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = bucketed(ref, "_a")
+    b = bucketed(cur, "_b")
+    cells = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("_a", F.lit(0)).alias("_a"),
+        F.coalesce("_b", F.lit(0)).alias("_b"),
+    )
+    tot = cells.agg(
+        F.sum("_a").cast("bigint").alias("_ta"),
+        F.sum("_b").cast("bigint").alias("_tb"),
+    )
+    both = F.col("_a") > 0
+    cur_side = F.col("_b") > 0
+    ln_e6 = F.floor(
+        F.log(
+            (F.col("_a") * F.col("_tb")).cast("double")
+            / (F.col("_b") * F.col("_ta")).cast("double")
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("decimal(19,0)")
+    term = (
+        (F.col("_a") * F.col("_tb") - F.col("_b") * F.col("_ta"))
+        .cast("decimal(19,0)")
+        * ln_e6
+    )
+    agg = cells.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.when(~(both & cur_side), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_one_sided"),
+        F.sum(F.when(both & cur_side, term).otherwise(F.lit(0).cast("decimal(19,0)")))
+        .cast("decimal(38,0)")
+        .alias("_num"),
+        F.min("_ta").alias("_ta"),
+        F.min("_tb").alias("_tb"),
+    )
+    return agg.select(
+        "n_bins",
+        "n_one_sided",
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("_ta") * F.col("_tb")).cast("double")
+            / 1e6,
+            6,
+        ).alias("psi"),
+    )

@@ -1447,3 +1447,73 @@ def zipf_slope(
         F.col("n").alias("n_terms"),
         "slope",
     )
+
+
+def novel_ngram_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    docs_per_snapshot: int = 100,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-accretion novelty curve: docs grouped into ingestion
+    snapshots (``doc_id div docs_per_snapshot`` — at 100 TB the crawl
+    batch / partition date), and each snapshot reports what share of
+    its n-gram OCCURRENCES are novel (their n-gram first appears in
+    that snapshot). The dedup-planning dial: a crawl whose novel share
+    decays to noise is re-crawling the same web; a spike flags a new
+    domain entering the mix.
+
+    Returns ``(snapshot, n_occ, n_novel, novel_rate_e6)`` — the rate
+    an exact ``1e6·novel div total`` truncating division (non-negative
+    operands, engine-portable).
+
+    Scale shape: tokenize + per-doc n-gram build are narrow map work;
+    occurrences collapse FIRST into (snapshot, ngram) counts (map-side
+    combinable, vocab×snapshots-bounded — the Heaps-law ceiling), the
+    per-ngram first-snapshot is a min over that same frame, and the
+    novelty join is ngram-keyed between two vocab-sized frames. Nothing
+    corpus-sized shuffles twice.
+    """
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+
+    def ngrams(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    occ = (
+        df.select(
+            F.expr(f"{id_col} div {docs_per_snapshot}")
+            .cast("bigint")
+            .alias("snapshot"),
+            F.explode(let_(toks, ngrams)).alias("ngram"),
+        )
+        .groupBy("snapshot", "ngram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    first = occ.groupBy("ngram").agg(F.min("snapshot").alias("_first"))
+    return (
+        occ.join(first, "ngram")
+        .groupBy("snapshot")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_occ"),
+            F.sum(F.when(F.col("snapshot") == F.col("_first"), F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "snapshot",
+            "n_occ",
+            "n_novel",
+            F.expr("(1000000 * n_novel) div n_occ").alias("novel_rate_e6"),
+        )
+    )

@@ -203,3 +203,22 @@ def test_spearman_by_group_closed_form(spark):
     )
     row = spearman_by_group(tie, "x", "y", ["g"]).collect()[0]
     assert abs(row.corr - 0.866025) < 1e-6
+
+
+def test_novel_ngram_rate_accretion(spark):
+    """Snapshot 0 is all-novel by construction; a later snapshot that
+    repeats snapshot-0 text verbatim contributes zero novel
+    occurrences; fresh text is novel."""
+    from data_pipeline_ine_spark.operators.text import novel_ngram_rate
+
+    rows = [
+        (0, "alpha beta gamma delta"),          # snap 0: 2 trigrams, novel
+        (100, "alpha beta gamma"),               # snap 1: repeat -> 0 novel
+        (101, "epsilon zeta eta theta iota"),    # snap 1: 3 novel trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.snapshot: r for r in novel_ngram_rate(df).collect()}
+    assert out[0].n_occ == 2 and out[0].n_novel == 2
+    assert out[0].novel_rate_e6 == 1000000
+    assert out[1].n_occ == 4 and out[1].n_novel == 3
+    assert out[1].novel_rate_e6 == 750000

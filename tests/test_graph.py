@@ -188,3 +188,23 @@ def test_link_prediction_ra_canonicalizes_dirty_edges(spark):
         (2, 4): (500_000_000_000, 1),
         (3, 5): (500_000_000_000, 1),
     }
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    """A star is perfectly disassortative (r = -1); a degree-regular
+    cycle has undefined correlation (NULL); duplicate edge rows are
+    deduped by the defensive distinct."""
+    from data_pipeline_ine_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 3)], "item_a long, item_b long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edges == 3
+    assert r.assortativity == -1.0
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "item_a long, item_b long"
+    )
+    rc = degree_assortativity(cycle).collect()[0]
+    assert rc.n_edges == 4 and rc.assortativity is None

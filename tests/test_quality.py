@@ -487,3 +487,47 @@ def test_gini_concentration_extremes(spark):
     assert out["whale"].gini == 0.75
     assert out["zero"].gini is None
     assert out["eq"].n_units == 4
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """Identical samples -> psi = 0, no one-sided bins; a sample with a
+    bucket present on one side only is excluded from the sum and
+    counted in n_one_sided."""
+    from data_pipeline_ine_spark.operators.quality import psi_drift
+
+    base = [(float(v),) for v in [0.5, 1.0, 2.0, 5.0, 40.0, 41.0]]
+    ref = spark.createDataFrame(base, "value double")
+    same = spark.createDataFrame(base, "value double")
+    r0 = psi_drift(ref, same, "value").collect()[0]
+    assert r0.psi == 0.0 and r0.n_one_sided == 0
+
+    # current adds values in a brand-new log2 bucket (100.0 -> 10000
+    # cents, 14 bits) absent from ref
+    cur = spark.createDataFrame(
+        base + [(100.0,), (101.0,)], "value double"
+    )
+    r1 = psi_drift(ref, cur, "value").collect()[0]
+    assert r1.n_one_sided == 1
+    assert r1.psi is not None
+
+
+def test_psi_drift_hand_computed(spark):
+    """Two shared buckets with a known count shift match the textbook
+    sum within the e6 log snap."""
+    import math
+
+    from data_pipeline_ine_spark.operators.quality import psi_drift
+
+    # bucket(50c)=6 bits, bucket(500c)=9 bits
+    ref = spark.createDataFrame(
+        [(0.5,)] * 8 + [(5.0,)] * 2, "value double"
+    )
+    cur = spark.createDataFrame(
+        [(0.5,)] * 5 + [(5.0,)] * 5, "value double"
+    )
+    got = psi_drift(ref, cur, "value").collect()[0]
+    want = (0.8 - 0.5) * math.log(0.8 / 0.5) + (0.2 - 0.5) * math.log(
+        0.2 / 0.5
+    )
+    assert abs(got.psi - want) < 1e-5
+    assert got.n_bins == 2 and got.n_one_sided == 0

@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "decile_lift": "1-row N/P totals frame + 1-row prior frame",
     "nb_kappa": "1-row totals and expected-agreement frames",
     "benford_digits": "1-row total-count frame (Benford expectation)",
+    "psi_drift": "1-row A/B totals frame over <=64 log2 bins",
 }
 
 
