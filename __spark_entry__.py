@@ -7933,6 +7933,155 @@ GROUP BY 1
 """
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of user lifetimes under right censoring
+    (operators/timeseries.py::kaplan_meier): users last seen within 2
+    days of the 2024-01-31 horizon are censored, not churned; survival
+    ships as the exact integer ln_surv_e6 (snapped step logs, BIGINT
+    window sum — never a float product or a libm exp)."""
+    from data_pipeline_ine_spark.operators.timeseries import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    return kaplan_meier(ev, "ts", "user_id", "2024-01-31", 2)
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH lives AS (
+  SELECT user_id,
+    CAST(datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+      AS BIGINT) AS dur,
+    CASE WHEN datediff('day', MAX(CAST(ts AS DATE)), DATE '2024-01-31') >= 2
+      THEN 1 ELSE 0 END AS ev
+  FROM events GROUP BY 1
+), per AS (
+  SELECT dur, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_evt
+  FROM lives GROUP BY 1
+), risk AS (
+  SELECT dur, c_evt,
+    CAST(SUM(c_all) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+  FROM per
+), stepped AS (
+  SELECT dur, c_evt, n_risk,
+    CASE WHEN c_evt = 0 THEN CAST(0 AS BIGINT)
+         WHEN n_risk > c_evt THEN
+           CAST(floor(ln(CAST(n_risk - c_evt AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+    END AS lns
+  FROM risk
+), cum AS (
+  SELECT dur, c_evt, n_risk, lns,
+    SUM(lns) OVER (ORDER BY dur) AS cums
+  FROM stepped
+)
+SELECT dur AS duration_days, n_risk, c_evt AS n_events,
+  CASE WHEN lns IS NOT NULL THEN CAST(cums AS BIGINT) END AS ln_surv_e6
+FROM cum WHERE c_evt > 0
+"""
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of daily event value
+    (operators/timeseries.py::theil_sen_daily): lower-median pairwise
+    slope as an explicit order statistic over exact integer cents —
+    the flash-sale-immune trend next to grouped_ols' least squares.
+    The pair frame is calendar²-bounded, never corpus-sized."""
+    from data_pipeline_ine_spark.operators.timeseries import theil_sen_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_daily(ev, "ts", "value")
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+    AS BIGINT) AS d,
+    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT a.d AS di, b.d AS dj,
+    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.d > a.d
+), ranked AS (
+  SELECT slope, di, dj,
+    row_number() OVER (ORDER BY slope, di, dj) AS rk,
+    COUNT(*) OVER () AS np
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+  CAST(np AS BIGINT) AS n_pairs,
+  slope AS ts_slope_cents_per_day
+FROM ranked WHERE rk = (np + 1) // 2
+"""
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag bivariate Mahalanobis outliers over lineitem
+    (quantity, extendedprice) cents
+    (operators/features.py::mahalanobis_outliers_2d): rows off the
+    group's quantity-price covariance structure (d² > 5 tail under the
+    bounded-support synthetic mix) — the fat-finger/price-integrity audit both univariate
+    z-score and MAD miss. Closed-form 2×2 inverse from DECIMAL-exact
+    moments; composite line id packed numerically (orderkey·10 +
+    linenumber)."""
+    from data_pipeline_ine_spark.operators.features import (
+        mahalanobis_outliers_2d,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("line_id"),
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("_q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("_p"),
+    )
+    return mahalanobis_outliers_2d(
+        li, "_q", "_p", ["l_returnflag"], id_col="line_id", threshold=5.0
+    )
+
+
+ORACLE_MAHALANOBIS = """
+WITH rows_ AS (
+  SELECT l_returnflag AS g,
+    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
+    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT g, CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+  FROM rows_ GROUP BY 1
+), j AS (
+  SELECT g, line_id,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+    CAST(sxy AS DOUBLE) AS sxyd,
+    CAST(x AS DOUBLE) AS xd, CAST(y AS DOUBLE) AS yd
+  FROM rows_ JOIN m USING (g)
+), e AS (
+  SELECT g, line_id,
+    nd * sxxd - sxd * sxd AS cxx,
+    nd * syyd - syd * syd AS cyy,
+    nd * sxyd - sxd * syd AS cxy,
+    nd * xd - sxd AS u,
+    nd * yd - syd AS v
+  FROM j
+)
+SELECT g AS l_returnflag, line_id,
+  ROUND((u * u * cyy - 2.0 * u * v * cxy + v * v * cxx)
+        / (cxx * cyy - cxy * cxy), 6) AS d2
+FROM e
+WHERE cxx * cyy - cxy * cxy > 0
+  AND ROUND((u * u * cyy - 2.0 * u * v * cxy + v * v * cxx)
+            / (cxx * cyy - cxy * cxy), 6) > 5.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -7989,6 +8138,9 @@ _CHECK_ORDER = [
     "psi_drift",
     "degree_assortativity",
     "novel_trigram_rate",
+    "kaplan_meier",
+    "theil_sen_trend",
+    "mahalanobis_outliers",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8378,6 +8530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "degree_assortativity": q_degree_assortativity,
         "novel_trigram_rate": q_novel_trigram_rate,
+        "kaplan_meier": q_kaplan_meier,
+        "theil_sen_trend": q_theil_sen_trend,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
     })
 
 
@@ -8585,4 +8740,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": ORACLE_PSI,
         "degree_assortativity": ORACLE_ASSORTATIVITY,
         "novel_trigram_rate": ORACLE_NOVEL_TRIGRAM,
+        "kaplan_meier": ORACLE_KAPLAN_MEIER,
+        "theil_sen_trend": ORACLE_THEIL_SEN,
+        "mahalanobis_outliers": ORACLE_MAHALANOBIS,
     })

@@ -546,3 +546,68 @@ def spearman_by_group(
         (2 * F.rank().over(gy) + F.count(F.lit(1)).over(ty) - 1).alias("_ry2"),
     )
     return grouped_corr(ranked, "_rx2", "_ry2", group_cols, scale=0)
+
+
+def mahalanobis_outliers_2d(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    group_cols: Sequence[str],
+    id_col: str = "id",
+    threshold: float = 12.0,
+) -> DataFrame:
+    """Grouped bivariate Mahalanobis outliers — the multivariate
+    complement to ``zscore``/``mad_outliers``: a row can be
+    unremarkable on quantity AND on price yet wildly off the group's
+    quantity-price correlation structure; Mahalanobis distance is the
+    covariance-aware yardstick that catches it (χ²₂: d² > 12 ≈ the
+    0.25% tail). The classic price-integrity / fat-finger audit.
+
+    Engine-exact: inputs are exact integer units, the per-group moment
+    sums stay DECIMAL(38,0), and the 2×2 closed form needs no matrix
+    library — with the integer-centered terms ``U = n·x − Σx``,
+    ``V = n·y − Σy`` and cofactors ``Cxx = n·Σx² − (Σx)²`` (ditto
+    ``Cyy``, ``Cxy``), the distance collapses to
+    ``d² = (U²·Cyy − 2·U·V·Cxy + V²·Cxx) / (Cxx·Cyy − Cxy²)`` — one
+    fixed double expression over decimal-exact operands on both
+    engines (decimal→double conversion is correctly rounded in both).
+    Degenerate groups (singular covariance: constant or collinear
+    columns) return no rows rather than fake distances.
+
+    Scale shape: ONE group-keyed moment aggregate (map-side combined),
+    the |groups|-row moments frame broadcast back onto the scan, a
+    per-row projection + filter. Output is outlier-sized.
+    """
+    xc = (F.col(x_col) if isinstance(x_col, str) else x_col).cast(
+        "decimal(19,0)"
+    )
+    yc = (F.col(y_col) if isinstance(y_col, str) else y_col).cast(
+        "decimal(19,0)"
+    )
+    gcols = list(group_cols)
+    rows = df.select(*gcols, F.col(id_col), xc.alias("_x"), yc.alias("_y"))
+    m = rows.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("decimal(38,0)").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,0)").alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    cxx = n * sxx - sx * sx
+    cyy = n * syy - sy * sy
+    cxy = n * sxy - sx * sy
+    det = cxx * cyy - cxy * cxy
+    u = n * F.col("_x").cast("double") - sx
+    v = n * F.col("_y").cast("double") - sy
+    d2 = (u * u * cyy - 2.0 * u * v * cxy + v * v * cxx) / det
+    return (
+        rows.join(F.broadcast(m), gcols)
+        .filter(det > 0)
+        .select(*gcols, id_col, F.round(d2, 6).alias("d2"))
+        .filter(F.col("d2") > threshold)
+    )

@@ -555,15 +555,27 @@ def pq_codebook(
     id_col: str = "vec_id",
     m: int = 4,
     n_codes: int = 8,
+    trained: bool = False,
+    iters: int = 2,
 ) -> list[list[list[int]]]:
-    """Deterministic PQ codebook: the ``n_codes`` lowest-id vectors,
-    split into ``m`` subvectors and fixed-point quantized —
-    ``cb[s][c]`` is code ``c``'s integer subvector for subspace ``s``.
+    """Deterministic PQ codebook — ``cb[s][c]`` is code ``c``'s integer
+    subvector for subspace ``s``, fixed-point quantized.
 
-    A production codebook would k-means each subspace (kmeans_fit above);
-    selection-by-id keeps the oracle reproducible while exercising the
-    identical encode/ADC machinery. Driver pull is O(n_codes · dim) —
-    the same benign scalar class as the k-means centroid pull."""
+    Two paths behind the ``trained`` flag:
+
+    - ``trained=False`` (contract/oracle path): the ``n_codes``
+      lowest-id vectors, split into ``m`` subvectors — reproducible in
+      plain SQL, exercising the identical encode/ADC machinery.
+    - ``trained=True`` (production path): each subspace's codewords are
+      k-means centroids over that subspace's subvectors (``kmeans_fit``:
+      deterministic lowest-id init, per-iteration rounded updates, one
+      (cluster, dim) shuffle per iteration independent of corpus size).
+      Same nested-int output structure, lower quantization error. A
+      cluster that empties falls back to its init subvector so every
+      subspace keeps exactly ``n_codes`` codewords.
+
+    Driver pull is O(n_codes · dim) either way — the same benign scalar
+    class as the k-means centroid pull."""
     rows = (
         df.select(id_col, vec_col)
         .orderBy(id_col)
@@ -575,10 +587,30 @@ def pq_codebook(
     import math
 
     q = lambda x: int(math.floor(float(x) * PQ_SCALE + 0.5))  # noqa: E731
-    return [
+    base = [
         [[q(r[1][s * sub + d]) for d in range(sub)] for r in rows]
         for s in range(m)
     ]
+    if not trained:
+        return base
+    out: list[list[list[int]]] = []
+    for s in range(m):
+        sub_df = df.select(
+            F.col(id_col),
+            F.slice(vec_col, s * sub + 1, sub).alias(vec_col),
+        )
+        cents = dict(
+            kmeans_fit(
+                sub_df, k=n_codes, iters=iters, vec_col=vec_col, id_col=id_col
+            )
+        )
+        out.append(
+            [
+                [q(x) for x in cents[c]] if c in cents else base[s][c]
+                for c in range(n_codes)
+            ]
+        )
+    return out
 
 
 def _pq_lit(codebook: list[list[list[int]]]) -> Column:

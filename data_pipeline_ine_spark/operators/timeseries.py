@@ -879,3 +879,159 @@ def interarrival_burstiness(
             "burstiness"
         ),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    horizon: str = "2024-01-31",
+    censor_margin_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetimes under right
+    censoring — the honest churn curve: a user whose last event falls
+    within ``censor_margin_days`` of the data horizon is CENSORED
+    (still alive as far as the data can tell), not dead, which naive
+    retention curves silently miscount as churn.
+
+    Lifetime = whole days between a user's first and last event; an
+    uncensored lifetime is a death at that duration. At each event
+    duration d: ``n_risk`` = users with lifetime ≥ d, ``n_events`` =
+    deaths at d, and the survival product ``S(d) = Π (1 − dᵢ/nᵢ)``
+    ships as the engine-exact integer ``ln_surv_e6`` — each step's
+    ``ln((nᵢ−dᵢ)/nᵢ)`` snapped e6 (the zipf recipe), accumulated by an
+    exact BIGINT window sum (Σ of snapped logs, never a float product;
+    ``S = exp(ln_surv_e6/1e6)`` for humans, kept off the contract
+    surface because libm ``exp`` is a cross-engine trap). When a step
+    kills every remaining user the log is −∞ — that row (always the
+    last) emits NULL.
+
+    Scale shape: one user-grain aggregate (the only corpus-sized
+    work), then everything lives on the duration-grain frame — bounded
+    by the CALENDAR span (≤ days), so the unpartitioned cumulative
+    windows are calendar-sized, never corpus-sized. Output: one row
+    per duration with ≥1 death.
+    """
+    from pyspark.sql import Window
+
+    h = F.lit(horizon).cast("date")
+    lives = (
+        df.groupBy(user_col)
+        .agg(
+            F.min(F.to_date(ts_col)).alias("_first"),
+            F.max(F.to_date(ts_col)).alias("_last"),
+        )
+        .select(
+            F.datediff("_last", "_first").cast("bigint").alias("_dur"),
+            F.when(
+                F.datediff(h, F.col("_last")) >= censor_margin_days, 1
+            )
+            .otherwise(0)
+            .alias("_event"),
+        )
+    )
+    per_dur = lives.groupBy("_dur").agg(
+        F.count(F.lit(1)).alias("_c_all"),
+        F.sum("_event").cast("bigint").alias("_c_evt"),
+    )
+    w_desc = Window.orderBy(F.desc("_dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_dur.withColumn(
+        "n_risk", F.sum("_c_all").over(w_desc).cast("bigint")
+    )
+    ln_step = F.when(
+        F.col("_c_evt") == 0, F.lit(0).cast("bigint")
+    ).when(
+        F.col("n_risk") > F.col("_c_evt"),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("_c_evt")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )  # NULL when the step extinguishes the risk set (ln 0)
+    w_asc = Window.orderBy("_dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = at_risk.withColumn("_ln", ln_step).withColumn(
+        "ln_surv_e6",
+        F.when(
+            F.col("_ln").isNotNull(), F.sum("_ln").over(w_asc)
+        ).cast("bigint"),
+    )
+    return stepped.filter(F.col("_c_evt") > 0).select(
+        F.col("_dur").alias("duration_days"),
+        "n_risk",
+        F.col("_c_evt").alias("n_events"),
+        "ln_surv_e6",
+    )
+
+
+def theil_sen_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Theil–Sen robust trend of the daily value total — the
+    outlier-immune alternative to grouped_ols' least squares (one
+    flash-sale day drags an OLS slope; the median pairwise slope
+    shrugs): slope = lower median over all day pairs of
+    ``(rev_j − rev_i)/(day_j − day_i)``.
+
+    Engine-exact: daily totals are exact integer units; each pairwise
+    slope is ONE IEEE divide of exact integers (bit-identical), and
+    the median is the explicit ``(n_pairs+1) div 2``-th ORDER STATISTIC
+    under the total order ``(slope, day_i, day_j)`` — never an
+    interpolating median, whose two-engine averaging rules differ. The
+    unrounded double ships as-is (the ewma precedent: bit-identical
+    beats rounded).
+
+    Scale shape: the corpus-sized work is one day-grain aggregate; the
+    pair frame is calendar²-bounded (31 days → 465 pairs), so the
+    self-join and the top-k order statistic are driver-trivial at any
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("_day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * unit_scale).cast("decimal(25,0)")
+            )
+            .cast("bigint")
+            .alias("_rev")
+        )
+        .select(
+            F.datediff(
+                "_day", F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("_d"),
+            "_rev",
+        )
+    )
+    a = daily.select(F.col("_d").alias("_di"), F.col("_rev").alias("_ri"))
+    b = daily.select(F.col("_d").alias("_dj"), F.col("_rev").alias("_rj"))
+    pairs = a.join(b, F.col("_dj") > F.col("_di")).select(
+        "_di",
+        "_dj",
+        (
+            (F.col("_rj") - F.col("_ri")).cast("double")
+            / (F.col("_dj") - F.col("_di")).cast("double")
+        ).alias("_slope"),
+    )
+    w = Window.orderBy("_slope", "_di", "_dj")
+    ranked = pairs.withColumn("_rk", F.row_number().over(w))
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    med = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("_rk") == F.expr("(n_pairs + 1) div 2")
+    )
+    return med.crossJoin(F.broadcast(n_days)).select(
+        "n_days", "n_pairs", F.col("_slope").alias("ts_slope_cents_per_day")
+    )

@@ -305,6 +305,54 @@ def test_pq_topk_query_equals_codeword_ranks_it_first(spark, sf_dir):
     assert out[0]["pq_dist"] == 0
 
 
+def test_pq_trained_codebook_beats_selected_on_quantization_error(
+    spark, sf_dir
+):
+    """``pq_codebook(trained=True)`` (per-subspace kmeans_fit, the
+    production path) must keep the selected-by-id output structure —
+    m subspaces × n_codes integer codewords — and cut the corpus total
+    squared reconstruction error vs the selection-by-id contract path
+    (k-means' objective IS quantization MSE; top-k recall is too noisy
+    on 500 synthetic vectors to assert on)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        PQ_SCALE,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _emb(spark, sf_dir)
+
+    def recon_error(cb):
+        m, sub = len(cb), len(cb[0][0])
+        j = emb.join(pq_encode(emb, cb), "vec_id")
+        err = F.lit(0).cast("bigint")
+        for s in range(m):
+            cblit = F.array(
+                *[
+                    F.array(*[F.lit(v).cast("bigint") for v in code])
+                    for code in cb[s]
+                ]
+            )
+            for d in range(sub):
+                vi = F.floor(
+                    F.element_at("embedding", s * sub + d + 1).cast("double")
+                    * PQ_SCALE
+                    + F.lit(0.5)
+                ).cast("bigint")
+                cw = F.element_at(
+                    F.element_at(cblit, F.element_at("pq_codes", s + 1) + 1),
+                    d + 1,
+                )
+                err = err + (vi - cw) * (vi - cw)
+        return j.select(F.sum(err).alias("e")).collect()[0]["e"]
+
+    sel = pq_codebook(emb, m=4, n_codes=8)
+    trn = pq_codebook(emb, m=4, n_codes=8, trained=True)
+    assert len(trn) == 4 and all(len(s) == 8 for s in trn)
+    assert all(len(c) == len(sel[0][0]) for s in trn for c in s)
+    assert recon_error(trn) < recon_error(sel)
+
+
 def test_pq_recall_vs_exact_topk(spark, sf_dir):
     """PQ is lossy but must stay useful: with an 8-entry codebook over
     this corpus, the ADC top-10 for a held-out query shares members with

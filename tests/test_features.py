@@ -222,3 +222,35 @@ def test_novel_ngram_rate_accretion(spark):
     assert out[0].novel_rate_e6 == 1000000
     assert out[1].n_occ == 4 and out[1].n_novel == 3
     assert out[1].novel_rate_e6 == 750000
+
+
+def test_mahalanobis_outliers_2d_matches_numpy(spark):
+    """Population-covariance Mahalanobis distances agree with numpy's
+    matrix form; the off-structure point is flagged, on-structure
+    points are not; an exactly-collinear group is dropped (singular)."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators.features import (
+        mahalanobis_outliers_2d,
+    )
+
+    pts = [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (10, 0)]
+    rows = [("g", i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    rows += [("line", 100 + i, float(i), float(2 * i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, id long, x double, y double")
+    out = mahalanobis_outliers_2d(
+        df, "x", "y", ["grp"], id_col="id", threshold=3.0
+    ).collect()
+    assert all(r.grp == "g" for r in out)  # collinear group dropped
+
+    a = np.array(pts, dtype=float)
+    mu = a.mean(axis=0)
+    cov = np.cov(a.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d2 = [float((p - mu) @ inv @ (p - mu)) for p in a]
+    want = {i: v for i, v in enumerate(d2) if v > 3.0}
+    got = {r.id: r.d2 for r in out}
+    assert set(got) == set(want)
+    for i, v in want.items():
+        assert abs(got[i] - v) < 1e-6
+    assert 6 in got  # the (10, 0) point is the flagged outlier

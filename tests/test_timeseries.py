@@ -436,3 +436,61 @@ def test_interarrival_burstiness_known_cases(spark):
     assert out[2].burstiness == round(-1.0 / 3.0, 6)
     assert out[2].gap_sum_s == 40
     assert out[3].burstiness is None
+
+
+def test_kaplan_meier_hand_curve(spark):
+    """4 users: deaths at durations 0, 2, 3; one long-lived censored
+    user. Survival 3/4 * 2/3 * 1/2 = 1/4 accumulates as exact snapped
+    e6 logs."""
+    import math
+    from datetime import datetime
+
+    from data_pipeline_ine_spark.operators.timeseries import kaplan_meier
+
+    rows = [
+        (1, datetime(2024, 1, 1)),
+        (2, datetime(2024, 1, 1)), (2, datetime(2024, 1, 3)),
+        (3, datetime(2024, 1, 1)), (3, datetime(2024, 2, 25)),
+        (4, datetime(2024, 1, 1)), (4, datetime(2024, 1, 4)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.duration_days: r
+        for r in kaplan_meier(df, "ts", "user_id", "2024-02-28", 7).collect()
+    }
+    assert set(out) == {0, 2, 3}
+    assert (out[0].n_risk, out[0].n_events) == (4, 1)
+    assert (out[2].n_risk, out[2].n_events) == (3, 1)
+    assert (out[3].n_risk, out[3].n_events) == (2, 1)
+
+    def sn(x):
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    assert out[0].ln_surv_e6 == sn(3 / 4)
+    assert out[2].ln_surv_e6 == sn(3 / 4) + sn(2 / 3)
+    assert out[3].ln_surv_e6 == sn(3 / 4) + sn(2 / 3) + sn(1 / 2)
+    # extinction step: both users die at the same duration -> NULL
+    ext = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 1))],
+        "user_id long, ts timestamp",
+    )
+    r = kaplan_meier(ext, "ts", "user_id", "2024-02-28", 7).collect()
+    assert len(r) == 1 and r[0].ln_surv_e6 is None
+
+
+def test_theil_sen_ignores_flash_sale(spark):
+    """Daily revenues 100,200,300,400 then a 10000 outlier day: 6 of 10
+    pairwise slopes are exactly 100/day, so the lower median is 10000
+    cents/day — untouched by the outlier that would wreck OLS."""
+    from datetime import datetime
+
+    from data_pipeline_ine_spark.operators.timeseries import theil_sen_daily
+
+    rows = [
+        (datetime(2024, 1, day), float(v))
+        for day, v in [(1, 100), (2, 200), (3, 300), (4, 400), (5, 10000)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = theil_sen_daily(df, "ts", "value").collect()[0]
+    assert r.n_days == 5 and r.n_pairs == 10
+    assert r.ts_slope_cents_per_day == 10000.0

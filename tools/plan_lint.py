@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "nb_kappa": "1-row totals and expected-agreement frames",
     "benford_digits": "1-row total-count frame (Benford expectation)",
     "psi_drift": "1-row A/B totals frame over <=64 log2 bins",
+    "theil_sen_trend": "calendar^2 pair self-join + 1-row totals frames",
 }
 
 
