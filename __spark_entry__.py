@@ -8082,6 +8082,125 @@ WHERE cxx * cyy - cxy * cxy > 0
 """
 
 
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily event value at lags 1..7
+    (operators/timeseries.py::acf_daily) — the seasonality/AR-order
+    diagnostic: Pearson over the aligned (xₜ, xₜ₊ₖ) pair series from
+    exact DECIMAL moments, one fixed double expression per lag. Lag
+    expansion is a generator explode; the self-join and windows are
+    calendar-bounded, never corpus-sized."""
+    from data_pipeline_ine_spark.operators.timeseries import acf_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf_daily(ev, "ts", "value", max_lag=7)
+
+
+ORACLE_ACF = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS rn, rev FROM daily
+), lagged AS (
+  SELECT i.rn, i.rev AS x, l.lag, j.rev AS y
+  FROM idx i
+  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+  JOIN idx j ON j.rn = i.rn + l.lag
+), m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    SUM(CAST(x AS DECIMAL(25,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(25,0))) AS sy,
+    SUM(CAST(x AS DECIMAL(25,0)) * CAST(y AS DECIMAL(25,0))) AS sxy,
+    SUM(CAST(x AS DECIMAL(25,0)) * CAST(x AS DECIMAL(25,0))) AS sxx,
+    SUM(CAST(y AS DECIMAL(25,0)) * CAST(y AS DECIMAL(25,0))) AS syy
+  FROM lagged GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+  ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+FROM m ORDER BY lag
+"""
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of order value
+    (operators/timeseries.py::dow_seasonality): per weekday
+    (0=Sunday), the ratio of that weekday's mean order price to the
+    overall mean — exact integer cents into one fixed double divide.
+    One 7-rows-out aggregate + a 1-row totals broadcast."""
+    from data_pipeline_ine_spark.operators.timeseries import dow_seasonality
+
+    od = load_table(spark, sf_dir, "orders")
+    return dow_seasonality(od, "o_orderdate", "o_totalprice")
+
+
+ORACLE_DOW = """
+WITH per AS (
+  SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CAST(floor(o_totalprice * 100) AS DECIMAL(25,0)))
+      AS BIGINT) AS sum_cents
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS n_tot,
+    CAST(SUM(sum_cents) AS BIGINT) AS s_tot
+  FROM per
+)
+SELECT CAST(dow AS BIGINT) AS dow, n_rows, sum_cents,
+  ROUND((CAST(sum_cents AS DOUBLE) * CAST(n_tot AS DOUBLE))
+        / (CAST(n_rows AS DOUBLE) * CAST(s_tot AS DOUBLE)), 6) AS dow_index
+FROM per, tot ORDER BY dow
+"""
+
+
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor on daily event value
+    (operators/timeseries.py::cusum_alarm): the sequential recurrence
+    ``Sₜ = max(0, Sₜ₋₁ + xₜ − μ − k)`` computed relationally as
+    prefix-sum minus running-min — all-BIGINT surfaces, alarm when S
+    exceeds 20% of the daily mean. Catches persistent small drift a
+    per-day z-score misses."""
+    from data_pipeline_ine_spark.operators.timeseries import cusum_alarm
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_alarm(ev, "ts", "value", slack_permille=50, h_permille=200)
+
+
+ORACLE_CUSUM = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x_cents
+  FROM events GROUP BY 1
+), mu AS (
+  SELECT CAST(SUM(x_cents) // COUNT(*) AS BIGINT) AS m FROM daily
+), y AS (
+  SELECT day, x_cents,
+    x_cents - m - CAST((m * 50) // 1000 AS BIGINT) AS yv, m
+  FROM daily, mu
+), p AS (
+  SELECT day, x_cents, m,
+    CAST(SUM(yv) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pv
+  FROM y
+), s AS (
+  SELECT day, x_cents, m, pv,
+    CAST(pv - least(CAST(0 AS BIGINT), MIN(pv) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    AS BIGINT) AS s_cents
+  FROM p
+)
+SELECT day, x_cents, s_cents,
+  CAST(CASE WHEN s_cents > (m * 200) // 1000 THEN 1 ELSE 0 END
+    AS BIGINT) AS alarm
+FROM s ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8141,6 +8260,9 @@ _CHECK_ORDER = [
     "kaplan_meier",
     "theil_sen_trend",
     "mahalanobis_outliers",
+    "acf_daily_revenue",
+    "dow_seasonality",
+    "cusum_alarm",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8533,6 +8655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "theil_sen_trend": q_theil_sen_trend,
         "mahalanobis_outliers": q_mahalanobis_outliers,
+        "acf_daily_revenue": q_acf_daily_revenue,
+        "dow_seasonality": q_dow_seasonality,
+        "cusum_alarm": q_cusum_alarm,
     })
 
 
@@ -8743,4 +8868,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier": ORACLE_KAPLAN_MEIER,
         "theil_sen_trend": ORACLE_THEIL_SEN,
         "mahalanobis_outliers": ORACLE_MAHALANOBIS,
+        "acf_daily_revenue": ORACLE_ACF,
+        "dow_seasonality": ORACLE_DOW,
+        "cusum_alarm": ORACLE_CUSUM,
     })

@@ -1035,3 +1035,226 @@ def theil_sen_daily(
     return med.crossJoin(F.broadcast(n_days)).select(
         "n_days", "n_pairs", F.col("_slope").alias("ts_slope_cents_per_day")
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 7,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Sample autocorrelation of the daily value total at lags
+    1..``max_lag`` — the is-today-like-yesterday diagnostic behind
+    seasonality detection and forecast-model order selection (an AR
+    signature decays, an MA signature cuts off).
+
+    Semantics: the *cross-correlation* form — Pearson correlation of
+    the aligned pair series (xₜ, xₜ₊ₖ), each side centered on its own
+    pair-set mean (the textbook large-n ACF divides by the global
+    variance instead; on a calendar-bounded series the pairwise form
+    is the exact, assumption-free statistic).
+
+    Engine-exact: daily totals are exact integer units; per-lag moment
+    sums accumulate in DECIMAL(25/38,0); the Pearson closed form is
+    one fixed double expression over those exact integers, rounded to
+    6 places (the spearman recipe).
+
+    Scale shape: the corpus-sized work is ONE day-grain aggregate.
+    Lag expansion is a generator (``explode`` of a ``max_lag``-element
+    literal array — no join), the self-join is an equi-join on the
+    shifted day index over a calendar-bounded frame, and the
+    unpartitioned row_number window is calendar-sized, never
+    corpus-sized (the theil_sen/kaplan_meier precedent).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("_day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * unit_scale).cast("decimal(25,0)")
+            )
+            .cast("bigint")
+            .alias("_rev")
+        )
+        .withColumn(
+            "_rn", F.row_number().over(Window.orderBy("_day"))
+        )
+        .select("_rn", "_rev")
+    )
+    lags = F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    left = daily.select(
+        F.col("_rn"),
+        F.col("_rev").alias("_x"),
+        F.explode(lags).alias("lag"),
+    ).withColumn("_rn2", F.col("_rn") + F.col("lag"))
+    right = daily.select(
+        F.col("_rn").alias("_rn2"), F.col("_rev").alias("_y")
+    )
+    pairs = left.join(right, "_rn2")
+    d25 = lambda c: F.col(c).cast("decimal(25,0)")  # noqa: E731
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(d25("_x")).alias("_sx"),
+        F.sum(d25("_y")).alias("_sy"),
+        F.sum(d25("_x") * d25("_y")).alias("_sxy"),
+        F.sum(d25("_x") * d25("_x")).alias("_sxx"),
+        F.sum(d25("_y") * d25("_y")).alias("_syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    return (
+        m.select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            F.round(
+                (n * sxy - sx * sy)
+                / (
+                    F.sqrt(n * sxx - sx * sx)
+                    * F.sqrt(n * syy - sy * sy)
+                ),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def dow_seasonality(
+    df: DataFrame,
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Day-of-week seasonality index of the value column: per weekday,
+    the ratio of that weekday's mean row value to the overall mean —
+    index > 1 means the weekday runs hot. The first stop when a
+    metric wiggles with a 7-day period (staffing, cache prewarm,
+    anomaly-threshold calendars all key off this table).
+
+    ``dow`` is 0=Sunday..6=Saturday (Spark ``dayofweek()-1`` ==
+    DuckDB ``dayofweek()``). Engine-exact: per-dow and global sums are
+    exact integer units; the index is ONE fixed double expression
+    ``(sum_dow·n_tot)/(n_dow·sum_tot)`` over those integers (a single
+    IEEE divide of two deterministic products), rounded to 6.
+
+    Scale shape: one dow-grain aggregate (7 rows out) is the only
+    corpus-sized work; the global totals are a 1-row broadcast
+    (documented benign BNLJ class).
+    """
+    cents = F.floor(F.col(value_col) * unit_scale).cast("decimal(25,0)")
+    per = (
+        df.select(
+            (F.dayofweek(F.col(date_col).cast("date")) - 1).alias("dow"),
+            cents.alias("_c"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_c").cast("bigint").alias("sum_cents"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("bigint").alias("_n_tot"),
+        F.sum("sum_cents").cast("bigint").alias("_s_tot"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_rows",
+            "sum_cents",
+            F.round(
+                (
+                    F.col("sum_cents").cast("double")
+                    * F.col("_n_tot").cast("double")
+                )
+                / (
+                    F.col("n_rows").cast("double")
+                    * F.col("_s_tot").cast("double")
+                ),
+                6,
+            ).alias("dow_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+def cusum_alarm(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slack_permille: int = 50,
+    h_permille: int = 200,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """One-sided (upward) CUSUM change-point monitor on the daily value
+    total — the classic sequential drift detector: it accumulates
+    small persistent excess that a per-day z-score never trips on, and
+    resets the moment the series dips back under target.
+
+    The recurrence ``Sₜ = max(0, Sₜ₋₁ + xₜ − μ − k)`` looks
+    imperatively sequential, but its closed form is relational:
+    ``Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ)`` where ``P`` is the running
+    prefix sum of ``yₜ = xₜ − μ − k`` — one running-sum window and one
+    running-min window, no loop. ``μ`` = global daily mean
+    (``sum div n``, exact floor division of non-negative integers),
+    ``k`` = μ·slack_permille/1000, alarm when ``Sₜ > h`` =
+    μ·h_permille/1000. Every surface is exact BIGINT arithmetic —
+    no floats anywhere.
+
+    Scale shape: one day-grain aggregate is the only corpus-sized
+    work; the unpartitioned running windows are calendar-bounded
+    (the kaplan_meier precedent), and μ rides a 1-row broadcast
+    (documented benign BNLJ class).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * unit_scale).cast("decimal(25,0)")
+            )
+            .cast("bigint")
+            .alias("x_cents")
+        )
+    )
+    tot = daily.agg(
+        F.sum("x_cents").cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    ).select(F.expr("_s div _n").cast("bigint").alias("_mu"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_y",
+            (
+                F.col("x_cents")
+                - F.col("_mu")
+                - F.expr(f"(_mu * {slack_permille}) div 1000")
+            ).cast("bigint"),
+        )
+        .withColumn("_p", F.sum("_y").over(w).cast("bigint"))
+        .withColumn(
+            "_pmin", F.least(F.lit(0).cast("bigint"), F.min("_p").over(w))
+        )
+        .withColumn("s_cents", (F.col("_p") - F.col("_pmin")).cast("bigint"))
+    )
+    return staged.select(
+        "day",
+        "x_cents",
+        "s_cents",
+        F.when(
+            F.col("s_cents") > F.expr(f"(_mu * {h_permille}) div 1000"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alarm"),
+    ).orderBy("day")

@@ -494,3 +494,92 @@ def test_theil_sen_ignores_flash_sale(spark):
     r = theil_sen_daily(df, "ts", "value").collect()[0]
     assert r.n_days == 5 and r.n_pairs == 10
     assert r.ts_slope_cents_per_day == 10000.0
+
+
+def _daily_events(spark, cents_by_day):
+    """One event per day at the given integer-cent value, Jan 2024."""
+    rows = [
+        (dt.datetime(2024, 1, d + 1, 12, 0, 0), c / 100.0)
+        for d, c in enumerate(cents_by_day)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_acf_daily_matches_pairwise_pearson(spark):
+    """acf_daily == the plain pairwise Pearson computed in Python on the
+    same daily series (alternating series → strongly negative lag-1,
+    positive lag-2)."""
+    from data_pipeline_ine_spark.operators.timeseries import acf_daily
+
+    cents = [100, 300, 120, 310, 90, 320, 110, 290, 95, 305]
+    out = {
+        r.lag: (r.n_pairs, r.acf)
+        for r in acf_daily(
+            _daily_events(spark, cents), "ts", "value", max_lag=3
+        ).collect()
+    }
+
+    def pearson(pairs):
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+        return round(num / den, 6)
+
+    for lag in (1, 2, 3):
+        pairs = list(zip(cents[:-lag], cents[lag:]))
+        assert out[lag] == (len(pairs), pearson(pairs))
+    assert out[1][1] < -0.9 and out[2][1] > 0.9
+
+
+def test_dow_seasonality_flags_the_hot_weekday(spark):
+    """Two Mondays at triple the weekday value → Monday index ≈ 3× the
+    quiet days'; count-weighted mean of indices is exactly 1."""
+    from data_pipeline_ine_spark.operators.timeseries import dow_seasonality
+
+    rows = []
+    for day in range(1, 15):  # 2024-01-01 is a Monday
+        d = dt.date(2024, 1, day)
+        rows.append((d, 30.0 if d.weekday() == 0 else 10.0))
+    df = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
+    out = {r.dow: r for r in dow_seasonality(df).collect()}
+    assert set(out) == set(range(7))
+    assert out[1].dow_index > 2.0 > 1.0 > out[0].dow_index  # dow 1 = Monday
+    total_n = sum(r.n_rows for r in out.values())
+    weighted = sum(r.n_rows * r.dow_index for r in out.values())
+    assert abs(weighted / total_n - 1.0) < 1e-6
+
+
+def test_cusum_alarm_matches_imperative_recurrence_and_fires_on_drift(
+    spark,
+):
+    """The prefix-sum-minus-running-min closed form equals the textbook
+    max(0, S+x−μ−k) loop day for day, stays quiet on the flat head and
+    fires after the injected +40% level shift."""
+    from data_pipeline_ine_spark.operators.timeseries import cusum_alarm
+
+    # multiples of 25 ⇒ c/100.0 is an exact dyadic ⇒ floor(v·100) == c
+    cents = [1000, 1025, 975, 1000, 1050, 950, 1000, 1025] + [1400] * 8
+    out = cusum_alarm(
+        _daily_events(spark, cents),
+        "ts",
+        "value",
+        slack_permille=50,
+        h_permille=200,
+    ).orderBy("day").collect()
+
+    mu = sum(cents) // len(cents)
+    k = (mu * 50) // 1000
+    h = (mu * 200) // 1000
+    s = 0
+    for r, x in zip(out, cents):
+        s = max(0, s + x - mu - k)
+        assert r.x_cents == x
+        assert r.s_cents == s, f"day {r.day}: {r.s_cents} != {s}"
+        assert r.alarm == (1 if s > h else 0)
+    assert all(r.alarm == 0 for r in out[:8])
+    assert out[-1].alarm == 1

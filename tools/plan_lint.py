@@ -67,6 +67,8 @@ BNLJ_ALLOWED = {
     "benford_digits": "1-row total-count frame (Benford expectation)",
     "psi_drift": "1-row A/B totals frame over <=64 log2 bins",
     "theil_sen_trend": "calendar^2 pair self-join + 1-row totals frames",
+    "dow_seasonality": "1-row global-totals frame over a 7-row dow grain",
+    "cusum_alarm": "1-row daily-mean frame over a calendar-bounded series",
 }
 
 
