@@ -8201,6 +8201,130 @@ FROM s ORDER BY day
 """
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-user sketch per event type
+    (operators/sketches.py::kmv_distinct): the oracle-checkable
+    distinct estimator — k smallest md5 hashes, estimate
+    (k−1)·2⁴⁸ div h₍ₖ₎, exact count carried for auditability. The
+    per-group bottom-k is WindowGroupLimit-pushed, never a full
+    materialization."""
+    from data_pipeline_ine_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=32)
+
+
+ORACLE_KMV = """
+WITH h AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key
+  FROM events
+), hh AS (
+  SELECT event_type, key,
+    CAST(('0x' || substr(md5('kmv:' || key), 1, 12)) AS BIGINT) AS hv
+  FROM h
+), r AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv, key) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_all
+  FROM hh
+)
+SELECT event_type,
+  CAST(MAX(n_all) AS BIGINT) AS n_exact,
+  CAST(COALESCE(MAX(CASE WHEN rn = 32 THEN hv END), 0) AS BIGINT)
+    AS kth_hash,
+  CAST(CASE WHEN MAX(n_all) < 32 THEN MAX(n_all)
+       ELSE (CAST(31 AS BIGINT) * CAST(281474976710656 AS BIGINT))
+            // MAX(CASE WHEN rn = 32 THEN hv END) END AS BIGINT)
+    AS kmv_estimate
+FROM r WHERE rn <= 32 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders
+    (operators/features.py::rfm_segments): recency/frequency/monetary
+    quintile scores (5 = best) rolled up to segment cells — ntile
+    under total orders, exact datediff recency, integer cents. One
+    customer-grain aggregate + segment-sized output."""
+    from data_pipeline_ine_spark.operators.features import rfm_segments
+
+    od = load_table(spark, sf_dir, "orders")
+    return rfm_segments(od, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+ORACLE_RFM = """
+WITH per AS (
+  SELECT o_custkey,
+    MAX(CAST(o_orderdate AS DATE)) AS last_d,
+    CAST(COUNT(*) AS BIGINT) AS f_orders,
+    CAST(SUM(CAST(floor(o_totalprice * 100) AS DECIMAL(25,0)))
+      AS BIGINT) AS m_cents
+  FROM orders GROUP BY 1
+), hz AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS hmax FROM orders
+), s AS (
+  SELECT o_custkey, f_orders, m_cents,
+    CAST(datediff('day', last_d, hmax) AS BIGINT) AS r_days
+  FROM per, hz
+), sc AS (
+  SELECT m_cents,
+    CAST(6 - ntile(5) OVER (ORDER BY r_days ASC, o_custkey ASC)
+      AS BIGINT) AS r_score,
+    CAST(ntile(5) OVER (ORDER BY f_orders ASC, o_custkey ASC)
+      AS BIGINT) AS f_score,
+    CAST(ntile(5) OVER (ORDER BY m_cents ASC, o_custkey ASC)
+      AS BIGINT) AS m_score
+  FROM s
+)
+SELECT r_score, f_score, m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(m_cents) AS BIGINT) AS segment_cents
+FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy column profile of events
+    (operators/quality.py::column_entropy): per column, N, distinct,
+    and e6 fixed-point entropy from snapped per-category logs — the
+    catalog screening stat (≈0 flags constants, ≈ln N flags ids).
+    Generator-explode melt, map-side-combinable counts."""
+    from data_pipeline_ine_spark.operators.quality import column_entropy
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    )
+    return column_entropy(ev, ["event_type", "user_id", "day"])
+
+
+ORACLE_COLUMN_ENTROPY = """
+WITH src AS (
+  SELECT CAST(event_type AS VARCHAR) AS event_type,
+    CAST(user_id AS VARCHAR) AS user_id,
+    CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events
+), melted AS (
+  SELECT 'event_type' AS col_name, event_type AS val FROM src
+  UNION ALL SELECT 'user_id', user_id FROM src
+  UNION ALL SELECT 'day', day FROM src
+), counts AS (
+  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+  FROM melted GROUP BY 1, 2
+), prof AS (
+  SELECT col_name,
+    CAST(SUM(c) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(SUM(CAST(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+      AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS sum_c_lnc_e6
+  FROM counts GROUP BY 1
+)
+SELECT col_name, n_rows, n_distinct, sum_c_lnc_e6,
+  CAST(CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+    - sum_c_lnc_e6 // n_rows AS BIGINT) AS entropy_e6
+FROM prof ORDER BY col_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8263,6 +8387,9 @@ _CHECK_ORDER = [
     "acf_daily_revenue",
     "dow_seasonality",
     "cusum_alarm",
+    "kmv_distinct_users",
+    "rfm_segments",
+    "column_entropy",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8658,6 +8785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily_revenue": q_acf_daily_revenue,
         "dow_seasonality": q_dow_seasonality,
         "cusum_alarm": q_cusum_alarm,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "rfm_segments": q_rfm_segments,
+        "column_entropy": q_column_entropy,
     })
 
 
@@ -8871,4 +9001,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_daily_revenue": ORACLE_ACF,
         "dow_seasonality": ORACLE_DOW,
         "cusum_alarm": ORACLE_CUSUM,
+        "kmv_distinct_users": ORACLE_KMV,
+        "rfm_segments": ORACLE_RFM,
+        "column_entropy": ORACLE_COLUMN_ENTROPY,
     })

@@ -611,3 +611,83 @@ def mahalanobis_outliers_2d(
         .select(*gcols, id_col, F.round(d2, 6).alias("d2"))
         .filter(F.col("d2") > threshold)
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    n_tiles: int = 5,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the workhorse marketing cut: per customer, days since last order,
+    order count, and lifetime cents, each scored into ``n_tiles``
+    quintiles (5 = best), then rolled up to one row per (r,f,m) cell
+    so the output is segment-sized, never customer-sized.
+
+    Determinism: quintiles are ``ntile`` under TOTAL orders —
+    ``(metric, key)`` — and ntile's bucket arithmetic (row_number vs
+    count, remainder to the leading buckets) is the SQL-standard
+    definition both engines implement identically; recency is an exact
+    datediff against the corpus max date; monetary is exact integer
+    cents. No floats anywhere.
+
+    Scale shape: one customer-grain aggregate is the corpus-sized
+    work; the three unpartitioned ntile windows run on the
+    customer-grain frame (|customers| rows — at true 100 TB scale
+    swap in percent_rank-free quantile cuts from quantile_bins to
+    avoid the single-partition sort; at segment-table cardinality the
+    windows are cheap and exact). The corpus max date rides a 1-row
+    broadcast (documented benign BNLJ class).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(key_col).agg(
+        F.max(F.col(date_col).cast("date")).alias("_last"),
+        F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+        F.sum(
+            F.floor(F.col(value_col) * unit_scale).cast("decimal(25,0)")
+        )
+        .cast("bigint")
+        .alias("m_cents"),
+    )
+    horizon = df.agg(
+        F.max(F.col(date_col).cast("date")).alias("_hmax")
+    )
+    scored = (
+        per.crossJoin(F.broadcast(horizon))
+        .withColumn(
+            "r_days", F.datediff("_hmax", "_last").cast("bigint")
+        )
+        .withColumn(
+            "r_score",
+            (
+                F.lit(n_tiles + 1)
+                - F.ntile(n_tiles).over(
+                    Window.orderBy(F.asc("r_days"), F.asc(key_col))
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(n_tiles)
+            .over(Window.orderBy(F.asc("f_orders"), F.asc(key_col)))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(n_tiles)
+            .over(Window.orderBy(F.asc("m_cents"), F.asc(key_col)))
+            .cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("m_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

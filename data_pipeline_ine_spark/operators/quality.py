@@ -638,3 +638,68 @@ def psi_drift(
             6,
         ).alias("psi"),
     )
+
+
+def column_entropy(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Shannon-entropy column profile — the screening stat a data
+    catalog wants for every column: near-zero entropy flags constants
+    and degenerate joins keys, entropy ≈ ln(n) flags unique ids, and a
+    drop between snapshots flags a silently collapsed upstream
+    dimension. One row per profiled column.
+
+    ``H = ln N − (Σ c·ln c)/N`` over category counts c. Engine-exact
+    surface: each category's ``ln c`` snaps to the proven e6
+    fixed-point (``floor(ln·1e6 + 0.5)`` — the zipf recipe), the
+    weighted sum ``Σ c·ln_e6(c)`` accumulates in DECIMAL(38,0) and
+    ships as BIGINT, and the final ``entropy_e6 = ln_e6(N) −
+    sum_c_lnc_e6 div N`` is a non-negative integer division (floor ==
+    truncate in both engines). Values are compared as STRINGS (cast
+    before counting), so distinctness is representation-stable.
+
+    Scale shape: the melt is a generator explode (rows × |columns|,
+    no join); the (column, value) count is map-side combinable and
+    vocabulary-bounded after it; everything downstream is
+    |columns|-sized. No collects, no windows.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("val"),
+            )
+            for c in columns
+        ]
+    )
+    melted = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.col_name").alias("col_name"), F.col("p.val").alias("val")
+    )
+    counts = melted.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    ln_e6 = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    prof = counts.groupBy("col_name").agg(
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(
+            (F.col("_c") * ln_e6(F.col("_c"))).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("sum_c_lnc_e6"),
+    )
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "sum_c_lnc_e6",
+        (
+            ln_e6(F.col("n_rows"))
+            - F.expr("sum_c_lnc_e6 div n_rows")
+        )
+        .cast("bigint")
+        .alias("entropy_e6"),
+    ).orderBy("col_name")

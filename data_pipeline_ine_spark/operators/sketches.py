@@ -357,3 +357,81 @@ def bloom_probe(
         .agg(F.count(F.lit(1)).alias("nbits"))
     )
     return hits.filter(F.col("nbits") == k).select(id_col, group_col)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 32,
+) -> DataFrame:
+    """K-minimum-values (KMV / bottom-k) distinct-count sketch per
+    group — the simplest mergeable distinct estimator: hash every key
+    uniformly, keep only the k smallest hashes, and estimate
+    ``(k−1)·H / h₍ₖ₎`` where ``h₍ₖ₎`` is the k-th order statistic over
+    the hash space ``H = 2⁴⁸``. Unlike HLL (whose registers another
+    engine can't reproduce) the KMV surface is plain order statistics
+    over a portable md5 fold, so it is oracle-checkable cell-for-cell.
+
+    Engine-exact: the hash is the proven md5→hex12→BIGINT fold; the
+    k-th smallest is an explicit row_number under the total order
+    ``(hash, key)`` (md5 collisions at 48 bits get a deterministic
+    tie-break); the estimate is one non-negative integer ``div``.
+    Groups with fewer than k distinct keys report their EXACT count
+    (the bottom-k set IS the whole key set there).
+
+    Scale shape: one distinct + hash pass (map-side combinable), a
+    per-group bottom-k window (WindowGroupLimit pushes the k cut into
+    the sort — never a full per-group materialization), and a k-row
+    per-group aggregate. Merge law (union of sketches = bottom-k of
+    concatenated bottom-k sets) holds by construction; persist the
+    k-row frame as the partial.
+
+    Output: group cols + ``n_exact`` (true distinct, kept for sketch
+    auditability), ``kth_hash``, ``kmv_estimate`` — all BIGINT.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    hashed = (
+        df.select(*groups, F.col(key_col).cast("string").alias("_key"))
+        .distinct()
+        .withColumn(
+            "_h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), F.col("_key"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(*groups).orderBy("_h", "_key")
+    ranked = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.max("_rn").cast("bigint").alias("_n_seen"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_kth"),
+    )
+    exact = hashed.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_exact") < k, F.col("n_exact")
+    ).otherwise(
+        F.expr(f"(CAST({k - 1} AS BIGINT) * CAST(281474976710656 AS BIGINT)) div _kth")
+    )
+    return (
+        agg.join(exact, groups)
+        .select(
+            *groups,
+            "n_exact",
+            F.coalesce(F.col("_kth"), F.lit(0)).cast("bigint").alias(
+                "kth_hash"
+            ),
+            est.cast("bigint").alias("kmv_estimate"),
+        )
+        .orderBy(*groups)
+    )

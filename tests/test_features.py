@@ -254,3 +254,37 @@ def test_mahalanobis_outliers_2d_matches_numpy(spark):
     for i, v in want.items():
         assert abs(got[i] - v) < 1e-6
     assert 6 in got  # the (10, 0) point is the flagged outlier
+
+
+def test_rfm_segments_scores_and_rollup(spark):
+    """Customers engineered into clear best/worst RFM corners land in
+    the right cells, every score stays in 1..5, and the rollup
+    conserves customers and cents."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.features import rfm_segments
+
+    rows = []
+    # 10 customers: customer i orders (i+1) times, each order 100*(i+1)
+    # dollars, last order day i+1 (later i = more recent = higher r).
+    for i in range(10):
+        for j in range(i + 1):
+            rows.append((i, dt.date(2024, 1, i + 1), 100.0 * (i + 1)))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = rfm_segments(df).collect()
+    assert sum(r.n_customers for r in out) == 10
+    assert sum(r.segment_cents for r in out) == sum(
+        (i + 1) * (i + 1) * 100 * 100 for i in range(10)
+    )
+    for r in out:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    # customer 9: most recent, most orders, most spend → (5,5,5)
+    top = [r for r in out if (r.r_score, r.f_score, r.m_score) == (5, 5, 5)]
+    assert len(top) == 1 and top[0].n_customers >= 1
+    # customer 0: oldest, fewest, least → (1,1,1)
+    bot = [r for r in out if (r.r_score, r.f_score, r.m_score) == (1, 1, 1)]
+    assert len(bot) == 1

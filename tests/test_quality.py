@@ -531,3 +531,35 @@ def test_psi_drift_hand_computed(spark):
     )
     assert abs(got.psi - want) < 1e-5
     assert got.n_bins == 2 and got.n_one_sided == 0
+
+
+def test_column_entropy_orders_constant_id_and_uniform(spark):
+    """A constant column scores 0; a unique-id column scores ln(n); a
+    2-way uniform column scores ln(2) — all at e6 fixed point against
+    the closed forms."""
+    import math
+
+    from data_pipeline_ine_spark.operators.quality import column_entropy
+
+    n = 64
+    df = spark.createDataFrame(
+        [("k", i, i % 2) for i in range(n)],
+        "const string, uid long, coin long",
+    )
+    out = {
+        r.col_name: r
+        for r in column_entropy(df, ["const", "uid", "coin"]).collect()
+    }
+    ln_e6 = lambda x: math.floor(math.log(x) * 1e6 + 0.5)  # noqa: E731
+    # constant: one category of size n → H = ln n − (n·ln n)/n = 0
+    assert out["const"].n_distinct == 1
+    assert out["const"].entropy_e6 == 0
+    # unique id: n categories of size 1 (ln 1 snaps to 0) → H = ln n
+    assert out["uid"].n_distinct == n
+    assert out["uid"].entropy_e6 == ln_e6(n)
+    # fair coin: 2 categories of n/2 → H = ln n − ln(n/2) = ln 2
+    assert out["coin"].n_distinct == 2
+    assert out["coin"].entropy_e6 == ln_e6(n) - ln_e6(n // 2)
+    assert abs(out["coin"].entropy_e6 - 693147) <= 1
+    for r in out.values():
+        assert r.n_rows == n

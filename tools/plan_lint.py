@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "theil_sen_trend": "calendar^2 pair self-join + 1-row totals frames",
     "dow_seasonality": "1-row global-totals frame over a 7-row dow grain",
     "cusum_alarm": "1-row daily-mean frame over a calendar-bounded series",
+    "rfm_segments": "1-row corpus-max-date frame over the customer grain",
 }
 
 
