@@ -8325,6 +8325,97 @@ FROM prof ORDER BY col_name
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph
+    (operators/graph.py::k_core): iterative peeling of degree-<3
+    nodes, run for a FIXED 8 rounds so the oracle can mirror the
+    rounds structurally (fixpoint lands much earlier —
+    tests/test_graph.py asserts a 9th round is a no-op). Each round is
+    one degree aggregate + two node-keyed semi-joins; localCheckpoint
+    keeps plans flat."""
+    from data_pipeline_ine_spark.operators.graph import (
+        cooccurrence_edges,
+        k_core,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    return k_core(edges, k=3, rounds=8)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Mirror k_core's fixed peeling rounds as chained CTEs — output is
+    identical by construction whether or not the fixpoint landed."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    # references the previous one 4x — unmaterialized that's 4^rounds
+    # re-scans (blows the fd limit); materialized each round runs once.
+    sql = [
+        "WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,"
+        " l_partkey AS item FROM lineitem),",
+        "e0 AS MATERIALIZED (SELECT a.item AS u, b.item AS v FROM bi a"
+        " JOIN bi b ON a.basket = b.basket AND a.item < b.item"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql.append(
+            f", d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM"
+            f" (SELECT u AS node FROM {prev}"
+            f" UNION ALL SELECT v FROM {prev}) GROUP BY 1)"
+            f", s{i} AS MATERIALIZED (SELECT node FROM d{i}"
+            f" WHERE deg >= {k})"
+            f", e{i} AS MATERIALIZED (SELECT u, v FROM {prev}"
+            f" WHERE u IN (SELECT node FROM s{i})"
+            f" AND v IN (SELECT node FROM s{i}))"
+        )
+        prev = f"e{i}"
+    sql.append(
+        f" SELECT node, CAST(deg AS BIGINT) AS deg FROM"
+        f" (SELECT node, COUNT(*) AS deg FROM"
+        f" (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})"
+        f" GROUP BY 1) WHERE deg >= {k} ORDER BY node"
+    )
+    return "\n".join(sql)
+
+
+ORACLE_KCORE = _kcore_oracle(k=3, rounds=8)
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document
+    (operators/text.py::readability_scores): pure-regex integer counts
+    (words, sentence runs, vowel-group syllables) into two fixed
+    double expressions — the audience-level curation gate. Row-
+    parallel JVM regexps, zero shuffles."""
+    from data_pipeline_ine_spark.operators.text import readability_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_scores(docs, "text", "doc_id")
+
+
+ORACLE_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      AS BIGINT) AS n_words,
+    CAST(greatest(1, len(regexp_extract_all(lower(text), '[.!?]+')))
+      AS BIGINT) AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  ROUND(206.835
+        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        4) AS flesch_ease,
+  ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        - 15.59, 4) AS fk_grade
+FROM c WHERE n_words > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8390,6 +8481,8 @@ _CHECK_ORDER = [
     "kmv_distinct_users",
     "rfm_segments",
     "column_entropy",
+    "k_core",
+    "readability_scores",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8788,6 +8881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "rfm_segments": q_rfm_segments,
         "column_entropy": q_column_entropy,
+        "k_core": q_k_core,
+        "readability_scores": q_readability_scores,
     })
 
 
@@ -9004,4 +9099,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": ORACLE_KMV,
         "rfm_segments": ORACLE_RFM,
         "column_entropy": ORACLE_COLUMN_ENTROPY,
+        "k_core": ORACLE_KCORE,
+        "readability_scores": ORACLE_READABILITY,
     })

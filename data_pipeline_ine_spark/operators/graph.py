@@ -476,3 +476,55 @@ def degree_assortativity(
             "assortativity"
         ),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes whose remaining degree is below ``k`` until nothing changes
+    — the standard dense-subgraph backbone extractor (a
+    node's coreness survives hub removal where raw degree doesn't).
+
+    Runs EXACTLY ``rounds`` peeling rounds (a fixed iteration count is
+    what makes the result oracle-reproducible; a fixpoint typically
+    lands in far fewer — extra rounds are no-ops on a converged
+    subgraph, and the caller can assert convergence by checking one
+    more round changes nothing). Returns ``(node, deg)`` for the
+    surviving induced subgraph, filtered to ``deg ≥ k``.
+
+    Scale shape: each round is one degree aggregate (map-side
+    combinable) plus two node-keyed semi-joins to induce the surviving
+    subgraph — edge-bounded shuffles, no Σdeg² blowup anywhere;
+    ``localCheckpoint`` per round keeps round N's plan flat instead of
+    replaying rounds 1..N−1 (the pagerank/dedup_components
+    discipline). Peeling rounds needed = the graph's degeneracy
+    ordering depth, almost always ≤ tens even on web graphs.
+    """
+    e = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint()
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("node"))
+            .unionAll(ed.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        surv = degrees(e).filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(surv.withColumnRenamed("node", "u"), "u")
+            .join(surv.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        degrees(e).filter(F.col("deg") >= k).orderBy("node")
+    )

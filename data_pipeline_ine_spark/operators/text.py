@@ -1517,3 +1517,63 @@ def novel_ngram_rate(
             F.expr("(1000000 * n_novel) div n_occ").alias("novel_rate_e6"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document — the
+    standard curation gate for audience-level filtering (too-hard and
+    too-trivial tails both hurt a training mix).
+
+    Counts are pure regex integers, engine-portable: words =
+    ``[a-z0-9]+`` matches on the lowercased text, sentences =
+    ``[.!?]+`` runs (min 1 so headline-style fragments don't divide by
+    zero), syllables = vowel-group ``[aeiouy]+`` matches (the classic
+    dictionary-free approximation; groups never span words because
+    non-letters break them). The two scores are each ONE fixed double
+    expression over those integers with shared literal constants —
+    both engines parse the same decimal literals to the same doubles
+    and evaluate the same operation tree, so the rounded values are
+    bit-identical (the spearman/mahalanobis discipline).
+
+    Scale shape: embarrassingly row-parallel (three regexp built-ins,
+    JVM-side, no UDFs); one narrow projection, no shuffle at all.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(t, F.lit(r"[a-z0-9]+"), 0)).cast(
+        "bigint"
+    )
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)).cast("bigint"),
+    )
+    sylls = F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), 0)).cast(
+        "bigint"
+    )
+    staged = df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        sylls.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return staged.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )

