@@ -8416,6 +8416,73 @@ FROM c WHERE n_words > 0
 """
 
 
+def q_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out m-estimate target encoding of order priority by
+    order value (operators/features.py::loo_target_encode): row i's
+    encoding excludes its own target, so the feature can't memorize
+    its label — all-integer surfaces (floor-division prior and
+    encoding). One category aggregate + broadcast join back."""
+    from data_pipeline_ine_spark.operators.features import (
+        loo_target_encode,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    return loo_target_encode(
+        od, "o_orderpriority", "o_totalprice", "o_orderkey", m_smooth=100
+    )
+
+
+ORACLE_LOO_ENCODE = """
+WITH rows_ AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+), per AS (
+  SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(25,0))) AS BIGINT) AS s
+  FROM rows_ GROUP BY 1
+), pr AS (
+  SELECT CAST(CAST(SUM(CAST(x AS DECIMAL(25,0))) AS BIGINT)
+    // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS gm
+  FROM rows_
+)
+SELECT o_orderkey, cat AS o_orderpriority, n AS n_cat,
+  CAST((s - x + 100 * gm) // (n - 1 + 100) AS BIGINT) AS enc_cents
+FROM rows_ JOIN per USING (cat) CROSS JOIN pr
+"""
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language
+    (operators/text.py::token_fertility): subword tokens per
+    whitespace word as an e6 integer ratio — the context-window cost
+    lens on a multilingual mix. Row-parallel regex counts, one
+    group aggregate."""
+    from data_pipeline_ine_spark.operators.text import token_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_fertility(docs, "text", "lang")
+
+
+ORACLE_FERTILITY = r"""
+WITH c AS (
+  SELECT lang,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+      AS BIGINT) AS t,
+    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS w
+  FROM documents
+), agg AS (
+  SELECT lang,
+    CAST(SUM(CAST(t AS DECIMAL(25,0))) AS BIGINT) AS n_tokens,
+    CAST(SUM(CAST(w AS DECIMAL(25,0))) AS BIGINT) AS n_words
+  FROM c GROUP BY 1
+)
+SELECT lang, n_tokens, n_words,
+  CAST((n_tokens * 1000000) // n_words AS BIGINT) AS fertility_e6
+FROM agg ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8483,6 +8550,8 @@ _CHECK_ORDER = [
     "column_entropy",
     "k_core",
     "readability_scores",
+    "loo_target_encode",
+    "token_fertility",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8883,6 +8952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "k_core": q_k_core,
         "readability_scores": q_readability_scores,
+        "loo_target_encode": q_loo_target_encode,
+        "token_fertility": q_token_fertility,
     })
 
 
@@ -9101,4 +9172,6 @@ def oracle_sql() -> dict[str, str]:
         "column_entropy": ORACLE_COLUMN_ENTROPY,
         "k_core": ORACLE_KCORE,
         "readability_scores": ORACLE_READABILITY,
+        "loo_target_encode": ORACLE_LOO_ENCODE,
+        "token_fertility": ORACLE_FERTILITY,
     })

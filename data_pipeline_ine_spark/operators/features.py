@@ -691,3 +691,58 @@ def rfm_segments(
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    m_smooth: int = 100,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Leave-one-out target encoding with m-estimate smoothing — the
+    standard high-cardinality categorical feature for tree/linear
+    models, in its leakage-safe form: row i's encoding excludes its own
+    target, ``enc_i = (Σ_cat − xᵢ + m·prior) / (n_cat − 1 + m)``, so a
+    category's encoding never memorizes the row it describes (plain
+    mean encoding leaks the label and inflates validation scores).
+
+    Engine-exact: targets are exact integer units, the prior is the
+    global mean as a floor division (non-negative), and the per-row
+    encoding ships as ``enc_cents`` — one more non-negative integer
+    division. No floats anywhere; consumers wanting a float divide by
+    ``unit_scale`` downstream.
+
+    Scale shape: one category-grain aggregate (map-side combinable) +
+    one broadcast-eligible join back to the rows (category cardinality
+    ≪ corpus by definition of the encoding); the global prior rides a
+    1-row broadcast (documented benign BNLJ class). No windows — the
+    LOO subtraction is pure arithmetic on the joined row.
+    """
+    cents = F.floor(F.col(target_col) * unit_scale).cast("bigint")
+    rows = df.select(
+        F.col(id_col), F.col(cat_col).alias("_cat"), cents.alias("_x")
+    )
+    per_cat = rows.groupBy("_cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_x").cast("decimal(25,0)")).cast("bigint").alias("_s"),
+    )
+    prior = rows.agg(
+        F.sum(F.col("_x").cast("decimal(25,0)")).cast("bigint").alias("_st"),
+        F.count(F.lit(1)).cast("bigint").alias("_nt"),
+    ).select(F.expr("_st div _nt").cast("bigint").alias("_gm"))
+    return (
+        rows.join(F.broadcast(per_cat), "_cat")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            F.col("_cat").alias(cat_col),
+            F.col("_n").alias("n_cat"),
+            F.expr(
+                f"(_s - _x + {m_smooth} * _gm) div (_n - 1 + {m_smooth})"
+            )
+            .cast("bigint")
+            .alias("enc_cents"),
+        )
+    )

@@ -1577,3 +1577,50 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
         ).alias("fk_grade"),
     )
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per group: subword tokens emitted per
+    whitespace word — the tokenizer-efficiency lens on a multilingual
+    mix (fertility ≫ 1 for a language means its text costs
+    proportionally more context window, which skews effective mixing
+    weights; the first table to check before setting corpus ratios).
+
+    Tokens here are the BPE-ish regex surface (runs of word chars,
+    splitting letter/digit boundaries) and words are ``\\S+`` runs —
+    both pure regexp_extract_all counts, engine-portable integers.
+    ``fertility_e6 = (tokens·10⁶) div words`` keeps the ratio integral
+    (non-negative division, floor == truncate both engines).
+
+    Scale shape: row-parallel JVM regex counts, one group-grain
+    aggregate — map-side combinable, no windows, no UDFs.
+    """
+    t = F.lower(F.col(text_col))
+    toks = F.size(
+        F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]+"), 0)
+    ).cast("bigint")
+    words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0)).cast("bigint")
+    agg = (
+        df.select(F.col(group_col), toks.alias("_t"), words.alias("_w"))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("_t").cast("decimal(25,0)"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum(F.col("_w").cast("decimal(25,0)"))
+            .cast("bigint")
+            .alias("n_words"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_words",
+        F.expr("(n_tokens * 1000000) div n_words")
+        .cast("bigint")
+        .alias("fertility_e6"),
+    ).orderBy(group_col)

@@ -855,3 +855,22 @@ def test_readability_scores_closed_form(spark):
             0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4
         )
     assert out[2].n_sentences == 1
+
+
+def test_token_fertility_counts_and_ratio(spark):
+    """'abc123 x' → 3 subword tokens ([abc][123][x]) over 2 words →
+    fertility 1.5e6; pure-digit and hyphenated forms split as the BPE
+    surface says."""
+    from data_pipeline_ine_spark.operators.text import token_fertility
+
+    df = spark.createDataFrame(
+        [("en", "abc123 x"), ("en", "one-two three"), ("de", "z")],
+        "lang string, text string",
+    )
+    out = {r.lang: r for r in token_fertility(df).collect()}
+    # en: 'abc123 x' = tokens abc,123,x (3) words 2; 'one-two three' =
+    # tokens one,two,three (3) words 2 → 6 tokens / 4 words = 1.5
+    assert (out["en"].n_tokens, out["en"].n_words) == (6, 4)
+    assert out["en"].fertility_e6 == 1_500_000
+    assert (out["de"].n_tokens, out["de"].n_words) == (1, 1)
+    assert out["de"].fertility_e6 == 1_000_000

@@ -288,3 +288,35 @@ def test_rfm_segments_scores_and_rollup(spark):
     # customer 0: oldest, fewest, least → (1,1,1)
     bot = [r for r in out if (r.r_score, r.f_score, r.m_score) == (1, 1, 1)]
     assert len(bot) == 1
+
+
+def test_loo_target_encode_excludes_own_row(spark):
+    """Hand check: the encoding computed for a row drops that row's
+    target from the numerator and one count from the denominator —
+    two rows of the same category with different targets get
+    DIFFERENT encodings (plain mean encoding would tie them)."""
+    from data_pipeline_ine_spark.operators.features import (
+        loo_target_encode,
+    )
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 20.0),
+        (3, "a", 30.0),
+        (4, "b", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = {
+        r.id: r
+        for r in loo_target_encode(
+            df, "cat", "y", "id", m_smooth=2
+        ).collect()
+    }
+    gm = (1000 + 2000 + 3000 + 4000) // 4  # 2500 cents
+    # row 1 (cat a, x=1000): (6000-1000+2*2500) // (3-1+2) = 10000//4
+    assert out[1].enc_cents == (6000 - 1000 + 2 * gm) // 4
+    assert out[2].enc_cents == (6000 - 2000 + 2 * gm) // 4
+    assert out[1].enc_cents != out[2].enc_cents
+    # singleton category: denominator is just m_smooth
+    assert out[4].enc_cents == (4000 - 4000 + 2 * gm) // 2
+    assert all(r.n_cat in (1, 3) for r in out.values())

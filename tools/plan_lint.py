@@ -70,6 +70,7 @@ BNLJ_ALLOWED = {
     "dow_seasonality": "1-row global-totals frame over a 7-row dow grain",
     "cusum_alarm": "1-row daily-mean frame over a calendar-bounded series",
     "rfm_segments": "1-row corpus-max-date frame over the customer grain",
+    "loo_target_encode": "1-row global-prior frame over the row grain",
 }
 
 

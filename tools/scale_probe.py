@@ -117,6 +117,13 @@ HEAVY = [
     "source_ngram_diversity",
     "k_anonymity",
     "decile_lift",
+    # round-6 second wave over the probe corpus (acf/dow/cusum/kaplan/
+    # theil_sen are calendar-bounded by construction; kmv/rfm/column_
+    # entropy/k_core read events/orders/lineitem, which the probe doesn't
+    # scale — their bounds are bottom-k windows, a customer-grain
+    # aggregate, vocab-bounded counts, and edge-bounded peeling rounds,
+    # pinned by unit/fixpoint tests)
+    "readability_scores",
 ]
 
 
