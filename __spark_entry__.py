@@ -8483,6 +8483,111 @@ FROM agg ORDER BY lang
 """
 
 
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and weekday
+    (operators/features.py::categorical_mi): the model-free
+    feature-selection score — e6-snapped cell log-ratios of exact
+    integer products, BIGINT term sum, one double divide for the nats.
+    One (x,y) count is the corpus-sized work."""
+    from data_pipeline_ine_spark.operators.features import categorical_mi
+
+    ev = load_table(spark, sf_dir, "events")
+    return categorical_mi(
+        ev,
+        F.col("event_type"),
+        (F.dayofweek(F.col("ts").cast("date")) - 1).cast("bigint"),
+    )
+
+
+ORACLE_FEATURE_MI = """
+WITH cells AS (
+  SELECT event_type AS x, dayofweek(CAST(ts AS DATE)) AS y,
+    CAST(COUNT(*) AS BIGINT) AS cxy
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1
+), my AS (
+  SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cxy) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells
+), terms AS (
+  SELECT cxy, n, n_cells,
+    CAST(floor(ln(CAST(cxy * n AS DOUBLE) / CAST(cx * cy AS DOUBLE))
+      * 1e6 + 0.5) AS DECIMAL(19,0)) AS lr
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+), s AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n_rows,
+    CAST(MIN(n_cells) AS BIGINT) AS n_cells,
+    CAST(CAST(SUM(CAST(cxy AS DECIMAL(19,0)) * lr) AS DECIMAL(38,0))
+      AS BIGINT) AS sum_terms_e6
+  FROM terms
+)
+SELECT n_rows, n_cells, sum_terms_e6,
+  ROUND(CAST(sum_terms_e6 AS DOUBLE) / CAST(n_rows AS DOUBLE) / 1e6, 6)
+    AS mi_nats
+FROM s
+"""
+
+
+def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search on order value vs urgent priority
+    (operators/features.py::gini_split): weighted Gini impurity at
+    every log2-bucket boundary (≤64 candidates at any corpus size),
+    cumulative class counts over the bucket frame, one fixed double
+    expression per boundary."""
+    from data_pipeline_ine_spark.operators.features import gini_split
+
+    od = load_table(spark, sf_dir, "orders")
+    return gini_split(
+        od,
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+    )
+
+
+ORACLE_GINI_SPLIT = """
+WITH per AS (
+  SELECT CASE WHEN CAST(floor(o_totalprice * 100) AS BIGINT) > 0
+    THEN CAST(length(bin(CAST(floor(o_totalprice * 100) AS BIGINT)))
+      AS BIGINT) ELSE 0 END AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT bucket,
+    CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) AS BIGINT) AS n_left,
+    CAST(SUM(p) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) AS BIGINT) AS pos_left
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(p) AS BIGINT) AS pt
+  FROM per
+), st AS (
+  SELECT bucket, n_left, pos_left,
+    CAST(nt - n_left AS BIGINT) AS n_right,
+    CAST(pt - pos_left AS BIGINT) AS pos_right, nt
+  FROM cum, tot
+)
+SELECT bucket, n_left, pos_left, n_right, pos_right,
+  ROUND(((CAST(n_left AS DOUBLE)
+    - (CAST(pos_left AS DOUBLE) * CAST(pos_left AS DOUBLE)
+       + (CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE))
+         * (CAST(n_left AS DOUBLE) - CAST(pos_left AS DOUBLE)))
+      / CAST(n_left AS DOUBLE))
+    + (CAST(n_right AS DOUBLE)
+    - (CAST(pos_right AS DOUBLE) * CAST(pos_right AS DOUBLE)
+       + (CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE))
+         * (CAST(n_right AS DOUBLE) - CAST(pos_right AS DOUBLE)))
+      / CAST(n_right AS DOUBLE)))
+    / CAST(nt AS DOUBLE), 6) AS gini_weighted
+FROM st WHERE n_right > 0 ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8552,6 +8657,8 @@ _CHECK_ORDER = [
     "readability_scores",
     "loo_target_encode",
     "token_fertility",
+    "feature_mi",
+    "gini_split",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -8954,6 +9061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": q_readability_scores,
         "loo_target_encode": q_loo_target_encode,
         "token_fertility": q_token_fertility,
+        "feature_mi": q_feature_mi,
+        "gini_split": q_gini_split,
     })
 
 
@@ -9174,4 +9283,6 @@ def oracle_sql() -> dict[str, str]:
         "readability_scores": ORACLE_READABILITY,
         "loo_target_encode": ORACLE_LOO_ENCODE,
         "token_fertility": ORACLE_FERTILITY,
+        "feature_mi": ORACLE_FEATURE_MI,
+        "gini_split": ORACLE_GINI_SPLIT,
     })

@@ -746,3 +746,158 @@ def loo_target_encode(
             .alias("enc_cents"),
         )
     )
+
+
+def categorical_mi(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, in nats —
+    the model-free feature-selection score (MI = 0 ⇔ independent; it
+    catches non-monotone dependence Pearson misses entirely).
+
+    ``MI = Σ_xy (c_xy/N)·ln(c_xy·N / (c_x·c_y))``. Engine-exact
+    surface: each cell's log-ratio of exact integer PRODUCTS snaps to
+    e6 (the psi/KL recipe), weights ``c_xy`` multiply in
+    DECIMAL(38,0), and the exact integer total ``sum_terms_e6`` ships
+    alongside one fixed double expression for the human-readable nats
+    (negative cells make integer division unsafe — the sum stays a
+    BIGINT, the divide happens once in double on both engines).
+
+    Scale shape: ONE (x,y) count is the corpus-sized work (map-side
+    combinable, |X|·|Y| cells out); marginals re-aggregate the cell
+    frame itself (never the corpus) and join back cell-keyed;
+    the total rides a 1-row broadcast. Output is one row.
+    """
+    cells = (
+        df.select(
+            F.col(x_col).alias("_x") if isinstance(x_col, str) else x_col.alias("_x"),
+            F.col(y_col).alias("_y") if isinstance(y_col, str) else y_col.alias("_y"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cxy"))
+    )
+    mx = cells.groupBy("_x").agg(F.sum("_cxy").cast("bigint").alias("_cx"))
+    my = cells.groupBy("_y").agg(F.sum("_cxy").cast("bigint").alias("_cy"))
+    tot = cells.agg(
+        F.sum("_cxy").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    ln_e6 = F.floor(
+        F.log(
+            (F.col("_cxy") * F.col("_n")).cast("double")
+            / (F.col("_cx") * F.col("_cy")).cast("double")
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("decimal(19,0)")
+    joined = (
+        cells.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = joined.agg(
+        F.min("_n").alias("_n"),
+        F.min("n_cells").alias("n_cells"),
+        F.sum(F.col("_cxy").cast("decimal(19,0)") * ln_e6)
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("sum_terms_e6"),
+    )
+    return agg.select(
+        F.col("_n").alias("n_rows"),
+        "n_cells",
+        "sum_terms_e6",
+        F.round(
+            F.col("sum_terms_e6").cast("double")
+            / F.col("_n").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("mi_nats"),
+    )
+
+
+def gini_split(
+    df: DataFrame,
+    value_col: str,
+    label: Column,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Decision-stump split search: for every log2-bucket boundary of
+    the feature, the class-weighted Gini impurity of the induced
+    left/right partition — the single-feature importance primitive
+    (the best row IS a depth-1 tree; the curve's shape shows where the
+    feature separates the classes at all).
+
+    Candidate thresholds are the proven engine-exact log2 buckets
+    (``length(bin(units))`` — never libm ``log2``), bounding the
+    candidate set at ≤64 regardless of corpus size. Per boundary, the
+    cumulative (n, positives) pair comes from a window over the ≤64-row
+    bucket frame; the weighted impurity
+    ``(n_l − (p_l²+q_l²)/n_l + n_r − (p_r²+q_r²)/n_r) / N`` is ONE
+    fixed double expression over exact BIGINTs, rounded to 6 — the
+    spearman discipline.
+
+    Scale shape: one ~64-bucket aggregate is the corpus-sized work
+    (map-side combinable); windows and joins all live on the bucket
+    frame. Output: one row per boundary with both children non-empty.
+    """
+    from pyspark.sql import Window
+
+    units = F.floor(F.col(value_col) * unit_scale).cast("bigint")
+    bucket = (
+        F.when(units > 0, F.length(F.bin(units)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    per = (
+        df.select(
+            bucket.alias("bucket"),
+            F.when(label, 1).otherwise(0).cast("bigint").alias("_y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_y").cast("bigint").alias("_p"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("_n").over(w).cast("bigint").alias("n_left"),
+        F.sum("_p").over(w).cast("bigint").alias("pos_left"),
+    )
+    tot = per.agg(
+        F.sum("_n").cast("bigint").alias("_nt"),
+        F.sum("_p").cast("bigint").alias("_pt"),
+    )
+    staged = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n_right", (F.col("_nt") - F.col("n_left")).cast("bigint"))
+        .withColumn(
+            "pos_right", (F.col("_pt") - F.col("pos_left")).cast("bigint")
+        )
+        .filter(F.col("n_right") > 0)
+    )
+    nl, pl = F.col("n_left").cast("double"), F.col("pos_left").cast("double")
+    nr, pr = F.col("n_right").cast("double"), F.col("pos_right").cast("double")
+    ql, qr = nl - pl, nr - pr
+    nt = F.col("_nt").cast("double")
+    return staged.select(
+        "bucket",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round(
+            (
+                (nl - (pl * pl + ql * ql) / nl)
+                + (nr - (pr * pr + qr * qr) / nr)
+            )
+            / nt,
+            6,
+        ).alias("gini_weighted"),
+    ).orderBy("bucket")

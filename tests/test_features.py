@@ -320,3 +320,51 @@ def test_loo_target_encode_excludes_own_row(spark):
     # singleton category: denominator is just m_smooth
     assert out[4].enc_cents == (4000 - 4000 + 2 * gm) // 2
     assert all(r.n_cat in (1, 3) for r in out.values())
+
+
+def test_categorical_mi_independent_and_dependent(spark):
+    """Perfectly dependent columns score ln(k); independent columns
+    score ~0 (snapping noise only) — the two MI anchors, checked at e6
+    fixed point against closed forms."""
+    import math
+
+    from data_pipeline_ine_spark.operators.features import categorical_mi
+
+    # dependent: y == x over 4 balanced categories → MI = ln 4
+    dep = spark.createDataFrame(
+        [(str(i % 4), str(i % 4)) for i in range(64)], "x string, y string"
+    )
+    r = categorical_mi(dep, "x", "y").collect()[0]
+    assert r.n_cells == 4
+    assert abs(r.mi_nats - math.log(4)) < 1e-5
+    # independent: x from the low bit, y from higher bits — all 8
+    # cells equally occupied → MI = 0
+    ind = spark.createDataFrame(
+        [(str(i % 2), str((i // 2) % 4)) for i in range(64)],
+        "x string, y string",
+    )
+    r2 = categorical_mi(ind, "x", "y").collect()[0]
+    assert r2.n_cells == 8
+    assert r2.sum_terms_e6 == 0
+    assert r2.mi_nats == 0.0
+
+
+def test_gini_split_finds_the_separating_boundary(spark):
+    """A feature that perfectly separates the classes at a power-of-two
+    boundary: the boundary's weighted Gini is 0, every other split is
+    strictly worse, and child counts reconcile."""
+    from data_pipeline_ine_spark.operators.features import gini_split
+
+    # label = value >= 2.56 (units 256 → bucket 9); low half 0.31..1.27
+    rows = [(0.31 + 0.32 * i, False) for i in range(4)] + [
+        (2.56 * (i + 1), True) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "v double, y boolean")
+    out = gini_split(df, "v", F.col("y")).collect()
+    best = min(out, key=lambda r: r.gini_weighted)
+    assert best.gini_weighted == 0.0
+    assert best.pos_left == 0 and best.pos_right == best.n_right
+    for r in out:
+        assert r.n_left + r.n_right == 8
+        if r.bucket != best.bucket:
+            assert r.gini_weighted > 0.0

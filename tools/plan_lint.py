@@ -71,6 +71,8 @@ BNLJ_ALLOWED = {
     "cusum_alarm": "1-row daily-mean frame over a calendar-bounded series",
     "rfm_segments": "1-row corpus-max-date frame over the customer grain",
     "loo_target_encode": "1-row global-prior frame over the row grain",
+    "feature_mi": "1-row totals frame over the (x,y) cell grain",
+    "gini_split": "1-row class-totals frame over <=64 log2 buckets",
 }
 
 
