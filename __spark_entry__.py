@@ -8588,6 +8588,99 @@ FROM st WHERE n_right > 0 ORDER BY bucket
 """
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event value
+    (operators/quality.py::diff_in_diff): users md5-split 50/50,
+    time split at mid-January — the causal workhorse netting out group
+    baseline and shared trend. Eight exact integer cells, one fixed
+    double expression."""
+    from data_pipeline_ine_spark.operators.quality import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    return diff_in_diff(ev, "user_id", "ts", "value", "2024-01-16")
+
+
+ORACLE_DID = (
+    """
+WITH tagged AS (
+  SELECT (DID_FOLD % 2) AS v,
+    CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END
+      AS post,
+    CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN v = 0 AND post = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS c_pre_n,
+    CAST(SUM(CASE WHEN v = 0 AND post = 0 THEN CAST(x AS DECIMAL(25,0))
+      ELSE CAST(0 AS DECIMAL(25,0)) END) AS BIGINT) AS c_pre_cents,
+    CAST(SUM(CASE WHEN v = 0 AND post = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS c_post_n,
+    CAST(SUM(CASE WHEN v = 0 AND post = 1 THEN CAST(x AS DECIMAL(25,0))
+      ELSE CAST(0 AS DECIMAL(25,0)) END) AS BIGINT) AS c_post_cents,
+    CAST(SUM(CASE WHEN v = 1 AND post = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS t_pre_n,
+    CAST(SUM(CASE WHEN v = 1 AND post = 0 THEN CAST(x AS DECIMAL(25,0))
+      ELSE CAST(0 AS DECIMAL(25,0)) END) AS BIGINT) AS t_pre_cents,
+    CAST(SUM(CASE WHEN v = 1 AND post = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS t_post_n,
+    CAST(SUM(CASE WHEN v = 1 AND post = 1 THEN CAST(x AS DECIMAL(25,0))
+      ELSE CAST(0 AS DECIMAL(25,0)) END) AS BIGINT) AS t_post_cents
+  FROM tagged
+)
+SELECT c_pre_n, c_post_n, t_pre_n, t_post_n,
+  ROUND((CAST(t_post_cents AS DOUBLE) / CAST(t_post_n AS DOUBLE)
+         - CAST(t_pre_cents AS DOUBLE) / CAST(t_pre_n AS DOUBLE))
+        - (CAST(c_post_cents AS DOUBLE) / CAST(c_post_n AS DOUBLE)
+           - CAST(c_pre_cents AS DOUBLE) / CAST(c_pre_n AS DOUBLE)), 6)
+    AS did_cents
+FROM cells
+""".replace(
+        "DID_FOLD", _HEX12.format(h="md5('did:' || CAST(user_id AS VARCHAR))")
+    )
+)
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence (hubness) histogram of the label-blocked kNN graph
+    (operators/similarity.py::knn_hubness): per label, how many vectors
+    appear in n other top-5 lists — the ANN health diagnostic for the
+    high-dimensional hub pathology. Composition over the exact blocked
+    kNN; antihubs kept via a left join."""
+    from data_pipeline_ine_spark.operators.similarity import knn_hubness
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_hubness(emb, k=5)
+
+
+ORACLE_KNN_HUBNESS = """
+WITH e AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.label AS block,
+    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM p
+), occ AS (
+  SELECT block AS label, neighbor_id AS vec_id,
+    CAST(COUNT(*) AS BIGINT) AS nk
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+), per_vec AS (
+  SELECT e.label, COALESCE(occ.nk, 0) AS n_k
+  FROM e LEFT JOIN occ ON e.label = occ.label AND e.vec_id = occ.vec_id
+)
+SELECT label, CAST(n_k AS BIGINT) AS n_k,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM per_vec GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8659,6 +8752,8 @@ _CHECK_ORDER = [
     "token_fertility",
     "feature_mi",
     "gini_split",
+    "diff_in_diff",
+    "knn_hubness",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9063,6 +9158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": q_token_fertility,
         "feature_mi": q_feature_mi,
         "gini_split": q_gini_split,
+        "diff_in_diff": q_diff_in_diff,
+        "knn_hubness": q_knn_hubness,
     })
 
 
@@ -9285,4 +9382,6 @@ def oracle_sql() -> dict[str, str]:
         "token_fertility": ORACLE_FERTILITY,
         "feature_mi": ORACLE_FEATURE_MI,
         "gini_split": ORACLE_GINI_SPLIT,
+        "diff_in_diff": ORACLE_DID,
+        "knn_hubness": ORACLE_KNN_HUBNESS,
     })

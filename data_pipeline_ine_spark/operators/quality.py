@@ -703,3 +703,70 @@ def column_entropy(
         .cast("bigint")
         .alias("entropy_e6"),
     ).orderBy("col_name")
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+    cutover: str,
+    salt: str = "did:",
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences estimator: units hash-split 50/50 into
+    control/treatment (the ab_test_chisq bucketing), time split at
+    ``cutover`` — the causal-inference workhorse that nets out both the
+    group baseline and the shared time trend:
+    ``DiD = (T_post − T_pre) − (C_post − C_pre)`` over cell mean values.
+
+    Determinism: the 2×2×(n, sum) cells are exact integers (md5 unit
+    split, integer cents); the estimate is ONE fixed double expression
+    over the eight integers — four correctly-rounded divides and three
+    subtractions evaluated in the same tree by both engines (the
+    ab_test/ewma precedent). Cells ship alongside the estimate so a
+    reviewer can recompute it.
+
+    Scale shape: one row-grain projection into (variant, period,
+    cents), one 8-number aggregate. Nothing downstream ever exceeds
+    one row.
+    """
+    from data_pipeline_ine_spark.operators.sampling import hash_bucket
+
+    cut = F.lit(cutover).cast("date")
+    tagged = df.select(
+        hash_bucket(unit_col, 2, salt).alias("_v"),
+        F.when(F.to_date(ts_col) >= cut, 1).otherwise(0).alias("_post"),
+        F.floor(F.col(value_col) * unit_scale).cast("bigint").alias("_x"),
+    )
+
+    def cell(v: int, p: int, what: str):
+        hit = (F.col("_v") == v) & (F.col("_post") == p)
+        if what == "n":
+            return F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+        return F.sum(
+            F.when(hit, F.col("_x")).otherwise(0).cast("decimal(25,0)")
+        ).cast("bigint")
+
+    cells = tagged.agg(
+        cell(0, 0, "n").alias("c_pre_n"),
+        cell(0, 0, "s").alias("c_pre_cents"),
+        cell(0, 1, "n").alias("c_post_n"),
+        cell(0, 1, "s").alias("c_post_cents"),
+        cell(1, 0, "n").alias("t_pre_n"),
+        cell(1, 0, "s").alias("t_pre_cents"),
+        cell(1, 1, "n").alias("t_post_n"),
+        cell(1, 1, "s").alias("t_post_cents"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    return cells.select(
+        "c_pre_n",
+        "c_post_n",
+        "t_pre_n",
+        "t_post_n",
+        F.round(
+            (m("t_post_cents", "t_post_n") - m("t_pre_cents", "t_pre_n"))
+            - (m("c_post_cents", "c_post_n") - m("c_pre_cents", "c_pre_n")),
+            6,
+        ).alias("did_cents"),
+    )

@@ -894,3 +894,40 @@ def centroid_drift(
         )
         .select("label", "n_vecs", "drift_num")
     )
+
+
+def knn_hubness(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-occurrence (hubness) histogram of the label-blocked kNN graph:
+    for each vector, ``n_k`` = how many OTHER vectors list it among
+    their top-k — then, per label block, how many vectors have each
+    ``n_k``. Hubness is the standard ANN health diagnostic: a heavy
+    right tail (hubs appearing in hundreds of neighbor lists) is the
+    high-dimensional pathology that silently wrecks recall targets and
+    skews bucketed probe costs; antihubs (n_k = 0) never get retrieved
+    at all.
+
+    Pure composition over ``knn_join_blocked``'s exact top-k (one
+    block-keyed shuffle, Σ block² pair cost): one count per
+    neighbor_id, one left join back so antihubs keep n_k = 0, one
+    ≤(k·|block|)-cell histogram. All integers.
+    """
+    knn = knn_join_blocked(df, k=k, vec_col=vec_col, id_col=id_col)
+    occ = knn.groupBy(
+        F.col("block").alias(label_col),
+        F.col("neighbor_id").alias(id_col),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_nk"))
+    all_vecs = df.select(label_col, id_col)
+    per_vec = all_vecs.join(occ, [label_col, id_col], "left").select(
+        label_col, F.coalesce("_nk", F.lit(0)).cast("bigint").alias("n_k")
+    )
+    return (
+        per_vec.groupBy(label_col, "n_k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy(label_col, "n_k")
+    )

@@ -460,3 +460,28 @@ def test_split_leakage_counts_cross_split_pairs(spark):
     }
     assert got.get(("train", "val"), 0) >= 1     # the leak
     assert all(a <= b for a, b in got)
+
+
+def test_knn_hubness_histogram_conserves_vectors(spark, sf_dir):
+    """The hubness histogram is a partition of each label block (sizes
+    sum to the block size), total k-occurrence mass equals k·|block|
+    (every vector emits exactly k votes), and antihubs (n_k = 0) are
+    retained by the left join."""
+    from data_pipeline_ine_spark.operators.similarity import knn_hubness
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    block_sizes = {
+        r.label: r.n
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = knn_hubness(emb, k=5).collect()
+    per_label_n = {}
+    per_label_mass = {}
+    for r in out:
+        per_label_n[r.label] = per_label_n.get(r.label, 0) + r.n_vectors
+        per_label_mass[r.label] = (
+            per_label_mass.get(r.label, 0) + r.n_k * r.n_vectors
+        )
+    assert per_label_n == block_sizes
+    for label, size in block_sizes.items():
+        assert per_label_mass[label] == 5 * size

@@ -563,3 +563,32 @@ def test_column_entropy_orders_constant_id_and_uniform(spark):
     assert abs(out["coin"].entropy_e6 - 693147) <= 1
     for r in out.values():
         assert r.n_rows == n
+
+
+def test_diff_in_diff_recovers_injected_effect(spark):
+    """Control rises by the trend alone; treatment rises by trend +
+    effect → DiD = effect exactly (both groups share the baseline and
+    the trend by construction, so the estimator nets them out)."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.quality import diff_in_diff
+    from data_pipeline_ine_spark.operators.sampling import hash_bucket
+
+    # discover each unit's hash variant first, then assign values
+    ids = spark.createDataFrame([(i,) for i in range(40)], "user_id long")
+    variant = {
+        r.user_id: r.v
+        for r in ids.select(
+            "user_id", hash_bucket("user_id", 2, "did:").alias("v")
+        ).collect()
+    }
+    rows = []
+    for uid, v in variant.items():
+        for day, post in [(5, 0), (25, 1)]:
+            base = 10.0 + 2.0 * post           # shared trend +2
+            lift = 3.0 if (v == 1 and post) else 0.0  # true effect +3
+            rows.append((uid, dt.datetime(2024, 1, day, 12), base + lift))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = diff_in_diff(df, "user_id", "ts", "value", "2024-01-16").collect()[0]
+    assert out.c_pre_n + out.t_pre_n == 40
+    assert out.did_cents == 300.0  # +3 dollars in cents, exact
