@@ -8681,6 +8681,131 @@ FROM per_vec GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (operators/timeseries.py::markov_stationary): 4 power iterations in
+    exact e6 integer fixed point over the transition matrix — where
+    behavior settles if today's dynamics hold. Corpus work is one
+    keyed window; every iteration runs on the ≤|types|² matrix."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        markov_stationary,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_stationary(ev, "user_id", "event_type", "ts", "event_id")
+
+
+def _markov_oracle(iters: int) -> str:
+    sql = [
+        """WITH seq AS (
+  SELECT user_id, event_type AS cur_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), counts AS (
+  SELECT cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT cur_type, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY 1
+), p AS MATERIALIZED (
+  SELECT c.cur_type, c.next_type,
+    CAST((c.n * 1000000) // t.tot AS BIGINT) AS p_e6
+  FROM counts c JOIN totals t USING (cur_type)
+), states AS MATERIALIZED (
+  SELECT DISTINCT state FROM (
+    SELECT cur_type AS state FROM p
+    UNION ALL SELECT next_type FROM p)
+), r0 AS MATERIALIZED (
+  SELECT state,
+    CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT) AS r
+  FROM states
+)"""
+    ]
+    for i in range(1, iters + 1):
+        sql.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT s.state, CAST(COALESCE(m.rn, 0) AS BIGINT) AS r
+  FROM states s LEFT JOIN (
+    SELECT p.next_type AS state,
+      CAST(SUM(rr.r * p.p_e6) // 1000000 AS BIGINT) AS rn
+    FROM p JOIN r{i - 1} rr ON rr.state = p.cur_type GROUP BY 1
+  ) m USING (state)
+)"""
+        )
+    sql.append(
+        f"\nSELECT state, r AS stationary_e6 FROM r{iters} ORDER BY state"
+    )
+    return "".join(sql)
+
+
+ORACLE_MARKOV = _markov_oracle(iters=4)
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval half-width per event type
+    (operators/features.py::conformal_interval): the ⌈(n+1)·0.9⌉-th
+    order statistic of absolute OLS residuals — the distribution-free
+    ±q̂ with finite-sample coverage, over the same decimal-exact
+    trend fit as grouped_ols."""
+    from data_pipeline_ine_spark.operators.features import (
+        conformal_interval,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return conformal_interval(
+        ev,
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))),
+        F.col("value"),
+        ["event_type"],
+        id_col="event_id",
+        alpha_permille=100,
+    )
+
+
+ORACLE_CONFORMAL = """
+WITH b AS (
+  SELECT event_type, event_id, value,
+    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x
+  FROM events
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(25,4))) AS sx,
+    SUM(CAST(value AS DECIMAL(25,4))) AS sy,
+    SUM(CAST(x AS DECIMAL(25,4)) * CAST(value AS DECIMAL(25,4))) AS sxy,
+    SUM(CAST(x AS DECIMAL(25,4)) * CAST(x AS DECIMAL(25,4))) AS sxx
+  FROM b GROUP BY 1
+), fit AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+    ROUND((CAST(sy AS DOUBLE)
+           - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+  FROM m
+), resid AS (
+  SELECT b.event_type, b.event_id, fit.n,
+    abs(CAST(b.value AS DOUBLE)
+        - (fit.intercept + fit.slope * CAST(b.x AS DOUBLE))) AS r
+  FROM b JOIN fit USING (event_type)
+), ranked AS (
+  SELECT event_type, n, r,
+    row_number() OVER (PARTITION BY event_type ORDER BY r, event_id)
+      AS rk
+  FROM resid
+)
+SELECT event_type, n AS n_rows,
+  CAST(least(n, ((n + 1) * 900) // 1000) AS BIGINT) AS conformal_rank,
+  ROUND(r, 6) AS q_hat
+FROM ranked WHERE rk = least(n, ((n + 1) * 900) // 1000)
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8754,6 +8879,8 @@ _CHECK_ORDER = [
     "gini_split",
     "diff_in_diff",
     "knn_hubness",
+    "markov_stationary",
+    "conformal_interval",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9160,6 +9287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_split": q_gini_split,
         "diff_in_diff": q_diff_in_diff,
         "knn_hubness": q_knn_hubness,
+        "markov_stationary": q_markov_stationary,
+        "conformal_interval": q_conformal_interval,
     })
 
 
@@ -9384,4 +9513,6 @@ def oracle_sql() -> dict[str, str]:
         "gini_split": ORACLE_GINI_SPLIT,
         "diff_in_diff": ORACLE_DID,
         "knn_hubness": ORACLE_KNN_HUBNESS,
+        "markov_stationary": ORACLE_MARKOV,
+        "conformal_interval": ORACLE_CONFORMAL,
     })

@@ -901,3 +901,76 @@ def gini_split(
             6,
         ).alias("gini_weighted"),
     ).orderBy("bucket")
+
+
+def conformal_interval(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    group_cols: Sequence[str],
+    id_col: str = "id",
+    alpha_permille: int = 100,
+    scale: int = 4,
+) -> DataFrame:
+    """Split-conformal calibration over the per-group OLS fit: the
+    (1−α) quantile of absolute residuals — the distribution-free
+    interval half-width with finite-sample coverage (ŷ ± q̂ covers a
+    fresh point with probability ≥ 1−α, no normality assumed). The
+    modern answer to "how wrong is this regression, with a guarantee".
+
+    Determinism: the OLS line comes from :func:`grouped_ols`
+    (decimal-exact moments, coefficients rounded to 6); each
+    ``|y − (a + b·x)|`` is a fixed double expression over exact-valued
+    inputs (bit-identical both engines); the quantile is the explicit
+    ``⌈(n+1)(1−α)⌉``-th ORDER STATISTIC under the total order
+    ``(residual, id)`` — the conformal rank, never an interpolating
+    percentile. Computed as ``((n+1)·(1000−α‰)) div 1000`` then capped
+    at n — integer arithmetic both engines share.
+
+    Scale shape: one moment aggregate (grouped_ols) + a broadcast join
+    of the |groups|-row coefficient frame back to the rows, one
+    group-partitioned rank window (the same shuffle shape as
+    percentile gates). Output: one row per group.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_ine_spark.operators.features import grouped_ols
+
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    groups = list(group_cols)
+    rows = df.select(
+        *groups, F.col(id_col), xc.alias("_x"), yc.alias("_y")
+    )
+    fit = grouped_ols(rows, "_x", "_y", groups, scale=scale).select(
+        *groups, F.col("n").cast("bigint").alias("_n"), "slope", "intercept"
+    )
+    resid = rows.join(F.broadcast(fit), groups).select(
+        *groups,
+        id_col,
+        "_n",
+        F.abs(
+            F.col("_y").cast("double")
+            - (
+                F.col("intercept")
+                + F.col("slope") * F.col("_x").cast("double")
+            )
+        ).alias("_r"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_r", id_col)
+    k = F.expr(
+        f"least(_n, ((_n + 1) * (1000 - {alpha_permille})) div 1000)"
+    ).cast("bigint")
+    ranked = resid.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_k", k
+    )
+    return (
+        ranked.filter(F.col("_rk") == F.col("_k"))
+        .select(
+            *groups,
+            F.col("_n").alias("n_rows"),
+            F.col("_k").alias("conformal_rank"),
+            F.round(F.col("_r"), 6).alias("q_hat"),
+        )
+        .orderBy(*groups)
+    )

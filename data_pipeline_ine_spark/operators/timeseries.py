@@ -1258,3 +1258,80 @@ def cusum_alarm(
         .cast("bigint")
         .alias("alarm"),
     ).orderBy("day")
+
+
+def markov_stationary(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    iters: int = 4,
+) -> DataFrame:
+    """Stationary distribution of the per-key event-type Markov chain —
+    where user behavior settles if today's transition structure holds:
+    the long-run share of each event type, the demand forecast the raw
+    frequency table gets wrong whenever behavior is sticky
+    (transition_matrix gives the one-step dynamics; this iterates them
+    to the fixed point).
+
+    Fixed ``iters`` power iterations in EXACT e6 integer fixed point
+    (the pagerank discipline — float iteration sums in partition order
+    and loses cross-engine exactness): transition probabilities
+    ``p_e6 = (n·10⁶) div row_total``, mass starts uniform
+    ``10⁶ div k``, one step is ``r'(next) = Σ_cur r(cur)·p_e6 div 10⁶``
+    — products ≤ 10¹² stay far inside int64. Truncation drift is ≤
+    1e-6 per step and identical on both engines.
+
+    Scale shape: the corpus-sized work is transition_matrix's single
+    key-partitioned window + |types|² count; every iteration joins and
+    aggregates the ≤|types|²-cell matrix against a |types|-row mass
+    frame — driver-trivial forever. Output: (state, stationary_e6).
+    """
+    counts = (
+        transition_matrix(df, key_col, type_col, ts_col, tiebreak_col)
+        .select("cur_type", "next_type", F.col("n").cast("bigint").alias("_n"))
+    )
+    totals = counts.groupBy("cur_type").agg(
+        F.sum("_n").cast("bigint").alias("_tot")
+    )
+    p = (
+        counts.join(totals, "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            F.expr("(_n * 1000000) div _tot").cast("bigint").alias("_p_e6"),
+        )
+        .localCheckpoint()
+    )
+    states = p.select(F.col("cur_type").alias("state")).unionAll(
+        p.select(F.col("next_type").alias("state"))
+    ).distinct().localCheckpoint()
+    n_states = states.count()  # |types| — a handful; needed for the
+    # uniform start mass (driver-side by design, the k-means precedent)
+    r = states.withColumn(
+        "_r", F.lit(1_000_000 // n_states).cast("bigint")
+    )
+    for _ in range(iters):
+        stepped = (
+            p.join(
+                r.select(F.col("state").alias("cur_type"), "_r"), "cur_type"
+            )
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(
+                F.expr("CAST(sum(_r * _p_e6) div 1000000 AS BIGINT)").alias(
+                    "_rn"
+                )
+            )
+        )
+        r = (
+            states.join(stepped, "state", "left")
+            .select(
+                "state",
+                F.coalesce("_rn", F.lit(0)).cast("bigint").alias("_r"),
+            )
+            .localCheckpoint()
+        )
+    return r.select("state", F.col("_r").alias("stationary_e6")).orderBy(
+        "state"
+    )

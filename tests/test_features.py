@@ -368,3 +368,35 @@ def test_gini_split_finds_the_separating_boundary(spark):
         assert r.n_left + r.n_right == 8
         if r.bucket != best.bucket:
             assert r.gini_weighted > 0.0
+
+
+def test_conformal_interval_covers_at_least_1_minus_alpha(spark):
+    """The returned q̂ is an actual residual order statistic: at least
+    ⌈(n+1)(1−α)⌉/n of the calibration rows sit within ±q̂ of the fitted
+    line, and the rank formula matches the hand computation."""
+    import math
+
+    from data_pipeline_ine_spark.operators.features import (
+        conformal_interval,
+        grouped_ols,
+    )
+
+    rows = [
+        (i, "g", float(i), 2.0 * i + ((-1) ** i) * (i % 7))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, x double, y double")
+    out = conformal_interval(
+        df, "x", "y", ["g"], id_col="id", alpha_permille=100
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_rows == 40
+    assert r.conformal_rank == min(40, ((40 + 1) * 900) // 1000)  # 36
+    fit = grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    covered = sum(
+        1
+        for (_, _, x, y) in rows
+        if abs(y - (fit.intercept + fit.slope * x)) <= r.q_hat + 1e-9
+    )
+    assert covered >= r.conformal_rank

@@ -583,3 +583,47 @@ def test_cusum_alarm_matches_imperative_recurrence_and_fires_on_drift(
         assert r.alarm == (1 if s > h else 0)
     assert all(r.alarm == 0 for r in out[:8])
     assert out[-1].alarm == 1
+
+
+def test_markov_stationary_hand_chain(spark):
+    """Two-state chain a→b always, b→a always (alternating events per
+    user): stationary is 50/50 exactly; mass stays ~1e6 through the
+    integer iterations."""
+    rows = []
+    for uid in range(4):
+        for i in range(6):
+            rows.append(
+                (uid, "a" if i % 2 == 0 else "b",
+                 dt.datetime(2024, 1, 1, i), uid * 100 + i)
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    from data_pipeline_ine_spark.operators.timeseries import (
+        markov_stationary,
+    )
+
+    out = {r.state: r.stationary_e6 for r in markov_stationary(df).collect()}
+    # period-2 chain: uniform start IS stationary → stays 500000/500000
+    assert out == {"a": 500_000, "b": 500_000}
+
+
+def test_markov_stationary_sticky_state_dominates(spark):
+    """A 3:1-sticky state must end with more mass than the uniform
+    start; total mass is conserved up to truncation."""
+    # user sequences: a a a b a a a b ... → P(a→a)=3/4ish, P(b→a)=1
+    rows = []
+    for uid in range(8):
+        seq = ["a", "a", "a", "b"] * 3
+        for i, s in enumerate(seq):
+            rows.append((uid, s, dt.datetime(2024, 1, 1, i), uid * 100 + i))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    from data_pipeline_ine_spark.operators.timeseries import (
+        markov_stationary,
+    )
+
+    out = {r.state: r.stationary_e6 for r in markov_stationary(df).collect()}
+    assert out["a"] > 650_000  # true stationary ≈ 3/4
+    assert 980_000 <= out["a"] + out["b"] <= 1_000_000
