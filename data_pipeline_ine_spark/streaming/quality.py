@@ -68,3 +68,141 @@ def read_drift_reports(spark, report_dir: str) -> DataFrame:
     return spark.read.option("basePath", report_dir).parquet(
         os.path.join(report_dir, "batch_id=*")
     )
+
+
+def maintain_cusum_batch(
+    batch: DataFrame,
+    daily: DataFrame,
+    mu_cents: int,
+    slack_permille: int = 50,
+    h_permille: int = 200,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Pure per-batch step behind ``stream_maintain_cusum``: merge the
+    batch's daily partial sums into the stored day-grain totals, then
+    re-derive the CUSUM surface from the updated calendar frame.
+
+    Unlike the batch operator (``operators/timeseries.py::cusum_alarm``,
+    which estimates μ from the monitored data), the streaming monitor
+    takes a FIXED reference ``mu_cents`` — the in-control baseline from
+    a training window — which is how production CUSUM is run: the
+    target must not drift with the data it is policing.
+
+    Scale shape: the state update is touched-day-bounded (one batch
+    aggregate + a day-keyed outer merge); the S recompute is
+    calendar-bounded by construction (prefix-sum minus running-min over
+    ≤|days| rows), so "recompute" is the honest steady state here —
+    there is no corpus-sized work to avoid.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    deltas = (
+        batch.select(
+            F.to_date(ts_col).alias("day"),
+            F.floor(F.col(value_col) * 100).cast("bigint").alias("_d"),
+        )
+        .groupBy("day")
+        .agg(F.sum(F.col("_d").cast("decimal(25,0)")).cast("bigint").alias("_d"))
+    )
+    new_daily = (
+        daily.join(deltas, "day", "full_outer")
+        .select(
+            "day",
+            (
+                F.coalesce(F.col("x_cents"), F.lit(0))
+                + F.coalesce(F.col("_d"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("x_cents"),
+        )
+        .localCheckpoint()
+    )
+    k = (mu_cents * slack_permille) // 1000
+    h = (mu_cents * h_permille) // 1000
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = (
+        new_daily.withColumn(
+            "_y", (F.col("x_cents") - F.lit(mu_cents) - F.lit(k)).cast("bigint")
+        )
+        .withColumn("_p", F.sum("_y").over(w).cast("bigint"))
+        .withColumn(
+            "_pmin", F.least(F.lit(0).cast("bigint"), F.min("_p").over(w))
+        )
+        .select(
+            "day",
+            "x_cents",
+            (F.col("_p") - F.col("_pmin")).cast("bigint").alias("s_cents"),
+            F.when((F.col("_p") - F.col("_pmin")) > h, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("alarm"),
+        )
+    )
+    return new_daily, cusum
+
+
+def stream_maintain_cusum(
+    events_stream: DataFrame,
+    daily_dir: str,
+    cusum_dir: str,
+    checkpoint: str,
+    mu_cents: int,
+    slack_permille: int = 50,
+    h_permille: int = 200,
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Continuously-maintained CUSUM drift monitor under an event
+    stream: per micro-batch, the day-grain totals advance by the
+    batch's partial sums (touched-day-bounded) and the alarm surface is
+    re-derived relationally from the calendar frame.
+
+    Crash-safety is the version-matched discipline of
+    ``stream_maintain_rolling_wau``: cusum v{N+1} commits first, daily
+    totals v{N+1} last — a crash between the two replays the batch
+    against the version-matched older state, and the day-keyed merge of
+    per-batch partials makes the replay produce identical totals.
+    """
+    import os
+
+    from data_pipeline_ine_spark.streaming.cdc import (
+        _versions,
+        latest_snapshot,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        daily_target = os.path.join(daily_dir, f"v{batch_id + 1}")
+        cusum_target = os.path.join(cusum_dir, f"v{batch_id + 1}")
+        if os.path.exists(
+            os.path.join(daily_target, "_SUCCESS")
+        ) and os.path.exists(os.path.join(cusum_target, "_SUCCESS")):
+            return
+        current = latest_snapshot(spark, daily_dir)
+        if current is None:
+            raise RuntimeError(
+                f"{daily_dir} has no base snapshot — call "
+                "write_base_snapshot before starting the stream"
+            )
+        new_daily, cusum = maintain_cusum_batch(
+            batch_df,
+            current,
+            mu_cents,
+            slack_permille=slack_permille,
+            h_permille=h_permille,
+            ts_col=ts_col,
+            value_col=value_col,
+        )
+        cusum.write.mode("overwrite").parquet(cusum_target)
+        new_daily.write.mode("overwrite").parquet(daily_target)
+
+    return (
+        events_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1373,3 +1373,83 @@ def test_stream_rolling_wau_matches_batch_recompute(spark, tmp_path):
         tuple(r) for r in latest_snapshot(spark, str(state / "wau")).collect()
     )
     assert after == before
+
+
+def test_stream_cusum_matches_imperative_and_replays(spark, tmp_path):
+    """The streamed CUSUM surface after draining all batches equals the
+    textbook max(0, S+x-mu-k) loop over the merged daily totals —
+    including a late event landing on an already-seen day — and a
+    checkpoint-loss replay converges to the identical state (the
+    version-matched cusum-first/daily-last discipline)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        write_base_snapshot,
+    )
+    from data_pipeline_ine_spark.streaming.quality import (
+        stream_maintain_cusum,
+    )
+
+    def ts(day, hour=10):
+        return 1704067200_000_000 + (day * 24 + hour) * 3600 * 1_000_000
+
+    MU = 1000  # fixed in-control baseline, cents/day
+    batches = [
+        [(ts(0), 10.00), (ts(1), 10.25)],
+        [(ts(1, 12), 0.50), (ts(2), 14.00)],   # late add to day 1
+        [(ts(3), 14.00), (ts(4), 14.00)],      # sustained drift
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+            }),
+            land / f"b{i}.parquet",
+        )
+    state = tmp_path / "state"
+    write_base_snapshot(
+        spark.createDataFrame([], "day date, x_cents long"),
+        str(state / "daily"),
+    )
+    write_base_snapshot(
+        spark.createDataFrame(
+            [], "day date, x_cents long, s_cents long, alarm long"
+        ),
+        str(state / "cusum"),
+    )
+
+    def run(ckpt):
+        q = stream_maintain_cusum(
+            spark.readStream.schema("ts timestamp_ntz, value double")
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            str(state / "daily"), str(state / "cusum"),
+            str(tmp_path / ckpt), mu_cents=MU,
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    got = {
+        str(r.day): (r.x_cents, r.s_cents, r.alarm)
+        for r in latest_snapshot(spark, str(state / "cusum")).collect()
+    }
+    # imperative reference over merged daily cents
+    daily = {0: 1000, 1: 1075, 2: 1400, 3: 1400, 4: 1400}
+    k, h, s = (MU * 50) // 1000, (MU * 200) // 1000, 0
+    for d in sorted(daily):
+        s = max(0, s + daily[d] - MU - k)
+        day = f"2024-01-{d + 1:02d}"
+        assert got[day] == (daily[d], s, 1 if s > h else 0), day
+    assert got["2024-01-05"][2] == 1  # sustained drift alarms by day 5
+
+    before = sorted(got.items())
+    run("ckpt2")  # checkpoint loss: full replay is a committed no-op
+    after = sorted(
+        (str(r.day), (r.x_cents, r.s_cents, r.alarm))
+        for r in latest_snapshot(spark, str(state / "cusum")).collect()
+    )
+    assert after == before
