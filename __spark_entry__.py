@@ -8806,6 +8806,67 @@ ORDER BY event_type
 """
 
 
+def q_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC index vs exact integer-space search over
+    10 held-out queries (operators/similarity.py::pq_recall_curve) —
+    the measure-don't-guess harness for the quantization tier. Ground
+    truth and ADC share the same fixed-point integers, so the curve
+    isolates codebook loss; recall = hits + one fixed divide."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_recall_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_recall_curve(emb, m=4, n_codes=8, ks=(1, 5, 10), n_queries=10)
+
+
+ORACLE_PQ_RECALL = _PQ_ENC_CTE + """
+, qids AS (
+  SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 10
+), exact_d AS (
+  SELECT q.qid, v.vec_id AS cand,
+    CAST(SUM((qv.vi - v.vi) * (qv.vi - v.vi)) AS BIGINT) AS d
+  FROM qids q
+  JOIN vint qv ON qv.vec_id = q.qid
+  JOIN vint v ON v.i = qv.i AND v.vec_id <> q.qid
+  GROUP BY 1, 2
+), exact_rk AS (
+  SELECT qid, cand,
+    row_number() OVER (PARTITION BY qid ORDER BY d, cand) AS erk
+  FROM exact_d
+), lut AS (
+  SELECT q.qid, cb2.s, cb2.c,
+    CAST(SUM((qv.vi - cb2.cv) * (qv.vi - cb2.cv)) AS BIGINT) AS d
+  FROM qids q
+  JOIN vint qv ON qv.vec_id = q.qid
+  JOIN cbdims cb2 ON cb2.i = qv.i
+  GROUP BY 1, 2, 3
+), pqd AS (
+  SELECT l.qid, e.vec_id AS cand, CAST(SUM(l.d) AS BIGINT) AS d
+  FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.c
+  WHERE e.vec_id <> l.qid
+  GROUP BY 1, 2
+), pq_rk AS (
+  SELECT qid, cand,
+    row_number() OVER (PARTITION BY qid ORDER BY d, cand) AS prk
+  FROM pqd
+), ks AS (
+  SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k
+), joined AS (
+  SELECT e.qid, e.cand, e.erk, p.prk
+  FROM exact_rk e JOIN pq_rk p ON e.qid = p.qid AND e.cand = p.cand
+), hits AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM joined, ks WHERE erk <= ks.k AND prk <= ks.k GROUP BY 1
+)
+SELECT ks.k, CAST(10 AS BIGINT) AS n_queries,
+  CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+  ROUND(CAST(COALESCE(hits.hits, 0) AS DOUBLE)
+        / CAST(ks.k * 10 AS DOUBLE), 6) AS recall
+FROM ks LEFT JOIN hits USING (k) ORDER BY k
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8881,6 +8942,7 @@ _CHECK_ORDER = [
     "knn_hubness",
     "markov_stationary",
     "conformal_interval",
+    "pq_recall_curve",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9289,6 +9351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hubness": q_knn_hubness,
         "markov_stationary": q_markov_stationary,
         "conformal_interval": q_conformal_interval,
+        "pq_recall_curve": q_pq_recall_curve,
     })
 
 
@@ -9515,4 +9578,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_hubness": ORACLE_KNN_HUBNESS,
         "markov_stationary": ORACLE_MARKOV,
         "conformal_interval": ORACLE_CONFORMAL,
+        "pq_recall_curve": ORACLE_PQ_RECALL,
     })

@@ -931,3 +931,112 @@ def knn_hubness(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy(label_col, "n_k")
     )
+
+
+def pq_recall_curve(
+    df: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    ks: "Sequence[int]" = (1, 5, 10),
+    n_queries: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k curve of the PQ/ADC index against exact search — the
+    "measure, don't guess" harness for the quantization tier: per k,
+    the fraction of exact top-k neighbors the compressed scan actually
+    returns, averaged over ``n_queries`` held-out queries (the lowest
+    ids, deterministic). THE number that decides whether m/n_codes are
+    adequate before anything ships.
+
+    Exactness: ground truth is exact squared L2 over the SAME
+    fixed-point integers PQ quantizes (so the curve isolates CODEBOOK
+    loss, not float noise); ADC distances are the same exact BIGINTs
+    the serving path computes; both rankings row_number under
+    (distance, id). Recall ships as hits + one fixed double divide.
+
+    Scale shape: queries broadcast against the corpus (n_queries ·
+    corpus pairs — the eval-harness cost, linear in corpus per query);
+    the ADC side is the same LUT-free integer expression as serving;
+    two per-query rank windows; a ≤|ks|-row output. At 100 TB you
+    sample the corpus for the curve — the operator takes whatever df
+    you hand it.
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from pyspark.sql import Window
+
+    cb = pq_codebook(df, vec_col, id_col, m=m, n_codes=n_codes)
+    sub = len(cb[0][0])
+    codes = pq_encode(df, cb, vec_col, id_col)
+    vint = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    base = df.select(F.col(id_col), vint.alias("_vi"))
+    queries = (
+        base.orderBy(id_col)
+        .limit(n_queries)
+        .select(F.col(id_col).alias("_qid"), F.col("_vi").alias("_qv"))
+    )
+    pairs = (
+        base.join(codes, id_col)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("_qid"))
+    )
+    exact_d = F.aggregate(
+        F.zip_with("_qv", "_vi", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cb_lit = _pq_lit(cb)
+    terms = []
+    for s in range(m):
+        cw = F.element_at(
+            F.element_at(cb_lit, s + 1),
+            (F.element_at(F.col("pq_codes"), s + 1) + 1).cast("int"),
+        )
+        for d in range(sub):
+            diff = F.element_at("_qv", s * sub + d + 1) - F.element_at(
+                cw, d + 1
+            )
+            terms.append(diff * diff)
+    pq_d = _reduce(_add, terms).cast("bigint")
+    scored = pairs.select(
+        "_qid",
+        F.col(id_col).alias("_cand"),
+        exact_d.alias("_ed"),
+        pq_d.alias("_pd"),
+    )
+    we = Window.partitionBy("_qid").orderBy("_ed", "_cand")
+    wp = Window.partitionBy("_qid").orderBy("_pd", "_cand")
+    ranked = scored.withColumn(
+        "_erk", F.row_number().over(we)
+    ).withColumn("_prk", F.row_number().over(wp))
+    ks_frame = df.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long"
+    )
+    hits = (
+        ranked.select("_erk", "_prk")
+        .crossJoin(F.broadcast(ks_frame))
+        .filter((F.col("_erk") <= F.col("k")) & (F.col("_prk") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    return (
+        ks_frame.join(hits, "k", "left")
+        .select(
+            "k",
+            F.lit(int(n_queries)).cast("bigint").alias("n_queries"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("double")
+                / (F.col("k") * F.lit(int(n_queries))).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("k")
+    )

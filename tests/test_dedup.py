@@ -485,3 +485,24 @@ def test_knn_hubness_histogram_conserves_vectors(spark, sf_dir):
     assert per_label_n == block_sizes
     for label, size in block_sizes.items():
         assert per_label_mass[label] == 5 * size
+
+
+def test_pq_recall_curve_perfect_codebook_and_bounds(spark):
+    """With n_codes == |corpus| every vector IS a codeword, ADC distance
+    equals exact quantized distance, and recall@k = 1.0 at every k;
+    recall is always in [0,1] and hits ≤ k·n_queries on the real data."""
+    import random
+
+    from data_pipeline_ine_spark.operators.similarity import pq_recall_curve
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_recall_curve(
+        df, m=2, n_codes=8, ks=(1, 3), n_queries=4
+    ).collect()
+    assert {r.k: r.recall for r in out} == {1: 1.0, 3: 1.0}
+    for r in out:
+        assert r.hits == r.k * r.n_queries
