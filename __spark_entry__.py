@@ -8867,6 +8867,81 @@ FROM ks LEFT JOIN hits USING (k) ORDER BY k
 """
 
 
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature table over order dates
+    (operators/features.py::calendar_features): dow/dom/ISO-week/
+    month/quarter/is_weekend at date grain — built once, broadcast
+    back to facts, never widened in place. Pure integer calendar
+    math both engines share."""
+    from data_pipeline_ine_spark.operators.features import (
+        calendar_features,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    return calendar_features(od, "o_orderdate")
+
+
+ORACLE_CALENDAR = """
+WITH d AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+)
+SELECT day,
+  CAST(dayofweek(day) AS BIGINT) AS dow,
+  CAST(day(day) AS BIGINT) AS dom,
+  CAST(weekofyear(day) AS BIGINT) AS iso_week,
+  CAST(month(day) AS BIGINT) AS month,
+  CAST(quarter(day) AS BIGINT) AS quarter,
+  CAST(CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END AS BIGINT)
+    AS is_weekend
+FROM d ORDER BY day
+"""
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of order value per priority
+    (operators/features.py::robust_scale): explicit order-statistic
+    quartiles under a total order, exact integer centering, one fixed
+    double divide for the scaled value — the outlier-immune
+    standardization next to group_zscore."""
+    from data_pipeline_ine_spark.operators.features import robust_scale
+
+    od = load_table(spark, sf_dir, "orders")
+    return robust_scale(
+        od, "o_totalprice", ["o_orderpriority"], id_col="o_orderkey"
+    )
+
+
+ORACLE_ROBUST_SCALE = """
+WITH rows_ AS (
+  SELECT o_orderpriority AS g, o_orderkey AS id,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+), ranked AS (
+  SELECT g, id, x,
+    row_number() OVER (PARTITION BY g ORDER BY x, id) AS rk,
+    COUNT(*) OVER (PARTITION BY g) AS n
+  FROM rows_
+), stats AS (
+  SELECT g,
+    MAX(CASE WHEN rk = (n + 1) // 2 THEN x END) AS med,
+    MAX(CASE WHEN rk = (n + 1) // 4 THEN x END) AS q1,
+    MAX(CASE WHEN rk = (3 * (n + 1)) // 4 THEN x END) AS q3
+  FROM ranked
+  WHERE rk = (n + 1) // 2 OR rk = (n + 1) // 4
+     OR rk = (3 * (n + 1)) // 4
+  GROUP BY 1
+)
+SELECT r.g AS o_orderpriority, r.id AS o_orderkey,
+  CAST(r.x - s.med AS BIGINT) AS centered_units,
+  CAST(s.q3 - s.q1 AS BIGINT) AS iqr_units,
+  CASE WHEN s.q3 > s.q1
+    THEN ROUND(CAST(r.x - s.med AS DOUBLE)
+               / CAST(s.q3 - s.q1 AS DOUBLE), 6)
+  END AS scaled
+FROM rows_ r JOIN stats s USING (g)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -8943,6 +9018,8 @@ _CHECK_ORDER = [
     "markov_stationary",
     "conformal_interval",
     "pq_recall_curve",
+    "calendar_features",
+    "robust_scale",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9352,6 +9429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": q_markov_stationary,
         "conformal_interval": q_conformal_interval,
         "pq_recall_curve": q_pq_recall_curve,
+        "calendar_features": q_calendar_features,
+        "robust_scale": q_robust_scale,
     })
 
 
@@ -9579,4 +9658,6 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary": ORACLE_MARKOV,
         "conformal_interval": ORACLE_CONFORMAL,
         "pq_recall_curve": ORACLE_PQ_RECALL,
+        "calendar_features": ORACLE_CALENDAR,
+        "robust_scale": ORACLE_ROBUST_SCALE,
     })

@@ -974,3 +974,119 @@ def conformal_interval(
         )
         .orderBy(*groups)
     )
+
+
+def calendar_features(
+    df: DataFrame,
+    date_col: str,
+) -> DataFrame:
+    """Calendar feature expansion of a date column — the
+    feature-engineering staple every temporal model starts from: one
+    row per DISTINCT date with day-of-week (0=Sunday), day-of-month,
+    ISO week, month, quarter, and an is_weekend flag. Emitted at date
+    grain so the (tiny) feature table broadcast-joins back to any fact
+    table instead of widening the corpus in place.
+
+    Engine parity: ``dayofweek()-1`` == DuckDB ``dayofweek()``;
+    ``weekofyear`` is ISO week in both engines; everything else is
+    plain integer calendar math. All BIGINT.
+
+    Scale shape: one distinct over the date grain (calendar-bounded
+    output), then pure row-parallel projections — no joins, no
+    windows.
+    """
+    d = F.col(date_col).cast("date")
+    dow = (F.dayofweek("day") - 1).cast("bigint")
+    return (
+        df.select(d.alias("day"))
+        .distinct()
+        .select(
+            "day",
+            dow.alias("dow"),
+            F.dayofmonth("day").cast("bigint").alias("dom"),
+            F.weekofyear("day").cast("bigint").alias("iso_week"),
+            F.month("day").cast("bigint").alias("month"),
+            F.quarter("day").cast("bigint").alias("quarter"),
+            F.when((dow == 0) | (dow == 6), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_weekend"),
+        )
+        .orderBy("day")
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_col: str = "id",
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Median/IQR robust scaling per group — the outlier-immune
+    standardization (z-scores move when one flash-sale row drags the
+    mean AND inflates the std; the median and quartiles shrug).
+
+    Determinism: median and quartiles are explicit ORDER STATISTICS —
+    ranks ``(n+1) div 2``, ``(n+1) div 4`` and ``(3(n+1)) div 4`` under
+    the total order ``(value, id)`` (type-1 quantiles, never
+    interpolating percentiles whose engine rules differ); the centered
+    value ships as exact integer units and the scaled value as ONE
+    fixed double divide (signed integer division is an engine trap —
+    Spark truncates, DuckDB floors — so the ratio stays in doubles).
+    Zero-IQR groups emit NULL scaled (the mad_outliers convention).
+
+    Scale shape: one group-partitioned rank window (the percentile-
+    gate shuffle shape), a 3-row-per-group order-statistic aggregate
+    broadcast back, then row-parallel arithmetic.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    units = F.floor(F.col(value_col) * unit_scale).cast("bigint")
+    rows = df.select(*groups, F.col(id_col), units.alias("_x"))
+    w = Window.partitionBy(*groups).orderBy("_x", id_col)
+    ranked = rows.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*groups))
+    )
+    stats = (
+        ranked.filter(
+            (F.col("_rk") == F.expr("(_n + 1) div 2"))
+            | (F.col("_rk") == F.expr("(_n + 1) div 4"))
+            | (F.col("_rk") == F.expr("(3 * (_n + 1)) div 4"))
+        )
+        .groupBy(*groups)
+        .agg(
+            F.max(
+                F.when(F.col("_rk") == F.expr("(_n + 1) div 2"), F.col("_x"))
+            ).alias("_med"),
+            F.max(
+                F.when(F.col("_rk") == F.expr("(_n + 1) div 4"), F.col("_x"))
+            ).alias("_q1"),
+            F.max(
+                F.when(
+                    F.col("_rk") == F.expr("(3 * (_n + 1)) div 4"),
+                    F.col("_x"),
+                )
+            ).alias("_q3"),
+        )
+    )
+    return (
+        rows.join(F.broadcast(stats), groups)
+        .select(
+            *groups,
+            id_col,
+            (F.col("_x") - F.col("_med")).cast("bigint").alias(
+                "centered_units"
+            ),
+            (F.col("_q3") - F.col("_q1")).cast("bigint").alias("iqr_units"),
+            F.when(
+                F.col("_q3") > F.col("_q1"),
+                F.round(
+                    (F.col("_x") - F.col("_med")).cast("double")
+                    / (F.col("_q3") - F.col("_q1")).cast("double"),
+                    6,
+                ),
+            ).alias("scaled"),
+        )
+    )

@@ -400,3 +400,60 @@ def test_conformal_interval_covers_at_least_1_minus_alpha(spark):
         if abs(y - (fit.intercept + fit.slope * x)) <= r.q_hat + 1e-9
     )
     assert covered >= r.conformal_rank
+
+
+def test_calendar_features_known_dates(spark):
+    """Hand-checked anchors: 2024-01-01 is a Monday (dow 1, ISO week 1),
+    2024-12-29 is a Sunday (dow 0, weekend); ISO week of 2023-01-01
+    (a Sunday) is 52 of the PREVIOUS ISO year — the convention trap."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.features import calendar_features
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1),), (dt.date(2024, 12, 29),),
+         (dt.date(2023, 1, 1),), (dt.date(2024, 7, 4),)],
+        "d date",
+    )
+    out = {str(r.day): r for r in calendar_features(df, "d").collect()}
+    jan1 = out["2024-01-01"]
+    assert (jan1.dow, jan1.iso_week, jan1.quarter, jan1.is_weekend) == (
+        1, 1, 1, 0,
+    )
+    dec29 = out["2024-12-29"]
+    assert (dec29.dow, dec29.is_weekend) == (0, 1)
+    assert out["2023-01-01"].iso_week == 52
+    jul4 = out["2024-07-04"]
+    assert (jul4.dom, jul4.month, jul4.quarter) == (4, 7, 3)
+
+
+def test_robust_scale_flash_sale_immune(spark):
+    """A 100x outlier barely moves the scaled values of ordinary rows
+    (median shifts one rank at most, IQR stays order-statistic-bounded)
+    while itself scoring huge — the property z-scores lack, where one
+    outlier deflates every other row toward 0. Hand-checked order
+    statistics: n=10 → med rank 5 (=14.00), q1 rank 2 (=11.00), q3
+    rank 8 (=17.00)."""
+    from data_pipeline_ine_spark.operators.features import robust_scale
+
+    base = [(i, "g", 10.0 + i) for i in range(9)]  # 10..18
+    df = spark.createDataFrame(
+        base + [(99, "g", 1400.0)], "id long, g string, v double"
+    )
+    out = {r.id: r for r in robust_scale(df, "v", ["g"]).collect()}
+    assert all(r.iqr_units == 600 for r in out.values())  # 17.00 − 11.00
+    assert out[4].scaled == 0.0            # the median row (14.00)
+    assert out[99].scaled == 231.0         # (140000 − 1400) / 600
+    for i in range(9):                     # ordinary rows stay small
+        assert abs(out[i].scaled) <= 1.0
+
+
+def test_robust_scale_zero_iqr_is_null(spark):
+    from data_pipeline_ine_spark.operators.features import robust_scale
+
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(8)], "id long, g string, v double"
+    )
+    out = robust_scale(df, "v", ["g"]).collect()
+    assert all(r.scaled is None for r in out)
+    assert all(r.centered_units == 0 for r in out)
