@@ -8942,6 +8942,71 @@ FROM rows_ r JOIN stats s USING (g)
 """
 
 
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF cell-probed index vs exact search at
+    n_probe ∈ {1,2,4} (operators/similarity.py::ivf_recall_curve) —
+    prices the probe budget the way pq_recall_curve prices
+    quantization loss. Shared rounded-cosine total order keeps the
+    curve engine-exact."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        ivf_recall_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_recall_curve(emb, qvec, n_probes=(1, 2, 4), k=10)
+
+
+def _ivf_recall_oracle(n_probes=(1, 2, 4), k=10) -> str:
+    head = """WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+), cent AS MATERIALIZED (
+  SELECT label, list(c ORDER BY d) AS centroid FROM dims GROUP BY label
+), exact AS MATERIALIZED (
+  SELECT e.vec_id FROM e, q
+  ORDER BY ROUND(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, e.vec_id
+  LIMIT {k}
+)""".format(k=k)
+    blocks, selects = [], []
+    for p in n_probes:
+        blocks.append(
+            """, pr{p} AS (
+  SELECT label FROM cent, q
+  ORDER BY ROUND(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv, qv))), 6) DESC, label
+  LIMIT {p}
+), top{p} AS (
+  SELECT e.vec_id FROM e JOIN pr{p} USING (label), q
+  ORDER BY ROUND(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, e.vec_id
+  LIMIT {k}
+), h{p} AS (
+  SELECT CAST({p} AS BIGINT) AS n_probe, CAST({k} AS BIGINT) AS k,
+    CAST(COUNT(*) AS BIGINT) AS hits
+  FROM top{p} JOIN exact USING (vec_id)
+)""".format(p=p, k=k)
+        )
+        selects.append(f"SELECT * FROM h{p}")
+    tail = (
+        "\nSELECT n_probe, k, hits, "
+        f"ROUND(CAST(hits AS DOUBLE) / {float(k)}, 6) AS recall\n"
+        "FROM (" + " UNION ALL ".join(selects) + ") ORDER BY n_probe"
+    )
+    return head + "".join(blocks) + tail
+
+
+ORACLE_IVF_RECALL = _ivf_recall_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9020,6 +9085,7 @@ _CHECK_ORDER = [
     "pq_recall_curve",
     "calendar_features",
     "robust_scale",
+    "ivf_recall_curve",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9431,6 +9497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_curve": q_pq_recall_curve,
         "calendar_features": q_calendar_features,
         "robust_scale": q_robust_scale,
+        "ivf_recall_curve": q_ivf_recall_curve,
     })
 
 
@@ -9660,4 +9727,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_curve": ORACLE_PQ_RECALL,
         "calendar_features": ORACLE_CALENDAR,
         "robust_scale": ORACLE_ROBUST_SCALE,
+        "ivf_recall_curve": ORACLE_IVF_RECALL,
     })

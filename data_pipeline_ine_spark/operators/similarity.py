@@ -1040,3 +1040,61 @@ def pq_recall_curve(
         )
         .orderBy("k")
     )
+
+
+def ivf_recall_curve(
+    df: DataFrame,
+    query_vec: "Sequence[float]",
+    n_probes: "Sequence[int]" = (1, 2, 4),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    part_col: str = "label",
+) -> DataFrame:
+    """Recall@k of the IVF (cell-probed) index vs exact search as a
+    function of ``n_probe`` — the other half of the measure-don't-guess
+    pair next to ``pq_recall_curve``: PQ's curve prices quantization
+    loss, this one prices the probe budget (how many cells you must
+    scan before the true neighbors stop leaking into unprobed cells).
+
+    Per ``n_probe``: the probed top-k (``partitioned_topk`` — centroid
+    ranking, then exact cosine within probed cells) intersected with
+    the global exact top-k (``brute_force_topk``); recall = hits/k.
+    Both rankings share the rounded-cosine + id total order the serving
+    oracles pin, so the curve is engine-exact.
+
+    Scale shape: one centroid aggregate + |n_probes| cell-restricted
+    scans (each cheaper than the full exact scan); the intersection
+    joins k-row frames. Sample queries at 100 TB — the operator takes
+    one query vector by design (the per-query harness; loop outside).
+    """
+    exact_ids = brute_force_topk(
+        df, query_vec, k=k, vec_col=vec_col, id_col=id_col
+    ).select(id_col)
+    parts = []
+    for p in n_probes:
+        approx = partitioned_topk(
+            df,
+            query_vec,
+            k=k,
+            vec_col=vec_col,
+            id_col=id_col,
+            part_col=part_col,
+            n_probe=p,
+        ).select(id_col)
+        parts.append(
+            approx.join(exact_ids, id_col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("hits")
+            ).select(
+                F.lit(int(p)).cast("bigint").alias("n_probe"),
+                F.lit(int(k)).cast("bigint").alias("k"),
+                "hits",
+                F.round(
+                    F.col("hits").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("n_probe")

@@ -506,3 +506,22 @@ def test_pq_recall_curve_perfect_codebook_and_bounds(spark):
     assert {r.k: r.recall for r in out} == {1: 1.0, 3: 1.0}
     for r in out:
         assert r.hits == r.k * r.n_queries
+
+
+def test_ivf_recall_curve_monotone_and_saturates(spark, sf_dir):
+    """Recall@k never decreases as n_probe grows (probing more cells
+    can only add candidates), and at n_probe = |cells| it is exactly
+    1.0 (every cell probed = exact search)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        ivf_recall_curve,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_cells = emb.select("label").distinct().count()
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ivf_recall_curve(
+        emb, qvec, n_probes=(1, 2, n_cells), k=10
+    ).collect()
+    recalls = [r.recall for r in sorted(out, key=lambda r: r.n_probe)]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
