@@ -9007,6 +9007,85 @@ dims AS (
 ORACLE_IVF_RECALL = _ivf_recall_oracle()
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over a 10% basket slice of the
+    order→part positives (operators/sampling.py::negative_samples):
+    k=2 hash-drawn catalog items per positive, accidental positives
+    anti-joined away — the contrastive counterexamples a two-tower
+    trainer needs, reproducible on any engine with no RNG state."""
+    from data_pipeline_ine_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_orderkey % 10 = 0")
+    )
+    part = load_table(spark, sf_dir, "part")
+    return negative_samples(
+        li, part, "l_orderkey", "l_partkey", "p_partkey", k=2
+    )
+
+
+ORACLE_NEG_SAMPLES = (
+    """
+WITH parts AS (
+  SELECT p_partkey AS neg_item,
+    row_number() OVER (ORDER BY p_partkey) - 1 AS rn
+  FROM (SELECT DISTINCT p_partkey FROM part)
+), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM parts),
+pos AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+  FROM lineitem WHERE l_orderkey % 10 = 0
+), draws AS (
+  SELECT basket, item, CAST(d.draw AS BIGINT) AS draw,
+    (NEG_FOLD % n) AS rn
+  FROM pos CROSS JOIN np
+  CROSS JOIN (SELECT unnest([0, 1]) AS draw) d
+), cand AS (
+  SELECT basket, item, draw, p.neg_item
+  FROM draws JOIN parts p USING (rn)
+)
+SELECT c.basket, c.item, c.draw, c.neg_item
+FROM cand c
+LEFT JOIN pos p2 ON p2.basket = c.basket AND p2.item = c.neg_item
+WHERE p2.item IS NULL
+""".replace(
+        "NEG_FOLD",
+        _HEX12.format(
+            h="md5('neg:' || CAST(draw AS VARCHAR) || ':' || "
+            "CAST(basket AS VARCHAR) || ':' || CAST(item AS VARCHAR))"
+        ),
+    )
+)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the k_anonymity release surface
+    (operators/quality.py::l_diversity): distinct sensitive langs per
+    (source, chars-bucket) class — catches the homogeneity attack a
+    pure class-size audit misses. Two hash aggregates, risk-sized
+    output."""
+    from data_pipeline_ine_spark.operators.quality import l_diversity
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 50").alias("chars_bucket")
+    )
+    return l_diversity(docs, ["source", "chars_bucket"], "lang")
+
+
+ORACLE_L_DIVERSITY = """
+WITH classes AS (
+  SELECT source, n_chars // 50 AS chars_bucket,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS l
+  FROM documents GROUP BY 1, 2
+), hist AS (
+  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes FROM classes GROUP BY 1
+)
+SELECT l, n_classes, (SELECT CAST(MIN(l) AS BIGINT) FROM hist) AS min_l
+FROM hist ORDER BY l
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9086,6 +9165,8 @@ _CHECK_ORDER = [
     "calendar_features",
     "robust_scale",
     "ivf_recall_curve",
+    "negative_samples",
+    "l_diversity",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9498,6 +9579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_features": q_calendar_features,
         "robust_scale": q_robust_scale,
         "ivf_recall_curve": q_ivf_recall_curve,
+        "negative_samples": q_negative_samples,
+        "l_diversity": q_l_diversity,
     })
 
 
@@ -9728,4 +9811,6 @@ def oracle_sql() -> dict[str, str]:
         "calendar_features": ORACLE_CALENDAR,
         "robust_scale": ORACLE_ROBUST_SCALE,
         "ivf_recall_curve": ORACLE_IVF_RECALL,
+        "negative_samples": ORACLE_NEG_SAMPLES,
+        "l_diversity": ORACLE_L_DIVERSITY,
     })

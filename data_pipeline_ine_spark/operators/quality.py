@@ -770,3 +770,37 @@ def diff_in_diff(
             6,
         ).alias("did_cents"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """l-diversity audit — the companion to ``k_anonymity_audit`` that
+    catches what k alone misses: a quasi-identifier class can hold 50
+    people (k=50) and still leak everything if all 50 share the same
+    sensitive value (l=1, the homogeneity attack). Reports the
+    distribution of distinct-sensitive-value counts over quasi-id
+    classes plus the corpus minimum.
+
+    One (quasi..., sensitive) distinct + two hash aggregates — all
+    map-side combinable, all integers. Output: one row per observed
+    diversity level ``l`` with the number of classes at that level and
+    a repeated ``min_l`` corpus column (the attack surface number).
+    """
+    classes = (
+        df.select(*quasi_cols, sensitive_col)
+        .distinct()
+        .groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_l"))
+    )
+    hist = classes.groupBy("_l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes")
+    )
+    lo = hist.agg(F.min("_l").cast("bigint").alias("min_l"))
+    return (
+        hist.crossJoin(F.broadcast(lo))
+        .select(F.col("_l").alias("l"), "n_classes", "min_l")
+        .orderBy("l")
+    )

@@ -487,3 +487,83 @@ def bootstrap_ci(
             F.when(F.col("_rhi") == trim + 1, F.col(value_col))
         ).alias("ci_hi"),
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    catalog: DataFrame,
+    basket_col: str,
+    item_col: str,
+    catalog_key: str,
+    k: int = 2,
+    salt: str = "neg:",
+) -> DataFrame:
+    """Deterministic negative sampling for training pairs: for every
+    observed (basket, item) positive, ``k`` pseudo-random items from
+    the catalog that the basket does NOT contain — the contrastive
+    counterexamples every two-tower/matrix-factorization recipe needs,
+    with no RNG state (the hash-coin discipline: same inputs ⇒ same
+    negatives on any engine, any partitioning, any rerun).
+
+    Draw ``j`` for a positive is ``md5(salt‖j‖basket‖item) mod |catalog|``
+    mapped through the catalog's rank index; accidental positives are
+    removed by an anti-join, so a pair yields ≤ k negatives (document
+    the deficit rather than resampling — a resample loop would make
+    output depend on collision order). All integer/string surfaces.
+
+    Scale shape: the catalog rank index is one dimension-sized window;
+    draws are a generator explode (k per positive, no join); the rank
+    lookup is a broadcast-eligible equi-join on the dimension; the
+    anti-join shuffles on the (basket, item) key the positives already
+    have. Output ≤ k·|positives|.
+    """
+    from pyspark.sql import Window
+
+    ranked = catalog.select(
+        F.col(catalog_key).alias("_neg_item")
+    ).distinct().withColumn(
+        "_rn",
+        F.row_number().over(Window.orderBy("_neg_item")) - 1,
+    )
+    n_items = ranked.count()  # dimension-sized driver scalar (benign)
+    pos = positives.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    draws = pos.select(
+        "basket",
+        "item",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("draw"),
+    ).withColumn(
+        "_rn",
+        F.pmod(
+            _hex12_to_long(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("draw").cast("string"),
+                        F.lit(":"),
+                        F.col("basket").cast("string"),
+                        F.lit(":"),
+                        F.col("item").cast("string"),
+                    )
+                )
+            ),
+            F.lit(n_items),
+        ).cast("bigint"),
+    )
+    cand = draws.join(F.broadcast(ranked), "_rn").select(
+        "basket", "item", F.col("draw").cast("bigint").alias("draw"),
+        "_neg_item",
+    )
+    return cand.join(
+        pos.select(
+            F.col("basket"), F.col("item").alias("_neg_item")
+        ),
+        ["basket", "_neg_item"],
+        "left_anti",
+    ).select(
+        F.col("basket"),
+        F.col("item"),
+        "draw",
+        F.col("_neg_item").alias("neg_item"),
+    )

@@ -874,3 +874,26 @@ def test_token_fertility_counts_and_ratio(spark):
     assert out["en"].fertility_e6 == 1_500_000
     assert (out["de"].n_tokens, out["de"].n_words) == (1, 1)
     assert out["de"].fertility_e6 == 1_000_000
+
+
+def test_negative_samples_never_emit_positives_and_are_stable(spark):
+    """No emitted negative is an observed positive for its basket; the
+    draw is bit-stable across invocations; each positive yields at most
+    k rows (collision deficit documented, never resampled)."""
+    from data_pipeline_ine_spark.operators.sampling import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "b long, i long"
+    )
+    cat = spark.createDataFrame([(x,) for x in range(10, 16)], "pk long")
+    out1 = negative_samples(pos, cat, "b", "i", "pk", k=3).collect()
+    out2 = negative_samples(pos, cat, "b", "i", "pk", k=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    observed = {(1, 10), (1, 11), (2, 10), (2, 12)}
+    per_pos = {}
+    for r in out1:
+        assert (r.basket, r.neg_item) not in observed
+        assert 10 <= r.neg_item <= 15
+        per_pos[(r.basket, r.item)] = per_pos.get((r.basket, r.item), 0) + 1
+    assert all(v <= 3 for v in per_pos.values())
+    assert len(out1) > 0

@@ -592,3 +592,19 @@ def test_diff_in_diff_recovers_injected_effect(spark):
     out = diff_in_diff(df, "user_id", "ts", "value", "2024-01-16").collect()[0]
     assert out.c_pre_n + out.t_pre_n == 40
     assert out.did_cents == 300.0  # +3 dollars in cents, exact
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    """A class where every row shares one sensitive value scores l=1
+    (the homogeneity attack) even when its k is large; a diverse class
+    scores its distinct count; min_l is the corpus attack surface."""
+    from data_pipeline_ine_spark.operators.quality import l_diversity
+
+    rows = [("q1", f"s{i % 3}") for i in range(9)] + [
+        ("q2", "same") for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "quasi string, sens string")
+    out = {r.l: r for r in l_diversity(df, ["quasi"], "sens").collect()}
+    assert out[1].n_classes == 1      # q2: 50 rows, one value
+    assert out[3].n_classes == 1      # q1: 3 distinct values
+    assert all(r.min_l == 1 for r in out.values())

@@ -73,7 +73,8 @@ BNLJ_ALLOWED = {
     "loo_target_encode": "1-row global-prior frame over the row grain",
     "feature_mi": "1-row totals frame over the (x,y) cell grain",
     "gini_split": "1-row class-totals frame over <=64 log2 buckets",
-    "pq_recall_curve": "n_queries-row broadcast + <=|ks|-row k frame" ,
+    "pq_recall_curve": "n_queries-row broadcast + <=|ks|-row k frame",
+    "l_diversity": "1-row min-l frame over the diversity histogram",
 }
 
 
