@@ -9086,6 +9086,67 @@ FROM hist ORDER BY l
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median stage-to-stage conversion delay under the funnel's
+    first-touch semantics (operators/timeseries.py::funnel_latency) —
+    how long the funnel takes next to funnel_conversion's how many
+    make it. Explicit order-statistic medians over exact field-
+    arithmetic epoch seconds (DST-immune under any session TZ)."""
+    from data_pipeline_ine_spark.operators.timeseries import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_latency(ev, stages=("view", "click", "purchase"))
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH t0 AS (
+  SELECT user_id, ts, event_type,
+    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS s0
+  FROM events
+), t1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s0 THEN ts END)
+      OVER (PARTITION BY user_id) AS s1
+  FROM t0
+), t2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > s1 THEN ts END)
+      OVER (PARTITION BY user_id) AS s2
+  FROM t1
+), per_user AS (
+  SELECT user_id, MIN(s0) AS s0, MIN(s1) AS s1, MIN(s2) AS s2
+  FROM t2 GROUP BY 1
+), d1 AS (
+  SELECT user_id,
+    CAST(floor(epoch(s1)) - floor(epoch(s0)) AS BIGINT) AS d
+  FROM per_user WHERE s1 IS NOT NULL
+), r1 AS (
+  SELECT d, row_number() OVER (ORDER BY d, user_id) AS rk,
+    COUNT(*) OVER () AS n
+  FROM d1
+), m1 AS (
+  SELECT CAST(n AS BIGINT) AS n_converted, d AS median_delay_s
+  FROM r1 WHERE rk = (n + 1) // 2
+), d2 AS (
+  SELECT user_id,
+    CAST(floor(epoch(s2)) - floor(epoch(s1)) AS BIGINT) AS d
+  FROM per_user WHERE s2 IS NOT NULL
+), r2 AS (
+  SELECT d, row_number() OVER (ORDER BY d, user_id) AS rk,
+    COUNT(*) OVER () AS n
+  FROM d2
+), m2 AS (
+  SELECT CAST(n AS BIGINT) AS n_converted, d AS median_delay_s
+  FROM r2 WHERE rk = (n + 1) // 2
+)
+SELECT 'view->click' AS transition, CAST(0 AS BIGINT) AS stage_idx,
+  n_converted, median_delay_s FROM m1
+UNION ALL
+SELECT 'click->purchase', CAST(1 AS BIGINT), n_converted, median_delay_s
+FROM m2
+ORDER BY stage_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9167,6 +9228,7 @@ _CHECK_ORDER = [
     "ivf_recall_curve",
     "negative_samples",
     "l_diversity",
+    "funnel_latency",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9581,6 +9643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_curve": q_ivf_recall_curve,
         "negative_samples": q_negative_samples,
         "l_diversity": q_l_diversity,
+        "funnel_latency": q_funnel_latency,
     })
 
 
@@ -9813,4 +9876,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_curve": ORACLE_IVF_RECALL,
         "negative_samples": ORACLE_NEG_SAMPLES,
         "l_diversity": ORACLE_L_DIVERSITY,
+        "funnel_latency": ORACLE_FUNNEL_LATENCY,
     })

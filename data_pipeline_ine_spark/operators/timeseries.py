@@ -1335,3 +1335,75 @@ def markov_stationary(
     return r.select("state", F.col("_r").alias("stationary_e6")).orderBy(
         "state"
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stage-to-stage conversion latency: for users who convert stage
+    i → i+1 under the funnel's first-touch semantics (stage i+1 counts
+    only strictly AFTER the stage-i conversion instant), the median
+    seconds between the two conversions — the "how long does the
+    funnel take" companion to funnel_stages' "how many make it".
+
+    The median is the explicit ``(n+1) div 2``-th ORDER STATISTIC under
+    the total order ``(delay_s, user)`` (the theil_sen discipline);
+    delays are exact integer epoch-second differences. Output: one row
+    per stage transition with the converting-user count and the median
+    delay.
+
+    Scale shape: the same single user-keyed shuffle funnel_stages
+    rides (stacked conditional-min windows on one Exchange), a
+    transition-partitioned rank window over converting users, and a
+    |stages|-row output.
+    """
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, ts_col, type_col)
+    stage_cols: list[str] = []
+    prev: str | None = None
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        c = f"_t{i}"
+        out = out.withColumn(c, F.min(F.when(cond, F.col(ts_col))).over(w))
+        stage_cols.append(c)
+        prev = c
+    per_user = out.groupBy(user_col).agg(
+        *[F.min(c).alias(c) for c in stage_cols]
+    )
+    frames = []
+    for i in range(len(stages) - 1):
+        a, b = stage_cols[i], stage_cols[i + 1]
+        from data_pipeline_ine_spark.operators.joins import (
+            _ntz_epoch_seconds,
+        )
+
+        delays = per_user.filter(F.col(b).isNotNull()).select(
+            F.col(user_col).alias("_u"),
+            (
+                _ntz_epoch_seconds(F.col(b)) - _ntz_epoch_seconds(F.col(a))
+            ).cast("bigint").alias("_d"),
+        )
+        wd = Window.orderBy("_d", "_u")
+        ranked = delays.withColumn(
+            "_rk", F.row_number().over(wd)
+        ).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        frames.append(
+            ranked.filter(F.col("_rk") == F.expr("(_n + 1) div 2")).select(
+                F.lit(f"{stages[i]}->{stages[i + 1]}").alias("transition"),
+                F.lit(i).cast("bigint").alias("stage_idx"),
+                F.col("_n").cast("bigint").alias("n_converted"),
+                F.col("_d").alias("median_delay_s"),
+            )
+        )
+    res = frames[0]
+    for fr in frames[1:]:
+        res = res.unionByName(fr)
+    return res.orderBy("stage_idx")

@@ -627,3 +627,29 @@ def test_markov_stationary_sticky_state_dominates(spark):
     out = {r.state: r.stationary_e6 for r in markov_stationary(df).collect()}
     assert out["a"] > 650_000  # true stationary ≈ 3/4
     assert 980_000 <= out["a"] + out["b"] <= 1_000_000
+
+
+def test_funnel_latency_hand_delays(spark):
+    """Hand-built funnel: user 1 converts view→click in 60s and
+    click→purchase in 120s; user 2 clicks BEFORE viewing (must not
+    count as converted); user 3 view→click 180s, no purchase. Medians
+    are explicit order statistics under (delay, user)."""
+    from data_pipeline_ine_spark.operators.timeseries import funnel_latency
+
+    t = dt.datetime
+    rows = [
+        (1, "view", t(2024, 1, 1, 10, 0, 0)),
+        (1, "click", t(2024, 1, 1, 10, 1, 0)),
+        (1, "purchase", t(2024, 1, 1, 10, 3, 0)),
+        (2, "click", t(2024, 1, 1, 9, 0, 0)),   # pre-view click: no conv
+        (2, "view", t(2024, 1, 1, 9, 30, 0)),
+        (3, "view", t(2024, 1, 1, 8, 0, 0)),
+        (3, "click", t(2024, 1, 1, 8, 3, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.transition: r for r in funnel_latency(df).collect()}
+    vc = out["view->click"]
+    # converters: user 1 (60s), user 3 (180s); lower median = 60s
+    assert (vc.n_converted, vc.median_delay_s) == (2, 60)
+    cp = out["click->purchase"]
+    assert (cp.n_converted, cp.median_delay_s) == (1, 120)
