@@ -9147,6 +9147,83 @@ ORDER BY stage_idx
 """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document
+    (operators/text.py::doc_keywords) — the auto-tagging primitive
+    next to tfidf_top_terms' per-source summary. Rational-smoothed idf
+    (no libm logs), WindowGroupLimit-cut per-doc ranking."""
+    from data_pipeline_ine_spark.operators.text import doc_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_keywords(docs, k=3)
+
+
+ORACLE_DOC_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), df_ AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docfreq
+  FROM toks GROUP BY 1
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_.docfreq,
+    ROUND(tf.tf * (CAST(nd.n_docs + 1 AS DOUBLE)
+                   / CAST(df_.docfreq + 1 AS DOUBLE)), 6) AS score
+  FROM tf JOIN df_ USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, docfreq, score
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per return flag
+    (operators/features.py::weighted_median): the value where running
+    weight crosses half the total — integer comparisons only, the
+    lower weighted median. The typical-unit statistic the row-median
+    silently gets wrong."""
+    from data_pipeline_ine_spark.operators.features import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH vals AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+    CAST(floor(l_quantity * 100) AS BIGINT) AS w
+  FROM lineitem
+), run AS (
+  SELECT g, v, w,
+    CAST(SUM(w) OVER (PARTITION BY g ORDER BY v, w
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wr
+  FROM vals
+), tot AS (
+  SELECT g, CAST(SUM(CAST(w AS DECIMAL(25,0))) AS BIGINT) AS wt
+  FROM vals GROUP BY 1
+)
+SELECT r.g AS l_returnflag,
+  CAST(MIN(CASE WHEN 2 * r.wr >= t.wt THEN r.v END) AS BIGINT)
+    AS wmedian_units,
+  CAST(MIN(t.wt) AS BIGINT) AS total_weight_units
+FROM run r JOIN tot t USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9229,6 +9306,8 @@ _CHECK_ORDER = [
     "negative_samples",
     "l_diversity",
     "funnel_latency",
+    "doc_keywords",
+    "weighted_median",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9644,6 +9723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "l_diversity": q_l_diversity,
         "funnel_latency": q_funnel_latency,
+        "doc_keywords": q_doc_keywords,
+        "weighted_median": q_weighted_median,
     })
 
 
@@ -9877,4 +9958,6 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": ORACLE_NEG_SAMPLES,
         "l_diversity": ORACLE_L_DIVERSITY,
         "funnel_latency": ORACLE_FUNNEL_LATENCY,
+        "doc_keywords": ORACLE_DOC_KEYWORDS,
+        "weighted_median": ORACLE_WEIGHTED_MEDIAN,
     })

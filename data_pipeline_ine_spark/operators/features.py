@@ -1090,3 +1090,54 @@ def robust_scale(
             ).alias("scaled"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: Sequence[str],
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Weight-aware median per group: the value at which cumulative
+    WEIGHT first reaches half the total — the statistic inventory,
+    pricing, and survey pipelines need where the row-median silently
+    answers a different question (a 1-unit line and a 50-unit line are
+    not the same evidence about a typical unit).
+
+    Engine-exact: values and weights are exact integer units; the
+    crossing point is the first row (under the total order
+    ``(value, weight, …)``) whose running weight ``2·W_run ≥ W_total``
+    — integer comparison only, the lower weighted median (never an
+    interpolating average). One rank window over the (value-sorted)
+    group, one totals broadcast.
+
+    Scale shape: one group-keyed sort window (the percentile-gate
+    shuffle) + a |groups|-row totals broadcast; output one row per
+    group.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    vals = df.select(
+        *groups,
+        F.floor(F.col(value_col) * unit_scale).cast("bigint").alias("_v"),
+        F.floor(F.col(weight_col) * unit_scale).cast("bigint").alias("_w"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_v", "_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = vals.groupBy(*groups).agg(
+        F.sum(F.col("_w").cast("decimal(25,0)")).cast("bigint").alias("_wt")
+    )
+    run = vals.withColumn("_wr", F.sum("_w").over(w).cast("bigint"))
+    crossed = (
+        run.join(F.broadcast(tot), groups)
+        .filter(2 * F.col("_wr") >= F.col("_wt"))
+        .groupBy(*groups)
+        .agg(
+            F.min("_v").cast("bigint").alias("wmedian_units"),
+            F.min("_wt").cast("bigint").alias("total_weight_units"),
+        )
+    )
+    return crossed.orderBy(*groups)

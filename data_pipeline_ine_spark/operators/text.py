@@ -1624,3 +1624,65 @@ def token_fertility(
         .cast("bigint")
         .alias("fertility_e6"),
     ).orderBy(group_col)
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms PER DOCUMENT by tf-idf — the
+    per-item counterpart of ``tfidf_top_terms``' per-source summary:
+    the auto-tagging / search-snippet primitive (what is THIS document
+    about, not its domain).
+
+    Same engine-exact idf as the source-level operator: rational
+    smoothing ``(N + 1)/(df + 1)`` — integer-derived double division,
+    no libm logs — with the total order ``(score desc, term)`` making
+    the cut deterministic.
+
+    Scale shape: one tokenize explode, a (doc, term) count (map-side
+    combinable), a vocab-bounded docfreq aggregate broadcast back, and
+    a doc-partitioned rank window that WindowGroupLimit cuts at k
+    inside the sort. Output ≤ k rows per document.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    docfreq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).cast("bigint").alias("docfreq")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("docfreq") + 1).cast("double")
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "docfreq", "score")
+        .orderBy(id_col, "rank")
+    )

@@ -897,3 +897,21 @@ def test_negative_samples_never_emit_positives_and_are_stable(spark):
         per_pos[(r.basket, r.item)] = per_pos.get((r.basket, r.item), 0) + 1
     assert all(v <= 3 for v in per_pos.values())
     assert len(out1) > 0
+
+
+def test_doc_keywords_prefers_rare_terms(spark):
+    """A term unique to one doc outranks a corpus-wide stopword with the
+    same in-doc frequency; exactly k rows per doc with dense ranks."""
+    from data_pipeline_ine_spark.operators.text import doc_keywords
+
+    docs = [
+        (1, "common common rareword rareword other1"),
+        (2, "common common other2 other2 other2"),
+        (3, "common filler filler"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [r for r in doc_keywords(df, k=2).collect() if r.doc_id == 1]
+    assert [r.rank for r in out] == [1, 2]
+    # rareword: tf=2, df=1 → score 2·(4/2)=4; common: tf=2, df=3 → 2·(4/4)=2
+    assert out[0].term == "rareword" and out[0].score == 4.0
+    assert out[1].term == "common" and out[1].score == 2.0

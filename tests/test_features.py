@@ -457,3 +457,18 @@ def test_robust_scale_zero_iqr_is_null(spark):
     out = robust_scale(df, "v", ["g"]).collect()
     assert all(r.scaled is None for r in out)
     assert all(r.centered_units == 0 for r in out)
+
+
+def test_weighted_median_crosses_on_weight_not_rows(spark):
+    """A few heavy rows outweigh many light ones: row-median is 10 but
+    weight-median is 100 (the heavy value holds >half the weight);
+    zero-weight rows never move the crossing."""
+    from data_pipeline_ine_spark.operators.features import weighted_median
+
+    rows = [("g", 10.0, 1.0)] * 5 + [("g", 100.0, 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = weighted_median(df, "v", "w", ["g"]).collect()[0]
+    # total weight 15.00 → crossing at cumulative 7.50: the five light
+    # rows sum to 5.00 < 7.5, so the heavy value 100 is the median
+    assert out.wmedian_units == 10000
+    assert out.total_weight_units == 1500

@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "gini_split": "1-row class-totals frame over <=64 log2 buckets",
     "pq_recall_curve": "n_queries-row broadcast + <=|ks|-row k frame",
     "l_diversity": "1-row min-l frame over the diversity histogram",
+    "doc_keywords": "1-row corpus doc-count frame (idf)",
 }
 
 
