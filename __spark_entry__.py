@@ -9224,6 +9224,70 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density (DBSCAN-lite) hotspot clustering of the customer
+    placement field (operators/layout.py::grid_density_clusters):
+    dense eps-cells connected through their 8-neighborhood by
+    fixed-round min-label propagation — per-point work is one integer
+    cell key; everything else lives on the domain-bounded grid."""
+    from data_pipeline_ine_spark.operators.layout import (
+        grid_density_clusters,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.expr("(c_custkey * 48271) % 18000").cast("bigint").alias("xu"),
+        F.expr("(c_custkey * 16807) % 36000").cast("bigint").alias("yu"),
+    )
+    return grid_density_clusters(
+        cust, "xu", "yu", cell_units=1000, min_pts=4, rounds=8
+    )
+
+
+def _grid_cluster_oracle(cell_units=1000, min_pts=4, rounds=8) -> str:
+    head = f"""WITH pts AS (
+  SELECT (c_custkey * 48271) % 18000 AS xu,
+    (c_custkey * 16807) % 36000 AS yu
+  FROM customer
+), cells AS MATERIALIZED (
+  SELECT xu // {cell_units} AS cx, yu // {cell_units} AS cy,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+), dense AS MATERIALIZED (
+  SELECT cx, cy, n, CAST(cx * 100000 + cy AS BIGINT) AS cell
+  FROM cells WHERE n >= {min_pts}
+), offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                        (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)
+), edges AS MATERIALIZED (
+  SELECT d.cell,
+    CAST((d.cx + o.dx) * 100000 + (d.cy + o.dy) AS BIGINT) AS nbr
+  FROM dense d CROSS JOIN offs o
+  WHERE EXISTS (SELECT 1 FROM dense d2
+    WHERE d2.cell = CAST((d.cx + o.dx) * 100000 + (d.cy + o.dy)
+      AS BIGINT))
+), l0 AS MATERIALIZED (SELECT cell, cell AS lbl FROM dense)"""
+    blocks = []
+    for i in range(1, rounds + 1):
+        blocks.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT c.cell, LEAST(c.lbl, COALESCE(m.nmin, c.lbl)) AS lbl
+  FROM l{i - 1} c LEFT JOIN (
+    SELECT e.cell, MIN(ln.lbl) AS nmin
+    FROM edges e JOIN l{i - 1} ln ON ln.cell = e.nbr GROUP BY 1
+  ) m USING (cell)
+)"""
+        )
+    tail = f"""
+SELECT l.lbl AS cluster_label, CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(d.n) AS BIGINT) AS n_points
+FROM l{rounds} l JOIN dense d USING (cell)
+GROUP BY 1 ORDER BY 1"""
+    return head + "".join(blocks) + tail
+
+
+ORACLE_GRID_CLUSTERS = _grid_cluster_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9308,6 +9372,7 @@ _CHECK_ORDER = [
     "funnel_latency",
     "doc_keywords",
     "weighted_median",
+    "grid_density_clusters",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9725,6 +9790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "doc_keywords": q_doc_keywords,
         "weighted_median": q_weighted_median,
+        "grid_density_clusters": q_grid_density_clusters,
     })
 
 
@@ -9960,4 +10026,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": ORACLE_FUNNEL_LATENCY,
         "doc_keywords": ORACLE_DOC_KEYWORDS,
         "weighted_median": ORACLE_WEIGHTED_MEDIAN,
+        "grid_density_clusters": ORACLE_GRID_CLUSTERS,
     })

@@ -180,3 +180,55 @@ def test_grid_nn_join_salt_is_result_invariant(spark):
 
     with pytest.raises(ValueError, match="salt"):
         grid_nn_join(p, s, eps=1.0, salt=0)
+
+
+def test_grid_density_clusters_merges_adjacent_blobs_only(spark):
+    """Two dense blobs separated by an empty cell stay distinct
+    clusters; a diagonal chain of dense cells merges through the
+    8-neighborhood over multiple propagation rounds; sparse cells
+    never appear."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.layout import (
+        grid_density_clusters,
+    )
+
+    def blob(cx, cy, n):
+        # n points inside cell (cx, cy) with cell_units=10
+        return [(cx * 10 + i % 10, cy * 10 + (i * 3) % 10) for i in range(n)]
+
+    pts = (
+        blob(0, 0, 5)          # blob A cell (0,0)
+        + blob(1, 1, 5)        # diagonal neighbor: same cluster as A
+        + blob(2, 2, 5)        # chained diagonal: still cluster A
+        + blob(5, 5, 6)        # blob B, far away
+        + blob(8, 0, 2)        # sparse (< min_pts): dropped
+    )
+    df = spark.createDataFrame(pts, "xu long, yu long")
+    out = grid_density_clusters(
+        df, "xu", "yu", cell_units=10, min_pts=4, rounds=4
+    ).collect()
+    by_label = {r.cluster_label: r for r in out}
+    assert len(by_label) == 2
+    a = by_label[0]            # min label of the chained blob = cell(0,0)=0
+    assert (a.n_cells, a.n_points) == (3, 15)
+    b = by_label[5 * 100000 + 5]
+    assert (b.n_cells, b.n_points) == (1, 6)
+
+
+def test_grid_density_clusters_contract_rounds_reach_fixpoint(spark, sf_dir):
+    """The contract pins rounds=8; a 9th round must change nothing on
+    the customer placement field (the k_core convergence discipline)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.layout import (
+        grid_density_clusters,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.expr("(c_custkey * 48271) % 18000").cast("bigint").alias("xu"),
+        F.expr("(c_custkey * 16807) % 36000").cast("bigint").alias("yu"),
+    )
+    r8 = grid_density_clusters(cust, "xu", "yu", rounds=8).collect()
+    r9 = grid_density_clusters(cust, "xu", "yu", rounds=9).collect()
+    assert sorted(map(tuple, r8)) == sorted(map(tuple, r9))
