@@ -320,6 +320,7 @@ def main() -> None:
         ("scd2_apply", probe_scd2),
         ("incremental_near_dup_filter", probe_incremental_dedup),
         ("stream_rolling_wau_batch", probe_rolling_wau),
+        ("stream_cusum_batch", probe_cusum),
     ]
     print(
         f"{'operator':30s} {'inc(1x)':>8s} {'inc(' + str(factor) + 'x)':>8s}"
@@ -447,3 +448,110 @@ def probe_rolling_wau(spark, factor: int):
 
 if __name__ == "__main__":
     main()
+
+
+def probe_cusum(spark, factor: int):
+    """Streaming CUSUM maintenance: a fixed 2k-event batch on the final
+    10 days against a 1x vs Nx raw-event history — the state update
+    must track the day-grain table (calendar-sized), never the raw
+    event history the daily totals replaced."""
+    from data_pipeline_ine_spark.streaming.quality import (
+        maintain_cusum_batch,
+    )
+
+    MU = 200_000  # fixed in-control baseline, cents/day
+
+    def gen_state(f):
+        n_days = 365 * f
+        d = f"/tmp/cusum_probe_{f}x"
+        if not os.path.exists(f"{d}/raw/_SUCCESS"):
+            ev = spark.range(n_days * 400).select(
+                (
+                    F.lit("2020-01-01").cast("timestamp_ntz")
+                    + F.make_dt_interval(
+                        days=F.pmod(
+                            F.xxhash64(F.col("id") + 1), F.lit(n_days)
+                        ).cast("int"),
+                        hours=F.pmod(
+                            F.xxhash64(F.col("id") + 2), F.lit(24)
+                        ).cast("int"),
+                    )
+                ).alias("ts"),
+                (
+                    F.pmod(F.xxhash64(F.col("id") + 3), F.lit(10000)) / 100.0
+                ).alias("value"),
+            )
+            ev.repartition(32).write.mode("overwrite").parquet(f"{d}/raw")
+            raw = spark.read.parquet(f"{d}/raw")
+            (
+                raw.groupBy(F.to_date("ts").alias("day"))
+                .agg(
+                    F.sum(
+                        F.floor(F.col("value") * 100).cast("decimal(25,0)")
+                    )
+                    .cast("bigint")
+                    .alias("x_cents")
+                )
+                .write.mode("overwrite")
+                .parquet(f"{d}/daily")
+            )
+        return d
+
+    def fixed_batch(f):
+        n_days = 365 * f
+        return spark.range(CHANGELOG_ROWS).select(
+            (
+                F.lit("2020-01-01").cast("timestamp_ntz")
+                + F.make_dt_interval(
+                    days=(
+                        n_days
+                        - 10
+                        + F.pmod(F.xxhash64(F.col("id") + 5), F.lit(10))
+                    ).cast("int")
+                )
+            ).alias("ts"),
+            (F.pmod(F.xxhash64(F.col("id") + 6), F.lit(10000)) / 100.0).alias(
+                "value"
+            ),
+        )
+
+    def run_inc(f):
+        d = gen_state(f)
+        daily = spark.read.parquet(f"{d}/daily")
+        _, cusum = maintain_cusum_batch(fixed_batch(f), daily, MU)
+        cusum.count()
+
+    def run_full(f):
+        from pyspark.sql import Window
+
+        d = gen_state(f)
+        raw = spark.read.parquet(f"{d}/raw")
+        merged = raw.unionByName(fixed_batch(f))
+        daily = merged.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum(F.floor(F.col("value") * 100).cast("decimal(25,0)"))
+            .cast("bigint")
+            .alias("x_cents")
+        )
+        w = Window.orderBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        k = (MU * 50) // 1000
+        s = (
+            daily.withColumn(
+                "_y", (F.col("x_cents") - F.lit(MU) - F.lit(k)).cast("bigint")
+            )
+            .withColumn("_p", F.sum("_y").over(w).cast("bigint"))
+            .withColumn(
+                "_pmin",
+                F.least(F.lit(0).cast("bigint"), F.min("_p").over(w)),
+            )
+            .select("day", (F.col("_p") - F.col("_pmin")).alias("s_cents"))
+        )
+        s.count()
+
+    gen_state(1)
+    gen_state(factor)
+    i1 = timed(lambda: run_inc(1))
+    iN = timed(lambda: run_inc(factor))
+    fN = timed(lambda: run_full(factor))
+    return i1, iN, fN
