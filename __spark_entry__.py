@@ -9288,6 +9288,98 @@ GROUP BY 1 ORDER BY 1"""
 ORACLE_GRID_CLUSTERS = _grid_cluster_oracle()
 
 
+def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT on the treatment arm's purchase conversion, day by
+    day (operators/quality.py::sprt_ab) — the anytime-valid sequential
+    test (peeking daily is the design): H0 p=0.4 vs H1 p=0.5, LLR
+    increments embedded as design-time e6 integers (zero runtime libm),
+    Wald ±ln(19) exits. Calendar-bounded cumulative windows."""
+    from data_pipeline_ine_spark.operators.quality import sprt_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    # ln(0.5/0.4)·1e6 = 223144; ln(0.5/0.6)·1e6 = −182322 (design consts)
+    return sprt_ab(
+        ev,
+        "user_id",
+        "ts",
+        F.col("event_type") == "purchase",
+        llr_conv_e6=223144,
+        llr_fail_e6=-182322,
+    )
+
+
+ORACLE_SPRT = (
+    """
+WITH units AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), treat AS (
+  SELECT day, conv FROM units WHERE (AB_FOLD % 2) = 1
+), daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(conv) AS BIGINT) AS c
+  FROM treat GROUP BY 1
+), cum AS (
+  SELECT day,
+    CAST(SUM(n) OVER w AS BIGINT) AS n_units_cum,
+    CAST(SUM(c) OVER w AS BIGINT) AS conv_cum,
+    CAST(SUM(c * 223144 + (n - c) * (-182322)) OVER w AS BIGINT)
+      AS llr_e6
+  FROM daily
+  WINDOW w AS (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, n_units_cum, conv_cum, llr_e6,
+  CAST(CASE WHEN llr_e6 >= 2944439 THEN 1
+            WHEN llr_e6 <= -2944439 THEN -1 ELSE 0 END AS BIGINT)
+    AS decision
+FROM cum ORDER BY day
+""".replace(
+        "AB_FOLD", _HEX12.format(h="md5('ab:' || CAST(user_id AS VARCHAR))")
+    )
+)
+
+
+def q_binseg_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint scan of daily event value
+    (operators/timeseries.py::binseg_split): per candidate split, the
+    two-segment SSE from decimal-exact prefix moments — where the
+    level changed in hindsight, next to CUSUM's is-it-drifting-now.
+    Calendar-bounded candidate frame."""
+    from data_pipeline_ine_spark.operators.timeseries import binseg_split
+
+    ev = load_table(spark, sf_dir, "events")
+    return binseg_split(ev, "ts", "value")
+
+
+ORACLE_BINSEG = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), pre AS (
+  SELECT day, x,
+    row_number() OVER (ORDER BY day) AS rn,
+    SUM(CAST(x AS DECIMAL(25,0))) OVER w AS s1,
+    SUM(CAST(CAST(x AS DECIMAL(25,0)) * x AS DECIMAL(38,0))) OVER w AS q1
+  FROM daily
+  WINDOW w AS (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(MAX(rn) AS BIGINT) AS n, MAX(s1) AS st, MAX(q1) AS qt
+  FROM pre
+)
+SELECT day, CAST(rn AS BIGINT) AS n_left,
+  ROUND((CAST(q1 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(rn AS DOUBLE))
+        + (CAST(qt - q1 AS DOUBLE)
+           - CAST(st - s1 AS DOUBLE) * CAST(st - s1 AS DOUBLE)
+             / CAST(n - rn AS DOUBLE)), 4) AS split_cost
+FROM pre, tot WHERE rn < n ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9373,6 +9465,8 @@ _CHECK_ORDER = [
     "doc_keywords",
     "weighted_median",
     "grid_density_clusters",
+    "sprt_ab",
+    "binseg_split",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9791,6 +9885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "weighted_median": q_weighted_median,
         "grid_density_clusters": q_grid_density_clusters,
+        "sprt_ab": q_sprt_ab,
+        "binseg_split": q_binseg_split,
     })
 
 
@@ -10027,4 +10123,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": ORACLE_DOC_KEYWORDS,
         "weighted_median": ORACLE_WEIGHTED_MEDIAN,
         "grid_density_clusters": ORACLE_GRID_CLUSTERS,
+        "sprt_ab": ORACLE_SPRT,
+        "binseg_split": ORACLE_BINSEG,
     })

@@ -1407,3 +1407,72 @@ def funnel_latency(
     for fr in frames[1:]:
         res = res.unionByName(fr)
     return res.orderBy("stage_idx")
+
+
+def binseg_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Binary-segmentation changepoint scan (the root step of the
+    classic recursive segmenter): for every candidate split of the
+    daily series, the two-segment squared-error cost — the day where
+    the cost curve bottoms out is the single best mean-shift
+    changepoint, with the full curve exposing how decisive the split
+    is (CUSUM answers "is there drift NOW"; this answers "where did
+    the level change, in hindsight").
+
+    Cost(s) = SSE[1..s] + SSE[s+1..n], each ``Σx² − (Σx)²/n`` from
+    DECIMAL-exact prefix sums of integer units — one fixed double
+    expression per candidate (the gini_split discipline), rounded to
+    4. Output: one row per candidate split (n−1 rows).
+
+    Scale shape: one day-grain aggregate is the corpus-sized work;
+    prefix sums and costs live on the calendar-bounded frame.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * unit_scale).cast("decimal(25,0)")
+            )
+            .cast("bigint")
+            .alias("_x")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = (
+        daily.withColumn("_rn", F.row_number().over(Window.orderBy("day")))
+        .withColumn("_s1", F.sum(F.col("_x").cast("decimal(25,0)")).over(w))
+        .withColumn(
+            "_q1",
+            F.sum(
+                (F.col("_x").cast("decimal(25,0)") * F.col("_x")).cast(
+                    "decimal(38,0)"
+                )
+            ).over(w),
+        )
+    )
+    tot = pre.agg(
+        F.max("_rn").cast("bigint").alias("_n"),
+        F.max("_s1").alias("_st"),
+        F.max("_q1").alias("_qt"),
+    )
+    cand = pre.crossJoin(F.broadcast(tot)).filter(F.col("_rn") < F.col("_n"))
+    nl = F.col("_rn").cast("double")
+    nr = (F.col("_n") - F.col("_rn")).cast("double")
+    s1, q1 = F.col("_s1").cast("double"), F.col("_q1").cast("double")
+    s2 = (F.col("_st") - F.col("_s1")).cast("double")
+    q2 = (F.col("_qt") - F.col("_q1")).cast("double")
+    return cand.select(
+        "day",
+        F.col("_rn").cast("bigint").alias("n_left"),
+        F.round((q1 - s1 * s1 / nl) + (q2 - s2 * s2 / nr), 4).alias(
+            "split_cost"
+        ),
+    ).orderBy("day")

@@ -608,3 +608,68 @@ def test_l_diversity_flags_homogeneous_class(spark):
     assert out[1].n_classes == 1      # q2: 50 rows, one value
     assert out[3].n_classes == 1      # q1: 3 distinct values
     assert all(r.min_l == 1 for r in out.values())
+
+
+def test_sprt_ab_crosses_boundary_at_hand_computed_day(spark):
+    """Constructed treatment arm: every unit converts, so the LLR walks
+    up by exactly llr_conv_e6 per unit and crosses +ln(19)e6 on the day
+    cumulative conversions reach ceil(2944439/223144) = 14 — decision
+    flips 0 → 1 exactly there and stays."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.quality import sprt_ab
+    from data_pipeline_ine_spark.operators.sampling import hash_bucket
+
+    ids = spark.createDataFrame([(i,) for i in range(200)], "user_id long")
+    treat = [
+        r.user_id
+        for r in ids.select(
+            "user_id", hash_bucket("user_id", 2, "ab:").alias("v")
+        ).collect()
+        if r.v == 1
+    ]
+    rows = []
+    for day, uid in enumerate(treat[:30]):  # one treatment unit per day
+        rows.append((uid, "purchase", dt.datetime(2024, 1, 1 + day, 9)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = sprt_ab(
+        df, "user_id", "ts", F.col("event_type") == "purchase",
+        llr_conv_e6=223144, llr_fail_e6=-182322,
+    ).orderBy("day").collect()
+    for r in out:
+        assert r.llr_e6 == r.conv_cum * 223144
+        assert r.decision == (1 if r.llr_e6 >= 2944439 else 0)
+    flip = [r for r in out if r.decision == 1]
+    assert flip and flip[0].conv_cum == 14  # ceil(2944439/223144)
+
+
+def test_sprt_ab_all_failures_accepts_null(spark):
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.quality import sprt_ab
+    from data_pipeline_ine_spark.operators.sampling import hash_bucket
+
+    ids = spark.createDataFrame([(i,) for i in range(200)], "user_id long")
+    treat = [
+        r.user_id
+        for r in ids.select(
+            "user_id", hash_bucket("user_id", 2, "ab:").alias("v")
+        ).collect()
+        if r.v == 1
+    ][:40]
+    rows = [
+        (uid, "view", dt.datetime(2024, 1, 1 + i // 2, 9))
+        for i, uid in enumerate(treat)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = sprt_ab(
+        df, "user_id", "ts", F.col("event_type") == "purchase",
+        llr_conv_e6=223144, llr_fail_e6=-182322,
+    ).orderBy("day").collect()
+    # ceil(2944439/182322) = 17 failures accepts H0
+    accepted = [r for r in out if r.decision == -1]
+    assert accepted and accepted[0].n_units_cum == 18  # 2/day → day 9

@@ -653,3 +653,20 @@ def test_funnel_latency_hand_delays(spark):
     assert (vc.n_converted, vc.median_delay_s) == (2, 60)
     cp = out["click->purchase"]
     assert (cp.n_converted, cp.median_delay_s) == (1, 120)
+
+
+def test_binseg_split_cost_bottoms_at_the_step(spark):
+    """A clean level step: the two-segment SSE is exactly 0 at the true
+    split and strictly positive everywhere else."""
+    cents = [1000] * 6 + [2000] * 6
+    from data_pipeline_ine_spark.operators.timeseries import binseg_split
+
+    out = binseg_split(
+        _daily_events(spark, cents), "ts", "value"
+    ).orderBy("day").collect()
+    assert len(out) == 11
+    best = min(out, key=lambda r: r.split_cost)
+    assert best.n_left == 6 and best.split_cost == 0.0
+    for r in out:
+        if r.n_left != 6:
+            assert r.split_cost > 0.0

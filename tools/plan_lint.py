@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "pq_recall_curve": "n_queries-row broadcast + <=|ks|-row k frame",
     "l_diversity": "1-row min-l frame over the diversity histogram",
     "doc_keywords": "1-row corpus doc-count frame (idf)",
+    "binseg_split": "1-row total-moments frame over the calendar grain",
 }
 
 
