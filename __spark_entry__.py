@@ -9380,6 +9380,69 @@ FROM pre, tot WHERE rn < n ORDER BY day
 """
 
 
+def q_image_augment_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash of horizontally-flipped and 90°-rotated views of every
+    raster (operators/multimodal.py::image_augment_dhash): real PNG/GIF
+    decode, pure-integer numpy view transforms, the standard hash —
+    the augmentation-survival check for vision dedup. The oracle never
+    touches a byte: flip and rotation are closed-form index maps over
+    the synthetic gradient, so any decode/transform/packing bug flips
+    bits."""
+    from data_pipeline_ine_spark.operators.multimodal import (
+        image_augment_dhash,
+        with_synthetic_media,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.coalesce("n_chars", F.lit(0)).alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = with_synthetic_media(docs)  # non-raster blobs emit no row
+    return image_augment_dhash(media, ops=("fliph", "rot90"))
+
+
+ORACLE_AUG_DHASH = """
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 4 + doc_id % 64 AS w, 4 + doc_id % 32 AS h
+  FROM documents WHERE doc_id % 4 = 1
+), rws AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 7)) AS r FROM d
+), cells AS (
+  SELECT doc_id, w, h, r, unnest(generate_series(0, 7)) AS c FROM rws
+), bits_f AS (
+  -- fliph: pixel(row, col) = (row + (w-1-col) + id) % 256, dims (w, h)
+  SELECT doc_id, 'fliph' AS aug, w AS width, h AS height, r, c,
+    CASE WHEN ((r * h) // 8 + (w - 1 - ((c + 1) * w) // 9) + doc_id) % 256
+            > ((r * h) // 8 + (w - 1 - (c * w) // 9) + doc_id) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM cells
+), bits_r AS (
+  -- rot90 cw: pixel(row, col) = ((h-1-col) + row + id) % 256 over the
+  -- SWAPPED dims (width h, height w)
+  SELECT doc_id, 'rot90' AS aug, h AS width, w AS height, r, c,
+    CASE WHEN ((h - 1 - ((c + 1) * h) // 9) + (r * w) // 8 + doc_id) % 256
+            > ((h - 1 - (c * h) // 9) + (r * w) // 8 + doc_id) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM cells
+), bits AS (
+  SELECT * FROM bits_f UNION ALL SELECT * FROM bits_r
+)
+SELECT doc_id, aug, CAST(width AS INT) AS width,
+  CAST(height AS INT) AS height,
+  CAST(SUM(CASE WHEN r * 8 + c >= 32
+                THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c - 32))
+                ELSE 0 END) AS BIGINT) AS dhash_hi,
+  CAST(SUM(CASE WHEN r * 8 + c < 32
+                THEN bit * (CAST(1 AS BIGINT) << (r * 8 + c))
+                ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits GROUP BY doc_id, aug, width, height
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9467,6 +9530,7 @@ _CHECK_ORDER = [
     "grid_density_clusters",
     "sprt_ab",
     "binseg_split",
+    "image_augment_dhash",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9887,6 +9951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_density_clusters": q_grid_density_clusters,
         "sprt_ab": q_sprt_ab,
         "binseg_split": q_binseg_split,
+        "image_augment_dhash": q_image_augment_dhash,
     })
 
 
@@ -10125,4 +10190,5 @@ def oracle_sql() -> dict[str, str]:
         "grid_density_clusters": ORACLE_GRID_CLUSTERS,
         "sprt_ab": ORACLE_SPRT,
         "binseg_split": ORACLE_BINSEG,
+        "image_augment_dhash": ORACLE_AUG_DHASH,
     })

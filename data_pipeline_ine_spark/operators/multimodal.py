@@ -961,3 +961,79 @@ def audio_signature(
             )
         ).alias("audio_sig"),
     )
+
+
+AUG_DHASH_SCHEMA = (
+    "doc_id long, aug string, width int, height int,"
+    " dhash_hi long, dhash_lo long"
+)
+
+
+def image_augment_dhash(
+    df: DataFrame,
+    ops: tuple[str, ...] = ("fliph", "rot90"),
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+    grid_w: int = 9,
+    grid_h: int = 8,
+) -> DataFrame:
+    """dHash of AUGMENTED views of each image — the vision-pipeline
+    plumbing check for geometric augmentation (flip / 90° rotation):
+    the same real decode as ``image_dhash``, then a pure-integer numpy
+    view transform (no resampling, no interpolation — a flip is an
+    index reversal, a rotation a transpose), then the standard hash.
+    Comparing an image's augmented hashes against its own is how a
+    dedup stack decides whether its signature survives the
+    augmentations the trainer will apply (dHash intentionally does
+    NOT: flipped copies should still be findable as near-dups via the
+    banded Hamming machinery, which these rows feed).
+
+    ``fliph`` mirrors columns; ``rot90`` rotates clockwise (width and
+    height swap). Arrow-batched ``mapInPandas``, zero shuffles,
+    ≤ |ops| rows per raster; reported width/height are the AUGMENTED
+    dims.
+    """
+    from data_pipeline_ine_spark.operators import pixels
+
+    decode_raster = pixels.decode_raster
+    dhash_bits = pixels.dhash_bits
+    ops = tuple(ops)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                arr = decode_raster(b) if b else None
+                if arr is None:
+                    continue
+                for op in ops:
+                    if op == "fliph":
+                        aug = arr[:, ::-1, :]
+                    elif op == "rot90":
+                        # clockwise: new[r][c] = old[H-1-c][r]
+                        aug = _np.rot90(arr, k=-1)
+                    else:
+                        raise ValueError(f"unknown augmentation {op!r}")
+                    hi, lo = dhash_bits(_np.ascontiguousarray(aug), grid_w, grid_h)
+                    rows.append(
+                        (
+                            doc_id,
+                            op,
+                            int(aug.shape[1]),
+                            int(aug.shape[0]),
+                            hi,
+                            lo,
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "aug", "width", "height", "dhash_hi", "dhash_lo",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(compute, AUG_DHASH_SCHEMA)

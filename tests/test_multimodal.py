@@ -690,3 +690,36 @@ def test_audio_signature_distinguishes_and_repeats(spark, sf_dir):
     assert a == b and a
     assert all(i % 4 == 2 for i in a)            # WAV modality only
     assert len(set(a.values())) > 1              # content-sensitive
+
+
+def test_image_augment_dhash_group_laws(spark):
+    """Augmentation sanity via group structure: flipping a SYMMETRIC
+    raster (gradient g(x,y)=x+y is fliph-asymmetric, so hashes differ
+    from identity) — we pin instead that the augmented dims are right
+    (rot90 swaps, fliph preserves) and that a horizontally-CONSTANT
+    raster is fliph-invariant (every row constant → flip is identity →
+    dHash all zeros both ways)."""
+    import numpy as np
+
+    from data_pipeline_ine_spark.operators import pixels
+    from data_pipeline_ine_spark.operators.multimodal import (
+        image_augment_dhash,
+    )
+
+    # constant-rows raster: value depends only on the ROW index
+    arr = np.zeros((8, 16, 3), dtype=np.uint8)
+    for r in range(8):
+        arr[r, :, :] = (7 - r) * 10  # rows DECREASE downward, so the
+        # clockwise rotation turns them into left-to-right INCREASING
+        # columns (dHash sets bits only on increasing adjacent pairs)
+    png = pixels.png_encode(arr)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
+    out = {r.aug: r for r in image_augment_dhash(df).collect()}
+    f, r90 = out["fliph"], out["rot90"]
+    assert (f.width, f.height) == (16, 8)
+    assert (r90.width, r90.height) == (8, 16)
+    # horizontally constant → no adjacent-column differences → zero hash
+    assert (f.dhash_hi, f.dhash_lo) == (0, 0)
+    # rotated, rows become columns: every adjacent-column pair differs;
+    # bit set iff the increasing direction — nonzero hash
+    assert (r90.dhash_hi, r90.dhash_lo) != (0, 0)
