@@ -9443,6 +9443,112 @@ FROM bits GROUP BY doc_id, aug, width, height
 """
 
 
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user journeys
+    (operators/timeseries.py::markov_attribution): conversion mass of
+    the absorbing journey chain with each channel present vs knocked
+    out — the counterfactual credit rule-based models fake. e6 integer
+    power steps; one user-keyed window is the corpus-sized work."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        markov_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_attribution(ev, iters=6)
+
+
+def _markov_attr_oracle(
+    channels=("click", "error", "signup", "view"), iters=6
+) -> str:
+    base = """WITH seq AS MATERIALIZED (
+  SELECT user_id AS u,
+    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         ELSE event_type END AS state,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), fc AS (
+  SELECT u, MIN(rn) AS fcrn FROM seq WHERE state = 'CONV' GROUP BY 1
+), ev2 AS MATERIALIZED (
+  SELECT s.u, s.state, s.rn,
+    row_number() OVER (PARTITION BY s.u ORDER BY s.rn) AS rn2,
+    lead(s.state) OVER (PARTITION BY s.u ORDER BY s.rn) AS nxt
+  FROM seq s LEFT JOIN fc ON fc.u = s.u
+  WHERE fc.fcrn IS NULL OR s.rn <= fc.fcrn
+), edges AS (
+  SELECT 'START' AS cur, state AS nxt FROM ev2 WHERE rn2 = 1
+  UNION ALL
+  SELECT state AS cur, COALESCE(nxt, 'NULL') AS nxt
+  FROM ev2 WHERE state <> 'CONV'
+), counts AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2
+), tot AS (
+  SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY 1
+), p_full AS MATERIALIZED (
+  SELECT c.cur, c.nxt, CAST((c.n * 1000000) // t.t AS BIGINT) AS p
+  FROM counts c JOIN tot t USING (cur)
+  UNION ALL SELECT 'CONV', 'CONV', CAST(1000000 AS BIGINT)
+  UNION ALL SELECT 'NULL', 'NULL', CAST(1000000 AS BIGINT)
+)"""
+    models = [("full", None)] + [
+        (f"k{i}", ch) for i, ch in enumerate(channels)
+    ]
+    blocks = []
+    for name, ch in models:
+        pm = "p_full" if ch is None else f"p_{name}"
+        if ch is not None:
+            blocks.append(
+                f""", {pm} AS MATERIALIZED (
+  SELECT cur, CASE WHEN nxt = '{ch}' THEN 'NULL' ELSE nxt END AS nxt,
+    CAST(SUM(p) AS BIGINT) AS p
+  FROM p_full WHERE cur <> '{ch}' GROUP BY 1, 2
+)"""
+            )
+        blocks.append(
+            f""", st_{name} AS MATERIALIZED (
+  SELECT DISTINCT state FROM (
+    SELECT cur AS state FROM {pm} UNION ALL SELECT nxt FROM {pm})
+), r_{name}_0 AS MATERIALIZED (
+  SELECT state, CAST(CASE WHEN state = 'START' THEN 1000000 ELSE 0 END
+    AS BIGINT) AS r
+  FROM st_{name}
+)"""
+        )
+        for i in range(1, iters + 1):
+            blocks.append(
+                f""", r_{name}_{i} AS MATERIALIZED (
+  SELECT s.state, CAST(COALESCE(m.rn, 0) AS BIGINT) AS r
+  FROM st_{name} s LEFT JOIN (
+    SELECT pp.nxt AS state,
+      CAST(SUM(rr.r * pp.p) // 1000000 AS BIGINT) AS rn
+    FROM {pm} pp JOIN r_{name}_{i - 1} rr ON rr.state = pp.cur
+    GROUP BY 1
+  ) m USING (state)
+)"""
+            )
+        blocks.append(
+            f""", conv_{name} AS (
+  SELECT r AS p_conv FROM r_{name}_{iters} WHERE state = 'CONV'
+)"""
+        )
+    selects = [
+        f"SELECT '{ch}' AS channel, f.p_conv AS p_full_e6,"
+        f" k.p_conv AS p_removed_e6,"
+        f" CAST(f.p_conv - k.p_conv AS BIGINT) AS removal_e6"
+        f" FROM conv_full f CROSS JOIN conv_k{i} k"
+        for i, ch in enumerate(channels)
+    ]
+    return (
+        base
+        + "".join(blocks)
+        + "\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY channel"
+    )
+
+
+ORACLE_MARKOV_ATTR = _markov_attr_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9531,6 +9637,7 @@ _CHECK_ORDER = [
     "sprt_ab",
     "binseg_split",
     "image_augment_dhash",
+    "markov_attribution",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -9952,6 +10059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_ab": q_sprt_ab,
         "binseg_split": q_binseg_split,
         "image_augment_dhash": q_image_augment_dhash,
+        "markov_attribution": q_markov_attribution,
     })
 
 
@@ -10191,4 +10299,5 @@ def oracle_sql() -> dict[str, str]:
         "sprt_ab": ORACLE_SPRT,
         "binseg_split": ORACLE_BINSEG,
         "image_augment_dhash": ORACLE_AUG_DHASH,
+        "markov_attribution": ORACLE_MARKOV_ATTR,
     })

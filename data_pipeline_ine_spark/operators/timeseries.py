@@ -1476,3 +1476,155 @@ def binseg_split(
             "split_cost"
         ),
     ).orderBy("day")
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    conv_type: str = "purchase",
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    iters: int = 6,
+) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven alternative
+    to rule-based credit models (linear/U-shaped): build the absorbing
+    journey chain START → channels → {CONV, NULL}, compute conversion
+    mass with the channel present and with it knocked out (its inbound
+    probability re-routed to NULL, its outbound rows dropped), and
+    credit the channel with the conversion it would take down —
+    exactly the counterfactual the rule models fake.
+
+    Journeys truncate at the FIRST conversion; CONV and NULL are
+    absorbing (self-loop probability 1). All probabilities are e6
+    integer fixed point (``n·10⁶ div row_total``); each model runs
+    ``iters`` exact integer power steps from unit mass on START (the
+    markov_stationary discipline), so both the full and every knockout
+    model are bit-reproducible. Output: one row per channel with the
+    full-model conversion mass, the knockout mass, and their
+    difference (the removal effect).
+
+    Scale shape: the corpus-sized work is ONE user-keyed window pass
+    (truncate + lead) and one edge count; every model iteration joins
+    a ≤(|channels|+3)²-cell matrix to a ≤|states|-row mass frame —
+    |channels|+1 models of driver-trivial work, no checkpoints needed
+    at this frame size.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    seq = df.select(
+        F.col(user_col).alias("_u"),
+        F.when(F.col(type_col) == conv_type, F.lit("CONV"))
+        .otherwise(F.col(type_col))
+        .alias("_state"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    fc = (
+        seq.filter(F.col("_state") == "CONV")
+        .groupBy("_u")
+        .agg(F.min("_rn").alias("_fc"))
+    )
+    w2 = Window.partitionBy("_u").orderBy("_rn")
+    ev2 = (
+        seq.join(fc, "_u", "left")
+        .filter(F.col("_fc").isNull() | (F.col("_rn") <= F.col("_fc")))
+        .withColumn("_rn2", F.row_number().over(w2))
+        .withColumn("_next", F.lead("_state").over(w2))
+    )
+    edges = (
+        ev2.filter(F.col("_rn2") == 1)
+        .select(F.lit("START").alias("cur"), F.col("_state").alias("nxt"))
+        .unionByName(
+            ev2.filter(F.col("_state") != "CONV").select(
+                F.col("_state").alias("cur"),
+                F.coalesce("_next", F.lit("NULL")).alias("nxt"),
+            )
+        )
+    )
+    counts = edges.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    totals = counts.groupBy("cur").agg(F.sum("_n").cast("bigint").alias("_t"))
+    spark = df.sparkSession
+    absorbers = spark.createDataFrame(
+        [("CONV", "CONV", 1_000_000), ("NULL", "NULL", 1_000_000)],
+        "cur string, nxt string, p_e6 long",
+    )
+    p_full = (
+        counts.join(totals, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.expr("(_n * 1000000) div _t").cast("bigint").alias("p_e6"),
+        )
+        .unionByName(absorbers)
+        .localCheckpoint()
+    )
+
+    def conv_mass(p: DataFrame) -> DataFrame:
+        """iters exact power steps from unit mass on START; returns a
+        1-row frame with the absorbed CONV mass (e6)."""
+        states = (
+            p.select(F.col("cur").alias("state"))
+            .unionAll(p.select(F.col("nxt").alias("state")))
+            .distinct()
+        )
+        r = states.withColumn(
+            "_r",
+            F.when(F.col("state") == "START", F.lit(1_000_000))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        for _ in range(iters):
+            stepped = (
+                p.join(
+                    r.select(F.col("state").alias("cur"), "_r"), "cur"
+                )
+                .groupBy(F.col("nxt").alias("state"))
+                .agg(
+                    F.expr("CAST(sum(_r * p_e6) div 1000000 AS BIGINT)")
+                    .alias("_rn_")
+                )
+            )
+            r = states.join(stepped, "state", "left").select(
+                "state",
+                F.coalesce("_rn_", F.lit(0)).cast("bigint").alias("_r"),
+            )
+        return r.filter(F.col("state") == "CONV").select(
+            F.col("_r").alias("p_conv_e6")
+        )
+
+    def knockout(p: DataFrame, ch: str) -> DataFrame:
+        redirected = p.filter(F.col("cur") != ch).select(
+            "cur",
+            F.when(F.col("nxt") == ch, F.lit("NULL"))
+            .otherwise(F.col("nxt"))
+            .alias("nxt"),
+            "p_e6",
+        )
+        return redirected.groupBy("cur", "nxt").agg(
+            F.sum("p_e6").cast("bigint").alias("p_e6")
+        )
+
+    full = conv_mass(p_full).select(
+        F.col("p_conv_e6").alias("p_full_e6")
+    )
+    parts = []
+    for ch in channels:
+        parts.append(
+            conv_mass(knockout(p_full, ch))
+            .select(F.col("p_conv_e6").alias("p_removed_e6"))
+            .crossJoin(F.broadcast(full))
+            .select(
+                F.lit(ch).alias("channel"),
+                "p_full_e6",
+                "p_removed_e6",
+                (F.col("p_full_e6") - F.col("p_removed_e6"))
+                .cast("bigint")
+                .alias("removal_e6"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("channel")

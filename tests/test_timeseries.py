@@ -670,3 +670,44 @@ def test_binseg_split_cost_bottoms_at_the_step(spark):
     for r in out:
         if r.n_left != 6:
             assert r.split_cost > 0.0
+
+
+def test_markov_attribution_counterfactual_credits(spark):
+    """Hand journeys: every conversion passes through 'click', so
+    knocking click out zeroes the conversion mass (removal = full);
+    'error' appears only on non-converting paths, so its removal
+    effect is 0; full-model mass reflects the 2-of-3 converting
+    users."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        markov_attribution,
+    )
+
+    t = dt.datetime
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, "view", t(2024, 1, 1, 9), 1),
+        (1, "click", t(2024, 1, 1, 10), 2),
+        (1, "purchase", t(2024, 1, 1, 11), 3),
+        # user 2: click -> purchase
+        (2, "click", t(2024, 1, 1, 9), 4),
+        (2, "purchase", t(2024, 1, 1, 10), 5),
+        # user 3: view -> error (no conversion)
+        (3, "view", t(2024, 1, 1, 9), 6),
+        (3, "error", t(2024, 1, 1, 10), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        r.channel: r
+        for r in markov_attribution(
+            df, channels=("click", "error", "view"), iters=6
+        ).collect()
+    }
+    full = out["click"].p_full_e6
+    assert full > 600_000  # 2/3 of users convert (minus e6 truncation)
+    assert out["click"].p_removed_e6 == 0
+    assert out["click"].removal_e6 == full
+    assert out["error"].removal_e6 == 0
+    # 'view' helps user 1 only; removing it keeps user 2's direct path
+    assert 0 < out["view"].removal_e6 < full

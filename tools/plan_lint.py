@@ -77,6 +77,7 @@ BNLJ_ALLOWED = {
     "l_diversity": "1-row min-l frame over the diversity histogram",
     "doc_keywords": "1-row corpus doc-count frame (idf)",
     "binseg_split": "1-row total-moments frame over the calendar grain",
+    "markov_attribution": "1-row full-model conversion-mass frame",
 }
 
 
