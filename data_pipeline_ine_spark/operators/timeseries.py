@@ -1561,70 +1561,43 @@ def markov_attribution(
         .localCheckpoint()
     )
 
-    def conv_mass(p: DataFrame) -> DataFrame:
-        """iters exact power steps from unit mass on START; returns a
-        1-row frame with the absorbed CONV mass (e6)."""
-        states = (
-            p.select(F.col("cur").alias("state"))
-            .unionAll(p.select(F.col("nxt").alias("state")))
-            .distinct()
-        )
-        r = states.withColumn(
-            "_r",
-            F.when(F.col("state") == "START", F.lit(1_000_000))
-            .otherwise(F.lit(0))
-            .cast("bigint"),
-        )
+    # The matrix is ≤ (|channels|+3)² cells — pull it ONCE and run the
+    # knockouts + integer power steps in plain Python (the k-means-
+    # codebook benign-scalar class; the corpus-sized window/count work
+    # above stays distributed). Python `//` floors and every operand is
+    # non-negative, so the arithmetic is identical to the relational
+    # `div` form and to the SQL oracle. This replaces ~30 tiny-frame
+    # Spark jobs with zero.
+    cells = {
+        (r["cur"], r["nxt"]): int(r["p_e6"]) for r in p_full.collect()
+    }
+
+    def conv_mass_py(p: dict) -> int:
+        states = {s for e in p for s in e}
+        r = {s: 1_000_000 if s == "START" else 0 for s in states}
         for _ in range(iters):
-            stepped = (
-                p.join(
-                    r.select(F.col("state").alias("cur"), "_r"), "cur"
-                )
-                .groupBy(F.col("nxt").alias("state"))
-                .agg(
-                    F.expr("CAST(sum(_r * p_e6) div 1000000 AS BIGINT)")
-                    .alias("_rn_")
-                )
-            )
-            r = states.join(stepped, "state", "left").select(
-                "state",
-                F.coalesce("_rn_", F.lit(0)).cast("bigint").alias("_r"),
-            )
-        return r.filter(F.col("state") == "CONV").select(
-            F.col("_r").alias("p_conv_e6")
-        )
+            acc = dict.fromkeys(states, 0)
+            for (s, x), pe6 in p.items():
+                acc[x] += r[s] * pe6
+            r = {x: v // 1_000_000 for x, v in acc.items()}
+        return r.get("CONV", 0)
 
-    def knockout(p: DataFrame, ch: str) -> DataFrame:
-        redirected = p.filter(F.col("cur") != ch).select(
-            "cur",
-            F.when(F.col("nxt") == ch, F.lit("NULL"))
-            .otherwise(F.col("nxt"))
-            .alias("nxt"),
-            "p_e6",
-        )
-        return redirected.groupBy("cur", "nxt").agg(
-            F.sum("p_e6").cast("bigint").alias("p_e6")
-        )
+    def knockout_py(p: dict, ch: str) -> dict:
+        out: dict = {}
+        for (s, x), pe6 in p.items():
+            if s == ch:
+                continue
+            key = (s, "NULL" if x == ch else x)
+            out[key] = out.get(key, 0) + pe6
+        return out
 
-    full = conv_mass(p_full).select(
-        F.col("p_conv_e6").alias("p_full_e6")
-    )
-    parts = []
+    p_full_mass = conv_mass_py(cells)
+    rows = []
     for ch in channels:
-        parts.append(
-            conv_mass(knockout(p_full, ch))
-            .select(F.col("p_conv_e6").alias("p_removed_e6"))
-            .crossJoin(F.broadcast(full))
-            .select(
-                F.lit(ch).alias("channel"),
-                "p_full_e6",
-                "p_removed_e6",
-                (F.col("p_full_e6") - F.col("p_removed_e6"))
-                .cast("bigint")
-                .alias("removal_e6"),
-            )
-        )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out.orderBy("channel")
+        removed = conv_mass_py(knockout_py(cells, ch))
+        rows.append((ch, p_full_mass, removed, p_full_mass - removed))
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_full_e6 long, p_removed_e6 long,"
+        " removal_e6 long",
+    ).orderBy("channel")
