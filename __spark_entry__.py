@@ -9549,6 +9549,81 @@ def _markov_attr_oracle(
 ORACLE_MARKOV_ATTR = _markov_attr_oracle()
 
 
+def q_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of order value as a predictor of urgent priority
+    (operators/features.py::rank_auc): the Mann–Whitney rank identity
+    over doubled tie-averaged ranks — one BIGINT numerator, one fixed
+    double divide, no threshold sweep."""
+    from data_pipeline_ine_spark.operators.features import rank_auc
+
+    od = load_table(spark, sf_dir, "orders")
+    return rank_auc(
+        od,
+        F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+    )
+
+
+ORACLE_RANK_AUC = """
+WITH rows_ AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END AS y
+  FROM orders
+), ranked AS (
+  SELECT y,
+    CAST(2 * rank() OVER (ORDER BY s)
+         + COUNT(*) OVER (PARTITION BY s) - 1 AS BIGINT) AS r2
+  FROM rows_
+), agg AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+    CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+    CAST(SUM(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sum_r2
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+  CAST(sum_r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+  ROUND(CAST(sum_r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+FROM agg
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV curve (operators/timeseries.py::cohort_ltv):
+    per (first-activity cohort, week offset), that week's revenue and
+    the running cumulative — the money companion to the retention
+    triangle. Exact cents; the cumulative lives on the calendar²
+    triangle."""
+    from data_pipeline_ine_spark.operators.timeseries import cohort_ltv
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_ltv(ev)
+
+
+ORACLE_COHORT_LTV = """
+WITH firsts AS (
+  SELECT user_id,
+    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT f.cohort_week,
+    CAST(datediff('day', f.cohort_week,
+      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+      AS week_offset,
+    CAST(SUM(CAST(floor(e.value * 100) AS DECIMAL(25,0))) AS BIGINT)
+      AS week_cents
+  FROM events e JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, week_cents,
+  CAST(SUM(week_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_cents
+FROM cells ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9638,6 +9713,8 @@ _CHECK_ORDER = [
     "binseg_split",
     "image_augment_dhash",
     "markov_attribution",
+    "rank_auc",
+    "cohort_ltv",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -10060,6 +10137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_split": q_binseg_split,
         "image_augment_dhash": q_image_augment_dhash,
         "markov_attribution": q_markov_attribution,
+        "rank_auc": q_rank_auc,
+        "cohort_ltv": q_cohort_ltv,
     })
 
 
@@ -10300,4 +10379,6 @@ def oracle_sql() -> dict[str, str]:
         "binseg_split": ORACLE_BINSEG,
         "image_augment_dhash": ORACLE_AUG_DHASH,
         "markov_attribution": ORACLE_MARKOV_ATTR,
+        "rank_auc": ORACLE_RANK_AUC,
+        "cohort_ltv": ORACLE_COHORT_LTV,
     })

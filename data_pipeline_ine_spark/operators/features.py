@@ -1141,3 +1141,64 @@ def weighted_median(
         )
     )
     return crossed.orderBy(*groups)
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: Column | str,
+    label: Column,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label via the
+    Mann–Whitney rank identity — the threshold-free ranking metric
+    every scoring model reports, computed without a single threshold
+    sweep: ``AUC = (Σ_pos R − n_pos(n_pos+1)/2) / (n_pos·n_neg)`` over
+    tie-AVERAGED ranks (ties get half credit, the standard convention).
+
+    Engine-exact: tie-averaged ranks stay integral as the doubled
+    ``2·rank + ties − 1`` surface (the spearman recipe), so the
+    numerator ``Σ_pos R2 − n_pos·(n_pos+1)`` is an exact BIGINT over
+    doubled units and AUC is ONE fixed double divide by
+    ``2·n_pos·n_neg``. Output: one row (n_pos, n_neg, auc_num2, auc).
+
+    Scale shape: one unpartitioned rank window over the score column —
+    the same shape as the corpus rank statistics (spearman/quantile
+    family); swap in a pre-aggregated (score, n, n_pos) value grain
+    when distinct scores ≪ rows. Then a 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    rows = df.select(
+        sc.alias("_s"), F.when(label, 1).otherwise(0).alias("_y")
+    )
+    w_rank = Window.orderBy("_s")
+    w_tie = Window.partitionBy("_s")
+    ranked = rows.select(
+        "_y",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).cast("bigint").alias("_r2"),
+    )
+    agg = ranked.agg(
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_r2")).otherwise(0))
+        .cast("bigint")
+        .alias("_sum_r2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("_sum_r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("bigint")
+        .alias("auc_num2"),
+        F.round(
+            (
+                F.col("_sum_r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )

@@ -1601,3 +1601,60 @@ def markov_attribution(
         "channel string, p_full_e6 long, p_removed_e6 long,"
         " removal_e6 long",
     ).orderBy("channel")
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Weekly cohort lifetime-value curve: cohort = the week of a
+    user's first event; cell (cohort, week_offset) carries that week's
+    revenue from the cohort's members AND the running cumulative — the
+    money companion to retention_cohorts' user counts (the payback
+    question is when cum_cents crosses acquisition cost, which a
+    retention triangle alone can't answer).
+
+    Exact integer cents; the cumulative is a cohort-partitioned
+    running window over the (cohort × offset) triangle — calendar²-
+    bounded, never corpus-sized. The only corpus work is one user-
+    grain first-week aggregate and one (cohort, week) rollup.
+    """
+    from pyspark.sql import Window
+
+    firsts = df.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(F.col(ts_col)))
+        .cast("date")
+        .alias("cohort_week")
+    )
+    cells = (
+        df.join(firsts, user_col)
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            F.floor(F.col(value_col) * unit_scale)
+            .cast("decimal(25,0)")
+            .alias("_c"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("_c").cast("bigint").alias("week_cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "week_cents",
+        F.sum("week_cents").over(w).cast("bigint").alias("cum_cents"),
+    ).orderBy("cohort_week", "week_offset")

@@ -472,3 +472,25 @@ def test_weighted_median_crosses_on_weight_not_rows(spark):
     # rows sum to 5.00 < 7.5, so the heavy value 100 is the median
     assert out.wmedian_units == 10000
     assert out.total_weight_units == 1500
+
+
+def test_rank_auc_anchors(spark):
+    """Perfect separation scores 1.0, anti-separation 0.0, a constant
+    score 0.5 (all ties → half credit), and a known half-overlap case
+    matches the hand-computed Mann-Whitney value."""
+    from data_pipeline_ine_spark.operators.features import rank_auc
+
+    def auc(pairs):
+        df = spark.createDataFrame(pairs, "s double, y boolean")
+        return rank_auc(df, "s", F.col("y")).collect()[0]
+
+    perfect = [(float(i), i >= 5) for i in range(10)]
+    assert auc(perfect).auc == 1.0
+    inverted = [(float(i), i < 5) for i in range(10)]
+    assert auc(inverted).auc == 0.0
+    constant = [(1.0, i % 2 == 0) for i in range(10)]
+    assert auc(constant).auc == 0.5
+    # pos scores {2,4}, neg {1,3}: pairs won 3 of 4 → AUC 0.75
+    mixed = [(1.0, False), (2.0, True), (3.0, False), (4.0, True)]
+    r = auc(mixed)
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.75)

@@ -711,3 +711,24 @@ def test_markov_attribution_counterfactual_credits(spark):
     assert out["error"].removal_e6 == 0
     # 'view' helps user 1 only; removing it keeps user 2's direct path
     assert 0 < out["view"].removal_e6 < full
+
+
+def test_cohort_ltv_triangle_and_cumulative(spark):
+    """Two cohorts with hand-placed spend: cells land in the right
+    (cohort, offset) slots and the cumulative sums along each cohort
+    row; a user's later spend credits their FIRST-week cohort."""
+    from data_pipeline_ine_spark.operators.timeseries import cohort_ltv
+
+    t = dt.datetime
+    rows = [
+        (1, t(2024, 1, 1, 9), 10.0),    # cohort wk of Jan 1
+        (1, t(2024, 1, 10, 9), 5.0),    # same user, offset 1
+        (2, t(2024, 1, 10, 9), 7.0),    # cohort wk of Jan 8
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(str(r.cohort_week), r.week_offset): (r.week_cents, r.cum_cents)
+           for r in cohort_ltv(df).collect()}
+    assert out[("2024-01-01", 0)] == (1000, 1000)
+    assert out[("2024-01-01", 1)] == (500, 1500)
+    assert out[("2024-01-08", 0)] == (700, 700)
+    assert len(out) == 3
