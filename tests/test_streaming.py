@@ -1453,3 +1453,89 @@ def test_stream_cusum_matches_imperative_and_replays(spark, tmp_path):
         for r in latest_snapshot(spark, str(state / "cusum")).collect()
     )
     assert after == before
+
+
+def test_stream_stream_attribution_matches_batch_range_join(
+    spark, tmp_path
+):
+    """Stream-stream inner join with both-side watermarks over two
+    landing directories equals the batch windowed_range_join on the
+    same data — including a click that arrives in a LATER micro-batch
+    than its purchase (the case a naive per-batch join drops: buffered
+    stream-stream state must hold the purchase until the click side's
+    watermark passes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.operators.joins import windowed_range_join
+    from data_pipeline_ine_spark.streaming.joins import (
+        stream_purchase_attribution,
+    )
+
+    def ts(minute):
+        return 1704103200_000_000 + minute * 60 * 1_000_000  # 10:00 base
+
+    purchase_batches = [
+        [(100, 1, ts(60))],                # user 1 buys at 11:00
+        [(101, 2, ts(90))],                # user 2 buys at 11:30
+    ]
+    click_batches = [
+        [(1, ts(30), 2.0), (2, ts(20), 3.0)],   # in-window for both
+        [(1, ts(59), 5.0), (2, ts(89), 7.0),    # late-arriving clicks
+         (1, ts(61), 9.0)],                      # AFTER purchase: no match
+    ]
+    pland = tmp_path / "purchases"
+    cland = tmp_path / "clicks"
+    pland.mkdir(), cland.mkdir()
+    for i, rows in enumerate(purchase_batches):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }),
+            pland / f"b{i}.parquet",
+        )
+    for i, rows in enumerate(click_batches):
+        pq.write_table(
+            pa.table({
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "click_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "click_value": pa.array([r[2] for r in rows], pa.float64()),
+            }),
+            cland / f"b{i}.parquet",
+        )
+    q = stream_purchase_attribution(
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(pland)),
+        spark.readStream.schema(
+            "user_id long, click_ts timestamp, click_value double"
+        ).option("maxFilesPerTrigger", 1).parquet(str(cland)),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.purchase_id, r.user_id, r.click_value)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    purchases = spark.createDataFrame(
+        [r for b in purchase_batches for r in b],
+        "event_id long, user_id long, ts long",
+    ).select("event_id", "user_id", F.timestamp_micros("ts").alias("ts"))
+    clicks = spark.createDataFrame(
+        [r for b in click_batches for r in b],
+        "user_id long, click_ts long, click_value double",
+    ).select(
+        "user_id", F.timestamp_micros("click_ts").alias("click_ts"),
+        "click_value",
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.click_value)
+        for r in windowed_range_join(
+            purchases, clicks, on="user_id", left_ts="ts",
+            right_ts="click_ts", window_seconds=3600,
+        ).collect()
+    )
+    assert got == want
+    assert (100, 1, 9.0) not in got  # post-purchase click excluded
+    assert (100, 1, 5.0) in got      # late-batch click still attributed
