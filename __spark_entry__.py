@@ -9624,6 +9624,96 @@ FROM cells ORDER BY 1, 2
 """
 
 
+def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall vs exact Jaccard ground truth at band counts
+    2/4/8 (operators/dedup.py::lsh_recall_curve) — the banding-
+    threshold half of the measure-don't-guess trio. Truth via the
+    shared-shingle equi-join (complete for tau > 0, never corpus²);
+    run on the doc_id < 300 sample (the harness samples at scale)."""
+    from data_pipeline_ine_spark.operators.dedup import lsh_recall_curve
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    return lsh_recall_curve(docs, band_configs=(2, 4, 8), tau=0.5)
+
+
+def _lsh_recall_oracle(band_configs=(2, 4, 8), tau=0.5) -> str:
+    head = (
+        r"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tokens
+  FROM documents WHERE doc_id < 300
+), s AS (
+  SELECT doc_id,
+    list_transform(range(1, GREATEST(len(tokens) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+      AS shingles
+  FROM t
+), hashed AS (
+  SELECT doc_id, shingles,
+    list_transform(list_distinct(shingles), sh -> struct_pack(
+      ha := HA_FOLD,
+      hb := HB_FOLD)) AS hs
+  FROM s
+), sig AS MATERIALIZED (
+  SELECT doc_id, list_distinct(shingles) AS shd,
+    list_transform(range(0, 8),
+      j -> list_min(list_transform(hs,
+           h -> (h.ha + j * h.hb) % 2305843009213693951))) AS signature
+  FROM hashed
+), ex AS (
+  SELECT doc_id, unnest(shd) AS sh FROM sig
+), tc AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), truth AS MATERIALIZED (
+  SELECT a_id, b_id
+  FROM tc
+  JOIN sig sa ON sa.doc_id = tc.a_id
+  JOIN sig sb ON sb.doc_id = tc.b_id
+  WHERE ROUND(len(list_intersect(sa.shd, sb.shd))
+        / GREATEST(len(list_distinct(list_concat(sa.shd, sb.shd))), 1), 6)
+        >= """
+        + repr(tau)
+        + "\n)"
+    ).replace("HA_FOLD", _HEX12.format(h="md5('a:' || sh)")).replace(
+        "HB_FOLD", _HEX12.format(h="md5('b:' || sh)")
+    )
+    blocks, selects = [], []
+    for b in band_configs:
+        rpb = 8 // b
+        blocks.append(
+            f""", k{b} AS (
+  SELECT doc_id, unnest(list_transform(range(0, {b}),
+    bb -> md5(array_to_string(list_transform(
+      list_slice(signature, bb * {rpb} + 1, bb * {rpb} + {rpb}),
+      x -> CAST(x AS VARCHAR)), '|')))) AS k
+  FROM sig
+), c{b} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM k{b} a JOIN k{b} b ON a.k = b.k AND a.doc_id < b.doc_id
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({b} AS BIGINT) AS n_bands,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{b}) AS n_candidates,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{b}"
+            f" JOIN truth USING (a_id, b_id)) AS hits"
+        )
+    tail = (
+        "\nSELECT n_bands, n_true, n_candidates, hits,"
+        " ROUND(CAST(hits AS DOUBLE)"
+        " / CAST(GREATEST(n_true, 1) AS DOUBLE), 6) AS recall\nFROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY n_bands"
+    )
+    return head + "".join(blocks) + tail
+
+
+ORACLE_LSH_RECALL = _lsh_recall_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9715,6 +9805,7 @@ _CHECK_ORDER = [
     "markov_attribution",
     "rank_auc",
     "cohort_ltv",
+    "lsh_recall_curve",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -10139,6 +10230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": q_markov_attribution,
         "rank_auc": q_rank_auc,
         "cohort_ltv": q_cohort_ltv,
+        "lsh_recall_curve": q_lsh_recall_curve,
     })
 
 
@@ -10381,4 +10473,5 @@ def oracle_sql() -> dict[str, str]:
         "markov_attribution": ORACLE_MARKOV_ATTR,
         "rank_auc": ORACLE_RANK_AUC,
         "cohort_ltv": ORACLE_COHORT_LTV,
+        "lsh_recall_curve": ORACLE_LSH_RECALL,
     })

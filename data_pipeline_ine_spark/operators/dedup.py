@@ -893,3 +893,127 @@ def split_leakage(
     return tagged.groupBy("split_a", "split_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+def lsh_recall_curve(
+    df: DataFrame,
+    band_configs: "Sequence[int]" = (2, 4, 8),
+    tau: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recall of MinHash-LSH banding against exact Jaccard ground truth,
+    per band count — the third leg of the measure-don't-guess trio
+    (pq_recall_curve prices quantization, ivf_recall_curve the probe
+    budget, this one the banding threshold): more bands with fewer rows
+    each catches lower-similarity pairs at the cost of more candidate
+    verification, and this curve says exactly what each config catches
+    at ``tau``.
+
+    Ground truth never goes quadratic: any pair with Jaccard > 0 shares
+    a shingle, so truth = shared-shingle equi-join pairs filtered by
+    EXACT Jaccard ≥ tau over distinct shingle sets (the jaccard_pairs
+    recipe, rounded to 6 before the threshold). Candidates per config
+    come from band-key equi-joins over the SAME 8-hash signature sliced
+    into b bands of 8/b rows. All counts are BIGINTs; recall is one
+    fixed double divide.
+
+    Scale shape: shingle explode + two families of key equi-joins —
+    Σ bucket², never corpus². Run on a sample at 100 TB (the harness
+    takes whatever df you hand it); output is |band_configs| rows.
+    """
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col))).alias("_sh"),
+        minhash_signature(word_shingles(F.col(text_col)), num_hashes).alias(
+            "_sig"
+        ),
+    ).localCheckpoint()
+    ex = base.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    truth_cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+    sets = base.select(F.col(id_col), "_sh")
+    jac = (
+        truth_cand.join(
+            sets.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("_sa")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("_sb")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb")).cast("double")
+                / F.greatest(
+                    F.size(F.array_union("_sa", "_sb")), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("_j"),
+        )
+    )
+    truth = jac.filter(F.col("_j") >= tau).select("a_id", "b_id").localCheckpoint()
+    parts = []
+    for n_bands in band_configs:
+        rows_per_band = num_hashes // n_bands
+        keys = base.select(
+            F.col(id_col),
+            F.explode(lsh_band_keys(F.col("_sig"), rows_per_band)).alias(
+                "_k"
+            ),
+        )
+        cand = (
+            keys.alias("a")
+            .join(
+                keys.alias("b"),
+                (F.col("a._k") == F.col("b._k"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("a_id"),
+                F.col(f"b.{id_col}").alias("b_id"),
+            )
+            .distinct()
+        )
+        stats = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        ).crossJoin(
+            cand.join(truth, ["a_id", "b_id"], "left_semi").agg(
+                F.count(F.lit(1)).cast("bigint").alias("hits")
+            )
+        ).crossJoin(
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        )
+        parts.append(
+            stats.select(
+                F.lit(int(n_bands)).cast("bigint").alias("n_bands"),
+                "n_true",
+                "n_candidates",
+                "hits",
+                F.round(
+                    F.col("hits").cast("double")
+                    / F.greatest(F.col("n_true"), F.lit(1)).cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("n_bands")

@@ -525,3 +525,24 @@ def test_ivf_recall_curve_monotone_and_saturates(spark, sf_dir):
     recalls = [r.recall for r in sorted(out, key=lambda r: r.n_probe)]
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
+
+
+def test_lsh_recall_curve_monotone_in_bands(spark, sf_dir):
+    """More bands (fewer rows each) never lowers recall — the banding
+    probability 1-(1-j^r)^b is monotone in b at fixed b·r — and at
+    8 bands of 1 row a pair needs only ONE colliding hash, so recall
+    must be at least the 4-band figure; counts reconcile (hits ≤
+    min(n_true, n_candidates))."""
+    from data_pipeline_ine_spark.operators.dedup import lsh_recall_curve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    out = sorted(
+        lsh_recall_curve(docs, band_configs=(2, 4, 8), tau=0.5).collect(),
+        key=lambda r: r.n_bands,
+    )
+    recalls = [r.recall for r in out]
+    assert recalls == sorted(recalls)
+    assert all(r.hits <= min(r.n_true, r.n_candidates) for r in out)
+    assert len({r.n_true for r in out}) == 1  # truth independent of bands

@@ -78,6 +78,7 @@ BNLJ_ALLOWED = {
     "doc_keywords": "1-row corpus doc-count frame (idf)",
     "binseg_split": "1-row total-moments frame over the calendar grain",
     "markov_attribution": "1-row full-model conversion-mass frame",
+    "lsh_recall_curve": "1-row truth/candidate count frames per config",
 }
 
 
