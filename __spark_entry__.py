@@ -9714,6 +9714,63 @@ def _lsh_recall_oracle(band_configs=(2, 4, 8), tau=0.5) -> str:
 ORACLE_LSH_RECALL = _lsh_recall_oracle()
 
 
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard routing with its selling point measured
+    (operators/sampling.py::rendezvous_shards): per 8-shard assignment
+    bucket, the user count and how many users MOVE when a 9th shard
+    joins — under HRW a key moves iff the new shard wins its argmax,
+    so disruption is ~1/9 (mod-n would reshuffle ~8/9). Pure
+    row-parallel md5 argmax, no shuffle until the count."""
+    from data_pipeline_ine_spark.operators.sampling import (
+        rendezvous_shards,
+    )
+
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    a8 = rendezvous_shards(users, "user_id", n_shards=8)
+    a9 = rendezvous_shards(users, "user_id", n_shards=9).select(
+        "user_id", F.col("shard").alias("_s9")
+    )
+    return (
+        a8.join(a9, "user_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("_s9") == 8, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _hrw_oracle(n_shards: int = 8) -> str:
+    ws = ", ".join(
+        _HEX12.format(h=f"md5('hrw:{s}:' || k)") for s in range(n_shards)
+    )
+    w_new = _HEX12.format(h=f"md5('hrw:{n_shards}:' || k)")
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+), w AS (
+  SELECT k, [{ws}] AS w8, {w_new} AS w_new
+  FROM keys
+), a AS (
+  SELECT k,
+    CAST(list_position(w8, list_max(w8)) - 1 AS BIGINT) AS shard,
+    CASE WHEN w_new > list_max(w8) THEN 1 ELSE 0 END AS moved
+  FROM w
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(moved) AS BIGINT) AS n_moved
+FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_HRW = _hrw_oracle(8)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9806,6 +9863,7 @@ _CHECK_ORDER = [
     "rank_auc",
     "cohort_ltv",
     "lsh_recall_curve",
+    "rendezvous_shards",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -10231,6 +10289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_auc": q_rank_auc,
         "cohort_ltv": q_cohort_ltv,
         "lsh_recall_curve": q_lsh_recall_curve,
+        "rendezvous_shards": q_rendezvous_shards,
     })
 
 
@@ -10474,4 +10533,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_auc": ORACLE_RANK_AUC,
         "cohort_ltv": ORACLE_COHORT_LTV,
         "lsh_recall_curve": ORACLE_LSH_RECALL,
+        "rendezvous_shards": ORACLE_HRW,
     })

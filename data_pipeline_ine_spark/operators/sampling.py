@@ -567,3 +567,43 @@ def negative_samples(
         "draw",
         F.col("_neg_item").alias("neg_item"),
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    salt: str = "hrw:",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: a key's
+    shard is the argmax of ``hash(salt‖shard‖key)`` over the shard
+    list — the routing scheme whose selling point over ``key mod n``
+    is minimal disruption: adding a shard moves only ~1/(n+1) of keys
+    (mod-n reshuffles almost everything). The standard assignment for
+    cache rings, shard routers, and sticky consumer groups.
+
+    Engine-exact: weights are the proven md5→hex12→BIGINT fold;
+    argmax is an integer ``array_position(max)`` with the LOWEST shard
+    index winning hash ties (measure-zero at 48 bits, pinned anyway).
+    Returns one row per key: ``(key, shard)``.
+
+    Scale shape: a pure row-parallel projection — n_shards md5s per
+    key, no shuffle, no state; consistent across engines, runs, and
+    partitionings by construction.
+    """
+    key = F.col(key_col).cast("string")
+    weights = F.array(
+        *[
+            _hex12_to_long(
+                F.md5(F.concat(F.lit(f"{salt}{s}:"), key))
+            )
+            for s in range(n_shards)
+        ]
+    )
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    shard = let_(
+        weights,
+        lambda w: (F.array_position(w, F.array_max(w)) - 1).cast("bigint"),
+    )
+    return df.select(F.col(key_col), shard.alias("shard"))

@@ -915,3 +915,27 @@ def test_doc_keywords_prefers_rare_terms(spark):
     # rareword: tf=2, df=1 → score 2·(4/2)=4; common: tf=2, df=3 → 2·(4/4)=2
     assert out[0].term == "rareword" and out[0].score == 4.0
     assert out[1].term == "common" and out[1].score == 2.0
+
+
+def test_rendezvous_shards_balanced_and_minimally_disruptive(spark):
+    """HRW over 2,000 keys: shards are roughly balanced (within 3x of
+    uniform), assignments are deterministic across calls, and adding a
+    9th shard moves ~1/9 of keys (we assert < 1/4 — mod-9 would move
+    ~8/9) with every mover landing on the NEW shard."""
+    from data_pipeline_ine_spark.operators.sampling import (
+        rendezvous_shards,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    a8 = {r.k: r.shard for r in rendezvous_shards(keys, "k", 8).collect()}
+    a8b = {r.k: r.shard for r in rendezvous_shards(keys, "k", 8).collect()}
+    assert a8 == a8b
+    counts = {}
+    for s in a8.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 3 * (2000 // 8)
+    a9 = {r.k: r.shard for r in rendezvous_shards(keys, "k", 9).collect()}
+    moved = [k for k in a8 if a9[k] != a8[k]]
+    assert all(a9[k] == 8 for k in moved)  # movers only go to the new shard
+    assert 0 < len(moved) < 2000 / 4      # ~1/9 expected, far below mod-n
