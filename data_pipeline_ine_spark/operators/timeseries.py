@@ -1357,9 +1357,12 @@ def funnel_latency(
     delay.
 
     Scale shape: the same single user-keyed shuffle funnel_stages
-    rides (stacked conditional-min windows on one Exchange), a
-    transition-partitioned rank window over converting users, and a
-    |stages|-row output.
+    rides (stacked conditional-min windows on one Exchange); the
+    median rank window is UNPARTITIONED over converting users — exact
+    and fine to millions of converters, but at extreme converter
+    counts swap it for the exact percentile aggregate (the
+    quantile_bins/group_percentile_gate recipe, same output contract)
+    — the rank_auc caveat. |stages|-row output.
     """
     w = Window.partitionBy(user_col)
     out = df.select(user_col, ts_col, type_col)
