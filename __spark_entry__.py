@@ -9771,6 +9771,84 @@ FROM a GROUP BY 1 ORDER BY 1
 ORACLE_HRW = _hrw_oracle(8)
 
 
+def q_tsz_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-style delta-of-delta timestamp compression estimate per
+    event series (operators/timeseries.py::tsz_compression_estimate):
+    the storage-planning ratio from an engine-exact integer bit-cost
+    model (length(bin(|DoD|)), never libm). One series-keyed window
+    shuffle."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        tsz_compression_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return tsz_compression_estimate(ev, "event_type", "ts", "event_id")
+
+
+ORACLE_TSZ = """
+WITH s1 AS (
+  SELECT event_type,
+    row_number() OVER w AS rn,
+    CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), s2 AS (
+  SELECT event_type, rn,
+    s - lag(s) OVER (PARTITION BY event_type ORDER BY rn) AS d
+  FROM s1
+), s3 AS (
+  SELECT event_type, rn,
+    d - lag(d) OVER (PARTITION BY event_type ORDER BY rn) AS dod
+  FROM s2
+), bits AS (
+  SELECT event_type,
+    CAST(CASE WHEN rn <= 2 THEN 64
+              WHEN dod = 0 THEN 1
+              ELSE 1 + 6 + length(bin(abs(dod))) END AS BIGINT) AS b
+  FROM s3
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(b) AS BIGINT) AS model_bits
+  FROM bits GROUP BY 1
+)
+SELECT event_type, n_events, model_bits,
+  CAST(n_events * 64 AS BIGINT) AS raw_bits,
+  ROUND(CAST(n_events * 64 AS DOUBLE) / CAST(model_bits AS DOUBLE), 6)
+    AS compression_ratio
+FROM agg ORDER BY event_type
+"""
+
+
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit over the event stream's arrival order
+    (operators/timeseries.py::watermark_lateness): per log2 lateness
+    bucket, how many events lag the running max event time — the
+    distribution every withWatermark in streaming/ must be sized
+    against."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        watermark_lateness,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return watermark_lateness(ev, "ts", "event_id")
+
+
+ORACLE_WATERMARK = """
+WITH staged AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id FROM events
+), late AS (
+  SELECT MAX(s) OVER (ORDER BY event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s AS late
+  FROM staged
+)
+SELECT CASE WHEN late > 0 THEN CAST(length(bin(late)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS late_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(late) AS BIGINT) AS max_late_s
+FROM late GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9864,6 +9942,8 @@ _CHECK_ORDER = [
     "cohort_ltv",
     "lsh_recall_curve",
     "rendezvous_shards",
+    "tsz_compression_estimate",
+    "watermark_lateness",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
@@ -10290,6 +10370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "lsh_recall_curve": q_lsh_recall_curve,
         "rendezvous_shards": q_rendezvous_shards,
+        "tsz_compression_estimate": q_tsz_compression_estimate,
+        "watermark_lateness": q_watermark_lateness,
     })
 
 
@@ -10534,4 +10616,6 @@ def oracle_sql() -> dict[str, str]:
         "cohort_ltv": ORACLE_COHORT_LTV,
         "lsh_recall_curve": ORACLE_LSH_RECALL,
         "rendezvous_shards": ORACLE_HRW,
+        "tsz_compression_estimate": ORACLE_TSZ,
+        "watermark_lateness": ORACLE_WATERMARK,
     })

@@ -1661,3 +1661,108 @@ def cohort_ltv(
         "week_cents",
         F.sum("week_cents").over(w).cast("bigint").alias("cum_cents"),
     ).orderBy("cohort_week", "week_offset")
+
+
+def tsz_compression_estimate(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gorilla-style delta-of-delta compression estimate per series —
+    the storage-planning number a TSDB ingest needs BEFORE committing
+    to a codec: regular series (steady cadence → DoD ≈ 0) compress
+    ~60×, bursty ones barely 2×, and this query says which you have.
+
+    Simplified cost model, engine-exact by construction: per event,
+    1 control bit when the second-grain delta-of-delta is 0, else
+    ``1 + 6 + bits(|DoD|)`` (tag + length field + magnitude) with
+    ``bits(v) = length(bin(v))`` — the proven power-of-two-safe
+    integer log. First two events of a series pay the full 64 + 64
+    header. Output per series: event count, modeled bits, raw 64-bit
+    cost, and the ratio (one fixed double divide).
+
+    Scale shape: ONE series-keyed window shuffle (two lags share the
+    Exchange), then a group aggregate — the sessionize shuffle shape;
+    all surfaces BIGINT.
+    """
+    from data_pipeline_ine_spark.operators.joins import _ntz_epoch_seconds
+
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    sec = _ntz_epoch_seconds(F.col(ts_col))
+    staged = (
+        df.select(group_col, F.col(ts_col), F.col(tiebreak_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_d", sec - F.lag(sec).over(w))
+        .withColumn("_dod", F.col("_d") - F.lag("_d").over(w))
+    )
+    bits = (
+        F.when(F.col("_rn") <= 2, F.lit(64))
+        .when(F.col("_dod") == 0, F.lit(1))
+        .otherwise(
+            F.lit(1) + F.lit(6) + F.length(F.bin(F.abs(F.col("_dod"))))
+        )
+        .cast("bigint")
+    )
+    agg = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(bits).cast("bigint").alias("model_bits"),
+    )
+    return agg.select(
+        group_col,
+        "n_events",
+        "model_bits",
+        (F.col("n_events") * 64).cast("bigint").alias("raw_bits"),
+        F.round(
+            (F.col("n_events") * 64).cast("double")
+            / F.col("model_bits").cast("double"),
+            6,
+        ).alias("compression_ratio"),
+    ).orderBy(group_col)
+
+
+def watermark_lateness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Watermark-lateness audit: treating ``arrival_col`` as the
+    arrival order, each event's lateness is how far its event time
+    lags the maximum event time already seen — the exact distribution
+    ``withWatermark`` must be sized against (a watermark below the
+    p99 lateness silently drops data; one far above it bloats state).
+    The batch-side design tool for every streaming operator in
+    ``streaming/``.
+
+    Output: one row per engine-exact log2 lateness bucket
+    (``length(bin(seconds))``, bucket 0 = in-order) with event counts
+    — read it as "a watermark of 2^b seconds keeps everything up to
+    bucket b".
+
+    Scale shape: one unpartitioned running-max window over arrival
+    order — the global-sequence audit shape (document the per-source
+    partition swap when arrival sequences are per-partition, as they
+    are in Kafka); then a ≤64-bucket aggregate.
+    """
+    from data_pipeline_ine_spark.operators.joins import _ntz_epoch_seconds
+
+    w = Window.orderBy(arrival_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sec = _ntz_epoch_seconds(F.col(ts_col))
+    staged = df.select(sec.alias("_s"), F.col(arrival_col)).withColumn(
+        "_late", F.max("_s").over(w) - F.col("_s")
+    )
+    bucket = (
+        F.when(F.col("_late") > 0, F.length(F.bin(F.col("_late"))))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return (
+        staged.groupBy(bucket.alias("late_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("_late").cast("bigint").alias("max_late_s"),
+        )
+        .orderBy("late_bucket")
+    )

@@ -732,3 +732,55 @@ def test_cohort_ltv_triangle_and_cumulative(spark):
     assert out[("2024-01-01", 1)] == (500, 1500)
     assert out[("2024-01-08", 0)] == (700, 700)
     assert len(out) == 3
+
+
+def test_tsz_compression_regular_vs_bursty(spark):
+    """A perfectly regular series (constant cadence → DoD = 0 after the
+    header) compresses near 64x per post-header event; a jittery series
+    pays magnitude bits; both model sums match a hand computation."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        tsz_compression_estimate,
+    )
+
+    t = dt.datetime
+    rows = []
+    # regular: every 60s
+    for i in range(10):
+        rows.append(("reg", t(2024, 1, 1, 0, i), i))
+    # bursty: gaps 60, 120, 60, 120... → DoD alternates ±60
+    g = 0
+    for i in range(10):
+        g += 60 if i % 2 == 0 else 120
+        rows.append(("bur", t(2024, 1, 1) + dt.timedelta(seconds=g), 100 + i))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    out = {r.event_type: r for r in tsz_compression_estimate(df).collect()}
+    # regular: 2 headers (64+64) + 8 zero-DoD events (1 bit each)
+    assert out["reg"].model_bits == 64 + 64 + 8
+    # bursty: headers + 8 events of |DoD|=60 → 1+6+6 bits each (60=0b111100)
+    assert out["bur"].model_bits == 64 + 64 + 8 * 13
+    assert out["reg"].compression_ratio > out["bur"].compression_ratio
+
+
+def test_watermark_lateness_buckets_late_arrivals(spark):
+    """Arrival order (event_id) with injected stragglers: in-order
+    events land in bucket 0; a 100s-late event in bucket 7 (2^6 < 100
+    <= 2^7); max_late_s is exact."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        watermark_lateness,
+    )
+
+    t = dt.datetime
+    rows = [
+        (1, t(2024, 1, 1, 0, 0, 0)),
+        (2, t(2024, 1, 1, 0, 5, 0)),
+        (3, t(2024, 1, 1, 0, 3, 20)),   # 100s behind the running max
+        (4, t(2024, 1, 1, 0, 6, 0)),
+        (5, t(2024, 1, 1, 0, 5, 59)),   # 1s behind → bucket 1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.late_bucket: r for r in watermark_lateness(df).collect()}
+    assert out[0].n_events == 3
+    assert out[7].n_events == 1 and out[7].max_late_s == 100
+    assert out[1].n_events == 1 and out[1].max_late_s == 1
