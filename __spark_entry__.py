@@ -9870,80 +9870,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # The r03-green cohort follows immediately after the boundary so it leads
 # round 6's window; r04-green rotates to the back.
 _CHECK_ORDER = [
-    # Round-6 window policy (VERDICT r5 tasks #1, #3): the 4 r05-red
-    # decimal-surface queries lead (now cast to double/varchar on both
-    # sides — re-prove them green), then strict oldest-driver-row-first:
-    # the 31 queries whose newest row is r02 (TPC-H q-family etc.), then
-    # 15 of the r03 cohort fill the 50-slot window. Queries new in r06
-    # are spliced in right after the 4 reds when added. After r06 no
-    # query's newest driver row is older than r03.
+    # generated by tools/rotate_check_order.py — reds from the
+    # latest CORRECTNESS file first, then never-checked queries,
+    # then strict oldest-driver-row-first. The driver records the
+    # first 50 entries each round.
+    "cascade_rollup",
     "embedding_drift",
     "ivm_moments",
     "poisson_bootstrap",
-    "cascade_rollup",
-    # new in r06 — no driver evidence yet
-    "dup_weighted_docs",
-    "split_leakage",
-    "source_ngram_diversity",
-    "k_anonymity",
-    "modal_event_type",
-    "pseudonymize_users",
-    "rolling_7d_users",
+    "ab_test_chisq",
+    "acf_daily_revenue",
+    "benford_digits",
+    "binseg_split",
+    "bootstrap_ci",
+    "calendar_features",
+    "cohort_ltv",
+    "column_entropy",
+    "conformal_interval",
+    "cusum_alarm",
     "decile_lift",
-    "user_max_gap",
+    "degree_assortativity",
+    "diff_in_diff",
+    "doc_keywords",
+    "dow_seasonality",
+    "dup_weighted_docs",
+    "feature_mi",
+    "funnel_latency",
+    "gini_split",
+    "grid_density_clusters",
+    "image_augment_dhash",
+    "interarrival_burstiness",
+    "ivf_recall_curve",
+    "k_anonymity",
+    "k_core",
+    "kaplan_meier",
+    "kmv_distinct_users",
+    "knn_hubness",
+    "l_diversity",
+    "linear_attribution",
+    "loo_target_encode",
+    "lsh_recall_curve",
+    "mahalanobis_outliers",
+    "markov_attribution",
+    "markov_stationary",
+    "modal_event_type",
     "nb_confusion",
     "nb_kappa",
-    "shard_manifest",
-    "bootstrap_ci",
-    "linear_attribution",
-    "spearman_corr",
-    "ab_test_chisq",
-    "zipf_slope",
-    "benford_digits",
-    "revenue_gini",
-    "interarrival_burstiness",
-    "psi_drift",
-    "degree_assortativity",
-    "novel_trigram_rate",
-    "kaplan_meier",
-    "theil_sen_trend",
-    "mahalanobis_outliers",
-    "acf_daily_revenue",
-    "dow_seasonality",
-    "cusum_alarm",
-    "kmv_distinct_users",
-    "rfm_segments",
-    "column_entropy",
-    "k_core",
-    "readability_scores",
-    "loo_target_encode",
-    "token_fertility",
-    "feature_mi",
-    "gini_split",
-    "diff_in_diff",
-    "knn_hubness",
-    "markov_stationary",
-    "conformal_interval",
-    "pq_recall_curve",
-    "calendar_features",
-    "robust_scale",
-    "ivf_recall_curve",
     "negative_samples",
-    "l_diversity",
-    "funnel_latency",
-    "doc_keywords",
-    "weighted_median",
-    "grid_density_clusters",
-    "sprt_ab",
-    "binseg_split",
-    "image_augment_dhash",
-    "markov_attribution",
+    "novel_trigram_rate",
+    "pq_recall_curve",
+    "pseudonymize_users",
+    "psi_drift",
     "rank_auc",
-    "cohort_ltv",
-    "lsh_recall_curve",
+    "readability_scores",
     "rendezvous_shards",
+    "revenue_gini",
+    "rfm_segments",
+    "robust_scale",
+    "rolling_7d_users",
+    "shard_manifest",
+    "source_ngram_diversity",
+    "spearman_corr",
+    "split_leakage",
+    "sprt_ab",
+    "theil_sen_trend",
+    "token_fertility",
     "tsz_compression_estimate",
+    "user_max_gap",
     "watermark_lateness",
+    "weighted_median",
+    "zipf_slope",
     "q11_important_stock",
     "q12_priority_class",
     "q13_order_distribution",
