@@ -9921,6 +9921,44 @@ FROM agg
 """
 
 
+def q_series_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type calendar-gap audit
+    (operators/timeseries.py::series_gap_audit): present vs span days,
+    longest gap, coverage — the ingestion-SLA completeness report that
+    says whether gap_fill would paper over a real outage. One distinct
+    aggregate + calendar-bounded key windows."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        series_gap_audit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return series_gap_audit(ev, "event_type", "ts")
+
+
+ORACLE_GAP_AUDIT = """
+WITH days AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+), staged AS (
+  SELECT event_type, day,
+    CAST(datediff('day', lag(day) OVER (PARTITION BY event_type
+      ORDER BY day), day) - 1 AS BIGINT) AS gap
+  FROM days
+), agg AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS present_days,
+    CAST(datediff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span_days,
+    CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap
+  FROM staged GROUP BY 1
+)
+SELECT event_type, present_days, span_days,
+  CAST(span_days - present_days AS BIGINT) AS missing_days,
+  longest_gap,
+  ROUND(CAST(present_days AS DOUBLE) / CAST(span_days AS DOUBLE), 6)
+    AS coverage
+FROM agg ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -10012,6 +10050,7 @@ _CHECK_ORDER = [
     "watermark_lateness",
     "effective_sample_size",
     "eta_squared",
+    "series_gap_audit",
     "weighted_median",
     "zipf_slope",
     "q11_important_stock",
@@ -10444,6 +10483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_lateness": q_watermark_lateness,
         "effective_sample_size": q_effective_sample_size,
         "eta_squared": q_eta_squared,
+        "series_gap_audit": q_series_gap_audit,
     })
 
 
@@ -10692,4 +10732,5 @@ def oracle_sql() -> dict[str, str]:
         "watermark_lateness": ORACLE_WATERMARK,
         "effective_sample_size": ORACLE_ESS,
         "eta_squared": ORACLE_ETA_SQ,
+        "series_gap_audit": ORACLE_GAP_AUDIT,
     })

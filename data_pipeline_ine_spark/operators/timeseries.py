@@ -1766,3 +1766,58 @@ def watermark_lateness(
         )
         .orderBy("late_bucket")
     )
+
+
+def series_gap_audit(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-series calendar-gap audit: over each key's observed
+    [min, max] day span, how many days are missing, the longest gap,
+    and the coverage ratio — the freshness/completeness report an
+    ingestion SLA dashboard runs before anyone trusts a daily metric
+    (gap_fill densifies; this says whether densifying is papering over
+    a real outage).
+
+    All integers: span and present-day counts are exact; the longest
+    gap is ``max(day − lag(day) − 1)`` over the (key-partitioned,
+    day-ordered) distinct-day frame; coverage is one fixed double
+    divide, rounded to 6.
+
+    Scale shape: one distinct (key, day) aggregate (map-side
+    combinable) + one key-partitioned window over day-grain rows
+    (calendar-bounded partitions) + a key-grain rollup.
+    """
+    days = (
+        df.select(F.col(key_col), F.to_date(ts_col).alias("_day"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("_day")
+    staged = days.withColumn(
+        "_gap",
+        (F.datediff("_day", F.lag("_day").over(w)) - 1).cast("bigint"),
+    )
+    agg = staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("present_days"),
+        (F.datediff(F.max("_day"), F.min("_day")) + 1)
+        .cast("bigint")
+        .alias("span_days"),
+        F.coalesce(F.max("_gap"), F.lit(0)).cast("bigint").alias(
+            "longest_gap"
+        ),
+    )
+    return agg.select(
+        key_col,
+        "present_days",
+        "span_days",
+        (F.col("span_days") - F.col("present_days")).cast("bigint").alias(
+            "missing_days"
+        ),
+        "longest_gap",
+        F.round(
+            F.col("present_days").cast("double")
+            / F.col("span_days").cast("double"),
+            6,
+        ).alias("coverage"),
+    ).orderBy(key_col)

@@ -784,3 +784,30 @@ def test_watermark_lateness_buckets_late_arrivals(spark):
     assert out[0].n_events == 3
     assert out[7].n_events == 1 and out[7].max_late_s == 100
     assert out[1].n_events == 1 and out[1].max_late_s == 1
+
+
+def test_series_gap_audit_hand_case(spark):
+    """A series present on days 1,2,5,9 of a 9-day span: 5 missing, the
+    longest gap is 3 (days 6-8), coverage 4/9; a dense series audits
+    clean; single-day series span 1 with gap 0."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        series_gap_audit,
+    )
+
+    t = dt.datetime
+    rows = (
+        [("gappy", t(2024, 1, d, 12)) for d in (1, 2, 5, 9)]
+        + [("dense", t(2024, 1, d, 12)) for d in (1, 2, 3)]
+        + [("solo", t(2024, 1, 4, 12))]
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in series_gap_audit(df).collect()}
+    g = out["gappy"]
+    assert (g.present_days, g.span_days, g.missing_days, g.longest_gap) == (
+        4, 9, 5, 3,
+    )
+    assert g.coverage == round(4 / 9, 6)
+    d = out["dense"]
+    assert (d.missing_days, d.longest_gap, d.coverage) == (0, 0, 1.0)
+    s = out["solo"]
+    assert (s.present_days, s.span_days, s.longest_gap) == (1, 1, 0)
