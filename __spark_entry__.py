@@ -9984,60 +9984,13 @@ _CHECK_ORDER = [
     # latest CORRECTNESS file first, then never-checked queries,
     # then strict oldest-driver-row-first. The driver records the
     # first 50 entries each round.
-    "cascade_rollup",
-    "embedding_drift",
-    "ivm_moments",
-    "poisson_bootstrap",
-    "ab_test_chisq",
-    "acf_daily_revenue",
-    "benford_digits",
-    "binseg_split",
-    "bootstrap_ci",
-    "calendar_features",
-    "cohort_ltv",
-    "column_entropy",
-    "conformal_interval",
-    "cusum_alarm",
-    "decile_lift",
-    "degree_assortativity",
-    "diff_in_diff",
-    "doc_keywords",
-    "dow_seasonality",
-    "dup_weighted_docs",
-    "feature_mi",
-    "funnel_latency",
-    "gini_split",
-    "grid_density_clusters",
-    "image_augment_dhash",
-    "interarrival_burstiness",
-    "ivf_recall_curve",
-    "k_anonymity",
-    "k_core",
-    "kaplan_meier",
-    "kmv_distinct_users",
-    "knn_hubness",
-    "l_diversity",
-    "linear_attribution",
-    "loo_target_encode",
-    "lsh_recall_curve",
-    "mahalanobis_outliers",
-    "markov_attribution",
-    "markov_stationary",
-    "modal_event_type",
-    "nb_confusion",
-    "nb_kappa",
-    "negative_samples",
-    "novel_trigram_rate",
-    "pq_recall_curve",
-    "pseudonymize_users",
-    "psi_drift",
-    "rank_auc",
-    "readability_scores",
-    "rendezvous_shards",
+    "effective_sample_size",
+    "eta_squared",
     "revenue_gini",
     "rfm_segments",
     "robust_scale",
     "rolling_7d_users",
+    "series_gap_audit",
     "shard_manifest",
     "source_ngram_diversity",
     "spearman_corr",
@@ -10048,9 +10001,6 @@ _CHECK_ORDER = [
     "tsz_compression_estimate",
     "user_max_gap",
     "watermark_lateness",
-    "effective_sample_size",
-    "eta_squared",
-    "series_gap_audit",
     "weighted_median",
     "zipf_slope",
     "q11_important_stock",
@@ -10228,6 +10178,56 @@ _CHECK_ORDER = [
     "value_drift",
     "video_frame_stats",
     "video_signature",
+    "ab_test_chisq",
+    "acf_daily_revenue",
+    "benford_digits",
+    "binseg_split",
+    "bootstrap_ci",
+    "calendar_features",
+    "cascade_rollup",
+    "cohort_ltv",
+    "column_entropy",
+    "conformal_interval",
+    "cusum_alarm",
+    "decile_lift",
+    "degree_assortativity",
+    "diff_in_diff",
+    "doc_keywords",
+    "dow_seasonality",
+    "dup_weighted_docs",
+    "embedding_drift",
+    "feature_mi",
+    "funnel_latency",
+    "gini_split",
+    "grid_density_clusters",
+    "image_augment_dhash",
+    "interarrival_burstiness",
+    "ivf_recall_curve",
+    "ivm_moments",
+    "k_anonymity",
+    "k_core",
+    "kaplan_meier",
+    "kmv_distinct_users",
+    "knn_hubness",
+    "l_diversity",
+    "linear_attribution",
+    "loo_target_encode",
+    "lsh_recall_curve",
+    "mahalanobis_outliers",
+    "markov_attribution",
+    "markov_stationary",
+    "modal_event_type",
+    "nb_confusion",
+    "nb_kappa",
+    "negative_samples",
+    "novel_trigram_rate",
+    "poisson_bootstrap",
+    "pq_recall_curve",
+    "pseudonymize_users",
+    "psi_drift",
+    "rank_auc",
+    "readability_scores",
+    "rendezvous_shards",
 ]
 
 
