@@ -627,22 +627,23 @@ def rfm_segments(
     quintiles (5 = best), then rolled up to one row per (r,f,m) cell
     so the output is segment-sized, never customer-sized.
 
-    Determinism: quintiles are ``ntile`` under TOTAL orders —
-    ``(metric, key)`` — and ntile's bucket arithmetic (row_number vs
-    count, remainder to the leading buckets) is the SQL-standard
-    definition both engines implement identically; recency is an exact
+    Determinism: quintiles follow the SQL-standard ``ntile`` bucket
+    arithmetic (N div n rows per bucket, remainder to the leading
+    buckets) — recovered as integer expressions from the DISTRIBUTED
+    two-pass rank (``sampling.py::two_pass_cumsum``'s rank sibling)
+    under the TOTAL order ``(metric, key)``, so no customer-grain
+    frame ever funnels through one sort task and the buckets are
+    bit-identical to a single ``ntile`` window. Recency is an exact
     datediff against the corpus max date; monetary is exact integer
     cents. No floats anywhere.
 
     Scale shape: one customer-grain aggregate is the corpus-sized
-    work; the three unpartitioned ntile windows run on the
-    customer-grain frame (|customers| rows — at true 100 TB scale
-    swap in percent_rank-free quantile cuts from quantile_bins to
-    avoid the single-partition sort; at segment-table cardinality the
-    windows are cheap and exact). The corpus max date rides a 1-row
-    broadcast (documented benign BNLJ class).
+    work; three two-pass ranks (range-repartition + broadcast
+    offsets) replace the three single-partition ntile sorts. The
+    corpus max date and the customer count ride 1-row broadcasts
+    (documented benign BNLJ class).
     """
-    from pyspark.sql import Window
+    from data_pipeline_ine_spark.operators.sampling import two_pass_rank
 
     per = df.groupBy(key_col).agg(
         F.max(F.col(date_col).cast("date")).alias("_last"),
@@ -656,32 +657,35 @@ def rfm_segments(
     horizon = df.agg(
         F.max(F.col(date_col).cast("date")).alias("_hmax")
     )
+    base = per.crossJoin(F.broadcast(horizon)).withColumn(
+        "r_days", F.datediff("_hmax", "_last").cast("bigint")
+    )
+    ranked = two_pass_rank(base, ["r_days", key_col], out_col="_rr")
+    ranked = two_pass_rank(ranked, ["f_orders", key_col], out_col="_rf")
+    ranked = two_pass_rank(ranked, ["m_cents", key_col], out_col="_rm")
+    ncust = per.agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
+
+    def _ntile(rn: str) -> Column:
+        # SQL-standard ntile from the global rank rn and N: the first
+        # N % n buckets hold (N div n)+1 rows, the rest N div n — all
+        # non-negative integer div/mod, engine-exact. The div-by-q
+        # branch is unreachable when q = 0 (then every rank falls in
+        # the remainder buckets).
+        q = f"(_nc div {n_tiles})"
+        r = f"(_nc % {n_tiles})"
+        big = f"({r} * ({q} + 1))"
+        return F.expr(
+            f"CAST(CASE WHEN {rn} <= {big}"
+            f" THEN ({rn} - 1) div ({q} + 1) + 1"
+            f" ELSE {r} + (({rn} - {big} - 1) div {q}) + 1"
+            f" END AS BIGINT)"
+        )
+
     scored = (
-        per.crossJoin(F.broadcast(horizon))
-        .withColumn(
-            "r_days", F.datediff("_hmax", "_last").cast("bigint")
-        )
-        .withColumn(
-            "r_score",
-            (
-                F.lit(n_tiles + 1)
-                - F.ntile(n_tiles).over(
-                    Window.orderBy(F.asc("r_days"), F.asc(key_col))
-                )
-            ).cast("bigint"),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(n_tiles)
-            .over(Window.orderBy(F.asc("f_orders"), F.asc(key_col)))
-            .cast("bigint"),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(n_tiles)
-            .over(Window.orderBy(F.asc("m_cents"), F.asc(key_col)))
-            .cast("bigint"),
-        )
+        ranked.crossJoin(F.broadcast(ncust))
+        .withColumn("r_score", F.lit(n_tiles + 1) - _ntile("_rr"))
+        .withColumn("f_score", _ntile("_rf"))
+        .withColumn("m_score", _ntile("_rm"))
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1109,14 +1113,18 @@ def weighted_median(
     crossing point is the first row (under the total order
     ``(value, weight, …)``) whose running weight ``2·W_run ≥ W_total``
     — integer comparison only, the lower weighted median (never an
-    interpolating average). One rank window over the (value-sorted)
-    group, one totals broadcast.
+    interpolating average).
 
-    Scale shape: one group-keyed sort window (the percentile-gate
-    shuffle) + a |groups|-row totals broadcast; output one row per
-    group.
+    Scale shape: the running weight is the DISTRIBUTED two-pass
+    cumulative sum (``sampling.py::two_pass_cumsum`` — range-
+    repartition on (group, value), per-partition partial sums prefix-
+    summed into broadcast offsets), so a low-cardinality group never
+    funnels its whole slice through one sort task; plus a
+    |groups|-row totals broadcast. Output one row per group.
     """
-    from pyspark.sql import Window
+    from data_pipeline_ine_spark.operators.sampling import (
+        two_pass_cumsum,
+    )
 
     groups = list(group_cols)
     vals = df.select(
@@ -1124,13 +1132,12 @@ def weighted_median(
         F.floor(F.col(value_col) * unit_scale).cast("bigint").alias("_v"),
         F.floor(F.col(weight_col) * unit_scale).cast("bigint").alias("_w"),
     )
-    w = Window.partitionBy(*groups).orderBy("_v", "_w").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     tot = vals.groupBy(*groups).agg(
         F.sum(F.col("_w").cast("decimal(25,0)")).cast("bigint").alias("_wt")
     )
-    run = vals.withColumn("_wr", F.sum("_w").over(w).cast("bigint"))
+    run = two_pass_cumsum(
+        vals, groups, ["_v", "_w"], "_w", out_col="_wr"
+    ).withColumn("_wr", F.col("_wr").cast("bigint"))
     crossed = (
         run.join(F.broadcast(tot), groups)
         .filter(2 * F.col("_wr") >= F.col("_wt"))
@@ -1160,33 +1167,35 @@ def rank_auc(
     doubled units and AUC is ONE fixed double divide by
     ``2·n_pos·n_neg``. Output: one row (n_pos, n_neg, auc_num2, auc).
 
-    Scale shape: one unpartitioned rank window over the score column —
-    the same shape as the corpus rank statistics (spearman/quantile
-    family); swap in a pre-aggregated (score, n, n_pos) value grain
-    when distinct scores ≪ rows. Then a 1-row aggregate.
+    Scale shape: rows pre-aggregate to the (score, n, n_pos) VALUE
+    grain (one map-side-combinable aggregate), then the doubled
+    tie-averaged rank is recovered per distinct score from the
+    DISTRIBUTED two-pass cumulative count (``sampling.py::
+    two_pass_cumsum``): for a score s with n_s rows and C_≤s rows at
+    or below it, ``R2_s = 2·C_<s + n_s + 1 = 2·C_≤s − n_s + 1`` —
+    identical to ``2·rank + ties − 1`` row-by-row, with no
+    single-task corpus sort anywhere. Then a 1-row aggregate.
     """
-    from pyspark.sql import Window
+    from data_pipeline_ine_spark.operators.sampling import (
+        two_pass_cumsum,
+    )
 
     sc = F.col(score_col) if isinstance(score_col, str) else score_col
     rows = df.select(
         sc.alias("_s"), F.when(label, 1).otherwise(0).alias("_y")
     )
-    w_rank = Window.orderBy("_s")
-    w_tie = Window.partitionBy("_s")
-    ranked = rows.select(
-        "_y",
-        (
-            2 * F.rank().over(w_rank)
-            + F.count(F.lit(1)).over(w_tie)
-            - 1
-        ).cast("bigint").alias("_r2"),
+    grain = rows.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ns"),
+        F.sum("_y").cast("bigint").alias("_ps"),
     )
-    agg = ranked.agg(
-        F.sum("_y").cast("bigint").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n_neg"),
-        F.sum(F.when(F.col("_y") == 1, F.col("_r2")).otherwise(0))
-        .cast("bigint")
-        .alias("_sum_r2"),
+    cum = two_pass_cumsum(grain, [], ["_s"], "_ns", out_col="_cle")
+    scored = cum.withColumn(
+        "_r2", (2 * F.col("_cle") - F.col("_ns") + 1).cast("bigint")
+    )
+    agg = scored.agg(
+        F.sum("_ps").cast("bigint").alias("n_pos"),
+        F.sum(F.col("_ns") - F.col("_ps")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("_ps") * F.col("_r2")).cast("bigint").alias("_sum_r2"),
     )
     return agg.select(
         "n_pos",

@@ -422,6 +422,72 @@ def two_pass_rank(
     )
 
 
+def two_pass_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+    op: str = "sum",
+) -> DataFrame:
+    """Running ``SUM(value_col)`` (or ``MAX`` with ``op="max"`` — any
+    other associative measure follows the same recipe) per group under
+    ``order_cols``
+    WITHOUT a data-sized single-task sort: ``two_pass_rank``'s
+    three-step shape generalized from row counting to an arbitrary
+    additive measure — range-repartition on (group, order), per-
+    (group, partition) partial sums prefix-summed into offsets on a
+    |groups|·|partitions|-row frame, then a partition-local running
+    sum plus the broadcast offset. Equal keys land in one range
+    partition, so tie rows stay co-located and the crossing-point
+    semantics (weighted median, cumulative rank counts) match the
+    single-window form exactly.
+
+    ``group_cols`` may be empty (global running sum); the offsets
+    prefix then orders the partition-count frame by ``_pid`` — the
+    only partition-keyless window, over ~|partitions| rows. The output
+    sum keeps ``value_col``'s aggregate type (LONG for integer units;
+    pre-cast to DECIMAL for >2^63 totals).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    agg_fn = F.max if op == "max" else F.sum
+    groups = list(group_cols)
+    keys = [F.col(c) for c in [*groups, *order_cols]]
+    # localCheckpoint: offsets branch and running branch must see the
+    # SAME sampled range boundaries (see deterministic_shuffle)
+    ranged = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_sums = ranged.groupBy(*groups, "_pid").agg(
+        agg_fn(value_col).alias("_ps")
+    )
+    off_w = Window.partitionBy(*groups).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = part_sums.select(
+        *groups, "_pid", agg_fn("_ps").over(off_w).alias("_off")
+    )
+    local = Window.partitionBy(*groups, "_pid").orderBy(
+        *order_cols
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    combined = (
+        # greatest skips NULL, so the first range partition (empty
+        # prefix, _off NULL) falls back to the local running max
+        F.greatest(F.col("_off"), F.col("_lc"))
+        if op == "max"
+        else F.coalesce(F.col("_off"), F.lit(0)) + F.col("_lc")
+    )
+    return (
+        ranged.withColumn("_lc", agg_fn(value_col).over(local))
+        .join(F.broadcast(offsets), [*groups, "_pid"])
+        .withColumn(out_col, combined)
+        .drop("_pid", "_lc", "_off")
+    )
+
+
 def shard_manifest(
     df: DataFrame,
     docs_per_shard: int,

@@ -1358,11 +1358,11 @@ def funnel_latency(
 
     Scale shape: the same single user-keyed shuffle funnel_stages
     rides (stacked conditional-min windows on one Exchange); the
-    median rank window is UNPARTITIONED over converting users — exact
-    and fine to millions of converters, but at extreme converter
-    counts swap it for the exact percentile aggregate (the
-    quantile_bins/group_percentile_gate recipe, same output contract)
-    — the rank_auc caveat. |stages|-row output.
+    median rank is the DISTRIBUTED two-pass rank (``sampling.py::
+    two_pass_rank`` — range-repartition + per-partition offsets), so
+    no converter-sized data ever funnels through one task; the
+    converter count is max(rank) off the same checkpointed frame,
+    crossJoined back as a 1-row broadcast. |stages|-row output.
     """
     w = Window.partitionBy(user_col)
     out = df.select(user_col, ts_col, type_col)
@@ -1392,14 +1392,16 @@ def funnel_latency(
                 _ntz_epoch_seconds(F.col(b)) - _ntz_epoch_seconds(F.col(a))
             ).cast("bigint").alias("_d"),
         )
-        wd = Window.orderBy("_d", "_u")
-        ranked = delays.withColumn(
-            "_rk", F.row_number().over(wd)
-        ).withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy())
+        from data_pipeline_ine_spark.operators.sampling import (
+            two_pass_rank,
         )
+
+        ranked = two_pass_rank(delays, ["_d", "_u"], out_col="_rk")
+        cnt = ranked.agg(F.max("_rk").cast("bigint").alias("_n"))
         frames.append(
-            ranked.filter(F.col("_rk") == F.expr("(_n + 1) div 2")).select(
+            ranked.crossJoin(F.broadcast(cnt))
+            .filter(F.col("_rk") == F.expr("(_n + 1) div 2"))
+            .select(
                 F.lit(f"{stages[i]}->{stages[i + 1]}").alias("transition"),
                 F.lit(i).cast("bigint").alias("stage_idx"),
                 F.col("_n").cast("bigint").alias("n_converted"),
@@ -1739,20 +1741,25 @@ def watermark_lateness(
     — read it as "a watermark of 2^b seconds keeps everything up to
     bucket b".
 
-    Scale shape: one unpartitioned running-max window over arrival
-    order — the global-sequence audit shape (document the per-source
-    partition swap when arrival sequences are per-partition, as they
-    are in Kafka); then a ≤64-bucket aggregate.
+    Scale shape: the running max over arrival order is the DISTRIBUTED
+    two-pass form (``sampling.py::two_pass_cumsum`` with ``op="max"``
+    — range-repartition on arrival, per-partition maxima prefix-maxed
+    into broadcast offsets), so the corpus never funnels through one
+    sort task; per-source arrival sequences (Kafka) would add the
+    source as a group key. Then a ≤64-bucket aggregate.
     """
     from data_pipeline_ine_spark.operators.joins import _ntz_epoch_seconds
+    from data_pipeline_ine_spark.operators.sampling import two_pass_cumsum
 
-    w = Window.orderBy(arrival_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     sec = _ntz_epoch_seconds(F.col(ts_col))
-    staged = df.select(sec.alias("_s"), F.col(arrival_col)).withColumn(
-        "_late", F.max("_s").over(w) - F.col("_s")
-    )
+    staged = two_pass_cumsum(
+        df.select(sec.alias("_s"), F.col(arrival_col)),
+        [],
+        [arrival_col],
+        "_s",
+        out_col="_runmax",
+        op="max",
+    ).withColumn("_late", F.col("_runmax") - F.col("_s"))
     bucket = (
         F.when(F.col("_late") > 0, F.length(F.bin(F.col("_late"))))
         .otherwise(F.lit(0))

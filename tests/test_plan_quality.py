@@ -805,3 +805,82 @@ def test_dup_weighted_family_join_builds_on_aggregate(spark, sf_dir):
         assert agg_i != -1 and (scan_i == -1 or agg_i < scan_i), plan
     else:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_no_contract_query_has_unallowlisted_global_window(spark, sf_dir):
+    """Repo-wide window-hygiene gate: no contract query's optimized
+    plan may contain a Window with an EMPTY partition spec (a one-task
+    global sort of its input) unless it is (a) the two-pass ``_pid``
+    prefix over a |partitions|-row counts frame, or (b) allowlisted in
+    tools/plan_lint.py::GLOBAL_WINDOW_ALLOWED with the bound on its
+    input grain. Data-sized offenders were rewritten onto
+    ``sampling.py::two_pass_rank`` / ``two_pass_cumsum`` instead
+    (funnel_latency, weighted_median, rank_auc, rfm_segments,
+    watermark_lateness)."""
+    from tools.plan_lint import GLOBAL_WINDOW_ALLOWED, unpartitioned_windows
+
+    offenders = {}
+    for name, fn in contract.queries().items():
+        if name in GLOBAL_WINDOW_ALLOWED:
+            continue
+        bad = unpartitioned_windows(fn(spark, sf_dir))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The 100 TB ANN serving path (sources/ivf_index.py): probing a
+    written IVF index must reach the parquet scan as a static
+    PartitionFilters entry on the bucket column — unprobed buckets are
+    never read — and the result must equal the inline partitioned_topk
+    on the same coarse key."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import partitioned_topk
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, part_col="label")
+    probed = read_ivf_probe(spark, path, qvec, k=10, n_probe=2)
+    plan = explain_str(probed)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    inline = partitioned_topk(emb, qvec, k=10, part_col="label", n_probe=2)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+
+def test_ivf_index_kmeans_mode_roundtrip(spark, sf_dir, tmp_path):
+    """part_col=None trains the deterministic k-means and buckets on
+    its assignment; the index must hold every vector exactly once,
+    expose string bucket keys both ways, and the probe must stay
+    pruned."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "ivf_kmeans")
+    write_ivf_index(emb, path, part_col=None, n_clusters=4, iters=1)
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    assert dict(idx.dtypes)["bucket"] == "string"
+    out = read_ivf_probe(spark, path, qvec, k=5, n_probe=2)
+    plan = explain_str(out)
+    assert "PartitionFilters" in plan
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows == sorted(rows, key=lambda r: (-r.cosine_sim, r.vec_id))

@@ -9,9 +9,12 @@ Flags per plan:
     crossJoined back), which Spark plans as a BNLJ of a 1-row side;
     those queries are allowlisted with the reason inline
   - BatchEvalPython                (row-at-a-time Python UDF)
-  - row_number/Window over an empty partition spec fed by a data-sized
-    input is NOT detectable from strings alone — that stays with the
-    targeted plan tests.
+  - Window with an EMPTY partition spec (one-task global sort of its
+    input) — walked off the optimized logical plan via py4j, so
+    emptiness is structural, not string-parsed. Exempt: windows whose
+    order key is the two-pass ``_pid`` (the prefix sum over a
+    |partitions|-row counts frame); every other unpartitioned window
+    must be allowlisted with the bound on its input grain inline.
 
 Usage: python tools/plan_lint.py [sf_dir]
 Exit code 1 if any unallowlisted hit appears.
@@ -69,7 +72,7 @@ BNLJ_ALLOWED = {
     "theil_sen_trend": "calendar^2 pair self-join + 1-row totals frames",
     "dow_seasonality": "1-row global-totals frame over a 7-row dow grain",
     "cusum_alarm": "1-row daily-mean frame over a calendar-bounded series",
-    "rfm_segments": "1-row corpus-max-date frame over the customer grain",
+    "rfm_segments": "1-row corpus-max-date + customer-count frames",
     "loo_target_encode": "1-row global-prior frame over the row grain",
     "feature_mi": "1-row totals frame over the (x,y) cell grain",
     "gini_split": "1-row class-totals frame over <=64 log2 buckets",
@@ -79,7 +82,53 @@ BNLJ_ALLOWED = {
     "binseg_split": "1-row total-moments frame over the calendar grain",
     "markov_attribution": "1-row full-model conversion-mass frame",
     "lsh_recall_curve": "1-row truth/candidate count frames per config",
+    "funnel_latency": "1-row converter-count frame per stage transition",
 }
+
+# query -> reason an unpartitioned Window is bounded there (grain of
+# the frame it sorts). Anything not listed that sorts through an empty
+# partition spec (other than the two-pass _pid prefix) fails the lint.
+# Data-sized global windows were swapped for the two-pass distributed
+# forms instead (funnel_latency/weighted_median/rank_auc/rfm_segments/
+# watermark_lateness — sampling.py::two_pass_rank / two_pass_cumsum).
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    "acf_daily_revenue": "calendar-grain daily series (<=|days| rows)",
+    "binseg_split": "calendar-grain prefix sums (<=|days| rows)",
+    "cusum_alarm": "calendar-grain daily series (<=|days| rows)",
+    "entity_catalog": "distinct-entity dimension catalog (reference "
+    "W1 sequential-id parity)",
+    "gini_split": "<=64 log2-bucket grain",
+    "kaplan_meier": "duration-day grain (calendar-bounded risk table)",
+    "key_skew_profile": "row_number over the TakeOrdered top-10 frame",
+    "lag_daily_delta": "calendar-grain daily series (<=|days| rows)",
+    "negative_samples": "broadcast-sized catalog rank index (the same "
+    "frame is broadcast-joined right after)",
+    "ra_link_prediction": "row_number over the TakeOrdered top-20 frame",
+    "sprt_ab": "calendar-grain daily sequence (<=|days| rows)",
+    "theil_sen_trend": "calendar-grain day-pair series",
+    "user_growth_curve": "calendar-sized running frame",
+    "vocab_coverage": "vocab-grain coverage curve (Heaps-sublinear)",
+}
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """Order specs of every logical Window node with an empty
+    partitionSpec, excluding the two-pass ``_pid`` prefix windows."""
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().size() == 0
+        ):
+            order = node.orderSpec().toString()
+            if "_pid" not in order:
+                bad.append(order[:90])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
 
 
 def explain(df) -> str:
@@ -99,7 +148,9 @@ def main() -> None:
     n = 0
     for name, fn in contract.queries().items():
         try:
-            plan = explain(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            plan = explain(df)
+            globals_ = unpartitioned_windows(df)
         except Exception as e:  # noqa: BLE001 - report, don't die
             findings.append(f"{name}: PLAN BUILD FAILED: {str(e)[:120]}")
             continue
@@ -110,6 +161,11 @@ def main() -> None:
             findings.append(f"{name}: row-at-a-time Python UDF")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             findings.append(f"{name}: BroadcastNestedLoopJoin (unallowlisted)")
+        if globals_ and name not in GLOBAL_WINDOW_ALLOWED:
+            findings.append(
+                f"{name}: unpartitioned Window (unallowlisted): "
+                + "; ".join(globals_)
+            )
     print(f"linted {n} plans")
     if findings:
         print("FINDINGS:")
