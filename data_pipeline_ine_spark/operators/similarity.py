@@ -401,6 +401,8 @@ def knn_join_blocked(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str = "label",
+    ivf_clusters: int | None = None,
+    ivf_iters: int = 2,
 ) -> DataFrame:
     """Batched k-nearest-neighbors join: every vector's top-k cosine
     neighbors *within its block* — the all-vectors workload shape
@@ -412,14 +414,30 @@ def knn_join_blocked(
     pair explosion is Σ block_size² — never corpus². Per-vector norms are
     computed ONCE before the join (O(n·d)), so the per-pair work is a
     single dot product; ranking is a ``row_number`` window over the same
-    block-partitioned data. On a real corpus the block key is an IVF/LSH
-    bucket assignment (see ``ivf_topk``/``lsh_bucket``) sized to bound
-    block², exactly like this; ``label`` stands in for it here. Rounded
-    similarity + id tiebreak keep the ranking engine-reproducible.
+    block-partitioned data. Rounded similarity + id tiebreak keep the
+    ranking engine-reproducible.
+
+    The 100 TB block key: pass ``ivf_clusters`` and the block becomes a
+    deterministically trained k-means IVF assignment (``kmeans_fit`` +
+    the narrow ``_assign_clusters`` map — no extra shuffle), so block
+    sizes are ~n/clusters by construction and Σ block² is bounded by
+    the cluster count knob instead of whatever cardinality ``label``
+    happens to have. Recall vs the exact join is measured in
+    ``tests/test_dedup.py::test_knn_ivf_block_recall_and_pair_bound``;
+    an LSH bucket key (``hyperplane_signature``) is the other scale
+    key, plan-tested in ``test_plan_quality.py``.
 
     Returns ``(vec_id, neighbor_id, block, cosine_sim, rank)``.
     """
     from pyspark.sql.window import Window
+
+    if ivf_clusters is not None:
+        centroids = kmeans_fit(
+            df, k=ivf_clusters, iters=ivf_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+        df = _assign_clusters(df, centroids, vec_col)
+        block_col = "cluster"
 
     e = df.select(
         F.col(block_col).alias("block"),
