@@ -10,8 +10,10 @@ Runs each headline query from ``__spark_entry__.queries()`` against
      "sf": 0.1}
 
 ``value`` totals the stable 27-query HEADLINE set (round-over-round
-comparable) and the final line's ``queries`` map holds ONLY those 27
-entries: the driver captures just the stdout TAIL (2,000 chars), and a
+comparable; each headline entry is the MEDIAN of n=3 runs, with the
+[min, max] spread recorded in the ``all_queries`` line /
+``BENCH_FULL.json`` under ``headline_spread``) and the final line's
+``queries`` map holds ONLY those 27 entries: the driver captures just the stdout TAIL (2,000 chars), and a
 map of all 145 contract queries is ~3.5 kB — r02/r03/r04 all lost the
 front of the line and failed to parse. The full per-query map is still
 recorded every run, twice: as its own earlier stdout line (tagged
@@ -115,8 +117,22 @@ def main() -> None:
     run(queries[names[0]](spark, sf_dir))
 
     all_timings: dict[str, float] = {}
-    # headline first (stable order for round-over-round), then the rest
-    for name in names + sorted(set(queries) - set(names)):
+    spread: dict[str, list[float]] = {}
+    # headline first (stable order for round-over-round), n=3
+    # take-median per query — a single run cannot distinguish a real
+    # regression from machine noise (r6's apparent 30% swings were
+    # noise); the [min, max] spread ships in the all_queries line so
+    # bench_compare can tell drift from jitter. Full sweep stays n=1.
+    for name in names:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(queries[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        all_timings[name] = round(runs[1], 2)
+        spread[name] = [round(runs[0], 2), round(runs[2], 2)]
+    for name in sorted(set(queries) - set(names)):
         t0 = time.perf_counter()
         run(queries[name](spark, sf_dir))
         all_timings[name] = round(time.perf_counter() - t0, 2)
@@ -126,7 +142,12 @@ def main() -> None:
     # interleave; lead with a newline to sever any partial stdout line
     spark.stop()
     full = json.dumps(
-        {"metric": "all_queries", "queries": all_timings, "sf": sf},
+        {
+            "metric": "all_queries",
+            "queries": all_timings,
+            "headline_spread": spread,
+            "sf": sf,
+        },
         separators=(",", ":"),
     )
     # full per-query map: committed file (bench_compare reads it) + an

@@ -57,6 +57,24 @@ def main() -> None:
     if not flagged:
         print("  no per-query change beyond the noise threshold")
 
+    # headline medians (n=3 per run since r7): flag >30% MEDIAN
+    # regressions, annotated with each side's [min, max] spread so
+    # jitter (overlapping spreads) reads differently from drift
+    osp, nsp = old.get("headline_spread"), new.get("headline_spread")
+    if osp and nsp:
+        regs = []
+        for n in sorted(set(osp) & set(nsp)):
+            a, b = max(oq.get(n, 0), 0.01), max(nq.get(n, 0), 0.01)
+            if b / a > 1.3:
+                overlap = nsp[n][0] <= osp[n][1]
+                regs.append((b / a, n, a, b, osp[n], nsp[n], overlap))
+        print("median regressions >30% (headline, n=3):"
+              if regs else "no headline median regression >30%")
+        for r, n, a, b, so, sn, ov in sorted(regs, reverse=True):
+            note = "spreads overlap (jitter?)" if ov else "DRIFT"
+            print(f"  {n:32s} {a:7.2f}{so} -> {b:7.2f}{sn} "
+                  f"{r:5.2f}x {note}")
+
 
 if __name__ == "__main__":
     main()
