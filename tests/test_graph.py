@@ -245,3 +245,23 @@ def test_k_core_contract_rounds_reach_fixpoint(spark, sf_dir):
     r9 = k_core(edges, k=3, rounds=9).collect()
     assert sorted(map(tuple, r8)) == sorted(map(tuple, r9))
     assert all(deg >= 3 for _, deg in map(tuple, r8))
+
+
+def test_recursive_cte_verbatim_sql_parity(spark, sf_dir):
+    """The verbatim same-SQL-both-engines fixture: the single recursive
+    CTE with the INLINE edge build (_RECURSIVE_BFS_SQL — what the
+    DuckDB oracle runs) must return exactly what the contract query's
+    materialized-edge recursion (_RECURSIVE_BFS_STEP_SQL over the
+    checkpointed bfs_edges view) returns. The contract swapped to the
+    materialized form because Spark re-evaluates an inline CTE at
+    every recursion level."""
+    import __spark_entry__ as contract
+
+    fast = contract.queries()["recursive_bfs_sql"](spark, sf_dir)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    verbatim = spark.sql(contract._RECURSIVE_BFS_SQL)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, verbatim.collect())
+    )
