@@ -145,6 +145,33 @@ def maintain_cusum_batch(
     return new_daily, cusum
 
 
+def alarm_transitions(cusum: DataFrame) -> DataFrame:
+    """Alarm-state TRANSITIONS from a CUSUM surface: the days where
+    ``alarm`` flips vs the previous day — ``raise`` (S crossed above h)
+    or ``clear`` (fell back) — the rows an alerting sink actually pages
+    on (the level surface re-asserts "still alarming" every day; pagers
+    need edges). The day before the first row counts as in-control, so
+    a series that starts alarming raises on its first day.
+
+    Calendar-bounded: one lag window over the ≤|days|-row surface.
+    Output: ``(day, transition, s_cents)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    return (
+        cusum.withColumn("_prev", F.lag("alarm", 1, 0).over(w))
+        .filter(F.col("alarm") != F.col("_prev"))
+        .select(
+            "day",
+            F.when(F.col("alarm") == 1, F.lit("raise"))
+            .otherwise(F.lit("clear"))
+            .alias("transition"),
+            "s_cents",
+        )
+    )
+
+
 def stream_maintain_cusum(
     events_stream: DataFrame,
     daily_dir: str,
@@ -155,6 +182,7 @@ def stream_maintain_cusum(
     h_permille: int = 200,
     ts_col: str = "ts",
     value_col: str = "value",
+    alarms_dir: str | None = None,
 ):
     """Continuously-maintained CUSUM drift monitor under an event
     stream: per micro-batch, the day-grain totals advance by the
@@ -162,10 +190,15 @@ def stream_maintain_cusum(
     re-derived relationally from the calendar frame.
 
     Crash-safety is the version-matched discipline of
-    ``stream_maintain_rolling_wau``: cusum v{N+1} commits first, daily
-    totals v{N+1} last — a crash between the two replays the batch
-    against the version-matched older state, and the day-keyed merge of
-    per-batch partials makes the replay produce identical totals.
+    ``stream_maintain_rolling_wau``: alert transitions and cusum
+    v{N+1} commit first, daily totals v{N+1} last — a crash between
+    them replays the batch against the version-matched older state,
+    and the day-keyed merge of per-batch partials makes the replay
+    produce identical totals (and therefore identical transitions).
+
+    ``alarms_dir`` (optional) adds the ALERT SINK: per version, the
+    ``alarm_transitions`` edge rows (0→1 raise / 1→0 clear) derived
+    from the same cusum surface — what a pager consumes.
     """
     import os
 
@@ -178,9 +211,14 @@ def stream_maintain_cusum(
         spark = batch_df.sparkSession
         daily_target = os.path.join(daily_dir, f"v{batch_id + 1}")
         cusum_target = os.path.join(cusum_dir, f"v{batch_id + 1}")
-        if os.path.exists(
-            os.path.join(daily_target, "_SUCCESS")
-        ) and os.path.exists(os.path.join(cusum_target, "_SUCCESS")):
+        targets = [daily_target, cusum_target]
+        alarm_target = None
+        if alarms_dir is not None:
+            alarm_target = os.path.join(alarms_dir, f"v{batch_id + 1}")
+            targets.append(alarm_target)
+        if all(
+            os.path.exists(os.path.join(t, "_SUCCESS")) for t in targets
+        ):
             return
         current = latest_snapshot(spark, daily_dir)
         if current is None:
@@ -197,6 +235,13 @@ def stream_maintain_cusum(
             ts_col=ts_col,
             value_col=value_col,
         )
+        # one computation feeds both sinks: checkpoint so the alarm
+        # edges and the committed surface can never diverge
+        cusum = cusum.localCheckpoint()
+        if alarm_target is not None:
+            alarm_transitions(cusum).write.mode("overwrite").parquet(
+                alarm_target
+            )
         cusum.write.mode("overwrite").parquet(cusum_target)
         new_daily.write.mode("overwrite").parquet(daily_target)
 

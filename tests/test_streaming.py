@@ -1539,3 +1539,124 @@ def test_stream_stream_attribution_matches_batch_range_join(
     assert got == want
     assert (100, 1, 9.0) not in got  # post-purchase click excluded
     assert (100, 1, 5.0) in got      # late-batch click still attributed
+
+
+def test_stream_cusum_alarm_transitions_parity_across_restart(
+    spark, tmp_path
+):
+    """The alert sink (alarms_dir): streamed alarm TRANSITIONS — with a
+    restart mid-stream (same checkpoint, new files landing between the
+    two runs) — must equal the transitions derived from the one-shot
+    batch CUSUM over all the data, and a checkpoint-loss replay must
+    leave them unchanged (version-matched commit discipline)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_ine_spark.streaming.cdc import (
+        latest_snapshot,
+        write_base_snapshot,
+    )
+    from data_pipeline_ine_spark.streaming.quality import (
+        alarm_transitions,
+        maintain_cusum_batch,
+        stream_maintain_cusum,
+    )
+
+    def ts(day, hour=10):
+        return 1704067200_000_000 + (day * 24 + hour) * 3600 * 1_000_000
+
+    MU = 1000
+    # drift raises the alarm by day 2, recovery clears it on day 5,
+    # second drift raises again on day 7 — two raise edges, one clear
+    batches = [
+        [(ts(0), 14.00), (ts(1), 14.00)],
+        [(ts(2), 14.00), (ts(3), 14.00)],
+        [(ts(4), 2.00), (ts(5), 2.00)],
+        [(ts(6), 20.00), (ts(7), 20.00)],
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def write_batch(i, rows):
+        pq.write_table(
+            pa.table({
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+            }),
+            land / f"b{i}.parquet",
+        )
+
+    state = tmp_path / "state"
+    write_base_snapshot(
+        spark.createDataFrame([], "day date, x_cents long"),
+        str(state / "daily"),
+    )
+    write_base_snapshot(
+        spark.createDataFrame(
+            [], "day date, x_cents long, s_cents long, alarm long"
+        ),
+        str(state / "cusum"),
+    )
+    write_base_snapshot(
+        spark.createDataFrame(
+            [], "day date, transition string, s_cents long"
+        ),
+        str(state / "alarms"),
+    )
+
+    def run(ckpt):
+        q = stream_maintain_cusum(
+            spark.readStream.schema("ts timestamp_ntz, value double")
+            .option("maxFilesPerTrigger", 1).parquet(str(land)),
+            str(state / "daily"), str(state / "cusum"),
+            str(tmp_path / ckpt), mu_cents=MU,
+            alarms_dir=str(state / "alarms"),
+        )
+        q.awaitTermination(300)
+
+    # first two batches, then RESTART (same checkpoint) on the rest
+    for i in (0, 1):
+        write_batch(i, batches[i])
+    run("ckpt1")
+    for i in (2, 3):
+        write_batch(i, batches[i])
+    run("ckpt1")
+
+    streamed = sorted(
+        (str(r.day), r.transition, r.s_cents)
+        for r in latest_snapshot(spark, str(state / "alarms")).collect()
+    )
+    # batch reference: the whole history as ONE batch from empty state
+    import datetime as dt
+
+    all_rows = [r for b in batches for r in b]
+    one = spark.createDataFrame(
+        [
+            (
+                dt.datetime.fromtimestamp(
+                    r[0] // 1_000_000, dt.timezone.utc
+                ).replace(tzinfo=None),
+                r[1],
+            )
+            for r in all_rows
+        ],
+        "ts timestamp_ntz, value double",
+    )
+    _, cusum = maintain_cusum_batch(
+        one, spark.createDataFrame([], "day date, x_cents long"), MU
+    )
+    batch_ref = sorted(
+        (str(r.day), r.transition, r.s_cents)
+        for r in alarm_transitions(cusum).collect()
+    )
+    assert streamed == batch_ref
+    raises = [t for t in streamed if t[1] == "raise"]
+    clears = [t for t in streamed if t[1] == "clear"]
+    assert len(raises) == 2 and len(clears) == 1, streamed
+
+    run("ckpt2")  # checkpoint loss: replay is a committed no-op
+    again = sorted(
+        (str(r.day), r.transition, r.s_cents)
+        for r in latest_snapshot(spark, str(state / "alarms")).collect()
+    )
+    assert again == streamed

@@ -519,6 +519,14 @@ def probe_cusum(spark, factor: int):
         d = gen_state(f)
         daily = spark.read.parquet(f"{d}/daily")
         _, cusum = maintain_cusum_batch(fixed_batch(f), daily, MU)
+        # the alert sink rides the same surface: transitions must stay
+        # calendar-bounded too (r7: alarm_transitions in the hot path)
+        from data_pipeline_ine_spark.streaming.quality import (
+            alarm_transitions,
+        )
+
+        cusum = cusum.localCheckpoint()
+        alarm_transitions(cusum).count()
         cusum.count()
 
     def run_full(f):
