@@ -2272,6 +2272,31 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ivf_probe(spark, path, qvec, k=10, n_probe=2)
 
 
+def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS IVF-PQ serving layout (sources/ivf_index.py::
+    write_ivfpq_index/read_ivfpq_probe): the corpus stored as PQ CODES
+    ONLY, partitioned by the coarse bucket, with centroid and codebook
+    sidecars. The probe prunes to n_probe buckets at the parquet scan
+    (static PartitionFilters) and the ADC lookup table ranks only the
+    probed codes — every distance an exact BIGINT, so the oracle
+    reproduces probe choice AND ranking bit-for-bit."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy(F.desc("vec_id")).select("embedding").head()
+    path = os.path.join(
+        "/tmp", "spark_graft_ivfpq_index",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    write_ivfpq_index(emb, path, part_col="label")
+    return read_ivfpq_probe(spark, path, qrow[0], k=10, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H wide coverage — the remaining query shapes, adapted to the testdata
 # schema (no partsupp / commitdate / receiptdate / container columns exist, so
@@ -5980,6 +6005,46 @@ SELECT e.vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
 FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.c
 GROUP BY 1
 ORDER BY pq_dist, vec_id
+LIMIT 10
+"""
+
+# IVF-PQ serving oracle: the PQ encode/LUT chain above, restricted to
+# the n_probe=2 labels whose per-label mean centroid is nearest (rounded
+# cosine, label tiebreak) the same max-id query — exactly what
+# read_ivfpq_probe's pruned ADC scan computes.
+ORACLE_ANN_IVFPQ = _PQ_ENC_CTE + """
+, e2 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (
+  SELECT v AS qv FROM e2
+  WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+), cdims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e2, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY d) AS centroid FROM cdims GROUP BY label
+), probes AS (
+  SELECT label FROM cent, qv
+  ORDER BY ROUND(list_dot_product(centroid, qv.qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv.qv, qv.qv))), 6) DESC, label
+  LIMIT 2
+), q AS (
+  SELECT s, i, vi FROM vint
+  WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+), lut AS (
+  SELECT cb.s, cb.c, SUM((q.vi - cb.cv) * (q.vi - cb.cv)) AS d
+  FROM q JOIN cbdims cb ON cb.i = q.i
+  GROUP BY 1, 2
+)
+SELECT e.vec_id AS vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
+FROM enc e
+JOIN e2 ON e2.vec_id = e.vec_id
+JOIN probes USING (label)
+JOIN lut l ON l.s = e.s AND l.c = e.c
+GROUP BY e.vec_id
+ORDER BY pq_dist, e.vec_id
 LIMIT 10
 """
 
@@ -10286,6 +10351,7 @@ _CHECK_ORDER = [
     # round-7 additions (driver rows next round; judge-reproducible via
     # tools/driver_repro.py this round)
     "ann_index_probe",
+    "ann_ivfpq_probe",
 ]
 
 
@@ -10360,6 +10426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_index_probe": q_ann_index_probe,
+        "ann_ivfpq_probe": q_ann_ivfpq_probe,
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "v_estaciones": q_v_estaciones,
         "nearest_station": q_nearest_station,
@@ -10610,6 +10677,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ORACLE_ANN_LSH,
         "ann_ivf_topk": ORACLE_ANN_IVF,
         "ann_index_probe": ORACLE_ANN_IVF,
+        "ann_ivfpq_probe": ORACLE_ANN_IVFPQ,
         "ann_kmeans_topk": ORACLE_ANN_KMEANS,
         "v_estaciones": _oracle_estaciones(),
         "nearest_station": _oracle_nearest_station(),

@@ -650,6 +650,7 @@ def pq_encode(
     codebook: list[list[list[int]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """PQ encode: each vector becomes ``m`` one-byte codes — the nearest
     codebook entry per subspace by squared L2 distance over the SAME
@@ -711,7 +712,9 @@ def pq_encode(
 
         return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
-    return df.select(id_col, let_(vint, codes).alias("pq_codes"))
+    return df.select(
+        id_col, *keep_cols, let_(vint, codes).alias("pq_codes")
+    )
 
 
 def pq_topk(

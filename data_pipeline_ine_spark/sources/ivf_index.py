@@ -101,6 +101,133 @@ def write_ivf_index(
     )
 
 
+_CODEBOOK_DIR = "_codebook"  # leading "_": invisible to parquet readers
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    part_col: str | None = None,
+    n_clusters: int = 8,
+    iters: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    trained: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The full FAISS IVF-PQ layout as Spark partitioned storage: the
+    corpus bucketed by the coarse key (``write_ivf_index``'s rule) and
+    stored as PQ CODES ONLY — ``m`` byte-codes per vector instead of
+    the raw floats (64 float32 dims → 4 codes: a ~64× scan-size cut) —
+    with two sidecars: the per-bucket centroids (probe selection) and
+    the PQ codebook (ADC table construction). Raw vectors exist only
+    at write time; serving reads never touch them.
+    """
+    from data_pipeline_ine_spark.operators.similarity import (
+        _assign_clusters,
+        kmeans_fit,
+        pq_codebook,
+        pq_encode,
+    )
+
+    codebook = pq_codebook(
+        df, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes,
+        trained=trained, iters=iters,
+    )
+    if part_col is None:
+        centroids = kmeans_fit(
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        src = _assign_clusters(df, centroids, vec_col)
+        part_col = "cluster"
+    else:
+        src = df
+    bucketed = src.withColumn(
+        BUCKET_COL, F.concat(F.lit("b"), F.col(part_col).cast("string"))
+    )
+    codes = pq_encode(
+        bucketed, codebook, vec_col=vec_col, id_col=id_col,
+        keep_cols=(BUCKET_COL,),
+    )
+    codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+
+    dims = (
+        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(BUCKET_COL, "d")
+        .agg(F.avg("x").alias("c"))
+    )
+    cents = (
+        dims.groupBy(BUCKET_COL)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            BUCKET_COL,
+            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_CENTROID_DIR}"
+    )
+    spark = df.sparkSession
+    cb_rows = [
+        (s, c, list(codebook[s][c]))
+        for s in range(len(codebook))
+        for c in range(len(codebook[s]))
+    ]
+    spark.createDataFrame(
+        cb_rows, "s int, c int, subvec array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_CODEBOOK_DIR}"
+    )
+
+
+def read_ivfpq_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k from an IVF-PQ index: probe buckets chosen from the
+    centroid sidecar exactly like ``read_ivf_probe`` (static partition
+    pruning on the scan), then the query's integer distance LUT
+    (rebuilt from the codebook sidecar — O(m·n_codes·sub) driver work)
+    ranks the PROBED buckets' codes with ``m`` lookups + adds per
+    candidate. The serving scan reads only codes of only the probed
+    buckets."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        cosine,
+        pq_topk,
+    )
+
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r[0]
+        for r in cents.select(
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc(BUCKET_COL))
+        .limit(n_probe)
+        .select(BUCKET_COL)
+        .collect()
+    ]
+    cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+    m = 1 + max(r.s for r in cb_rows)
+    n_codes = 1 + max(r.c for r in cb_rows)
+    codebook: list[list[list[int]]] = [
+        [None] * n_codes for _ in range(m)
+    ]
+    for r in cb_rows:
+        codebook[r.s][r.c] = [int(x) for x in r.subvec]
+    probed = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(probe_ids)
+    )
+    return pq_topk(probed, codebook, query_vec, k=k, id_col=id_col)
+
+
 def read_ivf_probe(
     spark: SparkSession,
     path: str,

@@ -884,3 +884,55 @@ def test_ivf_index_kmeans_mode_roundtrip(spark, sf_dir, tmp_path):
     rows = out.collect()
     assert len(rows) == 5
     assert rows == sorted(rows, key=lambda r: (-r.cosine_sim, r.vec_id))
+
+
+def test_ivfpq_index_stores_codes_only_and_prunes(spark, sf_dir, tmp_path):
+    """The IVF-PQ layout: the index table holds PQ codes only (raw
+    vectors never leave the write path — the 64x scan-size cut), the
+    probe scan is partition-pruned on the bucket, and the ADC ranking
+    equals the inline pq_topk restricted to the probed buckets."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_probe,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy(F.desc("vec_id")).select("embedding").head()[0]
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, part_col="label")
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "pq_codes", "bucket"}
+    out = read_ivfpq_probe(spark, path, qvec, k=10, n_probe=2)
+    plan = explain_str(out)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    got = [tuple(r) for r in out.collect()]
+    # inline reference on the same probed buckets
+    probed_buckets = {
+        r.bucket for r in out.join(idx, "vec_id").select("bucket").collect()
+    }
+    cb = pq_codebook(emb, m=4, n_codes=8)
+    codes = pq_encode(
+        emb.withColumn(
+            "bucket", F.concat(F.lit("b"), F.col("label").cast("string"))
+        ),
+        cb,
+        keep_cols=("bucket",),
+    )
+    ref = pq_topk(
+        codes.filter(F.col("bucket").isin(sorted(probed_buckets))).drop(
+            "bucket"
+        ),
+        cb,
+        qvec,
+        k=10,
+    )
+    assert got == [tuple(r) for r in ref.collect()]
