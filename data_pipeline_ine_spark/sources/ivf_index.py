@@ -181,6 +181,73 @@ def write_ivfpq_index(
     )
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    part_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: route NEW vectors into the
+    EXISTING buckets and append to their partitions — centroids (and
+    the PQ codebook, when present) stay FROZEN, the standard IVF
+    discipline: re-training would move bucket boundaries and silently
+    orphan every previously stored row. Periodic full rebuilds, not
+    per-batch re-trains, are the recovery path when drift accumulates
+    (measure it with embedding_drift).
+
+    ``part_col=None`` assigns each vector to the nearest stored
+    centroid (squared L2 over centroid literals — the same narrow
+    ``_assign_clusters`` shape, no shuffle); a given ``part_col``
+    reuses the incoming column (label-style indexes). If the index has
+    a codebook sidecar (IVF-PQ), the appended rows are PQ codes, same
+    as the stored ones."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_encode,
+        sq_dist,
+    )
+
+    spark = df.sparkSession
+    if part_col is None:
+        cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}").collect()
+        pairs = F.array(
+            *[
+                F.struct(
+                    sq_dist(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in r.centroid]),
+                    ).alias("d"),
+                    F.lit(r[BUCKET_COL]).alias("b"),
+                )
+                for r in sorted(cents, key=lambda r: r[BUCKET_COL])
+            ]
+        )
+        bucketed = df.withColumn(
+            BUCKET_COL, F.array_sort(pairs)[0]["b"]
+        )
+    else:
+        bucketed = df.withColumn(
+            BUCKET_COL, F.concat(F.lit("b"), F.col(part_col).cast("string"))
+        )
+    # IVF-PQ index: store codes, not vectors (schema must match)
+    import os
+
+    if os.path.exists(f"{path}/{_CODEBOOK_DIR}"):
+        cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+        m = 1 + max(r.s for r in cb_rows)
+        n_codes = 1 + max(r.c for r in cb_rows)
+        codebook = [[None] * n_codes for _ in range(m)]
+        for r in cb_rows:
+            codebook[r.s][r.c] = [int(x) for x in r.subvec]
+        bucketed = pq_encode(
+            bucketed, codebook, vec_col=vec_col, id_col=id_col,
+            keep_cols=(BUCKET_COL,),
+        )
+    elif part_col is not None and part_col != BUCKET_COL:
+        bucketed = bucketed.drop(part_col)
+    bucketed.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
+
+
 def read_ivfpq_probe(
     spark: SparkSession,
     path: str,

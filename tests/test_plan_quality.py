@@ -936,3 +936,66 @@ def test_ivfpq_index_stores_codes_only_and_prunes(spark, sf_dir, tmp_path):
         k=10,
     )
     assert got == [tuple(r) for r in ref.collect()]
+
+
+def test_ivf_index_append_routes_to_frozen_centroids(spark, sf_dir, tmp_path):
+    """Incremental maintenance: appended vectors must land in the
+    bucket of their NEAREST STORED centroid (centroids frozen — no
+    re-train), the sidecar must be byte-identical after the append,
+    probes must see the new rows through the same pruned scan, and an
+    IVF-PQ append must store codes with the frozen codebook."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        read_ivf_probe,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_index(base, path, part_col=None, n_clusters=4, iters=1)
+    cents_before = sorted(
+        (r.bucket, tuple(r.centroid))
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    )
+    append_to_ivf_index(extra, path)
+    assert spark.read.parquet(path).count() == emb.count()
+    cents_after = sorted(
+        (r.bucket, tuple(r.centroid))
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    )
+    assert cents_after == cents_before  # frozen
+    # every appended row sits in its nearest stored centroid's bucket
+    idx = spark.read.parquet(path).filter(F.col("vec_id") >= 1_000_000)
+    cents = {b: list(c) for b, c in cents_before}
+
+    def nearest(v):
+        return min(
+            cents,
+            key=lambda b: (
+                sum((x - y) ** 2 for x, y in zip(v, cents[b])),
+                b,
+            ),
+        )
+
+    for r in idx.select("vec_id", "embedding", "bucket").collect():
+        assert r.bucket == nearest([float(x) for x in r.embedding]), r.vec_id
+    # probe sees appended rows via the same pruned scan
+    qvec = extra.select("embedding").head()[0]
+    out = read_ivf_probe(spark, path, qvec, k=500, n_probe=4)
+    assert any(r.vec_id >= 1_000_000 for r in out.collect())
+
+    # IVF-PQ append: codes-only schema preserved
+    pq_path = str(tmp_path / "ivfpq_inc")
+    write_ivfpq_index(base, pq_path, part_col=None, n_clusters=4, iters=1)
+    append_to_ivf_index(extra, pq_path)
+    pq_idx = spark.read.parquet(pq_path)
+    assert set(pq_idx.columns) == {"vec_id", "pq_codes", "bucket"}
+    assert pq_idx.count() == emb.count()

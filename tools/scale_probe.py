@@ -124,6 +124,11 @@ HEAVY = [
     # aggregate, vocab-bounded counts, and edge-bounded peeling rounds,
     # pinned by unit/fixpoint tests)
     "readability_scores",
+    # round-7: the ANN serving layouts (write+probe end to end over the
+    # probe corpus; the probed scan must track n_probe/n_buckets of the
+    # data, the write one corpus pass)
+    "ann_index_probe",
+    "ann_ivfpq_probe",
 ]
 
 
