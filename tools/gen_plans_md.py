@@ -50,7 +50,11 @@ AUDITED = {
     "lsh_recall_curve": "truth via shared-shingle equi-join; per-config candidates are band-key equi-joins over one shared signature table",
     "knn_hubness": "composition over the blocked kNN equi-join; histogram adds one neighbor-keyed count + a vector-grain left join",
     "markov_attribution": "one user-keyed window + one edge count; knockout iterations run driver-side on the collected <=36-cell matrix",
-    "rank_auc": "one unpartitioned rank window (corpus rank-statistic family) + a 1-row aggregate",
+    "rank_auc": "value-grain pre-aggregate + two-pass distributed cumulative count (_pid-partitioned windows only) + a 1-row aggregate",
+    "funnel_latency": "stacked conditional-min windows on one user-keyed Exchange; median via the two-pass distributed rank (_pid windows), count broadcast back",
+    "rfm_segments": "one customer-grain aggregate; quintiles via three two-pass ranks (range repartitions + broadcast offsets), never a single-task ntile sort",
+    "ann_index_probe": "static PartitionFilters on the bucket column — the probed scan reads n_probe/n_buckets of the corpus",
+    "ann_ivfpq_probe": "pruned bucket scan over PQ CODES only (no raw vectors in the index); ADC ranking is a literal-LUT fold + TakeOrdered",
 }
 
 SF_DIR = "/root/testdata/sf0.1"
