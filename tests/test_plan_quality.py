@@ -999,3 +999,50 @@ def test_ivf_index_append_routes_to_frozen_centroids(spark, sf_dir, tmp_path):
     pq_idx = spark.read.parquet(pq_path)
     assert set(pq_idx.columns) == {"vec_id", "pq_codes", "bucket"}
     assert pq_idx.count() == emb.count()
+
+
+def test_ivfpq_probe_recall_measured_vs_exact(spark, sf_dir, tmp_path):
+    """Measure, don't guess: recall@10 of the full IVF-PQ serving path
+    (coarse probe loss × PQ quantization loss) against exact cosine
+    top-10, averaged over 5 query vectors. Measured ~0.22 on the
+    near-random sf0.001 embeddings (trained codebook measured WORSE,
+    0.18 — k-means buys nothing on isotropic data); the floor asserts
+    ≥5× the random-retrieval baseline k/n, i.e. geometry-driven
+    retrieval, not noise."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_probe,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_recall")
+    write_ivfpq_index(emb, path, part_col="label")
+    qrows = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", "embedding"
+    ).collect()
+    hits = total = 0
+    for qr in qrows:
+        truth = {
+            r.vec_id
+            for r in brute_force_topk(emb, qr.embedding, k=10).collect()
+        }
+        got = {
+            r.vec_id
+            for r in read_ivfpq_probe(
+                spark, path, qr.embedding, k=10, n_probe=4
+            ).collect()
+        }
+        hits += len(truth & got)
+        total += len(truth)
+    recall = hits / total
+    rand_baseline = 10 / emb.count()
+    assert recall >= 5 * rand_baseline, (
+        f"IVF-PQ serving recall@10 {recall:.2f} vs random "
+        f"{rand_baseline:.3f}"
+    )
