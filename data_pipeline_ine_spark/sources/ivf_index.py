@@ -146,8 +146,15 @@ def write_ivfpq_index(
     bucketed = src.withColumn(
         BUCKET_COL, F.concat(F.lit("b"), F.col(part_col).cast("string"))
     )
+    # fan the HOF-heavy encode out: single-row-group parquet inputs
+    # otherwise hand the whole argmin fold to ONE task (the repo-wide
+    # heavy-per-row rule); hashing on the id keeps layout deterministic.
+    # At real scale repartition on BUCKET_COL instead for one file set
+    # per bucket.
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
     codes = pq_encode(
-        bucketed, codebook, vec_col=vec_col, id_col=id_col,
+        bucketed.repartition(n_tasks, F.col(id_col)),
+        codebook, vec_col=vec_col, id_col=id_col,
         keep_cols=(BUCKET_COL,),
     )
     codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
