@@ -2254,12 +2254,12 @@ _IVF_LAYOUT_V = "v1"
 
 
 def _ivf_index_ready(path: str, *sidecars: str) -> bool:
-    import os
+    # the build-complete marker commits LAST (after data + sidecars) —
+    # a root _SUCCESS is absent under dynamic partition-overwrite
+    # sessions, so it cannot be the readiness signal
+    from data_pipeline_ine_spark.sources.ivf_index import index_ready
 
-    return all(
-        os.path.exists(os.path.join(path, s, "_SUCCESS"))
-        for s in ("", *sidecars)
-    )
+    return index_ready(path)
 
 
 def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

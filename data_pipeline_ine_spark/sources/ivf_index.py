@@ -99,9 +99,30 @@ def write_ivf_index(
     cents.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{_CENTROID_DIR}"
     )
+    _commit_marker(path)
 
 
 _CODEBOOK_DIR = "_codebook"  # leading "_": invisible to parquet readers
+
+
+def _commit_marker(path: str) -> None:
+    """Drop the build-complete marker LAST: dynamic partition-overwrite
+    sessions skip the root _SUCCESS on partitioned writes, so readers
+    checking "is this index fully built" need an explicit end-of-build
+    commit (the two-phase-commit discipline of sources/pydatasink.py,
+    reduced to one file). Underscore-prefixed: invisible to readers."""
+    import os
+
+    with open(os.path.join(path, "_index_success"), "w") as f:
+        f.write("ok\n")
+
+
+def index_ready(path: str) -> bool:
+    """True iff a write_ivf_index / write_ivfpq_index build at ``path``
+    ran to completion (marker committed after data + all sidecars)."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_index_success"))
 
 
 def write_ivfpq_index(
@@ -186,6 +207,7 @@ def write_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/{_CODEBOOK_DIR}"
     )
+    _commit_marker(path)
 
 
 def append_to_ivf_index(
