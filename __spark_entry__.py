@@ -9339,6 +9339,51 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price QUARTILES per return flag
+    (operators/features.py::weighted_quantiles): the values where
+    running weight first reaches 1/4, 2/4, 3/4 of the total — all
+    three cut points from one conditional-min aggregate over the same
+    two-pass distributed running weight the median rides. Weighted
+    IQR = P75 − P25."""
+    from data_pipeline_ine_spark.operators.features import (
+        weighted_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+
+
+ORACLE_WEIGHTED_QUANTILES = """
+WITH vals AS (
+  SELECT l_returnflag AS g,
+    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+    CAST(floor(l_quantity * 100) AS BIGINT) AS w
+  FROM lineitem
+), run AS (
+  SELECT g, v, w,
+    CAST(SUM(w) OVER (PARTITION BY g ORDER BY v, w
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wr
+  FROM vals
+), tot AS (
+  SELECT g, CAST(SUM(CAST(w AS DECIMAL(25,0))) AS BIGINT) AS wt
+  FROM vals GROUP BY 1
+)
+SELECT r.g AS l_returnflag,
+  CAST(MIN(CASE WHEN 4 * r.wr >= 1 * t.wt THEN r.v END) AS BIGINT)
+    AS wq1_4_units,
+  CAST(MIN(CASE WHEN 4 * r.wr >= 2 * t.wt THEN r.v END) AS BIGINT)
+    AS wq2_4_units,
+  CAST(MIN(CASE WHEN 4 * r.wr >= 3 * t.wt THEN r.v END) AS BIGINT)
+    AS wq3_4_units,
+  CAST(MIN(t.wt) AS BIGINT) AS total_weight_units
+FROM run r JOIN tot t USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_WEIGHTED_MEDIAN = """
 WITH vals AS (
   SELECT l_returnflag AS g,
@@ -10371,6 +10416,7 @@ _CHECK_ORDER = [
     # tools/driver_repro.py this round)
     "ann_index_probe",
     "ann_ivfpq_probe",
+    "weighted_quantiles",
 ]
 
 
@@ -10446,6 +10492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_index_probe": q_ann_index_probe,
         "ann_ivfpq_probe": q_ann_ivfpq_probe,
+        "weighted_quantiles": q_weighted_quantiles,
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "v_estaciones": q_v_estaciones,
         "nearest_station": q_nearest_station,
@@ -10697,6 +10744,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ORACLE_ANN_IVF,
         "ann_index_probe": ORACLE_ANN_IVF,
         "ann_ivfpq_probe": ORACLE_ANN_IVFPQ,
+        "weighted_quantiles": ORACLE_WEIGHTED_QUANTILES,
         "ann_kmeans_topk": ORACLE_ANN_KMEANS,
         "v_estaciones": _oracle_estaciones(),
         "nearest_station": _oracle_nearest_station(),

@@ -1150,6 +1150,64 @@ def weighted_median(
     return crossed.orderBy(*groups)
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: Sequence[str],
+    q_nums: Sequence[int] = (1, 2, 3),
+    q_denom: int = 4,
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Weighted quantiles per group — ``weighted_median`` generalized
+    to arbitrary cut points: the value where cumulative WEIGHT first
+    reaches ``q/denom`` of the total, for each requested ``q`` (default
+    the quartiles P25/P50/P75). The spread statistic weighted pipelines
+    need beyond the median: a weighted IQR is P75 − P25.
+
+    Engine-exact: integer units, the crossing test is
+    ``denom·W_run ≥ q·W_total`` (integer comparison only, lower
+    quantile, never interpolated) — all cut points come from ONE
+    conditional-min aggregate over the same running-weight frame.
+
+    Scale shape: one ``two_pass_cumsum`` (range-repartition + broadcast
+    offsets — no single-task group sort) + a |groups|-row totals
+    broadcast + one group aggregate; output one row per group.
+    """
+    from data_pipeline_ine_spark.operators.sampling import (
+        two_pass_cumsum,
+    )
+
+    groups = list(group_cols)
+    vals = df.select(
+        *groups,
+        F.floor(F.col(value_col) * unit_scale).cast("bigint").alias("_v"),
+        F.floor(F.col(weight_col) * unit_scale).cast("bigint").alias("_w"),
+    )
+    tot = vals.groupBy(*groups).agg(
+        F.sum(F.col("_w").cast("decimal(25,0)")).cast("bigint").alias("_wt")
+    )
+    run = two_pass_cumsum(
+        vals, groups, ["_v", "_w"], "_w", out_col="_wr"
+    ).withColumn("_wr", F.col("_wr").cast("bigint"))
+    aggs = [
+        F.min(
+            F.when(
+                q_denom * F.col("_wr") >= q * F.col("_wt"), F.col("_v")
+            )
+        )
+        .cast("bigint")
+        .alias(f"wq{q}_{q_denom}_units")
+        for q in q_nums
+    ]
+    return (
+        run.join(F.broadcast(tot), groups)
+        .groupBy(*groups)
+        .agg(*aggs, F.min("_wt").cast("bigint").alias("total_weight_units"))
+        .orderBy(*groups)
+    )
+
+
 def rank_auc(
     df: DataFrame,
     score_col: Column | str,

@@ -529,3 +529,31 @@ def test_eta_squared_anchors(spark):
         spark.createDataFrame(same, "g string, v double"), "v", "g"
     ).collect()[0]
     assert r2.eta_squared == 0.0
+
+
+def test_weighted_quantiles_consistent_with_median_and_monotone(spark, sf_dir):
+    """wq2_4 must equal the lower weighted median exactly (same crossing
+    rule, same running-weight frame), and the quartiles must be
+    monotone non-decreasing within every group."""
+    from data_pipeline_ine_spark.operators.features import (
+        weighted_median,
+        weighted_quantiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wq = {
+        r.l_returnflag: r
+        for r in weighted_quantiles(
+            li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+        ).collect()
+    }
+    wm = {
+        r.l_returnflag: r.wmedian_units
+        for r in weighted_median(
+            li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+        ).collect()
+    }
+    assert set(wq) == set(wm)
+    for g, r in wq.items():
+        assert r.wq2_4_units == wm[g]
+        assert r.wq1_4_units <= r.wq2_4_units <= r.wq3_4_units
