@@ -446,10 +446,6 @@ def probe_rolling_wau(spark, factor: int):
     )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def probe_cusum(spark, factor: int):
     """Streaming CUSUM maintenance: a fixed 2k-event batch on the final
     10 days against a 1x vs Nx raw-event history — the state update
@@ -563,3 +559,7 @@ def probe_cusum(spark, factor: int):
     iN = timed(lambda: run_inc(factor))
     fN = timed(lambda: run_full(factor))
     return i1, iN, fN
+
+
+if __name__ == "__main__":
+    main()
