@@ -277,6 +277,52 @@ def append_to_ivf_index(
     bucketed.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
 
 
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+) -> int:
+    """Post-append maintenance: every ``append_to_ivf_index`` batch
+    adds one file set per touched bucket, so a long-lived index
+    accumulates small files and probe scans pay per-file open costs.
+    Rewrite each bucket partition as ONE file (buckets are sized by
+    the cluster-count knob — if a single file per bucket is too big,
+    the bucket count is wrong, not the file count), preserving
+    sidecars and the commit marker, via stage-and-swap so a crash
+    mid-compaction leaves the live index untouched. Returns the data
+    file count after compaction.
+
+    Local-filesystem swap (os.replace), matching the repo's
+    maintenance tier; on an object store the same stage dir would be
+    swapped by a manifest pointer instead.
+    """
+    import glob
+    import os
+    import shutil
+
+    stage = path.rstrip("/") + ".compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    df = spark.read.parquet(path)
+    # one file per bucket: repartition ON the bucket key so every
+    # partition holds exactly one bucket's rows
+    (
+        df.repartition(F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    for side in (_CENTROID_DIR, _CODEBOOK_DIR):
+        src = os.path.join(path, side)
+        if os.path.exists(src):
+            shutil.copytree(src, os.path.join(stage, side))
+    _commit_marker(stage)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
+
+
 def read_ivfpq_probe(
     spark: SparkSession,
     path: str,

@@ -1046,3 +1046,49 @@ def test_ivfpq_probe_recall_measured_vs_exact(spark, sf_dir, tmp_path):
         f"IVF-PQ serving recall@10 {recall:.2f} vs random "
         f"{rand_baseline:.3f}"
     )
+
+
+def test_compact_ivf_index_one_file_per_bucket_same_results(
+    spark, sf_dir, tmp_path
+):
+    """Index lifecycle close-out: after two append batches every bucket
+    holds 3 file sets; compaction must leave exactly one data file per
+    bucket, preserve both sidecars and the commit marker, and change
+    NO probe result."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        index_ready,
+        read_ivf_probe,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_compact")
+    write_ivf_index(emb.filter(F.col("vec_id") < 300), path, part_col=None,
+                    n_clusters=4, iters=1)
+    for lo, hi in ((300, 400), (400, 600)):
+        append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .withColumn("vec_id", F.col("vec_id") + 1_000_000),
+            path,
+        )
+    qvec = emb.select("embedding").head()[0]
+    before = [tuple(r) for r in read_ivf_probe(spark, path, qvec, k=20,
+                                               n_probe=4).collect()]
+    files_before = glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+    n_buckets = len(glob.glob(os.path.join(path, "bucket=*")))
+    assert len(files_before) > n_buckets  # appends really fragmented it
+    n_files = compact_ivf_index(spark, path)
+    assert n_files == n_buckets
+    assert index_ready(path)
+    assert os.path.exists(os.path.join(path, "_centroids"))
+    after = [tuple(r) for r in read_ivf_probe(spark, path, qvec, k=20,
+                                              n_probe=4).collect()]
+    assert after == before

@@ -1159,3 +1159,51 @@ def test_bootstrap_ci_selects_order_statistics(spark, vals):
     assert (row.n_replicates, row.ci_lo, row.ci_hi) == (
         len(vals), s[1], s[-2]
     )
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # group
+            st.integers(-50, 50),   # order key
+            st.integers(-9, 9),     # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    op=st.sampled_from(["sum", "max"]),
+)
+def test_two_pass_cumsum_matches_single_window(spark, rows, op):
+    """two_pass_cumsum (any partition count, grouped or global, sum or
+    max) must be row-identical to the textbook single running window
+    over the same total order — including split groups, duplicate
+    order keys (co-located by range partitioning), and negative
+    values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.sampling import two_pass_cumsum
+
+    df = spark.createDataFrame(
+        [(g, k, v, i) for i, (g, k, v) in enumerate(rows)],
+        "g long, k long, v long, rid long",
+    )
+    for groups in ([], ["g"]):
+        got = {
+            r.rid: r.c
+            for r in two_pass_cumsum(
+                df, groups, ["k", "rid"], "v", out_col="c",
+                num_partitions=4, op=op,
+            ).collect()
+        }
+        w = (
+            Window.partitionBy(*groups).orderBy("k", "rid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fn = F.max if op == "max" else F.sum
+        want = {
+            r.rid: r.c
+            for r in df.withColumn("c", fn("v").over(w)).collect()
+        }
+        assert got == want, (groups, op)
