@@ -2186,6 +2186,21 @@ _KM_ASSIGN = (
     "SELECT vec_id, v, cid, ROW_NUMBER() OVER "
     "(PARTITION BY vec_id ORDER BY {d}, cid) AS rn FROM e, {c}"
 )
+def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer health report (operators/similarity.py::
+    kmeans_cluster_profile): per trained k-means cluster, the member
+    count and the EXACT inertia — balanced buckets and cell lossiness,
+    the two pre-ship checks for any IVF coarse quantizer. Squared
+    distances are the bit-identical sequential fold, snapped to e6
+    fixed-point and DECIMAL-accumulated (order-invariant)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        kmeans_cluster_profile,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(emb, n_clusters=8, iters=2)
+
+
 ORACLE_ANN_KMEANS = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
@@ -2209,6 +2224,35 @@ FROM a3 JOIN probes USING (cid), q
 WHERE a3.rn = 1
 ORDER BY cosine_sim DESC, a3.vec_id
 LIMIT 10
+"""
+
+# same unrolled two-iteration Lloyd chain, profiled instead of probed:
+# count + e6-snapped DECIMAL-accumulated inertia per assigned cluster
+ORACLE_CLUSTER_PROFILE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),
+a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
+m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
+m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+prof AS (
+  SELECT a3.cid AS cluster,
+    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+    CAST(SUM(CAST(floor({_sql_sq_dist('a3.v', 'c2.cv')} * 1e6 + 0.5)
+             AS DECIMAL(38,0))) AS BIGINT) AS inertia_e6
+  FROM a3 JOIN c2 USING (cid)
+  WHERE a3.rn = 1
+  GROUP BY 1
+)
+SELECT cluster, n_vectors, inertia_e6,
+  CAST(inertia_e6 // n_vectors AS BIGINT) AS mean_sq_dist_e6
+FROM prof ORDER BY cluster
 """
 
 
@@ -10417,6 +10461,7 @@ _CHECK_ORDER = [
     "ann_index_probe",
     "ann_ivfpq_probe",
     "weighted_quantiles",
+    "embedding_cluster_profile",
 ]
 
 
@@ -10493,6 +10538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_probe": q_ann_index_probe,
         "ann_ivfpq_probe": q_ann_ivfpq_probe,
         "weighted_quantiles": q_weighted_quantiles,
+        "embedding_cluster_profile": q_embedding_cluster_profile,
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "v_estaciones": q_v_estaciones,
         "nearest_station": q_nearest_station,
@@ -10745,6 +10791,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_probe": ORACLE_ANN_IVF,
         "ann_ivfpq_probe": ORACLE_ANN_IVFPQ,
         "weighted_quantiles": ORACLE_WEIGHTED_QUANTILES,
+        "embedding_cluster_profile": ORACLE_CLUSTER_PROFILE,
         "ann_kmeans_topk": ORACLE_ANN_KMEANS,
         "v_estaciones": _oracle_estaciones(),
         "nearest_station": _oracle_nearest_station(),

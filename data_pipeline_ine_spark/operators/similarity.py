@@ -344,6 +344,60 @@ def kmeans_ivf_topk(
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
 
 
+def kmeans_cluster_profile(
+    df: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantizer health report: per trained k-means cluster, the member
+    count and the EXACT inertia (sum of squared distances to the
+    assigned centroid) — the two numbers that say whether an IVF
+    coarse quantizer is usable (balanced buckets) and how lossy its
+    cells are (inertia per member). Run it before shipping an index;
+    a dominant cluster means probes degenerate to scans.
+
+    Engine-exact: the per-row squared distance is the same sequential
+    fold both engines compute bit-identically (the ann_kmeans_topk
+    surface); it is snapped to e6 fixed-point (FLOOR(d·1e6 + 0.5) —
+    IEEE-exact ops only) and accumulated in DECIMAL(38,0), so the
+    cross-partition sum is order-invariant. Output one row per
+    cluster: (cluster, n_vectors, inertia_e6, mean_sq_dist_e6).
+
+    Scale shape: centroid training is the k-means pull (O(k·d) driver
+    scalars/iteration); the profile itself is one narrow assignment
+    map + ONE cluster-keyed aggregate (map-side combinable).
+    """
+    centroids = kmeans_fit(
+        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = _assign_clusters(df.select(id_col, vec_col), centroids, vec_col)
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cv])
+            for _, cv in sorted(centroids)
+        ]
+    )
+    d2 = sq_dist(
+        F.col(vec_col), F.element_at(cent_lit, F.col("cluster").cast("int") + 1)
+    )
+    snapped = F.floor(d2 * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+    return (
+        assigned.select("cluster", snapped.alias("_d6"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("_d6").cast("bigint").alias("inertia_e6"),
+        )
+        .withColumn(
+            "mean_sq_dist_e6",
+            F.expr("inertia_e6 div n_vectors").cast("bigint"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def partitioned_topk(
     df: DataFrame,
     query_vec: Sequence[float],
