@@ -3033,6 +3033,49 @@ FROM documents
 )
 
 
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget (operators/sampling.py::
+    token_budget_cap): each source keeps the greedy prefix of its
+    deterministic-shuffle order until 800 tokens — the "at most N
+    tokens of src7" mixture knob, as a superset-stable integer filter
+    over the two-pass distributed running token total."""
+    from data_pipeline_ine_spark.operators.sampling import (
+        token_budget_cap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "_tok",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("bigint"),
+    )
+    return token_budget_cap(toks, 800, "_tok")
+
+
+ORACLE_TOKEN_BUDGET = (
+    """
+WITH toks AS (
+  SELECT source, doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      AS tokens,
+    """
+    + _HEX12.format(h="md5('budget:' || CAST(doc_id AS VARCHAR))")
+    + """ AS h
+  FROM documents
+), run AS (
+  SELECT source, doc_id, tokens,
+    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM toks
+)
+SELECT source, doc_id, tokens, cum_tokens
+FROM run WHERE cum_tokens <= 800
+"""
+)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-3-per-source deterministic sample via the two-level hash
     tournament (shard ranks first, then per-stratum ranks over ≤ shards·k
@@ -10462,6 +10505,7 @@ _CHECK_ORDER = [
     "ann_ivfpq_probe",
     "weighted_quantiles",
     "embedding_cluster_profile",
+    "token_budget_cap",
 ]
 
 
@@ -10539,6 +10583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_probe": q_ann_ivfpq_probe,
         "weighted_quantiles": q_weighted_quantiles,
         "embedding_cluster_profile": q_embedding_cluster_profile,
+        "token_budget_cap": q_token_budget_cap,
         "ann_kmeans_topk": q_ann_kmeans_topk,
         "v_estaciones": q_v_estaciones,
         "nearest_station": q_nearest_station,
@@ -10792,6 +10837,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_probe": ORACLE_ANN_IVFPQ,
         "weighted_quantiles": ORACLE_WEIGHTED_QUANTILES,
         "embedding_cluster_profile": ORACLE_CLUSTER_PROFILE,
+        "token_budget_cap": ORACLE_TOKEN_BUDGET,
         "ann_kmeans_topk": ORACLE_ANN_KMEANS,
         "v_estaciones": _oracle_estaciones(),
         "nearest_station": _oracle_nearest_station(),

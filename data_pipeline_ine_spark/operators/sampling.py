@@ -488,6 +488,52 @@ def two_pass_cumsum(
     )
 
 
+def token_budget_cap(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "budget:",
+) -> DataFrame:
+    """Per-source token-budget enforcement — the mixture knob stated
+    the way training plans actually state it ("at most N tokens of
+    src7"), where ``domain_mixture``'s rate filter can only promise a
+    FRACTION: keep each source's greedy prefix of the deterministic
+    shuffle order until the budget is hit.
+
+    Deterministic and engine-invariant: the order key is the md5 fold
+    of the salted row key (the ``deterministic_shuffle`` recipe —
+    uniform, reproducible on any engine/partitioning/rerun), the
+    running token total is the DISTRIBUTED two-pass cumulative sum
+    (never a single-task per-source sort), and the keep test is the
+    integer ``cum_tokens ≤ budget``. Re-running with a bigger budget
+    yields a SUPERSET (prefix property) — exactly what incremental
+    data-mix scaling wants.
+
+    Output: kept rows ``(source, key, tokens, cum_tokens)``.
+    """
+    h = hash_bucket(key_col, 1 << 48, salt).alias("_h")
+    rows = df.select(
+        F.col(source_col),
+        F.col(key_col),
+        F.col(token_col).cast("bigint").alias("tokens"),
+        h,
+    )
+    run = two_pass_cumsum(
+        rows, [source_col], ["_h", key_col], "tokens", out_col="cum_tokens"
+    )
+    return (
+        run.filter(F.col("cum_tokens") <= budget_tokens)
+        .select(
+            source_col,
+            key_col,
+            "tokens",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
 def shard_manifest(
     df: DataFrame,
     docs_per_shard: int,

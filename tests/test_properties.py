@@ -1207,3 +1207,31 @@ def test_two_pass_cumsum_matches_single_window(spark, rows, op):
             for r in df.withColumn("c", fn("v").over(w)).collect()
         }
         assert got == want, (groups, op)
+
+
+@SETTINGS
+@given(budgets=st.tuples(st.integers(50, 400), st.integers(401, 2000)))
+def test_token_budget_cap_prefix_property(spark, budgets):
+    """A bigger budget must yield a SUPERSET of a smaller one (greedy
+    prefix of a fixed deterministic order), and every source's kept
+    token mass must stay within its budget."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.sampling import token_budget_cap
+
+    lo, hi = budgets
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.withColumn(
+        "_tok",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("bigint"),
+    )
+    small = {r.doc_id for r in token_budget_cap(toks, lo, "_tok").collect()}
+    big_rows = token_budget_cap(toks, hi, "_tok").collect()
+    big = {r.doc_id for r in big_rows}
+    assert small <= big
+    mass = {}
+    for r in big_rows:
+        mass[r.source] = mass.get(r.source, 0) + r.tokens
+    assert all(v <= hi for v in mass.values())
