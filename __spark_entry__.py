@@ -10255,56 +10255,11 @@ _CHECK_ORDER = [
     # latest CORRECTNESS file first, then never-checked queries,
     # then strict oldest-driver-row-first. The driver records the
     # first 50 entries each round.
-    "effective_sample_size",
-    "eta_squared",
-    "revenue_gini",
-    "rfm_segments",
-    "robust_scale",
-    "rolling_7d_users",
-    "series_gap_audit",
-    "shard_manifest",
-    "source_ngram_diversity",
-    "spearman_corr",
-    "split_leakage",
-    "sprt_ab",
-    "theil_sen_trend",
-    "token_fertility",
-    "tsz_compression_estimate",
-    "user_max_gap",
-    "watermark_lateness",
-    "weighted_median",
-    "zipf_slope",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_or_predicates",
-    "q1_pricing_summary",
-    "q20_qualified_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "quantile_bins",
-    "repetition_stats",
-    "rolling_fingerprint",
-    "salted_join_totals",
-    "sequence_packing",
-    "sessionize_batch",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "snapshot_diff",
-    "sparse_entity_counts",
-    "tfidf_top_terms",
-    "trailing_7d_value",
-    "train_val_test_split",
-    "user_value_ranks",
-    "v_estaciones",
-    "value_histogram",
-    "weighted_doc_sample",
-    "zscore_outliers",
+    "ann_index_probe",
+    "ann_ivfpq_probe",
+    "embedding_cluster_profile",
+    "token_budget_cap",
+    "weighted_quantiles",
     "ann_topk",
     "asof_last_click",
     "bm25_scores",
@@ -10499,13 +10454,56 @@ _CHECK_ORDER = [
     "rank_auc",
     "readability_scores",
     "rendezvous_shards",
-    # round-7 additions (driver rows next round; judge-reproducible via
-    # tools/driver_repro.py this round)
-    "ann_index_probe",
-    "ann_ivfpq_probe",
-    "weighted_quantiles",
-    "embedding_cluster_profile",
-    "token_budget_cap",
+    "effective_sample_size",
+    "eta_squared",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_or_predicates",
+    "q1_pricing_summary",
+    "q20_qualified_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "quantile_bins",
+    "repetition_stats",
+    "revenue_gini",
+    "rfm_segments",
+    "robust_scale",
+    "rolling_7d_users",
+    "rolling_fingerprint",
+    "salted_join_totals",
+    "sequence_packing",
+    "series_gap_audit",
+    "sessionize_batch",
+    "shard_manifest",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "snapshot_diff",
+    "source_ngram_diversity",
+    "sparse_entity_counts",
+    "spearman_corr",
+    "split_leakage",
+    "sprt_ab",
+    "tfidf_top_terms",
+    "theil_sen_trend",
+    "token_fertility",
+    "trailing_7d_value",
+    "train_val_test_split",
+    "tsz_compression_estimate",
+    "user_max_gap",
+    "user_value_ranks",
+    "v_estaciones",
+    "value_histogram",
+    "watermark_lateness",
+    "weighted_doc_sample",
+    "weighted_median",
+    "zipf_slope",
+    "zscore_outliers",
 ]
 
 
