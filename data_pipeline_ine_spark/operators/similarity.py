@@ -373,15 +373,26 @@ def kmeans_cluster_profile(
         df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
     )
     assigned = _assign_clusters(df.select(id_col, vec_col), centroids, vec_col)
+    # Look centroids up BY ID, not by list position: kmeans_fit keys clusters
+    # on seed ids, and a cluster that empties during a Lloyd iteration drops
+    # out of the returned list, so ids need not be contiguous 0..k-1. A
+    # positional element_at(cent_lit, cluster+1) would silently pair rows
+    # with the wrong centroid past any gap. The (id, vector) struct array is
+    # a plan literal; the lookup lands in sq_dist's zip_with INPUT position,
+    # so it evaluates once per row, never per element.
     cent_lit = F.array(
         *[
-            F.array(*[F.lit(float(x)) for x in cv])
-            for _, cv in sorted(centroids)
+            F.struct(
+                F.lit(int(cid)).alias("i"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("v"),
+            )
+            for cid, cv in sorted(centroids)
         ]
     )
-    d2 = sq_dist(
-        F.col(vec_col), F.element_at(cent_lit, F.col("cluster").cast("int") + 1)
-    )
+    cvec = F.element_at(
+        F.filter(cent_lit, lambda s: s["i"] == F.col("cluster")), 1
+    )["v"]
+    d2 = sq_dist(F.col(vec_col), cvec)
     snapped = F.floor(d2 * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
     return (
         assigned.select("cluster", snapped.alias("_d6"))

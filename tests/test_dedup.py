@@ -590,3 +590,53 @@ def test_lsh_recall_curve_monotone_in_bands(spark, sf_dir):
     assert recalls == sorted(recalls)
     assert all(r.hits <= min(r.n_true, r.n_candidates) for r in out)
     assert len({r.n_true for r in out}) == 1  # truth independent of bands
+
+
+def test_kmeans_cluster_profile_survives_emptied_cluster(spark):
+    """kmeans_fit keys clusters on seed vec_ids; a seed cluster that
+    empties during a Lloyd iteration drops out, leaving NON-contiguous
+    ids. The profile must look centroids up by id — a positional
+    element_at pairs rows with the wrong centroid (or NULLs past the
+    end), corrupting the reported inertia (ADVICE r7, medium). Seeds 0
+    and 1 are identical here, so every nearby point tie-breaks to
+    cluster 0 and cluster 1 empties after the first assignment."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        kmeans_cluster_profile,
+        kmeans_fit,
+        _assign_clusters,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),   # duplicate seed -> cluster 1 empties
+        (2, [10.0, 10.0]),
+        (3, [0.1, 0.0]),
+        (4, [0.0, 0.1]),
+        (5, [10.1, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, iters=2)
+    ids = [cid for cid, _ in cents]
+    assert 1 not in ids and ids != list(range(len(ids)))  # the gap is real
+
+    got = {
+        r.cluster: (r.n_vectors, r.inertia_e6)
+        for r in kmeans_cluster_profile(df, n_clusters=3, iters=2).collect()
+    }
+    assert set(got) == set(ids)
+    assert got[0][0] == 4 and got[2][0] == 2
+
+    # recompute inertia independently: assign with the SAME centroids,
+    # per-row sequential-fold sq dist, e6 snap, python sum
+    by_id = dict(cents)
+    expected = {cid: 0 for cid in by_id}
+    counts = {cid: 0 for cid in by_id}
+    for r in _assign_clusters(df, cents, "embedding").collect():
+        cv = by_id[r.cluster]
+        acc = 0.0
+        for x, y in zip(r.embedding, cv):
+            acc += (x - y) * (x - y)
+        import math
+        expected[r.cluster] += int(math.floor(acc * 1e6 + 0.5))
+        counts[r.cluster] += 1
+    assert {c: (counts[c], expected[c]) for c in expected} == got
