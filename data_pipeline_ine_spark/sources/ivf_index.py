@@ -117,11 +117,43 @@ def _commit_marker(path: str) -> None:
         f.write("ok\n")
 
 
+def recover_ivf_index(path: str) -> bool:
+    """Self-heal after a compaction crashed inside the swap window.
+
+    ``compact_ivf_index`` swaps with two ``os.replace`` calls, so there
+    is an instant where no index exists at ``path``: the live data sits
+    at ``path + '.old'`` and the fully-committed replacement at
+    ``path + '.compacting'``. If ``path`` is missing, restore it —
+    preferring the staged copy when its commit marker is present (the
+    compaction had finished writing; finishing the swap loses nothing),
+    falling back to the pre-compaction ``.old``. Returns True when a
+    recovery action was taken. No-op when the index is healthy."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        return False
+    stage = path.rstrip("/") + ".compacting"
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(os.path.join(stage, "_index_success")):
+        os.replace(stage, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+    if os.path.exists(old):
+        os.replace(old, path)
+        shutil.rmtree(stage, ignore_errors=True)
+        return True
+    return False
+
+
 def index_ready(path: str) -> bool:
     """True iff a write_ivf_index / write_ivfpq_index build at ``path``
-    ran to completion (marker committed after data + all sidecars)."""
+    ran to completion (marker committed after data + all sidecars).
+    Attempts crash recovery first (see ``recover_ivf_index``), so a
+    reader arriving after a mid-swap compaction crash self-heals."""
     import os
 
+    recover_ivf_index(path)
     return os.path.exists(os.path.join(path, "_index_success"))
 
 
@@ -239,6 +271,15 @@ def append_to_ivf_index(
     spark = df.sparkSession
     if part_col is None:
         cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}").collect()
+        # Tie-break on the NUMERIC bucket id, exactly like build-time
+        # _assign_clusters: the bucket string sorts 'b10' < 'b2', so a
+        # distance-tied vector would otherwise route to a different
+        # bucket on append than at build once n_clusters > 9. The id
+        # sits between d and b in the struct, so array_sort compares
+        # (d, numeric id) and b just rides along.
+        def _bnum(bucket: str) -> int:
+            return int(bucket[1:])
+
         pairs = F.array(
             *[
                 F.struct(
@@ -246,9 +287,10 @@ def append_to_ivf_index(
                         F.col(vec_col),
                         F.array(*[F.lit(float(x)) for x in r.centroid]),
                     ).alias("d"),
+                    F.lit(_bnum(r[BUCKET_COL])).alias("c"),
                     F.lit(r[BUCKET_COL]).alias("b"),
                 )
-                for r in sorted(cents, key=lambda r: r[BUCKET_COL])
+                for r in sorted(cents, key=lambda r: _bnum(r[BUCKET_COL]))
             ]
         )
         bucketed = df.withColumn(
@@ -287,13 +329,20 @@ def compact_ivf_index(
     Rewrite each bucket partition as ONE file (buckets are sized by
     the cluster-count knob — if a single file per bucket is too big,
     the bucket count is wrong, not the file count), preserving
-    sidecars and the commit marker, via stage-and-swap so a crash
-    mid-compaction leaves the live index untouched. Returns the data
-    file count after compaction.
+    sidecars and the commit marker, via stage-and-swap. Returns the
+    data file count after compaction.
 
-    Local-filesystem swap (os.replace), matching the repo's
+    Crash safety: the swap is TWO os.replace calls, so there is a
+    window after ``os.replace(path, old)`` and before
+    ``os.replace(stage, path)`` where no index exists at ``path`` —
+    the live data is at ``path + '.old'`` and the committed stage at
+    ``path + '.compacting'``. ``recover_ivf_index`` (run automatically
+    by ``index_ready``) restores ``path`` from either, so readers
+    self-heal; a crash never loses data, it only strands it one rename
+    away. Local-filesystem swap (os.replace), matching the repo's
     maintenance tier; on an object store the same stage dir would be
-    swapped by a manifest pointer instead.
+    swapped by a manifest pointer instead (single-pointer atomicity,
+    no window).
     """
     import glob
     import os

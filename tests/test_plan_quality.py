@@ -1092,3 +1092,100 @@ def test_compact_ivf_index_one_file_per_bucket_same_results(
     after = [tuple(r) for r in read_ivf_probe(spark, path, qvec, k=20,
                                               n_probe=4).collect()]
     assert after == before
+
+
+def test_ivf_append_tiebreak_numeric_bucket_order(spark, tmp_path):
+    """A distance-TIED append vector must route to the lowest NUMERIC
+    bucket id — build-time _assign_clusters' rule — not the lowest
+    bucket STRING ('b10' < 'b2'), which diverges once n_clusters > 9
+    (ADVICE r7). One vector per bucket makes each centroid the vector
+    itself; [1,0] is exactly equidistant (1.0, IEEE-exact) from
+    b2=[0,0] and b10=[2,0], and every other centroid is far away."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+
+    def vec(i: int) -> list[float]:
+        if i == 2:
+            return [0.0, 0.0]
+        if i == 10:
+            return [2.0, 0.0]
+        return [100.0 + i, 50.0]
+
+    base = spark.createDataFrame(
+        [(i, i, vec(i)) for i in range(11)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_tie")
+    write_ivf_index(base, path, part_col="label")
+    tied = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    append_to_ivf_index(tied, path)
+    got = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") == 100)
+        .select("bucket")
+        .head()[0]
+    )
+    assert got == "b2", f"tied vector routed to {got}, expected b2"
+
+
+def test_index_ready_recovers_from_crashed_compaction(
+    spark, sf_dir, tmp_path
+):
+    """Crash-window recovery: between compact_ivf_index's two
+    os.replace calls there is no index at ``path`` at all — the live
+    data sits at path+'.old' (and the committed stage, if finished, at
+    path+'.compacting'). index_ready must self-heal from either side
+    of the window and probes must return the pre-crash results."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        index_ready,
+        read_ivf_probe,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    qvec = emb.select("embedding").head()[0]
+    path = str(tmp_path / "ivf_crash")
+    write_ivf_index(emb, path, part_col=None, n_clusters=4, iters=1)
+    expected = [
+        tuple(r)
+        for r in read_ivf_probe(spark, path, qvec, k=10, n_probe=2).collect()
+    ]
+
+    # crash AFTER os.replace(path, old), BEFORE the stage swap, stage
+    # fully committed: recovery must finish the swap from the stage
+    shutil.copytree(path, path + ".compacting")
+    os.replace(path, path + ".old")
+    assert index_ready(path)  # self-heals
+    assert not os.path.exists(path + ".old")
+    got = [
+        tuple(r)
+        for r in read_ivf_probe(spark, path, qvec, k=10, n_probe=2).collect()
+    ]
+    assert got == expected
+
+    # crash with an UNCOMMITTED stage (no marker): fall back to .old
+    stage = path + ".compacting"
+    shutil.copytree(path, stage)
+    os.remove(os.path.join(stage, "_index_success"))
+    os.replace(path, path + ".old")
+    assert index_ready(path)
+    assert not os.path.exists(stage)
+    got = [
+        tuple(r)
+        for r in read_ivf_probe(spark, path, qvec, k=10, n_probe=2).collect()
+    ]
+    assert got == expected
