@@ -478,7 +478,13 @@ def two_pass_cumsum(
         # prefix, _off NULL) falls back to the local running max
         F.greatest(F.col("_off"), F.col("_lc"))
         if op == "max"
-        else F.coalesce(F.col("_off"), F.lit(0)) + F.col("_lc")
+        # window SUM skips NULLs and is NULL only when the WHOLE prefix
+        # is NULL: _off+_lc when both sides exist, else whichever side
+        # does (a row whose local prefix is all-NULL must still see the
+        # prior partitions' sum), else NULL
+        else F.coalesce(
+            F.col("_off") + F.col("_lc"), F.col("_off"), F.col("_lc")
+        )
     )
     return (
         ranged.withColumn("_lc", agg_fn(value_col).over(local))

@@ -1167,7 +1167,7 @@ def test_bootstrap_ci_selects_order_statistics(spark, vals):
         st.tuples(
             st.integers(0, 2),      # group
             st.integers(-50, 50),   # order key
-            st.integers(-9, 9),     # value
+            st.one_of(st.none(), st.integers(-9, 9)),  # value (or NULL)
         ),
         min_size=1,
         max_size=30,
@@ -1178,8 +1178,11 @@ def test_two_pass_cumsum_matches_single_window(spark, rows, op):
     """two_pass_cumsum (any partition count, grouped or global, sum or
     max) must be row-identical to the textbook single running window
     over the same total order — including split groups, duplicate
-    order keys (co-located by range partitioning), and negative
-    values."""
+    order keys (co-located by range partitioning), negative values,
+    and NULL measures (window SUM/MAX skip NULLs and are NULL only
+    when the whole prefix is NULL — ADVICE r7: a row whose local
+    range-partition prefix was all-NULL used to lose the prior
+    partitions' running sum)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
