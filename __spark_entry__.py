@@ -2297,13 +2297,45 @@ LIMIT 10
 _IVF_LAYOUT_V = "v1"
 
 
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a source parquet table for cache keying:
+    md5 over every data file's (relative path, size, mtime) — zero
+    Spark jobs, and REGENERATED testdata at the same path changes it,
+    so a cached index built from old data can never serve a probe
+    against new data (ADVICE r7: sf_dir basename alone was stale-prone).
+    """
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(dirpath, f))
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    digest = hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()
+    return digest[:12]
+
+
 def _ivf_index_ready(path: str, *sidecars: str) -> bool:
     # the build-complete marker commits LAST (after data + sidecars) —
     # a root _SUCCESS is absent under dynamic partition-overwrite
-    # sessions, so it cannot be the readiness signal
+    # sessions, so it cannot be the readiness signal; the sidecar
+    # checks are belt-and-braces against a manually mutilated cache
+    import os
+
     from data_pipeline_ine_spark.sources.ivf_index import index_ready
 
-    return index_ready(path)
+    return index_ready(path) and all(
+        os.path.exists(os.path.join(path, s)) for s in sidecars
+    )
 
 
 def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2327,7 +2359,8 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     path = os.path.join(
         "/tmp", f"spark_graft_ivf_index_{_IVF_LAYOUT_V}",
-        os.path.basename(sf_dir.rstrip("/")),
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
     )
     if not _ivf_index_ready(path, "_centroids"):
         write_ivf_index(emb, path, part_col="label")
@@ -2353,7 +2386,8 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.orderBy(F.desc("vec_id")).select("embedding").head()
     path = os.path.join(
         "/tmp", f"spark_graft_ivfpq_index_{_IVF_LAYOUT_V}",
-        os.path.basename(sf_dir.rstrip("/")),
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
     )
     if not _ivf_index_ready(path, "_centroids", "_codebook"):
         write_ivfpq_index(emb, path, part_col="label")
