@@ -15,11 +15,12 @@ connector needs, demonstrated on a deterministic synthetic feed:
   prune partitions at PLAN time — unselected datasets are never
   generated/fetched (the custom-source equivalent of partition pruning;
   remaining filters are returned to Spark for post-evaluation).
-- **Arrow-friendly row generation** (``read``): rows are yielded
-  per-partition on executors; a real connector would stream HTTP/SFTP
-  bytes here. Generation is a pure hash function of (dataset, row index)
-  — deterministic across runs, retries, and engines, so tests can
-  assert exact contents.
+- **Arrow-batched generation** (``read``): each partition yields
+  ``pyarrow.RecordBatch`` chunks — Spark 4 ingests them without per-row
+  pickling, the production batch path (a real connector would decode
+  HTTP/SFTP bytes into columnar chunks here). Generation is a pure hash
+  function of (dataset, row index) — deterministic across runs, retries,
+  and engines, so tests can assert exact contents.
 
 Usage::
 
@@ -80,16 +81,45 @@ class IneObservationsReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         return [_DatasetPartition(d, self._rows) for d in self._datasets]
 
-    def read(self, partition: _DatasetPartition) -> Iterator[tuple]:
+    # chunk size for Arrow batches: bounds executor memory per yield while
+    # keeping the per-batch fixed costs amortized over ~10k rows
+    ARROW_BATCH_ROWS = 10_000
+
+    def read(self, partition: _DatasetPartition):
         # Deterministic synthetic observations: md5-derived fields keyed by
         # (dataset, i) — stable across runs/retries, reproducible anywhere.
+        # Yields pyarrow.RecordBatch chunks, NOT per-row tuples: Spark 4's
+        # DataSource API takes Arrow batches natively, skipping per-row
+        # pickling/conversion entirely — the production batch path a real
+        # connector would use (decode bytes -> columnar chunk -> yield).
+        import pyarrow as pa
+
         d = partition.dataset
-        for i in range(partition.n_rows):
-            h = hashlib.md5(f"{d}:{i}".encode()).hexdigest()
-            period = 202401 + int(h[:2], 16) % 12
-            station = f"ST{int(h[2:6], 16) % 97:03d}"
-            value = round(int(h[6:12], 16) % 10_000 / 100.0, 2)
-            yield (d, period, station, value)
+        schema = pa.schema(
+            [
+                ("dataset", pa.string()),
+                ("period_code", pa.int32()),
+                ("station_code", pa.string()),
+                ("value", pa.float64()),
+            ]
+        )
+        for lo in range(0, partition.n_rows, self.ARROW_BATCH_ROWS):
+            hi = min(lo + self.ARROW_BATCH_ROWS, partition.n_rows)
+            periods, stations, values = [], [], []
+            for i in range(lo, hi):
+                h = hashlib.md5(f"{d}:{i}".encode()).hexdigest()
+                periods.append(202401 + int(h[:2], 16) % 12)
+                stations.append(f"ST{int(h[2:6], 16) % 97:03d}")
+                values.append(round(int(h[6:12], 16) % 10_000 / 100.0, 2))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([d] * (hi - lo), pa.string()),
+                    pa.array(periods, pa.int32()),
+                    pa.array(stations, pa.string()),
+                    pa.array(values, pa.float64()),
+                ],
+                schema=schema,
+            )
 
 
 class IneObservationsDataSource(DataSource):
@@ -119,6 +149,11 @@ def register_ine_source(spark) -> None:
     """
     import sys
 
+    # registration is a py4j round-trip shipping the pickled-by-value
+    # module (~1.5 s); idempotent, so do it once per session
+    registered = getattr(spark, "_ine_source_registered", False)
+    if registered:
+        return
     try:
         from pyspark import cloudpickle
     except ImportError:  # vendored location varies across minor versions
@@ -127,12 +162,22 @@ def register_ine_source(spark) -> None:
     # runtime-settable; required or Spark refuses a reader with pushFilters
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(IneObservationsDataSource)
+    spark._ine_source_registered = True
 
 
 def expected_rows(dataset: str, n_rows: int) -> list[tuple]:
-    """Driver-side reference generator for tests — same hash derivation."""
-    reader = IneObservationsReader({"datasets": dataset, "rows_per_dataset": str(n_rows)})
-    return list(reader.read(_DatasetPartition(dataset, n_rows)))
+    """Driver-side reference generator for tests — same hash derivation,
+    unpacked from the Arrow batches the reader yields."""
+    reader = IneObservationsReader(
+        {"datasets": dataset, "rows_per_dataset": str(n_rows)}
+    )
+    out: list[tuple] = []
+    for batch in reader.read(_DatasetPartition(dataset, n_rows)):
+        out.extend(
+            tuple(col[i] for col in batch.to_pydict().values())
+            for i in range(batch.num_rows)
+        )
+    return out
 
 
 class IneObservationsStreamReader(SimpleDataSourceStreamReader):

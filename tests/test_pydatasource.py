@@ -205,3 +205,28 @@ def test_pyds_stream_restart_resumes_from_checkpoint(spark, tmp_path):
         f"({len(set(rows))} distinct)"
     )
     assert sorted(rows) == sorted(expected_rows("temperatura", 40))
+
+
+def test_pyds_read_yields_arrow_batches():
+    """The batch read path must yield pyarrow.RecordBatch chunks (the
+    Spark-4 zero-per-row-pickling path), chunked at ARROW_BATCH_ROWS,
+    with the declared schema's exact Arrow types."""
+    import pyarrow as pa
+
+    from data_pipeline_ine_spark.sources.pydatasource import (
+        IneObservationsReader,
+        _DatasetPartition,
+    )
+
+    reader = IneObservationsReader(
+        {"datasets": "temperatura", "rows_per_dataset": "25000"}
+    )
+    batches = list(reader.read(_DatasetPartition("temperatura", 25_000)))
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert [b.num_rows for b in batches] == [10_000, 10_000, 5_000]
+    assert batches[0].schema.names == [
+        "dataset", "period_code", "station_code", "value",
+    ]
+    assert batches[0].schema.types == [
+        pa.string(), pa.int32(), pa.string(), pa.float64(),
+    ]
