@@ -4237,6 +4237,56 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_knn_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped batched kNN: the block key is a
+    deterministically TRAINED k-means IVF assignment
+    (knn_join_blocked(ivf_clusters=8) — kmeans_fit + the narrow
+    _assign_clusters map), so block sizes are ~n/8 by construction and
+    the pair explosion Σ block² is bounded by the cluster-count knob
+    instead of whatever cardinality a label column happens to have.
+    Same single block-keyed equi-join shuffle as knn_within_label;
+    recall vs the exact join is measured in
+    tests/test_dedup.py::test_knn_ivf_block_recall_and_pair_bound."""
+    from data_pipeline_ine_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_blocked(emb, k=3, ivf_clusters=8).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+# the same unrolled two-iteration Lloyd chain as ORACLE_ANN_KMEANS,
+# consumed as a BLOCK KEY: within-cluster top-3 cosine neighbors
+ORACLE_KNN_IVF_BLOCKED = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),
+a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
+m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
+m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+asg AS (
+  SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM a3 WHERE rn = 1
+), p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.cid AS block,
+    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, block, cosine_sim, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 validity intervals from the events change log: per user,
     consecutive equal event_type runs collapse to [valid_from, valid_to)
@@ -10538,6 +10588,9 @@ _CHECK_ORDER = [
     "weighted_median",
     "zipf_slope",
     "zscore_outliers",
+    # --- added round 8 (new queries go at the END: the prescribed
+    # 50-slot driver window stays intact) ---
+    "knn_ivf_blocked",
 ]
 
 
@@ -10664,6 +10717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": q_fuzzy_part_names,
         "unigram_logloss": q_unigram_logloss,
         "containment_pairs": q_containment_pairs,
+        "knn_ivf_blocked": q_knn_ivf_blocked,
         "knn_within_label": q_knn_within_label,
         "scd2_intervals": q_scd2_intervals,
         "funnel_conversion": q_funnel_conversion,
@@ -10918,6 +10972,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_part_names": ORACLE_FUZZY,
         "unigram_logloss": ORACLE_UNIGRAM,
         "containment_pairs": ORACLE_CONTAINMENT,
+        "knn_ivf_blocked": ORACLE_KNN_IVF_BLOCKED,
         "knn_within_label": ORACLE_KNN_WITHIN_LABEL,
         "scd2_intervals": ORACLE_SCD2,
         "funnel_conversion": ORACLE_FUNNEL,

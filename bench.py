@@ -70,6 +70,24 @@ HEADLINE = [
     "quality_scores",
 ]
 
+# Full-sweep heavy tier: the most expensive sweep queries (BENCH_FULL
+# top-10) — exactly where a real regression hides inside n=1 noise.
+# Medianed n=3 like the headline, spreads recorded alongside, but NOT
+# part of the headline total (they aren't round-over-round anchors).
+HEAVY = [
+    "pyds_observations",
+    "pq_recall_curve",
+    "video_frame_stats",
+    "knn_hubness",
+    "video_signature",
+    "knn_within_label",
+    "knn_ivf_blocked",
+    "ppjoin_exact",
+    "pq_topk",
+    "recursive_bfs_sql",
+    "k_core",
+]
+
 
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -118,12 +136,14 @@ def main() -> None:
 
     all_timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    # headline first (stable order for round-over-round), n=3
-    # take-median per query — a single run cannot distinguish a real
-    # regression from machine noise (r6's apparent 30% swings were
-    # noise); the [min, max] spread ships in the all_queries line so
-    # bench_compare can tell drift from jitter. Full sweep stays n=1.
-    for name in names:
+    # headline first (stable order for round-over-round), then the
+    # heavy full-sweep tier — both n=3 take-median per query: a single
+    # run cannot distinguish a real regression from machine noise
+    # (r6's apparent 30% swings were noise); the [min, max] spreads
+    # ship in the all_queries line so bench_compare can tell drift
+    # from jitter. The rest of the sweep stays n=1.
+    heavy = [n for n in HEAVY if n in queries and n not in names]
+    for name in names + heavy:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -132,7 +152,7 @@ def main() -> None:
         runs.sort()
         all_timings[name] = round(runs[1], 2)
         spread[name] = [round(runs[0], 2), round(runs[2], 2)]
-    for name in sorted(set(queries) - set(names)):
+    for name in sorted(set(queries) - set(names) - set(heavy)):
         t0 = time.perf_counter()
         run(queries[name](spark, sf_dir))
         all_timings[name] = round(time.perf_counter() - t0, 2)

@@ -492,6 +492,30 @@ def test_knn_join_is_equi_join_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_knn_ivf_blocked_contract_plan_and_pair_bound(spark, sf_dir):
+    """The benched knn_ivf_blocked contract query must run the 100 TB
+    plan: an equi-join on the trained IVF cluster key (no cartesian /
+    nested loop), with Σ block·(block−1) bounded by the n/8 cluster
+    sizing — the pair-volume guarantee a label block can't give."""
+    from pyspark.sql import functions as F
+
+    df = contract.queries()["knn_ivf_blocked"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "block" in plan  # joined on the cluster block key
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    sizes = [
+        r.n
+        for r in df.groupBy("block")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    ]
+    assert sum(s * (s - 1) for s in sizes) < (n * n) // 4
+
+
 def test_scd2_windows_share_one_shuffle(spark, sf_dir):
     """Both SCD2 windows partition by user_id with the same ordering, so
     the plan needs exactly one user_id Exchange."""
