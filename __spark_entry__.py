@@ -2394,6 +2394,101 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ivfpq_probe(spark, path, qrow[0], k=10, n_probe=2)
 
 
+def q_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index freshness for the frozen-centroid append lifecycle
+    (sources/ivf_index.py::ivf_drift_report): build the IVF index from
+    the first half of the corpus (vec_id < max/2, label buckets),
+    append the second half against the FROZEN centroids, then report
+    per bucket the e6-snapped mean squared distance of each cohort to
+    its frozen centroid plus the integer cross-multiplied retrain flag
+    (new mean > 1.5x base mean). This is the number that tells an
+    operator at 100 TB that the coarse quantizer has drifted and the
+    periodic rebuild is due."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        ivf_drift_report,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).first()[0] // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivf_drift_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    # "_drift_ok" commits AFTER the append: the build's own marker
+    # lands between write and append, so it alone would let a crash
+    # leave a cached base-only index behind
+    if not _ivf_index_ready(path, "_centroids", "_drift_ok"):
+        write_ivf_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        with open(os.path.join(path, "_drift_ok"), "w") as f:
+            f.write("ok\n")
+    return ivf_drift_report(spark, path, F.col("vec_id") >= cut)
+
+
+# the oracle re-derives the whole lifecycle: frozen centroids = per-label
+# means of the BASE cohort; appended rows route to the nearest frozen
+# centroid (numeric-label tiebreak = append_to_ivf_index's rule); both
+# cohorts' squared distances to the 6dp-ROUNDED centroid are e6-snapped
+# and DECIMAL-accumulated
+ORACLE_IVF_DRIFT = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
+base AS (SELECT vec_id, label, v FROM e, cut WHERE vec_id < c),
+newr AS (SELECT vec_id, v FROM e, cut WHERE vec_id >= c),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS cm
+  FROM base, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, 'b' || CAST(label AS VARCHAR) AS bucket,
+                list(cm ORDER BY d) AS cv
+         FROM dims GROUP BY label),
+asgn AS (
+  SELECT n.vec_id, n.v, c.bucket, ROW_NUMBER() OVER (
+    PARTITION BY n.vec_id
+    ORDER BY {_sql_sq_dist('n.v', 'c.cv')}, c.label) AS rn
+  FROM newr n, cent c
+),
+rows_all AS (
+  SELECT b.v, 'b' || CAST(b.label AS VARCHAR) AS bucket, 0 AS isnew
+  FROM base b
+  UNION ALL
+  SELECT a.v, a.bucket, 1 AS isnew FROM asgn a WHERE rn = 1
+),
+rc AS (SELECT bucket, list_transform(cv, x -> round(x, 6)) AS rcv FROM cent),
+snap AS (
+  SELECT r.bucket, r.isnew,
+    CAST(floor({_sql_sq_dist('r.v', 'rc.rcv')} * 1e6 + 0.5)
+         AS DECIMAL(38,0)) AS d6
+  FROM rows_all r JOIN rc USING (bucket)
+),
+prof AS (
+  SELECT bucket,
+    CAST(SUM(CASE WHEN isnew = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+    CAST(SUM(CASE WHEN isnew = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+    CAST(SUM(CASE WHEN isnew = 0 THEN d6 END) AS BIGINT) AS ib,
+    CAST(SUM(CASE WHEN isnew = 1 THEN d6 END) AS BIGINT) AS inw
+  FROM snap GROUP BY bucket
+)
+SELECT bucket, n_base, n_new,
+  CAST(ib // n_base AS BIGINT) AS mean_e6_base,
+  CAST(inw // n_new AS BIGINT) AS mean_e6_new,
+  CAST(CASE WHEN n_new > 0 AND inw * 2 * n_base > ib * 3 * n_new
+       THEN 1 ELSE 0 END AS INT) AS retrain
+FROM prof ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H wide coverage — the remaining query shapes, adapted to the testdata
 # schema (no partsupp / commitdate / receiptdate / container columns exist, so
@@ -10591,6 +10686,7 @@ _CHECK_ORDER = [
     # --- added round 8 (new queries go at the END: the prescribed
     # 50-slot driver window stays intact) ---
     "knn_ivf_blocked",
+    "ivf_drift_report",
 ]
 
 
@@ -10717,6 +10813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": q_fuzzy_part_names,
         "unigram_logloss": q_unigram_logloss,
         "containment_pairs": q_containment_pairs,
+        "ivf_drift_report": q_ivf_drift_report,
         "knn_ivf_blocked": q_knn_ivf_blocked,
         "knn_within_label": q_knn_within_label,
         "scd2_intervals": q_scd2_intervals,
@@ -10972,6 +11069,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_part_names": ORACLE_FUZZY,
         "unigram_logloss": ORACLE_UNIGRAM,
         "containment_pairs": ORACLE_CONTAINMENT,
+        "ivf_drift_report": ORACLE_IVF_DRIFT,
         "knn_ivf_blocked": ORACLE_KNN_IVF_BLOCKED,
         "knn_within_label": ORACLE_KNN_WITHIN_LABEL,
         "scd2_intervals": ORACLE_SCD2,

@@ -372,6 +372,95 @@ def compact_ivf_index(
     return len(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
 
 
+def ivf_drift_report(
+    spark: SparkSession,
+    path: str,
+    new_pred,
+    thresh_num: int = 3,
+    thresh_den: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-freshness surface for the frozen-centroid append lifecycle:
+    per bucket, how far the APPENDED cohort sits from its assigned
+    frozen centroid versus the build-time cohort — the number that
+    tells an operator the coarse quantizer has gone stale and the
+    periodic full rebuild is due (``append_to_ivf_index`` freezes
+    centroids by design; drift accumulates silently otherwise).
+
+    ``new_pred`` is a boolean Column classifying appended rows (e.g.
+    ``F.col("vec_id") >= cutover`` — at scale, an ingest-date column).
+    Output one row per bucket: ``(bucket, n_base, n_new, mean_e6_base,
+    mean_e6_new, retrain)`` where the means are e6-snapped mean squared
+    distances to the frozen centroid (rounded to 6dp inside the plan —
+    drift tolerances need no more) and ``retrain = 1`` iff the new
+    cohort's mean exceeds ``thresh_num/thresh_den`` times the base
+    cohort's (integer cross-multiply — no float division to disagree
+    across engines). Plain-IVF indexes only (raw vectors stored);
+    an IVF-PQ index would compare decoded codes instead.
+
+    Engine-exact: squared distances are the sequential fold, snapped
+    with FLOOR(d*1e6 + 0.5) and accumulated in DECIMAL(38,0) —
+    partition-order invariant. Scale shape: the centroid sidecar is a
+    plan literal (O(buckets*dim)); the report is ONE narrow map over
+    the index plus ONE bucket-keyed map-side-combinable aggregate.
+    """
+    from data_pipeline_ine_spark.operators.similarity import sq_dist
+
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}").collect()
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r[BUCKET_COL]).alias("b"),
+                F.array(
+                    *[F.round(F.lit(float(x)), 6) for x in r.centroid]
+                ).alias("v"),
+            )
+            for r in sorted(cents, key=lambda r: int(r[BUCKET_COL][1:]))
+        ]
+    )
+    df = spark.read.parquet(path)
+    cvec = F.element_at(
+        F.filter(cent_lit, lambda s: s["b"] == F.col(BUCKET_COL)), 1
+    )["v"]
+    snapped = F.floor(sq_dist(F.col(vec_col), cvec) * 1e6 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    prof = (
+        df.select(BUCKET_COL, new_pred.alias("_new"), snapped.alias("_d6"))
+        .groupBy(BUCKET_COL)
+        .agg(
+            F.sum(F.when(~F.col("_new"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_base"),
+            F.sum(F.when(F.col("_new"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(~F.col("_new"), F.col("_d6")))
+            .cast("bigint")
+            .alias("_ib"),
+            F.sum(F.when(F.col("_new"), F.col("_d6")))
+            .cast("bigint")
+            .alias("_in"),
+        )
+    )
+    retrain = F.when(
+        (F.col("n_new") > 0)
+        & (
+            F.col("_in") * F.lit(thresh_den) * F.col("n_base")
+            > F.col("_ib") * F.lit(thresh_num) * F.col("n_new")
+        ),
+        1,
+    ).otherwise(0)
+    return prof.select(
+        F.col(BUCKET_COL),
+        "n_base",
+        "n_new",
+        F.expr("_ib div n_base").cast("bigint").alias("mean_e6_base"),
+        F.expr("_in div n_new").cast("bigint").alias("mean_e6_new"),
+        retrain.cast("int").alias("retrain"),
+    ).orderBy(BUCKET_COL)
+
+
 def read_ivfpq_probe(
     spark: SparkSession,
     path: str,

@@ -1213,3 +1213,52 @@ def test_index_ready_recovers_from_crashed_compaction(
         for r in read_ivf_probe(spark, path, qvec, k=10, n_probe=2).collect()
     ]
     assert got == expected
+
+
+def test_ivf_drift_report_flags_drifted_buckets(spark, tmp_path):
+    """The append -> drift -> retrain path: a bucket whose appended
+    vectors sit far from its frozen centroid must flag retrain=1; a
+    bucket whose appends match the build-time distribution must not.
+    Counts reconcile per cohort and means are e6-exact."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        ivf_drift_report,
+        write_ivf_index,
+    )
+
+    # two tight buckets around (0,0) and (100,100); base ids < 1000
+    base = spark.createDataFrame(
+        [(i, 0, [float(i % 3), 0.0]) for i in range(6)]
+        + [(10 + i, 1, [100.0 + i % 3, 100.0]) for i in range(6)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    path = str(tmp_path / "drift_idx")
+    write_ivf_index(base, path, part_col="label")
+    # appends: bucket 0 gets in-distribution rows; bucket 1 gets rows
+    # 30 units off its centroid (still nearest to it, but drifted)
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(i % 3), 0.0]) for i in range(4)]
+        + [(2000 + i, [130.0 + i % 3, 100.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(extra, path)
+
+    rows = {
+        r.bucket: r
+        for r in ivf_drift_report(
+            spark, path, F.col("vec_id") >= 1000
+        ).collect()
+    }
+    assert rows["b0"].n_base == 6 and rows["b0"].n_new == 4
+    assert rows["b1"].n_base == 6 and rows["b1"].n_new == 4
+    assert rows["b0"].retrain == 0
+    assert rows["b1"].retrain == 1
+    # drifted cohort's mean distance really is ~30^2 * 1e6 scale
+    assert rows["b1"].mean_e6_new > 25 * rows["b1"].mean_e6_base
+
+    # no appends at all: n_new = 0 everywhere, NULL new-means, no flags
+    clean = ivf_drift_report(spark, path, F.col("vec_id") >= 10**9)
+    for r in clean.collect():
+        assert r.n_new == 0 and r.mean_e6_new is None and r.retrain == 0
