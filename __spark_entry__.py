@@ -3205,6 +3205,92 @@ FROM run WHERE cum_tokens <= 800
 )
 
 
+def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-ASSEMBLY stage a training run actually executes,
+    composed end-to-end in one lazy plan: per-source token-budget cap
+    (greedy prefix of the deterministic shuffle order over the
+    two-pass running total) → per-domain mixture sampling (map-side
+    hash filter, zero shuffle) → greedy sequence packing (ONE
+    (source, shard)-keyed window shuffle) → the per-(source, shard)
+    manifest a dataloader plans epochs from. Same one-shuffle-per-
+    stage discipline as curation_pipeline: the final aggregate reuses
+    the packing window's (source, shard) partitioning."""
+    from data_pipeline_ine_spark.operators.packing import pack_sequences
+    from data_pipeline_ine_spark.operators.sampling import (
+        token_budget_cap,
+        weighted_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "_tok",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("bigint"),
+    )
+    capped = token_budget_cap(toks, 800, "_tok")
+    mixed = weighted_mixture(
+        capped, _MIX_RATES, default_rate=_MIX_DEFAULT, buckets=_MIX_BUCKETS
+    )
+    packed = pack_sequences(
+        mixed, F.col("tokens"), budget=256, n_shards=4
+    )
+    return (
+        packed.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+            F.sum("tokens").cast("bigint").alias("tokens_sum"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
+ORACLE_MIXTURE_PIPELINE = (
+    """
+WITH toks AS (
+  SELECT source, doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      AS tokens,
+    """
+    + _HEX12.format(h="md5('budget:' || CAST(doc_id AS VARCHAR))")
+    + """ AS h
+  FROM documents
+), run AS (
+  SELECT source, doc_id, tokens,
+    SUM(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+), capped AS (
+  SELECT source, doc_id, tokens FROM run WHERE cum_tokens <= 800
+), mixed AS (
+  SELECT * FROM capped
+  WHERE ("""
+    + _HEX12.format(h="md5('mix:' || CAST(doc_id AS VARCHAR))")
+    + """ % 10000) <
+    CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+                WHEN 'src2' THEN 6500 ELSE 8000 END
+), sharded AS (
+  SELECT source, doc_id, tokens,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 4 AS INTEGER) AS shard
+  FROM mixed
+), packed AS (
+  SELECT source, shard, tokens,
+    CAST(FLOOR((SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - 1) / 256.0)
+         AS BIGINT) AS pack_id
+  FROM sharded
+)
+SELECT source, shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+  CAST(SUM(tokens) AS BIGINT) AS tokens_sum
+FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-3-per-source deterministic sample via the two-level hash
     tournament (shard ranks first, then per-stratum ranks over ≤ shards·k
@@ -10687,6 +10773,7 @@ _CHECK_ORDER = [
     # 50-slot driver window stays intact) ---
     "knn_ivf_blocked",
     "ivf_drift_report",
+    "mixture_pipeline",
 ]
 
 
@@ -10814,6 +10901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logloss": q_unigram_logloss,
         "containment_pairs": q_containment_pairs,
         "ivf_drift_report": q_ivf_drift_report,
+        "mixture_pipeline": q_mixture_pipeline,
         "knn_ivf_blocked": q_knn_ivf_blocked,
         "knn_within_label": q_knn_within_label,
         "scd2_intervals": q_scd2_intervals,
@@ -11070,6 +11158,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logloss": ORACLE_UNIGRAM,
         "containment_pairs": ORACLE_CONTAINMENT,
         "ivf_drift_report": ORACLE_IVF_DRIFT,
+        "mixture_pipeline": ORACLE_MIXTURE_PIPELINE,
         "knn_ivf_blocked": ORACLE_KNN_IVF_BLOCKED,
         "knn_within_label": ORACLE_KNN_WITHIN_LABEL,
         "scd2_intervals": ORACLE_SCD2,

@@ -1262,3 +1262,22 @@ def test_ivf_drift_report_flags_drifted_buckets(spark, tmp_path):
     clean = ivf_drift_report(spark, path, F.col("vec_id") >= 10**9)
     for r in clean.collect():
         assert r.n_new == 0 and r.mean_e6_new is None and r.retrain == 0
+
+
+def test_mixture_pipeline_one_shuffle_per_stage(spark, sf_dir):
+    """The composed corpus-assembly stage (cap -> mix -> pack ->
+    manifest) must keep curation_pipeline's discipline: the mixture
+    filter is map-side (no exchange of its own), the packing window
+    shuffles ONCE on (source, shard), and the manifest aggregate reuses
+    that same partitioning — no cartesian, no extra corpus shuffle."""
+    df = contract.queries()["mixture_pipeline"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    # exactly one (source, shard) exchange feeds BOTH the packing
+    # window and the stacked manifest aggregates; the other source-keyed
+    # exchanges are the cap's two-pass branches — one corpus-scale
+    # (source,_pid) plus the |sources|x|partitions|-row offsets frame
+    assert plan.count("Exchange hashpartitioning(source") <= 4, plan
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(source#\d+, shard", plan)) == 1, plan
