@@ -3205,6 +3205,68 @@ FROM run WHERE cum_tokens <= 800
 )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture (operators/sampling.py::
+    temperature_mixture): per-source keep rates DERIVED from measured
+    token masses as (m_min/m_i)^(1-alpha) with alpha=0.5 — the
+    multilingual alpha-sampling knob. Engine-exact: integer masses ->
+    one correctly-rounded divide -> correctly-rounded sqrt -> floor to
+    bucket units, so both engines apply the identical thresholds.
+    Reported per source: the applied rate (bucket units), kept docs,
+    kept token mass."""
+    from data_pipeline_ine_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "_tok",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("bigint"),
+    )
+    kept = temperature_mixture(toks, "_tok", alpha=0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.min("rate_bp").cast("bigint").alias("rate_bp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("_tok").cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEMPERATURE_MIXTURE = (
+    """
+WITH toks AS (
+  SELECT source, doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      AS tokens
+  FROM documents
+), mass AS (
+  SELECT source, SUM(tokens) AS m FROM toks GROUP BY 1
+), mn AS (SELECT MIN(m) AS m_min FROM mass),
+thr AS (
+  SELECT source,
+    CAST(FLOOR(sqrt(CAST(m_min AS DOUBLE) / CAST(m AS DOUBLE)) * 10000)
+         AS BIGINT) AS rate_bp
+  FROM mass, mn
+), kept AS (
+  SELECT t.source, t.tokens, r.rate_bp
+  FROM toks t JOIN thr r USING (source)
+  WHERE ("""
+    + _HEX12.format(h="md5('temp:' || CAST(doc_id AS VARCHAR))")
+    + """ % 10000) < r.rate_bp
+)
+SELECT source, CAST(MIN(rate_bp) AS BIGINT) AS rate_bp,
+  CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(SUM(tokens) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-ASSEMBLY stage a training run actually executes,
     composed end-to-end in one lazy plan: per-source token-budget cap
@@ -10774,6 +10836,7 @@ _CHECK_ORDER = [
     "knn_ivf_blocked",
     "ivf_drift_report",
     "mixture_pipeline",
+    "temperature_mixture",
 ]
 
 
@@ -10902,6 +10965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "ivf_drift_report": q_ivf_drift_report,
         "mixture_pipeline": q_mixture_pipeline,
+        "temperature_mixture": q_temperature_mixture,
         "knn_ivf_blocked": q_knn_ivf_blocked,
         "knn_within_label": q_knn_within_label,
         "scd2_intervals": q_scd2_intervals,
@@ -11159,6 +11223,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": ORACLE_CONTAINMENT,
         "ivf_drift_report": ORACLE_IVF_DRIFT,
         "mixture_pipeline": ORACLE_MIXTURE_PIPELINE,
+        "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "knn_ivf_blocked": ORACLE_KNN_IVF_BLOCKED,
         "knn_within_label": ORACLE_KNN_WITHIN_LABEL,
         "scd2_intervals": ORACLE_SCD2,

@@ -75,6 +75,63 @@ def weighted_mixture(
     return df.filter(hash_bucket(key_col, buckets, salt) < threshold)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    token_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "temp:",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the α-sampling knob
+    multilingual/multi-domain training mixes actually use (sampling
+    mass ∝ m_i^α): each source keeps rate ``(m_min / m_i)^(1-α)`` of
+    its rows, so the smallest source keeps 100% and bigger sources are
+    downweighted toward uniform as α → 0 (α = 1 keeps everything —
+    proportional sampling). Unlike ``weighted_mixture`` the rates are
+    DERIVED from the measured per-source token masses, not configured.
+
+    Engine-exact at α = 0.5: the rate is ``sqrt(m_min / m_i)`` — an
+    exact-integer division to double followed by a correctly-rounded
+    IEEE sqrt, so every engine computes the identical threshold
+    ``floor(rate · buckets)``. Other α go through ``pow`` (libm —
+    reproducible on one platform, not bit-pinned across engines).
+
+    Scale shape: pass 1 is one map-side-combinable (source, sum)
+    aggregate pulled to the driver as O(|sources|) scalars; pass 2 is
+    the pure map-side hash filter with the thresholds riding as a
+    CreateMap literal. Returns the kept rows with a ``rate_bp``
+    column (the applied threshold in bucket units) for audit.
+    """
+    import math
+
+    masses = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("_m"))
+        .collect()  # O(|sources|) scalars — config-sized, never data
+    )
+    m_min = min(r["_m"] for r in masses)
+
+    def rate(m: int) -> float:
+        if alpha == 0.5:
+            return math.sqrt(m_min / m)
+        return (m_min / m) ** (1.0 - alpha)
+
+    pairs: list[Column] = []
+    for r in sorted(masses, key=lambda r: r[strata_col]):
+        pairs.extend(
+            [
+                F.lit(r[strata_col]),
+                F.lit(int(math.floor(rate(r["_m"]) * buckets))),
+            ]
+        )
+    threshold = F.element_at(F.create_map(*pairs), F.col(strata_col))
+    return df.withColumn("rate_bp", threshold.cast("bigint")).filter(
+        hash_bucket(key_col, buckets, salt) < F.col("rate_bp")
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str = "doc_id",

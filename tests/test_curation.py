@@ -939,3 +939,41 @@ def test_rendezvous_shards_balanced_and_minimally_disruptive(spark):
     moved = [k for k in a8 if a9[k] != a8[k]]
     assert all(a9[k] == 8 for k in moved)  # movers only go to the new shard
     assert 0 < len(moved) < 2000 / 4      # ~1/9 expected, far below mod-n
+
+
+def test_temperature_mixture_flattens_toward_small_sources(spark):
+    """alpha-sampling semantics: the smallest source keeps 100%
+    (rate_bp = buckets), keep rates are monotonically DECREASING in
+    source token mass, alpha=1 keeps everything, and the realized
+    keep fraction tracks the derived rate."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    # three sources with 100 / 400 / 1600 token mass (1 token per doc)
+    rows = (
+        [(i, "small", 1) for i in range(100)]
+        + [(1000 + i, "mid", 1) for i in range(400)]
+        + [(10_000 + i, "big", 1) for i in range(1600)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+
+    kept = temperature_mixture(df, "tok", alpha=0.5)
+    got = {
+        r.source: (r.rate_bp, r.n)
+        for r in kept.groupBy("source", "rate_bp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["small"][0] == 10_000          # sqrt(100/100) = 1.0
+    assert got["small"][1] == 100             # keeps every row
+    assert got["mid"][0] == 5_000             # sqrt(100/400) = 0.5
+    assert got["big"][0] == 2_500             # sqrt(100/1600) = 0.25
+    # realized fractions within hash noise of the configured rates
+    assert abs(got["mid"][1] / 400 - 0.5) < 0.1
+    assert abs(got["big"][1] / 1600 - 0.25) < 0.05
+
+    # alpha = 1: proportional sampling = keep everything
+    assert temperature_mixture(df, "tok", alpha=1.0).count() == len(rows)
