@@ -2394,6 +2394,76 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ivfpq_probe(spark, path, qrow[0], k=10, n_probe=2)
 
 
+def q_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving over the SAME persisted IVF index as
+    ann_index_probe (sources/ivf_index.py::read_ivf_probe_batch):
+    three queries share ONE partition-pruned scan — the union of their
+    probed buckets is a single literal isin — and each query meets
+    only its own buckets via a broadcast equi-join on the bucket key.
+    Per-query ranking is a query_id-keyed window that WindowGroupLimit
+    pre-reduces, so scan cost for Q queries is the union coverage, not
+    Q scans."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe_batch,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivf_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids"):
+        write_ivf_index(emb, path, part_col="label")
+    return read_ivf_probe_batch(spark, path, queries, k=10, n_probe=2)
+
+
+ORACLE_ANN_BATCH_PROBE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e
+      WHERE vec_id < 3),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+pr AS (
+  SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY ROUND(list_dot_product(centroid, qv)
+      / (sqrt(list_dot_product(centroid, centroid))
+         * sqrt(list_dot_product(qv, qv))), 6) DESC, label) AS rn
+  FROM cent, q
+),
+probes AS (SELECT query_id, label FROM pr WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, e.vec_id,
+    ROUND(list_dot_product(e.v, q.qv)
+      / (sqrt(list_dot_product(e.v, e.v))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM e JOIN probes p USING (label) JOIN q USING (query_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index freshness for the frozen-centroid append lifecycle
     (sources/ivf_index.py::ivf_drift_report): build the IVF index from
@@ -10837,6 +10907,7 @@ _CHECK_ORDER = [
     "ivf_drift_report",
     "mixture_pipeline",
     "temperature_mixture",
+    "ann_batch_probe",
 ]
 
 
@@ -10963,6 +11034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": q_fuzzy_part_names,
         "unigram_logloss": q_unigram_logloss,
         "containment_pairs": q_containment_pairs,
+        "ann_batch_probe": q_ann_batch_probe,
         "ivf_drift_report": q_ivf_drift_report,
         "mixture_pipeline": q_mixture_pipeline,
         "temperature_mixture": q_temperature_mixture,
@@ -11221,6 +11293,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_part_names": ORACLE_FUZZY,
         "unigram_logloss": ORACLE_UNIGRAM,
         "containment_pairs": ORACLE_CONTAINMENT,
+        "ann_batch_probe": ORACLE_ANN_BATCH_PROBE,
         "ivf_drift_report": ORACLE_IVF_DRIFT,
         "mixture_pipeline": ORACLE_MIXTURE_PIPELINE,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,

@@ -372,6 +372,85 @@ def compact_ivf_index(
     return len(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
 
 
+def read_ivf_probe_batch(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched serving: top-k cosine neighbors for MANY queries in ONE
+    pruned scan — how a real ANN service amortizes index reads. Probe
+    choice per query uses exactly ``read_ivf_probe``'s arithmetic
+    (rounded centroid cosine, bucket tiebreak), computed over the
+    |buckets|×|queries| config-sized frame and collected driver-side;
+    the union of probed buckets becomes ONE literal ``isin`` (static
+    ``PartitionFilters`` on the scan), and each query meets only its
+    own probed buckets through a broadcast EQUI-join on the bucket key
+    (the probed list explodes to (query_id, bucket) rows — never a
+    nested-loop membership test). Ranking is one query_id-keyed window
+    that WindowGroupLimit pre-reduces to per-partition top-k.
+
+    Scale shape: scan cost ~|union probed|/|buckets| of the corpus
+    TOTAL for all Q queries (vs Q separate scans); the broadcast side
+    is Q·n_probe rows. Returns (query_id, vec_id, cosine_sim, rank).
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc(BUCKET_COL)
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(qdf))  # |buckets| x Q — config-sized
+        .select(
+            "query_id",
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", BUCKET_COL)
+        .collect()  # O(Q * n_probe) scalars — the probe plan, not data
+    )
+    probes: dict[int, list[str]] = {}
+    for r in probe_rows:
+        probes.setdefault(r["query_id"], []).append(r[BUCKET_COL])
+    union_buckets = sorted({b for bs in probes.values() for b in bs})
+
+    idx = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(union_buckets)
+    )
+    qprobe = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in v], b)
+            for qid, v in queries
+            for b in probes[int(qid)]
+        ],
+        f"query_id int, qvec array<double>, {BUCKET_COL} string",
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    rk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        idx.join(F.broadcast(qprobe), BUCKET_COL)
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_drift_report(
     spark: SparkSession,
     path: str,

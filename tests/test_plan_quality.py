@@ -1281,3 +1281,46 @@ def test_mixture_pipeline_one_shuffle_per_stage(spark, sf_dir):
     import re
 
     assert len(re.findall(r"hashpartitioning\(source#\d+, shard", plan)) == 1, plan
+
+
+def test_ann_batch_probe_pruned_scan_equijoin_and_parity(
+    spark, sf_dir, tmp_path
+):
+    """Batched serving (read_ivf_probe_batch): the shared scan must be
+    partition-pruned to the UNION of probed buckets (static
+    PartitionFilters on the bucket column), queries attach via a
+    broadcast EQUI-join (never a nested-loop membership test), and
+    each query's top-k must equal its single-query read_ivf_probe."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        read_ivf_probe_batch,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_batch")
+    write_ivf_index(emb, path, part_col="label")
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    batch = read_ivf_probe_batch(spark, path, queries, k=5, n_probe=2)
+    plan = explain_str(batch)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    got = {
+        (r.query_id, r.rank): r.vec_id for r in batch.collect()
+    }
+    for qid, vec in queries:
+        single = read_ivf_probe(spark, path, vec, k=5, n_probe=2).collect()
+        for i, r in enumerate(single):
+            assert got[(qid, i + 1)] == r.vec_id, (qid, i)
