@@ -263,6 +263,20 @@ def append_to_ivf_index(
     reuses the incoming column (label-style indexes). If the index has
     a codebook sidecar (IVF-PQ), the appended rows are PQ codes, same
     as the stored ones."""
+    bucketed = _bucket_for_append(df, path, part_col, vec_col, id_col)
+    bucketed.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
+
+
+def _bucket_for_append(
+    df: DataFrame,
+    path: str,
+    part_col: str | None,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Route rows into the EXISTING index buckets (frozen centroids /
+    frozen codebook) — the shared assignment step of the batch append
+    and the streaming maintenance sink."""
     from data_pipeline_ine_spark.operators.similarity import (
         pq_encode,
         sq_dist,
@@ -316,7 +330,7 @@ def append_to_ivf_index(
         )
     elif part_col is not None and part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
-    bucketed.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
+    return bucketed
 
 
 def compact_ivf_index(

@@ -1660,3 +1660,95 @@ def test_stream_cusum_alarm_transitions_parity_across_restart(
         for r in latest_snapshot(spark, str(state / "alarms")).collect()
     )
     assert again == streamed
+
+
+def test_stream_append_to_ivf_index_exactly_once(spark, sf_dir, tmp_path):
+    """Online index maintenance (streaming/index_maintenance.py): a
+    vector stream appends into the frozen-centroid IVF index with
+    exactly-once batch commits — after the drain the index holds every
+    vector exactly once; a replayed batch (marker present) is skipped;
+    a crash-before-marker replay (marker removed, files already
+    published) re-publishes the SAME names and still never duplicates;
+    a checkpoint restart adds nothing."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import write_ivf_index
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.index_maintenance import (
+        append_batch_to_ivf_index,
+        stream_append_to_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf_live")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") < 200), path, part_col=None,
+        n_clusters=4, iters=1,
+    )
+    # two landing files -> two micro-batches
+    land = tmp_path / "land"
+    emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(land / "f1"))
+    emb.filter(F.col("vec_id") >= 300).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(land / "f2"))
+    import shutil as _sh
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(
+        sorted((land).rglob("*.parquet"))
+    ):
+        _sh.copy(f, flat / f"{i}.parquet")
+
+    schema = emb.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_append_to_ivf_index(stream, path, ckpt)
+    q.awaitTermination(300)
+
+    total = emb.count()
+    idx = spark.read.parquet(path)
+    assert idx.count() == total
+    assert idx.select("vec_id").distinct().count() == total
+
+    # replay skipped: committed marker short-circuits. Batch 0's true
+    # content is whatever the stream put in the batch0-* files (file
+    # stream ordering is mtime-based, not name-based) — read it back.
+    import glob as _glob
+
+    b0_files = sorted(_glob.glob(f"{path}/bucket=*/batch0-*.parquet"))
+    b0_ids = {
+        r.vec_id for r in spark.read.parquet(*b0_files).collect()
+    }
+    batch0 = emb.filter(F.col("vec_id").isin(sorted(b0_ids)))
+    assert append_batch_to_ivf_index(batch0, 0, path) is False
+    assert spark.read.parquet(path).count() == total
+
+    # crash-before-marker replay: files were published but the marker
+    # was lost — re-apply must REPLACE the same file names, not add
+    import os
+
+    os.remove(os.path.join(path, "_batch_commits", "b0"))
+    assert append_batch_to_ivf_index(batch0, 0, path) is True
+    after = spark.read.parquet(path)
+    assert after.count() == total
+    assert after.select("vec_id").distinct().count() == total
+
+    # checkpoint restart: nothing new to drain, nothing duplicated
+    q2 = stream_append_to_ivf_index(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat)),
+        path,
+        ckpt,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(path).count() == total
