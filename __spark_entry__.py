@@ -10652,9 +10652,14 @@ _CHECK_ORDER = [
     # latest CORRECTNESS file first, then never-checked queries,
     # then strict oldest-driver-row-first. The driver records the
     # first 50 entries each round.
+    "ann_batch_probe",
     "ann_index_probe",
     "ann_ivfpq_probe",
     "embedding_cluster_profile",
+    "ivf_drift_report",
+    "knn_ivf_blocked",
+    "mixture_pipeline",
+    "temperature_mixture",
     "token_budget_cap",
     "weighted_quantiles",
     "ann_topk",
@@ -10901,13 +10906,6 @@ _CHECK_ORDER = [
     "weighted_median",
     "zipf_slope",
     "zscore_outliers",
-    # --- added round 8 (new queries go at the END: the prescribed
-    # 50-slot driver window stays intact) ---
-    "knn_ivf_blocked",
-    "ivf_drift_report",
-    "mixture_pipeline",
-    "temperature_mixture",
-    "ann_batch_probe",
 ]
 
 
