@@ -102,15 +102,25 @@ def temperature_mixture(
     aggregate pulled to the driver as O(|sources|) scalars; pass 2 is
     the pure map-side hash filter with the thresholds riding as a
     CreateMap literal. Returns the kept rows with a ``rate_bp``
-    column (the applied threshold in bucket units) for audit.
+    column (the applied threshold in bucket units) for audit. A source
+    with zero/NULL token mass contributes nothing to the mix (its rows
+    are dropped — there is no mass to sample).
     """
     import math
 
-    masses = (
-        df.groupBy(strata_col)
+    masses = [
+        r
+        for r in df.groupBy(strata_col)
         .agg(F.sum(F.col(token_col).cast("bigint")).alias("_m"))
         .collect()  # O(|sources|) scalars — config-sized, never data
-    )
+        # a zero/NULL-mass source has nothing to sample and would
+        # poison m_min (rate 0^x for every other source)
+        if r["_m"]
+    ]
+    if not masses:
+        raise ValueError(
+            f"temperature_mixture: no source has positive {token_col} mass"
+        )
     m_min = min(r["_m"] for r in masses)
 
     def rate(m: int) -> float:

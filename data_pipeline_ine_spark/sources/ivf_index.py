@@ -415,6 +415,11 @@ def read_ivf_probe_batch(
 
     from data_pipeline_ine_spark.operators.similarity import cosine
 
+    ids = [int(qid) for qid, _ in queries]
+    if len(ids) != len(set(ids)):
+        # two entries sharing an id would merge into ONE rank partition
+        # and silently interleave their results
+        raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
     qdf = spark.createDataFrame(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",

@@ -977,3 +977,28 @@ def test_temperature_mixture_flattens_toward_small_sources(spark):
 
     # alpha = 1: proportional sampling = keep everything
     assert temperature_mixture(df, "tok", alpha=1.0).count() == len(rows)
+
+
+def test_temperature_mixture_zero_mass_source_guards(spark):
+    """A zero-mass source must not poison m_min: its rows drop (no mass
+    to sample), other sources keep their derived rates; an all-zero
+    input raises instead of dividing by zero."""
+    import pytest
+    from data_pipeline_ine_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "real", 1) for i in range(100)]
+        + [(1000 + i, "empty", 0) for i in range(5)],
+        "doc_id long, source string, tok long",
+    )
+    kept = temperature_mixture(df, "tok", alpha=0.5)
+    assert kept.filter("source = 'empty'").count() == 0
+    assert kept.filter("source = 'real'").count() == 100  # only source
+
+    zeros = spark.createDataFrame(
+        [(1, "a", 0)], "doc_id long, source string, tok long"
+    )
+    with pytest.raises(ValueError, match="no source has positive"):
+        temperature_mixture(zeros, "tok")

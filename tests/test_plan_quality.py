@@ -1324,3 +1324,22 @@ def test_ann_batch_probe_pruned_scan_equijoin_and_parity(
         single = read_ivf_probe(spark, path, vec, k=5, n_probe=2).collect()
         for i, r in enumerate(single):
             assert got[(qid, i + 1)] == r.vec_id, (qid, i)
+
+
+def test_ann_batch_probe_rejects_duplicate_query_ids(spark, sf_dir, tmp_path):
+    """Duplicate query ids would merge two queries into one rank
+    partition and interleave their top-k — refuse loudly."""
+    import pytest
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe_batch,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_dup")
+    write_ivf_index(emb, path, part_col="label")
+    v = emb.select("embedding").head()[0]
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        read_ivf_probe_batch(spark, path, [(1, v), (1, v)])
