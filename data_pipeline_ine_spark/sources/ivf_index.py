@@ -606,6 +606,113 @@ def read_ivfpq_probe(
     return pq_topk(probed, codebook, query_vec, k=k, id_col=id_col)
 
 
+def read_ivfpq_probe_batch(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Batched ADC serving from the codes-only IVF-PQ index: Q queries
+    share ONE partition-pruned codes scan (union of probed buckets),
+    and each query's integer distance LUT travels IN the broadcast
+    (query_id, bucket, lut) frame — so the per-candidate work stays
+    ``m`` lookups + adds against the joined row's own LUT, exact
+    BIGINT throughout. Probe choice and per-query results are
+    identical to ``read_ivfpq_probe`` (parity-tested); the batch
+    amortizes the scan exactly like ``read_ivf_probe_batch``.
+
+    Returns (query_id, vec_id, pq_dist, rank)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        PQ_SCALE,
+        cosine,
+    )
+
+    ids = [int(qid) for qid, _ in queries]
+    if len(ids) != len(set(ids)):
+        raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc(BUCKET_COL)
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", BUCKET_COL)
+        .collect()
+    )
+    probes: dict[int, list[str]] = {}
+    for r in probe_rows:
+        probes.setdefault(r["query_id"], []).append(r[BUCKET_COL])
+    union_buckets = sorted({b for bs in probes.values() for b in bs})
+
+    cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+    m = 1 + max(r.s for r in cb_rows)
+    n_codes = 1 + max(r.c for r in cb_rows)
+    codebook: list[list[list[int]]] = [[None] * n_codes for _ in range(m)]
+    for r in cb_rows:
+        codebook[r.s][r.c] = [int(x) for x in r.subvec]
+    sub = len(cb_rows[0].subvec)
+
+    def lut_for(vec: Sequence[float]) -> list[list[int]]:
+        q = [int(math.floor(float(x) * PQ_SCALE + 0.5)) for x in vec]
+        return [
+            [
+                sum((q[s * sub + d] - code[d]) ** 2 for d in range(sub))
+                for code in codebook[s]
+            ]
+            for s in range(m)
+        ]
+
+    qprobe = spark.createDataFrame(
+        [
+            (int(qid), b, lut_for(v))
+            for qid, v in queries
+            for b in probes[int(qid)]
+        ],
+        f"query_id int, {BUCKET_COL} string, lut array<array<bigint>>",
+    )
+    idx = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(union_buckets)
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s.cast("int") + 1),
+            F.element_at(F.col(codes_col), s.cast("int") + 1) + 1,
+        ),
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc(id_col)
+    )
+    return (
+        idx.join(F.broadcast(qprobe), BUCKET_COL)
+        .select("query_id", id_col, dist.alias("pq_dist"))
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def read_ivf_probe(
     spark: SparkSession,
     path: str,

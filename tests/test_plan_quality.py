@@ -1343,3 +1343,41 @@ def test_ann_batch_probe_rejects_duplicate_query_ids(spark, sf_dir, tmp_path):
     v = emb.select("embedding").head()[0]
     with pytest.raises(ValueError, match="duplicate query ids"):
         read_ivf_probe_batch(spark, path, [(1, v), (1, v)])
+
+
+def test_ivfpq_batch_probe_pruned_and_matches_single(
+    spark, sf_dir, tmp_path
+):
+    """Batched ADC serving (read_ivfpq_probe_batch): pruned shared
+    codes scan, broadcast equi-join carrying each query's integer LUT,
+    per-query results identical to read_ivfpq_probe."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_probe,
+        read_ivfpq_probe_batch,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_batch")
+    write_ivfpq_index(emb, path, part_col="label")
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    batch = read_ivfpq_probe_batch(spark, path, queries, k=5, n_probe=2)
+    plan = explain_str(batch)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "embedding" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+    got = {(r.query_id, r.rank): (r.vec_id, r.pq_dist) for r in batch.collect()}
+    for qid, vec in queries:
+        single = read_ivfpq_probe(spark, path, vec, k=5, n_probe=2).collect()
+        for i, r in enumerate(single):
+            assert got[(qid, i + 1)] == (r.vec_id, r.pq_dist), (qid, i)
