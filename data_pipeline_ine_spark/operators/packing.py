@@ -86,3 +86,42 @@ def pack_sequences(
     return t.withColumn(
         "pack_id", F.floor((cum - 1) / budget).cast("bigint")
     )
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    budget: int,
+    partition_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """The metric a training run tunes ``budget`` with: per
+    (*partition_cols, shard), how full the packs actually are.
+    ``pack_sequences``'s greedy running-sum cut means every pack but
+    the LAST in each (partition, shard) carries > budget·(p) ... in
+    practice: waste = n_packs·budget − token mass (padding the
+    dataloader would emit), fill_bp = tokens·10000 div capacity —
+    integer basis points, no float division for engines to disagree
+    on.
+
+    One aggregate over the already-packed frame — reuses the
+    (*partition_cols, shard) partitioning the packing window created.
+    Returns (*partition_cols, shard, n_docs, n_packs, tokens_sum,
+    capacity, waste, fill_bp).
+    """
+    keys = [*partition_cols, "shard"]
+    agg = packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_sum"),
+    )
+    cap = F.col("n_packs") * F.lit(int(budget))
+    return agg.select(
+        *keys,
+        "n_docs",
+        "n_packs",
+        "tokens_sum",
+        cap.cast("bigint").alias("capacity"),
+        (cap - F.col("tokens_sum")).cast("bigint").alias("waste"),
+        F.expr(f"(tokens_sum * 10000) div (n_packs * {int(budget)})")
+        .cast("bigint")
+        .alias("fill_bp"),
+    )

@@ -869,6 +869,69 @@ def pq_dedup_groups(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.97,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) reduced to its deterministic core:
+    cluster the corpus with the deterministic k-means, then WITHIN each
+    cluster drop every vector that has an earlier-id vector with cosine
+    similarity ≥ ``tau``. The kept set provably contains no pair above
+    the threshold (if kept i < j were similar, j would have been
+    dropped by i); relative to the paper's sequential greedy pass it
+    may over-drop — a drop can be justified by a vector that was itself
+    dropped — which is the conservative direction for dedup.
+
+    Scale shape: assignment is the narrow centroid-literal map; the
+    only pairwise work is a cluster-keyed self-ANTI-join whose pair
+    volume is Σ cluster² — bounded by the cluster-count knob, exactly
+    ``knn_join_blocked(ivf_clusters=...)``'s discipline, never corpus².
+    Rounded similarity keeps the threshold test engine-reproducible.
+
+    Returns the KEPT rows: (id, cluster).
+    """
+    centroids = kmeans_fit(
+        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = _assign_clusters(
+        df.select(id_col, vec_col), centroids, vec_col
+    )
+    e = assigned.select(
+        "cluster",
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = e.alias("a")
+    b = e.select(
+        "cluster",
+        F.col(id_col).alias("_jid"),
+        F.col("_v").alias("_jv"),
+        F.col("_n").alias("_jn"),
+    ).alias("b")
+    sim = F.round(
+        dot(F.col("a._v"), F.col("b._jv")) / (F.col("a._n") * F.col("b._jn")),
+        6,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(
+            (F.col("_jid") < F.col(f"a.{id_col}"))
+            & (sim >= F.lit(float(tau)))
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        e.join(dropped, id_col, "left_anti")
+        .select(id_col, "cluster")
+    )
+
+
 # --- Random projection (Johnson–Lindenstrauss), integer-deterministic ------
 
 RP_MOD = 65536

@@ -1002,3 +1002,30 @@ def test_temperature_mixture_zero_mass_source_guards(spark):
     )
     with pytest.raises(ValueError, match="no source has positive"):
         temperature_mixture(zeros, "tok")
+
+
+def test_packing_efficiency_reconciles_with_packs(spark):
+    """waste + tokens == capacity, fill_bp is the integer ratio, and a
+    budget exactly matched by the token mass packs at 10000 bp."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s", 50) for i in range(8)],
+        "doc_id long, source string, tok long",
+    )
+    packed = pack_sequences(df, F.col("tok"), budget=100, n_shards=1)
+    eff = packing_efficiency(packed, 100).collect()[0]
+    assert eff.tokens_sum == 400
+    assert eff.n_packs == 4 and eff.capacity == 400
+    assert eff.waste == 0 and eff.fill_bp == 10_000
+
+    packed2 = pack_sequences(df, F.col("tok"), budget=120, n_shards=1)
+    eff2 = packing_efficiency(packed2, 120).collect()[0]
+    assert eff2.capacity == eff2.n_packs * 120
+    assert eff2.waste == eff2.capacity - 400
+    assert eff2.fill_bp == (400 * 10_000) // eff2.capacity

