@@ -1029,3 +1029,54 @@ def test_packing_efficiency_reconciles_with_packs(spark):
     assert eff2.capacity == eff2.n_packs * 120
     assert eff2.waste == eff2.capacity - 400
     assert eff2.fill_bp == (400 * 10_000) // eff2.capacity
+
+
+def test_round8_operators_invariant_under_repartitioning(spark, sf_dir):
+    """Determinism under physical layout: temperature_mixture and
+    semantic_dedup must return the SAME rows whether the input arrives
+    as one partition or sixteen — the property every driver-session
+    rerun and every cluster re-layout silently depends on."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.sampling import (
+        temperature_mixture,
+    )
+    from data_pipeline_ine_spark.operators.similarity import semantic_dedup
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_tok",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("bigint"),
+    )
+    one = {
+        tuple(r)
+        for r in temperature_mixture(docs.coalesce(1), "_tok")
+        .select("doc_id", "rate_bp")
+        .collect()
+    }
+    many = {
+        tuple(r)
+        for r in temperature_mixture(docs.repartition(16), "_tok")
+        .select("doc_id", "rate_bp")
+        .collect()
+    }
+    assert one == many and one
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 150
+    )
+    a = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb.coalesce(1), tau=0.3, n_clusters=4, iters=1
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb.repartition(16), tau=0.3, n_clusters=4, iters=1
+        ).collect()
+    }
+    assert a == b and a
