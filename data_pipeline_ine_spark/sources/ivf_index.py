@@ -713,6 +713,44 @@ def read_ivfpq_probe_batch(
     )
 
 
+def read_ivfpq_rerank(
+    spark: SparkSession,
+    pq_path: str,
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval — the standard production serving shape:
+    stage 1 shortlists ``shortlist`` candidates from the codes-only
+    IVF-PQ index (pruned scan + integer ADC — cheap, quantization-
+    lossy), stage 2 re-ranks ONLY the shortlist with exact cosine
+    against the raw vectors. Recall approaches the exact probe's at a
+    fraction of its raw-vector scan cost: the full-precision read
+    touches ``shortlist`` rows, never a bucket.
+
+    The shortlist ids are collected driver-side (O(shortlist) scalars)
+    and applied as a literal ``isin`` on the raw table — when
+    ``vectors`` is itself stored sorted/bucketed by ``id_col``, that
+    filter is a pushed-down point-lookup set, the KV-fetch of a real
+    serving tier. Returns (id, cosine_sim) — exact top-k of the
+    shortlist, same surface as ``read_ivf_probe``."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    short = read_ivfpq_probe(
+        spark, pq_path, query_vec, k=shortlist, n_probe=n_probe,
+        id_col=id_col,
+    )
+    ids = [r[0] for r in short.select(id_col).collect()]
+    cand = vectors.filter(F.col(id_col).isin(ids))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def read_ivf_probe(
     spark: SparkSession,
     path: str,

