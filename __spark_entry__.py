@@ -2177,7 +2177,10 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return kmeans_ivf_topk(emb, qvec, k=10, n_clusters=8, n_probe=2, iters=2)
+    return kmeans_ivf_topk(
+        emb, qvec, k=10, n_clusters=8, n_probe=2, iters=2,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 # two unrolled Lloyd's iterations, centroids rounded to 6dp per step —
@@ -2198,7 +2201,10 @@ def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_cluster_profile(emb, n_clusters=8, iters=2)
+    return kmeans_cluster_profile(
+        emb, n_clusters=8, iters=2,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 ORACLE_ANN_KMEANS = f"""
@@ -4563,9 +4569,10 @@ def q_knn_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.similarity import knn_join_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join_blocked(emb, k=3, ivf_clusters=8).withColumn(
-        "rank", F.col("rank").cast("bigint")
-    )
+    return knn_join_blocked(
+        emb, k=3, ivf_clusters=8,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
 # the same unrolled two-iteration Lloyd chain as ORACLE_ANN_KMEANS,

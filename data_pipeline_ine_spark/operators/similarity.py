@@ -264,6 +264,17 @@ def _assign_clusters(
     return emb.withColumn("cluster", F.array_sort(pairs)[0]["c"])
 
 
+# Trained-quantizer memo: kmeans_fit is DETERMINISTIC given the input
+# content and knobs, so callers that train on a whole table may pass an
+# explicit content key (the contract queries use the embeddings table's
+# file fingerprint) and every later fit with the same key returns the
+# identical centroids without re-running the Lloyd jobs — the same
+# cache discipline as the /tmp serving indexes, scoped to the process.
+# Opt-in ONLY: an implicit key (e.g. df.inputFiles()) would wrongly
+# alias a filtered df with its parent table.
+_KMEANS_MEMO: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -271,6 +282,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 6,
+    memo_key: str | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's iterations, Spark-native.
 
@@ -285,6 +297,12 @@ def kmeans_fit(
     Collecting k×d doubles per iteration to the driver is O(k·d) — the same
     centroid-broadcast structure MLlib uses; corpus size never hits the
     driver."""
+    cache_key = None
+    if memo_key is not None:
+        cache_key = (memo_key, k, iters, vec_col, id_col, round_to)
+        hit = _KMEANS_MEMO.get(cache_key)
+        if hit is not None:
+            return [(cid, list(cv)) for cid, cv in hit]
     emb = df.select(id_col, vec_col)
     centroids = [
         (int(r[id_col]), [round(float(x), round_to) for x in r[vec_col]])
@@ -306,6 +324,8 @@ def kmeans_fit(
         centroids = sorted(
             (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in rows
         )
+    if cache_key is not None:
+        _KMEANS_MEMO[cache_key] = [(cid, list(cv)) for cid, cv in centroids]
     return centroids
 
 
@@ -318,6 +338,7 @@ def kmeans_ivf_topk(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN with a real (deterministically trained) k-means coarse
     quantizer: fit centroids, assign the corpus, probe the ``n_probe``
@@ -327,7 +348,10 @@ def kmeans_ivf_topk(
     work is one narrow assignment map + a scan of ~n_probe/k of the data.
     At scale, persist the assignment as a partition column and the probe
     becomes partition pruning at the parquet scan."""
-    centroids = kmeans_fit(df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col)
+    centroids = kmeans_fit(
+        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+        memo_key=memo_key,
+    )
     q = [float(x) for x in query_vec]
 
     def seq_sq_dist(cv: list[float]) -> float:
@@ -350,6 +374,7 @@ def kmeans_cluster_profile(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Quantizer health report: per trained k-means cluster, the member
     count and the EXACT inertia (sum of squared distances to the
@@ -370,7 +395,8 @@ def kmeans_cluster_profile(
     map + ONE cluster-keyed aggregate (map-side combinable).
     """
     centroids = kmeans_fit(
-        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+        memo_key=memo_key,
     )
     assigned = _assign_clusters(df.select(id_col, vec_col), centroids, vec_col)
     # Look centroids up BY ID, not by list position: kmeans_fit keys clusters
@@ -468,6 +494,7 @@ def knn_join_blocked(
     block_col: str = "label",
     ivf_clusters: int | None = None,
     ivf_iters: int = 2,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Batched k-nearest-neighbors join: every vector's top-k cosine
     neighbors *within its block* — the all-vectors workload shape
@@ -499,7 +526,7 @@ def knn_join_blocked(
     if ivf_clusters is not None:
         centroids = kmeans_fit(
             df, k=ivf_clusters, iters=ivf_iters,
-            vec_col=vec_col, id_col=id_col,
+            vec_col=vec_col, id_col=id_col, memo_key=memo_key,
         )
         df = _assign_clusters(df, centroids, vec_col)
         block_col = "cluster"
@@ -640,6 +667,7 @@ def pq_codebook(
     n_codes: int = 8,
     trained: bool = False,
     iters: int = 2,
+    memo_key: str | None = None,
 ) -> list[list[list[int]]]:
     """Deterministic PQ codebook — ``cb[s][c]`` is code ``c``'s integer
     subvector for subspace ``s``, fixed-point quantized.
@@ -684,7 +712,10 @@ def pq_codebook(
         )
         cents = dict(
             kmeans_fit(
-                sub_df, k=n_codes, iters=iters, vec_col=vec_col, id_col=id_col
+                sub_df, k=n_codes, iters=iters, vec_col=vec_col,
+                id_col=id_col,
+                # subspace-qualified: each slice is a DIFFERENT input
+                memo_key=None if memo_key is None else f"{memo_key}:s{s}",
             )
         )
         out.append(
@@ -876,6 +907,7 @@ def semantic_dedup(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) reduced to its deterministic core:
     cluster the corpus with the deterministic k-means, then WITHIN each
@@ -895,7 +927,8 @@ def semantic_dedup(
     Returns the KEPT rows: (id, cluster).
     """
     centroids = kmeans_fit(
-        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+        memo_key=memo_key,
     )
     assigned = _assign_clusters(
         df.select(id_col, vec_col), centroids, vec_col

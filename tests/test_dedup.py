@@ -682,3 +682,29 @@ def test_semantic_dedup_kept_set_has_no_pair_above_tau(spark, sf_dir):
     assert offenders == 0
 
     assert semantic_dedup(emb, tau=1.01, n_clusters=4, iters=1).count() == 200
+
+
+def test_kmeans_fit_memo_returns_identical_copies(spark):
+    """The trained-quantizer memo: same memo_key returns the IDENTICAL
+    centroids without re-running Lloyd jobs, the returned lists are
+    copies (caller mutation can't corrupt the cache), different keys
+    retrain, and no-key calls never touch the memo."""
+    from data_pipeline_ine_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    S._KMEANS_MEMO.clear()
+    a = S.kmeans_fit(df, k=3, iters=1, memo_key="t1")
+    assert len(S._KMEANS_MEMO) == 1
+    b = S.kmeans_fit(df, k=3, iters=1, memo_key="t1")
+    assert a == b and a is not b
+    b[0][1][0] = 999.0  # mutate the returned copy
+    c = S.kmeans_fit(df, k=3, iters=1, memo_key="t1")
+    assert c == a  # cache unharmed
+    S.kmeans_fit(df, k=3, iters=1, memo_key="t2")
+    assert len(S._KMEANS_MEMO) == 2
+    S.kmeans_fit(df, k=3, iters=1)
+    assert len(S._KMEANS_MEMO) == 2  # keyless call bypasses
+    S._KMEANS_MEMO.clear()
