@@ -2559,7 +2559,7 @@ prof AS (
 SELECT bucket, n_base, n_new,
   CAST(ib // n_base AS BIGINT) AS mean_e6_base,
   CAST(inw // n_new AS BIGINT) AS mean_e6_new,
-  CAST(CASE WHEN n_new > 0 AND inw * 2 * n_base > ib * 3 * n_new
+  CAST(CASE WHEN n_new > 0 AND (n_base = 0 OR inw * 2 * n_base > ib * 3 * n_new)
        THEN 1 ELSE 0 END AS INT) AS retrain
 FROM prof ORDER BY bucket
 """

@@ -912,11 +912,15 @@ def semantic_dedup(
     """SemDeDup (Abbas et al. 2023) reduced to its deterministic core:
     cluster the corpus with the deterministic k-means, then WITHIN each
     cluster drop every vector that has an earlier-id vector with cosine
-    similarity ≥ ``tau``. The kept set provably contains no pair above
-    the threshold (if kept i < j were similar, j would have been
-    dropped by i); relative to the paper's sequential greedy pass it
-    may over-drop — a drop can be justified by a vector that was itself
-    dropped — which is the conservative direction for dedup.
+    similarity ≥ ``tau``. The kept set provably contains no
+    WITHIN-CLUSTER pair above the threshold (if kept i < j shared a
+    cluster and were similar, j would have been dropped by i) — a
+    near-dup pair that straddles a cluster boundary both survive,
+    inherent to SemDeDup's cluster-then-dedup design (finer clustering
+    shrinks that blind spot; only an all-pairs pass removes it).
+    Relative to the paper's sequential greedy pass it may over-drop — a
+    drop can be justified by a vector that was itself dropped — which
+    is the conservative direction for dedup.
 
     Scale shape: assignment is the narrow centroid-literal map; the
     only pairwise work is a cluster-keyed self-ANTI-join whose pair

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "bucket"
 _CENTROID_DIR = "_centroids"  # leading "_": invisible to parquet readers
+# exactly-once markers for streaming appends (streaming/index_maintenance.py)
+_BATCH_COMMITS_DIR = "_batch_commits"
 
 
 def write_ivf_index(
@@ -127,7 +129,13 @@ def recover_ivf_index(path: str) -> bool:
     preferring the staged copy when its commit marker is present (the
     compaction had finished writing; finishing the swap loses nothing),
     falling back to the pre-compaction ``.old``. Returns True when a
-    recovery action was taken. No-op when the index is healthy."""
+    recovery action was taken. No-op when the index is healthy.
+
+    Concurrency: every reader calls this (via ``index_ready``), so two
+    recoverers — or a recoverer and the live compactor — can race the
+    same ``os.replace``. The loser's rename raises FileNotFoundError
+    AFTER the winner already restored ``path``; that is a recovered
+    state, not an error (ADVICE r8)."""
     import os
     import shutil
 
@@ -136,11 +144,19 @@ def recover_ivf_index(path: str) -> bool:
     stage = path.rstrip("/") + ".compacting"
     old = path.rstrip("/") + ".old"
     if os.path.exists(os.path.join(stage, "_index_success")):
-        os.replace(stage, path)
+        try:
+            os.replace(stage, path)
+        except FileNotFoundError:
+            if not os.path.exists(path):
+                raise
         shutil.rmtree(old, ignore_errors=True)
         return True
     if os.path.exists(old):
-        os.replace(old, path)
+        try:
+            os.replace(old, path)
+        except FileNotFoundError:
+            if not os.path.exists(path):
+                raise
         shutil.rmtree(stage, ignore_errors=True)
         return True
     return False
@@ -362,6 +378,18 @@ def compact_ivf_index(
     import os
     import shutil
 
+    # an in-flight streaming append (staged under .batches, not yet
+    # published) would be silently dropped by the rewrite below — its
+    # rows aren't in the read, but its commit marker would land later
+    # and make the batch unreplayable. Refuse; the maintenance job
+    # retries after the sink drains.
+    pending = glob.glob(os.path.join(path, ".batches", "*"))
+    if pending:
+        raise RuntimeError(
+            f"refusing to compact {path}: in-flight staged batches "
+            f"{sorted(os.path.basename(p) for p in pending)} under "
+            f".batches/ — drain or clean the streaming sink first"
+        )
     stage = path.rstrip("/") + ".compacting"
     shutil.rmtree(stage, ignore_errors=True)
     df = spark.read.parquet(path)
@@ -373,7 +401,12 @@ def compact_ivf_index(
         .mode("overwrite")
         .parquet(stage)
     )
-    for side in (_CENTROID_DIR, _CODEBOOK_DIR):
+    # _batch_commits rides along: the compacted table CONTAINS every
+    # committed streaming batch, so its markers must survive — a
+    # post-compaction replay (crash before the stream checkpoint
+    # committed) would otherwise find no marker and re-append an
+    # already-applied batch, duplicating vectors (ADVICE r8).
+    for side in (_CENTROID_DIR, _CODEBOOK_DIR, _BATCH_COMMITS_DIR):
         src = os.path.join(path, side)
         if os.path.exists(src):
             shutil.copytree(src, os.path.join(stage, side))
@@ -381,7 +414,14 @@ def compact_ivf_index(
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
-    os.replace(stage, path)
+    try:
+        os.replace(stage, path)
+    except FileNotFoundError:
+        # a reader's recover_ivf_index raced us inside the swap window
+        # and already promoted the committed stage — the swap SUCCEEDED,
+        # just not by our hand (ADVICE r8)
+        if not os.path.exists(os.path.join(path, "_index_success")):
+            raise
     shutil.rmtree(old, ignore_errors=True)
     return len(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
 
@@ -541,11 +581,18 @@ def ivf_drift_report(
             .alias("_in"),
         )
     )
+    # a bucket with NO base cohort (every member appended) has no drift
+    # baseline at all — the most-drifted state possible, so it flags
+    # unconditionally; the NULL _ib would otherwise make the comparison
+    # NULL → never retrain (ADVICE r8)
     retrain = F.when(
         (F.col("n_new") > 0)
         & (
-            F.col("_in") * F.lit(thresh_den) * F.col("n_base")
-            > F.col("_ib") * F.lit(thresh_num) * F.col("n_new")
+            (F.col("n_base") == 0)
+            | (
+                F.col("_in") * F.lit(thresh_den) * F.col("n_base")
+                > F.col("_ib") * F.lit(thresh_num) * F.col("n_new")
+            )
         ),
         1,
     ).otherwise(0)

@@ -52,7 +52,20 @@ from data_pipeline_ine_spark.sources.ivf_index import (
 
 def _publish_staged_batch(stage: str, path: str, batch_id: int) -> int:
     """Move every staged bucket file into the live index under a
-    deterministic name. Returns the number of files published."""
+    deterministic name. Returns the number of files published.
+
+    Sweeps any ``batch{id}-*.parquet`` already in the destination
+    FIRST: with ``spark.sql.files.maxRecordsPerFile`` set, a bucket can
+    stage MULTIPLE files with nondeterministic row-to-file assignment,
+    so a crash-before-marker replay may publish a different file
+    count — a stale ``batch{id}-1.parquet`` from the first attempt
+    would then survive next to the replay's files and duplicate rows
+    (ADVICE r8). The sweep is safe because the marker hasn't committed:
+    no reader is entitled to this batch's rows yet."""
+    for stale in glob.glob(
+        os.path.join(path, "bucket=*", f"batch{batch_id}-*.parquet")
+    ):
+        os.remove(stale)
     n = 0
     for bucket_dir in sorted(glob.glob(os.path.join(stage, "bucket=*"))):
         bucket = os.path.basename(bucket_dir)

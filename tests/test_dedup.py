@@ -664,7 +664,7 @@ def test_semantic_dedup_kept_set_has_no_pair_above_tau(spark, sf_dir):
     tau = 0.3
     kept = semantic_dedup(emb, tau=tau, n_clusters=4, iters=1)
     n_kept = kept.count()
-    assert 0 < n_kept < 200  # it actually dropped something at tau=0.8
+    assert 0 < n_kept < 200  # it actually dropped something at tau=0.3
 
     k = kept.join(emb, "vec_id").select("cluster", "vec_id", "embedding")
     a = k.alias("a")

@@ -1433,3 +1433,87 @@ def test_ivfpq_rerank_recall_at_least_adc(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan and "In(vec_id" in plan.split(
         "PushedFilters"
     )[1].splitlines()[0], plan
+
+
+def test_ivf_drift_report_flags_bucket_with_no_base_cohort(
+    spark, tmp_path
+):
+    """A bucket where EVERY member is classified appended (n_base = 0)
+    has no drift baseline — the most-drifted possible state — and must
+    flag retrain=1; the NULL base inertia previously made the
+    cross-multiplied comparison NULL -> never flag (ADVICE r8)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        ivf_drift_report,
+        write_ivf_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, 0, [float(i % 3), 0.0]) for i in range(6)]
+        + [(10 + i, 1, [100.0 + i % 3, 100.0]) for i in range(6)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    path = str(tmp_path / "drift_nb0")
+    write_ivf_index(base, path, part_col="label")
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(i % 3), 0.0]) for i in range(4)]
+        + [(2000 + i, [100.0 + i % 3, 100.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(extra, path)
+
+    # new_pred >= 10 swallows ALL of bucket b1 (base ids 10..15 and its
+    # appends): n_base = 0 there, so retrain must flag unconditionally
+    rows = {
+        r.bucket: r
+        for r in ivf_drift_report(
+            spark, path, F.col("vec_id") >= 10
+        ).collect()
+    }
+    assert rows["b1"].n_base == 0 and rows["b1"].n_new == 10
+    assert rows["b1"].mean_e6_base is None
+    assert rows["b1"].retrain == 1
+    # b0 keeps its base cohort and its appends are in-distribution
+    assert rows["b0"].n_base == 6 and rows["b0"].retrain == 0
+
+
+def test_recover_ivf_index_lost_race_treated_as_recovered(
+    spark, tmp_path, monkeypatch
+):
+    """Two readers (or a reader and the compactor) can race the same
+    recovery rename; the loser's os.replace raises FileNotFoundError
+    AFTER the winner already restored the index. That is a recovered
+    state, not an error (ADVICE r8)."""
+    import os
+
+    from data_pipeline_ine_spark.sources import ivf_index as M
+
+    path = str(tmp_path / "ivf_race")
+    # committed stage, no live index — the mid-swap crash window
+    os.makedirs(path + ".compacting")
+    with open(os.path.join(path + ".compacting", "_index_success"), "w") as f:
+        f.write("ok\n")
+
+    real_replace = os.replace
+
+    def racing_replace(src, dst):
+        # the winner lands first, then our call finds src gone
+        real_replace(src, dst)
+        raise FileNotFoundError(src)
+
+    monkeypatch.setattr(os, "replace", racing_replace)
+    assert M.recover_ivf_index(path) is True
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(path, "_index_success"))
+
+    # same race on the .old fallback path
+    path2 = str(tmp_path / "ivf_race2")
+    os.makedirs(path2 + ".old")
+    with open(os.path.join(path2 + ".old", "_index_success"), "w") as f:
+        f.write("ok\n")
+    monkeypatch.setattr(os, "replace", racing_replace)
+    assert M.recover_ivf_index(path2) is True
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(path2, "_index_success"))

@@ -1752,3 +1752,115 @@ def test_stream_append_to_ivf_index_exactly_once(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(path).count() == total
+
+
+def test_compaction_preserves_batch_commits_and_refuses_inflight(
+    spark, sf_dir, tmp_path
+):
+    """Compaction must carry the _batch_commits markers into the swapped
+    directory — the compacted table CONTAINS every committed batch, so a
+    streaming replay after compaction must still short-circuit (ADVICE
+    r8: markers were destroyed, re-appending applied batches). And it
+    must refuse outright while a staged batch sits under .batches/ —
+    those rows aren't in the read yet, but their marker would commit
+    later against a table that dropped them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        compact_ivf_index,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.index_maintenance import (
+        append_batch_to_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf_cmark")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") < 200), path, part_col=None,
+        n_clusters=4, iters=1,
+    )
+    batch = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 260)
+    )
+    assert append_batch_to_ivf_index(batch, 7, path) is True
+    total = spark.read.parquet(path).count()
+
+    # refuse while a staged batch is in flight
+    stage = os.path.join(path, ".batches", "b9")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-0.parquet"), "w") as f:
+        f.write("x")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="in-flight staged batches"):
+        compact_ivf_index(spark, path)
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(path, ".batches"))
+
+    compact_ivf_index(spark, path)
+    assert os.path.exists(os.path.join(path, "_batch_commits", "b7"))
+    # replay of the committed batch is STILL a no-op post-compaction
+    assert append_batch_to_ivf_index(batch, 7, path) is False
+    after = spark.read.parquet(path)
+    assert after.count() == total
+    assert after.select("vec_id").distinct().count() == total
+
+
+def test_publish_staged_batch_sweeps_stale_replay_files(
+    spark, sf_dir, tmp_path
+):
+    """A crash-before-marker replay can stage a DIFFERENT file split
+    (spark.sql.files.maxRecordsPerFile makes row-to-file assignment
+    nondeterministic), so publish must sweep any batch{id}-*.parquet
+    already in the destination before moving the new set — a stale
+    higher-numbered file from the first attempt would duplicate rows
+    (ADVICE r8)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import write_ivf_index
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.index_maintenance import (
+        append_batch_to_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf_sweep")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") < 200), path, part_col=None,
+        n_clusters=4, iters=1,
+    )
+    batch = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 240)
+    )
+    assert append_batch_to_ivf_index(batch, 3, path) is True
+    total = spark.read.parquet(path).count()
+
+    # simulate the first attempt's extra split file surviving a crash:
+    # plant a stale batch3-9.parquet holding rows the replay will also
+    # publish, then remove the marker and replay
+    some_bucket = sorted(glob.glob(os.path.join(path, "bucket=*")))[0]
+    existing = sorted(glob.glob(os.path.join(some_bucket, "batch3-*")))
+    stale = os.path.join(some_bucket, "batch3-9.parquet")
+    import shutil as _sh
+
+    _sh.copy(existing[0], stale)
+    os.remove(os.path.join(path, "_batch_commits", "b3"))
+    assert spark.read.parquet(path).count() > total  # dup visible
+
+    assert append_batch_to_ivf_index(batch, 3, path) is True
+    assert not os.path.exists(stale)  # swept before publish
+    after = spark.read.parquet(path)
+    assert after.count() == total
+    assert after.select("vec_id").distinct().count() == total
