@@ -1861,6 +1861,56 @@ FROM t
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric a training run tunes the pack budget with
+    (operators/packing.py::packing_efficiency): per (source, shard),
+    docs, packs, token mass, capacity, waste, and the fill ratio in
+    integer basis points (``tokens*10000 div capacity`` — both engines'
+    non-negative integer division agrees). ONE aggregate over the
+    already-packed frame, reusing the (source, shard) partitioning the
+    packing window created — the report is free at any scale."""
+    from data_pipeline_ine_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+    from data_pipeline_ine_spark.operators.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    packed = pack_sequences(
+        docs, bpe_token_count("text"), budget=2048, n_shards=4
+    )
+    return packing_efficiency(packed, 2048).orderBy("source", "shard")
+
+
+ORACLE_PACKING_EFFICIENCY = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    length(regexp_extract_all(text,
+      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens,
+    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         % 4 AS INTEGER) AS shard
+  FROM documents
+), p AS (
+  SELECT source, shard, n_tokens,
+    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - 1) / 2048.0)
+         AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT source, shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MAX(pack_id) + 1 AS BIGINT) AS n_packs,
+  CAST(SUM(n_tokens) AS BIGINT) AS tokens_sum,
+  CAST((MAX(pack_id) + 1) * 2048 AS BIGINT) AS capacity,
+  CAST((MAX(pack_id) + 1) * 2048 - SUM(n_tokens) AS BIGINT) AS waste,
+  CAST((SUM(n_tokens) * 10000) // ((MAX(pack_id) + 1) * 2048) AS BIGINT)
+    AS fill_bp
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Composite training-data pipeline: exact dedup keeping the best-quality doc
 # ---------------------------------------------------------------------------
@@ -2562,6 +2612,247 @@ SELECT bucket, n_base, n_new,
   CAST(CASE WHEN n_new > 0 AND (n_base = 0 OR inw * 2 * n_base > ib * 3 * n_new)
        THEN 1 ELSE 0 END AS INT) AS retrain
 FROM prof ORDER BY bucket
+"""
+
+
+def q_ann_ivfpq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ADC serving over the persisted IVF-PQ index
+    (sources/ivf_index.py::read_ivfpq_probe_batch): three queries share
+    ONE partition-pruned codes scan (union of probed buckets as a
+    static PartitionFilters isin), each query's integer distance LUT
+    riding the broadcast (query_id, bucket, lut) frame — m lookups +
+    BIGINT adds per candidate, per-query ranking WindowGroupLimit
+    pre-reduced. Per-query results are bit-identical to the
+    single-query ann_ivfpq_probe path (plan-tested), so the oracle
+    reproduces probe choice AND ranking exactly."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_probe_batch,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivfpq_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_codebook"):
+        write_ivfpq_index(emb, path, part_col="label")
+    return read_ivfpq_probe_batch(spark, path, queries, k=10, n_probe=2)
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production serving shape
+    (sources/ivf_index.py::read_ivfpq_rerank): stage 1 shortlists 50
+    candidates from the codes-only IVF-PQ index (pruned scan + integer
+    ADC), stage 2 re-ranks ONLY the shortlist with exact cosine against
+    the raw vectors — the full-precision read is a pushed-down id
+    point-lookup set (the KV-fetch of a real serving tier), never a
+    bucket scan. Same max-id query vector as ann_ivfpq_probe so the
+    oracle reuses its probe arithmetic."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_rerank,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy(F.desc("vec_id")).select("embedding").head()
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivfpq_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_codebook"):
+        write_ivfpq_index(emb, path, part_col="label")
+    return read_ivfpq_rerank(
+        spark, path, emb, qrow[0], k=10, shortlist=50, n_probe=2
+    )
+
+
+def q_ann_ivfpq_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched two-stage retrieval (sources/ivf_index.py::
+    read_ivfpq_rerank_batch): three queries shortlist through ONE
+    pruned ADC scan, then ALL shortlists re-rank exact from ONE
+    pushed-down id-set lookup (union of shortlists) with a broadcast
+    (query_id, id) membership join — one codes scan + one raw
+    point-lookup set for Q queries instead of 2Q scans."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_rerank_batch,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivfpq_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_codebook"):
+        write_ivfpq_index(emb, path, part_col="label")
+    return read_ivfpq_rerank_batch(
+        spark, path, emb, queries, k=10, shortlist=50, n_probe=2
+    )
+
+
+def q_ivf_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming index-maintenance invariant, batch-expressible
+    (streaming/index_maintenance.py::append_batch_to_ivf_index):
+    replay-twice-equals-once. The index is built from the first half of
+    the corpus (label buckets), the second half lands as ONE maintained
+    batch which is then (a) replayed with its commit marker present
+    (must skip) and (b) replayed after a simulated crash-before-marker
+    (must re-publish the same deterministic file names, never add) —
+    the final per-bucket counts and id-checksums must equal the
+    exactly-once outcome, which is what the oracle computes from the
+    frozen-centroid routing rule. (Same invariant discipline as
+    incremental_dedup proved for the batch dedup path.)"""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.streaming.index_maintenance import (
+        append_batch_to_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).first()[0] // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivf_replay_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    # "_replay_ok" commits after the full replay exercise (the build's
+    # own marker lands before the appends, so it alone would cache a
+    # half-built index if a run died mid-exercise)
+    if not _ivf_index_ready(path, "_centroids", "_replay_ok"):
+        write_ivf_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        batch = emb.filter(F.col("vec_id") >= cut).drop("label")
+        applied = append_batch_to_ivf_index(batch, 1, path)
+        assert applied, "first apply must land"
+        # committed replay: the marker short-circuits
+        skipped = append_batch_to_ivf_index(batch, 1, path)
+        assert skipped is False, "committed batch must be skipped"
+        # crash-before-marker replay: re-publish, never duplicate
+        os.remove(os.path.join(path, "_batch_commits", "b1"))
+        reapplied = append_batch_to_ivf_index(batch, 1, path)
+        assert reapplied, "crash replay must re-apply"
+        with open(os.path.join(path, "_replay_ok"), "w") as f:
+            f.write("ok\n")
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# exactly-once ground truth: base cohort bucketed by label, appended
+# cohort routed to the nearest FROZEN centroid (numeric-label tiebreak,
+# append_to_ivf_index's rule), every vector counted ONCE — any
+# replay-duplicated or dropped row breaks count or id-checksum.
+ORACLE_IVF_APPEND_REPLAY = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
+base AS (SELECT vec_id, label, v FROM e, cut WHERE vec_id < c),
+newr AS (SELECT vec_id, v FROM e, cut WHERE vec_id >= c),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS cm
+  FROM base, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, 'b' || CAST(label AS VARCHAR) AS bucket,
+                list(cm ORDER BY d) AS cv
+         FROM dims GROUP BY label),
+asgn AS (
+  SELECT n.vec_id, c.bucket, ROW_NUMBER() OVER (
+    PARTITION BY n.vec_id
+    ORDER BY {_sql_sq_dist('n.v', 'c.cv')}, c.label) AS rn
+  FROM newr n, cent c
+),
+rows_all AS (
+  SELECT b.vec_id, 'b' || CAST(b.label AS VARCHAR) AS bucket FROM base b
+  UNION ALL
+  SELECT a.vec_id, a.bucket FROM asgn a WHERE rn = 1
+)
+SELECT bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM rows_all GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's deterministic core (operators/similarity.py::
+    semantic_dedup): deterministic k-means clusters the corpus, then
+    WITHIN each cluster every vector with an earlier-id neighbor at
+    rounded cosine >= 0.3 drops — the kept set provably has no
+    within-cluster pair above the threshold. The only pairwise work is
+    a cluster-keyed self-anti-join (pair volume bounded by the cluster
+    knob, never corpus squared) — the embedding-space stage of the
+    modern pretraining dedup recipe."""
+    from data_pipeline_ine_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(
+        emb, tau=0.3, n_clusters=8, iters=2,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
+    return kept.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("vec_id")
+
+
+# the unrolled two-iteration Lloyd chain of ORACLE_CLUSTER_PROFILE, then
+# the within-cluster earlier-id drop rule at rounded cosine >= 0.3.
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),
+a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
+m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
+m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+asg AS (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
+drp AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a JOIN asg b ON b.cid = a.cid AND b.vec_id < a.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster FROM asg
+WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+ORDER BY vec_id
 """
 
 
@@ -3717,6 +4008,154 @@ SELECT source, COUNT(*) AS n_docs,
 FROM sampled GROUP BY 1 ORDER BY 1
 """
 )
+
+
+def q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern pretraining dedup recipe composed in one lazy
+    plan — exact -> MinHash -> SemDeDup — over the gated corpus:
+    English-only + quality gate (curation_pipeline's thresholds), exact
+    dedup (min doc per content fingerprint, one window shuffle),
+    near-dup filter (banded-LSH candidates, exact shingle Jaccard >=
+    1/2, earlier-id-wins — operators/dedup.py::near_dup_filter_self),
+    then SemDeDup over the survivors' embeddings (operators/similarity
+    .py::semantic_dedup) with ONE quantizer trained on the full corpus
+    (memoized) and injected — the paper's train-on-sample discipline.
+    Every stage shuffles on its own key (fp window / band join /
+    cluster self-join); nothing is corpus-squared. Returns the kept
+    docs with their semantic cluster."""
+    from data_pipeline_ine_spark.operators.dedup import (
+        near_dup_filter_self,
+    )
+    from data_pipeline_ine_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+    from data_pipeline_ine_spark.operators.text import (
+        fingerprint,
+        language_id,
+        quality_score,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    gated = docs.filter(language_id("text") == "en").filter(
+        quality_score("text") >= 0.45
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    s1 = (
+        gated.withColumn("fp", fingerprint("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("fp", "_rn")
+    )
+    s2 = near_dup_filter_self(s1)
+    cents = kmeans_fit(
+        emb, k=8, iters=2,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
+    vecs = s2.select("doc_id").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    kept = semantic_dedup(
+        vecs, tau=0.3, id_col="doc_id", centroids=cents
+    )
+    return (
+        kept.join(s2.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("cluster").cast("int").alias("cluster"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# the composed oracle: curation_pipeline's gates, the exact-dedup
+# window, _MINHASH_CTE's banded candidates restricted to survivors with
+# the integer cross-multiplied Jaccard drop, then the unrolled Lloyd
+# chain + within-cluster earlier-id drop of ORACLE_SEMANTIC_DEDUP.
+ORACLE_CURATION_SEMANTIC = _MINHASH_CTE + f"""
+, lang AS (
+  SELECT doc_id, source, text,
+    length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS s_en,
+    length(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|y|en|un|una)\\b')) AS s_es,
+    length(regexp_extract_all(lower(text), '\\b(der|die|das|und|nicht|ist|ein|zu)\\b')) AS s_de,
+    length(regexp_extract_all(lower(text), '\\b(le|les|des|et|un|une|est|dans)\\b')) AS s_fr,
+    length(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM documents
+), en_docs AS (
+  SELECT doc_id, source, text FROM lang
+  WHERE s_en > 0 AND s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh)
+), qg AS (
+  SELECT doc_id, source, text,
+    length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+    length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS n_stop
+  FROM en_docs
+), gated AS (
+  SELECT doc_id, source, text FROM qg
+  WHERE ROUND(0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+      + 0.3 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / GREATEST(n_tokens, 1), 1.0))
+      + 0.3 * LEAST(CAST(n_stop AS DOUBLE) * 3.0 / GREATEST(n_tokens, 1), 1.0),
+      6) >= 0.45
+), ex AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM gated
+), s1 AS (
+  SELECT doc_id, source FROM ex WHERE rn = 1
+), be AS (
+  SELECT b.doc_id, UNNEST(b.bands) AS band_hash
+  FROM banded b JOIN s1 USING (doc_id)
+), msh AS (
+  SELECT b.doc_id, list_distinct(b.shingles) AS sh
+  FROM banded b JOIN s1 USING (doc_id)
+), mpairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, x.doc_id AS b_id
+  FROM be a JOIN be x ON a.band_hash = x.band_hash
+   AND a.doc_id < x.doc_id
+), mdup AS (
+  SELECT DISTINCT p.b_id AS doc_id
+  FROM mpairs p
+  JOIN msh xa ON xa.doc_id = p.a_id
+  JOIN msh xb ON xb.doc_id = p.b_id
+  WHERE len(list_intersect(xa.sh, xb.sh)) * 2
+        >= len(list_distinct(list_concat(xa.sh, xb.sh)))
+), s2 AS (
+  SELECT doc_id, source FROM s1
+  WHERE doc_id NOT IN (SELECT doc_id FROM mdup)
+), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),
+a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
+m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
+m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+asg AS (
+  SELECT a3.vec_id AS doc_id, a3.v, a3.cid
+  FROM a3 JOIN s2 ON s2.doc_id = a3.vec_id
+  WHERE a3.rn = 1
+), drp AS (
+  SELECT DISTINCT a.doc_id
+  FROM asg a JOIN asg b ON b.cid = a.cid AND b.doc_id < a.doc_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+)
+SELECT s2.doc_id, s2.source, CAST(asg.cid AS INT) AS cluster
+FROM s2 JOIN asg USING (doc_id)
+WHERE s2.doc_id NOT IN (SELECT doc_id FROM drp)
+ORDER BY doc_id
+"""
+
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6556,6 +6995,123 @@ JOIN lut l ON l.s = e.s AND l.c = e.c
 GROUP BY e.vec_id
 ORDER BY pq_dist, e.vec_id
 LIMIT 10
+"""
+
+
+# shared CTE suffix for the batched IVF-PQ oracles: per-query probe
+# choice (rounded centroid cosine, label tiebreak) + per-query integer
+# ADC LUT over the _PQ_ENC_CTE codebook chain, ranked per query.
+_PQ_BATCH_CTE = """
+, e2 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qs AS (
+  SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e2 WHERE vec_id < 3
+), cdims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e2, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY d) AS centroid FROM cdims GROUP BY label
+), pr AS (
+  SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY ROUND(list_dot_product(centroid, qv)
+      / (sqrt(list_dot_product(centroid, centroid))
+         * sqrt(list_dot_product(qv, qv))), 6) DESC, label) AS rn
+  FROM cent, qs
+), probes AS (SELECT query_id, label FROM pr WHERE rn <= 2),
+qd AS (
+  SELECT CAST(vec_id AS INT) AS query_id, s, i, vi FROM vint
+  WHERE vec_id < 3
+), lut AS (
+  SELECT qd.query_id, cb.s, cb.c, SUM((qd.vi - cb.cv) * (qd.vi - cb.cv)) AS d
+  FROM qd JOIN cbdims cb ON cb.i = qd.i
+  GROUP BY 1, 2, 3
+), cand AS (
+  SELECT p.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
+  FROM enc e
+  JOIN e2 ON e2.vec_id = e.vec_id
+  JOIN probes p ON p.label = e2.label
+  JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.c = e.c
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY pq_dist, vec_id) AS rank
+  FROM cand
+)
+"""
+
+ORACLE_ANN_IVFPQ_BATCH = _PQ_ENC_CTE + _PQ_BATCH_CTE + """
+SELECT query_id, vec_id, pq_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# the ADC chain of ORACLE_ANN_IVFPQ widened to a 50-candidate shortlist,
+# then re-ranked EXACT (rounded cosine, id tiebreak) — stage 2 touches
+# only shortlist rows, exactly what read_ivfpq_rerank's pushed-down id
+# lookup computes.
+ORACLE_ANN_IVFPQ_RERANK = _PQ_ENC_CTE + """
+, e2 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (
+  SELECT v AS qv FROM e2
+  WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+), cdims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e2, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY d) AS centroid FROM cdims GROUP BY label
+), probes AS (
+  SELECT label FROM cent, qv
+  ORDER BY ROUND(list_dot_product(centroid, qv.qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv.qv, qv.qv))), 6) DESC, label
+  LIMIT 2
+), q AS (
+  SELECT s, i, vi FROM vint
+  WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+), lut AS (
+  SELECT cb.s, cb.c, SUM((q.vi - cb.cv) * (q.vi - cb.cv)) AS d
+  FROM q JOIN cbdims cb ON cb.i = q.i
+  GROUP BY 1, 2
+), short AS (
+  SELECT e.vec_id AS vec_id, CAST(SUM(l.d) AS BIGINT) AS pq_dist
+  FROM enc e
+  JOIN e2 ON e2.vec_id = e.vec_id
+  JOIN probes USING (label)
+  JOIN lut l ON l.s = e.s AND l.c = e.c
+  GROUP BY e.vec_id
+  ORDER BY pq_dist, e.vec_id
+  LIMIT 50
+)
+SELECT s.vec_id,
+  ROUND(list_dot_product(e2.v, qv.qv)
+        / (sqrt(list_dot_product(e2.v, e2.v))
+           * sqrt(list_dot_product(qv.qv, qv.qv))), 6) AS cosine_sim
+FROM short s JOIN e2 ON e2.vec_id = s.vec_id, qv
+ORDER BY cosine_sim DESC, s.vec_id
+LIMIT 10
+"""
+
+
+ORACLE_ANN_IVFPQ_RERANK_BATCH = _PQ_ENC_CTE + _PQ_BATCH_CTE + """
+, short AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+    ROUND(list_dot_product(e2.v, qs.qv)
+          / (sqrt(list_dot_product(e2.v, e2.v))
+             * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS cosine_sim
+  FROM short s
+  JOIN e2 ON e2.vec_id = s.vec_id
+  JOIN qs ON qs.query_id = s.query_id
+), rr2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM rr2 WHERE rank <= 10
 """
 
 
@@ -10642,73 +11198,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_v_consolidation(spark, os.environ.get("SPARK_GRAFT_SMOKE_DIR", SF_SMOKE))
 
 
-# Driver-facing enumeration order. The driver records CORRECTNESS rows for the
-# first 50 queries() entries per round, so insertion order is a priority
-# ranking for evidence freshness. Round-5 rotation (VERDICT r4 tasks #1, #3):
-#   1. inverted_index — the single never-green query (r04 harness err on its
-#      ArrayType column; postings now string-serialized on both sides),
-#   2. the 46 queries whose newest green row is r02 (strict oldest-first:
-#      with 153 queries and a 50-slot window this bounds every query's
-#      evidence age to 3 rounds),
-#   3. the 3 queries new in round 5 (grid NN join, PMI collocations,
-#      skyline) — no evidence yet.
-# The r03-green cohort follows immediately after the boundary so it leads
-# round 6's window; r04-green rotates to the back.
+# Driver-facing enumeration order. The driver records CORRECTNESS rows for
+# the first 50 queries() entries per round, so insertion order is a priority
+# ranking for evidence freshness. The list below is GENERATED — run
+# tools/rotate_check_order.py at the start of each round (and again after
+# adding queries mid-round): reds from the latest CORRECTNESS file first,
+# then strict oldest-driver-row-first with never-checked (new) queries
+# slotted immediately after the single oldest stale cohort. Round-9
+# rotation: no reds; the 9 queries whose newest green row is r03 lead,
+# the 7 queries new this round follow, then the r04 cohort fills the
+# window — with 261 queries and a 50-slot window this bounds every
+# query's evidence age to ~5 rounds.
 _CHECK_ORDER = [
     # generated by tools/rotate_check_order.py — reds from the
-    # latest CORRECTNESS file first, then never-checked queries,
-    # then strict oldest-driver-row-first. The driver records the
-    # first 50 entries each round.
-    "ann_batch_probe",
-    "ann_index_probe",
-    "ann_ivfpq_probe",
-    "embedding_cluster_profile",
-    "ivf_drift_report",
-    "knn_ivf_blocked",
-    "mixture_pipeline",
-    "temperature_mixture",
-    "token_budget_cap",
-    "weighted_quantiles",
-    "ann_topk",
-    "asof_last_click",
-    "bm25_scores",
-    "containment_pairs",
-    "cosine_consecutive",
-    "customers_no_big_orders",
-    "dedup_catalog_docs",
-    "dedup_components",
-    "dedup_survivors",
-    "distinct_event_types",
-    "embedding_norms",
-    "entity_catalog",
-    "exact_dup_groups",
-    "except_users",
-    "filtered_net_price",
-    "funnel_conversion",
-    "intersect_users",
-    "jaccard_pairs",
-    "knn_within_label",
-    "label_join_orders",
-    "lag_daily_delta",
-    "language_id",
-    "minhash_signature",
-    "multimodal_features",
-    "near_dup_buckets",
-    "numeric_coercion_ratio",
-    "orders_stats",
-    "percentiles_by_type",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_volume",
-    "q2_min_price_parts",
-    "q3_shipping_priority",
-    "q4_priority_semi",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "quality_scores",
-    "range_click_attribution",
-    "rollup_revenue",
+    # latest CORRECTNESS file first, then strict oldest-driver-
+    # row-first with never-checked queries slotted right after
+    # the oldest stale cohort. The driver records the first 50
+    # entries each round.
     "scd2_intervals",
     "sliding_6h_3h",
     "source_quality_gate",
@@ -10718,6 +11224,13 @@ _CHECK_ORDER = [
     "union_scaffold",
     "users_per_event_type",
     "window_top_day",
+    "ann_ivfpq_batch_probe",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_rerank_batch",
+    "curation_semantic",
+    "ivf_append_replay",
+    "packing_efficiency",
+    "semantic_dedup",
     "bigram_logloss",
     "cdc_merge",
     "cdc_roundtrip",
@@ -10913,6 +11426,56 @@ _CHECK_ORDER = [
     "weighted_median",
     "zipf_slope",
     "zscore_outliers",
+    "ann_batch_probe",
+    "ann_index_probe",
+    "ann_ivfpq_probe",
+    "ann_topk",
+    "asof_last_click",
+    "bm25_scores",
+    "containment_pairs",
+    "cosine_consecutive",
+    "customers_no_big_orders",
+    "dedup_catalog_docs",
+    "dedup_components",
+    "dedup_survivors",
+    "distinct_event_types",
+    "embedding_cluster_profile",
+    "embedding_norms",
+    "entity_catalog",
+    "exact_dup_groups",
+    "except_users",
+    "filtered_net_price",
+    "funnel_conversion",
+    "intersect_users",
+    "ivf_drift_report",
+    "jaccard_pairs",
+    "knn_ivf_blocked",
+    "knn_within_label",
+    "label_join_orders",
+    "lag_daily_delta",
+    "language_id",
+    "minhash_signature",
+    "mixture_pipeline",
+    "multimodal_features",
+    "near_dup_buckets",
+    "numeric_coercion_ratio",
+    "orders_stats",
+    "percentiles_by_type",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_volume",
+    "q2_min_price_parts",
+    "q3_shipping_priority",
+    "q4_priority_semi",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "quality_scores",
+    "range_click_attribution",
+    "rollup_revenue",
+    "temperature_mixture",
+    "token_budget_cap",
+    "weighted_quantiles",
 ]
 
 
@@ -11179,6 +11742,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_sample_size": q_effective_sample_size,
         "eta_squared": q_eta_squared,
         "series_gap_audit": q_series_gap_audit,
+        "packing_efficiency": q_packing_efficiency,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_ivfpq_batch_probe": q_ann_ivfpq_batch_probe,
+        "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
+        "ann_ivfpq_rerank_batch": q_ann_ivfpq_rerank_batch,
+        "ivf_append_replay": q_ivf_append_replay,
+        "curation_semantic": q_curation_semantic,
     })
 
 
@@ -11438,4 +12008,11 @@ def oracle_sql() -> dict[str, str]:
         "effective_sample_size": ORACLE_ESS,
         "eta_squared": ORACLE_ETA_SQ,
         "series_gap_audit": ORACLE_GAP_AUDIT,
+        "packing_efficiency": ORACLE_PACKING_EFFICIENCY,
+        "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "ann_ivfpq_batch_probe": ORACLE_ANN_IVFPQ_BATCH,
+        "ann_ivfpq_rerank": ORACLE_ANN_IVFPQ_RERANK,
+        "ann_ivfpq_rerank_batch": ORACLE_ANN_IVFPQ_RERANK_BATCH,
+        "ivf_append_replay": ORACLE_IVF_APPEND_REPLAY,
+        "curation_semantic": ORACLE_CURATION_SEMANTIC,
     })

@@ -759,6 +759,39 @@ def incremental_near_dup_filter(
     return new_df.join(dup_ids, id_col, "left_anti")
 
 
+def near_dup_filter_self(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Self-corpus near-dup filter with the EARLIER-ID-WINS rule: drop
+    every document that has ANY lower-id LSH candidate whose exact
+    shingle Jaccard ≥ ``threshold_num/threshold_den`` (integer
+    cross-multiply — no float threshold for engines to disagree on).
+    The self-join twin of ``incremental_near_dup_filter`` and the same
+    drop discipline as ``similarity.semantic_dedup``, so the two stages
+    compose into one curation pass with consistent semantics. Like
+    SemDeDup's greedy pass it may over-drop across a dropped justifier —
+    the conservative direction. Survivors pass through unchanged.
+
+    Scale shape: inherits ``_banded_shingle_pairs``'s ids-only band join
+    (pair-count-bounded shuffle); the keep-set applies as ONE left-anti
+    join on the corpus.
+    """
+    pairs = _banded_shingle_pairs(df, id_col, **minhash_kwargs)
+    dup_ids = (
+        pairs.filter(
+            F.size(F.array_intersect("a_sh", "b_sh")) * threshold_den
+            >= F.size(F.array_union("a_sh", "b_sh")) * threshold_num
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(dup_ids, id_col, "left_anti")
+
+
 def near_dup_survivors(
     df: DataFrame,
     quality_col: str,

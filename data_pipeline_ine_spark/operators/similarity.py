@@ -908,6 +908,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     memo_key: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) reduced to its deterministic core:
     cluster the corpus with the deterministic k-means, then WITHIN each
@@ -928,12 +929,16 @@ def semantic_dedup(
     ``knn_join_blocked(ivf_clusters=...)``'s discipline, never corpus².
     Rounded similarity keeps the threshold test engine-reproducible.
 
-    Returns the KEPT rows: (id, cluster).
+    ``centroids`` injects a pre-trained quantizer (the paper trains on a
+    corpus sample, not the dedup input — and a composed pipeline reuses
+    ONE quantizer across stages); when omitted, k-means trains on ``df``
+    itself. Returns the KEPT rows: (id, cluster).
     """
-    centroids = kmeans_fit(
-        df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
-        memo_key=memo_key,
-    )
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+            memo_key=memo_key,
+        )
     assigned = _assign_clusters(
         df.select(id_col, vec_col), centroids, vec_col
     )

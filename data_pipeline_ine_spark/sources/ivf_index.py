@@ -798,6 +798,64 @@ def read_ivfpq_rerank(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def read_ivfpq_rerank_batch(
+    spark: SparkSession,
+    pq_path: str,
+    vectors: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched two-stage retrieval: Q queries shortlist through ONE
+    pruned codes scan (``read_ivfpq_probe_batch`` — union-of-probes
+    partition filter, per-query integer LUTs on the broadcast), then
+    ALL shortlists re-rank exact from ONE pushed-down id-set lookup on
+    the raw vectors (the union of shortlist ids as a literal ``isin``),
+    with a broadcast (query_id, id) membership join scoping each raw
+    vector to the queries that shortlisted it. Per-query results are
+    identical to Q separate ``read_ivfpq_rerank`` calls; the batch pays
+    ONE codes scan + ONE raw point-lookup set instead of 2Q scans —
+    the same one-scan discipline as ``read_ivf_probe_batch``.
+
+    Driver traffic is O(Q·shortlist) id scalars — the shortlist plan,
+    never data. Returns (query_id, id, cosine_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    short = read_ivfpq_probe_batch(
+        spark, pq_path, queries, k=shortlist, n_probe=n_probe,
+        id_col=id_col,
+    )
+    rows = short.select("query_id", id_col).collect()
+    union_ids = sorted({r[1] for r in rows})
+    pairs = spark.createDataFrame(
+        [(int(r[0]), int(r[1])) for r in rows],
+        f"query_id int, {id_col} bigint",
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cand = vectors.select(id_col, vec_col).filter(
+        F.col(id_col).isin(union_ids)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    rk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        cand.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def read_ivf_probe(
     spark: SparkSession,
     path: str,

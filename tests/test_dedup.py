@@ -708,3 +708,34 @@ def test_kmeans_fit_memo_returns_identical_copies(spark):
     S.kmeans_fit(df, k=3, iters=1)
     assert len(S._KMEANS_MEMO) == 2  # keyless call bypasses
     S._KMEANS_MEMO.clear()
+
+
+def test_semantic_dedup_injected_quantizer_matches_inline(spark, sf_dir):
+    """Quantizer injection: passing the SAME trained centroids must
+    reproduce the train-inline result exactly (the composed pipeline
+    trains once on the full corpus and reuses the quantizer); a
+    DIFFERENT quantizer (trained on a subset) may legitimately change
+    cluster boundaries but the kept-set invariant still holds."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    cents = kmeans_fit(emb, k=4, iters=1)
+    inline = sorted(
+        tuple(r) for r in semantic_dedup(
+            emb, tau=0.3, n_clusters=4, iters=1
+        ).collect()
+    )
+    injected = sorted(
+        tuple(r) for r in semantic_dedup(
+            emb, tau=0.3, centroids=cents
+        ).collect()
+    )
+    assert injected == inline

@@ -1517,3 +1517,53 @@ def test_recover_ivf_index_lost_race_treated_as_recovered(
     assert M.recover_ivf_index(path2) is True
     monkeypatch.undo()
     assert os.path.exists(os.path.join(path2, "_index_success"))
+
+
+def test_ivfpq_rerank_batch_one_lookup_matches_single(
+    spark, sf_dir, tmp_path
+):
+    """Batched two-stage retrieval (read_ivfpq_rerank_batch): Q queries
+    re-rank from ONE pushed-down id-set lookup (union of shortlists) —
+    the raw read is a point-lookup filter, queries attach via broadcast
+    equi-joins, and per-query results are identical to Q single-query
+    read_ivfpq_rerank calls."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_rerank,
+        read_ivfpq_rerank_batch,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_rrb")
+    write_ivfpq_index(emb, path, part_col="label")
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    batch = read_ivfpq_rerank_batch(
+        spark, path, emb, queries, k=5, shortlist=30, n_probe=2
+    )
+    plan = explain_str(batch)
+    # stage 2's raw-vector read: pushed-down id point-lookup set
+    assert "PushedFilters" in plan and "In(vec_id" in plan.split(
+        "PushedFilters"
+    )[1].splitlines()[0], plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine_sim)
+        for r in batch.collect()
+    }
+    for qid, vec in queries:
+        single = read_ivfpq_rerank(
+            spark, path, emb, vec, k=5, shortlist=30, n_probe=2
+        ).collect()
+        for i, r in enumerate(single):
+            assert got[(qid, i + 1)] == (r.vec_id, r.cosine_sim), (qid, i)

@@ -16,11 +16,16 @@ repo being importable from the workers' cwd):
     cd /tmp && python /root/repo/tools/gate_sweep.py [plain tz aqe-off sf0.1]
 
 Prints one ``GATE <tag>: ok/total fails=[...]`` line per sweep and exits
-non-zero if any query fails any gate.
+non-zero if any query fails any gate. Pass ``--out PATH`` to ALSO write
+a machine-readable per-query pass-bit artifact (``GATES_rN.json`` next
+to the round's CORRECTNESS file — VERDICT r8 task 5): the all-contract
+evidence that fills the 50-slot driver window's gaps, auditable without
+re-running 40-minute sweeps.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -48,8 +53,15 @@ def main() -> int:
     import __spark_entry__ as contract
     from oracle import assert_matches_oracle
 
-    tags = sys.argv[1:] or list(CASES)
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    tags = args or list(CASES)
     status = 0
+    results: dict[str, dict[str, bool]] = {}
     for tag in tags:
         conf, sf = CASES[tag]
         builder = SparkSession.builder.master("local[16]")
@@ -58,17 +70,32 @@ def main() -> int:
         spark = builder.getOrCreate()
         q, o = contract.queries(), contract.oracle_sql()
         ok, fails = 0, []
+        bits: dict[str, bool] = {}
         for name in sorted(o):
             try:
                 assert_matches_oracle(q[name](spark, sf), o[name], sf)
                 ok += 1
+                bits[name] = True
             except Exception as e:  # noqa: BLE001 - report and continue
                 fails.append(name)
+                bits[name] = False
                 print(f"FAIL {tag} {name} {str(e)[:180]}", flush=True)
+        results[tag] = bits
         print(f"GATE {tag}: {ok}/{len(o)} fails={fails}", flush=True)
         if fails:
             status = 1
         spark.stop()
+    if out_path:
+        summary = {
+            tag: f"{sum(bits.values())}/{len(bits)}"
+            for tag, bits in results.items()
+        }
+        with open(out_path, "w") as f:
+            json.dump(
+                {"summary": summary, "sweeps": results}, f, indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out_path}: {summary}", flush=True)
     return status
 
 
