@@ -2806,6 +2806,80 @@ FROM rows_all GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift-recovery rebuild closing the index lifecycle
+    (sources/ivf_index.py::rebuild_ivf_index): build from the first
+    half of the corpus (label buckets), append the second half against
+    the FROZEN centroids (accumulating exactly the drift
+    ivf_drift_report measures), then REBUILD — retrain the k=8
+    quantizer on the CURRENT corpus and rewrite the index under the new
+    bucketing via the same stage-and-swap as compaction. The rebuilt
+    bucketing must equal a deterministic full-corpus k-means assignment
+    (which is what the oracle derives), with every vector present
+    exactly once."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).first()[0] // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivf_rebuild_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    # "_rebuilt_ok" commits after the full lifecycle exercise (build ->
+    # append -> rebuild); the build's own marker lands earlier and
+    # would cache a pre-rebuild index if a run died mid-exercise
+    if not _ivf_index_ready(path, "_centroids", "_rebuilt_ok"):
+        write_ivf_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        rebuild_ivf_index(spark, path, n_clusters=8, iters=2)
+        with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
+            f.write("ok\n")
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# a rebuild discards the old bucketing entirely: ground truth is the
+# deterministic full-corpus two-iteration Lloyd assignment (the same
+# unrolled chain as ORACLE_CLUSTER_PROFILE), bucketed b<cid>.
+ORACLE_IVF_REBUILD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),
+a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
+m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
+m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')})
+SELECT 'b' || CAST(cid AS VARCHAR) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM a3 WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup's deterministic core (operators/similarity.py::
     semantic_dedup): deterministic k-means clusters the corpus, then
@@ -11229,6 +11303,7 @@ _CHECK_ORDER = [
     "ann_ivfpq_rerank_batch",
     "curation_semantic",
     "ivf_append_replay",
+    "ivf_rebuild",
     "packing_efficiency",
     "semantic_dedup",
     "bigram_logloss",
@@ -11749,6 +11824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_rerank_batch": q_ann_ivfpq_rerank_batch,
         "ivf_append_replay": q_ivf_append_replay,
         "curation_semantic": q_curation_semantic,
+        "ivf_rebuild": q_ivf_rebuild,
     })
 
 
@@ -12015,4 +12091,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_rerank_batch": ORACLE_ANN_IVFPQ_RERANK_BATCH,
         "ivf_append_replay": ORACLE_IVF_APPEND_REPLAY,
         "curation_semantic": ORACLE_CURATION_SEMANTIC,
+        "ivf_rebuild": ORACLE_IVF_REBUILD,
     })

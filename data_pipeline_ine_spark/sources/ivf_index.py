@@ -426,6 +426,73 @@ def compact_ivf_index(
     return len(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
 
 
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """The drift-recovery step ``ivf_drift_report`` points at: RETRAIN
+    the coarse quantizer on the CURRENT corpus (base + every appended
+    cohort) and rewrite the index under the new bucketing — the
+    periodic full rebuild that resets accumulated assignment drift,
+    versus ``append_to_ivf_index``'s frozen-centroid discipline.
+    Raw-vector (plain IVF) indexes only: a codes-only IVF-PQ index
+    cannot retrain from its own storage (the raw vectors are gone by
+    design) — rebuild those from the source table.
+
+    Same stage-and-swap crash window as ``compact_ivf_index`` (and the
+    same ``recover_ivf_index`` self-heal covers it); ``_batch_commits``
+    markers are carried across because the rebuilt table CONTAINS every
+    committed streaming batch — a post-rebuild replay must still
+    short-circuit. Refuses while a staged batch sits under ``.batches``.
+    Returns the bucket count after the rebuild.
+
+    Scale shape: one full-corpus k-means fit (the train job any rebuild
+    pays) + one bucket-keyed repartition write — the index is rewritten
+    ONCE per drift episode, never per batch.
+    """
+    import glob
+    import os
+    import shutil
+
+    pending = glob.glob(os.path.join(path, ".batches", "*"))
+    if pending:
+        raise RuntimeError(
+            f"refusing to rebuild {path}: in-flight staged batches "
+            f"{sorted(os.path.basename(p) for p in pending)} under "
+            f".batches/ — drain or clean the streaming sink first"
+        )
+    if os.path.exists(os.path.join(path, _CODEBOOK_DIR)):
+        raise ValueError(
+            f"{path} is a codes-only IVF-PQ index: raw vectors are not "
+            "stored, so the quantizer cannot retrain from the index — "
+            "rebuild from the source table with write_ivfpq_index"
+        )
+    rows = spark.read.parquet(path).drop(BUCKET_COL)
+    stage = path.rstrip("/") + ".compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_ivf_index(
+        rows, stage, part_col=None, n_clusters=n_clusters, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    commits = os.path.join(path, _BATCH_COMMITS_DIR)
+    if os.path.exists(commits):
+        shutil.copytree(commits, os.path.join(stage, _BATCH_COMMITS_DIR))
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    try:
+        os.replace(stage, path)
+    except FileNotFoundError:
+        if not os.path.exists(os.path.join(path, "_index_success")):
+            raise
+    shutil.rmtree(old, ignore_errors=True)
+    return len(glob.glob(os.path.join(path, "bucket=*")))
+
+
 def read_ivf_probe_batch(
     spark: SparkSession,
     path: str,

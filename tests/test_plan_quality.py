@@ -1567,3 +1567,81 @@ def test_ivfpq_rerank_batch_one_lookup_matches_single(
         ).collect()
         for i, r in enumerate(single):
             assert got[(qid, i + 1)] == (r.vec_id, r.cosine_sim), (qid, i)
+
+
+def test_rebuild_ivf_index_retrains_and_preserves_lifecycle(
+    spark, sf_dir, tmp_path
+):
+    """The drift-recovery rebuild: retrain the quantizer on the CURRENT
+    corpus and rewrite the index — rows preserved exactly, probe
+    results equal to a fresh build of the same rows, _batch_commits
+    markers carried across (a post-rebuild replay must still skip), and
+    a refusal both while a staged batch is in flight and on codes-only
+    IVF-PQ indexes (no raw vectors to retrain from)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        rebuild_ivf_index,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.index_maintenance import (
+        append_batch_to_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_rebuild")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") < 250), path, part_col="label"
+    )
+    batch = emb.filter(F.col("vec_id") >= 250).drop("label")
+    assert append_batch_to_ivf_index(batch, 4, path) is True
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    id_sum = before.agg(F.sum("vec_id")).first()[0]
+
+    # refuse while a staged batch is in flight
+    stage = os.path.join(path, ".batches", "b9")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "x.parquet"), "w") as f:
+        f.write("x")
+    with _pytest.raises(RuntimeError, match="in-flight staged batches"):
+        rebuild_ivf_index(spark, path)
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(path, ".batches"))
+
+    n_buckets = rebuild_ivf_index(spark, path, n_clusters=4, iters=1)
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("vec_id")).first()[0] == id_sum
+    assert 1 <= n_buckets <= 4
+
+    # the rebuilt index IS a fresh deterministic build of the same rows
+    fresh = str(tmp_path / "ivf_fresh")
+    write_ivf_index(
+        emb.select("vec_id", "embedding"), fresh, part_col=None,
+        n_clusters=4, iters=1,
+    )
+    qvec = emb.select("embedding").head()[0]
+    got = [tuple(r) for r in read_ivf_probe(
+        spark, path, qvec, k=10, n_probe=2).collect()]
+    want = [tuple(r) for r in read_ivf_probe(
+        spark, fresh, qvec, k=10, n_probe=2).collect()]
+    assert got == want
+
+    # batch-commit markers survived: the committed batch still skips
+    assert os.path.exists(os.path.join(path, "_batch_commits", "b4"))
+    assert append_batch_to_ivf_index(batch, 4, path) is False
+    assert spark.read.parquet(path).count() == n_rows
+
+    # codes-only IVF-PQ: refuse (raw vectors are gone by design)
+    pq = str(tmp_path / "pq_idx")
+    write_ivfpq_index(emb, pq, part_col="label")
+    with _pytest.raises(ValueError, match="codes-only"):
+        rebuild_ivf_index(spark, pq)
