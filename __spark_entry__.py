@@ -5006,6 +5006,58 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection weights (operators/text.py::dsir_llr):
+    every document scored by the log-likelihood ratio of a
+    target-cohort unigram LM (docs from source 'src0' — the trusted
+    domain) over the raw-corpus LM. Positive = more target-like; the
+    ranking a domain-transfer selection pass resamples from. Integer
+    contract surface: the exact e12 fixed-point accumulator itself
+    (unigram_logloss's engine-exact recipe), both LMs trained in ONE
+    vocab-sized aggregate pass."""
+    from data_pipeline_ine_spark.operators.text import dsir_llr
+
+    docs = _docs_parallel(spark, sf_dir)
+    return dsir_llr(docs, F.col("source") == "src0").select(
+        "doc_id", "n_tokens", "llr_e12"
+    )
+
+
+ORACLE_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT term, COUNT(*) AS c_all,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+  FROM toks GROUP BY 1
+), totals AS (
+  SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt, COUNT(*) AS v_size
+  FROM vocab
+), scored AS (
+  -- per-term -ln p of BOTH LMs snapped to exact e12 fixed point before
+  -- the difference and the order-invariant integer accumulation,
+  -- mirroring operators/text.py::dsir_llr (shared V_corpus smoothing)
+  SELECT tf.doc_id, CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(tf.cnt * (
+        CAST(FLOOR(-ln(CAST(vocab.c_all + 1 AS DOUBLE)
+                       / (totals.n_all + totals.v_size)) * 1e12 + 0.5)
+             AS BIGINT)
+      - CAST(FLOOR(-ln(CAST(vocab.c_tgt + 1 AS DOUBLE)
+                       / (totals.n_tgt + totals.v_size)) * 1e12 + 0.5)
+             AS BIGINT)
+    )) AS BIGINT) AS llr_e12
+  FROM tf JOIN vocab USING (term) CROSS JOIN totals
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.llr_e12
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-3 additions: containment dedup, blocked kNN join, SCD2 history,
 # conversion funnel, per-source quality gating, BM25 retrieval scoring
@@ -11302,6 +11354,7 @@ _CHECK_ORDER = [
     "ann_ivfpq_rerank",
     "ann_ivfpq_rerank_batch",
     "curation_semantic",
+    "dsir_weights",
     "ivf_append_replay",
     "ivf_rebuild",
     "packing_efficiency",
@@ -11825,6 +11878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_append_replay": q_ivf_append_replay,
         "curation_semantic": q_curation_semantic,
         "ivf_rebuild": q_ivf_rebuild,
+        "dsir_weights": q_dsir_weights,
     })
 
 
@@ -12092,4 +12146,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_append_replay": ORACLE_IVF_APPEND_REPLAY,
         "curation_semantic": ORACLE_CURATION_SEMANTIC,
         "ivf_rebuild": ORACLE_IVF_REBUILD,
+        "dsir_weights": ORACLE_DSIR,
     })

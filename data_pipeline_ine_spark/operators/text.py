@@ -476,6 +476,90 @@ def unigram_logloss(
     )
 
 
+def dsir_llr(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", reduced to its
+    deterministic core): score every document by the log-likelihood
+    RATIO of a TARGET-cohort unigram LM over the raw-corpus LM —
+    ``llr = Σ_t cnt(t)·(−ln p_raw(t) − (−ln p_tgt(t)))`` — positive
+    means "more target-like than the corpus average", the ranking a
+    domain-transfer data-selection pass samples from. ``target_pred``
+    is a boolean Column marking the target cohort (e.g. a trusted
+    source, a quality-gated subset).
+
+    Smoothing shares ONE vocabulary constant: ``p_cohort(t) =
+    (c_cohort(t)+1) / (N_cohort + V_corpus)`` with ``V_corpus`` the
+    full-corpus distinct-term count — every corpus term has nonzero
+    probability under BOTH LMs (the paper's hashed features solve OOV
+    the same way: a shared finite feature space).
+
+    Returns ``(id_col, n_tokens, llr_e12, avg_llr)`` — ``llr_e12`` the
+    exact integer Σ cnt·(snap12(−ln p_raw) − snap12(−ln p_tgt))
+    (unigram_logloss's engine-exact fixed-point recipe: per-term snap
+    via IEEE-only ops, order-invariant DECIMAL accumulation), and
+    ``avg_llr`` the 6-decimal per-token score derived from it. Docs
+    with no tokens keep NULL scores. Identity: target = whole corpus
+    ⇒ llr_e12 = 0 for every document (pinned in tests).
+
+    Scale shape: identical to unigram_logloss — one doc-keyed shuffle
+    of doc×distinct-term rows, a vocab-sized aggregate (now carrying
+    both cohort counts in the SAME pass), broadcast joins while the
+    vocab fits. The target flag rides the token explode, so the two
+    LMs train in one job, not two.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("_tgt"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_all").alias("n_all"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+
+    def snap12(c: Column, n: Column) -> Column:
+        neglogp = -F.log((c + 1).cast("double") / (n + F.col("v_size")))
+        return F.floor(neglogp * F.lit(1e12) + F.lit(0.5))
+
+    llr_term = snap12(F.col("c_all"), F.col("n_all")) - snap12(
+        F.col("c_tgt"), F.col("n_tgt")
+    )
+    sum_llr = F.sum((F.col("cnt") * llr_term).cast("decimal(38,0)"))
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            sum_llr.cast("long").alias("llr_e12"),
+            F.round(
+                sum_llr.cast("double") / F.lit(1e12) / F.sum("cnt"), 6
+            ).alias("avg_llr"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "llr_e12",
+        "avg_llr",
+    )
+
+
 def bigram_logloss(
     df: DataFrame,
     text_col: str = "text",

@@ -673,3 +673,43 @@ def test_sprt_ab_all_failures_accepts_null(spark):
     # ceil(2944439/182322) = 17 failures accepts H0
     accepted = [r for r in out if r.decision == -1]
     assert accepted and accepted[0].n_units_cum == 18  # 2/day → day 9
+
+
+def test_dsir_llr_identity_sign_and_empty_doc(spark):
+    """DSIR importance weights: (a) target = whole corpus makes both
+    LMs identical, so llr_e12 is exactly 0 for every scored doc; (b) a
+    doc made of target-exclusive terms scores positive, one of
+    raw-only terms negative; (c) empty docs keep NULL scores with
+    n_tokens 0; row count always equals the corpus."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.text import dsir_llr
+
+    rows = [
+        (1, "foo foo foo qux", "tgt"),
+        (2, "foo qux foo", "tgt"),
+        (3, "bar bar qux baz", "raw"),
+        (4, "bar baz qux", "raw"),
+        (5, "", "raw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+    ident = {r.doc_id: r for r in dsir_llr(
+        df, F.lit(True)).collect()}
+    assert len(ident) == 5
+    for i in (1, 2, 3, 4):
+        assert ident[i].llr_e12 == 0 and ident[i].avg_llr == 0.0
+    assert ident[5].n_tokens == 0 and ident[5].llr_e12 is None
+
+    out = {r.doc_id: r for r in dsir_llr(
+        df, F.col("src") == "tgt").collect()}
+    assert out[1].llr_e12 > 0 and out[2].llr_e12 > 0
+    assert out[3].llr_e12 < 0 and out[4].llr_e12 < 0
+    assert out[1].n_tokens == 4
+    # avg is the derived per-token score of the exact integer
+    assert out[1].avg_llr == round(out[1].llr_e12 / 1e12 / 4, 6)
+
+    # deterministic: repeated run bit-identical
+    again = {r.doc_id: r.llr_e12 for r in dsir_llr(
+        df, F.col("src") == "tgt").collect()}
+    assert again == {k: v.llr_e12 for k, v in out.items()}
