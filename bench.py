@@ -86,6 +86,10 @@ HEAVY = [
     "pq_topk",
     "recursive_bfs_sql",
     "k_core",
+    # round-9 additions: the two new cluster-blocked pairwise queries
+    # (measured 4-10 s at sf0.1 — exactly the n=1-noise-prone tier)
+    "semantic_dedup",
+    "curation_semantic",
 ]
 
 

@@ -125,3 +125,47 @@ def test_check_order_is_a_permutation_of_the_contract():
     assert list(QUERIES) == list(ORACLES), "queries/oracles enumerate differently"
     # the driver checks the first 50: they must all have oracles
     assert all(n in ORACLES for n in list(QUERIES)[:50])
+
+
+def test_check_order_follows_the_rotation_policy():
+    """_CHECK_ORDER is generated state (tools/rotate_check_order.py) —
+    pin that the committed list actually follows the policy the driver
+    window depends on: reds from the latest CORRECTNESS file first,
+    then strict oldest-driver-row-first with never-checked queries
+    slotted immediately after the single oldest stale cohort
+    (VERDICT r8 task 2's prescribed order)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest, reds = {}, set()
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert files, "no CORRECTNESS files — cannot check rotation"
+    for path in files:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for name, v in json.load(open(path)).items():
+            latest[name] = rnd
+            if path == files[-1]:
+                green = (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                )
+                (reds.discard if green else reds.add)(name)
+
+    current = list(contract.queries())
+    checked = [n for n in current if n in latest and n not in reds]
+    never_key = (
+        (min(latest[n] for n in checked) + 0.5) if checked else 0.0
+    )
+    expect = sorted(n for n in current if n in reds) + sorted(
+        (n for n in current if n not in reds),
+        key=lambda n: (latest.get(n, never_key), n),
+    )
+    assert current == expect, (
+        "stale _CHECK_ORDER — rerun tools/rotate_check_order.py "
+        "(first divergence at index "
+        f"{next(i for i, (a, b) in enumerate(zip(current, expect)) if a != b)})"
+    )

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "bm25_scores": "1-row (N, avgdl) frame",
     "unigram_logloss": "1-row vocab-size frame",
     "bigram_logloss": "1-row vocab-size frame",
+    "dsir_weights": "1-row two-cohort totals frame (dsir_llr)",
     "source_divergence": "1-row vocab-size frame; |sources|x|vocab| grid",
     "vocab_coverage": "1-row corpus-total frame",
     "dq_audit": "1-row audit-total frames",
