@@ -2450,6 +2450,89 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ivfpq_probe(spark, path, qrow[0], k=10, n_probe=2)
 
 
+def q_ann_sq8_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS IVF-SQ8 serving layout (sources/ivf_index.py::
+    write_sq8_index/read_sq8_probe) — the third member of the standard
+    quantization ladder (flat=ann_index_probe / SQ8=this / PQ=
+    ann_ivfpq_probe): the corpus stored as per-dim affine int8 codes
+    ONLY, partitioned by the coarse bucket, with centroid and
+    affine-param sidecars. The probe prunes to n_probe buckets at the
+    parquet scan (static PartitionFilters) and ranks by the exact
+    BIGINT code-space squared distance — the query quantized onto the
+    SAME grid driver-side, so the oracle reproduces codes AND ranking
+    bit-for-bit (per-dim MIN/MAX are order-invariant, unlike sums)."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_probe,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    path = os.path.join(
+        "/tmp", f"spark_graft_sq8_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_sqparams"):
+        write_sq8_index(emb, path, part_col="label")
+    return read_sq8_probe(spark, path, qvec, k=10, n_probe=2)
+
+
+ORACLE_ANN_SQ8_PROBE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY ROUND(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv, qv))), 6)
+        DESC, label
+  LIMIT 2
+),
+mm AS (
+  SELECT g.d, MIN(v[g.d]) AS mn, MAX(v[g.d]) AS mx
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+codes AS (
+  -- the same IEEE subtract/multiply/divide/add/floor chain as
+  -- ivf_index._sq8_code_expr: codes are bit-identical across engines
+  SELECT e.vec_id, e.label, mm.d,
+    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((v[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT)
+    END)) AS code
+  FROM e, mm
+),
+qc AS (
+  SELECT mm.d,
+    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((qv[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT)
+    END)) AS qcode
+  FROM mm, q
+),
+dist AS (
+  SELECT c.vec_id,
+    CAST(SUM(CAST((c.code - qc.qcode) AS BIGINT) * (c.code - qc.qcode))
+         AS BIGINT) AS sq8_dist
+  FROM codes c JOIN qc USING (d) JOIN probes p ON c.label = p.label
+  GROUP BY 1
+)
+SELECT vec_id, sq8_dist FROM dist ORDER BY sq8_dist, vec_id LIMIT 10
+"""
+
+
 def q_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN serving over the SAME persisted IVF index as
     ann_index_probe (sources/ivf_index.py::read_ivf_probe_batch):
@@ -11679,6 +11762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_index_probe": q_ann_index_probe,
         "ann_ivfpq_probe": q_ann_ivfpq_probe,
+        "ann_sq8_probe": q_ann_sq8_probe,
         "weighted_quantiles": q_weighted_quantiles,
         "embedding_cluster_profile": q_embedding_cluster_profile,
         "token_budget_cap": q_token_budget_cap,
@@ -11947,6 +12031,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ORACLE_ANN_IVF,
         "ann_index_probe": ORACLE_ANN_IVF,
         "ann_ivfpq_probe": ORACLE_ANN_IVFPQ,
+        "ann_sq8_probe": ORACLE_ANN_SQ8_PROBE,
         "weighted_quantiles": ORACLE_WEIGHTED_QUANTILES,
         "embedding_cluster_profile": ORACLE_CLUSTER_PROFILE,
         "token_budget_cap": ORACLE_TOKEN_BUDGET,

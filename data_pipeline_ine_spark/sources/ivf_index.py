@@ -105,6 +105,7 @@ def write_ivf_index(
 
 
 _CODEBOOK_DIR = "_codebook"  # leading "_": invisible to parquet readers
+_SQPARAMS_DIR = "_sqparams"  # SQ8 per-dim affine params sidecar
 
 
 def _commit_marker(path: str) -> None:
@@ -344,7 +345,20 @@ def _bucket_for_append(
             bucketed, codebook, vec_col=vec_col, id_col=id_col,
             keep_cols=(BUCKET_COL,),
         )
-    elif part_col is not None and part_col != BUCKET_COL:
+        return bucketed
+    # IVF-SQ8 index: store int8 codes under the FROZEN affine params
+    # (re-deriving bounds from the append batch would shift the grid and
+    # silently corrupt every stored distance — same frozen-quantizer
+    # discipline as the PQ codebook above)
+    if os.path.exists(f"{path}/{_SQPARAMS_DIR}"):
+        mins, spans = _sq8_params(spark, path)
+        bucketed = bucketed.withColumn(
+            "sq_codes", _sq8_code_expr(F.col(vec_col), mins, spans)
+        ).drop(vec_col)
+        if part_col is not None and part_col != BUCKET_COL:
+            bucketed = bucketed.drop(part_col)
+        return bucketed
+    if part_col is not None and part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
     return bucketed
 
@@ -406,7 +420,9 @@ def compact_ivf_index(
     # post-compaction replay (crash before the stream checkpoint
     # committed) would otherwise find no marker and re-append an
     # already-applied batch, duplicating vectors (ADVICE r8).
-    for side in (_CENTROID_DIR, _CODEBOOK_DIR, _BATCH_COMMITS_DIR):
+    for side in (
+        _CENTROID_DIR, _CODEBOOK_DIR, _SQPARAMS_DIR, _BATCH_COMMITS_DIR
+    ):
         src = os.path.join(path, side)
         if os.path.exists(src):
             shutil.copytree(src, os.path.join(stage, side))
@@ -470,6 +486,12 @@ def rebuild_ivf_index(
             f"{path} is a codes-only IVF-PQ index: raw vectors are not "
             "stored, so the quantizer cannot retrain from the index — "
             "rebuild from the source table with write_ivfpq_index"
+        )
+    if os.path.exists(os.path.join(path, _SQPARAMS_DIR)):
+        raise ValueError(
+            f"{path} is a codes-only IVF-SQ8 index: raw vectors are not "
+            "stored, so the quantizer cannot retrain from the index — "
+            "rebuild from the source table with write_sq8_index"
         )
     rows = spark.read.parquet(path).drop(BUCKET_COL)
     stage = path.rstrip("/") + ".compacting"
@@ -959,3 +981,195 @@ def read_ivf_probe(
         F.col(BUCKET_COL).isin(probe_ids)
     )
     return brute_force_topk(probed, query_vec, k, vec_col, id_col)
+
+
+def _sq8_code_expr(
+    vec: F.Column, mins: list[float], spans: list[float]
+) -> F.Column:
+    """Per-dim affine int8 quantization as one JVM-side transform:
+    ``code_d = clamp(floor((x_d - min_d) * 255.0 / span_d + 0.5), 0, 255)``
+    with ``span_d = max_d - min_d`` (0-span dims quantize to 0). The
+    expression uses only IEEE subtract/multiply/divide/add/floor on
+    exact inputs, so the codes are bit-identical across engines — the
+    DuckDB oracle re-derives them from the same MIN/MAX (themselves
+    order-invariant, unlike sums)."""
+    mlit = F.array(*[F.lit(float(m)) for m in mins])
+    slit = F.array(*[F.lit(float(s)) for s in spans])
+    return F.transform(
+        F.sequence(F.lit(1), F.size(vec)),
+        lambda i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.when(F.element_at(slit, i) == 0.0, F.lit(0)).otherwise(
+                    F.floor(
+                        (
+                            F.element_at(vec, i).cast("double")
+                            - F.element_at(mlit, i)
+                        )
+                        * F.lit(255.0)
+                        / F.element_at(slit, i)
+                        + F.lit(0.5)
+                    ).cast("int")
+                ),
+            ),
+        ),
+    )
+
+
+def _sq8_params(spark: SparkSession, path: str) -> tuple[list[float], list[float]]:
+    """(mins, spans) from the ``_sqparams`` sidecar — O(dim) scalars."""
+    rows = spark.read.parquet(f"{path}/{_SQPARAMS_DIR}").collect()
+    by_d = {int(r.d): (float(r.vmin), float(r.vmax)) for r in rows}
+    mins = [by_d[d][0] for d in sorted(by_d)]
+    spans = [by_d[d][1] - by_d[d][0] for d in sorted(by_d)]
+    return mins, spans
+
+
+def write_sq8_index(
+    df: DataFrame,
+    path: str,
+    part_col: str | None = None,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The FAISS IVF-SQ8 layout as Spark partitioned storage: the corpus
+    bucketed by the coarse key (``write_ivf_index``'s rule) and stored as
+    per-dim affine int8 codes — 64 float32 dims → 64 bytes, a 4× scan cut
+    with far less quantization loss than PQ — plus two sidecars: the
+    per-bucket centroids (probe selection) and the per-dim (min, max)
+    affine params (query quantization + optional decode). The third
+    member of the standard quantization ladder (flat / SQ8 / PQ); raw
+    vectors exist only at write time.
+
+    Scale shape: one posexplode aggregate for the per-dim bounds (the
+    same write-time pass class as the centroid sidecar), one narrow map
+    to encode, one bucket-partitioned write. Params are O(dim) scalars.
+    """
+    from data_pipeline_ine_spark.operators.similarity import (
+        _assign_clusters,
+        kmeans_fit,
+    )
+
+    if part_col is None:
+        centroids = kmeans_fit(
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        src = _assign_clusters(df, centroids, vec_col)
+        part_col = "cluster"
+    else:
+        src = df
+    bucketed = src.withColumn(
+        BUCKET_COL, F.concat(F.lit("b"), F.col(part_col).cast("string"))
+    )
+    if part_col != BUCKET_COL:
+        bucketed = bucketed.drop(part_col)
+
+    # per-dim exact bounds: MIN/MAX are order-invariant (no float-sum
+    # nondeterminism), so the affine params are engine-exact by nature
+    bounds = (
+        bucketed.select(F.posexplode(vec_col).alias("d0", "x"))
+        .groupBy("d0")
+        .agg(F.min("x").cast("double").alias("vmin"),
+             F.max("x").cast("double").alias("vmax"))
+        .collect()
+    )
+    by_d = {int(r.d0) + 1: (float(r.vmin), float(r.vmax)) for r in bounds}
+    mins = [by_d[d][0] for d in sorted(by_d)]
+    spans = [by_d[d][1] - by_d[d][0] for d in sorted(by_d)]
+
+    codes = bucketed.withColumn(
+        "sq_codes", _sq8_code_expr(F.col(vec_col), mins, spans)
+    ).drop(vec_col)
+    codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+
+    dims = (
+        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(BUCKET_COL, "d")
+        .agg(F.avg("x").alias("c"))
+    )
+    cents = (
+        dims.groupBy(BUCKET_COL)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            BUCKET_COL,
+            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_CENTROID_DIR}"
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(d, by_d[d][0], by_d[d][1]) for d in sorted(by_d)],
+        "d int, vmin double, vmax double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_SQPARAMS_DIR}")
+    _commit_marker(path)
+
+
+def read_sq8_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "sq_codes",
+) -> DataFrame:
+    """Top-k by exact integer squared distance IN CODE SPACE from an
+    IVF-SQ8 index: probe buckets chosen from the centroid sidecar
+    exactly like ``read_ivf_probe`` (static partition pruning on the
+    scan), the query quantized driver-side with the sidecar's affine
+    params (same IEEE arithmetic as the stored codes, so both sides of
+    the distance live on the same grid), then
+    ``Σ_d (q_code_d - code_d)²`` ranked as an exact BIGINT — fully
+    reproducible, no float survives to the ranking. Returns
+    (id, sq8_dist, near-to-far)."""
+    import math
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r[0]
+        for r in cents.select(
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc(BUCKET_COL))
+        .limit(n_probe)
+        .select(BUCKET_COL)
+        .collect()
+    ]
+    mins, spans = _sq8_params(spark, path)
+
+    def code(x: float, mn: float, sp: float) -> int:
+        if sp == 0.0:
+            return 0
+        c = int(math.floor((x - mn) * 255.0 / sp + 0.5))
+        return max(0, min(255, c))
+
+    qcodes = [
+        code(float(x), mins[d], spans[d]) for d, x in enumerate(query_vec)
+    ]
+    qlit = F.array(*[F.lit(int(c)) for c in qcodes])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            qlit,
+            lambda a, b: ((a - b) * (a - b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    probed = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(probe_ids)
+    )
+    return (
+        probed.select(id_col, dist.alias("sq8_dist"))
+        .orderBy(F.asc("sq8_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -962,6 +962,127 @@ def test_ivfpq_index_stores_codes_only_and_prunes(spark, sf_dir, tmp_path):
     assert got == [tuple(r) for r in ref.collect()]
 
 
+def test_sq8_index_stores_codes_only_prunes_and_ranks_exact(
+    spark, sf_dir, tmp_path
+):
+    """IVF-SQ8 (sources/ivf_index.py::write_sq8_index/read_sq8_probe):
+    the index holds int8 codes only (raw vectors never leave the write
+    path), the probe scan is partition-pruned on the bucket, and the
+    exact BIGINT code-space ranking equals an independent Python
+    re-quantization of the probed buckets under the sidecar params."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        _sq8_params,
+        read_sq8_probe,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1)
+        .select("embedding")
+        .first()[0]
+    ]
+    path = str(tmp_path / "sq8")
+    write_sq8_index(emb, path, part_col="label")
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "sq_codes", "bucket"}
+    out = read_sq8_probe(spark, path, qvec, k=10, n_probe=2)
+    plan = explain_str(out)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    got = [tuple(r) for r in out.collect()]
+
+    mins, spans = _sq8_params(spark, path)
+
+    def code(x: float, mn: float, sp: float) -> int:
+        if sp == 0.0:
+            return 0
+        return max(0, min(255, int(math.floor((x - mn) * 255.0 / sp + 0.5))))
+
+    qc = [code(x, mins[d], spans[d]) for d, x in enumerate(qvec)]
+    probed = {
+        r.bucket for r in out.join(idx, "vec_id").select("bucket").collect()
+    }
+    ref = []
+    inline = (
+        emb.withColumn(
+            "bucket", F.concat(F.lit("b"), F.col("label").cast("string"))
+        )
+        .filter(F.col("bucket").isin(sorted(probed)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    for r in inline:
+        cs = [
+            code(float(x), mins[d], spans[d])
+            for d, x in enumerate(r.embedding)
+        ]
+        ref.append(
+            (r.vec_id, sum((a - b) ** 2 for a, b in zip(cs, qc)))
+        )
+    ref.sort(key=lambda t: (t[1], t[0]))
+    assert got == ref[:10]
+
+
+def test_sq8_append_frozen_params_zero_span_and_rebuild_refusal(
+    spark, sf_dir, tmp_path
+):
+    """SQ8 maintenance discipline: appends encode under the FROZEN
+    affine params (sidecar byte-identical, codes-only schema kept), a
+    constant dimension (span 0) quantizes to 0 instead of dividing by
+    zero, and rebuild_ivf_index refuses a codes-only SQ8 index the same
+    way it refuses IVF-PQ."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        rebuild_ivf_index,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    path = str(tmp_path / "sq8_inc")
+    write_sq8_index(base, path, part_col=None, n_clusters=4, iters=1)
+    params_before = sorted(
+        (r.d, r.vmin, r.vmax)
+        for r in spark.read.parquet(f"{path}/_sqparams").collect()
+    )
+    append_to_ivf_index(extra, path)
+    idx = spark.read.parquet(path)
+    # payload columns (label) ride along; raw vectors never do
+    assert {"vec_id", "sq_codes", "bucket"} <= set(idx.columns)
+    assert "embedding" not in idx.columns
+    assert idx.count() == emb.count()
+    params_after = sorted(
+        (r.d, r.vmin, r.vmax)
+        for r in spark.read.parquet(f"{path}/_sqparams").collect()
+    )
+    assert params_after == params_before  # frozen grid
+
+    const = spark.createDataFrame(
+        [(i, [1.5, float(i)]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    p2 = str(tmp_path / "sq8_const")
+    write_sq8_index(const, p2, part_col=None, n_clusters=2, iters=1)
+    for r in spark.read.parquet(p2).collect():
+        assert r.sq_codes[0] == 0  # span-0 dim: no div-by-zero, code 0
+    with pytest.raises(ValueError, match="SQ8"):
+        rebuild_ivf_index(spark, p2)
+
+
 def test_ivf_index_append_routes_to_frozen_centroids(spark, sf_dir, tmp_path):
     """Incremental maintenance: appended vectors must land in the
     bucket of their NEAREST STORED centroid (centroids frozen — no
