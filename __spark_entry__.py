@@ -1794,6 +1794,68 @@ FROM daily
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly additive decomposition of daily order revenue
+    (operators/timeseries.py::seasonal_decompose_weekly):
+    y = trend + seasonal + resid with the statsmodels moving-average
+    recipe — centered 7-consecutive-day trend (gaps void the window),
+    per-day-of-week detrended means centered to sum to zero, residual
+    last. Integer units end-to-end; the only floats are per-dow single
+    divides of exact integers and a fixed-order 7-term fold, so both
+    engines produce the bit-identical doubles under the 6-dp round."""
+    from data_pipeline_ine_spark.operators.timeseries import (
+        seasonal_decompose_weekly,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return seasonal_decompose_weekly(orders, "o_orderdate", "o_totalprice")
+
+
+ORACLE_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS revenue_e2
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day, revenue_e2,
+    CAST(datediff('day', DATE '1970-01-01', day) % 7 AS INT) AS dow,
+    COUNT(revenue_e2) OVER win AS _n7,
+    datediff('day', MIN(day) OVER win, MAX(day) OVER win) AS _span,
+    SUM(revenue_e2) OVER win AS _sum7
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+based AS (
+  SELECT day, revenue_e2, dow,
+    CASE WHEN _n7 = 7 AND _span = 6 THEN _sum7 END AS trend7_e2,
+    CASE WHEN _n7 = 7 AND _span = 6
+         THEN 7 * revenue_e2 - _sum7 END AS detr7_e2
+  FROM w
+),
+dowstats AS (
+  SELECT dow, SUM(detr7_e2) AS _snum, COUNT(detr7_e2) AS _sden,
+    CAST(SUM(detr7_e2) AS DOUBLE) / (7.0 * COUNT(detr7_e2)) AS _s
+  FROM based GROUP BY 1 HAVING COUNT(detr7_e2) > 0
+),
+m AS (
+  -- fixed-order fold over the <=7 dow means: both engines replay the
+  -- identical left-to-right double accumulation
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(_s ORDER BY dow)), (_a, _b) -> _a + _b)
+         / CAST(COUNT(*) AS DOUBLE) AS _smean
+  FROM dowstats
+)
+SELECT b.day, b.revenue_e2, CAST(b.trend7_e2 AS BIGINT) AS trend7_e2,
+  ROUND(d._s - m._smean, 6) AS seasonal,
+  ROUND(CAST(b.revenue_e2 AS DOUBLE) / 100.0
+        - CAST(b.trend7_e2 AS DOUBLE) / 700.0
+        - (d._s - m._smean), 6) AS resid
+FROM based b LEFT JOIN dowstats d USING (dow), m
+"""
+
+
 def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: promo revenue share — conditional aggregate over one scan,
     part dimension broadcast."""
@@ -5139,6 +5201,45 @@ WITH toks AS (
 SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.llr_e12
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity split (operators/text.py::
+    perplexity_buckets): every document's per-token LM loss as an exact
+    integer (unigram_logloss's e12 accumulator div n_tokens), globally
+    ranked by the distributed two-pass rank, and cut into equal-count
+    head/middle/tail tiers — the standard quality stratification a
+    pretraining corpus is down-sampled by. Bucket choice is pure
+    integer arithmetic end-to-end, so both engines agree on every
+    boundary document."""
+    from data_pipeline_ine_spark.operators.text import perplexity_buckets
+
+    docs = _docs_parallel(spark, sf_dir)
+    return perplexity_buckets(docs)
+
+
+ORACLE_PERPLEXITY_BUCKETS = (
+    "WITH u AS (" + ORACLE_UNIGRAM + r"""
+), s AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum_neg_logp_e12 // n_tokens AS BIGINT) AS score_e12
+  FROM u WHERE n_tokens > 0
+), n AS (SELECT COUNT(*) AS _n FROM s),
+r AS (
+  SELECT doc_id, n_tokens, score_e12,
+    ROW_NUMBER() OVER (ORDER BY score_e12, doc_id) AS rk
+  FROM s
+)
+SELECT doc_id, n_tokens, score_e12,
+  CASE ((rk - 1) * 3) // _n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM r, n
+UNION ALL
+SELECT doc_id, n_tokens, CAST(NULL AS BIGINT) AS score_e12,
+  'unscored' AS ppl_bucket
+FROM u WHERE n_tokens = 0
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -8541,6 +8642,69 @@ FROM documents GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
 """
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (operators/quality.py::
+    t_closeness_audit) — the third rung of the privacy ladder after
+    k_anonymity and l_diversity: per quasi-identifier class (lang,
+    source), the Earth Mover's Distance between the class's
+    sensitive-value distribution (n_chars div 200, ordered) and the
+    corpus's, with unit adjacent-rank cost. Cross-multiplied integer
+    cumulative counts (exact), ONE final IEEE divide + 6-dp round;
+    classes with emd > 0.2 flag leaky — the skewness attack k and l
+    both miss."""
+    from data_pipeline_ine_spark.operators.quality import t_closeness_audit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 200").alias("sens")
+    )
+    return t_closeness_audit(docs, ["lang", "source"], "sens", t=0.2)
+
+
+ORACLE_T_CLOSENESS = """
+WITH base AS (
+  SELECT lang, source, n_chars // 200 AS sens FROM documents
+),
+cv AS (SELECT lang, source, sens, COUNT(*) AS c FROM base GROUP BY 1, 2, 3),
+gv AS (SELECT sens, COUNT(*) AS g FROM base GROUP BY 1),
+cls AS (SELECT lang, source, COUNT(*) AS class_n FROM base GROUP BY 1, 2),
+tot AS (SELECT SUM(g) AS n_total, COUNT(*) AS m FROM gv),
+grid AS (
+  SELECT cls.lang, cls.source, cls.class_n, gv.sens, gv.g,
+         COALESCE(cv.c, 0) AS c
+  FROM cls CROSS JOIN gv
+  LEFT JOIN cv ON cv.lang = cls.lang AND cv.source = cls.source
+              AND cv.sens = gv.sens
+),
+cum AS (
+  SELECT lang, source, class_n,
+    SUM(c) OVER (PARTITION BY lang, source ORDER BY sens) AS cumc,
+    SUM(g) OVER (PARTITION BY lang, source ORDER BY sens) AS cumg
+  FROM grid
+),
+pc AS (
+  -- cross-multiplied |cumP - cumQ| in exact integer arithmetic,
+  -- mirroring quality.py::t_closeness_audit
+  SELECT lang, source, class_n,
+    SUM(ABS(CAST(cumc AS DECIMAL(38,0)) * t.n_total
+            - CAST(cumg AS DECIMAL(38,0)) * class_n)) AS num,
+    MAX(t.n_total) AS n_total, MAX(t.m) AS m
+  FROM cum, tot t GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT lang, source, CAST(class_n AS BIGINT) AS class_n,
+    CASE WHEN m = 1 THEN 0.0
+         ELSE ROUND(CAST(num AS DOUBLE)
+              / (CAST(class_n AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 * CAST(m - 1 AS DOUBLE)), 6)
+    END AS emd
+  FROM pc
+)
+SELECT lang, source, class_n, emd,
+  CAST(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END AS INT) AS leaky
+FROM scored
+"""
+
+
 def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user mode (operators/aggregates.py::
     mode_per_group): most frequent event_type, smallest value on ties —
@@ -11893,6 +12057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "source_ngram_diversity": q_source_ngram_diversity,
         "k_anonymity": q_k_anonymity,
+        "t_closeness": q_t_closeness,
         "modal_event_type": q_modal_event_type,
         "pseudonymize_users": q_pseudonymize_users,
         "rolling_7d_users": q_rolling_7d_users,
@@ -11963,6 +12128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_semantic": q_curation_semantic,
         "ivf_rebuild": q_ivf_rebuild,
         "dsir_weights": q_dsir_weights,
+        "perplexity_buckets": q_perplexity_buckets,
+        "seasonal_decompose": q_seasonal_decompose,
     })
 
 
@@ -12162,6 +12329,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": ORACLE_SPLIT_LEAKAGE,
         "source_ngram_diversity": ORACLE_NGRAM_DIVERSITY,
         "k_anonymity": ORACLE_K_ANONYMITY,
+        "t_closeness": ORACLE_T_CLOSENESS,
         "modal_event_type": ORACLE_MODAL_EVENT,
         "pseudonymize_users": ORACLE_PSEUDONYMIZE,
         "rolling_7d_users": ORACLE_ROLLING_7D,
@@ -12232,4 +12400,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_semantic": ORACLE_CURATION_SEMANTIC,
         "ivf_rebuild": ORACLE_IVF_REBUILD,
         "dsir_weights": ORACLE_DSIR,
+        "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
+        "seasonal_decompose": ORACLE_SEASONAL_DECOMPOSE,
     })

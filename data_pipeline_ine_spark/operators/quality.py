@@ -806,6 +806,103 @@ def l_diversity(
     )
 
 
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the release-privacy ladder
+    (k-anonymity → l-diversity → t-closeness, Li et al. 2007): a class
+    can be large (k ok) and diverse (l ok) yet still leak if its
+    sensitive-value DISTRIBUTION diverges from the corpus's (skewness
+    attack: "90% of this class is in the top income bucket"). For an
+    ORDERED sensitive attribute the distance is the Earth Mover's
+    Distance with unit adjacent-rank cost:
+    ``EMD = (1/(m-1)) · Σ_i |CumP_i − CumQ_i|`` over the m globally
+    observed values.
+
+    Engine-exact: cumulative counts cross-multiplied instead of divided
+    — the per-value term is ``|cumc_i·N − cumg_i·n|`` (exact BIGINTs;
+    ``cumc``/``cumg`` the class/global cumulative counts, ``n``/``N``
+    the class/corpus sizes) — summed exactly, with ONE final IEEE divide
+    by ``n·N·(m−1)`` and a 6-dp round. ``leaky = emd > t``.
+
+    Returns ``(quasi..., class_n, emd, leaky)`` — one row per class.
+
+    Scale shape: two hash aggregates (class×value, global value) + the
+    class×value-domain grid (classes broadcast against the
+    value-domain frame — both are aggregate-sized, never row-sized),
+    one class-partitioned cumulative window. Nothing corpus-sized
+    shuffles twice.
+    """
+    val = F.col(sensitive_col)
+    cv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    gv = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_g")
+    )
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_n")
+    )
+    tot = gv.agg(
+        F.sum("_g").cast("bigint").alias("_N"),
+        F.count(F.lit(1)).cast("bigint").alias("_m"),
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(gv.select(sensitive_col, "_g")))
+        .join(cv, [*quasi_cols, sensitive_col], "left")
+        .fillna(0, subset=["_c"])
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        *quasi_cols,
+        "class_n",
+        F.sum("_c").over(w).alias("_cumc"),
+        F.sum("_g").over(w).alias("_cumg"),
+    )
+    # cross-multiplied |cumP − cumQ| numerators in DECIMAL(38,0): the
+    # products are ≤ class_n·N per term — decimal keeps the sum exact
+    # far past int64 at fleet scale
+    per_class = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols, "class_n", "_N", "_m")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("_cumc").cast("decimal(38,0)") * F.col("_N")
+                    - F.col("_cumg").cast("decimal(38,0)")
+                    * F.col("class_n")
+                )
+            ).alias("_num")
+        )
+    )
+    emd = F.when(F.col("_m") == 1, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("_num").cast("double")
+            / (
+                F.col("class_n").cast("double")
+                * F.col("_N").cast("double")
+                * (F.col("_m") - F.lit(1)).cast("double")
+            ),
+            6,
+        )
+    )
+    return per_class.select(
+        *quasi_cols,
+        "class_n",
+        emd.alias("emd"),
+        F.when(emd > F.lit(float(t)), 1).otherwise(0).cast("int").alias("leaky"),
+    )
+
+
 def sprt_ab(
     df: DataFrame,
     unit_col: str,

@@ -560,6 +560,65 @@ def dsir_llr(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the corpus-trained unigram LM
+    (``unigram_logloss``'s engine-exact integer accumulator), rank by
+    per-token loss, and split the ranking into ``n_buckets`` equal-count
+    tiers — ``head`` (most prototypical) / ``middle`` / ``tail`` (the
+    gibberish end a curation pass drops or down-samples).
+
+    Everything that decides a bucket is integer arithmetic:
+    ``score_e12 = sum_neg_logp_e12 div n_tokens`` (exact fixed-point
+    per-token loss, truncating division on non-negative operands),
+    global rank via the distributed two-pass rank (bit-identical to a
+    single window, never a one-task sort), bucket index
+    ``((rank-1)·n_buckets) div n``. Zero-token documents can't be
+    scored and land in an explicit ``unscored`` bucket rather than
+    polluting the tail.
+
+    Returns ``(id_col, n_tokens, score_e12, ppl_bucket)``.
+
+    Scale shape: unigram_logloss's one doc-keyed shuffle + vocab-sized
+    aggregate, then two_pass_rank's range-repartition (the only added
+    shuffle) and a 1-row count broadcast — no corpus-sized collect, no
+    global window.
+    """
+    if len(labels) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {labels!r}")
+    from data_pipeline_ine_spark.operators.sampling import two_pass_rank
+
+    scored = unigram_logloss(df, text_col=text_col, id_col=id_col)
+    s = scored.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        F.expr("sum_neg_logp_e12 div n_tokens").alias("score_e12"),
+    )
+    n = s.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = two_pass_rank(s, ["score_e12", id_col], out_col="_rk")
+    idx = F.expr(f"((_rk - 1) * {int(n_buckets)}) div _n")
+    label = F.lit(labels[0])
+    for i in range(1, n_buckets):
+        label = F.when(idx >= i, F.lit(labels[i])).otherwise(label)
+    bucketed = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(id_col, "n_tokens", "score_e12", label.alias("ppl_bucket"))
+    )
+    unscored = scored.filter(F.col("n_tokens") == 0).select(
+        id_col,
+        "n_tokens",
+        F.lit(None).cast("long").alias("score_e12"),
+        F.lit("unscored").alias("ppl_bucket"),
+    )
+    return bucketed.unionByName(unscored)
+
+
 def bigram_logloss(
     df: DataFrame,
     text_col: str = "text",

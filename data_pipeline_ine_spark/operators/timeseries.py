@@ -970,6 +970,102 @@ def kaplan_meier(
     )
 
 
+def seasonal_decompose_weekly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit_scale: int = 100,
+) -> DataFrame:
+    """Classic additive seasonal decomposition of the daily value total
+    with a weekly (period-7) cycle — ``y = trend + seasonal + resid``,
+    the moving-average recipe of statsmodels' ``seasonal_decompose``:
+
+    - ``trend`` = centered 7-day moving average, defined only where the
+      window holds 7 CONSECUTIVE calendar days (a gap voids the window
+      rather than silently averaging a shorter span);
+    - ``seasonal`` = per-day-of-week mean of the detrended series,
+      centered so the seven seasonal effects sum to zero;
+    - ``resid`` = what's left.
+
+    Engine-exact discipline: daily totals are exact integer units
+    (``floor(v·unit_scale + 0.5)`` per row, summed exactly), the trend
+    is carried as the exact 7-day integer SUM (``trend7_e2`` — divide
+    at the very end), the detrended series ``7·y − trend7`` stays
+    integer, and the per-dow seasonal means are ONE IEEE divide each of
+    exact integers. The centering mean folds the ≤7 dow means in dow
+    order (a fixed-order sequential sum both engines replay
+    identically). Day-of-week is epoch-day mod 7 — portable, no
+    engine dayofweek() disagreement.
+
+    Returns ``(day, revenue_e2, trend7_e2, seasonal, resid)`` —
+    ``seasonal``/``resid`` 6-dp doubles, ``trend7_e2``/``resid`` NULL
+    at series edges and around gaps.
+
+    Scale shape: one day-grain hash aggregate over the fact table (the
+    only data-sized pass), then calendar-grain windows (≤|days| rows —
+    allowlisted global windows) + a 7-row dow aggregate broadcast back.
+    """
+    e2 = F.floor(F.col(value_col) * unit_scale + F.lit(0.5)).cast("long")
+    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.sum(e2).alias("revenue_e2")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    spans_week = (
+        F.count("revenue_e2").over(w7) == 7
+    ) & (F.datediff(F.max("day").over(w7), F.min("day").over(w7)) == 6)
+    based = daily.select(
+        "day",
+        "revenue_e2",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("int")
+        .alias("dow"),
+        F.when(spans_week, F.sum("revenue_e2").over(w7)).alias("trend7_e2"),
+    ).withColumn(
+        "detr7_e2", F.lit(7) * F.col("revenue_e2") - F.col("trend7_e2")
+    )
+    dowstats = (
+        based.groupBy("dow")
+        .agg(
+            F.sum("detr7_e2").alias("_snum"),
+            F.count("detr7_e2").alias("_sden"),
+        )
+        .filter(F.col("_sden") > 0)
+        .withColumn(
+            "_s",
+            F.col("_snum").cast("double")
+            / (F.lit(7.0) * F.col("_sden").cast("double")),
+        )
+    )
+    mean = dowstats.agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("dow", "_s"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_s"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_smean")
+    )
+    seasonal = F.round(F.col("_s") - F.col("_smean"), 6)
+    resid = F.round(
+        F.col("revenue_e2").cast("double") / F.lit(float(unit_scale))
+        - F.col("trend7_e2").cast("double") / F.lit(7.0 * unit_scale)
+        - (F.col("_s") - F.col("_smean")),
+        6,
+    )
+    return (
+        based.join(F.broadcast(dowstats), "dow", "left")
+        .crossJoin(F.broadcast(mean))
+        .select(
+            "day",
+            "revenue_e2",
+            "trend7_e2",
+            seasonal.alias("seasonal"),
+            resid.alias("resid"),
+        )
+    )
+
+
 def theil_sen_daily(
     df: DataFrame,
     ts_col: str = "ts",
