@@ -674,6 +674,54 @@ FROM s
 """
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (operators/sampling.py::
+    curriculum_order): documents ranked easiest-first by the
+    fixed-point quality score, cut into 4 equal-count difficulty tiers
+    (two-pass distributed rank — never a one-task window), and given
+    the interleaved round-robin curriculum key a schedule reads in
+    order. Integer arithmetic end-to-end, so tier boundaries and the
+    interleave agree bit-for-bit across engines."""
+    from data_pipeline_ine_spark.operators.sampling import curriculum_order
+    from data_pipeline_ine_spark.operators.text import quality_score
+
+    docs = _docs_parallel(spark, sf_dir).select(
+        "doc_id",
+        F.floor(quality_score("text") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("quality_e6"),
+    )
+    return curriculum_order(docs, "quality_e6", n_tiers=4)
+
+
+ORACLE_CURRICULUM = (
+    "WITH qsc AS (" + ORACLE_QUALITY + r"""
+), s AS (
+  SELECT doc_id, CAST(FLOOR(quality * 1e6 + 0.5) AS BIGINT) AS quality_e6
+  FROM qsc
+), n AS (SELECT COUNT(*) AS _n FROM s),
+r AS (
+  SELECT doc_id, quality_e6,
+    ROW_NUMBER() OVER (ORDER BY quality_e6 DESC, doc_id) AS rk
+  FROM s
+),
+t AS (
+  SELECT doc_id, quality_e6, rk, ((rk - 1) * 4) // _n AS tier, _n
+  FROM r, n
+),
+p AS (
+  SELECT doc_id, quality_e6, tier,
+    rk - (tier * _n + 3) // 4 AS tier_pos
+  FROM t
+)
+SELECT doc_id, quality_e6, CAST(tier AS INT) AS tier,
+  CAST(tier_pos AS BIGINT) AS tier_pos,
+  CAST((tier_pos - 1) * 4 + tier AS BIGINT) AS curriculum_key
+FROM p
+"""
+)
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.text import language_id
 
@@ -1794,6 +1842,38 @@ FROM daily
 """
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over parts (operators/features.py::skyline_2d):
+    the parts no alternative beats on BOTH price and size — the
+    multi-criteria shortlist query. One data-sized hash aggregate
+    (per-price min size) + a distinct-price-grain prefix-min sweep +
+    one join back; raw-value comparisons only, so engines agree
+    trivially."""
+    from data_pipeline_ine_spark.operators.features import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_2d(
+        part, "p_retailprice", "p_size", keep_cols=("p_partkey",)
+    )
+
+
+ORACLE_SKYLINE = """
+WITH g AS (
+  SELECT p_retailprice AS x, MIN(p_size) AS ymin FROM part GROUP BY 1
+),
+m AS (
+  SELECT x, ymin,
+    MIN(ymin) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmin
+  FROM g
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN m ON p.p_retailprice = m.x
+WHERE p.p_size = m.ymin
+  AND (m.prevmin IS NULL OR p.p_size < m.prevmin)
+"""
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly additive decomposition of daily order revenue
     (operators/timeseries.py::seasonal_decompose_weekly):
@@ -1836,7 +1916,7 @@ based AS (
 ),
 dowstats AS (
   SELECT dow, SUM(detr7_e2) AS _snum, COUNT(detr7_e2) AS _sden,
-    CAST(SUM(detr7_e2) AS DOUBLE) / (7.0 * COUNT(detr7_e2)) AS _s
+    CAST(SUM(detr7_e2) AS DOUBLE) / (700.0 * COUNT(detr7_e2)) AS _s
   FROM based GROUP BY 1 HAVING COUNT(detr7_e2) > 0
 ),
 m AS (
@@ -2592,6 +2672,99 @@ dist AS (
   GROUP BY 1
 )
 SELECT vec_id, sq8_dist FROM dist ORDER BY sq8_dist, vec_id LIMIT 10
+"""
+
+
+def q_ann_sq8_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched SQ8 serving over the SAME persisted index as
+    ann_sq8_probe (sources/ivf_index.py::read_sq8_probe_batch): three
+    queries share ONE partition-pruned codes scan (union of probes as
+    a single literal isin), each query's int8 code vector rides the
+    broadcast (query_id, bucket, qcodes) frame, and ranking is a
+    query-keyed window WindowGroupLimit pre-reduces. Exact BIGINT
+    distances end-to-end — completes the batch story across the
+    quantization ladder (flat/PQ/SQ8)."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_probe_batch,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    path = os.path.join(
+        "/tmp", f"spark_graft_sq8_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_sqparams"):
+        write_sq8_index(emb, path, part_col="label")
+    return read_sq8_probe_batch(spark, path, queries, k=10, n_probe=2)
+
+
+ORACLE_ANN_SQ8_BATCH = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e
+      WHERE vec_id < 3),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+pr AS (
+  SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY ROUND(list_dot_product(centroid, qv)
+      / (sqrt(list_dot_product(centroid, centroid))
+         * sqrt(list_dot_product(qv, qv))), 6) DESC, label) AS rn
+  FROM cent, q
+),
+probes AS (SELECT query_id, label FROM pr WHERE rn <= 2),
+mm AS (
+  SELECT g.d, MIN(v[g.d]) AS mn, MAX(v[g.d]) AS mx
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+codes AS (
+  SELECT e.vec_id, e.label, mm.d,
+    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((v[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT)
+    END)) AS code
+  FROM e, mm
+),
+qc AS (
+  SELECT q.query_id, mm.d,
+    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((qv[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT)
+    END)) AS qcode
+  FROM mm, q
+),
+cand AS (
+  SELECT p.query_id, c.vec_id,
+    CAST(SUM(CAST((c.code - qc.qcode) AS BIGINT) * (c.code - qc.qcode))
+         AS BIGINT) AS sq8_dist
+  FROM codes c
+  JOIN probes p ON c.label = p.label
+  JOIN qc ON qc.query_id = p.query_id AND qc.d = c.d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sq8_dist, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, sq8_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -11600,12 +11773,19 @@ _CHECK_ORDER = [
     "ann_ivfpq_batch_probe",
     "ann_ivfpq_rerank",
     "ann_ivfpq_rerank_batch",
+    "ann_sq8_batch_probe",
+    "ann_sq8_probe",
     "curation_semantic",
+    "curriculum_order",
     "dsir_weights",
     "ivf_append_replay",
     "ivf_rebuild",
     "packing_efficiency",
+    "perplexity_buckets",
+    "seasonal_decompose",
     "semantic_dedup",
+    "skyline_parts",
+    "t_closeness",
     "bigram_logloss",
     "cdc_merge",
     "cdc_roundtrip",
@@ -11884,6 +12064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_day": q_window_top_day,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
+        "curriculum_order": q_curriculum_order,
         "language_id": q_language_id,
         "bpe_token_total": q_bpe_token_total,
         "exact_dup_groups": q_exact_dup_groups,
@@ -11927,6 +12108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_probe": q_ann_index_probe,
         "ann_ivfpq_probe": q_ann_ivfpq_probe,
         "ann_sq8_probe": q_ann_sq8_probe,
+        "ann_sq8_batch_probe": q_ann_sq8_batch_probe,
         "weighted_quantiles": q_weighted_quantiles,
         "embedding_cluster_profile": q_embedding_cluster_profile,
         "token_budget_cap": q_token_budget_cap,
@@ -12130,6 +12312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "perplexity_buckets": q_perplexity_buckets,
         "seasonal_decompose": q_seasonal_decompose,
+        "skyline_parts": q_skyline_parts,
     })
 
 
@@ -12156,6 +12339,7 @@ def oracle_sql() -> dict[str, str]:
         "window_top_day": ORACLE_WINDOW_TOP_DAY,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY,
+        "curriculum_order": ORACLE_CURRICULUM,
         "language_id": ORACLE_LANGUAGE_ID,
         "bpe_token_total": ORACLE_BPE,
         "exact_dup_groups": ORACLE_EXACT_DUP,
@@ -12199,6 +12383,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_probe": ORACLE_ANN_IVF,
         "ann_ivfpq_probe": ORACLE_ANN_IVFPQ,
         "ann_sq8_probe": ORACLE_ANN_SQ8_PROBE,
+        "ann_sq8_batch_probe": ORACLE_ANN_SQ8_BATCH,
         "weighted_quantiles": ORACLE_WEIGHTED_QUANTILES,
         "embedding_cluster_profile": ORACLE_CLUSTER_PROFILE,
         "token_budget_cap": ORACLE_TOKEN_BUDGET,
@@ -12402,4 +12587,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": ORACLE_DSIR,
         "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
         "seasonal_decompose": ORACLE_SEASONAL_DECOMPOSE,
+        "skyline_parts": ORACLE_SKYLINE,
     })

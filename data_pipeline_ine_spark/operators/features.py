@@ -907,6 +907,49 @@ def gini_split(
     ).orderBy("bucket")
 
 
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pareto skyline minimizing ``(x, y)`` — the multi-criteria
+    shortlist query ("no part is both cheaper AND smaller"): keep every
+    row not weakly dominated (another row ≤ on both axes, < on at
+    least one). Identical duplicates survive together (neither strictly
+    dominates).
+
+    Two-dimensional skylines reduce to a sweep down the x axis tracking
+    the running y-minimum, expressed relationally:
+
+    1. per-x minimum of y — ONE data-sized hash aggregate (the real
+       work; everything after runs on the distinct-x frame);
+    2. the strict-prefix running minimum over the x-ordered per-x frame
+       (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING — each x appears once,
+       so ROWS == strictly-cheaper RANGE);
+    3. join back: a row is skyline iff ``y == min_y(its x)`` (no
+       same-x dominator) AND ``y < prefix_min`` (no cheaper dominator).
+
+    The step-2 window is unpartitioned by nature (the sweep is a total
+    order over x) but runs on the DISTINCT-X grain, not the corpus —
+    the allowlisted bounded-frame class. All comparisons are on the
+    raw column values; no floats are derived, so engines agree
+    trivially.
+
+    Returns the skyline rows with ``keep_cols`` + the two axes.
+    """
+    g = df.groupBy(x_col).agg(F.min(y_col).alias("_ymin"))
+    w = Window.orderBy(x_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    m = g.withColumn("_prevmin", F.min("_ymin").over(w))
+    joined = df.join(m, x_col)
+    return joined.filter(
+        (F.col(y_col) == F.col("_ymin"))
+        & (F.col("_prevmin").isNull() | (F.col(y_col) < F.col("_prevmin")))
+    ).select(*keep_cols, x_col, y_col)
+
+
 def conformal_interval(
     df: DataFrame,
     x_col: Column | str,

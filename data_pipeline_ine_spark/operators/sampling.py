@@ -607,6 +607,57 @@ def token_budget_cap(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_tiers: int = 4,
+) -> DataFrame:
+    """Curriculum-learning training order (Bengio et al. 2009 reduced
+    to its deterministic scheduling core): rank rows easiest-first by
+    ``score_col`` (an INTEGER difficulty proxy — higher = easier, e.g.
+    a fixed-point quality score), cut the ranking into ``n_tiers``
+    equal-count difficulty tiers, and emit the interleaved curriculum
+    key that round-robins one row per tier — the anti-forgetting
+    schedule that mixes a hard example into every easy stretch instead
+    of front-loading all easy data.
+
+    All integer arithmetic: global rank via the distributed two-pass
+    rank (bit-identical to a single window, never a one-task sort),
+    ``tier = ((rank−1)·T) div n``, within-tier position
+    ``rank − ceil(tier·n/T)``, and
+    ``curriculum_key = (tier_pos−1)·T + tier`` — a strict total order
+    whenever tiers are equal-sized, a valid (gapped) order otherwise.
+
+    Returns ``(id_col, score_col, tier, tier_pos, curriculum_key)``.
+
+    Scale shape: one range-repartition (the rank) + a 1-row count
+    broadcast; nothing corpus-sized funnels through one task, no
+    driver-side collect.
+    """
+    neg = (-F.col(score_col)).alias("_negs")
+    base = df.select(id_col, score_col, neg)
+    n = base.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = two_pass_rank(base, ["_negs", id_col], out_col="_rk")
+    t = int(n_tiers)
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("tier", F.expr(f"((_rk - 1) * {t}) div _n").cast("int"))
+        .withColumn(
+            "tier_pos",
+            (
+                F.col("_rk")
+                - F.expr(f"(tier * _n + {t} - 1) div {t}")
+            ).cast("long"),
+        )
+        .withColumn(
+            "curriculum_key",
+            ((F.col("tier_pos") - 1) * t + F.col("tier")).cast("long"),
+        )
+        .select(id_col, score_col, "tier", "tier_pos", "curriculum_key")
+    )
+
+
 def shard_manifest(
     df: DataFrame,
     docs_per_shard: int,

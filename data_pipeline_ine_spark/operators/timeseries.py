@@ -1031,9 +1031,10 @@ def seasonal_decompose_weekly(
         )
         .filter(F.col("_sden") > 0)
         .withColumn(
+            # natural units: detr7_e2 carries a 7x and a unit_scale x
             "_s",
             F.col("_snum").cast("double")
-            / (F.lit(7.0) * F.col("_sden").cast("double")),
+            / (F.lit(7.0 * unit_scale) * F.col("_sden").cast("double")),
         )
     )
     mean = dowstats.agg(

@@ -1173,3 +1173,105 @@ def read_sq8_probe(
         .orderBy(F.asc("sq8_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def read_sq8_probe_batch(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "sq_codes",
+) -> DataFrame:
+    """Batched SQ8 serving: Q queries share ONE partition-pruned codes
+    scan (union of probed buckets as a single literal ``isin``), each
+    query's int8 code vector travels IN the broadcast (query_id,
+    bucket, qcodes) frame, and per-candidate work is one integer
+    zip-fold against the joined row's own codes — exact BIGINT
+    throughout, per-query results identical to ``read_sq8_probe``
+    (parity-tested). Completes the batch-amortized serving story
+    across the quantization ladder (flat ``read_ivf_probe_batch`` /
+    PQ ``read_ivfpq_probe_batch`` / SQ8 here).
+
+    Returns (query_id, vec_id, sq8_dist, rank)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    ids = [int(qid) for qid, _ in queries]
+    if len(ids) != len(set(ids)):
+        raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc(BUCKET_COL)
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", BUCKET_COL)
+        .collect()
+    )
+    probes: dict[int, list[str]] = {}
+    for r in probe_rows:
+        probes.setdefault(r["query_id"], []).append(r[BUCKET_COL])
+    union_buckets = sorted({b for bs in probes.values() for b in bs})
+
+    mins, spans = _sq8_params(spark, path)
+
+    def code(x: float, mn: float, sp: float) -> int:
+        if sp == 0.0:
+            return 0
+        c = int(math.floor((x - mn) * 255.0 / sp + 0.5))
+        return max(0, min(255, c))
+
+    qprobe = spark.createDataFrame(
+        [
+            (
+                int(qid),
+                b,
+                [
+                    code(float(x), mins[d], spans[d])
+                    for d, x in enumerate(v)
+                ],
+            )
+            for qid, v in queries
+            for b in probes[int(qid)]
+        ],
+        f"query_id int, {BUCKET_COL} string, qcodes array<int>",
+    )
+    idx = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(union_buckets)
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("qcodes"),
+            lambda a, b: ((a - b) * (a - b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("sq8_dist"), F.asc(id_col)
+    )
+    return (
+        idx.join(F.broadcast(qprobe), BUCKET_COL)
+        .select("query_id", id_col, dist.alias("sq8_dist"))
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1080,3 +1080,64 @@ def test_round8_operators_invariant_under_repartitioning(spark, sf_dir):
         ).collect()
     }
     assert a == b and a
+
+
+def test_perplexity_buckets_tiering_and_unscored(spark):
+    """Nine scored docs split 3/3/3 head/middle/tail by per-token LM
+    loss — docs made of corpus-common words land in head, rare-word
+    docs in tail — the per-doc score is exactly the integer division
+    of unigram_logloss's accumulator, and an empty doc lands in the
+    explicit unscored bucket."""
+    from data_pipeline_ine_spark.operators.text import (
+        perplexity_buckets,
+        unigram_logloss,
+    )
+
+    common = "the cat sat on the mat"
+    docs = (
+        [(i, common) for i in range(3)]                      # prototypical
+        + [(i + 3, common + f" extra{i}") for i in range(3)]  # one rare term
+        + [(i + 6, f"zzq{i} qqx{i} wvx{i}") for i in range(3)]  # gibberish
+        + [(9, "")]
+    )
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in perplexity_buckets(df).collect()}
+    assert len(out) == 10
+    assert out[9].ppl_bucket == "unscored" and out[9].score_e12 is None
+    buckets = [out[i].ppl_bucket for i in range(9)]
+    assert buckets.count("head") == 3
+    assert buckets.count("middle") == 3
+    assert buckets.count("tail") == 3
+    assert all(out[i].ppl_bucket == "head" for i in range(3))
+    assert all(out[i + 6].ppl_bucket == "tail" for i in range(3))
+    # score identity vs the raw accumulator
+    raw = {r.doc_id: r for r in unigram_logloss(df).collect()}
+    for i in range(9):
+        assert out[i].score_e12 == raw[i].sum_neg_logp_e12 // raw[i].n_tokens
+
+
+def test_curriculum_order_tiers_positions_and_interleave(spark):
+    """Ten rows, four tiers: equal-split sizes 3/2/3/2 by the integer
+    bucket rule, within-tier positions contiguous from 1, and sorting
+    by curriculum_key round-robins the tiers (easy row first, then one
+    row of each harder tier)."""
+    from data_pipeline_ine_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, 100 - i) for i in range(10)], "doc_id bigint, score bigint"
+    )  # doc 0 easiest (highest score)
+    out = curriculum_order(df, "score", n_tiers=4).collect()
+    by_tier = {}
+    for r in out:
+        by_tier.setdefault(r.tier, []).append(r)
+    assert {t: len(v) for t, v in by_tier.items()} == {0: 3, 1: 2, 2: 3, 3: 2}
+    for t, rows in by_tier.items():
+        assert sorted(r.tier_pos for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # easiest docs (0,1,2) fill tier 0 in score order
+    assert [r.doc_id for r in sorted(by_tier[0], key=lambda r: r.tier_pos)] == [0, 1, 2]
+    # keys are distinct and the interleave alternates tiers
+    keys = sorted(out, key=lambda r: r.curriculum_key)
+    assert len({r.curriculum_key for r in out}) == 10
+    assert [r.tier for r in keys[:4]] == [0, 1, 2, 3]

@@ -557,3 +557,21 @@ def test_weighted_quantiles_consistent_with_median_and_monotone(spark, sf_dir):
     for g, r in wq.items():
         assert r.wq2_4_units == wm[g]
         assert r.wq1_4_units <= r.wq2_4_units <= r.wq3_4_units
+
+
+def test_skyline_2d_hand_case_with_duplicates_and_ties(spark):
+    """Hand-built dominance: (2,5) is beaten by the cheaper same-size
+    (1,5); (4,2) by (3,1); identical duplicates (1,5)x2 both survive
+    (weak dominance never strictly beats an equal point); same-x rows
+    above their x's min size are dropped."""
+    from data_pipeline_ine_spark.operators.features import skyline_2d
+
+    rows = [
+        (1, 1.0, 5), (2, 1.0, 5), (3, 2.0, 5), (4, 2.0, 3),
+        (5, 3.0, 1), (6, 4.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x double, y int")
+    out = sorted(
+        (r.id for r in skyline_2d(df, "x", "y", keep_cols=("id",)).collect())
+    )
+    assert out == [1, 2, 4, 5]

@@ -1030,6 +1030,48 @@ def test_sq8_index_stores_codes_only_prunes_and_ranks_exact(
     assert got == ref[:10]
 
 
+def test_sq8_batch_probe_one_scan_and_single_query_parity(
+    spark, sf_dir, tmp_path
+):
+    """Batched SQ8 serving: Q queries through ONE pruned codes scan
+    (the union of probed buckets as a single static PartitionFilters
+    entry, joined via broadcast — no BNLJ), with per-query results
+    identical to Q separate read_sq8_probe calls."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_probe,
+        read_sq8_probe_batch,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    path = str(tmp_path / "sq8_batch")
+    write_sq8_index(emb, path, part_col="label")
+    out = read_sq8_probe_batch(spark, path, queries, k=5, n_probe=2)
+    plan = explain_str(out)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # ONE shared codes scan: a single InMemoryFileIndex location
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    got = {
+        (r.query_id, r.vec_id): r.sq8_dist for r in out.collect()
+    }
+    for qid, v in queries:
+        single = read_sq8_probe(spark, path, v, k=5, n_probe=2).collect()
+        for r in single:
+            assert got[(qid, r.vec_id)] == r.sq8_dist
+        assert len(single) == 5
+
+
 def test_sq8_append_frozen_params_zero_span_and_rebuild_refusal(
     spark, sf_dir, tmp_path
 ):

@@ -610,6 +610,38 @@ def test_l_diversity_flags_homogeneous_class(spark):
     assert all(r.min_l == 1 for r in out.values())
 
 
+def test_t_closeness_flags_skewed_class_and_passes_mirror(spark):
+    """A class whose sensitive distribution mirrors the corpus scores
+    emd=0; a class concentrated on one of two 50/50 global values
+    scores emd=0.5 (hand-derived: |n·N − (N/2)·n| / (n·N·1)) and flags
+    leaky at t=0.2. A single-value corpus (m=1) is defined as emd=0,
+    not a divide-by-zero."""
+    from data_pipeline_ine_spark.operators.quality import t_closeness_audit
+
+    # corpus: 40 rows, values 0/1 exactly 50/50.
+    # qA = 10 rows all value 0 (skewed); qB = 30 rows, 10 zeros + 20
+    # ones... adjust so global stays 20/20: qA 10x0; qB 10x0+20x1
+    rows = [("qA", 0)] * 10 + [("qB", 0)] * 10 + [("qB", 1)] * 20
+    df = spark.createDataFrame(rows, "quasi string, sens int")
+    out = {
+        r.quasi: r
+        for r in t_closeness_audit(df, ["quasi"], "sens", t=0.2).collect()
+    }
+    # qA: cumc_0 = 10, cumg_0 = 20; |10*40 - 20*10| = 200;
+    # emd = 200 / (10*40*1) = 0.5 > 0.2 -> leaky
+    assert out["qA"].emd == 0.5 and out["qA"].leaky == 1
+    # qB: cumc_0 = 10, n=30; |10*40 - 20*30| = 200; emd = 200/(30*40) =
+    # 1/6 < 0.2 -> not leaky
+    assert abs(out["qB"].emd - round(200 / 1200, 6)) < 1e-12
+    assert out["qB"].leaky == 0
+
+    one = spark.createDataFrame(
+        [("q", 7)] * 5, "quasi string, sens int"
+    )
+    row = t_closeness_audit(one, ["quasi"], "sens").collect()[0]
+    assert row.emd == 0.0 and row.leaky == 0
+
+
 def test_sprt_ab_crosses_boundary_at_hand_computed_day(spark):
     """Constructed treatment arm: every unit converts, so the LLR walks
     up by exactly llr_conv_e6 per unit and crosses +ln(19)e6 on the day

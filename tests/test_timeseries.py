@@ -811,3 +811,52 @@ def test_series_gap_audit_hand_case(spark):
     assert (d.missing_days, d.longest_gap, d.coverage) == (0, 0, 1.0)
     s = out["solo"]
     assert (s.present_days, s.span_days, s.longest_gap) == (1, 1, 0)
+
+
+def test_seasonal_decompose_recovers_injected_weekly_pattern(spark):
+    """A constant base + zero-sum weekly pattern decomposes exactly:
+    the 7-day trend sum is 7·base everywhere a full consecutive week
+    exists (the pattern cancels), seasonal recovers the pattern, and
+    the residual is 0. A calendar gap voids the trend window around it
+    instead of averaging a short span; series edges stay NULL."""
+    import datetime as dt
+
+    from data_pipeline_ine_spark.operators.timeseries import (
+        seasonal_decompose_weekly,
+    )
+
+    base = 100.0
+    pattern = [3.0, -1.0, 2.0, -4.0, 0.0, 1.0, -1.0]  # sums to 0
+    start = dt.datetime(2024, 1, 1, 12)  # Monday; epoch-dow anchors don't matter
+    rows = []
+    for i in range(28):
+        d = start + dt.timedelta(days=i)
+        dow = (d.date() - dt.date(1970, 1, 1)).days % 7
+        rows.append((d, base + pattern[dow]))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.day: r for r in seasonal_decompose_weekly(df, "ts", "value").collect()}
+    assert len(out) == 28
+    days = sorted(out)
+    # edges: first/last 3 days have no full window
+    for d in days[:3] + days[-3:]:
+        assert out[d].trend7_e2 is None and out[d].resid is None
+    for d in days[3:-3]:
+        assert out[d].trend7_e2 == 7 * int(base * 100)
+        dow = (d - dt.date(1970, 1, 1)).days % 7
+        assert abs(out[d].seasonal - pattern[dow]) < 1e-6, (d, out[d])
+        assert abs(out[d].resid) < 1e-6
+
+    # gap: drop day index 10 -> days 8..13 (within 3 of the hole) lose trend
+    gappy = spark.createDataFrame(
+        [r for r in rows if r[0] != start + dt.timedelta(days=10)],
+        "ts timestamp, value double",
+    )
+    out2 = {
+        r.day: r
+        for r in seasonal_decompose_weekly(gappy, "ts", "value").collect()
+    }
+    hole = (start + dt.timedelta(days=10)).date()
+    for off in (-3, -2, -1, 1, 2, 3):
+        d = hole + dt.timedelta(days=off)
+        assert out2[d].trend7_e2 is None, d
+    assert out2[hole + dt.timedelta(days=4)].trend7_e2 == 7 * int(base * 100)

@@ -84,6 +84,10 @@ BNLJ_ALLOWED = {
     "markov_attribution": "1-row full-model conversion-mass frame",
     "lsh_recall_curve": "1-row truth/candidate count frames per config",
     "funnel_latency": "1-row converter-count frame per stage transition",
+    "perplexity_buckets": "1-row vocab-size + 1-row scored-count frames",
+    "t_closeness": "QI-class x value-domain grid + 1-row totals frame",
+    "seasonal_decompose": "1-row centering-mean frame over a 7-row dow grain",
+    "curriculum_order": "1-row corpus-count frame",
 }
 
 # query -> reason an unpartitioned Window is bounded there (grain of
@@ -109,6 +113,10 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "theil_sen_trend": "calendar-grain day-pair series",
     "user_growth_curve": "calendar-sized running frame",
     "vocab_coverage": "vocab-grain coverage curve (Heaps-sublinear)",
+    "seasonal_decompose": "calendar-grain daily series (<=|days| rows)",
+    "skyline_parts": "distinct-price-grain prefix-min sweep (the 2D "
+    "skyline's total order over x; the corpus pass is the per-x "
+    "aggregate before it)",
 }
 
 
