@@ -674,6 +674,43 @@ FROM s
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-stage text normalization (operators/text.py::
+    normalize_text): control-char strip, zero-width/BOM removal,
+    typographic-to-ASCII folds, whitespace collapse — the cleanup pass
+    that runs before fingerprinting/dedup so near-identical bytes hash
+    identically. Contract surface is the md5 + length of the
+    normalized text (the array/blob-free form both engines hash the
+    same); the rewrite chain is pure string ops, no floats."""
+    from data_pipeline_ine_spark.operators.text import normalize_text
+
+    docs = _docs_parallel(spark, sf_dir)
+    norm = normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        translate(regexp_replace(text, '…', '...', 'g'),
+                  '‘’“”–—' || chr(160), '''''""--' || ' '),
+        '[​‌‍﻿]', '', 'g'),
+      '[\x00-\x08\x0b-\x1f\x7f-\x9f]', '', 'g'),
+    '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_md5,
+  CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (operators/sampling.py::
     curriculum_order): documents ranked easiest-first by the
@@ -11786,6 +11823,7 @@ _CHECK_ORDER = [
     "semantic_dedup",
     "skyline_parts",
     "t_closeness",
+    "text_normalize",
     "bigram_logloss",
     "cdc_merge",
     "cdc_roundtrip",
@@ -12065,6 +12103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "curriculum_order": q_curriculum_order,
+        "text_normalize": q_text_normalize,
         "language_id": q_language_id,
         "bpe_token_total": q_bpe_token_total,
         "exact_dup_groups": q_exact_dup_groups,
@@ -12340,6 +12379,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY,
         "curriculum_order": ORACLE_CURRICULUM,
+        "text_normalize": ORACLE_TEXT_NORMALIZE,
         "language_id": ORACLE_LANGUAGE_ID,
         "bpe_token_total": ORACLE_BPE,
         "exact_dup_groups": ORACLE_EXACT_DUP,

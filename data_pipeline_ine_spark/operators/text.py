@@ -70,6 +70,40 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Curation-stage text normalization — the cleanup pass every
+    pretraining corpus runs before fingerprinting/dedup (a C4/CCNet
+    staple), as ONE chain of JVM-side regexp/translate expressions:
+
+    - strip C0/C1 control characters (keep tab and newline),
+    - drop zero-width and BOM code points (ZWSP/ZWNJ/ZWJ/FEFF),
+    - fold typographic quotes/dashes/ellipsis/NBSP to ASCII,
+    - collapse runs of whitespace to one space and trim.
+
+    Deterministic by construction (pure string rewriting, no floats,
+    no locale: explicit code-point classes only — NOT a full NFKC,
+    which neither engine exposes as a built-in). The same rewrite
+    chain is expressible in DuckDB for oracle parity.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # typographic folds first (multi-char ellipsis before 1:1 translate)
+    c = F.regexp_replace(c, "\u2026", "...")
+    c = F.translate(
+        c,
+        "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0",
+        "''\"\"-- ",
+    )
+    # zero-width + BOM out entirely
+    c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff]", "")
+    # C0/C1 control chars except tab/newline
+    c = F.regexp_replace(
+        c, "[\u0000-\u0008\u000b-\u001f\u007f-\u009f]", ""
+    )
+    # whitespace collapse + trim
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite document-quality heuristic in [0, 1]: length saturation,
     punctuation sanity, stopword density. Mirrors the shape of C4/Gopher

@@ -1141,3 +1141,58 @@ def test_curriculum_order_tiers_positions_and_interleave(spark):
     keys = sorted(out, key=lambda r: r.curriculum_key)
     assert len({r.curriculum_key for r in out}) == 10
     assert [r.tier for r in keys[:4]] == [0, 1, 2, 3]
+
+
+def test_normalize_text_folds_match_duckdb_and_hand_expected(spark):
+    """The normalization chain on hostile inputs — control chars,
+    zero-widths/BOM, typographic quotes/dashes/ellipsis/NBSP, messy
+    whitespace — must produce the hand-expected ASCII-folded strings
+    AND byte-identical results from the DuckDB oracle rewrite chain
+    (the contract testdata is clean text, so the fold paths are only
+    exercised here)."""
+    import duckdb
+
+    from data_pipeline_ine_spark.operators.text import normalize_text
+
+    cases = [
+        (0, "plain text stays", "plain text stays"),
+        (1, "a\x00b\x01c\x7fd", "abcd"),
+        (2, "keep\ttabs and\nnewlines", "keep tabs and newlines"),
+        (3, "“quoted” ‘single’", "\"quoted\" 'single'"),
+        (4, "en–dash em—dash", "en-dash em-dash"),
+        (5, "wait… what", "wait... what"),
+        (6, "zero​width‌‍gone﻿", "zerowidthgone"),
+        (7, "nbsp space", "nbsp space"),
+        (8, "  collapse   \t runs  ", "collapse runs"),
+        (9, "", ""),
+        (10, "vertical\x0btab", "verticaltab"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in cases], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", normalize_text("text").alias("norm")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(
+        {"doc_id": [i for i, s, _ in cases], "text": [s for _, s, _ in cases]}
+    ))
+    oracle = dict(con.sql(r"""
+        SELECT doc_id, trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              translate(regexp_replace(text, '…', '...', 'g'),
+                        '‘’“”–—' || chr(160), '''''""--' || ' '),
+              '[​‌‍﻿]', '', 'g'),
+            '[\x00-\x08\x0b-\x1f\x7f-\x9f]', '', 'g'),
+          '\s+', ' ', 'g')) AS norm
+        FROM t
+    """).fetchall())
+    for i, _, want in cases:
+        assert oracle[i] == want, (i, oracle[i], want)
