@@ -1864,3 +1864,54 @@ def test_publish_staged_batch_sweeps_stale_replay_files(
     after = spark.read.parquet(path)
     assert after.count() == total
     assert after.select("vec_id").distinct().count() == total
+
+
+def test_batch_maintenance_into_sq8_index_encodes_frozen_and_replays_once(
+    spark, sf_dir, tmp_path
+):
+    """The exactly-once maintenance sink against an IVF-SQ8 index:
+    appended batches are stored as int8 CODES under the FROZEN affine
+    grid (raw vectors never land; the sidecar params are untouched), a
+    committed-batch replay is skipped, and a probe sees the appended
+    vector at code-space distance 0 from itself."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_probe,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+    from data_pipeline_ine_spark.streaming.index_maintenance import (
+        append_batch_to_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "sq8_live")
+    write_sq8_index(
+        emb.filter(F.col("vec_id") < 300), path, part_col=None,
+        n_clusters=4, iters=1,
+    )
+    params_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/_sqparams").collect()
+    )
+    batch = emb.filter(F.col("vec_id") >= 300)
+    assert append_batch_to_ivf_index(batch, 0, path) is True
+    idx = spark.read.parquet(path)
+    assert "embedding" not in idx.columns and "sq_codes" in idx.columns
+    assert idx.count() == emb.count()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/_sqparams").collect()
+    ) == params_before
+    # committed replay: skipped, no duplicates
+    assert append_batch_to_ivf_index(batch, 0, path) is False
+    assert spark.read.parquet(path).count() == emb.count()
+    # an appended vector probes back to itself at distance 0
+    target = emb.filter(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding"
+    ).first()
+    out = read_sq8_probe(
+        spark, path, [float(x) for x in target.embedding], k=1, n_probe=4
+    ).collect()
+    assert out[0].sq8_dist == 0
