@@ -11788,10 +11788,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # adding queries mid-round): reds from the latest CORRECTNESS file first,
 # then strict oldest-driver-row-first with never-checked (new) queries
 # slotted immediately after the single oldest stale cohort. Round-9
-# rotation: no reds; the 9 queries whose newest green row is r03 lead,
-# the 7 queries new this round follow, then the r04 cohort fills the
-# window — with 261 queries and a 50-slot window this bounds every
-# query's evidence age to ~5 rounds.
+# rotation (final, 271-query contract): no reds; the 9 queries whose
+# newest green row is r03 lead, the 17 queries new this round follow
+# (9 first-wave promotions + 8 second-wave operators), then the r04
+# cohort fills the remaining 24 window slots — with 271 queries and a
+# 50-slot window the steady-state worst-case evidence age is ~5-6
+# rounds, which the committed GATES_rN.json all-contract sweeps cover.
 _CHECK_ORDER = [
     # generated by tools/rotate_check_order.py — reds from the
     # latest CORRECTNESS file first, then strict oldest-driver-
