@@ -55,6 +55,10 @@ AUDITED = {
     "rfm_segments": "one customer-grain aggregate; quintiles via three two-pass ranks (range repartitions + broadcast offsets), never a single-task ntile sort",
     "ann_index_probe": "static PartitionFilters on the bucket column — the probed scan reads n_probe/n_buckets of the corpus",
     "ann_ivfpq_probe": "pruned bucket scan over PQ CODES only (no raw vectors in the index); ADC ranking is a literal-LUT fold + TakeOrdered",
+    "ann_sq8_probe": "pruned bucket scan over int8 CODES only; exact BIGINT zip-fold distance; TakeOrderedAndProject — no global sort",
+    "ann_sq8_batch_probe": "ONE shared pruned codes scan for Q queries; broadcast equi-join on bucket; WindowGroupLimit pre-reduces per-query top-k",
+    "skyline_parts": "per-x min aggregate is the only corpus pass; prefix-min runs on the distinct-x grain; join back, no nested loop",
+    "perplexity_buckets": "vocab-bounded LM aggregate + doc-keyed shuffle; global rank is the two-pass form (_pid windows only); 1-row count broadcast",
 }
 
 SF_DIR = "/root/testdata/sf0.1"
