@@ -129,6 +129,15 @@ HEAVY = [
     # data, the write one corpus pass)
     "ann_index_probe",
     "ann_ivfpq_probe",
+    # round-9 second wave over the probe corpus (seasonal_decompose /
+    # skyline_parts read orders/part, which the probe doesn't scale —
+    # their bounds are the calendar grain and distinct-price grain,
+    # pinned by the lint allowlists + unit tests)
+    "ann_sq8_probe",
+    "perplexity_buckets",
+    "text_normalize",
+    "t_closeness",
+    "curriculum_order",
 ]
 
 
