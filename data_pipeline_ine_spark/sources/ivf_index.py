@@ -1175,6 +1175,90 @@ def read_sq8_probe(
     )
 
 
+def read_sq8_rerank(
+    spark: SparkSession,
+    sq8_path: str,
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval over the SQ8 index — the production serving
+    shape at the middle quantization tier: stage 1 shortlists from the
+    codes-only SQ8 index (pruned scan + exact integer code-space
+    distance — cheap, mildly lossy), stage 2 re-ranks ONLY the
+    shortlist with exact cosine against the raw vectors (a pushed-down
+    id point-lookup set, never a bucket read). Same surface as
+    ``read_ivfpq_rerank``; staged for a round-10 contract row."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    short = read_sq8_probe(
+        spark, sq8_path, query_vec, k=shortlist, n_probe=n_probe,
+        id_col=id_col,
+    )
+    ids = [r[0] for r in short.select(id_col).collect()]
+    cand = vectors.filter(F.col(id_col).isin(ids))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def read_sq8_rerank_batch(
+    spark: SparkSession,
+    sq8_path: str,
+    vectors: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched two-stage SQ8 retrieval: Q queries shortlist through ONE
+    pruned codes scan (``read_sq8_probe_batch``), then ALL shortlists
+    re-rank exact from ONE pushed-down id-set lookup (union of
+    shortlist ids as a literal ``isin``), each raw vector scoped to the
+    queries that shortlisted it by a broadcast (query_id, id)
+    membership join — ``read_ivfpq_rerank_batch``'s one-scan
+    discipline at the SQ8 tier. Driver traffic is O(Q·shortlist) id
+    scalars. Returns (query_id, id, cosine_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    short = read_sq8_probe_batch(
+        spark, sq8_path, queries, k=shortlist, n_probe=n_probe,
+        id_col=id_col,
+    )
+    rows = short.select("query_id", id_col).collect()
+    union_ids = sorted({r[1] for r in rows})
+    pairs = spark.createDataFrame(
+        [(int(r[0]), int(r[1])) for r in rows],
+        f"query_id int, {id_col} bigint",
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cand = vectors.select(id_col, vec_col).filter(
+        F.col(id_col).isin(union_ids)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    rk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        cand.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def read_sq8_probe_batch(
     spark: SparkSession,
     path: str,

@@ -1072,6 +1072,77 @@ def test_sq8_batch_probe_one_scan_and_single_query_parity(
         assert len(single) == 5
 
 
+def test_sq8_rerank_two_stage_and_batch_parity(spark, sf_dir, tmp_path):
+    """Staged round-10 components (read_sq8_rerank /
+    read_sq8_rerank_batch): stage 2 must read the raw vectors through
+    a pushed-down id point-lookup (In filter on vec_id, never a
+    bucket scan), the single-query result must be the exact-cosine
+    re-rank of the SQ8 shortlist, and the batch must equal Q separate
+    single-query calls."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_probe,
+        read_sq8_rerank,
+        read_sq8_rerank_batch,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sq8_rr")
+    write_sq8_index(emb, path, part_col="label")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1)
+        .select("embedding")
+        .first()[0]
+    ]
+    out = read_sq8_rerank(
+        spark, path, emb, qvec, k=5, shortlist=20, n_probe=2
+    )
+    plan = explain_str(out)
+    assert "PushedFilters" in plan and "In(vec_id" in plan, plan
+    got = [(r.vec_id, r.cosine_sim) for r in out.collect()]
+    # exact-cosine re-rank of the shortlist, recomputed independently
+    short_ids = [
+        r.vec_id
+        for r in read_sq8_probe(
+            spark, path, qvec, k=20, n_probe=2
+        ).collect()
+    ]
+    q = F.array(*[F.lit(x) for x in qvec])
+    ref = (
+        emb.filter(F.col("vec_id").isin(short_ids))
+        .select(
+            "vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert got == [(r.vec_id, r.s) for r in ref]
+
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    batch = read_sq8_rerank_batch(
+        spark, path, emb, queries, k=5, shortlist=20, n_probe=2
+    )
+    got_b = {(r.query_id, r.rank): (r.vec_id, r.cosine_sim)
+             for r in batch.collect()}
+    for qid, v in queries:
+        single = read_sq8_rerank(
+            spark, path, emb, v, k=5, shortlist=20, n_probe=2
+        ).collect()
+        for i, r in enumerate(single):
+            assert got_b[(qid, i + 1)] == (r.vec_id, r.cosine_sim), (qid, i)
+
+
 def test_sq8_append_frozen_params_zero_span_and_rebuild_refusal(
     spark, sf_dir, tmp_path
 ):
