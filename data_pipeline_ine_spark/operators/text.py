@@ -653,6 +653,55 @@ def perplexity_buckets(
     return bucketed.unionByName(unscored)
 
 
+def dsir_select(
+    df: DataFrame,
+    target_pred: Column,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute the selection DSIR's weights exist for: rank the corpus
+    most-target-like-first by the exact integer log-likelihood ratio
+    (``dsir_llr``) and keep the greedy prefix until the token budget is
+    hit — the deterministic, engine-invariant reduction of importance
+    RESAMPLING to importance RANKING (top-p of the weight order is what
+    production selection jobs actually run; sampled variants differ
+    only by the tie-shuffle).
+
+    The running token total is the DISTRIBUTED two-pass cumulative sum
+    over the order ``(−llr_e12, id)`` — never a one-task window — and
+    the keep test is the integer ``cum_tokens ≤ budget``. Re-running
+    with a bigger budget yields a SUPERSET (prefix property), exactly
+    like ``token_budget_cap``. Zero-token docs can't pay tokens and are
+    excluded.
+
+    Returns kept rows ``(id_col, n_tokens, llr_e12, cum_tokens)``.
+    Staged for a round-10 contract row (oracle = ORACLE_DSIR composed
+    with a running-sum window).
+    """
+    from data_pipeline_ine_spark.operators.sampling import two_pass_cumsum
+
+    scored = dsir_llr(df, target_pred, text_col=text_col, id_col=id_col)
+    s = scored.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        "llr_e12",
+        (-F.col("llr_e12")).alias("_negllr"),
+    )
+    run = two_pass_cumsum(
+        s, [], ["_negllr", id_col], "n_tokens", out_col="cum_tokens"
+    )
+    return (
+        run.filter(F.col("cum_tokens") <= budget_tokens)
+        .select(
+            id_col,
+            "n_tokens",
+            "llr_e12",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
 def bigram_logloss(
     df: DataFrame,
     text_col: str = "text",

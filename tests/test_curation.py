@@ -1196,3 +1196,35 @@ def test_normalize_text_folds_match_duckdb_and_hand_expected(spark):
     """).fetchall())
     for i, _, want in cases:
         assert oracle[i] == want, (i, oracle[i], want)
+
+
+def test_dsir_select_prefers_target_like_and_respects_budget(spark):
+    """Greedy DSIR selection: with a 'science' target cohort, the
+    science-vocabulary docs are selected before the sports docs, the
+    kept prefix never exceeds the token budget, and a bigger budget
+    keeps a SUPERSET (prefix property)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.text import dsir_select
+
+    sci = "quantum particle theory experiment measurement energy"
+    spo = "goal match team score player season league"
+    rows = (
+        [(i, sci, "sci") for i in range(4)]
+        + [(i + 4, spo, "spo") for i in range(4)]
+        + [(8, "", "spo")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, dom string")
+    pred = F.col("dom") == "sci"
+
+    # budget fits exactly the four 6-token science docs
+    kept = dsir_select(df, pred, budget_tokens=24).collect()
+    assert sorted(r.doc_id for r in kept) == [0, 1, 2, 3]
+    assert max(r.cum_tokens for r in kept) <= 24
+    # ranked most-target-like first: all kept docs have llr > 0
+    assert all(r.llr_e12 > 0 for r in kept)
+
+    bigger = {r.doc_id for r in dsir_select(df, pred, budget_tokens=40).collect()}
+    assert {r.doc_id for r in kept} <= bigger
+    assert len(bigger) > 4  # budget now reaches into the sports tier
+    assert 8 not in bigger  # zero-token doc never selected
