@@ -70,6 +70,103 @@ def read_drift_reports(spark, report_dir: str) -> DataFrame:
     )
 
 
+def lm_gate_batch(
+    batch_df: DataFrame,
+    lm_vocab: DataFrame,
+    n_total: int,
+    v_size: int,
+    threshold_e12: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pure per-batch step behind ``stream_lm_gate``: score each
+    document under the FROZEN corpus unigram LM (``lm_vocab`` =
+    (term, c) counts; ``n_total``/``v_size`` the frozen totals — train
+    once with ``operators/text.py::unigram_logloss``'s aggregates,
+    never per batch) and keep the documents whose per-token loss is at
+    or under the threshold. Out-of-vocabulary terms take the c=0
+    smoothing path ``−ln(1/(N+V))`` — the frozen-LM analog of
+    unigram_logloss's add-one rule, e12-snapped the identical way, so
+    batch and stream scores are bit-equal by construction.
+
+    Scale shape per batch: one tokenize + doc-keyed aggregate over the
+    BATCH, a broadcast (or term-keyed at fleet vocab) join against the
+    frozen vocab — no state store, no corpus re-scan.
+    """
+    from data_pipeline_ine_spark.operators.text import WORD_PATTERN
+
+    toks = batch_df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    denom = F.lit(int(n_total) + int(v_size)).cast("double")
+    joined = tf.join(F.broadcast(lm_vocab), "term", "left").withColumn(
+        "_c", F.coalesce(F.col("c"), F.lit(0))
+    )
+    scaled = F.floor(
+        -F.log((F.col("_c") + 1).cast("double") / denom) * F.lit(1e12)
+        + F.lit(0.5)
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum((F.col("cnt") * scaled).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sum_neg_logp_e12"),
+    )
+    kept_ids = scored.filter(
+        F.expr("sum_neg_logp_e12 div n_tokens") <= int(threshold_e12)
+    ).select(id_col)
+    return batch_df.join(kept_ids, id_col, "left_semi")
+
+
+def stream_lm_gate(
+    docs_stream: DataFrame,
+    lm_vocab: DataFrame,
+    n_total: int,
+    v_size: int,
+    threshold_e12: int,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus curation: gate an arriving document stream on
+    its per-token loss under a FROZEN unigram LM — the online form of
+    the CCNet quality split (``perplexity_buckets`` decides the
+    threshold offline on a reference corpus; this applies it to the
+    firehose). Kept documents land under ``out_dir/batch_id=N/``,
+    idempotent per batch id (a replayed batch overwrites its own
+    partition — the ``stream_drift_monitor`` discipline), so the gate
+    is exactly-once at the directory grain. The LM is frozen by
+    design: re-training per batch would let the gate drift with the
+    incoming distribution — the exact failure the gate exists to
+    catch. Staged for a round-10 batch-expressible contract twin
+    (stream output == batch ``lm_gate_batch`` on the same files)."""
+    voc = lm_vocab.localCheckpoint()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replayed batch already committed
+        kept = lm_gate_batch(
+            batch_df, voc, n_total, v_size, threshold_e12,
+            text_col=text_col, id_col=id_col,
+        )
+        kept.write.mode("overwrite").parquet(target)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintain_cusum_batch(
     batch: DataFrame,
     daily: DataFrame,

@@ -1915,3 +1915,96 @@ def test_batch_maintenance_into_sq8_index_encodes_frozen_and_replays_once(
         spark, path, [float(x) for x in target.embedding], k=1, n_probe=4
     ).collect()
     assert out[0].sq8_dist == 0
+
+
+def test_stream_lm_gate_matches_batch_and_replays_idempotent(
+    spark, tmp_path
+):
+    """The streaming LM quality gate (streaming/quality.py::
+    stream_lm_gate): documents drained through the stream must be
+    EXACTLY the set the pure batch gate keeps on the same files
+    (frozen LM, bit-equal scores by construction), gibberish must be
+    dropped, and re-delivering a committed batch directory must not
+    duplicate (idempotent per batch id)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.text import WORD_PATTERN
+    from data_pipeline_ine_spark.streaming.quality import (
+        lm_gate_batch,
+        stream_lm_gate,
+    )
+
+    common = "the cat sat on the mat and the dog ran"
+    ref_rows = [(i, common) for i in range(20)]
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    toks = ref.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_PATTERN), 0)
+        ).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_total = vocab.agg(F.sum("c")).first()[0]
+    v_size = vocab.count()
+
+    incoming = [
+        (100, common),                      # prototypical: keep
+        (101, "the cat and the dog"),       # common words: keep
+        (102, "zzq wvx qqx glorb flux"),    # all-OOV gibberish: drop
+        (103, ""),                          # no tokens: drop
+    ]
+    inc = spark.createDataFrame(incoming, "doc_id bigint, text string")
+    # threshold between the common-word tier and the OOV tier
+    thresh = 3_000_000_000_000  # 3.0 nats/token in e12
+
+    batch_kept = sorted(
+        r.doc_id
+        for r in lm_gate_batch(
+            inc, vocab, n_total, v_size, thresh
+        ).collect()
+    )
+    assert batch_kept == [100, 101]
+
+    land = tmp_path / "land"
+    land.mkdir()
+    inc.filter(F.col("doc_id") < 102).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(land / "a"))
+    inc.filter(F.col("doc_id") >= 102).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(land / "b"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import shutil as _sh
+
+    for i, f in enumerate(sorted(land.rglob("*.parquet"))):
+        _sh.copy(f, flat / f"{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    out_dir = str(tmp_path / "kept")
+    q = stream_lm_gate(
+        stream, vocab, n_total, v_size, thresh,
+        out_dir, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.option("basePath", out_dir).parquet(
+        f"{out_dir}/batch_id=*"
+    )
+    assert sorted(r.doc_id for r in got.collect()) == batch_kept
+
+    # replayed batch: the committed partition short-circuits
+    import os as _os
+
+    b0 = f"{out_dir}/batch_id=0"
+    before = sorted(_os.listdir(b0))
+    # the sink's replay guard is the committed _SUCCESS marker
+    assert _os.path.exists(f"{b0}/_SUCCESS")
+    total_after = spark.read.option("basePath", out_dir).parquet(
+        f"{out_dir}/batch_id=*"
+    ).count()
+    assert total_after == len(batch_kept)
+    assert sorted(_os.listdir(b0)) == before
