@@ -636,7 +636,10 @@ def curriculum_order(
     driver-side collect.
     """
     neg = (-F.col(score_col)).alias("_negs")
-    base = df.select(id_col, score_col, neg)
+    # lazy checkpoint: the count branch would otherwise re-run the
+    # caller's scoring lineage (e.g. quality_score's regexp passes)
+    # just to produce a 1-row broadcast
+    base = df.select(id_col, score_col, neg).localCheckpoint(eager=False)
     n = base.agg(F.count(F.lit(1)).alias("_n"))
     ranked = two_pass_rank(base, ["_negs", id_col], out_col="_rk")
     t = int(n_tiers)

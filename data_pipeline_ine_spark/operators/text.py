@@ -628,7 +628,11 @@ def perplexity_buckets(
         raise ValueError(f"need {n_buckets} labels, got {labels!r}")
     from data_pipeline_ine_spark.operators.sampling import two_pass_rank
 
+    # lazy checkpoint: the scored frame feeds THREE branches (the rank,
+    # the 1-row count broadcast, the unscored union) — without it each
+    # branch re-runs the whole tokenize/LM lineage (the bm25 pattern)
     scored = unigram_logloss(df, text_col=text_col, id_col=id_col)
+    scored = scored.localCheckpoint(eager=False)
     s = scored.filter(F.col("n_tokens") > 0).select(
         id_col,
         "n_tokens",

@@ -41,6 +41,17 @@ _CENTROID_DIR = "_centroids"  # leading "_": invisible to parquet readers
 _BATCH_COMMITS_DIR = "_batch_commits"
 
 
+def _bucket_order_cols() -> list:
+    """Probe-selection tiebreak keys: the NUMERIC bucket id when the
+    bucket value parses as one (matching build-time ``_assign_clusters``
+    and the oracles' integer-label ordering — the bucket STRING sorts
+    'b10' < 'b2' and would silently diverge once an index exceeds 10
+    buckets), falling back to the string for non-numeric label-style
+    buckets (where every numeric key is NULL and the string decides)."""
+    num = F.expr(f"try_cast(substring({BUCKET_COL}, 2, 18) AS BIGINT)")
+    return [F.asc(num), F.asc(BUCKET_COL)]
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -555,7 +566,7 @@ def read_ivf_probe_batch(
     )
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc(BUCKET_COL)
+        F.desc("sim"), *_bucket_order_cols()
     )
     probe_rows = (
         cents.crossJoin(F.broadcast(qdf))  # |buckets| x Q — config-sized
@@ -723,7 +734,7 @@ def read_ivfpq_probe(
             BUCKET_COL,
             F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
         )
-        .orderBy(F.desc("sim"), F.asc(BUCKET_COL))
+        .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
         .select(BUCKET_COL)
         .collect()
@@ -779,7 +790,7 @@ def read_ivfpq_probe_batch(
     )
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc(BUCKET_COL)
+        F.desc("sim"), *_bucket_order_cols()
     )
     probe_rows = (
         cents.crossJoin(F.broadcast(qdf))
@@ -972,7 +983,7 @@ def read_ivf_probe(
             BUCKET_COL,
             F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
         )
-        .orderBy(F.desc("sim"), F.asc(BUCKET_COL))
+        .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
         .select(BUCKET_COL)
         .collect()  # O(n_probe) scalars — probe list, not data
@@ -1026,6 +1037,21 @@ def _sq8_params(spark: SparkSession, path: str) -> tuple[list[float], list[float
     return mins, spans
 
 
+def _sq8_code_py(x: float, mn: float, sp: float) -> int:
+    """Driver-side twin of ``_sq8_code_expr`` for query vectors —
+    Python floats ARE IEEE doubles, and the op chain is identical, so
+    query codes land on exactly the stored grid. ONE implementation:
+    the probe readers all call this; a drift between the stored-code
+    expression and the query quantizer would silently skew every
+    distance."""
+    import math
+
+    if sp == 0.0:
+        return 0
+    c = int(math.floor((x - mn) * 255.0 / sp + 0.5))
+    return max(0, min(255, c))
+
+
 def write_sq8_index(
     df: DataFrame,
     path: str,
@@ -1044,9 +1070,12 @@ def write_sq8_index(
     member of the standard quantization ladder (flat / SQ8 / PQ); raw
     vectors exist only at write time.
 
-    Scale shape: one posexplode aggregate for the per-dim bounds (the
-    same write-time pass class as the centroid sidecar), one narrow map
-    to encode, one bucket-partitioned write. Params are O(dim) scalars.
+    Scale shape: ONE posexplode aggregate serves both sidecars — the
+    per-(bucket, dim) pass carries min/max/avg, centroids come from the
+    avg and the global affine bounds fold min-of-mins / max-of-maxes on
+    the tiny bucket-grain frame (exactly the corpus MIN/MAX) — then one
+    narrow encode map and one bucket-partitioned write. Params are
+    O(dim) scalars.
     """
     from data_pipeline_ine_spark.operators.similarity import (
         _assign_clusters,
@@ -1067,16 +1096,26 @@ def write_sq8_index(
     if part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
 
-    # per-dim exact bounds: MIN/MAX are order-invariant (no float-sum
-    # nondeterminism), so the affine params are engine-exact by nature
+    # ONE corpus posexplode pass: per-(bucket, dim) min/max/avg. The
+    # centroid sidecar reads the avg; the global affine bounds are the
+    # min-of-mins / max-of-maxes over the bucket-grain frame — exactly
+    # the corpus MIN/MAX (order-invariant, so engine-exact by nature).
+    dims = (
+        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(BUCKET_COL, "d")
+        .agg(
+            F.avg("x").alias("c"),
+            F.min("x").cast("double").alias("_bmin"),
+            F.max("x").cast("double").alias("_bmax"),
+        )
+        .localCheckpoint()  # one pass feeds bounds AND centroids
+    )
     bounds = (
-        bucketed.select(F.posexplode(vec_col).alias("d0", "x"))
-        .groupBy("d0")
-        .agg(F.min("x").cast("double").alias("vmin"),
-             F.max("x").cast("double").alias("vmax"))
+        dims.groupBy("d")
+        .agg(F.min("_bmin").alias("vmin"), F.max("_bmax").alias("vmax"))
         .collect()
     )
-    by_d = {int(r.d0) + 1: (float(r.vmin), float(r.vmax)) for r in bounds}
+    by_d = {int(r.d) + 1: (float(r.vmin), float(r.vmax)) for r in bounds}
     mins = [by_d[d][0] for d in sorted(by_d)]
     spans = [by_d[d][1] - by_d[d][0] for d in sorted(by_d)]
 
@@ -1085,11 +1124,6 @@ def write_sq8_index(
     ).drop(vec_col)
     codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
 
-    dims = (
-        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
-        .groupBy(BUCKET_COL, "d")
-        .agg(F.avg("x").alias("c"))
-    )
     cents = (
         dims.groupBy(BUCKET_COL)
         .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
@@ -1127,8 +1161,6 @@ def read_sq8_probe(
     ``Σ_d (q_code_d - code_d)²`` ranked as an exact BIGINT — fully
     reproducible, no float survives to the ranking. Returns
     (id, sq8_dist, near-to-far)."""
-    import math
-
     from data_pipeline_ine_spark.operators.similarity import cosine
 
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
@@ -1139,21 +1171,15 @@ def read_sq8_probe(
             BUCKET_COL,
             F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
         )
-        .orderBy(F.desc("sim"), F.asc(BUCKET_COL))
+        .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
         .select(BUCKET_COL)
         .collect()
     ]
     mins, spans = _sq8_params(spark, path)
-
-    def code(x: float, mn: float, sp: float) -> int:
-        if sp == 0.0:
-            return 0
-        c = int(math.floor((x - mn) * 255.0 / sp + 0.5))
-        return max(0, min(255, c))
-
     qcodes = [
-        code(float(x), mins[d], spans[d]) for d, x in enumerate(query_vec)
+        _sq8_code_py(float(x), mins[d], spans[d])
+        for d, x in enumerate(query_vec)
     ]
     qlit = F.array(*[F.lit(int(c)) for c in qcodes])
     dist = F.aggregate(
@@ -1279,8 +1305,6 @@ def read_sq8_probe_batch(
     PQ ``read_ivfpq_probe_batch`` / SQ8 here).
 
     Returns (query_id, vec_id, sq8_dist, rank)."""
-    import math
-
     from pyspark.sql.window import Window
 
     from data_pipeline_ine_spark.operators.similarity import cosine
@@ -1294,7 +1318,7 @@ def read_sq8_probe_batch(
     )
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc(BUCKET_COL)
+        F.desc("sim"), *_bucket_order_cols()
     )
     probe_rows = (
         cents.crossJoin(F.broadcast(qdf))
@@ -1316,20 +1340,13 @@ def read_sq8_probe_batch(
     union_buckets = sorted({b for bs in probes.values() for b in bs})
 
     mins, spans = _sq8_params(spark, path)
-
-    def code(x: float, mn: float, sp: float) -> int:
-        if sp == 0.0:
-            return 0
-        c = int(math.floor((x - mn) * 255.0 / sp + 0.5))
-        return max(0, min(255, c))
-
     qprobe = spark.createDataFrame(
         [
             (
                 int(qid),
                 b,
                 [
-                    code(float(x), mins[d], spans[d])
+                    _sq8_code_py(float(x), mins[d], spans[d])
                     for d, x in enumerate(v)
                 ],
             )

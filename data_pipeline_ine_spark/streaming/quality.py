@@ -105,7 +105,10 @@ def lm_gate_batch(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
     denom = F.lit(int(n_total) + int(v_size)).cast("double")
-    joined = tf.join(F.broadcast(lm_vocab), "term", "left").withColumn(
+    # no broadcast hint: the planner broadcasts a small vocab on its
+    # own and falls back to a term-keyed shuffle join at fleet-scale
+    # vocabularies, where forcing the hint would OOM the stream
+    joined = tf.join(lm_vocab, "term", "left").withColumn(
         "_c", F.coalesce(F.col("c"), F.lit(0))
     )
     scaled = F.floor(

@@ -1072,6 +1072,91 @@ def test_sq8_batch_probe_one_scan_and_single_query_parity(
         assert len(single) == 5
 
 
+def test_probe_tiebreak_is_numeric_past_ten_buckets(spark, tmp_path):
+    """Probe selection must tie-break on the NUMERIC bucket id: with 12
+    buckets where buckets 2 and 10 hold identical vectors (identical
+    centroids — an exact rounded-cosine tie), n_probe=1 must pick b2.
+    The bucket STRING sorts 'b10' < 'b2' and would silently pick b10 —
+    the same divergence build-time append routing already guards
+    against; the oracles order by the integer label. Covers the flat,
+    SQ8, and batch probe readers."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        read_ivf_probe_batch,
+        read_sq8_probe,
+        write_ivf_index,
+        write_sq8_index,
+    )
+
+    u = [float(d + 1) for d in range(8)]  # the query direction
+    qvec = u
+
+    def bucket_vecs(b: int) -> list[list[float]]:
+        if b in (2, 10):
+            # scalar multiples of u: centroid parallel to q, cosine
+            # exactly 1.0 for BOTH buckets — a guaranteed rounded tie
+            return [[x * s for x in u] for s in (1.0, 2.0, 3.0)]
+        w = [float((b * 37 + d * 11) % 17 - 8) for d in range(8)]
+        return [w, w, w]
+
+    rows = []
+    vid = 0
+    for b in range(12):
+        for v in bucket_vecs(b):
+            rows.append((vid, v, b))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    # sanity: no non-tie bucket may accidentally reach cosine 1.0
+    import math
+
+    for b in range(12):
+        if b in (2, 10):
+            continue
+        w = bucket_vecs(b)[0]
+        cos = sum(a * c for a, c in zip(u, w)) / (
+            math.sqrt(sum(a * a for a in u))
+            * math.sqrt(sum(c * c for c in w))
+        )
+        assert round(cos, 6) < 1.0, (b, cos)
+
+    path = str(tmp_path / "ivf12")
+    write_ivf_index(df, path, part_col="label")
+    probed = {
+        r.bucket
+        for r in read_ivf_probe(spark, path, qvec, k=3, n_probe=1)
+        .join(spark.read.parquet(path), "vec_id")
+        .select("bucket")
+        .collect()
+    }
+    assert probed == {"b2"}, probed
+
+    got_b = read_ivf_probe_batch(
+        spark, path, [(0, qvec)], k=3, n_probe=1
+    )
+    probed_b = {
+        r.bucket
+        for r in got_b.join(spark.read.parquet(path), "vec_id")
+        .select("bucket")
+        .collect()
+    }
+    assert probed_b == {"b2"}, probed_b
+
+    sq8 = str(tmp_path / "sq812")
+    write_sq8_index(df, sq8, part_col="label")
+    probed_s = {
+        r.bucket
+        for r in read_sq8_probe(spark, sq8, qvec, k=3, n_probe=1)
+        .join(spark.read.parquet(sq8), "vec_id")
+        .select("bucket")
+        .collect()
+    }
+    assert probed_s == {"b2"}, probed_s
+
+
 def test_sq8_rerank_two_stage_and_batch_parity(spark, sf_dir, tmp_path):
     """Staged round-10 components (read_sq8_rerank /
     read_sq8_rerank_batch): stage 2 must read the raw vectors through
