@@ -134,6 +134,7 @@ HEAVY = [
     # their bounds are the calendar grain and distinct-price grain,
     # pinned by the lint allowlists + unit tests)
     "ann_sq8_probe",
+    "ann_sq8_batch_probe",
     "perplexity_buckets",
     "text_normalize",
     "t_closeness",
