@@ -964,12 +964,22 @@ def read_ivf_probe(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where: F.Column | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors of ``query_vec`` from the index at
     ``path``, scanning ONLY the ``n_probe`` buckets whose centroids are
     nearest the query. The probe list is collected driver-side
     (O(n_probe) scalars) and applied as a literal ``isin`` — a static
-    partition-pruning filter on the parquet scan."""
+    partition-pruning filter on the parquet scan.
+
+    ``where`` (optional) is FILTERED ANN — a predicate over the index's
+    payload columns (e.g. ``F.col("label") == 3``) applied AT THE SCAN,
+    so Catalyst pushes it into the parquet read (``PushedFilters``)
+    alongside the partition pruning and only matching rows are ever
+    ranked. The post-filter semantics of production vector stores
+    (recall caveat applies: a highly selective predicate can empty a
+    probed bucket — raise ``n_probe`` for constrained queries).
+    Staged for a round-10 contract row."""
     from data_pipeline_ine_spark.operators.similarity import (
         brute_force_topk,
         cosine,
@@ -991,6 +1001,8 @@ def read_ivf_probe(
     probed = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(probe_ids)
     )
+    if where is not None:
+        probed = probed.filter(where)
     return brute_force_topk(probed, query_vec, k, vec_col, id_col)
 
 
@@ -1151,6 +1163,7 @@ def read_sq8_probe(
     n_probe: int = 2,
     id_col: str = "vec_id",
     codes_col: str = "sq_codes",
+    where: F.Column | None = None,
 ) -> DataFrame:
     """Top-k by exact integer squared distance IN CODE SPACE from an
     IVF-SQ8 index: probe buckets chosen from the centroid sidecar
@@ -1159,8 +1172,9 @@ def read_sq8_probe(
     params (same IEEE arithmetic as the stored codes, so both sides of
     the distance live on the same grid), then
     ``Σ_d (q_code_d - code_d)²`` ranked as an exact BIGINT — fully
-    reproducible, no float survives to the ranking. Returns
-    (id, sq8_dist, near-to-far)."""
+    reproducible, no float survives to the ranking. ``where`` enables
+    FILTERED ANN over payload columns, pushed into the codes scan
+    (see ``read_ivf_probe``). Returns (id, sq8_dist, near-to-far)."""
     from data_pipeline_ine_spark.operators.similarity import cosine
 
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
@@ -1194,6 +1208,8 @@ def read_sq8_probe(
     probed = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(probe_ids)
     )
+    if where is not None:
+        probed = probed.filter(where)
     return (
         probed.select(id_col, dist.alias("sq8_dist"))
         .orderBy(F.asc("sq8_dist"), F.asc(id_col))

@@ -1072,6 +1072,71 @@ def test_sq8_batch_probe_one_scan_and_single_query_parity(
         assert len(single) == 5
 
 
+def test_filtered_ann_pushes_predicate_into_pruned_scan(
+    spark, sf_dir, tmp_path
+):
+    """Filtered ANN (staged round-10): a payload predicate handed to
+    read_ivf_probe/read_sq8_probe must reach the parquet scan as a
+    PushedFilters entry NEXT TO the partition pruning, every returned
+    row must satisfy it, and the result must equal brute-force top-k
+    over the probed+filtered rows."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        read_sq8_probe,
+        write_ivf_index,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    path = str(tmp_path / "ivf_filt")
+    # kmeans mode keeps label as a payload column to filter on
+    write_ivf_index(emb, path, part_col=None, n_clusters=4, iters=1)
+    pred = F.col("label") % 2 == 0
+    out = read_ivf_probe(
+        spark, path, qvec, k=10, n_probe=4, where=pred
+    )
+    plan = explain_str(out)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    assert "PushedFilters" in plan and "label" in plan.split(
+        "PushedFilters", 1
+    )[1].splitlines()[0], plan
+    rows = out.join(emb.select("vec_id", "label"), "vec_id").collect()
+    assert len(rows) == 10
+    assert all(r.label % 2 == 0 for r in rows)
+    # equals brute force over probed+filtered rows
+    unfiltered = read_ivf_probe(spark, path, qvec, k=10_000, n_probe=4)
+    allowed = {
+        r.vec_id
+        for r in unfiltered.join(
+            emb.filter(pred).select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    ref = [
+        r.vec_id
+        for r in unfiltered.collect()
+        if r.vec_id in allowed
+    ][:10]
+    assert [r.vec_id for r in out.collect()] == ref
+
+    sq8 = str(tmp_path / "sq8_filt")
+    write_sq8_index(emb, sq8, part_col=None, n_clusters=4, iters=1)
+    out_s = read_sq8_probe(
+        spark, sq8, qvec, k=10, n_probe=4, where=pred
+    )
+    got_s = out_s.join(emb.select("vec_id", "label"), "vec_id").collect()
+    assert len(got_s) == 10 and all(r.label % 2 == 0 for r in got_s)
+
+
 def test_probe_tiebreak_is_numeric_past_ten_buckets(spark, tmp_path):
     """Probe selection must tie-break on the NUMERIC bucket id: with 12
     buckets where buckets 2 and 10 hold identical vectors (identical
