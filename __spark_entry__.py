@@ -2418,6 +2418,23 @@ _KM_ASSIGN = (
     "SELECT vec_id, v, cid, ROW_NUMBER() OVER "
     "(PARTITION BY vec_id ORDER BY {d}, cid) AS rn FROM e, {c}"
 )
+
+# the unrolled two-iteration Lloyd chain every k-means oracle shares
+# (seed rule, 6-dp centroid rounding, assignment tiebreak) — ONE copy;
+# six oracles interpolate it, so a recipe change cannot silently
+# diverge one of them (review r9)
+_LLOYD_CHAIN_CTE = f'''c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < 8),
+a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
+m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
+a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
+m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+'''
+
 def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantizer health report (operators/similarity.py::
     kmeans_cluster_profile): per trained k-means cluster, the member
@@ -2438,17 +2455,7 @@ def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_KMEANS = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),
-a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
-m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
-a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
-m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
-a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 probes AS (SELECT cid FROM c2, q ORDER BY {_sql_sq_dist('qv', 'cv')}, cid LIMIT 2)
 SELECT a3.vec_id,
@@ -2465,17 +2472,7 @@ LIMIT 10
 # count + e6-snapped DECIMAL-accumulated inertia per assigned cluster
 ORACLE_CLUSTER_PROFILE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),
-a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
-m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
-a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
-m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
-a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
 prof AS (
   SELECT a3.cid AS cluster,
     CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -3099,6 +3096,13 @@ def q_ivf_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own marker lands before the appends, so it alone would cache a
     # half-built index if a run died mid-exercise)
     if not _ivf_index_ready(path, "_centroids", "_replay_ok"):
+        import shutil
+
+        # start CLEAN: an interrupted earlier exercise leaves the
+        # build marker and _batch_commits/b1 behind, and a dynamic
+        # partition-overwrite rebuild would preserve that stale marker
+        # — the 'first apply' would then skip forever (review r9)
+        shutil.rmtree(path, ignore_errors=True)
         write_ivf_index(
             emb.filter(F.col("vec_id") < cut), path, part_col="label"
         )
@@ -3109,7 +3113,11 @@ def q_ivf_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         skipped = append_batch_to_ivf_index(batch, 1, path)
         assert skipped is False, "committed batch must be skipped"
         # crash-before-marker replay: re-publish, never duplicate
-        os.remove(os.path.join(path, "_batch_commits", "b1"))
+        from data_pipeline_ine_spark.sources.ivf_index import (
+            _BATCH_COMMITS_DIR,
+        )
+
+        os.remove(os.path.join(path, _BATCH_COMMITS_DIR, "b1"))
         reapplied = append_batch_to_ivf_index(batch, 1, path)
         assert reapplied, "crash replay must re-apply"
         with open(os.path.join(path, "_replay_ok"), "w") as f:
@@ -3216,17 +3224,7 @@ def q_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unrolled chain as ORACLE_CLUSTER_PROFILE), bucketed b<cid>.
 ORACLE_IVF_REBUILD = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),
-a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
-m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
-a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
-m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
-a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')})
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')})
 SELECT 'b' || CAST(cid AS VARCHAR) AS bucket,
   CAST(COUNT(*) AS BIGINT) AS n_vectors,
   CAST(SUM(vec_id) AS BIGINT) AS id_sum
@@ -3260,17 +3258,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the within-cluster earlier-id drop rule at rounded cosine >= 0.3.
 ORACLE_SEMANTIC_DEDUP = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),
-a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
-m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
-a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
-m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
-a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
 asg AS (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
 drp AS (
   SELECT DISTINCT a.vec_id
@@ -4557,17 +4545,7 @@ ORACLE_CURATION_SEMANTIC = _MINHASH_CTE + f"""
   SELECT doc_id, source FROM s1
   WHERE doc_id NOT IN (SELECT doc_id FROM mdup)
 ), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),
-a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
-m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
-a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
-m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
-a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
 asg AS (
   SELECT a3.vec_id AS doc_id, a3.v, a3.cid
   FROM a3 JOIN s2 ON s2.doc_id = a3.vec_id
@@ -5538,17 +5516,7 @@ def q_knn_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consumed as a BLOCK KEY: within-cluster top-3 cosine neighbors
 ORACLE_KNN_IVF_BLOCKED = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),
-a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
-m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
-a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
-m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
-a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
 asg AS (
   SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS nrm
   FROM a3 WHERE rn = 1

@@ -374,6 +374,39 @@ def _bucket_for_append(
     return bucketed
 
 
+def _batch_markers(path: str) -> set[str]:
+    """Current committed-batch marker names (empty set when none)."""
+    import os
+
+    d = os.path.join(path, _BATCH_COMMITS_DIR)
+    return set(os.listdir(d)) if os.path.exists(d) else set()
+
+
+def _refuse_if_markers_moved(
+    path: str, markers_t0: set[str], stage: str, what: str
+) -> None:
+    """Abort a maintenance rewrite whose snapshot went stale: a batch
+    that committed AFTER the rewrite started has rows absent from the
+    staged copy — publishing it would lose them unreplayably. Raising
+    here (and deleting the stage) makes the maintenance job retry on
+    fresh state instead. Narrows, not closes, the race: the final
+    check-to-rename gap is microseconds, and maintenance assumes one
+    concurrent maintainer regardless."""
+    import os
+    import shutil
+
+    now = _batch_markers(path)
+    pending = __import__("glob").glob(os.path.join(path, ".batches", "*"))
+    if now != markers_t0 or pending:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"refusing to finish {what} of {path}: streaming batches "
+            f"moved during the rewrite (markers {sorted(markers_t0)} -> "
+            f"{sorted(now)}, in-flight={sorted(pending)}) — retry after "
+            "the sink drains"
+        )
+
+
 def compact_ivf_index(
     spark: SparkSession,
     path: str,
@@ -415,6 +448,13 @@ def compact_ivf_index(
             f"{sorted(os.path.basename(p) for p in pending)} under "
             f".batches/ — drain or clean the streaming sink first"
         )
+    # snapshot the committed-batch marker set: a maintenance batch that
+    # stages, publishes, AND commits during the long rewrite below would
+    # have its rows absent from the rewrite while its marker is carried
+    # across — an unreplayable loss. The re-checks before the sidecar
+    # copy and the swap turn that race into a loud retry (review r9);
+    # compaction still assumes a single maintainer at a time.
+    markers_t0 = _batch_markers(path)
     stage = path.rstrip("/") + ".compacting"
     shutil.rmtree(stage, ignore_errors=True)
     df = spark.read.parquet(path)
@@ -431,6 +471,7 @@ def compact_ivf_index(
     # post-compaction replay (crash before the stream checkpoint
     # committed) would otherwise find no marker and re-append an
     # already-applied batch, duplicating vectors (ADVICE r8).
+    _refuse_if_markers_moved(path, markers_t0, stage, "compact")
     for side in (
         _CENTROID_DIR, _CODEBOOK_DIR, _SQPARAMS_DIR, _BATCH_COMMITS_DIR
     ):
@@ -438,6 +479,7 @@ def compact_ivf_index(
         if os.path.exists(src):
             shutil.copytree(src, os.path.join(stage, side))
     _commit_marker(stage)
+    _refuse_if_markers_moved(path, markers_t0, stage, "compact")
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
@@ -504,6 +546,7 @@ def rebuild_ivf_index(
             "stored, so the quantizer cannot retrain from the index — "
             "rebuild from the source table with write_sq8_index"
         )
+    markers_t0 = _batch_markers(path)  # see compact_ivf_index
     rows = spark.read.parquet(path).drop(BUCKET_COL)
     stage = path.rstrip("/") + ".compacting"
     shutil.rmtree(stage, ignore_errors=True)
@@ -511,9 +554,18 @@ def rebuild_ivf_index(
         rows, stage, part_col=None, n_clusters=n_clusters, iters=iters,
         vec_col=vec_col, id_col=id_col,
     )
+    # marker-lands-LAST: write_ivf_index committed the stage's marker,
+    # but the _batch_commits sidecar isn't copied yet — a crash between
+    # the two would leave a marked stage with NO replay markers, and
+    # recover_ivf_index would promote it, making every committed batch
+    # replayable as a duplicate (review r9). Un-commit, copy, re-commit.
+    os.remove(os.path.join(stage, "_index_success"))
+    _refuse_if_markers_moved(path, markers_t0, stage, "rebuild")
     commits = os.path.join(path, _BATCH_COMMITS_DIR)
     if os.path.exists(commits):
         shutil.copytree(commits, os.path.join(stage, _BATCH_COMMITS_DIR))
+    _commit_marker(stage)
+    _refuse_if_markers_moved(path, markers_t0, stage, "rebuild")
     old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_ine_spark.sources.ivf_index import (
     BUCKET_COL,
+    _BATCH_COMMITS_DIR,
     _bucket_for_append,
 )
 
@@ -96,7 +97,7 @@ def append_batch_to_ivf_index(
     """The foreachBatch body, callable directly for tests/backfills.
     Returns True when the batch was applied, False when its commit
     marker already existed (replay skipped)."""
-    commits = os.path.join(path, "_batch_commits")
+    commits = os.path.join(path, _BATCH_COMMITS_DIR)
     marker = os.path.join(commits, f"b{batch_id}")
     if os.path.exists(marker):
         return False

@@ -739,3 +739,37 @@ def test_semantic_dedup_injected_quantizer_matches_inline(spark, sf_dir):
         ).collect()
     )
     assert injected == inline
+
+
+def test_near_dup_filter_self_earlier_id_wins_and_threshold_boundary(spark):
+    """Direct pin for near_dup_filter_self (previously exercised only
+    through the composed curation_semantic query): the earlier id of a
+    near-dup pair survives, the later drops; a pair AT the integer
+    cross-multiplied threshold (Jaccard == num/den) drops (>= rule);
+    unrelated docs pass through with payload intact."""
+    from data_pipeline_ine_spark.operators.dedup import near_dup_filter_self
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),                 # survivor (earliest id of the pair)
+        (2, base + " tail"),       # near dup of 1 -> drop
+        (3, "completely different subject matter with novel words only"),
+        (4, base),                 # exact dup of 1 (Jaccard == 1) -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id for r in near_dup_filter_self(df).collect()
+    )
+    assert kept == [1, 3]
+    out = {r.doc_id: r.text for r in near_dup_filter_self(df).collect()}
+    assert out[3].startswith("completely different")
+
+    # threshold boundary: at threshold_num/threshold_den == 1 (Jaccard
+    # >= 1.0), ONLY the exact dup drops; the near dup survives
+    kept_strict = sorted(
+        r.doc_id
+        for r in near_dup_filter_self(
+            df, threshold_num=1, threshold_den=1
+        ).collect()
+    )
+    assert kept_strict == [1, 2, 3]

@@ -2029,3 +2029,43 @@ def test_rebuild_ivf_index_retrains_and_preserves_lifecycle(
     write_ivfpq_index(emb, pq, part_col="label")
     with _pytest.raises(ValueError, match="codes-only"):
         rebuild_ivf_index(spark, pq)
+
+
+def test_maintenance_refuses_when_markers_move_mid_rewrite(tmp_path):
+    """The compaction/rebuild TOCTOU guard (review r9): a streaming
+    batch that commits AFTER the rewrite snapshot makes the staged copy
+    stale — its rows are absent but its marker would be carried. The
+    re-check must raise, name the moved markers, and delete the stage
+    so the maintenance job retries on fresh state."""
+    import os
+
+    import pytest
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        _batch_markers,
+        _refuse_if_markers_moved,
+    )
+
+    path = tmp_path / "idx"
+    (path / "_batch_commits").mkdir(parents=True)
+    (path / "_batch_commits" / "b1").write_text("ok")
+    t0 = _batch_markers(str(path))
+    stage = tmp_path / "idx.compacting"
+    stage.mkdir()
+
+    # no movement: a no-op
+    _refuse_if_markers_moved(str(path), t0, str(stage), "compact")
+    assert stage.exists()
+
+    # a batch commits mid-rewrite
+    (path / "_batch_commits" / "b2").write_text("ok")
+    with pytest.raises(RuntimeError, match="moved during the rewrite"):
+        _refuse_if_markers_moved(str(path), t0, str(stage), "compact")
+    assert not stage.exists()  # stale stage deleted -> clean retry
+
+    # an in-flight staged batch also refuses
+    stage.mkdir()
+    os.remove(path / "_batch_commits" / "b2")
+    (path / ".batches" / "b3").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="in-flight"):
+        _refuse_if_markers_moved(str(path), t0, str(stage), "compact")

@@ -57,6 +57,9 @@ def main() -> int:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            print("usage: gate_sweep.py [tags...] [--out PATH]")
+            return 2
         out_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     tags = args or list(CASES)
