@@ -11768,56 +11768,6 @@ _CHECK_ORDER = [
     # row-first with never-checked queries slotted right after
     # the oldest stale cohort. The driver records the first 50
     # entries each round.
-    "scd2_intervals",
-    "sliding_6h_3h",
-    "source_quality_gate",
-    "text_stats",
-    "top5_users",
-    "tumbling_6h",
-    "union_scaffold",
-    "users_per_event_type",
-    "window_top_day",
-    "ann_ivfpq_batch_probe",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_rerank_batch",
-    "ann_sq8_batch_probe",
-    "ann_sq8_probe",
-    "curation_semantic",
-    "curriculum_order",
-    "dsir_weights",
-    "ivf_append_replay",
-    "ivf_rebuild",
-    "packing_efficiency",
-    "perplexity_buckets",
-    "seasonal_decompose",
-    "semantic_dedup",
-    "skyline_parts",
-    "t_closeness",
-    "text_normalize",
-    "bigram_logloss",
-    "cdc_merge",
-    "cdc_roundtrip",
-    "centered_moving_avg",
-    "copurchase_lift",
-    "cross_source_duplication",
-    "daily_vwap",
-    "domain_mixture",
-    "dq_audit",
-    "dup_cluster_sizes",
-    "entity_resolution",
-    "event_transitions",
-    "grouped_correlation",
-    "grouping_sets_revenue",
-    "incremental_dedup",
-    "ivm_revenue",
-    "key_skew_profile",
-    "lateral_topk_sql",
-    "mad_outliers",
-    "media_decode",
-    "nearest_station",
-    "order_value_extremes",
-    "overlap_shipments",
-    "part_bfs_hops",
     "part_pagerank",
     "part_triangles",
     "ppjoin_exact",
@@ -12039,6 +11989,56 @@ _CHECK_ORDER = [
     "temperature_mixture",
     "token_budget_cap",
     "weighted_quantiles",
+    "ann_ivfpq_batch_probe",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_rerank_batch",
+    "ann_sq8_batch_probe",
+    "ann_sq8_probe",
+    "bigram_logloss",
+    "cdc_merge",
+    "cdc_roundtrip",
+    "centered_moving_avg",
+    "copurchase_lift",
+    "cross_source_duplication",
+    "curation_semantic",
+    "curriculum_order",
+    "daily_vwap",
+    "domain_mixture",
+    "dq_audit",
+    "dsir_weights",
+    "dup_cluster_sizes",
+    "entity_resolution",
+    "event_transitions",
+    "grouped_correlation",
+    "grouping_sets_revenue",
+    "incremental_dedup",
+    "ivf_append_replay",
+    "ivf_rebuild",
+    "ivm_revenue",
+    "key_skew_profile",
+    "lateral_topk_sql",
+    "mad_outliers",
+    "media_decode",
+    "nearest_station",
+    "order_value_extremes",
+    "overlap_shipments",
+    "packing_efficiency",
+    "part_bfs_hops",
+    "perplexity_buckets",
+    "scd2_intervals",
+    "seasonal_decompose",
+    "semantic_dedup",
+    "skyline_parts",
+    "sliding_6h_3h",
+    "source_quality_gate",
+    "t_closeness",
+    "text_normalize",
+    "text_stats",
+    "top5_users",
+    "tumbling_6h",
+    "union_scaffold",
+    "users_per_event_type",
+    "window_top_day",
 ]
 
 
