@@ -950,6 +950,26 @@ def read_ivfpq_rerank(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _shortlist_pairs(
+    spark: SparkSession, vectors: DataFrame, id_col: str, rows
+) -> DataFrame:
+    """The (query_id, id) membership frame a batch rerank broadcasts —
+    the id field typed FROM THE RAW-VECTORS SCHEMA so a non-bigint id
+    column (int, string, ...) round-trips the collect and joins without
+    a lossy coercion (the hardcoded ``bigint`` + ``int(...)`` it
+    replaces failed on any non-integral id; ADVICE r9)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_field = vectors.schema[id_col]
+    schema = StructType(
+        [
+            StructField("query_id", IntegerType(), False),
+            StructField(id_col, id_field.dataType, True),
+        ]
+    )
+    return spark.createDataFrame([(int(r[0]), r[1]) for r in rows], schema)
+
+
 def read_ivfpq_rerank_batch(
     spark: SparkSession,
     pq_path: str,
@@ -984,10 +1004,7 @@ def read_ivfpq_rerank_batch(
     )
     rows = short.select("query_id", id_col).collect()
     union_ids = sorted({r[1] for r in rows})
-    pairs = spark.createDataFrame(
-        [(int(r[0]), int(r[1])) for r in rows],
-        f"query_id int, {id_col} bigint",
-    )
+    pairs = _shortlist_pairs(spark, vectors, id_col, rows)
     qdf = spark.createDataFrame(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
@@ -1067,16 +1084,26 @@ def _sq8_code_expr(
     expression uses only IEEE subtract/multiply/divide/add/floor on
     exact inputs, so the codes are bit-identical across engines — the
     DuckDB oracle re-derives them from the same MIN/MAX (themselves
-    order-invariant, unlike sums)."""
+    order-invariant, unlike sums).
+
+    The clamp runs on floor()'s LONG result and the narrowing int cast
+    comes LAST: a frozen-grid append of a vector far outside the
+    training bounds (scaled value >= 2^31) must SATURATE to 0/255 like
+    the driver-side twin ``_sq8_code_py`` does — clamping after an
+    eager non-ANSI long->int cast would wrap bits first and could land
+    a pathological outlier back inside [0, 255] as a silently wrong
+    code."""
     mlit = F.array(*[F.lit(float(m)) for m in mins])
     slit = F.array(*[F.lit(float(s)) for s in spans])
     return F.transform(
         F.sequence(F.lit(1), F.size(vec)),
         lambda i: F.least(
-            F.lit(255),
+            F.lit(255).cast("bigint"),
             F.greatest(
-                F.lit(0),
-                F.when(F.element_at(slit, i) == 0.0, F.lit(0)).otherwise(
+                F.lit(0).cast("bigint"),
+                F.when(
+                    F.element_at(slit, i) == 0.0, F.lit(0).cast("bigint")
+                ).otherwise(
                     F.floor(
                         (
                             F.element_at(vec, i).cast("double")
@@ -1085,10 +1112,10 @@ def _sq8_code_expr(
                         * F.lit(255.0)
                         / F.element_at(slit, i)
                         + F.lit(0.5)
-                    ).cast("int")
+                    )
                 ),
             ),
-        ),
+        ).cast("int"),
     )
 
 
@@ -1329,10 +1356,7 @@ def read_sq8_rerank_batch(
     )
     rows = short.select("query_id", id_col).collect()
     union_ids = sorted({r[1] for r in rows})
-    pairs = spark.createDataFrame(
-        [(int(r[0]), int(r[1])) for r in rows],
-        f"query_id int, {id_col} bigint",
-    )
+    pairs = _shortlist_pairs(spark, vectors, id_col, rows)
     qdf = spark.createDataFrame(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",

@@ -89,6 +89,14 @@ def lm_gate_batch(
     unigram_logloss's add-one rule, e12-snapped the identical way, so
     batch and stream scores are bit-equal by construction.
 
+    Zero-token documents are DROPPED, deliberately: a document with no
+    scoreable tokens has no per-token loss, and an unscoreable document
+    must not pass a quality gate by default (the conservative firehose
+    rule; contrast ``perplexity_buckets``, an *analysis* op, which
+    surfaces them in an explicit ``unscored`` bucket instead). The rule
+    is pinned by tests and shared bit-for-bit by the stream and batch
+    paths.
+
     Scale shape per batch: one tokenize + doc-keyed aggregate over the
     BATCH, a broadcast (or term-keyed at fleet vocab) join against the
     frozen vocab — no state store, no corpus re-scan.

@@ -2069,3 +2069,82 @@ def test_maintenance_refuses_when_markers_move_mid_rewrite(tmp_path):
     (path / ".batches" / "b3").mkdir(parents=True)
     with pytest.raises(RuntimeError, match="in-flight"):
         _refuse_if_markers_moved(str(path), t0, str(stage), "compact")
+
+
+def test_sq8_code_expr_saturates_instead_of_wrapping(spark):
+    """ADVICE r9: the JVM-side SQ8 encoder clamps the LONG floor result
+    BEFORE the narrowing int cast, so an append of a vector far outside
+    the frozen affine grid saturates to 0/255 exactly like the
+    driver-side twin _sq8_code_py — a clamp placed after an eager
+    non-ANSI long->int cast would wrap (scaled >= 2^31) and could store
+    a silently in-range wrong code."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        _sq8_code_expr,
+        _sq8_code_py,
+    )
+
+    mins, spans = [0.0, 0.0, 0.0], [1.0, 1.0, 0.0]
+    # dim 1: +1e12 scaled to ~2.55e14 (>> 2^31)  -> must saturate 255
+    # dim 2: -1e12                               -> must saturate 0
+    # dim 3: zero-span dim                       -> fixed 0
+    vec = [1.0e12, -1.0e12, 42.0]
+    df = spark.createDataFrame([(vec,)], "v array<double>").select(
+        _sq8_code_expr(F.col("v"), mins, spans).alias("codes")
+    )
+    got = df.first()[0]
+    assert got == [255, 0, 0], got
+    assert got == [
+        _sq8_code_py(x, m, s) for x, m, s in zip(vec, mins, spans)
+    ]
+    # in-grid values are untouched by the reordering
+    ok = spark.createDataFrame([([0.5, 0.25, 9.9],)], "v array<double>")
+    assert ok.select(
+        _sq8_code_expr(F.col("v"), mins, spans).alias("c")
+    ).first()[0] == [128, 64, 0]
+
+
+def test_sq8_rerank_batch_accepts_string_ids(spark, tmp_path):
+    """ADVICE r9: batch rerank derives the shortlist-pairs id type from
+    the raw-vectors schema (_shortlist_pairs) instead of hardcoding
+    bigint — a corpus keyed by string ids must shortlist, point-lookup,
+    and re-rank identically to the single-query path."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_rerank,
+        read_sq8_rerank_batch,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .withColumn("vid", F.concat(F.lit("doc-"), F.col("vec_id")))
+        .drop("vec_id")
+    )
+    path = str(tmp_path / "sq8_strid")
+    write_sq8_index(emb, path, part_col="label", id_col="vid")
+    queries = [
+        (i, list(r.embedding))
+        for i, r in enumerate(
+            emb.orderBy("vid").select("embedding").head(2)
+        )
+    ]
+    batch = read_sq8_rerank_batch(
+        spark, path, emb, queries, k=5, shortlist=20, n_probe=2,
+        id_col="vid",
+    ).collect()
+    assert len(batch) == 10
+    assert all(isinstance(r.vid, str) for r in batch)
+    for qid, v in queries:
+        single = read_sq8_rerank(
+            spark, path, emb, v, k=5, shortlist=20, n_probe=2,
+            id_col="vid",
+        ).collect()
+        got = sorted(
+            (r.vid, r.cosine_sim) for r in batch if r.query_id == qid
+        )
+        want = sorted((r.vid, r.cosine_sim) for r in single)
+        assert got == want
