@@ -2656,10 +2656,16 @@ def q_ann_sq8_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sq8_probe(spark, path, qvec, k=10, n_probe=2)
 
 
-ORACLE_ANN_SQ8_PROBE = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+# Shared SQ8 oracle pieces: the corpus encode (per-dim order-invariant
+# MIN/MAX grid + the IEEE floor chain of ivf_index._sq8_code_expr, so
+# codes are bit-identical across engines) and the single-query /
+# batched distance CTEs the probe, rerank, filtered, and recall-curve
+# oracles all compose. (Defined BEFORE every oracle constant that
+# concatenates them — driver import is file-order, r9 lesson.)
+_SQ8_CORPUS_CTE = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
 dims AS (
   SELECT label, g.d, AVG(v[g.d]) AS c
   FROM e, generate_series(1, 64) AS g(d)
@@ -2667,20 +2673,12 @@ dims AS (
 ),
 cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
          GROUP BY label),
-probes AS (
-  SELECT label FROM cent, q
-  ORDER BY ROUND(list_dot_product(centroid, qv)
-        / (sqrt(list_dot_product(centroid, centroid))
-           * sqrt(list_dot_product(qv, qv))), 6)
-        DESC, label
-  LIMIT 2
-),
-mm AS (
+mm AS MATERIALIZED (
   SELECT g.d, MIN(v[g.d]) AS mn, MAX(v[g.d]) AS mx
   FROM e, generate_series(1, 64) AS g(d)
   GROUP BY 1
 ),
-codes AS (
+codes AS MATERIALIZED (
   -- the same IEEE subtract/multiply/divide/add/floor chain as
   -- ivf_index._sq8_code_expr: codes are bit-identical across engines
   SELECT e.vec_id, e.label, mm.d,
@@ -2689,6 +2687,19 @@ codes AS (
                 AS INT)
     END)) AS code
   FROM e, mm
+)"""
+
+# {qsel}: the query-vector predicate; {np}: n_probe; {flt}: optional
+# WHERE over the candidate rows (filtered ANN), '' otherwise.
+_SQ8_SINGLE_DIST_FMT = """
+, q AS (SELECT v AS qv FROM e WHERE {qsel}),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY ROUND(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv, qv))), 6)
+        DESC, label
+  LIMIT {np}
 ),
 qc AS (
   SELECT mm.d,
@@ -2703,10 +2714,17 @@ dist AS (
     CAST(SUM(CAST((c.code - qc.qcode) AS BIGINT) * (c.code - qc.qcode))
          AS BIGINT) AS sq8_dist
   FROM codes c JOIN qc USING (d) JOIN probes p ON c.label = p.label
+  {flt}
   GROUP BY 1
-)
+)"""
+
+ORACLE_ANN_SQ8_PROBE = (
+    _SQ8_CORPUS_CTE
+    + _SQ8_SINGLE_DIST_FMT.format(qsel="vec_id = 1", np=2, flt="")
+    + """
 SELECT vec_id, sq8_dist FROM dist ORDER BY sq8_dist, vec_id LIMIT 10
 """
+)
 
 
 def q_ann_sq8_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2742,18 +2760,9 @@ def q_ann_sq8_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sq8_probe_batch(spark, path, queries, k=10, n_probe=2)
 
 
-ORACLE_ANN_SQ8_BATCH = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-q AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e
-      WHERE vec_id < 3),
-dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
-  FROM e, generate_series(1, 64) AS g(d)
-  GROUP BY 1, 2
-),
-cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
-         GROUP BY label),
+_SQ8_BATCH_RANKED_CTE = """
+, q AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e
+        WHERE vec_id < 3),
 pr AS (
   SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
     ORDER BY ROUND(list_dot_product(centroid, qv)
@@ -2762,19 +2771,6 @@ pr AS (
   FROM cent, q
 ),
 probes AS (SELECT query_id, label FROM pr WHERE rn <= 2),
-mm AS (
-  SELECT g.d, MIN(v[g.d]) AS mn, MAX(v[g.d]) AS mx
-  FROM e, generate_series(1, 64) AS g(d)
-  GROUP BY 1
-),
-codes AS (
-  SELECT e.vec_id, e.label, mm.d,
-    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
-      ELSE CAST(FLOOR((v[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
-                AS INT)
-    END)) AS code
-  FROM e, mm
-),
 qc AS (
   SELECT q.query_id, mm.d,
     LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
@@ -2796,10 +2792,301 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY sq8_dist, vec_id) AS rank
   FROM cand
-)
+)"""
+
+ORACLE_ANN_SQ8_BATCH = (
+    _SQ8_CORPUS_CTE
+    + _SQ8_BATCH_RANKED_CTE
+    + """
 SELECT query_id, vec_id, sq8_dist, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 """
+)
+
+
+def q_ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval at the SQ8 tier (sources/ivf_index.py::
+    read_sq8_rerank): stage 1 shortlists 50 candidates from the
+    codes-only SQ8 index (pruned scan + exact BIGINT code-space
+    distance), stage 2 re-ranks ONLY the shortlist with exact cosine
+    against the raw vectors — a pushed-down id point-lookup set, never
+    a bucket read. ann_ivfpq_rerank's serving shape one rung up the
+    accuracy ladder; same max-id query vector, so the two tiers'
+    results are directly comparable."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_rerank,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy(F.desc("vec_id")).select("embedding").head()
+    path = os.path.join(
+        "/tmp", f"spark_graft_sq8_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_sqparams"):
+        write_sq8_index(emb, path, part_col="label")
+    return read_sq8_rerank(
+        spark, path, emb, qrow[0], k=10, shortlist=50, n_probe=2
+    )
+
+
+ORACLE_ANN_SQ8_RERANK = (
+    _SQ8_CORPUS_CTE
+    + _SQ8_SINGLE_DIST_FMT.format(
+        qsel="vec_id = (SELECT max(vec_id) FROM embeddings)", np=2, flt=""
+    )
+    + """
+, short AS (
+  SELECT vec_id FROM dist ORDER BY sq8_dist, vec_id LIMIT 50
+)
+SELECT s.vec_id,
+  ROUND(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM short s JOIN e ON e.vec_id = s.vec_id, q
+ORDER BY cosine_sim DESC, s.vec_id
+LIMIT 10
+"""
+)
+
+
+def q_ann_sq8_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched two-stage SQ8 retrieval (sources/ivf_index.py::
+    read_sq8_rerank_batch): three queries shortlist through ONE pruned
+    codes scan (read_sq8_probe_batch), then ALL shortlists re-rank
+    exact from ONE pushed-down id-set lookup (union of shortlists) with
+    a broadcast (query_id, id) membership join — one codes scan + one
+    raw point-lookup set for Q queries instead of 2Q scans, the
+    ann_ivfpq_rerank_batch discipline at the SQ8 tier."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_rerank_batch,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    path = os.path.join(
+        "/tmp", f"spark_graft_sq8_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_sqparams"):
+        write_sq8_index(emb, path, part_col="label")
+    return read_sq8_rerank_batch(
+        spark, path, emb, queries, k=10, shortlist=50, n_probe=2
+    )
+
+
+ORACLE_ANN_SQ8_RERANK_BATCH = (
+    _SQ8_CORPUS_CTE
+    + _SQ8_BATCH_RANKED_CTE
+    + """
+, short AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+    ROUND(list_dot_product(e.v, q.qv)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM short s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+), rr2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM rr2 WHERE rank <= 10
+"""
+)
+
+
+def q_ann_ivf_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the flat IVF index (sources/ivf_index.py::
+    read_ivf_probe ``where=``): a payload predicate — here "only the
+    newer half of the corpus", vec_id >= max/2, the recency constraint
+    of a real retrieval tier — applied AT THE SCAN, so Catalyst pushes
+    it into the parquet read (PushedFilters) NEXT TO the bucket
+    partition pruning and only matching rows are ever ranked.
+    Post-filter semantics: top-k among probed-AND-matching rows
+    (recall caveat: a selective predicate can empty a probed bucket —
+    see tests/test_plan_quality.py selectivity sweep and SCALING.md
+    for the n_probe escalation rule)."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivf_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids"):
+        write_ivf_index(emb, path, part_col="label")
+    return read_ivf_probe(
+        spark, path, qvec, k=10, n_probe=2,
+        where=F.col("vec_id") >= cut,
+    )
+
+
+ORACLE_ANN_IVF_FILTERED = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims GROUP BY label),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY ROUND(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qv, qv))), 6)
+        DESC, label
+  LIMIT 2
+)
+SELECT e.vec_id,
+  ROUND(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+        AS cosine_sim
+FROM e JOIN probes USING (label), q
+WHERE e.vec_id >= (SELECT max(vec_id) // 2 FROM e)
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_ann_sq8_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN at the SQ8 tier (sources/ivf_index.py::
+    read_sq8_probe ``where=``): the same newer-half payload predicate
+    as ann_ivf_filtered_probe, pushed into the CODES scan alongside the
+    bucket pruning — the constrained-query serving path on the 4x
+    cheaper int8 layout, ranking only probed-AND-matching codes by the
+    exact BIGINT code-space distance."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_sq8_probe,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_sq8_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_sqparams"):
+        write_sq8_index(emb, path, part_col="label")
+    return read_sq8_probe(
+        spark, path, qvec, k=10, n_probe=2,
+        where=F.col("vec_id") >= cut,
+    )
+
+
+ORACLE_ANN_SQ8_FILTERED = (
+    _SQ8_CORPUS_CTE
+    + _SQ8_SINGLE_DIST_FMT.format(
+        qsel="vec_id = 0",
+        np=2,
+        flt="WHERE c.vec_id >= (SELECT max(vec_id) // 2 FROM e)",
+    )
+    + """
+SELECT vec_id, sq8_dist FROM dist ORDER BY sq8_dist, vec_id LIMIT 10
+"""
+)
+
+
+def q_sq8_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of SQ8 code-space ranking vs exact cosine at n_probe
+    ∈ {1,2,4} (operators/similarity.py::sq8_recall_curve) — the third
+    rung of the quantization ladder's accuracy evidence:
+    ivf_recall_curve prices the probe budget at full precision,
+    pq_recall_curve prices PQ's loss, this one prices the int8 affine
+    grid. Integer code distances + the shared rounded-cosine total
+    order keep the whole curve engine-exact."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        sq8_recall_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sq8_recall_curve(emb, qvec, n_probes=(1, 2, 4), k=10)
+
+
+def _sq8_recall_oracle(n_probes=(1, 2, 4), k=10) -> str:
+    head = (
+        _SQ8_CORPUS_CTE
+        + """
+, q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qc AS MATERIALIZED (
+  SELECT mm.d,
+    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((qv[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT)
+    END)) AS qcode
+  FROM mm, q
+),
+exact AS MATERIALIZED (
+  SELECT e.vec_id FROM e, q
+  ORDER BY ROUND(list_dot_product(e.v, q.qv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, e.vec_id
+  LIMIT {k}
+)""".format(k=k)
+    )
+    blocks, selects = [], []
+    for p in n_probes:
+        blocks.append(
+            """
+, pr{p} AS (
+  SELECT label FROM cent, q
+  ORDER BY ROUND(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv, qv))), 6) DESC, label
+  LIMIT {p}
+), d{p} AS (
+  SELECT c.vec_id,
+    CAST(SUM(CAST((c.code - qc.qcode) AS BIGINT) * (c.code - qc.qcode))
+         AS BIGINT) AS dist
+  FROM codes c JOIN qc USING (d) JOIN pr{p} USING (label)
+  GROUP BY 1
+), top{p} AS (SELECT vec_id FROM d{p} ORDER BY dist, vec_id LIMIT {k}),
+h{p} AS (
+  SELECT CAST({p} AS BIGINT) AS n_probe, CAST({k} AS BIGINT) AS k,
+    CAST(COUNT(*) AS BIGINT) AS hits
+  FROM top{p} JOIN exact USING (vec_id)
+)""".format(p=p, k=k)
+        )
+        selects.append(f"SELECT * FROM h{p}")
+    tail = (
+        "\nSELECT n_probe, k, hits, "
+        f"ROUND(CAST(hits AS DOUBLE) / {float(k)}, 6) AS recall\n"
+        "FROM (" + " UNION ALL ".join(selects) + ") ORDER BY n_probe"
+    )
+    return head + "".join(blocks) + tail
+
+
+ORACLE_SQ8_RECALL = _sq8_recall_oracle()
 
 
 def q_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5388,6 +5675,113 @@ WITH toks AS (
 )
 SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.llr_e12
 FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the selection dsir_weights scores for (operators/text.py
+    ::dsir_select): rank the corpus most-target-like-first by the exact
+    integer log-likelihood ratio (target cohort = source 'src0') and
+    keep the greedy prefix until an 8000-token budget is hit — the
+    deterministic reduction of DSIR's importance resampling to
+    importance ranking, with the running total a DISTRIBUTED two-pass
+    cumulative sum (never a one-task window). Prefix property: a bigger
+    budget keeps a superset (pinned in tests). Zero-token docs can't
+    pay tokens and are excluded."""
+    from data_pipeline_ine_spark.operators.text import dsir_select
+
+    docs = _docs_parallel(spark, sf_dir)
+    return dsir_select(
+        docs, F.col("source") == "src0", budget_tokens=8000
+    )
+
+
+ORACLE_DSIR_SELECT = (
+    "WITH w AS ("
+    + ORACLE_DSIR
+    + """
+), s AS (
+  SELECT doc_id, n_tokens, llr_e12 FROM w WHERE n_tokens > 0
+), r AS (
+  SELECT doc_id, n_tokens, llr_e12,
+    SUM(n_tokens) OVER (
+      ORDER BY 0 - llr_e12, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, n_tokens, llr_e12, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= 8000
+"""
+)
+
+
+def q_lm_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming LM quality gate's batch-expressible core
+    (streaming/quality.py::lm_gate_batch — stream_lm_gate applies the
+    SAME function per micro-batch, and the stream==batch bit-equality
+    twin is pinned in tests/test_streaming.py): a unigram LM is FROZEN
+    on the trusted reference cohort (source 'src0' — trained once,
+    never per batch), and the full corpus is gated on its per-token
+    loss under that LM, out-of-vocabulary terms taking the c=0
+    smoothing path −ln(1/(N+V)). Kept = per-token loss ≤ 3.42e12
+    (≈3.42 nats — the CCNet-style head+middle cut a reference run
+    decides offline). Zero-token docs are dropped by rule
+    (unscoreable must not pass a gate). Exact e12 fixed-point
+    end-to-end, so the kept SET is engine-exact."""
+    from data_pipeline_ine_spark.operators.text import WORD_PATTERN
+    from data_pipeline_ine_spark.streaming.quality import lm_gate_batch
+
+    docs = _docs_parallel(spark, sf_dir)
+    ref_toks = docs.filter(F.col("source") == "src0").select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(WORD_PATTERN), 0
+            )
+        ).alias("term")
+    )
+    vocab = (
+        ref_toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # totals agg + gate join reuse it
+    )
+    n_total, v_size = vocab.agg(
+        F.sum("c"), F.count(F.lit(1))
+    ).first()
+    kept = lm_gate_batch(
+        docs, vocab, int(n_total), int(v_size),
+        threshold_e12=3_420_000_000_000,
+    )
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_LM_GATE_BATCH = r"""
+WITH rtoks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents WHERE source = 'src0'
+), vocab AS (
+  SELECT term, COUNT(*) AS c FROM rtoks GROUP BY 1
+), totals AS (
+  SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab
+), toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), scored AS (
+  -- frozen-LM smoothing: OOV terms take the c=0 path -ln(1/(N+V)),
+  -- e12-snapped exactly like streaming/quality.py::lm_gate_batch
+  SELECT tf.doc_id, CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(tf.cnt * CAST(FLOOR(
+          -ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
+              / (totals.n_total + totals.v_size)) * 1e12 + 0.5
+        ) AS BIGINT)) AS BIGINT) AS sum_neg_logp_e12
+  FROM tf LEFT JOIN vocab v USING (term) CROSS JOIN totals
+  GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN scored s USING (doc_id)
+WHERE s.sum_neg_logp_e12 // s.n_tokens <= 3420000000000
 """
 
 
@@ -11793,6 +12187,13 @@ _CHECK_ORDER = [
     "weekly_active_users",
     "winsorized_revenue",
     "zorder_keys",
+    "ann_ivf_filtered_probe",
+    "ann_sq8_filtered_probe",
+    "ann_sq8_rerank",
+    "ann_sq8_rerank_batch",
+    "dsir_select",
+    "lm_gate_batch",
+    "sq8_recall_curve",
     "ann_ivf_topk",
     "ann_kmeans_topk",
     "ann_lsh_topk",
@@ -12322,6 +12723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "seasonal_decompose": q_seasonal_decompose,
         "skyline_parts": q_skyline_parts,
+        "ann_sq8_rerank": q_ann_sq8_rerank,
+        "ann_sq8_rerank_batch": q_ann_sq8_rerank_batch,
+        "ann_ivf_filtered_probe": q_ann_ivf_filtered_probe,
+        "ann_sq8_filtered_probe": q_ann_sq8_filtered_probe,
+        "sq8_recall_curve": q_sq8_recall_curve,
+        "dsir_select": q_dsir_select,
+        "lm_gate_batch": q_lm_gate_batch,
     })
 
 
@@ -12598,4 +13006,11 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
         "seasonal_decompose": ORACLE_SEASONAL_DECOMPOSE,
         "skyline_parts": ORACLE_SKYLINE,
+        "ann_sq8_rerank": ORACLE_ANN_SQ8_RERANK,
+        "ann_sq8_rerank_batch": ORACLE_ANN_SQ8_RERANK_BATCH,
+        "ann_ivf_filtered_probe": ORACLE_ANN_IVF_FILTERED,
+        "ann_sq8_filtered_probe": ORACLE_ANN_SQ8_FILTERED,
+        "sq8_recall_curve": ORACLE_SQ8_RECALL,
+        "dsir_select": ORACLE_DSIR_SELECT,
+        "lm_gate_batch": ORACLE_LM_GATE_BATCH,
     })

@@ -1289,3 +1289,126 @@ def ivf_recall_curve(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out.orderBy("n_probe")
+
+
+def sq8_recall_curve(
+    df: DataFrame,
+    query_vec: "Sequence[float]",
+    n_probes: "Sequence[int]" = (1, 2, 4),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    part_col: str = "label",
+) -> DataFrame:
+    """Recall@k of SQ8 code-space ranking vs exact cosine as a function
+    of ``n_probe`` — the third rung of the quantization ladder's
+    accuracy evidence: ``ivf_recall_curve`` prices the probe budget at
+    full precision, ``pq_recall_curve`` prices PQ's quantization loss,
+    and this one prices the int8 affine grid (scan cost 4x below
+    float32, loss far below PQ). Same measurement discipline as both:
+    the approximate top-k (bucket-probed, exact BIGINT code-space
+    squared distance — ``read_sq8_probe``'s ranking rule) intersected
+    with the global exact cosine top-k, recall = hits/k.
+
+    One posexplode pass serves the per-bucket centroids AND the global
+    affine bounds (``write_sq8_index``'s trick); probe prefixes for all
+    ``n_probes`` come from ONE centroid ranking collect (O(buckets)
+    scalars). Everything that decides a hit is integer or
+    rounded-cosine arithmetic, so the curve is engine-exact.
+
+    Scale shape: one corpus encode map + |n_probes| bucket-restricted
+    ranked scans (each cheaper than the exact scan it is measured
+    against); intersections join k-row frames. One query vector by
+    design — the per-query harness; sample queries and loop outside.
+    """
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        _sq8_code_expr,
+        _sq8_code_py,
+    )
+
+    dims = (
+        df.select(part_col, F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(part_col, "d")
+        .agg(
+            F.avg("x").alias("c"),
+            F.min("x").cast("double").alias("_bmin"),
+            F.max("x").cast("double").alias("_bmax"),
+        )
+        .localCheckpoint()  # one pass feeds bounds AND centroids
+    )
+    bounds = (
+        dims.groupBy("d")
+        .agg(F.min("_bmin").alias("vmin"), F.max("_bmax").alias("vmax"))
+        .collect()  # O(dim) scalars
+    )
+    by_d = {int(r.d): (float(r.vmin), float(r.vmax)) for r in bounds}
+    mins = [by_d[d][0] for d in sorted(by_d)]
+    spans = [by_d[d][1] - by_d[d][0] for d in sorted(by_d)]
+    qcodes = [
+        _sq8_code_py(float(x), mins[i], spans[i])
+        for i, x in enumerate(query_vec)
+    ]
+    qlit = F.array(*[F.lit(int(c)) for c in qcodes])
+
+    cents = (
+        dims.groupBy(part_col)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            part_col, F.transform("dc", lambda s: s["c"]).alias("centroid")
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # ONE ranking collect; every n_probe is a prefix of it
+    ranked_parts = [
+        r[0]
+        for r in cents.select(
+            part_col, F.round(cosine(F.col("centroid"), q), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc(part_col))
+        .select(part_col)
+        .collect()  # O(buckets) scalars — probe plan, not data
+    ]
+
+    codes = df.select(
+        id_col,
+        part_col,
+        _sq8_code_expr(F.col(vec_col), mins, spans).alias("_codes"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_codes"), qlit,
+            lambda a, b: ((a - b) * (a - b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact_ids = brute_force_topk(
+        df, query_vec, k=k, vec_col=vec_col, id_col=id_col
+    ).select(id_col)
+
+    parts = []
+    for p in n_probes:
+        probe = ranked_parts[: int(p)]
+        approx = (
+            codes.filter(F.col(part_col).isin(probe))
+            .select(id_col, dist.alias("_dist"))
+            .orderBy(F.asc("_dist"), F.asc(id_col))
+            .limit(k)
+            .select(id_col)
+        )
+        parts.append(
+            approx.join(exact_ids, id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+            .select(
+                F.lit(int(p)).cast("bigint").alias("n_probe"),
+                F.lit(int(k)).cast("bigint").alias("k"),
+                "hits",
+                F.round(
+                    F.col("hits").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("n_probe")

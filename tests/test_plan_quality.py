@@ -2148,3 +2148,141 @@ def test_sq8_rerank_batch_accepts_string_ids(spark, tmp_path):
         )
         want = sorted((r.vid, r.cosine_sim) for r in single)
         assert got == want
+
+
+def test_sq8_recall_curve_hand_anchored(spark):
+    """Hand-anchored meaning test for sq8_recall_curve (the oracle can
+    be blind to both-sides-identical bugs): a constructed 2-bucket
+    corpus where the query's SECOND-best exact neighbor lives in the
+    bucket probed SECOND — recall@2 must be exactly 0.5 at n_probe=1
+    and exactly 1.0 at n_probe=2, with the code-space order verified
+    by hand (dist(v0)=0 < dist(v2)=712 < dist(v1)=2770 on the global
+    affine grid)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        sq8_recall_curve,
+    )
+
+    rows = [
+        # bucket 0: the query itself + a decoy that is NOT the true #2
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.9, 0.1, 0.0, 0.0]),
+        # bucket 1: the true #2 by exact cosine + far fillers that pull
+        # the bucket-1 centroid away from the query
+        (2, 1, [0.95, 0.05, 0.0, 0.0]),
+        (3, 1, [-1.0, 0.5, 0.5, 0.0]),
+        (4, 1, [-1.0, 0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    out = {
+        int(r.n_probe): (int(r.hits), float(r.recall))
+        for r in sq8_recall_curve(
+            df, [1.0, 0.0, 0.0, 0.0], n_probes=(1, 2), k=2
+        ).collect()
+    }
+    # exact top-2 = {0 (sim 1.0), 2 (sim .9987)}; probe order is
+    # bucket 0 first (centroid ~ query), so n_probe=1 sees {0, 1}
+    assert out[1] == (1, 0.5), out
+    assert out[2] == (2, 1.0), out
+
+
+def test_filtered_ann_selectivity_sweep_and_probe_escalation(
+    spark, sf_dir, tmp_path
+):
+    """Pins filtered ANN's selectivity behavior (VERDICT r9 #4): at
+    EVERY selectivity the result equals brute force over the
+    probed-AND-matching rows (the documented post-filter semantics),
+    and the recall caveat is real and bounded — a selective predicate
+    under a small probe budget can miss true filtered neighbors in
+    unprobed buckets, and raising n_probe to the bucket count recovers
+    the exact filtered top-k. That recovery IS the escalation rule
+    documented in SCALING.md (n_probe ~ budget/selectivity)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivf_probe,
+        write_ivf_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    ]
+    path = str(tmp_path / "ivf_sel")
+    write_ivf_index(emb, path, part_col="label")
+    n_buckets = emb.select("label").distinct().count()
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    q = F.array(*[F.lit(x) for x in qvec])
+
+    def exact_filtered(pred, probed_labels=None):
+        base = emb.filter(pred) if pred is not None else emb
+        if probed_labels is not None:
+            base = base.filter(F.col("label").isin(probed_labels))
+        return [
+            (r.vec_id, r.s)
+            for r in base.select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), q), 6).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        ]
+
+    probed2 = [
+        r.label
+        for r in read_ivf_probe(spark, path, qvec, k=10_000, n_probe=2)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("label")
+        .distinct()
+        .collect()
+    ]
+    # selectivity sweep: ~100% / ~50% / ~10% / ~2% of the corpus
+    for frac in (1.0, 0.5, 0.1, 0.02):
+        cut = int(max_id * (1.0 - frac))
+        pred = F.col("vec_id") >= cut
+        got = [
+            (r.vec_id, r.cosine_sim)
+            for r in read_ivf_probe(
+                spark, path, qvec, k=10, n_probe=2, where=pred
+            ).collect()
+        ]
+        # post-filter semantics: exact over probed ∩ matching, always
+        assert got == exact_filtered(pred, probed2), frac
+
+    # escalation: full probe budget == exact filtered top-k, even at
+    # the most selective setting
+    tight = F.col("vec_id") >= int(max_id * 0.98)
+    full = [
+        (r.vec_id, r.cosine_sim)
+        for r in read_ivf_probe(
+            spark, path, qvec, k=10, n_probe=n_buckets, where=tight
+        ).collect()
+    ]
+    assert full == exact_filtered(tight, None)
+
+
+def test_filtered_probe_contract_rows_push_both_filter_layers(
+    spark, sf_dir
+):
+    """The two filtered-ANN contract rows must carry BOTH pruning
+    layers in one scan: the probe list as a static PartitionFilters on
+    the bucket key AND the payload predicate as a PushedFilters entry
+    — only probed-and-matching rows are ever decoded."""
+    for name in ("ann_ivf_filtered_probe", "ann_sq8_filtered_probe"):
+        df = contract.queries()[name](spark, sf_dir)
+        plan = explain_str(df)
+        pf = plan.split("PartitionFilters", 1)
+        assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], (
+            name, plan,
+        )
+        pushed = plan.split("PushedFilters", 1)
+        assert len(pushed) == 2, (name, plan)
+        first = pushed[1].splitlines()[0]
+        assert "GreaterThanOrEqual(vec_id" in first, (name, first)
