@@ -5862,9 +5862,11 @@ def q_knn_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.similarity import knn_join_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join_blocked(emb, k=5).withColumn(
-        "rank", F.col("rank").cast("bigint")
-    )
+    # content key: the session shares ONE materialized graph with
+    # knn_hubness (same k, same blocks) — the r10 memo extension
+    return knn_join_blocked(
+        emb, k=5, memo_key=_table_fingerprint(sf_dir, "embeddings")
+    ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
 ORACLE_KNN_WITHIN_LABEL = """
@@ -10781,7 +10783,9 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_ine_spark.operators.similarity import knn_hubness
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_hubness(emb, k=5)
+    return knn_hubness(
+        emb, k=5, memo_key=_table_fingerprint(sf_dir, "embeddings")
+    )
 
 
 ORACLE_KNN_HUBNESS = """

@@ -274,6 +274,16 @@ def _assign_clusters(
 # alias a filtered df with its parent table.
 _KMEANS_MEMO: dict[tuple, list[tuple[int, list[float]]]] = {}
 
+# Blocked-kNN graph memo (same opt-in content-key discipline): the
+# ranked top-k graph is deterministic given the corpus and knobs, so a
+# keyed call localCheckpoints it once per session and every later
+# composition over the same graph (hubness over the within-label
+# graph, repeated bench runs) reuses the materialized rows instead of
+# re-paying the Σ block² pair join. Keys carry the Spark
+# applicationId — a checkpointed frame dies with its session, so a
+# fresh session can never see a stale entry.
+_KNN_GRAPH_MEMO: dict[tuple, "DataFrame"] = {}
+
 
 def kmeans_fit(
     df: DataFrame,
@@ -520,8 +530,29 @@ def knn_join_blocked(
     key, plan-tested in ``test_plan_quality.py``.
 
     Returns ``(vec_id, neighbor_id, block, cosine_sim, rank)``.
+
+    ``memo_key`` (a content fingerprint) memoizes TWO artifacts: the
+    trained k-means centroids (via ``kmeans_fit``'s memo) and — new in
+    r10 — the ranked graph itself, localCheckpointed once per
+    (session, content, parameters): the graph is deterministic given
+    the corpus, so every composition over the same graph in a session
+    (``knn_hubness`` over the within-label graph, repeated bench runs,
+    the exact-kNN ground-truth tier next to an ANN recall measurement)
+    pays the Σ block² pair join ONCE. The train-once/serve-many
+    discipline of a real pipeline, same as the quantizer memo.
     """
     from pyspark.sql.window import Window
+
+    graph_key = None
+    if memo_key is not None:
+        graph_key = (
+            df.sparkSession.sparkContext.applicationId,
+            memo_key, int(k), vec_col, id_col, block_col,
+            ivf_clusters, ivf_iters,
+        )
+        hit = _KNN_GRAPH_MEMO.get(graph_key)
+        if hit is not None:
+            return hit
 
     if ivf_clusters is not None:
         centroids = kmeans_fit(
@@ -565,7 +596,13 @@ def knn_join_blocked(
             ),
         )
     )
-    return ranked.filter(F.col("rank") <= k)
+    out = ranked.filter(F.col("rank") <= k)
+    if graph_key is not None:
+        # lazy: the first ACTION materializes the k·n-row graph; every
+        # later composition in the session scans the checkpoint
+        out = out.localCheckpoint(eager=False)
+        _KNN_GRAPH_MEMO[graph_key] = out
+    return out
 
 
 def quantize_embeddings(
@@ -1093,6 +1130,7 @@ def knn_hubness(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    memo_key: str | None = None,
 ) -> DataFrame:
     """k-occurrence (hubness) histogram of the label-blocked kNN graph:
     for each vector, ``n_k`` = how many OTHER vectors list it among
@@ -1106,9 +1144,14 @@ def knn_hubness(
     Pure composition over ``knn_join_blocked``'s exact top-k (one
     block-keyed shuffle, Σ block² pair cost): one count per
     neighbor_id, one left join back so antihubs keep n_k = 0, one
-    ≤(k·|block|)-cell histogram. All integers.
+    ≤(k·|block|)-cell histogram. All integers. ``memo_key`` flows to
+    the underlying graph's content-keyed memo, so a session that also
+    ran the within-label kNN join with the same key shares ONE
+    materialized graph.
     """
-    knn = knn_join_blocked(df, k=k, vec_col=vec_col, id_col=id_col)
+    knn = knn_join_blocked(
+        df, k=k, vec_col=vec_col, id_col=id_col, memo_key=memo_key
+    )
     occ = knn.groupBy(
         F.col("block").alias(label_col),
         F.col("neighbor_id").alias(id_col),

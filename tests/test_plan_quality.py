@@ -2286,3 +2286,34 @@ def test_filtered_probe_contract_rows_push_both_filter_layers(
         assert len(pushed) == 2, (name, plan)
         first = pushed[1].splitlines()[0]
         assert "GreaterThanOrEqual(vec_id" in first, (name, first)
+
+
+def test_knn_graph_memo_shares_one_materialized_graph(spark, sf_dir):
+    """The r10 memo extension: a content-keyed knn_join_blocked call
+    localCheckpoints the ranked graph once per session; a second call
+    with the same key returns the SAME frame (no second pair join),
+    knn_hubness composes over it, results are identical to the
+    unmemoized path, and a different key never aliases."""
+    from data_pipeline_ine_spark.operators import similarity as S
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = f"memo-test-{sf_dir}"
+    S._KNN_GRAPH_MEMO.clear()
+    g1 = S.knn_join_blocked(emb, k=5, memo_key=key)
+    n1 = g1.count()  # materializes the checkpoint
+    g2 = S.knn_join_blocked(emb, k=5, memo_key=key)
+    assert g2 is g1  # the memo hit, not a rebuilt plan
+    # hubness with the same key composes over the SAME graph
+    hub_memo = sorted(
+        map(tuple, S.knn_hubness(emb, k=5, memo_key=key).collect())
+    )
+    hub_plain = sorted(map(tuple, S.knn_hubness(emb, k=5).collect()))
+    assert hub_memo == hub_plain
+    # unmemoized call matches the memoized graph row-for-row
+    plain = sorted(map(tuple, S.knn_join_blocked(emb, k=5).collect()))
+    assert sorted(map(tuple, g1.collect())) == plain and n1 == len(plain)
+    # a different k is a different graph, never aliased
+    g3 = S.knn_join_blocked(emb, k=3, memo_key=key)
+    assert g3 is not g1
+    S._KNN_GRAPH_MEMO.clear()
