@@ -5785,6 +5785,105 @@ WHERE s.sum_neg_logp_e12 // s.n_tokens <= 3420000000000
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (operators/text.py::
+    gopher_repetition): a document fails if its top 2-gram covers
+    >5% of 2-gram occurrences or >2% of its 3-gram occurrences are
+    repeats — the boilerplate-loop signature unigram perplexity is
+    blind to. Pure integer counts + cross-multiplied percent
+    comparisons, so the 0/1 flag is engine-exact with no float
+    thresholds; too-short docs pass with zero counts by rule."""
+    from data_pipeline_ine_spark.operators.text import gopher_repetition
+
+    docs = _docs_parallel(spark, sf_dir)
+    return gopher_repetition(docs, top2_max_pct=5, dup3_max_pct=2)
+
+
+ORACLE_GOPHER_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), g2 AS (
+  SELECT doc_id, list_aggregate(ts[i:i+1], 'string_agg', ' ') AS g
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+), c2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+), s2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         CAST(MAX(c) AS BIGINT) AS top_2gram_n
+  FROM c2 GROUP BY 1
+), g3 AS (
+  SELECT doc_id, list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+), c3 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2
+), s3 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_3gram_n
+  FROM c3 GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(s2.n_2grams, 0) AS n_2grams,
+  COALESCE(s2.top_2gram_n, 0) AS top_2gram_n,
+  COALESCE(s3.n_3grams, 0) AS n_3grams,
+  COALESCE(s3.dup_3gram_n, 0) AS dup_3gram_n,
+  CAST(CASE WHEN COALESCE(s2.top_2gram_n, 0) * 100
+                 <= 5 * COALESCE(s2.n_2grams, 0)
+             AND COALESCE(s3.dup_3gram_n, 0) * 100
+                 <= 2 * COALESCE(s3.n_3grams, 0)
+       THEN 1 ELSE 0 END AS INT) AS pass_repetition
+FROM documents d
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+"""
+
+
+def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/text.py::
+    ngram_decontaminate, the GPT-3 appendix-C pass): every
+    non-benchmark document scored by how many of its distinct token
+    5-grams occur anywhere in the held-out benchmark cohort (source
+    'src19' stands in for the eval suite) and flagged on any overlap.
+    Full per-doc report — counts stay meaningful at every sf even
+    when actual contamination is rare. Integer surface end-to-end."""
+    from data_pipeline_ine_spark.operators.text import ngram_decontaminate
+
+    docs = _docs_parallel(spark, sf_dir)
+    return ngram_decontaminate(docs, F.col("source") == "src19", n=5)
+
+
+ORACLE_NGRAM_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+         list_aggregate(ts[i:i+4], 'string_agg', ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src19'
+), corpus AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src19'
+), shared AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+  FROM corpus JOIN bench USING (gram) GROUP BY 1
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+  FROM corpus GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(t.n_ngrams, 0) AS n_ngrams,
+  COALESCE(s.shared_ngrams, 0) AS shared_ngrams,
+  CAST(CASE WHEN COALESCE(s.shared_ngrams, 0) > 0 THEN 1 ELSE 0 END
+       AS INT) AS contaminated
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN shared s USING (doc_id)
+WHERE d.source <> 'src19'
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity split (operators/text.py::
     perplexity_buckets): every document's per-token LM loss as an exact
@@ -12196,7 +12295,9 @@ _CHECK_ORDER = [
     "ann_sq8_rerank",
     "ann_sq8_rerank_batch",
     "dsir_select",
+    "gopher_repetition",
     "lm_gate_batch",
+    "ngram_decontam",
     "sq8_recall_curve",
     "ann_ivf_topk",
     "ann_kmeans_topk",
@@ -12734,6 +12835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_recall_curve": q_sq8_recall_curve,
         "dsir_select": q_dsir_select,
         "lm_gate_batch": q_lm_gate_batch,
+        "gopher_repetition": q_gopher_repetition,
+        "ngram_decontam": q_ngram_decontam,
     })
 
 
@@ -13017,4 +13120,6 @@ def oracle_sql() -> dict[str, str]:
         "sq8_recall_curve": ORACLE_SQ8_RECALL,
         "dsir_select": ORACLE_DSIR_SELECT,
         "lm_gate_batch": ORACLE_LM_GATE_BATCH,
+        "gopher_repetition": ORACLE_GOPHER_REPETITION,
+        "ngram_decontam": ORACLE_NGRAM_DECONTAM,
     })

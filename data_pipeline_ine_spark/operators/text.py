@@ -1916,3 +1916,180 @@ def doc_keywords(
         .select(id_col, "rank", "term", "tf", "docfreq", "score")
         .orderBy(id_col, "rank")
     )
+
+
+def _token_ngrams(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "gram",
+) -> DataFrame:
+    """Exploded token n-grams per document — the shared front end of
+    the repetition gate and the decontamination pass. The n-gram index
+    sequence is guarded with ``size >= n`` because Spark's
+    ``sequence(1, size-n+1)`` DESCENDS when the stop is below the
+    start (round-6 lesson) and would fabricate garbage windows on
+    short documents; guarded docs simply emit no rows."""
+    arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+    base = df.select(F.col(id_col), arr.alias("_ts"))
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at(F.col("_ts"), F.col("_i") + F.lit(j))
+          for j in range(n)],
+    )
+    return (
+        base.select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("_ts") >= n,
+                    F.sequence(F.lit(1), F.size("_ts") - F.lit(n - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
+            F.col("_ts"),
+        )
+        .select(id_col, gram.alias(out_col))
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top2_max_pct: int = 5,
+    dup3_max_pct: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021, appendix
+    A1 "repetition removal", adapted to the token grain): a document
+    fails if its single most frequent 2-gram covers more than
+    ``top2_max_pct`` percent of all 2-gram occurrences, or if more
+    than ``dup3_max_pct`` percent of its 3-gram occurrences are
+    repeats — the word-salad/boilerplate loop signature that unigram
+    perplexity gates are blind to (a looping document has a perfectly
+    normal word DISTRIBUTION).
+
+    Everything that decides the flag is integer arithmetic: raw
+    occurrence counts plus cross-multiplied percent comparisons
+    (``top2_n * 100 <= pct * n2``), so the gate is engine-exact with
+    no float thresholds. Documents too short to form a 2-gram can't
+    exhibit repetition and PASS with zero counts (explicit rule, the
+    ``lm_gate_batch`` drop-rule discipline).
+
+    Returns ``(id_col, n_2grams, top_2gram_n, n_3grams, dup_3gram_n,
+    pass_repetition)`` with the flag as 0/1.
+
+    Scale shape: two doc-keyed n-gram aggregates (one shuffle each on
+    the (doc, gram) key, then a doc-keyed rollup) — narrow maps, no
+    corpus-wide state, no windows.
+    """
+    c2 = (
+        _token_ngrams(df, 2, text_col, id_col)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s2 = c2.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_2grams"),
+        F.max("c").cast("bigint").alias("top_2gram_n"),
+    )
+    c3 = (
+        _token_ngrams(df, 3, text_col, id_col)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s3 = c3.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_3grams"),
+        (F.sum("c") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("dup_3gram_n"),
+    )
+    out = (
+        df.select(id_col)
+        .join(s2, id_col, "left")
+        .join(s3, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            F.coalesce("top_2gram_n", F.lit(0)).alias("top_2gram_n"),
+            F.coalesce("n_3grams", F.lit(0)).alias("n_3grams"),
+            F.coalesce("dup_3gram_n", F.lit(0)).alias("dup_3gram_n"),
+        )
+    )
+    passes = (
+        (F.col("top_2gram_n") * 100 <= F.lit(int(top2_max_pct)) * F.col("n_2grams"))
+        & (F.col("dup_3gram_n") * 100 <= F.lit(int(dup3_max_pct)) * F.col("n_3grams"))
+    )
+    return out.withColumn(
+        "pass_repetition", F.when(passes, 1).otherwise(0).cast("int")
+    )
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    bench_pred: Column,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination against a held-out benchmark
+    (the GPT-3 appendix-C discipline, token n-gram overlap): every
+    NON-benchmark document is scored by how many of its distinct
+    token ``n``-grams also occur anywhere in the benchmark cohort
+    (``bench_pred`` marks benchmark membership), and flagged
+    ``contaminated`` on any overlap — the mandatory pre-training pass
+    that keeps eval data out of the training corpus. Distinct-gram
+    counting on both sides makes the score insensitive to internal
+    repetition.
+
+    Returns ``(id_col, n_ngrams, shared_ngrams, contaminated)`` for
+    every non-benchmark document (``n_ngrams`` = its distinct n-gram
+    count; flag as 0/1 — integer contract surface end-to-end).
+
+    Scale shape: one exploded-n-gram pass over the corpus, split by
+    the benchmark flag; the benchmark's distinct-gram set joins by
+    gram key (the planner broadcasts a small benchmark and falls back
+    to a term-keyed shuffle at fleet-scale eval suites — no forced
+    hint, the lm_gate_batch rule); one doc-keyed rollup. Nothing
+    pairwise, nothing corpus².
+    """
+    flagged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        bench_pred.cast("boolean").alias("_bench"),
+    )
+    grams = _token_ngrams(
+        flagged, n, text_col, id_col, out_col="gram"
+    ).join(flagged.select(id_col, "_bench"), id_col)
+    bench_set = (
+        grams.filter(F.col("_bench")).select("gram").distinct()
+    )
+    corpus = (
+        grams.filter(~F.col("_bench"))
+        .select(id_col, "gram")
+        .distinct()
+    )
+    shared = (
+        corpus.join(bench_set, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_ngrams"))
+    )
+    totals = corpus.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
+    )
+    return (
+        flagged.filter(~F.col("_bench"))
+        .select(id_col)
+        .join(totals, id_col, "left")
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("shared_ngrams", F.lit(0)).alias("shared_ngrams"),
+            F.when(F.coalesce("shared_ngrams", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -1228,3 +1228,60 @@ def test_dsir_select_prefers_target_like_and_respects_budget(spark):
     assert {r.doc_id for r in kept} <= bigger
     assert len(bigger) > 4  # budget now reaches into the sports tier
     assert 8 not in bigger  # zero-token doc never selected
+
+
+def test_gopher_repetition_hand_anchored(spark):
+    """Meaning-pinning test for the repetition gate: a token loop
+    fails, a fully varied document passes EXACTLY ON the 5% boundary
+    (<=), a single repeated 2-gram just over the boundary fails, and
+    a too-short document passes with zero counts by rule."""
+    from data_pipeline_ine_spark.operators.text import gopher_repetition
+
+    distinct17 = "c d e f g h i j k l m n o p q r s"
+    rows = [
+        (1, "a a a a a a"),                    # loop: top2 5/5, dup3 3/4
+        (2, "a b " + distinct17 + " t u"),     # 21 distinct: top2 1/20 = 5% -> pass
+        (3, "a b a b " + distinct17),          # 'a b' twice: 2/20 = 10% -> fail
+        (4, "solo"),                           # no 2-grams: pass by rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (
+            r.n_2grams, r.top_2gram_n, r.n_3grams, r.dup_3gram_n,
+            r.pass_repetition,
+        )
+        for r in gopher_repetition(df).collect()
+    }
+    assert got[1] == (5, 5, 4, 3, 0)
+    assert got[2] == (20, 1, 19, 0, 1)   # 1*100 <= 5*20: boundary PASSES
+    assert got[3] == (20, 2, 19, 0, 0)   # 2*100 >  5*20: fails
+    assert got[4] == (0, 0, 0, 0, 1)
+
+
+def test_ngram_decontaminate_hand_anchored(spark):
+    """Meaning-pinning test for decontamination: a corpus document
+    embedding a benchmark 5-gram is flagged with the exact shared
+    count, disjoint documents are clean, a too-short document reports
+    zero n-grams, and benchmark documents never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.text import ngram_decontaminate
+
+    rows = [
+        (1, "one two three four five six", "bench"),
+        # contains TWO bench 5-grams: 'one..five' and 'two..six'
+        (2, "zz one two three four five six yy", "train"),
+        (3, "alpha beta gamma delta epsilon zeta", "train"),
+        (4, "one two three", "train"),  # too short for a 5-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+    got = {
+        r.doc_id: (r.n_ngrams, r.shared_ngrams, r.contaminated)
+        for r in ngram_decontaminate(
+            df, F.col("src") == "bench", n=5
+        ).collect()
+    }
+    assert set(got) == {2, 3, 4}  # the bench doc is not scored
+    assert got[2] == (4, 2, 1)
+    assert got[3] == (2, 0, 0)
+    assert got[4] == (0, 0, 0)
