@@ -5884,6 +5884,43 @@ WHERE d.source <> 'src19'
 """
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (operators/text.py::
+    chunk_token_windows): every document cut into 32-token windows
+    advancing by 24 (the HF return-overflowing-tokens recipe) with
+    closed-form chunk counts, 1-based offsets, and slice-derived chunk
+    text — the RAG-indexing / long-doc pre-tokenization pass. Zero
+    shuffles: one narrow map + one explode."""
+    from data_pipeline_ine_spark.operators.text import (
+        chunk_token_windows,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    return chunk_token_windows(docs, window=32, stride=24)
+
+
+ORACLE_CHUNK_WINDOWS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), meta AS (
+  SELECT doc_id, ts, len(ts) AS n,
+    CASE WHEN len(ts) <= 0 THEN 0
+         ELSE 1 + GREATEST(0, (len(ts) - 32 + 24 - 1) // 24) END AS m
+  FROM toks
+)
+SELECT doc_id,
+  CAST(u.k AS BIGINT) AS chunk_idx,
+  CAST(u.k * 24 + 1 AS BIGINT) AS start_tok,
+  CAST(LEAST(32, n - u.k * 24) AS BIGINT) AS n_tokens,
+  list_aggregate(
+    ts[u.k * 24 + 1 : u.k * 24 + LEAST(32, n - u.k * 24)],
+    'string_agg', ' ') AS chunk_text
+FROM meta, unnest(generate_series(0, m - 1)) AS u(k)
+WHERE m > 0
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity split (operators/text.py::
     perplexity_buckets): every document's per-token LM loss as an exact
@@ -12294,6 +12331,7 @@ _CHECK_ORDER = [
     "ann_sq8_filtered_probe",
     "ann_sq8_rerank",
     "ann_sq8_rerank_batch",
+    "chunk_windows",
     "dsir_select",
     "gopher_repetition",
     "lm_gate_batch",
@@ -12837,6 +12875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_gate_batch": q_lm_gate_batch,
         "gopher_repetition": q_gopher_repetition,
         "ngram_decontam": q_ngram_decontam,
+        "chunk_windows": q_chunk_windows,
     })
 
 
@@ -13122,4 +13161,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_gate_batch": ORACLE_LM_GATE_BATCH,
         "gopher_repetition": ORACLE_GOPHER_REPETITION,
         "ngram_decontam": ORACLE_NGRAM_DECONTAM,
+        "chunk_windows": ORACLE_CHUNK_WINDOWS,
     })

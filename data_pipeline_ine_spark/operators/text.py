@@ -2093,3 +2093,76 @@ def ngram_decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping context-window chunking — the RAG-indexing /
+    long-document pre-tokenization pass: each document's token stream
+    is cut into windows of ``window`` tokens advancing by ``stride``
+    (overlap = window − stride), the standard HuggingFace
+    return-overflowing-tokens recipe. Chunk count is the closed form
+    ``m = n <= 0 ? 0 : 1 + max(0, (n − window + stride − 1) div
+    stride)`` — every token is covered, the final window is the only
+    short one, and a bigger corpus never re-chunks earlier documents.
+
+    The negative intermediate in the closed form is clamped with
+    GREATEST on BOTH engines before use: Spark ``div`` truncates
+    toward zero while DuckDB ``//`` floors, and they only agree on
+    non-negative operands (round-6 rule) — the clamp makes the
+    disagreement range unreachable.
+
+    Returns ``(id_col, chunk_idx, start_tok, n_tokens, chunk_text)``
+    with 1-based token offsets — stable, derivable chunk identity
+    (doc id + index), no synthetic ids.
+
+    Scale shape: one narrow map (tokenize + closed-form m) and one
+    explode — zero shuffles, zero windows; chunk text is a slice of
+    the already-materialized token array, never a re-scan of the
+    source string.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(
+            f"need 0 < stride <= window, got window={window} stride={stride}"
+        )
+    arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+    base = df.select(F.col(id_col), arr.alias("_ts")).select(
+        id_col, "_ts", F.size("_ts").alias("_n")
+    )
+    m = F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.expr(f"(_n - {int(window)} + {int(stride) - 1}) div {int(stride)}"),
+        )
+    )
+    start = F.col("_k") * stride + 1
+    length = F.least(F.lit(window), F.col("_n") - F.col("_k") * stride)
+    return (
+        base.select(
+            id_col,
+            "_ts",
+            "_n",
+            F.explode(
+                F.when(
+                    m > 0, F.sequence(F.lit(0), m - 1)
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("_k"),
+        )
+        .select(
+            id_col,
+            F.col("_k").cast("bigint").alias("chunk_idx"),
+            start.cast("bigint").alias("start_tok"),
+            length.cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_ts"), start, length), " "
+            ).alias("chunk_text"),
+        )
+    )

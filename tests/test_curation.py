@@ -1285,3 +1285,51 @@ def test_ngram_decontaminate_hand_anchored(spark):
     assert got[2] == (4, 2, 1)
     assert got[3] == (2, 0, 0)
     assert got[4] == (0, 0, 0)
+
+
+def test_chunk_token_windows_hand_anchored(spark):
+    """Meaning-pinning test for overlapping chunking: window=4,
+    stride=2 over a 7-token document yields exactly the three windows
+    [1..4], [3..6], [5..7] (final chunk short), every token covered,
+    overlap = window - stride; a doc at the window size yields one
+    chunk; an empty doc yields none; invalid knobs refuse."""
+    import pytest
+
+    from data_pipeline_ine_spark.operators.text import chunk_token_windows
+
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6 t7"),
+        (2, "a b c d"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_token_windows(df, window=4, stride=2).collect()
+    )
+    assert got == [
+        (1, 0, 1, 4, "t1 t2 t3 t4"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 5, 3, "t5 t6 t7"),
+        (2, 0, 1, 4, "a b c d"),
+    ]
+    # prefix stability: re-chunking with more data never re-cuts
+    # earlier documents (same knobs -> same chunks per doc)
+    again = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_token_windows(
+            df.unionByName(
+                spark.createDataFrame(
+                    [(4, "x y z")], "doc_id bigint, text string"
+                )
+            ),
+            window=4,
+            stride=2,
+        ).collect()
+        if r.doc_id <= 3
+    )
+    assert again == got
+    with pytest.raises(ValueError):
+        chunk_token_windows(df, window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_token_windows(df, window=0, stride=0)
