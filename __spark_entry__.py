@@ -5827,8 +5827,12 @@ SELECT d.doc_id,
   COALESCE(s2.top_2gram_n, 0) AS top_2gram_n,
   COALESCE(s3.n_3grams, 0) AS n_3grams,
   COALESCE(s3.dup_3gram_n, 0) AS dup_3gram_n,
-  CAST(CASE WHEN COALESCE(s2.top_2gram_n, 0) * 100
-                 <= 5 * COALESCE(s2.n_2grams, 0)
+  -- the top-2-gram rule fires only on an actually-repeated top 2-gram
+  -- (>= 2): one occurrence is zero repetition at any length (r10
+  -- review catch — without it every short varied doc fails)
+  CAST(CASE WHEN (COALESCE(s2.top_2gram_n, 0) < 2
+                  OR COALESCE(s2.top_2gram_n, 0) * 100
+                     <= 5 * COALESCE(s2.n_2grams, 0))
              AND COALESCE(s3.dup_3gram_n, 0) * 100
                  <= 2 * COALESCE(s3.n_3grams, 0)
        THEN 1 ELSE 0 END AS INT) AS pass_repetition

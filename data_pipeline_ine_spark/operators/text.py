@@ -1978,6 +1978,16 @@ def gopher_repetition(
     exhibit repetition and PASS with zero counts (explicit rule, the
     ``lm_gate_batch`` drop-rule discipline).
 
+    The top-2-gram rule fires only when the top 2-gram actually
+    REPEATS (``top_2gram_n >= 2``): a document whose most frequent
+    2-gram occurs once has zero repetition by definition, yet on any
+    document shorter than ceil(100/pct)+1 tokens a single occurrence
+    already exceeds the percentage — without the guard every short
+    varied document fails spuriously (adversarial-review catch, r10:
+    oracle parity was green because the oracle made the same
+    mistake — the r9 seasonal_decompose failure mode again). The
+    dup-3-gram rule needs no guard: zero duplicates always passes.
+
     Returns ``(id_col, n_2grams, top_2gram_n, n_3grams, dup_3gram_n,
     pass_repetition)`` with the flag as 0/1.
 
@@ -2018,7 +2028,13 @@ def gopher_repetition(
         )
     )
     passes = (
-        (F.col("top_2gram_n") * 100 <= F.lit(int(top2_max_pct)) * F.col("n_2grams"))
+        (
+            (F.col("top_2gram_n") < 2)
+            | (
+                F.col("top_2gram_n") * 100
+                <= F.lit(int(top2_max_pct)) * F.col("n_2grams")
+            )
+        )
         & (F.col("dup_3gram_n") * 100 <= F.lit(int(dup3_max_pct)) * F.col("n_3grams"))
     )
     return out.withColumn(
@@ -2047,26 +2063,26 @@ def ngram_decontaminate(
     every non-benchmark document (``n_ngrams`` = its distinct n-gram
     count; flag as 0/1 — integer contract surface end-to-end).
 
-    Scale shape: one exploded-n-gram pass over the corpus, split by
-    the benchmark flag; the benchmark's distinct-gram set joins by
-    gram key (the planner broadcasts a small benchmark and falls back
-    to a term-keyed shuffle at fleet-scale eval suites — no forced
-    hint, the lm_gate_batch rule); one doc-keyed rollup. Nothing
-    pairwise, nothing corpus².
+    Scale shape: TWO predicate-pushed scans (the benchmark filter and
+    its negation reach the source scan — cheaper than one scan plus a
+    corpus-sized gram×id join to recover the flag), each followed by
+    an exploded-n-gram pass; the benchmark's distinct-gram set joins
+    by gram key (the planner broadcasts a small benchmark and falls
+    back to a term-keyed shuffle at fleet-scale eval suites — no
+    forced hint, the lm_gate_batch rule); one doc-keyed rollup.
+    Nothing pairwise, nothing corpus².
     """
-    flagged = df.select(
-        F.col(id_col),
-        F.col(text_col),
-        bench_pred.cast("boolean").alias("_bench"),
-    )
-    grams = _token_ngrams(
-        flagged, n, text_col, id_col, out_col="gram"
-    ).join(flagged.select(id_col, "_bench"), id_col)
+    is_bench = bench_pred.cast("boolean")
     bench_set = (
-        grams.filter(F.col("_bench")).select("gram").distinct()
+        _token_ngrams(
+            df.filter(is_bench), n, text_col, id_col, out_col="gram"
+        )
+        .select("gram")
+        .distinct()
     )
+    nonbench = df.filter(~is_bench)
     corpus = (
-        grams.filter(~F.col("_bench"))
+        _token_ngrams(nonbench, n, text_col, id_col, out_col="gram")
         .select(id_col, "gram")
         .distinct()
     )
@@ -2079,8 +2095,7 @@ def ngram_decontaminate(
         F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
     )
     return (
-        flagged.filter(~F.col("_bench"))
-        .select(id_col)
+        nonbench.select(id_col)
         .join(totals, id_col, "left")
         .join(shared, id_col, "left")
         .select(

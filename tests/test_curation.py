@@ -1232,17 +1232,22 @@ def test_dsir_select_prefers_target_like_and_respects_budget(spark):
 
 def test_gopher_repetition_hand_anchored(spark):
     """Meaning-pinning test for the repetition gate: a token loop
-    fails, a fully varied document passes EXACTLY ON the 5% boundary
-    (<=), a single repeated 2-gram just over the boundary fails, and
-    a too-short document passes with zero counts by rule."""
+    fails; a SHORT fully varied document passes (the top-2-gram rule
+    must not fire on a top gram that occurs once — the r10 review
+    catch); an actually-repeated 2-gram passes exactly ON the 5%
+    boundary (<=) and fails just over it; a too-short document passes
+    with zero counts by rule."""
     from data_pipeline_ine_spark.operators.text import gopher_repetition
 
     distinct17 = "c d e f g h i j k l m n o p q r s"
+    # 37 distinct filler tokens (no repeated 2-grams among them)
+    filler37 = " ".join(f"w{i}" for i in range(37))
     rows = [
         (1, "a a a a a a"),                    # loop: top2 5/5, dup3 3/4
-        (2, "a b " + distinct17 + " t u"),     # 21 distinct: top2 1/20 = 5% -> pass
-        (3, "a b a b " + distinct17),          # 'a b' twice: 2/20 = 10% -> fail
+        (2, "zz yy " + distinct17),            # 19 varied tokens, top2=1: MUST pass
+        (3, "a b a b " + distinct17),          # 'a b' 2/20 = 10% -> fail
         (4, "solo"),                           # no 2-grams: pass by rule
+        (5, "a b " + filler37 + " a b"),       # 'a b' 2/40 = 5%: boundary pass
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {
@@ -1253,9 +1258,10 @@ def test_gopher_repetition_hand_anchored(spark):
         for r in gopher_repetition(df).collect()
     }
     assert got[1] == (5, 5, 4, 3, 0)
-    assert got[2] == (20, 1, 19, 0, 1)   # 1*100 <= 5*20: boundary PASSES
+    assert got[2] == (18, 1, 17, 0, 1)   # zero repetition: passes at ANY length
     assert got[3] == (20, 2, 19, 0, 0)   # 2*100 >  5*20: fails
     assert got[4] == (0, 0, 0, 0, 1)
+    assert got[5] == (40, 2, 39, 0, 1)   # 2*100 <= 5*40: boundary PASSES
 
 
 def test_ngram_decontaminate_hand_anchored(spark):
