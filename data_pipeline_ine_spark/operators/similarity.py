@@ -284,6 +284,13 @@ _KMEANS_MEMO: dict[tuple, list[tuple[int, list[float]]]] = {}
 # fresh session can never see a stale entry.
 _KNN_GRAPH_MEMO: dict[tuple, "DataFrame"] = {}
 
+# Plan-audit hook: a lazily-checkpointed frame explains as an opaque
+# "Scan ExistingRDD", which would blind the plan lint and PLANS.md to
+# the real join topology. The audit tools (tools/plan_lint.py,
+# tools/gen_plans_md.py, plan-quality tests) set this True to build
+# the full compute plan; runtime/bench keep the checkpoint reuse.
+GRAPH_MEMO_DISABLED = False
+
 
 def kmeans_fit(
     df: DataFrame,
@@ -544,7 +551,7 @@ def knn_join_blocked(
     from pyspark.sql.window import Window
 
     graph_key = None
-    if memo_key is not None:
+    if memo_key is not None and not GRAPH_MEMO_DISABLED:
         graph_key = (
             df.sparkSession.sparkContext.applicationId,
             memo_key, int(k), vec_col, id_col, block_col,

@@ -485,11 +485,20 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
 
 def test_knn_join_is_equi_join_not_cartesian(spark, sf_dir):
     """The blocked kNN self-join must plan as an equi-join on the block key
-    — a CartesianProduct/nested-loop would be corpus² at scale."""
-    df = contract.queries()["knn_within_label"](spark, sf_dir)
-    plan = explain_str(df, mode="simple")
+    — a CartesianProduct/nested-loop would be corpus² at scale. The
+    graph memo is disabled for the assertion: its checkpoint frame
+    explains as an opaque RDD scan and would pass vacuously."""
+    from data_pipeline_ine_spark.operators import similarity as S
+
+    S.GRAPH_MEMO_DISABLED = True
+    try:
+        df = contract.queries()["knn_within_label"](spark, sf_dir)
+        plan = explain_str(df, mode="simple")
+    finally:
+        S.GRAPH_MEMO_DISABLED = False
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan  # the real topology, not a memo scan
 
 
 def test_knn_ivf_blocked_contract_plan_and_pair_bound(spark, sf_dir):
@@ -499,11 +508,18 @@ def test_knn_ivf_blocked_contract_plan_and_pair_bound(spark, sf_dir):
     sizing — the pair-volume guarantee a label block can't give."""
     from pyspark.sql import functions as F
 
-    df = contract.queries()["knn_ivf_blocked"](spark, sf_dir)
-    plan = explain_str(df, mode="simple")
+    from data_pipeline_ine_spark.operators import similarity as S
+
+    S.GRAPH_MEMO_DISABLED = True
+    try:
+        df = contract.queries()["knn_ivf_blocked"](spark, sf_dir)
+        plan = explain_str(df, mode="simple")
+    finally:
+        S.GRAPH_MEMO_DISABLED = False
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "block" in plan  # joined on the cluster block key
+    assert "Join" in plan, plan  # the real topology, not a memo scan
     from data_pipeline_ine_spark.sources.registry import load_table
 
     n = load_table(spark, sf_dir, "embeddings").count()

@@ -78,6 +78,13 @@ def main() -> None:
         "`tests/test_plan_quality.py` asserts mechanically.",
         "",
     ]
+    from data_pipeline_ine_spark.operators import similarity
+
+    # the audit documents the COMPUTE plan, not a warm session's
+    # checkpoint reuse: the kNN-graph memo's lazily-checkpointed frame
+    # would render the blocked joins as an opaque "Scan ExistingRDD"
+    similarity.GRAPH_MEMO_DISABLED = True
+
     for name, claim in AUDITED.items():
         df = queries[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(

@@ -152,6 +152,11 @@ def main() -> None:
     spark = get_spark(app_name="plan_lint")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as contract
+    from data_pipeline_ine_spark.operators import similarity
+
+    # lint the real compute plan, not the kNN-graph memo's opaque
+    # checkpoint scan (which would pass every check vacuously)
+    similarity.GRAPH_MEMO_DISABLED = True
 
     findings: list[str] = []
     n = 0
