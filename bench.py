@@ -90,6 +90,17 @@ HEAVY = [
     # (measured 4-10 s at sf0.1 — exactly the n=1-noise-prone tier)
     "semantic_dedup",
     "curation_semantic",
+    # round-10 additions: the 2.5-4 s graph/feature tier plus the two
+    # warmup-noise-prone queries the r9->r10 compare false-flagged
+    # (feature_mi read 2.13 n=1 vs 0.89 median; dhash 2.79 vs 1.61)
+    "profile_orders",
+    "part_triangles",
+    "part_pagerank",
+    "dup_cluster_sizes",
+    "part_bfs_hops",
+    "ra_link_prediction",
+    "feature_mi",
+    "image_augment_dhash",
 ]
 
 
