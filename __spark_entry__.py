@@ -6070,6 +6070,52 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining (operators/similarity
+    .py::hard_negative_mining): per anchor, the top-3 most-similar
+    vectors with a DIFFERENT label, candidates drawn from the anchor's
+    trained IVF cluster (the knn_ivf_blocked block key — same memoized
+    centroids, Σ block² pair cost). The label filter runs BEFORE the
+    rank window, so anchors surrounded by same-label vectors still
+    surface their true cross-label near-misses."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb, k=3, ivf_clusters=8,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
+
+
+# the shared unrolled Lloyd chain consumed as a candidate block, with
+# the anchor-vs-neighbor LABEL INEQUALITY applied before the rank
+ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+asg AS (
+  SELECT a3.vec_id, e.label, a3.cid, a3.v,
+         sqrt(list_dot_product(a3.v, a3.v)) AS nrm
+  FROM a3 JOIN e ON e.vec_id = a3.vec_id WHERE a3.rn = 1
+), p AS (
+  SELECT a.vec_id AS vec_id, a.label AS anchor_label,
+         b.vec_id AS neighbor_id, b.label AS negative_label,
+         a.cid AS block,
+         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM asg a JOIN asg b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.label <> b.label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT vec_id, anchor_label, neighbor_id, negative_label, block,
+       cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 validity intervals from the events change log: per user,
     consecutive equal event_type runs collapse to [valid_from, valid_to)
@@ -12338,6 +12384,7 @@ _CHECK_ORDER = [
     "chunk_windows",
     "dsir_select",
     "gopher_repetition",
+    "hard_negatives",
     "lm_gate_batch",
     "ngram_decontam",
     "sq8_recall_curve",
@@ -12880,6 +12927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "ngram_decontam": q_ngram_decontam,
         "chunk_windows": q_chunk_windows,
+        "hard_negatives": q_hard_negatives,
     })
 
 
@@ -13166,4 +13214,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": ORACLE_GOPHER_REPETITION,
         "ngram_decontam": ORACLE_NGRAM_DECONTAM,
         "chunk_windows": ORACLE_CHUNK_WINDOWS,
+        "hard_negatives": ORACLE_HARD_NEGATIVES,
     })

@@ -1462,3 +1462,91 @@ def sq8_recall_curve(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out.orderBy("n_probe")
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    ivf_clusters: int = 8,
+    ivf_iters: int = 2,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, the top-``k`` most-cosine-similar vectors carrying a
+    DIFFERENT label — the near-miss examples a metric-learning /
+    embedding-finetune loop needs (easy negatives are random pairs;
+    the hard ones live right next to the anchor in embedding space).
+
+    Candidates come from the anchor's TRAINED IVF cluster (the
+    deterministic ``kmeans_fit`` + narrow ``_assign_clusters`` map —
+    ``knn_join_blocked``'s 100 TB block key, and with the same
+    ``memo_key`` the centroids are shared with it for free): hard
+    negatives are by definition near the anchor, so the cluster block
+    is exactly the right candidate set, and the pair cost stays
+    Σ block² ≈ n²/clusters, never corpus². A cross-label neighbor in
+    a different cluster is missed — the standard ANN mining tradeoff;
+    raise ``ivf_clusters`` resolution or probe neighboring cells when
+    the loss curve says the negatives are too easy. The label filter
+    runs BEFORE the rank window, so anchors surrounded by same-label
+    vectors still surface their true cross-label near-misses (a
+    filter after a top-k graph would lose them). Anchors whose
+    cluster holds no other label emit no rows; NULL labels never
+    match the inequality and are excluded by rule.
+
+    Returns ``(id_col, anchor_label, neighbor_id, negative_label,
+    block, cosine_sim, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = kmeans_fit(
+        df, k=ivf_clusters, iters=ivf_iters,
+        vec_col=vec_col, id_col=id_col, memo_key=memo_key,
+    )
+    asg = _assign_clusters(df, centroids, vec_col)
+    e = asg.select(
+        F.col("cluster").alias("block"),
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.select(
+        "block",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_lbl").alias("_blbl"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    ).alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.bv")) / (F.col("a.nrm") * F.col("b.bnrm")), 6
+    )
+    ranked = (
+        a.join(b, "block")
+        .filter(
+            (F.col(f"a.{id_col}") != F.col("neighbor_id"))
+            & (F.col("a._lbl") != F.col("_blbl"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col("a._lbl").alias("anchor_label"),
+            "neighbor_id",
+            F.col("_blbl").alias("negative_label"),
+            F.col("block"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy(id_col).orderBy(
+                    F.desc("cosine_sim"), F.asc("neighbor_id")
+                )
+            )
+            .cast("bigint"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= k)

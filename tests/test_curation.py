@@ -1339,3 +1339,54 @@ def test_chunk_token_windows_hand_anchored(spark):
         chunk_token_windows(df, window=4, stride=5)
     with pytest.raises(ValueError):
         chunk_token_windows(df, window=0, stride=0)
+
+
+def test_hard_negative_mining_hand_anchored(spark):
+    """Meaning-pinning test for hard-negative mining: the nearest
+    SAME-label vector never appears (the label filter runs before the
+    rank), cross-label negatives come back in exact cosine order, and
+    an anchor whose cluster holds only its own label emits no rows."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    # one cluster (ivf_clusters=1): negatives = global cross-label top-k
+    rows = [
+        (0, "A", [1.0, 0.0]),
+        (1, "A", [0.99, 0.01]),   # nearest to id0 overall, SAME label
+        (2, "B", [0.9, 0.1]),     # best hard negative for id0
+        (3, "B", [-1.0, 0.0]),    # worst
+        (4, "C", [0.5, 0.5]),     # middle
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+    got = [
+        (r.neighbor_id, r.negative_label)
+        for r in hard_negative_mining(df, k=3, ivf_clusters=1)
+        .filter("vec_id = 0")
+        .orderBy("rank")
+        .collect()
+    ]
+    # id1 (same label) must be absent despite being the nearest vector
+    assert got == [(2, "B"), (4, "C"), (3, "B")]
+
+    # two separated clusters, one of them single-label: its anchors
+    # emit nothing (ids 0 and 1 are the deterministic seeds)
+    rows2 = [
+        (0, "A", [1.0, 0.0]),
+        (1, "C", [-1.0, 0.0]),
+        (2, "B", [0.95, 0.05]),
+        (3, "C", [-0.95, -0.05]),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id bigint, label string, embedding array<double>"
+    )
+    out = hard_negative_mining(df2, k=3, ivf_clusters=2)
+    per_anchor = {
+        r.vec_id: (r.neighbor_id, r.negative_label)
+        for r in out.collect()
+    }
+    # right cluster {1, 3} is all-C: no rows for either anchor
+    assert set(per_anchor) == {0, 2}
+    assert per_anchor[0] == (2, "B") and per_anchor[2] == (0, "A")
