@@ -101,6 +101,9 @@ HEAVY = [
     "ra_link_prediction",
     "feature_mi",
     "image_augment_dhash",
+    # r10: the new exact-pairwise mining query (sigma block^2 by
+    # design, ~9 s at sf0.1 — the knn_ivf_blocked cost class)
+    "hard_negatives",
 ]
 
 
