@@ -12352,56 +12352,6 @@ _CHECK_ORDER = [
     # row-first with never-checked queries slotted right after
     # the oldest stale cohort. The driver records the first 50
     # entries each round.
-    "part_pagerank",
-    "part_triangles",
-    "ppjoin_exact",
-    "profile_orders",
-    "pyds_observations",
-    "quantile_normalize",
-    "recursive_bfs_sql",
-    "retention_cohorts",
-    "scd2_apply_incremental",
-    "session_paths",
-    "session_window_batch",
-    "shuffle_rank",
-    "source_divergence",
-    "state_occupancy",
-    "stratified_sample",
-    "temporal_state_lookup",
-    "unigram_logloss",
-    "upsample_epochs",
-    "user_growth_curve",
-    "v_consolidation",
-    "variant_props",
-    "vocab_coverage",
-    "weekly_active_users",
-    "winsorized_revenue",
-    "zorder_keys",
-    "ann_ivf_filtered_probe",
-    "ann_sq8_filtered_probe",
-    "ann_sq8_rerank",
-    "ann_sq8_rerank_batch",
-    "chunk_windows",
-    "dsir_select",
-    "gopher_repetition",
-    "hard_negatives",
-    "lm_gate_batch",
-    "ngram_decontam",
-    "sq8_recall_curve",
-    "ann_ivf_topk",
-    "ann_kmeans_topk",
-    "ann_lsh_topk",
-    "asof_next_click",
-    "audio_dominant_freq",
-    "audio_signature",
-    "bloom_membership",
-    "boilerplate_scrub",
-    "bpe_token_total",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "contamination_overlap",
-    "corpus_datacard",
-    "cube_order_stats",
     "curation_pipeline",
     "dup_span_ratio",
     "embedding_near_dup",
@@ -12634,6 +12584,56 @@ _CHECK_ORDER = [
     "union_scaffold",
     "users_per_event_type",
     "window_top_day",
+    "ann_ivf_filtered_probe",
+    "ann_ivf_topk",
+    "ann_kmeans_topk",
+    "ann_lsh_topk",
+    "ann_sq8_filtered_probe",
+    "ann_sq8_rerank",
+    "ann_sq8_rerank_batch",
+    "asof_next_click",
+    "audio_dominant_freq",
+    "audio_signature",
+    "bloom_membership",
+    "boilerplate_scrub",
+    "bpe_token_total",
+    "chunk_documents",
+    "chunk_windows",
+    "cms_heavy_hitters",
+    "contamination_overlap",
+    "corpus_datacard",
+    "cube_order_stats",
+    "dsir_select",
+    "gopher_repetition",
+    "hard_negatives",
+    "lm_gate_batch",
+    "ngram_decontam",
+    "part_pagerank",
+    "part_triangles",
+    "ppjoin_exact",
+    "profile_orders",
+    "pyds_observations",
+    "quantile_normalize",
+    "recursive_bfs_sql",
+    "retention_cohorts",
+    "scd2_apply_incremental",
+    "session_paths",
+    "session_window_batch",
+    "shuffle_rank",
+    "source_divergence",
+    "sq8_recall_curve",
+    "state_occupancy",
+    "stratified_sample",
+    "temporal_state_lookup",
+    "unigram_logloss",
+    "upsample_epochs",
+    "user_growth_curve",
+    "v_consolidation",
+    "variant_props",
+    "vocab_coverage",
+    "weekly_active_users",
+    "winsorized_revenue",
+    "zorder_keys",
 ]
 
 
