@@ -2421,19 +2421,26 @@ _KM_ASSIGN = (
 
 # the unrolled two-iteration Lloyd chain every k-means oracle shares
 # (seed rule, 6-dp centroid rounding, assignment tiebreak) — ONE copy;
-# six oracles interpolate it, so a recipe change cannot silently
-# diverge one of them (review r9)
-_LLOYD_CHAIN_CTE = f'''c0 AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
-       FROM e WHERE vec_id < 8),
-a1 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c0')}),
-m1 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a1, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c1 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1 GROUP BY cid),
-a2 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c1')}),
-m2 AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
-       FROM a2, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
-c2 AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2 GROUP BY cid),
+# the oracles interpolate it, so a recipe change cannot silently
+# diverge one of them (review r9). Parameterized over k (the seed
+# count, kmeans_fit's `vec_id < k` rule) and a CTE-name suffix so
+# several chains — e.g. semdedup_recall's k ∈ {4, 8, 16} — can
+# coexist in ONE WITH clause.
+def _lloyd_chain_cte(k: int, sfx: str = "") -> str:
+    return f'''c0{sfx} AS (SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cv
+       FROM e WHERE vec_id < {k}),
+a1{sfx} AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c=f'c0{sfx}')}),
+m1{sfx} AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a1{sfx}, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c1{sfx} AS (SELECT cid, list(c ORDER BY d) AS cv FROM m1{sfx} GROUP BY cid),
+a2{sfx} AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c=f'c1{sfx}')}),
+m2{sfx} AS (SELECT cid, g.d, ROUND(AVG(v[g.d]), 6) AS c
+       FROM a2{sfx}, generate_series(1, 64) AS g(d) WHERE rn = 1 GROUP BY 1, 2),
+c2{sfx} AS (SELECT cid, list(c ORDER BY d) AS cv FROM m2{sfx} GROUP BY cid),
 '''
+
+
+_LLOYD_CHAIN_CTE = _lloyd_chain_cte(8)
 
 def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantizer health report (operators/similarity.py::
@@ -12326,6 +12333,439 @@ FROM agg ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Round 11 — closing the cluster-boundary blind spot (r10 verdict tasks 2+4):
+# the SemDeDup dedup rung gets a MEASURED recall curve with a 2-nearest-cell
+# multi-probe variant, and hard-negative mining gets the same multi-probe
+# candidate key.
+# ---------------------------------------------------------------------------
+def q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of cluster-blocked semantic dedup vs the EXACT >=tau
+    pair set at n_clusters in {4,8,16} x n_probe in {1,2} (operators/
+    similarity.py::semantic_dedup_recall) — the dedup rung of the
+    accuracy ladder next to ivf/pq/sq8_recall_curve: it PRICES the
+    cluster-boundary blind spot semantic_dedup's docstring previously
+    only asserted, and shows multi-probe (each vector also tested in
+    its second-closest cell) closing most of it. The exact pair
+    self-join is the deliberately quadratic measurement tier (sampled
+    at 100 TB); every configuration after it is an equi-join."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        semantic_dedup_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_recall(
+        emb, tau=0.3, n_clusters_list=(4, 8, 16), n_probes=(1, 2),
+        iters=2, memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
+
+
+# one MATERIALIZED exact >=tau pair set, one Lloyd chain per k (suffixed
+# CTE names), one 1-row coverage SELECT per (k, p) — coverage rule:
+# either side's primary cell (rn=1) lies in the other side's n_probe
+# nearest cells, exactly semantic_dedup's multi-probe candidate rule
+def _semdedup_recall_oracle() -> str:
+    cos = (
+        "ROUND(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    chains = []
+    selects = []
+    for k in (4, 8, 16):
+        sfx = f"_{k}"
+        chains.append(_lloyd_chain_cte(k, sfx))
+        chains.append(
+            f"a3{sfx} AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c=f'c2{sfx}')}),\n"
+            f"asg{sfx} AS MATERIALIZED (SELECT vec_id, cid, rn FROM a3{sfx} WHERE rn <= 2),\n"
+        )
+        for p in (1, 2):
+            selects.append(f"""SELECT CAST({k} AS BIGINT) AS n_clusters, CAST({p} AS BIGINT) AS n_probe,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS exact_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs pr WHERE EXISTS (
+     SELECT 1 FROM asg{sfx} ai JOIN asg{sfx} aj ON ai.cid = aj.cid
+     WHERE ai.vec_id = pr.i AND aj.vec_id = pr.j
+       AND ai.rn <= {p} AND aj.rn <= {p}
+       AND (ai.rn = 1 OR aj.rn = 1))) AS covered_pairs,
+  ROUND(CAST((SELECT COUNT(*) FROM pairs pr WHERE EXISTS (
+     SELECT 1 FROM asg{sfx} ai JOIN asg{sfx} aj ON ai.cid = aj.cid
+     WHERE ai.vec_id = pr.i AND aj.vec_id = pr.j
+       AND ai.rn <= {p} AND aj.rn <= {p}
+       AND (ai.rn = 1 OR aj.rn = 1))) AS DOUBLE)
+    / GREATEST((SELECT COUNT(*) FROM pairs), 1), 6) AS recall""")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "pairs AS MATERIALIZED (\n"
+        "  SELECT x.vec_id AS i, y.vec_id AS j\n"
+        "  FROM e x JOIN e y ON y.vec_id > x.vec_id\n"
+        f"  WHERE {cos} >= 0.3\n"
+        "),\n"
+        + "".join(chains).rstrip().rstrip(",")
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY n_clusters, n_probe"
+    )
+
+
+ORACLE_SEMDEDUP_RECALL = _semdedup_recall_oracle()
+
+
+def q_semantic_dedup_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup (operators/similarity.py::semantic_dedup
+    with n_probe=2): every vector is also tested inside its
+    second-closest cell against that cell's primary members, so a
+    near-dup pair straddling one cluster boundary is caught — the
+    blind-spot fix semdedup_recall prices (covered pairs roughly
+    double at every n_clusters). Pair volume 2·Σ block², one exploded
+    side ⋈ one primary side, still knob-bounded."""
+    from data_pipeline_ine_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(
+        emb, tau=0.3, n_clusters=8, iters=2, n_probe=2,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
+    return kept.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("vec_id")
+
+
+# the shared Lloyd chain; probe set = 2 nearest cells (rn <= 2), drop
+# rule = GREATEST id of every covered similar pair (both directions of
+# each unordered pair appear in the exploded ⋈ primary join)
+ORACLE_SEMANTIC_DEDUP_MP = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
+asg AS (SELECT vec_id, v, cid, rn FROM a3 WHERE rn <= 2),
+prim AS (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
+drp AS (
+  SELECT DISTINCT GREATEST(a.vec_id, b.vec_id) AS vec_id
+  FROM asg a JOIN prim b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster FROM prim
+WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+ORDER BY vec_id
+"""
+
+
+def q_hard_negatives_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hard-negative mining (operators/similarity.py::
+    hard_negative_mining with ivf_clusters=16, n_probe=2): anchors
+    probe their TWO nearest cells while candidates stay in their
+    primary cell (the IVF query shape), so the borderline cross-label
+    neighbors that live just across the anchor's nearest boundary —
+    exactly where the hardest negatives sit — are no longer missed.
+    Pair volume 2·Σ block² at 16 cells ≈ what single-probe pays at 8:
+    boundary coverage at the same cost tier."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb, k=3, ivf_clusters=16, n_probe=2,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
+
+
+# Lloyd chain at k=16 (suffixed so it can't collide with the shared
+# k=8 chain if ever composed); anchors rn<=2, candidates rn=1
+ORACLE_HARD_NEGATIVES_MP = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_lloyd_chain_cte(16, '_h')}a3_h AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2_h')}),
+anch AS (
+  SELECT a3_h.vec_id, e.label, a3_h.cid, a3_h.v,
+         sqrt(list_dot_product(a3_h.v, a3_h.v)) AS nrm
+  FROM a3_h JOIN e ON e.vec_id = a3_h.vec_id WHERE a3_h.rn <= 2
+), cand AS (
+  SELECT a3_h.vec_id, e.label, a3_h.cid, a3_h.v,
+         sqrt(list_dot_product(a3_h.v, a3_h.v)) AS nrm
+  FROM a3_h JOIN e ON e.vec_id = a3_h.vec_id WHERE a3_h.rn = 1
+), p AS (
+  SELECT a.vec_id AS vec_id, a.label AS anchor_label,
+         b.vec_id AS neighbor_id, b.label AS negative_label,
+         a.cid AS block,
+         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM anch a JOIN cand b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.label <> b.label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT vec_id, anchor_label, neighbor_id, negative_label, block,
+       cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — close the tokenizer loop (r10 verdict task 3): train BPE,
+# APPLY the merges back, read the fertility curve.
+# ---------------------------------------------------------------------------
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer sizing curve (operators/text.py::bpe_fertility_curve):
+    bpe_train learns the ranked merge list, each merge-count prefix
+    {0,2,4,8} is applied BACK to the weighted word vocabulary with
+    bpe_apply's JVM aggregate fold, and fertility (tokens/word) is
+    read at every rung — merge 0 is character fertility, the knee of
+    the curve is the vocabulary-size decision. Training and
+    application both run on the Heaps-collapsed vocab frame: the
+    corpus is scanned once for word counts, never re-tokenized."""
+    from data_pipeline_ine_spark.operators.text import bpe_fertility_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fertility_curve(docs, merge_counts=(0, 2, 4, 8))
+
+
+# the same training recipe as an 8-round fixed chain: word vocab with
+# counts -> per round, weighted adjacent-pair count over the chr(1)-
+# joined symbol strings, top pair by (count DESC, a, b) with the
+# min_pair_count >= 2 stop guard (LEFT JOIN keeps the chain alive when
+# no pair qualifies), then ONE replace() per round — string replace
+# scans left-to-right and resumes AFTER each replacement, which is
+# exactly bpe_train's greedy aggregate-fold semantics (pinned by
+# tests/test_curation.py::test_bpe_fertility_hand_anchored)
+def _bpe_round_cte(r: int) -> str:
+    return f"""p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, n FROM (
+    SELECT unnest(list_zip(syms, syms[2:], true)) AS pr, n FROM (
+      SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS syms, n
+      FROM w{r - 1}))
+), t{r} AS (
+  SELECT a, b FROM p{r} GROUP BY a, b HAVING SUM(n) >= 2
+  ORDER BY SUM(n) DESC, a, b LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT CASE WHEN t{r}.a IS NULL THEN w{r - 1}.s
+         ELSE replace(w{r - 1}.s, chr(1) || t{r}.a || chr(1) || t{r}.b || chr(1),
+                      chr(1) || t{r}.a || t{r}.b || chr(1)) END AS s, n
+  FROM w{r - 1} LEFT JOIN t{r} ON TRUE
+)"""
+
+
+def _bpe_fertility_oracle(merge_counts=(0, 2, 4, 8)) -> str:
+    head = r"""WITH w0 AS MATERIALIZED (
+  SELECT chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g') AS s, n
+  FROM (SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+          FROM documents) WHERE w <> '' GROUP BY w)
+)"""
+    chain = head + "".join(
+        "," + _bpe_round_cte(r) for r in range(1, max(merge_counts) + 1)
+    )
+    tok = "SUM(n * len(list_filter(string_split(s, chr(1)), x -> x <> '')))"
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({m} AS BIGINT) AS n_merges,
+  (SELECT CAST(SUM(n) AS BIGINT) FROM w0) AS total_words,
+  CAST({tok} AS BIGINT) AS total_tokens,
+  ROUND(CAST({tok} AS DOUBLE)
+        / CAST((SELECT SUM(n) FROM w0) AS DOUBLE), 6) AS fertility
+FROM w{m}"""
+        for m in merge_counts
+    )
+    return chain + "\n" + selects + "\nORDER BY n_merges"
+
+
+ORACLE_BPE_FERTILITY = _bpe_fertility_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — curation_v3 (r10 verdict task 5): the round-10 gates composed
+# in production order, proving they chain without materialization barriers.
+# ---------------------------------------------------------------------------
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 curation gates composed the way a CCNet-style
+    production stack runs them, in order: Gopher repetition gate →
+    frozen-src0-LM quality gate → 5-gram test-set decontamination
+    (benchmark cohort = the FULL src19, fixed regardless of upstream
+    gates — the eval suite is external) → DSIR selection to an
+    8000-token budget (the importance LMs train on the SURVIVORS:
+    score what remains) → 32/24 token-window chunking, summarized per
+    source (docs kept, chunks cut, chunk tokens). One lazy plan
+    end-to-end except the two documented points: the frozen LM's O(1)
+    totals collect and two_pass_cumsum's range-boundary checkpoint
+    (dsir_select's distributed running sum — the price of never
+    sorting the corpus in one task). Gate stages are per-document and
+    restriction-invariant, so each composes as a semi-join of flags
+    computed once; stage count pinned in test_plan_quality.py."""
+    from data_pipeline_ine_spark.operators.text import (
+        WORD_PATTERN,
+        chunk_token_windows,
+        dsir_select,
+        gopher_repetition,
+        ngram_decontaminate,
+    )
+    from data_pipeline_ine_spark.streaming.quality import lm_gate_batch
+
+    docs = _docs_parallel(spark, sf_dir)
+    # stage 1: Gopher repetition gate (per-doc integer rules)
+    gpass = gopher_repetition(docs).filter(
+        F.col("pass_repetition") == 1
+    ).select("doc_id")
+    s1 = docs.join(gpass, "doc_id")
+    # stage 2: LM gate under the FROZEN full-corpus src0 reference LM
+    ref_toks = docs.filter(F.col("source") == "src0").select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(WORD_PATTERN), 0
+            )
+        ).alias("term")
+    )
+    vocab = ref_toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    n_total, v_size = vocab.agg(F.sum("c"), F.count(F.lit(1))).first()
+    s2 = lm_gate_batch(
+        s1, vocab, int(n_total), int(v_size),
+        threshold_e12=3_420_000_000_000,
+    )
+    # stage 3: decontamination vs the full src19 benchmark cohort
+    clean = ngram_decontaminate(
+        docs, F.col("source") == "src19", n=5
+    ).filter(F.col("contaminated") == 0).select("doc_id")
+    s3 = s2.filter(F.col("source") != "src19").join(clean, "doc_id")
+    # stage 4: DSIR selection on the survivors, 8000-token budget
+    sel = dsir_select(
+        s3, F.col("source") == "src0", budget_tokens=8000
+    ).select("doc_id")
+    picked = s3.join(sel, "doc_id")
+    # stage 5: context-window chunking + per-source summary
+    chunks = chunk_token_windows(picked, window=32, stride=24)
+    return (
+        chunks.join(picked.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# the composed oracle: every gate's CTE chain scoped exactly as the
+# Spark stages — gopher + LM-gate flags per-doc over the full corpus
+# (restriction-invariant), bench grams from the FULL src19, DSIR LMs
+# re-fit on the SURVIVOR set, running-sum budget, then the chunk
+# closed form — all integer/e12 surfaces shared with the single-gate
+# oracles above
+ORACLE_CURATION_V3 = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), gg2 AS (
+  SELECT doc_id, list_aggregate(ts[i:i+1], 'string_agg', ' ') AS g
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+), gc2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM gg2 GROUP BY 1, 2
+), gs2 AS (
+  SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS top_2gram_n FROM gc2 GROUP BY 1
+), gg3 AS (
+  SELECT doc_id, list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+), gc3 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM gg3 GROUP BY 1, 2
+), gs3 AS (
+  SELECT doc_id, SUM(c) AS n_3grams, SUM(c) - COUNT(*) AS dup_3gram_n
+  FROM gc3 GROUP BY 1
+), gpass AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN gs2 USING (doc_id) LEFT JOIN gs3 USING (doc_id)
+  WHERE (COALESCE(gs2.top_2gram_n, 0) < 2
+         OR COALESCE(gs2.top_2gram_n, 0) * 100 <= 5 * COALESCE(gs2.n_2grams, 0))
+    AND COALESCE(gs3.dup_3gram_n, 0) * 100 <= 2 * COALESCE(gs3.n_3grams, 0)
+), rvocab AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(ts) AS term FROM toks WHERE source = 'src0') GROUP BY 1
+), rtotals AS (
+  SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM rvocab
+), ltf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY 1, 2
+), lscored AS (
+  SELECT ltf.doc_id, CAST(SUM(ltf.cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(ltf.cnt * CAST(FLOOR(
+          -ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
+              / (rtotals.n_total + rtotals.v_size)) * 1e12 + 0.5
+        ) AS BIGINT)) AS BIGINT) AS sum_neg_logp_e12
+  FROM ltf LEFT JOIN rvocab v USING (term) CROSS JOIN rtotals
+  GROUP BY 1
+), lmpass AS (
+  SELECT doc_id FROM lscored
+  WHERE sum_neg_logp_e12 // n_tokens <= 3420000000000
+), dg AS (
+  SELECT doc_id, source, list_aggregate(ts[i:i+4], 'string_agg', ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+), dbench AS (
+  SELECT DISTINCT gram FROM dg WHERE source = 'src19'
+), dshared AS (
+  SELECT c.doc_id, COUNT(*) AS shared_ngrams
+  FROM (SELECT DISTINCT doc_id, gram FROM dg WHERE source <> 'src19') c
+  JOIN dbench USING (gram) GROUP BY 1
+), clean AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN dshared USING (doc_id)
+  WHERE d.source <> 'src19' AND COALESCE(dshared.shared_ngrams, 0) = 0
+), surv AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.text FROM documents d
+  JOIN gpass USING (doc_id) JOIN lmpass USING (doc_id)
+  JOIN clean USING (doc_id)
+  WHERE d.source <> 'src19'
+), dtoks AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM surv
+), dtf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM dtoks GROUP BY 1, 2
+), dvocab AS (
+  SELECT term, COUNT(*) AS c_all,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+  FROM dtoks GROUP BY 1
+), dtotals AS (
+  SELECT SUM(c_all) AS n_all, SUM(c_tgt) AS n_tgt, COUNT(*) AS v_size
+  FROM dvocab
+), dscored AS (
+  SELECT dtf.doc_id, CAST(SUM(dtf.cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(dtf.cnt * (
+        CAST(FLOOR(-ln(CAST(dvocab.c_all + 1 AS DOUBLE)
+                       / (dtotals.n_all + dtotals.v_size)) * 1e12 + 0.5)
+             AS BIGINT)
+      - CAST(FLOOR(-ln(CAST(dvocab.c_tgt + 1 AS DOUBLE)
+                       / (dtotals.n_tgt + dtotals.v_size)) * 1e12 + 0.5)
+             AS BIGINT)
+    )) AS BIGINT) AS llr_e12
+  FROM dtf JOIN dvocab USING (term) CROSS JOIN dtotals
+  GROUP BY dtf.doc_id
+), ranked AS (
+  SELECT doc_id,
+    SUM(n_tokens) OVER (
+      ORDER BY 0 - llr_e12, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM dscored WHERE n_tokens > 0
+), picked AS (
+  SELECT doc_id FROM ranked WHERE cum_tokens <= 8000
+), cmeta AS (
+  SELECT s.doc_id, s.source,
+    len(regexp_extract_all(lower(s.text), '[a-z0-9]+')) AS n,
+    CASE WHEN len(regexp_extract_all(lower(s.text), '[a-z0-9]+')) <= 0 THEN 0
+         ELSE 1 + GREATEST(0,
+           (len(regexp_extract_all(lower(s.text), '[a-z0-9]+')) - 32 + 24 - 1) // 24)
+    END AS m
+  FROM surv s JOIN picked USING (doc_id)
+), chunks AS (
+  SELECT doc_id, source, LEAST(32, n - u.k * 24) AS n_tokens
+  FROM cmeta, unnest(generate_series(0, m - 1)) AS u(k)
+  WHERE m > 0
+)
+SELECT source,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+FROM chunks GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -12384,6 +12824,11 @@ _CHECK_ORDER = [
     "value_drift",
     "video_frame_stats",
     "video_signature",
+    "bpe_fertility",
+    "curation_v3",
+    "hard_negatives_mp",
+    "semantic_dedup_mp",
+    "semdedup_recall",
     "ab_test_chisq",
     "acf_daily_revenue",
     "benford_digits",
@@ -12928,6 +13373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontam": q_ngram_decontam,
         "chunk_windows": q_chunk_windows,
         "hard_negatives": q_hard_negatives,
+        "semdedup_recall": q_semdedup_recall,
+        "semantic_dedup_mp": q_semantic_dedup_mp,
+        "hard_negatives_mp": q_hard_negatives_mp,
+        "bpe_fertility": q_bpe_fertility,
+        "curation_v3": q_curation_v3,
     })
 
 
@@ -13215,4 +13665,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontam": ORACLE_NGRAM_DECONTAM,
         "chunk_windows": ORACLE_CHUNK_WINDOWS,
         "hard_negatives": ORACLE_HARD_NEGATIVES,
+        "semdedup_recall": ORACLE_SEMDEDUP_RECALL,
+        "semantic_dedup_mp": ORACLE_SEMANTIC_DEDUP_MP,
+        "hard_negatives_mp": ORACLE_HARD_NEGATIVES_MP,
+        "bpe_fertility": ORACLE_BPE_FERTILITY,
+        "curation_v3": ORACLE_CURATION_V3,
     })

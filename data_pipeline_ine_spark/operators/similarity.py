@@ -264,6 +264,43 @@ def _assign_clusters(
     return emb.withColumn("cluster", F.array_sort(pairs)[0]["c"])
 
 
+def _assign_clusters_multi(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Top-``n_probe`` nearest-centroid assignment: each input row is
+    exploded into its ``n_probe`` closest clusters with a 1-based
+    ``rn`` rank — ``rn = 1`` is exactly the primary cell
+    ``_assign_clusters`` returns, ``rn = 2`` the second-closest, etc.
+    Same centroid-literal lexicographic struct sort, so the assignment
+    stays a narrow map; the only growth is the ×``n_probe`` row
+    explode. This is the multi-probe key that shrinks the
+    cluster-boundary blind spot of every cluster-blocked pairwise
+    operator (SemDeDup, hard-negative mining): a pair that straddles a
+    boundary still meets when one side's second cell is the other
+    side's primary cell."""
+    pairs = F.array(
+        *[
+            F.struct(
+                sq_dist(F.col(vec_col), F.array(*[F.lit(x) for x in cv])).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    top = F.slice(
+        F.transform(F.array_sort(pairs), lambda s: s["c"]), 1, int(n_probe)
+    )
+    exploded = emb.withColumn("_pc", top).select(
+        *emb.columns, F.posexplode("_pc").alias("_rn0", "cluster")
+    )
+    return exploded.withColumn(
+        "rn", (F.col("_rn0") + F.lit(1)).cast("int")
+    ).drop("_rn0")
+
+
 # Trained-quantizer memo: kmeans_fit is DETERMINISTIC given the input
 # content and knobs, so callers that train on a whole table may pass an
 # explicit content key (the contract queries use the embeddings table's
@@ -289,7 +326,43 @@ _KNN_GRAPH_MEMO: dict[tuple, "DataFrame"] = {}
 # the real join topology. The audit tools (tools/plan_lint.py,
 # tools/gen_plans_md.py, plan-quality tests) set this True to build
 # the full compute plan; runtime/bench keep the checkpoint reuse.
+# It governs EVERY audit-sensitive lazy localCheckpoint in this module
+# (the kNN graph memo and the recall-measurement pair caches), not just
+# the graph memo it is named for. Prefer the scoped
+# ``graph_memo_disabled()`` context manager in long-lived processes
+# (ADVICE r10: a bare global set by a tool import would silently stay
+# flipped); the module global remains the one the audit tools set.
 GRAPH_MEMO_DISABLED = False
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def graph_memo_disabled():
+    """Scoped form of the ``GRAPH_MEMO_DISABLED`` audit hook: disables
+    checkpoint-memo reuse (so explain() shows the full compute plan)
+    for the duration of the ``with`` block, then restores the previous
+    value even on error."""
+    global GRAPH_MEMO_DISABLED
+    prev = GRAPH_MEMO_DISABLED
+    GRAPH_MEMO_DISABLED = True
+    try:
+        yield
+    finally:
+        GRAPH_MEMO_DISABLED = prev
+
+
+def _evict_dead_graph_memo(app_id: str) -> None:
+    """Drop memo entries keyed by a DIFFERENT applicationId than the
+    live session's (ADVICE r10): a checkpointed frame dies with its
+    session, so entries from a stopped application hold dead
+    DataFrame/JVM plan refs and would pin them for the process
+    lifetime if a new SparkSession is created in the same process.
+    Called on every insert — the memo never holds more than the live
+    application's graphs."""
+    for key in [k for k in _KNN_GRAPH_MEMO if k[0] != app_id]:
+        del _KNN_GRAPH_MEMO[key]
 
 
 def kmeans_fit(
@@ -608,6 +681,7 @@ def knn_join_blocked(
         # lazy: the first ACTION materializes the k·n-row graph; every
         # later composition in the session scans the checkpoint
         out = out.localCheckpoint(eager=False)
+        _evict_dead_graph_memo(graph_key[0])
         _KNN_GRAPH_MEMO[graph_key] = out
     return out
 
@@ -953,6 +1027,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     memo_key: str | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) reduced to its deterministic core:
     cluster the corpus with the deterministic k-means, then WITHIN each
@@ -977,11 +1052,27 @@ def semantic_dedup(
     corpus sample, not the dedup input — and a composed pipeline reuses
     ONE quantizer across stages); when omitted, k-means trains on ``df``
     itself. Returns the KEPT rows: (id, cluster).
+
+    ``n_probe`` > 1 is the multi-probe variant that shrinks the
+    boundary blind spot (r10 verdict): every vector is ALSO compared
+    inside its ``n_probe``-nearest cells against those cells' primary
+    members — a pair is tested whenever either side's primary cell is
+    in the other side's probe set, so a near-dup pair straddling one
+    boundary is caught as long as a second-closest cell crosses it.
+    Pair volume grows to ``n_probe``·Σ block² (one exploded side ⋈ one
+    primary side) — still knob-bounded, never corpus². The residual
+    miss rate at each (n_clusters, n_probe) is MEASURED, not asserted:
+    ``semantic_dedup_recall`` prices it against the exact ≥tau pair
+    set, same discipline as ``ivf_recall_curve``.
     """
     if centroids is None:
         centroids = kmeans_fit(
             df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
             memo_key=memo_key,
+        )
+    if n_probe > 1:
+        return _semantic_dedup_multiprobe(
+            df, centroids, tau, n_probe, vec_col, id_col
         )
     assigned = _assign_clusters(
         df.select(id_col, vec_col), centroids, vec_col
@@ -1016,6 +1107,162 @@ def semantic_dedup(
         e.join(dropped, id_col, "left_anti")
         .select(id_col, "cluster")
     )
+
+
+def _semantic_dedup_multiprobe(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    tau: float,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The ``n_probe`` > 1 body of ``semantic_dedup``: exploded probe
+    assignments on one join side, primary assignments on the other, so
+    the candidate set is every (vector, primary member of one of its
+    ``n_probe`` nearest cells) pair. The drop rule keeps SemDeDup's
+    earlier-id-wins: for every covered pair at rounded cosine ≥ tau the
+    GREATER id drops (the single join emits both directions of each
+    unordered pair, so ``greatest`` sees every covered pair exactly
+    once per direction). With ``n_probe = 1`` this would reduce to the
+    primary-cell rule; the main body keeps the original single-probe
+    plan untouched. Returns kept (id, primary cluster)."""
+    asg = _assign_clusters_multi(
+        df.select(id_col, vec_col), centroids, vec_col, n_probe
+    )
+    e = asg.select(
+        "cluster",
+        "rn",
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    prim = e.filter(F.col("rn") == 1).drop("rn")
+    a = e.drop("rn").alias("a")
+    b = prim.select(
+        "cluster",
+        F.col(id_col).alias("_jid"),
+        F.col("_v").alias("_jv"),
+        F.col("_n").alias("_jn"),
+    ).alias("b")
+    sim = F.round(
+        dot(F.col("a._v"), F.col("b._jv")) / (F.col("a._n") * F.col("b._jn")),
+        6,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(
+            (F.col("_jid") != F.col(f"a.{id_col}"))
+            & (sim >= F.lit(float(tau)))
+        )
+        .select(
+            F.greatest(F.col(f"a.{id_col}"), F.col("_jid")).alias(id_col)
+        )
+        .distinct()
+    )
+    return prim.join(dropped, id_col, "left_anti").select(id_col, "cluster")
+
+
+def semantic_dedup_recall(
+    df: DataFrame,
+    tau: float = 0.3,
+    n_clusters_list: "Sequence[int]" = (4, 8, 16),
+    n_probes: "Sequence[int]" = (1, 2),
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    memo_key: str | None = None,
+) -> DataFrame:
+    """Pair recall of cluster-blocked semantic dedup vs the EXACT ≥tau
+    pair set, as a function of (n_clusters, n_probe) — the dedup rung
+    of the measure-don't-guess ladder (``ivf_recall_curve`` prices the
+    probe budget, ``pq_recall_curve``/``sq8_recall_curve`` the
+    quantization grids; this prices SemDeDup's cluster-boundary blind
+    spot, which ``semantic_dedup``'s docstring previously only
+    asserted). A ≥tau pair is COVERED when the blocking would test it:
+    either side's primary cell lies in the other side's ``n_probe``
+    nearest cells — exactly ``semantic_dedup``'s candidate rule at
+    that (n_clusters, n_probe).
+
+    Returns one row per configuration: ``(n_clusters, n_probe,
+    exact_pairs, covered_pairs, recall)``.
+
+    Scale shape: the exact ground-truth pair self-join is the one
+    deliberately quadratic stage (the thing being priced — same class
+    as ``pq_recall_curve``'s brute-force side); run it on a sample at
+    100 TB. It is computed ONCE and lazily checkpointed (audit hook:
+    ``GRAPH_MEMO_DISABLED`` builds the full plan instead), then every
+    configuration joins the |pairs|-row frame against a narrow
+    exploded assignment — |configs| equi-joins, no further pairwise
+    work. k-means fits share the quantizer memo per ``n_clusters``.
+    """
+    e = df.select(
+        F.col(id_col).alias("_i"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    b = e.select(
+        F.col("_i").alias("_j"),
+        F.col("_v").alias("_jv"),
+        F.col("_n").alias("_jn"),
+    )
+    sim = F.round(
+        dot(F.col("_v"), F.col("_jv")) / (F.col("_n") * F.col("_jn")), 6
+    )
+    pairs = (
+        e.join(b, F.col("_j") > F.col("_i"))
+        .filter(sim >= F.lit(float(tau)))
+        .select("_i", "_j")
+    )
+    if not GRAPH_MEMO_DISABLED:
+        pairs = pairs.localCheckpoint(eager=False)
+    exact_cnt = pairs.count()  # O(1) scalar to the driver
+
+    parts = []
+    max_probe = max(int(p) for p in n_probes)
+    for n_clusters in n_clusters_list:
+        centroids = kmeans_fit(
+            df, k=int(n_clusters), iters=iters, vec_col=vec_col,
+            id_col=id_col, memo_key=memo_key,
+        )
+        asg = _assign_clusters_multi(
+            df.select(id_col, vec_col), centroids, vec_col, max_probe
+        ).select(F.col(id_col), "cluster", "rn")
+        for p in n_probes:
+            ai = asg.filter(F.col("rn") <= int(p)).select(
+                F.col(id_col).alias("_i"), "cluster",
+                F.col("rn").alias("_rni"),
+            )
+            aj = asg.filter(F.col("rn") <= int(p)).select(
+                F.col(id_col).alias("_j"), "cluster",
+                F.col("rn").alias("_rnj"),
+            )
+            covered = (
+                pairs.join(ai, "_i")
+                .join(aj, ["_j", "cluster"])
+                .filter((F.col("_rni") == 1) | (F.col("_rnj") == 1))
+                .select("_i", "_j")
+                .distinct()
+            )
+            parts.append(
+                covered.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("covered_pairs")
+                ).select(
+                    F.lit(int(n_clusters)).cast("bigint").alias("n_clusters"),
+                    F.lit(int(p)).cast("bigint").alias("n_probe"),
+                    F.lit(int(exact_cnt)).cast("bigint").alias("exact_pairs"),
+                    "covered_pairs",
+                    F.round(
+                        F.col("covered_pairs").cast("double")
+                        / F.lit(float(max(exact_cnt, 1))),
+                        6,
+                    ).alias("recall"),
+                )
+            )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("n_clusters", "n_probe")
 
 
 # --- Random projection (Johnson–Lindenstrauss), integer-deterministic ------
@@ -1473,6 +1720,7 @@ def hard_negative_mining(
     ivf_clusters: int = 8,
     ivf_iters: int = 2,
     memo_key: str | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every anchor
     vector, the top-``k`` most-cosine-similar vectors carrying a
@@ -1486,10 +1734,14 @@ def hard_negative_mining(
     ``memo_key`` the centroids are shared with it for free): hard
     negatives are by definition near the anchor, so the cluster block
     is exactly the right candidate set, and the pair cost stays
-    Σ block² ≈ n²/clusters, never corpus². A cross-label neighbor in
-    a different cluster is missed — the standard ANN mining tradeoff;
-    raise ``ivf_clusters`` resolution or probe neighboring cells when
-    the loss curve says the negatives are too easy. The label filter
+    Σ block² ≈ n²/clusters, never corpus². With ``n_probe = 1`` a
+    cross-label neighbor in a different cluster is missed — the
+    standard ANN mining tradeoff; ``n_probe`` > 1 probes the anchor's
+    ``n_probe`` nearest cells (candidates stay in their primary cell,
+    the IVF query shape), which is exactly where borderline hard
+    negatives live — pair volume ``n_probe``·Σ block², so
+    (ivf_clusters=16, n_probe=2) costs what (8, 1) costs while seeing
+    across every anchor's nearest boundary. The label filter
     runs BEFORE the rank window, so anchors surrounded by same-label
     vectors still surface their true cross-label near-misses (a
     filter after a top-k graph would lose them). Anchors whose
@@ -1505,8 +1757,19 @@ def hard_negative_mining(
         df, k=ivf_clusters, iters=ivf_iters,
         vec_col=vec_col, id_col=id_col, memo_key=memo_key,
     )
-    asg = _assign_clusters(df, centroids, vec_col)
-    e = asg.select(
+    if n_probe > 1:
+        # anchors exploded into their n_probe nearest cells; candidates
+        # stay in their primary cell (the IVF query shape) — each
+        # (anchor, candidate) pair meets at most once since the
+        # candidate's primary cell is unique
+        asgm = _assign_clusters_multi(df, centroids, vec_col, n_probe)
+        a_src = asgm.drop("rn")
+        b_src = asgm.filter(F.col("rn") == 1).drop("rn")
+    else:
+        asg = _assign_clusters(df, centroids, vec_col)
+        a_src = asg
+        b_src = asg
+    e = a_src.select(
         F.col("cluster").alias("block"),
         F.col(id_col),
         F.col(label_col).alias("_lbl"),
@@ -1514,12 +1777,12 @@ def hard_negative_mining(
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
     a = e.alias("a")
-    b = e.select(
-        "block",
+    b = b_src.select(
+        F.col("cluster").alias("block"),
         F.col(id_col).alias("neighbor_id"),
-        F.col("_lbl").alias("_blbl"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bnrm"),
+        F.col(label_col).alias("_blbl"),
+        F.col(vec_col).alias("bv"),
+        l2_norm(F.col(vec_col)).alias("bnrm"),
     ).alias("b")
     sim = F.round(
         dot(F.col("a.v"), F.col("b.bv")) / (F.col("a.nrm") * F.col("b.bnrm")), 6

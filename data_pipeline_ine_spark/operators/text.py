@@ -1175,6 +1175,77 @@ def bpe_apply(
     return col_df.withColumn(out_col, F.expr(expr)).drop("syms")
 
 
+def bpe_fertility_curve(
+    df: DataFrame,
+    merge_counts: "Sequence[int]" = (0, 2, 4, 8),
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Close the tokenizer loop (r10 verdict task 3): train BPE merges
+    on the corpus (``bpe_train``), then APPLY each merge-count prefix
+    back to it and measure fertility — tokens per word — at every
+    rung. This is the curve a tokenizer-sizing decision actually
+    reads: merge 0 is character fertility (avg word length), each
+    merge monotonically lowers the token total, and the knee says when
+    growing the vocabulary stops paying.
+
+    Scale shape: training is ``bpe_train``'s vocabulary-collapsed
+    iteration (Heaps' law keeps the weighted word-vocab frame tiny);
+    application is per-PREFIX chains of the same JVM ``aggregate``
+    fold ``bpe_apply`` ships, evaluated on the vocabulary frame and
+    weighted by word counts — so the measurement never re-scans the
+    corpus after the one word-count pass. All integer counts; the
+    fertility divide is one IEEE double division, engine-exact.
+
+    Returns one row per requested merge count: ``(n_merges,
+    total_words, total_tokens, fertility)``.
+    """
+    n_max = max(int(m) for m in merge_counts)
+    merges = bpe_train(
+        df, n_merges=n_max, text_col=text_col,
+        min_pair_count=min_pair_count,
+    )
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+    )
+    parts = []
+    for m in merge_counts:
+        expr = "syms"
+        for a, b in merges[: int(m)]:
+            expr = _merge_fold_sql(expr, a, b)
+        parts.append(
+            words.select(F.expr(expr).alias("toks"), "n")
+            .agg(
+                F.sum("n").cast("bigint").alias("total_words"),
+                F.sum(F.col("n") * F.size("toks"))
+                .cast("bigint")
+                .alias("total_tokens"),
+            )
+            .select(
+                F.lit(int(m)).cast("bigint").alias("n_merges"),
+                "total_words",
+                "total_tokens",
+                F.round(
+                    F.col("total_tokens").cast("double")
+                    / F.col("total_words").cast("double"),
+                    6,
+                ).alias("fertility"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("n_merges")
+
+
 def dup_span_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -1390,3 +1390,36 @@ def test_hard_negative_mining_hand_anchored(spark):
     # right cluster {1, 3} is all-C: no rows for either anchor
     assert set(per_anchor) == {0, 2}
     assert per_anchor[0] == (2, "B") and per_anchor[2] == (0, "A")
+
+
+def test_bpe_fertility_hand_anchored(spark):
+    """Worked example pinning bpe_fertility_curve's MEANING (not just
+    engine parity): corpus = 'aaab' x3 + 'ab' x1. Merge 1 is (a,a)
+    (weighted count 6 beats (a,b)'s 4); greedy fold gives aaab ->
+    [aa,a,b] (the merged token does NOT cascade — (aa,a) is not a
+    rule). Merge 2 is (a,b) (count 4 beats (aa,a)'s 3): aaab ->
+    [aa,ab], ab -> [ab]. Fertility: 14/4 -> 11/4 -> 7/4."""
+    from data_pipeline_ine_spark.operators.text import (
+        bpe_fertility_curve,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    assert bpe_train(df, 2) == [("a", "a"), ("a", "b")]
+    rows = [
+        (r.n_merges, r.total_words, r.total_tokens, r.fertility)
+        for r in bpe_fertility_curve(df, merge_counts=(0, 1, 2)).collect()
+    ]
+    assert rows == [(0, 4, 14, 3.5), (1, 4, 11, 2.75), (2, 4, 7, 1.75)]
+
+    # early stop: no pair reaches min_pair_count -> the curve is FLAT
+    # (requested rungs still emit rows, the token total never changes)
+    flat = [
+        r.total_tokens
+        for r in bpe_fertility_curve(
+            df, merge_counts=(0, 5), min_pair_count=100
+        ).collect()
+    ]
+    assert flat == [14, 14]

@@ -773,3 +773,137 @@ def test_near_dup_filter_self_earlier_id_wins_and_threshold_boundary(spark):
         ).collect()
     )
     assert kept_strict == [1, 2, 3]
+
+
+def _boundary_fixture(spark):
+    """Two well-separated 2-D clusters with ONE near-dup pair straddling
+    the boundary: ids 0/1 seed the two cells, ids 2/3 sit just either
+    side of the diagonal with cosine(2,3) ~ 0.99920 — above tau=0.99
+    while every other pair is far below (max ~0.7212). After one Lloyd
+    iteration the centroids are [2.45, 7.55] / [7.55, 2.45], so 2
+    assigns to cell 0 and 3 to cell 1: single-probe blocking never
+    tests the pair; 2-probe does."""
+    return spark.createDataFrame(
+        [
+            (0, [0.0, 10.0], "A"),
+            (1, [10.0, 0.0], "B"),
+            (2, [4.9, 5.1], "A"),
+            (3, [5.1, 4.9], "B"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+
+
+def test_semantic_dedup_multiprobe_catches_boundary_pair(spark):
+    """Hand-anchored meaning pin (the r9/r10 review lesson: oracle
+    parity is blind to both-sides bugs): the boundary near-dup pair
+    (2, 3) survives single-probe SemDeDup INTACT (the documented blind
+    spot) and multi-probe n_probe=2 drops exactly the later id 3 —
+    earlier-id-wins preserved across the boundary."""
+    from data_pipeline_ine_spark.operators.similarity import semantic_dedup
+
+    df = _boundary_fixture(spark)
+    kept_1 = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, tau=0.99, n_clusters=2, iters=1).collect()
+    )
+    assert kept_1 == [0, 1, 2, 3]  # blind spot: both boundary dups kept
+    kept_2 = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, tau=0.99, n_clusters=2, iters=1, n_probe=2
+        ).collect()
+    )
+    assert kept_2 == [0, 1, 2]  # pair tested across the boundary, 3 drops
+    # kept rows still carry the PRIMARY cell assignment
+    prim = {
+        r.vec_id: r.cluster
+        for r in semantic_dedup(
+            df, tau=0.99, n_clusters=2, iters=1, n_probe=2
+        ).collect()
+    }
+    assert prim[2] != prim[1] and prim[0] == prim[2]
+
+
+def test_semantic_dedup_recall_hand_anchored(spark):
+    """The recall curve on the boundary fixture: exactly ONE exact
+    >=tau pair exists, single-probe covers none of it (recall 0.0),
+    2-probe covers all of it (recall 1.0) — the measured version of
+    the blind spot semantic_dedup's docstring asserts."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        semantic_dedup_recall,
+    )
+
+    df = _boundary_fixture(spark)
+    rows = {
+        (r.n_clusters, r.n_probe): r
+        for r in semantic_dedup_recall(
+            df, tau=0.99, n_clusters_list=(2,), n_probes=(1, 2), iters=1
+        ).collect()
+    }
+    assert rows[(2, 1)].exact_pairs == 1
+    assert rows[(2, 1)].covered_pairs == 0
+    assert rows[(2, 1)].recall == 0.0
+    assert rows[(2, 2)].covered_pairs == 1
+    assert rows[(2, 2)].recall == 1.0
+
+
+def test_hard_negative_mining_multiprobe_finds_cross_cluster_negative(spark):
+    """Anchor 2 (label A) shares its primary cell only with same-label
+    id 0, so single-probe mining emits NOTHING for it — its true hard
+    negative (id 3, cosine ~0.9992) sits just across the boundary.
+    n_probe=2 probes the second cell and surfaces id 3 at rank 1,
+    with the far negative id 1 behind it."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    df = _boundary_fixture(spark)
+    single = hard_negative_mining(df, k=2, ivf_clusters=2, ivf_iters=1)
+    assert single.filter(F.col("vec_id") == 2).count() == 0
+    multi = hard_negative_mining(
+        df, k=2, ivf_clusters=2, ivf_iters=1, n_probe=2
+    )
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in multi.filter(F.col("vec_id") == 2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(3, 1), (1, 2)]
+    # candidates stay in their primary cell: no (anchor, neighbor)
+    # pair is emitted twice even though anchors probe two cells
+    assert (
+        multi.groupBy("vec_id", "neighbor_id").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_knn_graph_memo_evicts_dead_application_entries(spark):
+    """ADVICE r10: inserting under a live applicationId drops memo
+    entries keyed by any OTHER applicationId (stopped-session frames
+    hold dead JVM refs), and the scoped graph_memo_disabled() context
+    manager restores the audit flag even on error."""
+    import pytest
+
+    from data_pipeline_ine_spark.operators import similarity as S
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    S._KNN_GRAPH_MEMO.clear()
+    S._KNN_GRAPH_MEMO[("dead-app-id", "stale", 5)] = object()
+    out = S.knn_join_blocked(emb, k=2, ivf_clusters=4, memo_key="evict-t")
+    assert out.count() > 0
+    live_app = spark.sparkContext.applicationId
+    assert all(k[0] == live_app for k in S._KNN_GRAPH_MEMO)
+    assert len(S._KNN_GRAPH_MEMO) == 1
+
+    assert S.GRAPH_MEMO_DISABLED is False
+    with pytest.raises(RuntimeError):
+        with S.graph_memo_disabled():
+            assert S.GRAPH_MEMO_DISABLED is True
+            raise RuntimeError("boom")
+    assert S.GRAPH_MEMO_DISABLED is False
+    S._KNN_GRAPH_MEMO.clear()

@@ -2333,3 +2333,23 @@ def test_knn_graph_memo_shares_one_materialized_graph(spark, sf_dir):
     g3 = S.knn_join_blocked(emb, k=3, memo_key=key)
     assert g3 is not g1
     S._KNN_GRAPH_MEMO.clear()
+
+
+def test_curation_v3_composes_without_barriers(spark, sf_dir):
+    """The composed r10-gate stack (gopher -> LM gate -> decontam ->
+    DSIR -> chunking) must stay ONE declarative plan: no cartesian or
+    non-equi fallback anywhere, no Python in the hot path, and exactly
+    ONE range exchange — dsir_select's two-pass cumulative sum, the
+    single documented materialization point (plus the frozen LM's O(1)
+    totals). Every gate composes as a semi-join of per-doc flags, so
+    the corpus is never collected or pairwise-joined between stages."""
+    plan = explain_str(
+        contract.queries()["curation_v3"](spark, sf_dir), mode="simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    # the chunk explode sits ABOVE the DSIR budget filter: chunking
+    # only ever runs on selected documents
+    assert "Generate explode" in plan, plan

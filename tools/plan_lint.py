@@ -78,6 +78,10 @@ BNLJ_ALLOWED = {
     "feature_mi": "1-row totals frame over the (x,y) cell grain",
     "gini_split": "1-row class-totals frame over <=64 log2 buckets",
     "pq_recall_curve": "n_queries-row broadcast + <=|ks|-row k frame",
+    "semdedup_recall": "exact >=tau ground-truth pair self-join — the "
+    "measurement tier the cluster-blocked dedup is priced against "
+    "(run on a sample at scale); every per-config coverage pass after "
+    "it is an equi-join",
     "l_diversity": "1-row min-l frame over the diversity histogram",
     "doc_keywords": "1-row corpus doc-count frame (idf)",
     "binseg_split": "1-row total-moments frame over the calendar grain",
