@@ -104,6 +104,14 @@ HEAVY = [
     # r10: the new exact-pairwise mining query (sigma block^2 by
     # design, ~9 s at sf0.1 — the knn_ivf_blocked cost class)
     "hard_negatives",
+    # r11: the boundary-closure wave — semdedup_recall carries the
+    # deliberately quadratic exact-pair ground truth (pq_recall_curve's
+    # cost class), the two multi-probe variants pay n_probe x sigma
+    # block^2, and curation_v3 chains five corpus passes in one plan
+    "semdedup_recall",
+    "semantic_dedup_mp",
+    "hard_negatives_mp",
+    "curation_v3",
 ]
 
 
