@@ -12766,6 +12766,109 @@ FROM chunks GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Round 11 — 1-bit binary quantization: the ladder's bottom rung (8 B/vec,
+# Hamming shortlist + exact rescore — the vector-DB "BQ + rescore" pattern).
+# ---------------------------------------------------------------------------
+def q_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary serving (operators/similarity.py::
+    binary_topk_rerank): one sign bit per dimension against the
+    per-dim (min+max)/2 midpoint, packed into 32-bit words inside
+    BIGINTs — 8 bytes per 64-dim vector, 32x below float32 — ranked
+    by bit_count(XOR) per word (integer, whole-stage-codegen
+    SIMD-class), Hamming shortlist of 50, exact cosine rescore to
+    top-10. The corpus pass never touches a float."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        binary_topk_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return binary_topk_rerank(emb, qvec, k=10, shortlist=50)
+
+
+_BQ_CODES_CTE = """mids AS (
+  SELECT g.d AS d, (MIN(v[g.d]) + MAX(v[g.d])) / 2.0 AS mid
+  FROM e, generate_series(1, 64) AS g(d) GROUP BY 1
+), codes AS (
+  SELECT vec_id, v,
+    CAST(SUM(CASE WHEN m.d <= 32 AND v[m.d] > m.mid
+             THEN 1::BIGINT << (m.d - 1) ELSE 0::BIGINT END) AS BIGINT) AS w1,
+    CAST(SUM(CASE WHEN m.d > 32 AND v[m.d] > m.mid
+             THEN 1::BIGINT << (m.d - 33) ELSE 0::BIGINT END) AS BIGINT) AS w2
+  FROM e, mids m GROUP BY vec_id, v
+), q AS (SELECT v AS qv, w1 AS qw1, w2 AS qw2 FROM codes WHERE vec_id = 0)"""
+
+ORACLE_ANN_BINARY_RERANK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_BQ_CODES_CTE},
+short AS (
+  SELECT c.vec_id, c.v,
+    CAST(bit_count(xor(c.w1, q.qw1)) + bit_count(xor(c.w2, q.qw2))
+         AS BIGINT) AS hamming
+  FROM codes c, q
+  ORDER BY hamming, c.vec_id LIMIT 50
+)
+SELECT vec_id, hamming,
+  ROUND(list_dot_product(v, qv)
+        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+        6) AS cosine_sim
+FROM short, q
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_binary_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescore-budget curve for the binary rung (operators/similarity
+    .py::binary_recall_curve): recall@10 of Hamming-shortlist + exact
+    rescore vs global exact cosine at shortlist sizes {10,25,50,100} —
+    the knob a binary-quantized serving tier tunes, completing the
+    measured accuracy ladder downward: flat probes (ivf_recall_curve),
+    SQ8 grid, PQ codes, and now sign bits. The Hamming ranking is
+    computed once; every smaller budget is a prefix."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        binary_recall_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return binary_recall_curve(emb, qvec, shortlists=(10, 25, 50, 100), k=10)
+
+
+def _binary_recall_oracle(shortlists=(10, 25, 50, 100), k: int = 10) -> str:
+    cos = (
+        "ROUND(list_dot_product(c.v, q.qv)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    head = f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_BQ_CODES_CTE},
+ranked AS MATERIALIZED (
+  SELECT c.vec_id, {cos} AS cos,
+    ROW_NUMBER() OVER (
+      ORDER BY bit_count(xor(c.w1, q.qw1)) + bit_count(xor(c.w2, q.qw2)),
+               c.vec_id) AS pos
+  FROM codes c, q
+), exact AS MATERIALIZED (
+  SELECT c.vec_id FROM codes c, q ORDER BY {cos} DESC, c.vec_id LIMIT {k}
+)"""
+    selects = []
+    for s in shortlists:
+        selects.append(f"""SELECT CAST({s} AS BIGINT) AS shortlist, CAST({k} AS BIGINT) AS k,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+     SELECT vec_id FROM ranked WHERE pos <= {s}
+     ORDER BY cos DESC, vec_id LIMIT {k}) a
+   JOIN exact USING (vec_id)) AS hits,
+  ROUND(CAST((SELECT COUNT(*) FROM (
+     SELECT vec_id FROM ranked WHERE pos <= {s}
+     ORDER BY cos DESC, vec_id LIMIT {k}) a
+   JOIN exact USING (vec_id)) AS DOUBLE) / {float(k)}, 6) AS recall""")
+    return head + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY shortlist"
+
+
+ORACLE_BINARY_RECALL_CURVE = _binary_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -12824,6 +12927,8 @@ _CHECK_ORDER = [
     "value_drift",
     "video_frame_stats",
     "video_signature",
+    "ann_binary_rerank",
+    "binary_recall_curve",
     "bpe_fertility",
     "curation_v3",
     "hard_negatives_mp",
@@ -13378,6 +13483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_mp": q_hard_negatives_mp,
         "bpe_fertility": q_bpe_fertility,
         "curation_v3": q_curation_v3,
+        "ann_binary_rerank": q_ann_binary_rerank,
+        "binary_recall_curve": q_binary_recall_curve,
     })
 
 
@@ -13670,4 +13777,6 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_mp": ORACLE_HARD_NEGATIVES_MP,
         "bpe_fertility": ORACLE_BPE_FERTILITY,
         "curation_v3": ORACLE_CURATION_V3,
+        "ann_binary_rerank": ORACLE_ANN_BINARY_RERANK,
+        "binary_recall_curve": ORACLE_BINARY_RECALL_CURVE,
     })

@@ -1265,6 +1265,190 @@ def semantic_dedup_recall(
     return out.orderBy("n_clusters", "n_probe")
 
 
+# --- 1-bit binary quantization (Hamming shortlist + exact rescore) ---------
+#
+# The quantization ladder's bottom rung: one SIGN BIT per dimension
+# against the per-dim (min+max)/2 midpoint — 8 bytes per 64-dim vector,
+# 32x below float32, 8x below SQ8. Codes pack into 32-bit words inside
+# BIGINTs, so candidate ranking is bit_count(XOR) per word — integer,
+# engine-exact, SIMD-class inside whole-stage codegen. Serving is the
+# modern vector-DB "binary quantization + rescore" pattern: Hamming
+# shortlist over the packed codes, exact cosine only over the
+# shortlist; binary_recall_curve measures the rescore budget this
+# actually needs (the same measure-don't-guess discipline as
+# ivf/pq/sq8_recall_curve).
+
+_BQ_WORD_BITS = 32
+
+
+def binary_midpoints(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension (min+max)/2 thresholds — order-invariant (MIN/MAX
+    are exact, one correctly-rounded add + an exact halving), the same
+    determinism trick as SQ8's affine bounds; O(dim) scalars to the
+    driver."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min("x").cast("double").alias("lo"),
+            F.max("x").cast("double").alias("hi"),
+        )
+        .collect()
+    )
+    by_d = {int(r.d): (float(r.lo) + float(r.hi)) / 2.0 for r in rows}
+    return [by_d[d] for d in sorted(by_d)]
+
+
+def _bq_word_cols(vec_col: str, mids: list[float]) -> list[Column]:
+    """Packed sign-bit words: word w holds dims [32w, 32w+32) as bits
+    0..31 of a BIGINT — no bit ever reaches position 63, so the sum
+    never overflows and XOR/bit_count stay in non-negative space."""
+    words = []
+    n = len(mids)
+    for w in range((n + _BQ_WORD_BITS - 1) // _BQ_WORD_BITS):
+        expr = F.lit(0).cast("long")
+        for i in range(w * _BQ_WORD_BITS, min(n, (w + 1) * _BQ_WORD_BITS)):
+            bit = F.when(
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                > F.lit(float(mids[i])),
+                F.lit(1 << (i - w * _BQ_WORD_BITS)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            expr = expr + bit
+        words.append(expr)
+    return words
+
+
+def _bq_query_words(query_vec: "Sequence[float]", mids: list[float]) -> list[int]:
+    words = []
+    n = len(mids)
+    for w in range((n + _BQ_WORD_BITS - 1) // _BQ_WORD_BITS):
+        acc = 0
+        for i in range(w * _BQ_WORD_BITS, min(n, (w + 1) * _BQ_WORD_BITS)):
+            if float(query_vec[i]) > mids[i]:
+                acc |= 1 << (i - w * _BQ_WORD_BITS)
+        words.append(acc)
+    return words
+
+
+def binary_topk_rerank(
+    df: DataFrame,
+    query_vec: "Sequence[float]",
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage binary serving: Hamming-rank the packed sign-bit codes
+    against the query's code (ties by id — a total order), keep the
+    ``shortlist`` nearest, exact-cosine rerank to the final top-``k``.
+    The corpus-wide pass touches 8 bytes/vector of integer math; exact
+    float work is O(shortlist). Returns (id_col, hamming, cosine_sim)
+    ranked by the rounded-cosine + id order every serving oracle pins.
+    """
+    mids = binary_midpoints(df, vec_col)
+    qwords = _bq_query_words(query_vec, mids)
+    words = _bq_word_cols(vec_col, mids)
+    ham = None
+    for wc, qw in zip(words, qwords):
+        t = F.bit_count(wc.bitwiseXOR(F.lit(int(qw)).cast("long")))
+        ham = t if ham is None else ham + t
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    short = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(int(shortlist))
+    )
+    return (
+        short.select(
+            id_col,
+            "hamming",
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def binary_recall_curve(
+    df: DataFrame,
+    query_vec: "Sequence[float]",
+    shortlists: "Sequence[int]" = (10, 25, 50, 100),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of Hamming-shortlist + exact rescore vs global exact
+    cosine, as a function of the rescore budget — the bottom rung of
+    the accuracy ladder's evidence (flat probes / SQ8 grid / PQ codes /
+    sign bits), and the knob a binary-quantized serving tier actually
+    tunes: how many candidates must the exact pass rescore before
+    recall saturates. One midpoint aggregate serves every budget; the
+    largest shortlist's Hamming ranking is computed once and every
+    smaller budget is a prefix of it."""
+    mids = binary_midpoints(df, vec_col)
+    qwords = _bq_query_words(query_vec, mids)
+    words = _bq_word_cols(vec_col, mids)
+    ham = None
+    for wc, qw in zip(words, qwords):
+        t = F.bit_count(wc.bitwiseXOR(F.lit(int(qw)).cast("long")))
+        ham = t if ham is None else ham + t
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    ranked = (
+        df.select(
+            F.col(id_col),
+            ham.cast("bigint").alias("_ham"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("_cos"),
+        )
+        .orderBy(F.asc("_ham"), F.asc(id_col))
+        .limit(int(max(shortlists)))
+    )
+    if not GRAPH_MEMO_DISABLED:
+        ranked = ranked.localCheckpoint(eager=False)
+    exact_ids = brute_force_topk(
+        df, query_vec, k=k, vec_col=vec_col, id_col=id_col
+    ).select(id_col)
+    from pyspark.sql.window import Window
+
+    pos = ranked.withColumn(
+        "_pos",
+        F.row_number().over(
+            # max(shortlists)-row frame: bounded by the largest budget,
+            # never data-sized
+            Window.orderBy(F.asc("_ham"), F.asc(id_col))
+        ),
+    )
+    parts = []
+    for s in shortlists:
+        approx = (
+            pos.filter(F.col("_pos") <= int(s))
+            .orderBy(F.desc("_cos"), F.asc(id_col))
+            .limit(int(k))
+            .select(id_col)
+        )
+        parts.append(
+            approx.join(exact_ids, id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+            .select(
+                F.lit(int(s)).cast("bigint").alias("shortlist"),
+                F.lit(int(k)).cast("bigint").alias("k"),
+                "hits",
+                F.round(
+                    F.col("hits").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("shortlist")
+
+
 # --- Random projection (Johnson–Lindenstrauss), integer-deterministic ------
 
 RP_MOD = 65536

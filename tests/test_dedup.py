@@ -907,3 +907,51 @@ def test_knn_graph_memo_evicts_dead_application_entries(spark):
             raise RuntimeError("boom")
     assert S.GRAPH_MEMO_DISABLED is False
     S._KNN_GRAPH_MEMO.clear()
+
+
+def test_binary_quantization_hand_anchored(spark):
+    """Worked example pinning the packed sign-bit codes and Hamming
+    serving: 3-dim vectors, per-dim midpoints (min+max)/2 = (1.0, 1.0,
+    1.0); codes (bits dim0..2) — v0 [2,0,2] -> 0b101=5, v1 [0,2,2] ->
+    0b110=6, v2 [2,2,0] -> 0b011=3, v3 [.5,.5,.5] -> 0. Query = v0:
+    Hamming 0/2/2/2 with id tiebreak, so shortlist=3 keeps {0,1,2} and
+    v3 (Hamming 2, id 3) is cut DESPITE being the best cosine after the
+    query itself (2/sqrt(6) ~ 0.8165 > 0.5) — exactly the shortlist
+    miss the recall curve prices: budget 1 rescoring only v0 gives
+    recall 0.5 vs the exact top-2 {0, 3}; budget 4 (= corpus) recovers
+    it at 1.0."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        binary_midpoints,
+        binary_recall_curve,
+        binary_topk_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [2.0, 0.0, 2.0]),
+            (1, [0.0, 2.0, 2.0]),
+            (2, [2.0, 2.0, 0.0]),
+            (3, [0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    assert binary_midpoints(df) == [1.0, 1.0, 1.0]
+    got = [
+        (r.vec_id, r.hamming, r.cosine_sim)
+        for r in binary_topk_rerank(
+            df, [2.0, 0.0, 2.0], k=3, shortlist=3
+        ).collect()
+    ]
+    # shortlist {0,1,2} by (hamming, id); rescore: cos(v0,v0)=1,
+    # cos(v0,v1)=4/8=0.5, cos(v0,v2)=4/8=0.5 (id tiebreak 1 before 2)
+    assert got == [(0, 0, 1.0), (1, 2, 0.5), (2, 2, 0.5)]
+
+    curve = {
+        r.shortlist: r.recall
+        for r in binary_recall_curve(
+            df, [2.0, 0.0, 2.0], shortlists=(1, 4), k=2
+        ).collect()
+    }
+    # budget 1: only v0 rescored -> 1 of the exact top-2 -> 0.5;
+    # budget 4 (= corpus): rescore everything -> exact -> 1.0
+    assert curve == {1: 0.5, 4: 1.0}

@@ -112,6 +112,9 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "lag_daily_delta": "calendar-grain daily series (<=|days| rows)",
     "negative_samples": "broadcast-sized catalog rank index (the same "
     "frame is broadcast-joined right after)",
+    "binary_recall_curve": "row_number over the <=max(shortlist)-row "
+    "Hamming-ranked frame (every budget is a prefix of one bounded "
+    "TakeOrdered result)",
     "ra_link_prediction": "row_number over the TakeOrdered top-20 frame",
     "sprt_ab": "calendar-grain daily sequence (<=|days| rows)",
     "theil_sen_trend": "calendar-grain day-pair series",
