@@ -12869,6 +12869,98 @@ ORACLE_BINARY_RECALL_CURVE = _binary_recall_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Round 11 — Matryoshka prefix-dimension serving: the DIMENSION axis of the
+# ladder (truncate components), orthogonal to the precision axis (SQ8/PQ/
+# binary truncate bits).
+# ---------------------------------------------------------------------------
+def q_ann_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage serving (operators/similarity.py::
+    prefix_dim_topk_rerank): first-pass cosine over the FIRST 16 of 64
+    components (4x less vector payload scanned; at 100 TB the prefix
+    is its own stored column and full vectors are fetched only for the
+    shortlist), shortlist 50, exact full-dim rescore to top-10."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        prefix_dim_topk_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return prefix_dim_topk_rerank(emb, qvec, k=10, shortlist=50,
+                                  prefix_dims=16)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+ORACLE_ANN_PREFIX_RERANK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+short AS (
+  SELECT e.vec_id, e.v, {_sql_cos('e.v[1:16]', 'q.qv[1:16]')} AS prefix_sim
+  FROM e, q
+  ORDER BY prefix_sim DESC, e.vec_id LIMIT 50
+)
+SELECT vec_id, prefix_sim, {_sql_cos('short.v', 'q.qv')} AS cosine_sim
+FROM short, q
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_prefix_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall curve (operators/similarity.py::
+    prefix_dim_recall_curve): recall@10 of prefix-cosine shortlist-50
+    + exact rescore at prefix {8,16,32,64} of 64 dims — how many
+    leading components the first pass needs before the shortlist stops
+    losing true neighbors; prefix=64 makes the first pass exact, so
+    the curve ends at 1.0 by construction (built-in sanity anchor)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        prefix_dim_recall_curve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return prefix_dim_recall_curve(
+        emb, qvec, prefixes=(8, 16, 32, 64), k=10, shortlist=50
+    )
+
+
+def _prefix_recall_oracle(prefixes=(8, 16, 32, 64), k: int = 10,
+                          shortlist: int = 50) -> str:
+    head = f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact AS MATERIALIZED (
+  SELECT e.vec_id FROM e, q
+  ORDER BY {_sql_cos('e.v', 'q.qv')} DESC, e.vec_id LIMIT {k}
+)"""
+    selects = []
+    for p in prefixes:
+        selects.append(f"""SELECT CAST({p} AS BIGINT) AS prefix_dims, CAST({k} AS BIGINT) AS k,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+     SELECT s.vec_id FROM (
+       SELECT e.vec_id, e.v FROM e, q
+       ORDER BY {_sql_cos(f'e.v[1:{p}]', f'q.qv[1:{p}]')} DESC, e.vec_id
+       LIMIT {shortlist}) s, q
+     ORDER BY {_sql_cos('s.v', 'q.qv')} DESC, s.vec_id LIMIT {k}) a
+   JOIN exact USING (vec_id)) AS hits,
+  ROUND(CAST((SELECT COUNT(*) FROM (
+     SELECT s.vec_id FROM (
+       SELECT e.vec_id, e.v FROM e, q
+       ORDER BY {_sql_cos(f'e.v[1:{p}]', f'q.qv[1:{p}]')} DESC, e.vec_id
+       LIMIT {shortlist}) s, q
+     ORDER BY {_sql_cos('s.v', 'q.qv')} DESC, s.vec_id LIMIT {k}) a
+   JOIN exact USING (vec_id)) AS DOUBLE) / {float(k)}, 6) AS recall""")
+    return head + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY prefix_dims"
+
+
+ORACLE_PREFIX_RECALL_CURVE = _prefix_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -12928,10 +13020,12 @@ _CHECK_ORDER = [
     "video_frame_stats",
     "video_signature",
     "ann_binary_rerank",
+    "ann_prefix_rerank",
     "binary_recall_curve",
     "bpe_fertility",
     "curation_v3",
     "hard_negatives_mp",
+    "prefix_recall_curve",
     "semantic_dedup_mp",
     "semdedup_recall",
     "ab_test_chisq",
@@ -13485,6 +13579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v3": q_curation_v3,
         "ann_binary_rerank": q_ann_binary_rerank,
         "binary_recall_curve": q_binary_recall_curve,
+        "ann_prefix_rerank": q_ann_prefix_rerank,
+        "prefix_recall_curve": q_prefix_recall_curve,
     })
 
 
@@ -13779,4 +13875,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_v3": ORACLE_CURATION_V3,
         "ann_binary_rerank": ORACLE_ANN_BINARY_RERANK,
         "binary_recall_curve": ORACLE_BINARY_RECALL_CURVE,
+        "ann_prefix_rerank": ORACLE_ANN_PREFIX_RERANK,
+        "prefix_recall_curve": ORACLE_PREFIX_RECALL_CURVE,
     })

@@ -1449,6 +1449,112 @@ def binary_recall_curve(
     return out.orderBy("shortlist")
 
 
+# --- Matryoshka prefix-dimension serving (truncate + rescore) --------------
+
+
+def prefix_dim_topk_rerank(
+    df: DataFrame,
+    query_vec: "Sequence[float]",
+    k: int = 10,
+    shortlist: int = 50,
+    prefix_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style two-stage serving (Kusupati et al. 2022 MRL —
+    and the truncation trick production retrieval applies even to
+    non-MRL embeddings): first-pass cosine over only the FIRST
+    ``prefix_dims`` components (a ``slice`` — the scan reads 4x less
+    vector payload at 16/64 dims, and at 100 TB the prefix can be
+    STORED as its own narrow column so the full vectors are only
+    fetched for the shortlist), shortlist the best, exact full-dim
+    rerank to top-``k``. The dimension axis of the serving ladder,
+    orthogonal to the precision axis (SQ8/PQ/binary): truncate
+    components vs truncate bits. Returns (id, prefix_sim, cosine_sim)
+    in the rounded-cosine + id order all serving oracles pin."""
+    p = int(prefix_dims)
+    qp = F.array(*[F.lit(float(x)) for x in query_vec[:p]])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pref = F.slice(F.col(vec_col), 1, p)
+    short = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(cosine(pref, qp), 6).alias("prefix_sim"),
+        )
+        .orderBy(F.desc("prefix_sim"), F.asc(id_col))
+        .limit(int(shortlist))
+    )
+    return (
+        short.select(
+            id_col,
+            "prefix_sim",
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def prefix_dim_recall_curve(
+    df: DataFrame,
+    query_vec: "Sequence[float]",
+    prefixes: "Sequence[int]" = (8, 16, 32, 64),
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of prefix-dimension shortlist + exact rescore vs global
+    exact cosine, per prefix length — how many leading components the
+    first pass needs before the shortlist stops losing true neighbors
+    (at prefix = full dims the first pass IS exact, so the curve ends
+    at 1.0 by construction whenever shortlist >= k: a built-in sanity
+    anchor). One exact top-k serves every prefix; each prefix pays one
+    sliced narrow scan."""
+    exact_ids = brute_force_topk(
+        df, query_vec, k=k, vec_col=vec_col, id_col=id_col
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    parts = []
+    for p in prefixes:
+        qp = F.array(*[F.lit(float(x)) for x in query_vec[: int(p)]])
+        pref = F.slice(F.col(vec_col), 1, int(p))
+        short = (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.round(cosine(pref, qp), 6).alias("_ps"),
+            )
+            .orderBy(F.desc("_ps"), F.asc(id_col))
+            .limit(int(shortlist))
+        )
+        approx = (
+            short.select(
+                id_col, F.round(cosine(F.col(vec_col), q), 6).alias("_cs")
+            )
+            .orderBy(F.desc("_cs"), F.asc(id_col))
+            .limit(int(k))
+            .select(id_col)
+        )
+        parts.append(
+            approx.join(exact_ids, id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+            .select(
+                F.lit(int(p)).cast("bigint").alias("prefix_dims"),
+                F.lit(int(k)).cast("bigint").alias("k"),
+                "hits",
+                F.round(
+                    F.col("hits").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy("prefix_dims")
+
+
 # --- Random projection (Johnson–Lindenstrauss), integer-deterministic ------
 
 RP_MOD = 65536

@@ -955,3 +955,44 @@ def test_binary_quantization_hand_anchored(spark):
     # budget 1: only v0 rescored -> 1 of the exact top-2 -> 0.5;
     # budget 4 (= corpus): rescore everything -> exact -> 1.0
     assert curve == {1: 0.5, 4: 1.0}
+
+
+def test_prefix_dim_rerank_hand_anchored(spark):
+    """Worked example pinning the Matryoshka two-stage semantics: v1's
+    2-dim PREFIX is perfectly aligned with the query (prefix cosine
+    1.0) but its full vector is orthogonal (cosine 0.0), while v2 is
+    the true neighbor (full cosine ~0.8165) with a weaker prefix
+    (~0.7071). With prefix=2 and shortlist=2 the first pass admits
+    {0, 1} (prefix tie 1.0, id order) and the true neighbor v2 never
+    reaches the rescore — recall@2 = 0.5; prefix=4 makes the first
+    pass exact and recovers 1.0. This is exactly the truncation risk
+    prefix_dim_recall_curve measures (on non-MRL embeddings leading
+    dims carry no privileged information)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        prefix_dim_recall_curve,
+        prefix_dim_topk_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 1.0, 0.0]),
+            (1, [2.0, 0.0, -2.0, 0.0]),
+            (2, [1.0, 1.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = [1.0, 0.0, 1.0, 0.0]
+    got = [
+        (r.vec_id, r.prefix_sim, r.cosine_sim)
+        for r in prefix_dim_topk_rerank(
+            df, q, k=2, shortlist=2, prefix_dims=2
+        ).collect()
+    ]
+    assert got == [(0, 1.0, 1.0), (1, 1.0, 0.0)]
+    curve = {
+        r.prefix_dims: r.recall
+        for r in prefix_dim_recall_curve(
+            df, q, prefixes=(2, 4), k=2, shortlist=2
+        ).collect()
+    }
+    assert curve == {2: 0.5, 4: 1.0}
