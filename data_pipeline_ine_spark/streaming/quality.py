@@ -178,6 +178,49 @@ def stream_lm_gate(
     )
 
 
+def stream_gopher_gate(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top2_max_pct: int = 5,
+    dup3_max_pct: int = 2,
+):
+    """Streaming twin of the Gopher repetition gate (operators/text.py
+    ::gopher_repetition — the ``stream_lm_gate`` discipline applied to
+    the repetition rules): every micro-batch's documents are flagged by
+    the SAME pure per-document function the batch contract row runs, so
+    stream output == batch output on the same files by construction
+    (the gate needs no corpus state at all — both n-gram aggregates are
+    doc-keyed, making this the cheapest gate to run on the firehose).
+    Kept documents land under ``out_dir/batch_id=N/``, idempotent per
+    batch id (replays overwrite their own partition, never duplicate).
+    """
+    from data_pipeline_ine_spark.operators.text import gopher_repetition
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replayed batch already committed
+        flags = gopher_repetition(
+            batch_df, text_col=text_col, id_col=id_col,
+            top2_max_pct=top2_max_pct, dup3_max_pct=dup3_max_pct,
+        )
+        kept = batch_df.join(
+            flags.filter(F.col("pass_repetition") == 1).select(id_col),
+            id_col,
+        )
+        kept.write.mode("overwrite").parquet(target)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintain_cusum_batch(
     batch: DataFrame,
     daily: DataFrame,

@@ -2008,3 +2008,76 @@ def test_stream_lm_gate_matches_batch_and_replays_idempotent(
     ).count()
     assert total_after == len(batch_kept)
     assert sorted(_os.listdir(b0)) == before
+
+
+def test_stream_gopher_gate_matches_batch_and_replays_idempotent(
+    spark, tmp_path
+):
+    """The streaming Gopher repetition gate (streaming/quality.py::
+    stream_gopher_gate): documents drained through the stream must be
+    EXACTLY the set the batch gate keeps on the same files (the gate
+    is per-document, so the twin is bit-equal by construction), a
+    looping document must drop, short varied documents must pass (the
+    r10 top>=2 guard), and a committed batch must not re-write on
+    replay."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.text import gopher_repetition
+    from data_pipeline_ine_spark.streaming.quality import stream_gopher_gate
+
+    loop = " ".join(["click here now"] * 20)           # top 2-gram loop: drop
+    varied = "the quick brown fox jumps over a lazy dog near the river bank"
+    short = "tiny doc"                                  # 1 bigram, occurs once: pass
+    incoming = [(1, varied), (2, loop), (3, short), (4, "")]
+    inc = spark.createDataFrame(incoming, "doc_id bigint, text string")
+
+    flags = gopher_repetition(inc)
+    batch_kept = sorted(
+        r.doc_id
+        for r in inc.join(
+            flags.filter(F.col("pass_repetition") == 1).select("doc_id"),
+            "doc_id",
+        ).collect()
+    )
+    assert batch_kept == [1, 3, 4]  # loop drops; short/empty pass by rule
+
+    land = tmp_path / "flat"
+    land.mkdir()
+    inc.filter(F.col("doc_id") <= 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "a"))
+    inc.filter(F.col("doc_id") > 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b"))
+    import shutil as _sh
+
+    for i, f in enumerate(
+        sorted((tmp_path / "a").glob("*.parquet"))
+        + sorted((tmp_path / "b").glob("*.parquet"))
+    ):
+        _sh.copy(f, land / f"{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    out_dir = str(tmp_path / "kept")
+    q = stream_gopher_gate(stream, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = spark.read.option("basePath", out_dir).parquet(
+        f"{out_dir}/batch_id=*"
+    )
+    assert sorted(r.doc_id for r in got.collect()) == batch_kept
+
+    import os as _os
+
+    b0 = f"{out_dir}/batch_id=0"
+    assert _os.path.exists(f"{b0}/_SUCCESS")
+    before = sorted(_os.listdir(b0))
+    total_after = spark.read.option("basePath", out_dir).parquet(
+        f"{out_dir}/batch_id=*"
+    ).count()
+    assert total_after == len(batch_kept)
+    assert sorted(_os.listdir(b0)) == before
