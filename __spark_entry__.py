@@ -12961,6 +12961,61 @@ ORACLE_PREFIX_RECALL_CURVE = _prefix_recall_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Round 11 — dup_span_scrub: exact duplicated-span dedup EXECUTED (the
+# rewrite dup_span_ratio only reports on).
+# ---------------------------------------------------------------------------
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup applied (operators/text.py::
+    dup_span_scrub — Lee et al.'s removal pass at the word-3-gram
+    grain): every token covered by a 3-gram occurring in >= 2 distinct
+    documents is dropped and the document reassembled from the
+    survivors in order; short docs pass untouched, all-boilerplate
+    docs scrub to ''. Spans shuffle as 48-bit hashes with positions;
+    the rewrite is one narrow indexed-lambda filter — doc bodies never
+    shuffle."""
+    from data_pipeline_ine_spark.operators.text import dup_span_scrub
+
+    docs = _docs_parallel(spark, sf_dir)
+    return dup_span_scrub(docs, k=3)
+
+
+ORACLE_DUP_SPAN_SCRUB = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, u.i AS i,
+    {_HEX12.format(h="md5(list_aggregate(ts[u.i:u.i+2], 'string_agg', ' '))")} AS h
+  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+), dup AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, u2.j
+  FROM grams g JOIN dup USING (h),
+       unnest(generate_series(g.i, g.i + 2)) AS u2(j)
+), removed AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM cov GROUP BY 1
+), idx AS (
+  SELECT doc_id, ts[u.j] AS tok, u.j AS j
+  FROM toks, unnest(generate_series(1, len(ts))) AS u(j)
+), scrubbed AS (
+  SELECT i.doc_id, string_agg(i.tok, ' ' ORDER BY i.j) AS txt
+  FROM idx i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov WHERE cov.doc_id = i.doc_id AND cov.j = i.j)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+  COALESCE(r.n_removed, 0) AS n_removed,
+  COALESCE(s.txt, '') AS scrubbed_text
+FROM toks t
+LEFT JOIN removed r USING (doc_id)
+LEFT JOIN scrubbed s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -13024,6 +13079,7 @@ _CHECK_ORDER = [
     "binary_recall_curve",
     "bpe_fertility",
     "curation_v3",
+    "dup_span_scrub",
     "hard_negatives_mp",
     "prefix_recall_curve",
     "semantic_dedup_mp",
@@ -13581,6 +13637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_recall_curve": q_binary_recall_curve,
         "ann_prefix_rerank": q_ann_prefix_rerank,
         "prefix_recall_curve": q_prefix_recall_curve,
+        "dup_span_scrub": q_dup_span_scrub,
     })
 
 
@@ -13877,4 +13934,5 @@ def oracle_sql() -> dict[str, str]:
         "binary_recall_curve": ORACLE_BINARY_RECALL_CURVE,
         "ann_prefix_rerank": ORACLE_ANN_PREFIX_RERANK,
         "prefix_recall_curve": ORACLE_PREFIX_RECALL_CURVE,
+        "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
     })

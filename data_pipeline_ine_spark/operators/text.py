@@ -1316,6 +1316,91 @@ def dup_span_stats(
     )
 
 
+def dup_span_scrub(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the executed counterpart of
+    ``dup_span_stats`` (Lee et al.'s exact-substring dedup actually
+    applied, at the word-k-gram grain): every token covered by a
+    ``k``-gram that also occurs in at least one OTHER document is
+    dropped, and the document is reassembled from the surviving tokens
+    in order. Tokenization is the corpus-wide ``WORD_PATTERN`` lower
+    grain (the gate/chunking surface, not ``dup_span_stats``'s raw
+    shingle grain — scrubbing must agree with the tokens downstream
+    operators count). Documents shorter than ``k`` tokens have no
+    spans and pass through untouched.
+
+    Returns ``(id_col, n_tokens, n_removed, scrubbed_text)`` with
+    ``scrubbed_text = ''`` when everything was duplicated (the
+    all-boilerplate case).
+
+    Scale shape: spans travel as 48-bit md5 folds with their 1-based
+    position; document frequency is one span-keyed aggregate, coverage
+    is the dup-span set equi-joined back and exploded to token indices
+    (≤ k rows per dup span), collected to a per-doc index SET (bounded
+    by doc length), and the rewrite is one narrow indexed-lambda
+    filter over the original token array — the doc bodies never
+    shuffle, only hashes and indices.
+    """
+    from .dedup import _hex12_to_long
+
+    arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    )
+    base = df.select(F.col(id_col), arr.alias("_ts")).select(
+        id_col, "_ts", F.size("_ts").alias("_n")
+    )
+    gram_arr = F.when(
+        F.col("_n") >= k,
+        F.expr(
+            f"transform(sequence(1, _n - {k - 1}),"
+            f" i -> concat_ws(' ', slice(_ts, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        base.select(
+            F.col(id_col), F.posexplode(gram_arr).alias("_i0", "_g")
+        )
+        .select(
+            id_col,
+            (F.col("_i0") + 1).alias("_i"),
+            _hex12_to_long(F.md5(F.col("_g"))).alias("_h"),
+        )
+        # one materialized span table feeds BOTH the document-frequency
+        # aggregate and the coverage join (dup_span_stats's discipline)
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        grams.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("_h")
+    )
+    cov = (
+        grams.join(dup, "_h")
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(_i, _i + {k - 1})")).alias("_j"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_j").alias("_cov"))
+    )
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_ts"),
+        lambda x, i: ~F.array_contains(covered, (i + F.lit(1)).cast("int")),
+    )
+    return base.join(cov, id_col, "left").select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.size(covered).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )
+
+
 def chunk_documents_udtf(
     spark,
     df: DataFrame,

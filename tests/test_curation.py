@@ -1423,3 +1423,33 @@ def test_bpe_fertility_hand_anchored(spark):
         ).collect()
     ]
     assert flat == [14, 14]
+
+
+def test_dup_span_scrub_hand_anchored(spark):
+    """Worked example pinning dup_span_scrub's MEANING: docs 1 and 2
+    share exactly one 3-gram ('alpha beta gamma'), so precisely its
+    three covered tokens are removed from BOTH and the unique tails
+    survive in order; a fully-unique doc and a doc shorter than k pass
+    untouched; two identical docs scrub to '' (the all-boilerplate
+    case, n_removed == n_tokens)."""
+    from data_pipeline_ine_spark.operators.text import dup_span_scrub
+
+    rows = [
+        (1, "alpha beta gamma delta unique one"),
+        (2, "alpha beta gamma other words here"),
+        (3, "totally different content entirely now yes"),
+        (4, "xy"),
+        (5, "copy pasted boiler plate"),
+        (6, "copy pasted boiler plate"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+        for r in dup_span_scrub(df, k=3).collect()
+    }
+    assert got[1] == (6, 3, "delta unique one")
+    assert got[2] == (6, 3, "other words here")
+    assert got[3] == (6, 0, "totally different content entirely now yes")
+    assert got[4] == (1, 0, "xy")
+    assert got[5] == (4, 4, "")
+    assert got[6] == (4, 4, "")
