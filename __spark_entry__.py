@@ -12346,16 +12346,21 @@ def q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-boundary blind spot semantic_dedup's docstring previously
     only asserted, and shows multi-probe (each vector also tested in
     its second-closest cell) closing most of it. The exact pair
-    self-join is the deliberately quadratic measurement tier (sampled
-    at 100 TB); every configuration after it is an equi-join."""
+    self-join is the deliberately quadratic measurement tier, so the
+    row applies the sample discipline IN the contract (the id-prefix
+    cap below — a no-op at sf<=0.01, half the corpus at sf0.1,
+    exactly how the measurement runs against 100 TB: on a bounded
+    sample); every configuration after it is an equi-join."""
     from data_pipeline_ine_spark.operators.similarity import (
         semantic_dedup_recall,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
     return semantic_dedup_recall(
         emb, tau=0.3, n_clusters_list=(4, 8, 16), n_probes=(1, 2),
-        iters=2, memo_key=_table_fingerprint(sf_dir, "embeddings"),
+        iters=2, memo_key=_table_fingerprint(sf_dir, "embeddings") + ":s1k",
     )
 
 
@@ -12393,7 +12398,8 @@ def _semdedup_recall_oracle() -> str:
        AND (ai.rn = 1 OR aj.rn = 1))) AS DOUBLE)
     / GREATEST((SELECT COUNT(*) FROM pairs), 1), 6) AS recall""")
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings WHERE vec_id < 1000),\n"
         "pairs AS MATERIALIZED (\n"
         "  SELECT x.vec_id AS i, y.vec_id AS j\n"
         "  FROM e x JOIN e y ON y.vec_id > x.vec_id\n"
