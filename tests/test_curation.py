@@ -1453,3 +1453,120 @@ def test_dup_span_scrub_hand_anchored(spark):
     assert got[4] == (1, 0, "xy")
     assert got[5] == (4, 4, "")
     assert got[6] == (4, 4, "")
+
+
+def test_curation_v3_matches_python_reference(spark, sf_dir):
+    """Independent pure-Python implementation of the composed
+    curation_v3 stack — Gopher rules, frozen full-corpus src0 LM with
+    e12 snapping, 5-gram decontamination against the FULL src19
+    cohort, DSIR LMs re-fit on the survivors with the greedy 8000-token
+    budget, 32/24 chunk arithmetic — compared value-for-value against
+    the contract query. Pins the STAGE WIRING (training scopes, gate
+    order, src19 handling), which the per-gate rows can't see."""
+    import math
+    import re as _re
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as contract
+
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    raw = [
+        (r.doc_id, r.source, r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    tok = lambda t: _re.findall(r"[a-z0-9]+", t.lower())
+    toks = {d: tok(t) for d, s, t in raw}
+    src = {d: s for d, s, t in raw}
+
+    def gopher_pass(ts):
+        n2 = max(len(ts) - 1, 0)
+        g2 = Counter(tuple(ts[i:i + 2]) for i in range(len(ts) - 1))
+        top2 = max(g2.values()) if g2 else 0
+        g3 = Counter(tuple(ts[i:i + 3]) for i in range(len(ts) - 2))
+        n3 = sum(g3.values())
+        dup3 = n3 - len(g3)
+        return ((top2 < 2) or (top2 * 100 <= 5 * n2)) and (
+            dup3 * 100 <= 2 * n3
+        )
+
+    s1 = {d for d in toks if gopher_pass(toks[d])}
+
+    vocab = Counter()
+    for d in toks:
+        if src[d] == "src0":
+            vocab.update(toks[d])
+    N, V = sum(vocab.values()), len(vocab)
+
+    def lm_pass(ts):
+        if not ts:
+            return False
+        tot = sum(
+            math.floor(-math.log((vocab.get(t, 0) + 1) / (N + V)) * 1e12 + 0.5)
+            for t in ts
+        )
+        return tot // len(ts) <= 3_420_000_000_000
+
+    s2 = {d for d in s1 if lm_pass(toks[d])}
+
+    bench = set()
+    for d in toks:
+        if src[d] == "src19":
+            ts = toks[d]
+            bench.update(tuple(ts[i:i + 5]) for i in range(len(ts) - 4))
+    s3 = {
+        d
+        for d in s2
+        if src[d] != "src19"
+        and not any(
+            tuple(toks[d][i:i + 5]) in bench
+            for i in range(len(toks[d]) - 4)
+        )
+    }
+
+    va, vt = Counter(), Counter()
+    for d in s3:
+        va.update(toks[d])
+        if src[d] == "src0":
+            vt.update(toks[d])
+    Na, Nt, Vs = sum(va.values()), sum(vt.values()), len(va)
+
+    def llr(ts):
+        tot = 0
+        for t in ts:
+            la = math.floor(-math.log((va[t] + 1) / (Na + Vs)) * 1e12 + 0.5)
+            lt = math.floor(
+                -math.log((vt.get(t, 0) + 1) / (Nt + Vs)) * 1e12 + 0.5
+            )
+            tot += la - lt
+        return tot
+
+    scored = sorted(
+        ((d, len(toks[d]), llr(toks[d])) for d in s3 if toks[d]),
+        key=lambda x: (-x[2], x[0]),
+    )
+    picked, cum = [], 0
+    for d, nt, _ in scored:
+        cum += nt
+        if cum > 8000:
+            break
+        picked.append(d)
+
+    agg = defaultdict(lambda: [set(), 0, 0])
+    for d in picked:
+        n = len(toks[d])
+        m = 0 if n <= 0 else 1 + max(0, (n - 32 + 24 - 1) // 24)
+        for kk in range(m):
+            a = agg[src[d]]
+            a[0].add(d)
+            a[1] += 1
+            a[2] += min(32, n - kk * 24)
+    want = sorted((s, len(a[0]), a[1], a[2]) for s, a in agg.items())
+
+    got = [
+        (r.source, r.n_docs, r.n_chunks, r.chunk_tokens)
+        for r in contract.queries()["curation_v3"](spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -996,3 +996,83 @@ def test_prefix_dim_rerank_hand_anchored(spark):
         ).collect()
     }
     assert curve == {2: 0.5, 4: 1.0}
+
+
+def test_semdedup_recall_matches_numpy_reference(spark, sf_dir):
+    """Independent third implementation (numpy) of the WHOLE
+    semdedup_recall chain — seeds, two rounded Lloyd iterations,
+    empty-cluster drop, stable tie-break, 2-nearest probes, the
+    either-primary coverage rule — compared value-for-value against
+    the operator. This is the r9/r10 review lesson made permanent:
+    engine/oracle parity is blind to a mistake encoded in both, a
+    third derivation is not."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        semantic_dedup_recall,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    n = len(ids)
+
+    norms = np.sqrt((X * X).sum(1))
+    cos = np.round((X @ X.T) / np.outer(norms, norms), 6)
+    iu = np.triu_indices(n, 1)
+    mask = cos[iu] >= 0.3
+    exact_pairs = list(zip(ids[iu[0]][mask], ids[iu[1]][mask]))
+
+    def kmeans(k, iters=2):
+        cents = {int(ids[i]): np.round(X[i], 6) for i in range(k)}
+        for _ in range(iters):
+            cid_list = sorted(cents)
+            C = np.array([cents[c] for c in cid_list])
+            dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+            assign = np.argmin(dists, axis=1)
+            cents = {
+                c: np.round(X[assign == j].mean(0), 6)
+                for j, c in enumerate(cid_list)
+                if (assign == j).any()
+            }
+        return cents
+
+    def probes(cents, p):
+        cid_list = sorted(cents)
+        C = np.array([cents[c] for c in cid_list])
+        dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        order = np.argsort(dists, axis=1, kind="stable")
+        return {
+            int(ids[i]): [cid_list[j] for j in order[i][:p]]
+            for i in range(n)
+        }
+
+    want = {}
+    for k in (4, 8, 16):
+        pr = probes(kmeans(k), 2)
+        for p in (1, 2):
+            cov = sum(
+                1
+                for a, b in exact_pairs
+                if pr[b][0] in pr[a][:p] or pr[a][0] in pr[b][:p]
+            )
+            want[(k, p)] = (
+                len(exact_pairs),
+                cov,
+                round(cov / max(len(exact_pairs), 1), 6),
+            )
+
+    got = {
+        (r.n_clusters, r.n_probe): (r.exact_pairs, r.covered_pairs, r.recall)
+        for r in semantic_dedup_recall(
+            emb, tau=0.3, n_clusters_list=(4, 8, 16), n_probes=(1, 2),
+            iters=2,
+        ).collect()
+    }
+    assert got == want
