@@ -104,6 +104,10 @@ HEAVY = [
     # r10: the new exact-pairwise mining query (sigma block^2 by
     # design, ~9 s at sf0.1 — the knn_ivf_blocked cost class)
     "hard_negatives",
+    # r11: warmup-noise false flag in the r10->r11 compare (sweep n=1
+    # read 1.77 s; standalone n=4: cold 6.1, warm 0.75-0.82 — the
+    # feature_mi/image_augment_dhash class)
+    "audio_dominant_freq",
     # r11: the boundary-closure wave — semdedup_recall carries the
     # deliberately quadratic exact-pair ground truth (pq_recall_curve's
     # cost class), the two multi-probe variants pay n_probe x sigma
