@@ -59,6 +59,11 @@ AUDITED = {
     "ann_sq8_batch_probe": "ONE shared pruned codes scan for Q queries; broadcast equi-join on bucket; WindowGroupLimit pre-reduces per-query top-k",
     "skyline_parts": "per-x min aggregate is the only corpus pass; prefix-min runs on the distinct-x grain; join back, no nested loop",
     "perplexity_buckets": "vocab-bounded LM aggregate + doc-keyed shuffle; global rank is the two-pass form (_pid windows only); 1-row count broadcast",
+    "semdedup_recall": "ONE allowlisted exact-pair BNLJ (the ground truth being priced, sampled); every per-config coverage pass is an equi-join against a narrow exploded assignment",
+    "semantic_dedup_mp": "multi-probe candidates = exploded probes equi-joined to primary cells (n_probe x sigma block^2); drop set is a distinct + anti-join, no window",
+    "curation_v3": "five gates as per-doc flag semi-joins in one plan; single range exchange (dsir two-pass cumsum); chunk explode sits above the budget filter",
+    "ann_binary_rerank": "corpus pass is packed-word integer XOR/popcount in the scan stage; TakeOrdered shortlist; exact cosine only over 50 rows",
+    "dup_span_scrub": "spans as 48-bit hashes with positions; dup set equi-joined back; rewrite is a narrow indexed-lambda filter — doc bodies never shuffle",
 }
 
 SF_DIR = "/root/testdata/sf0.1"
