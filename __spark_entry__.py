@@ -13022,6 +13022,91 @@ LEFT JOIN scrubbed s USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Round 11 — the binary rung as STORED codes (sources/ivf_index.py::
+# write_binary_index / read_binary_probe): index-backed serving, not just
+# the in-plan operator.
+# ---------------------------------------------------------------------------
+def q_ann_binary_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-quantization serving layout (sources/ivf_index.py::
+    write_binary_index/read_binary_probe) — the bottom rung of the
+    INDEX ladder (flat=ann_index_probe / SQ8=ann_sq8_probe / PQ=
+    ann_ivfpq_probe / binary=this): the corpus stored as sign bits
+    against per-dim (min+max)/2 midpoints packed into 32-bit words in
+    BIGINT columns ONLY (8 B per 64-dim vector), partitioned by the
+    coarse bucket with centroid and midpoint sidecars. The probe
+    prunes to n_probe buckets at the parquet scan and ranks by
+    bit_count(XOR) per word — the query packed driver-side onto the
+    SAME grid, so the oracle reproduces words AND ranking
+    bit-for-bit (MIN/MAX midpoints are order-invariant)."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe,
+        write_binary_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    path = os.path.join(
+        "/tmp", f"spark_graft_bq_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_bqparams"):
+        write_binary_index(emb, path, part_col="label")
+    return read_binary_probe(spark, path, qvec, k=10, n_probe=2)
+
+
+ORACLE_ANN_BINARY_PROBE = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, g.d, AVG(v[g.d]) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+mm AS MATERIALIZED (
+  SELECT g.d, (MIN(v[g.d]) + MAX(v[g.d])) / 2.0 AS mid
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+codes AS MATERIALIZED (
+  SELECT e.vec_id, e.label,
+    CAST(SUM(CASE WHEN mm.d <= 32 AND v[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 1) ELSE 0::BIGINT END) AS BIGINT) AS w1,
+    CAST(SUM(CASE WHEN mm.d > 32 AND v[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 33) ELSE 0::BIGINT END) AS BIGINT) AS w2
+  FROM e, mm GROUP BY e.vec_id, e.label
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY ROUND(list_dot_product(centroid, qv)
+        / (sqrt(list_dot_product(centroid, centroid))
+           * sqrt(list_dot_product(qv, qv))), 6)
+        DESC, label
+  LIMIT 2
+),
+qc AS (
+  SELECT
+    CAST(SUM(CASE WHEN mm.d <= 32 AND qv[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 1) ELSE 0::BIGINT END) AS BIGINT) AS qw1,
+    CAST(SUM(CASE WHEN mm.d > 32 AND qv[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 33) ELSE 0::BIGINT END) AS BIGINT) AS qw2
+  FROM mm, q
+)
+SELECT c.vec_id,
+  CAST(bit_count(xor(c.w1, qc.qw1)) + bit_count(xor(c.w2, qc.qw2))
+       AS BIGINT) AS hamming
+FROM codes c JOIN probes USING (label), qc
+ORDER BY hamming, c.vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -13080,6 +13165,7 @@ _CHECK_ORDER = [
     "value_drift",
     "video_frame_stats",
     "video_signature",
+    "ann_binary_probe",
     "ann_binary_rerank",
     "ann_prefix_rerank",
     "binary_recall_curve",
@@ -13644,6 +13730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_prefix_rerank": q_ann_prefix_rerank,
         "prefix_recall_curve": q_prefix_recall_curve,
         "dup_span_scrub": q_dup_span_scrub,
+        "ann_binary_probe": q_ann_binary_probe,
     })
 
 
@@ -13941,4 +14028,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_prefix_rerank": ORACLE_ANN_PREFIX_RERANK,
         "prefix_recall_curve": ORACLE_PREFIX_RECALL_CURVE,
         "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
+        "ann_binary_probe": ORACLE_ANN_BINARY_PROBE,
     })

@@ -1468,3 +1468,190 @@ def read_sq8_probe_batch(
         .withColumn("rank", F.row_number().over(rk).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- 1-bit binary index: the ladder's bottom rung as stored codes ----------
+
+_BQPARAMS_DIR = "_bqparams"  # per-dim sign-threshold midpoints sidecar
+
+
+def write_binary_index(
+    df: DataFrame,
+    path: str,
+    part_col: str | None = None,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The binary-quantization serving layout as Spark partitioned
+    storage — the stored-codes twin of the in-plan
+    ``operators/similarity.py::binary_topk_rerank`` and the bottom rung
+    of the index ladder (flat 256 B / SQ8 64 B / binary 8 B / PQ 4 B
+    per 64-dim vector): the corpus bucketed by the coarse key
+    (``write_ivf_index``'s rule) and stored as sign bits against the
+    per-dim (min+max)/2 midpoint, packed into 32-bit words inside
+    BIGINT columns ``bq_w{i}`` — plus the centroid sidecar (probe
+    selection) and the midpoint sidecar (query packing). Raw vectors
+    exist only at write time.
+
+    Scale shape: ONE posexplode pass serves centroids AND midpoints
+    (``write_sq8_index``'s trick — per-(bucket, dim) min/max/avg,
+    global MIN/MAX folded on the bucket-grain frame, order-invariant
+    so engine-exact), one narrow pack map, one bucket-partitioned
+    write. Params are O(dim) scalars.
+    """
+    from data_pipeline_ine_spark.operators.similarity import (
+        _assign_clusters,
+        _bq_word_cols,
+        kmeans_fit,
+    )
+
+    if part_col is None:
+        centroids = kmeans_fit(
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        src = _assign_clusters(df, centroids, vec_col)
+        part_col = "cluster"
+    else:
+        src = df
+    bucketed = src.withColumn(
+        BUCKET_COL, F.concat(F.lit("b"), F.col(part_col).cast("string"))
+    )
+    if part_col != BUCKET_COL:
+        bucketed = bucketed.drop(part_col)
+
+    dims = (
+        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(BUCKET_COL, "d")
+        .agg(
+            F.avg("x").alias("c"),
+            F.min("x").cast("double").alias("_bmin"),
+            F.max("x").cast("double").alias("_bmax"),
+        )
+        .localCheckpoint()  # one pass feeds midpoints AND centroids
+    )
+    bounds = (
+        dims.groupBy("d")
+        .agg(F.min("_bmin").alias("vmin"), F.max("_bmax").alias("vmax"))
+        .collect()
+    )
+    by_d = {int(r.d): (float(r.vmin) + float(r.vmax)) / 2.0 for r in bounds}
+    mids = [by_d[d] for d in sorted(by_d)]
+
+    codes = bucketed
+    for w, col in enumerate(_bq_word_cols(vec_col, mids)):
+        codes = codes.withColumn(f"bq_w{w}", col)
+    codes.drop(vec_col).write.partitionBy(BUCKET_COL).mode(
+        "overwrite"
+    ).parquet(path)
+
+    cents = (
+        dims.groupBy(BUCKET_COL)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            BUCKET_COL,
+            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_CENTROID_DIR}"
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(d, by_d[d]) for d in sorted(by_d)], "d int, mid double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_BQPARAMS_DIR}")
+    _commit_marker(path)
+
+
+def _bq_mids(spark: SparkSession, path: str) -> list[float]:
+    """Per-dim midpoints from the ``_bqparams`` sidecar — O(dim)."""
+    rows = spark.read.parquet(f"{path}/{_BQPARAMS_DIR}").collect()
+    by_d = {int(r.d): float(r.mid) for r in rows}
+    return [by_d[d] for d in sorted(by_d)]
+
+
+def read_binary_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    where: F.Column | None = None,
+) -> DataFrame:
+    """Top-k by Hamming distance from a binary index: probe buckets
+    chosen from the centroid sidecar (static partition pruning on the
+    scan, ``read_ivf_probe``'s rule), the query packed driver-side
+    with the sidecar midpoints (the same strict-``>`` rule as the
+    stored bits, so both sides live on the same grid), then
+    ``Σ_w bit_count(XOR)`` ranked ascending with the id tiebreak —
+    pure integer arithmetic over 8 bytes/vector, the cheapest scan in
+    the ladder. ``where`` enables filtered ANN (pushed into the codes
+    scan). Returns (id, hamming, near-to-far)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        _bq_query_words,
+        cosine,
+    )
+
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r[0]
+        for r in cents.select(
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), *_bucket_order_cols())
+        .limit(n_probe)
+        .select(BUCKET_COL)
+        .collect()
+    ]
+    mids = _bq_mids(spark, path)
+    qwords = _bq_query_words(query_vec, mids)
+    ham = None
+    for w, qw in enumerate(qwords):
+        t = F.bit_count(
+            F.col(f"bq_w{w}").bitwiseXOR(F.lit(int(qw)).cast("long"))
+        )
+        ham = t if ham is None else ham + t
+    probed = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(probe_ids)
+    )
+    if where is not None:
+        probed = probed.filter(where)
+    return (
+        probed.select(id_col, ham.cast("bigint").alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def read_binary_rerank(
+    spark: SparkSession,
+    bq_path: str,
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval over the binary index — the production
+    serving shape at the cheapest tier: stage 1 shortlists by Hamming
+    over the 8-byte stored codes (pruned bucket scan, integer only),
+    stage 2 re-ranks ONLY the shortlist with exact cosine against the
+    raw vectors (a pushed-down id point-lookup set, never a bucket
+    read). ``read_sq8_rerank``'s surface one rung down the ladder."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    short = read_binary_probe(
+        spark, bq_path, query_vec, k=shortlist, n_probe=n_probe,
+        id_col=id_col,
+    )
+    ids = [r[0] for r in short.select(id_col).collect()]
+    cand = vectors.filter(F.col(id_col).isin(ids))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)

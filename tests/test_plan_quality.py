@@ -2353,3 +2353,65 @@ def test_curation_v3_composes_without_barriers(spark, sf_dir):
     # the chunk explode sits ABOVE the DSIR budget filter: chunking
     # only ever runs on selected documents
     assert "Generate explode" in plan, plan
+
+
+def test_binary_index_probe_is_pruned_and_matches_inplan_codes(
+    spark, sf_dir, tmp_path
+):
+    """The binary index (sources/ivf_index.py::write_binary_index/
+    read_binary_probe): probing must reach the parquet scan as a static
+    PartitionFilters entry on the bucket column (8-byte codes, unprobed
+    buckets never read), the stored packed words must equal the in-plan
+    packing (operators/similarity.py::_bq_word_cols over the same
+    midpoints), and the two-stage read_binary_rerank must return the
+    exact cosine order over its Hamming shortlist."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        _bq_query_words,
+        binary_midpoints,
+        cosine,
+    )
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe,
+        read_binary_rerank,
+        write_binary_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "bq_index")
+    write_binary_index(emb, path, part_col="label")
+
+    probed = read_binary_probe(spark, path, qvec, k=10, n_probe=2)
+    plan = explain_str(probed)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+
+    # stored words == in-plan packing over the same midpoints, and the
+    # sidecar midpoints == the operator's binary_midpoints
+    mids = binary_midpoints(emb)
+    from data_pipeline_ine_spark.sources.ivf_index import _bq_mids
+
+    assert _bq_mids(spark, path) == mids
+    stored = {
+        r.vec_id: (r.bq_w0, r.bq_w1)
+        for r in spark.read.parquet(path)
+        .select("vec_id", "bq_w0", "bq_w1")
+        .collect()
+    }
+    some = emb.filter(F.col("vec_id") < 20).collect()
+    for r in some:
+        want = _bq_query_words(r.embedding, mids)
+        assert stored[r.vec_id] == tuple(want)
+
+    # two-stage: the rerank output is exact cosine over the shortlist
+    out = read_binary_rerank(
+        spark, path, emb, qvec, k=5, shortlist=20, n_probe=10
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert rows[0].vec_id == 0 and rows[0].cosine_sim == 1.0
