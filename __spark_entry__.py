@@ -13106,6 +13106,43 @@ ORDER BY hamming, c.vec_id LIMIT 10
 """
 
 
+def q_ann_binary_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN at the binary tier (sources/ivf_index.py::
+    read_binary_probe ``where=``): the same newer-half payload
+    predicate as ann_ivf_filtered_probe/ann_sq8_filtered_probe, pushed
+    into the 8-byte CODES scan alongside the bucket pruning — the
+    constrained-query serving path at the ladder's cheapest rung,
+    ranking only probed-AND-matching codes by Hamming distance."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe,
+        write_binary_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_bq_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_bqparams"):
+        write_binary_index(emb, path, part_col="label")
+    return read_binary_probe(
+        spark, path, qvec, k=10, n_probe=2,
+        where=F.col("vec_id") >= cut,
+    )
+
+
+ORACLE_ANN_BINARY_FILTERED = ORACLE_ANN_BINARY_PROBE.replace(
+    "FROM codes c JOIN probes USING (label), qc",
+    "FROM codes c JOIN probes USING (label), qc\n"
+    "WHERE c.vec_id >= (SELECT max(vec_id) // 2 FROM e)",
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -13165,6 +13202,7 @@ _CHECK_ORDER = [
     "value_drift",
     "video_frame_stats",
     "video_signature",
+    "ann_binary_filtered_probe",
     "ann_binary_probe",
     "ann_binary_rerank",
     "ann_prefix_rerank",
@@ -13731,6 +13769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_recall_curve": q_prefix_recall_curve,
         "dup_span_scrub": q_dup_span_scrub,
         "ann_binary_probe": q_ann_binary_probe,
+        "ann_binary_filtered_probe": q_ann_binary_filtered_probe,
     })
 
 
@@ -14029,4 +14068,5 @@ def oracle_sql() -> dict[str, str]:
         "prefix_recall_curve": ORACLE_PREFIX_RECALL_CURVE,
         "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
         "ann_binary_probe": ORACLE_ANN_BINARY_PROBE,
+        "ann_binary_filtered_probe": ORACLE_ANN_BINARY_FILTERED,
     })

@@ -2415,3 +2415,35 @@ def test_binary_index_probe_is_pruned_and_matches_inplan_codes(
     sims = [r.cosine_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert rows[0].vec_id == 0 and rows[0].cosine_sim == 1.0
+
+
+def test_binary_filtered_probe_pushes_predicate_beside_pruning(
+    spark, sf_dir, tmp_path
+):
+    """Filtered ANN at the binary tier: the payload predicate must reach
+    the codes scan as a PushedFilters entry NEXT TO the bucket
+    PartitionFilters (the ann_ivf/sq8_filtered_probe rule one rung
+    down), and the result must equal brute-force Hamming over the
+    probed-AND-matching rows."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe,
+        write_binary_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "bq_index")
+    write_binary_index(emb, path, part_col="label")
+    out = read_binary_probe(
+        spark, path, qvec, k=10, n_probe=2,
+        where=F.col("vec_id") >= 100,
+    )
+    plan = explain_str(out)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2 and "vec_id" in pushed[1].splitlines()[0], plan
+    assert all(r.vec_id >= 100 for r in out.collect())
