@@ -1570,3 +1570,84 @@ def test_curation_v3_matches_python_reference(spark, sf_dir):
         for r in contract.queries()["curation_v3"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_hard_negatives_mp_matches_numpy_reference(spark, sf_dir):
+    """Independent numpy implementation of multi-probe hard-negative
+    mining on the real corpus — trained centroids (rounded Lloyd),
+    anchors assigned to their 2 nearest cells with the (distance, cid)
+    lexicographic tiebreak, candidates in their primary cell only,
+    label-inequality before the rank, (cosine DESC, neighbor_id) rank
+    truncated at k — compared row-for-row against the operator."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    rows = emb.select("vec_id", "embedding", "label").orderBy(
+        "vec_id"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    lbl = {int(r.vec_id): r.label for r in rows}
+    n = len(ids)
+
+    def kmeans(k, iters=2):
+        cents = {int(ids[i]): np.round(X[i], 6) for i in range(k)}
+        for _ in range(iters):
+            cid_list = sorted(cents)
+            C = np.array([cents[c] for c in cid_list])
+            dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+            assign = np.argmin(dists, axis=1)
+            cents = {
+                c: np.round(X[assign == j].mean(0), 6)
+                for j, c in enumerate(cid_list)
+                if (assign == j).any()
+            }
+        return cents
+
+    cents = kmeans(16)
+    cid_list = sorted(cents)
+    C = np.array([cents[c] for c in cid_list])
+    dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    order = np.argsort(dists, axis=1, kind="stable")
+    probes = {int(ids[i]): [cid_list[j] for j in order[i][:2]] for i in range(n)}
+    prim = {v: cells[0] for v, cells in probes.items()}
+
+    norms = np.sqrt((X * X).sum(1))
+    cos = np.round((X @ X.T) / np.outer(norms, norms), 6)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+
+    want = []
+    for a in ids:
+        a = int(a)
+        cands = [
+            int(b) for b in ids
+            if int(b) != a
+            and lbl[int(b)] != lbl[a]
+            and prim[int(b)] in probes[a]
+        ]
+        ranked = sorted(
+            cands, key=lambda b: (-cos[idx_of[a], idx_of[b]], b)
+        )[:3]
+        for r, b in enumerate(ranked, 1):
+            want.append(
+                (a, lbl[a], b, lbl[b], prim[b],
+                 float(cos[idx_of[a], idx_of[b]]), r)
+            )
+
+    got = sorted(
+        (r.vec_id, r.anchor_label, r.neighbor_id, r.negative_label,
+         r.block, r.cosine_sim, r.rank)
+        for r in hard_negative_mining(
+            emb, k=3, ivf_clusters=16, ivf_iters=2, n_probe=2
+        ).collect()
+    )
+    assert got == sorted(want)
