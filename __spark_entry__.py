@@ -13170,56 +13170,6 @@ _CHECK_ORDER = [
     # row-first with never-checked queries slotted right after
     # the oldest stale cohort. The driver records the first 50
     # entries each round.
-    "curation_pipeline",
-    "dup_span_ratio",
-    "embedding_near_dup",
-    "ewma_value",
-    "fuzzy_part_names",
-    "gap_fill_locf",
-    "grid_nearest_depot",
-    "grouped_ols",
-    "hashed_features",
-    "image_dhash",
-    "inverted_index",
-    "json_props_sum",
-    "ks_drift",
-    "level_shift",
-    "linkage_scores",
-    "log2_histogram",
-    "media_pixel_stats",
-    "melt_lineitem",
-    "nb_source_prediction",
-    "pareto_parts",
-    "peak_concurrency",
-    "pii_redaction",
-    "pmi_collocations",
-    "pq_dedup_groups",
-    "pq_topk",
-    "ra_link_prediction",
-    "rp_cosine_consecutive",
-    "snm_part_pairs",
-    "table_reconcile",
-    "value_drift",
-    "video_frame_stats",
-    "video_signature",
-    "ann_binary_filtered_probe",
-    "ann_binary_probe",
-    "ann_binary_rerank",
-    "ann_prefix_rerank",
-    "binary_recall_curve",
-    "bpe_fertility",
-    "curation_v3",
-    "dup_span_scrub",
-    "hard_negatives_mp",
-    "prefix_recall_curve",
-    "semantic_dedup_mp",
-    "semdedup_recall",
-    "ab_test_chisq",
-    "acf_daily_revenue",
-    "benford_digits",
-    "binseg_split",
-    "bootstrap_ci",
-    "calendar_features",
     "cascade_rollup",
     "cohort_ltv",
     "column_entropy",
@@ -13464,6 +13414,56 @@ _CHECK_ORDER = [
     "weekly_active_users",
     "winsorized_revenue",
     "zorder_keys",
+    "ab_test_chisq",
+    "acf_daily_revenue",
+    "ann_binary_filtered_probe",
+    "ann_binary_probe",
+    "ann_binary_rerank",
+    "ann_prefix_rerank",
+    "benford_digits",
+    "binary_recall_curve",
+    "binseg_split",
+    "bootstrap_ci",
+    "bpe_fertility",
+    "calendar_features",
+    "curation_pipeline",
+    "curation_v3",
+    "dup_span_ratio",
+    "dup_span_scrub",
+    "embedding_near_dup",
+    "ewma_value",
+    "fuzzy_part_names",
+    "gap_fill_locf",
+    "grid_nearest_depot",
+    "grouped_ols",
+    "hard_negatives_mp",
+    "hashed_features",
+    "image_dhash",
+    "inverted_index",
+    "json_props_sum",
+    "ks_drift",
+    "level_shift",
+    "linkage_scores",
+    "log2_histogram",
+    "media_pixel_stats",
+    "melt_lineitem",
+    "nb_source_prediction",
+    "pareto_parts",
+    "peak_concurrency",
+    "pii_redaction",
+    "pmi_collocations",
+    "pq_dedup_groups",
+    "pq_topk",
+    "prefix_recall_curve",
+    "ra_link_prediction",
+    "rp_cosine_consecutive",
+    "semantic_dedup_mp",
+    "semdedup_recall",
+    "snm_part_pairs",
+    "table_reconcile",
+    "value_drift",
+    "video_frame_stats",
+    "video_signature",
 ]
 
 
