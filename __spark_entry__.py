@@ -2507,7 +2507,7 @@ ORACLE_ANN_IVF = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ),
@@ -2533,7 +2533,7 @@ LIMIT 10
 # queries cache the built index per sf_dir (build = write path, amortized
 # over probes in any real deployment; a stale layout would red the oracle,
 # so the version tag invalidates mechanically).
-_IVF_LAYOUT_V = "v1"
+_IVF_LAYOUT_V = "v2"  # v2: centroid sidecars 6dp-snapped (ADVICE r11)
 
 
 def _table_fingerprint(sf_dir: str, table: str) -> str:
@@ -2674,7 +2674,7 @@ WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ),
@@ -2957,7 +2957,7 @@ ORACLE_ANN_IVF_FILTERED = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ),
@@ -3135,7 +3135,7 @@ WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
 q AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e
       WHERE vec_id < 3),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ),
@@ -3218,7 +3218,7 @@ cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
 base AS (SELECT vec_id, label, v FROM e, cut WHERE vec_id < c),
 newr AS (SELECT vec_id, v FROM e, cut WHERE vec_id >= c),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS cm
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS cm
   FROM base, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ),
@@ -3438,7 +3438,7 @@ cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
 base AS (SELECT vec_id, label, v FROM e, cut WHERE vec_id < c),
 newr AS (SELECT vec_id, v FROM e, cut WHERE vec_id >= c),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS cm
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS cm
   FROM base, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ),
@@ -8045,7 +8045,7 @@ ORACLE_ANN_IVFPQ = _PQ_ENC_CTE + """
   SELECT v AS qv FROM e2
   WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
 ), cdims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e2, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ), cent AS (
@@ -8084,7 +8084,7 @@ _PQ_BATCH_CTE = """
 ), qs AS (
   SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e2 WHERE vec_id < 3
 ), cdims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e2, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ), cent AS (
@@ -8134,7 +8134,7 @@ ORACLE_ANN_IVFPQ_RERANK = _PQ_ENC_CTE + """
   SELECT v AS qv FROM e2
   WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
 ), cdims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e2, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ), cent AS (
@@ -11290,7 +11290,7 @@ def _ivf_recall_oracle(n_probes=(1, 2, 4), k=10) -> str:
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ), cent AS MATERIALIZED (
@@ -12436,8 +12436,10 @@ def q_semantic_dedup_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the shared Lloyd chain; probe set = 2 nearest cells (rn <= 2), drop
-# rule = GREATEST id of every covered similar pair (both directions of
-# each unordered pair appear in the exploded ⋈ primary join)
+# rule = GREATEST id of every covered similar pair. One-directionally
+# covered pairs (only one side's probe set holds the other's primary
+# cell) appear in ONE direction of the exploded ⋈ primary join — that
+# suffices, because GREATEST(a,b) is direction-symmetric (ADVICE r11)
 ORACLE_SEMANTIC_DEDUP_MP = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {_LLOYD_CHAIN_CTE}a3 AS ({_KM_ASSIGN.format(d=_sql_sq_dist('v', 'cv'), c='c2')}),
@@ -12789,7 +12791,10 @@ def q_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return binary_topk_rerank(emb, qvec, k=10, shortlist=50)
+    return binary_topk_rerank(
+        emb, qvec, k=10, shortlist=50,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 _BQ_CODES_CTE = """mids AS (
@@ -12837,7 +12842,10 @@ def q_binary_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return binary_recall_curve(emb, qvec, shortlists=(10, 25, 50, 100), k=10)
+    return binary_recall_curve(
+        emb, qvec, shortlists=(10, 25, 50, 100), k=10,
+        memo_key=_table_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 def _binary_recall_oracle(shortlists=(10, 25, 50, 100), k: int = 10) -> str:
@@ -13062,7 +13070,7 @@ WITH e AS MATERIALIZED (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 dims AS (
-  SELECT label, g.d, AVG(v[g.d]) AS c
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
   FROM e, generate_series(1, 64) AS g(d)
   GROUP BY 1, 2
 ),
@@ -13143,6 +13151,756 @@ ORACLE_ANN_BINARY_FILTERED = ORACLE_ANN_BINARY_PROBE.replace(
 )
 
 
+
+
+# --- quantized-tier index lifecycle (VERDICT r11 task 2) -------------------
+# write -> append (FROZEN quant params) -> quant-drift report -> rebuild
+# from source, at the SQ8 and binary rungs; plus the binary batch reader
+# (task 4) and the stored Matryoshka prefix tier (task 3).
+
+
+def _sq8_append_fixture(spark: SparkSession, sf_dir: str):
+    """Shared lifecycle fixture for the SQ8 append-tier rows: index
+    built from the first half of the corpus (label buckets), second
+    half appended under the FROZEN affine grid + frozen-centroid
+    routing (sources/ivf_index.py::append_to_ivf_index). Cached per
+    (sf, content) like every stored-index row; the exercise-complete
+    marker commits after the append so a half-run can never be served.
+    Returns (path, cut, emb)."""
+    import os
+    import shutil
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_sq8_app_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_sqparams", "_app_ok"):
+        shutil.rmtree(path, ignore_errors=True)
+        write_sq8_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        with open(os.path.join(path, "_app_ok"), "w") as f:
+            f.write("ok\n")
+    return path, cut, emb
+
+
+def _bq_append_fixture(spark: SparkSession, sf_dir: str):
+    """Binary twin of ``_sq8_append_fixture``: second half appended as
+    sign-bit words packed against the FROZEN midpoints."""
+    import os
+    import shutil
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        write_binary_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_bq_app_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_bqparams", "_app_ok"):
+        shutil.rmtree(path, ignore_errors=True)
+        write_binary_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        with open(os.path.join(path, "_app_ok"), "w") as f:
+            f.write("ok\n")
+    return path, cut, emb
+
+
+# Shared lifecycle-oracle CTE: base cohort bucketed by label with
+# 6dp-snapped centroids (the stored sidecar discipline), appended
+# cohort routed to its nearest FROZEN centroid (numeric-label
+# tiebreak — append_to_ivf_index's rule), members = every vector
+# exactly once under its final bucket.
+_QAPP_BASE_CTE = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
+base AS (SELECT vec_id, label, v FROM e, cut WHERE vec_id < c),
+newr AS (SELECT vec_id, v FROM e, cut WHERE vec_id >= c),
+dims AS (
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS cm
+  FROM base, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(cm ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+asgn AS (
+  SELECT n.vec_id, c.label, ROW_NUMBER() OVER (
+    PARTITION BY n.vec_id
+    ORDER BY {_sql_sq_dist('n.v', 'c.centroid')}, c.label) AS rn
+  FROM newr n, cent c
+),
+members AS (
+  SELECT vec_id, label, v FROM base
+  UNION ALL
+  SELECT n.vec_id, a.label, n.v
+  FROM newr n JOIN asgn a ON a.vec_id = n.vec_id AND a.rn = 1
+)"""
+
+
+def q_sq8_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 index lifecycle, append leg (sources/ivf_index.py::
+    append_to_ivf_index dispatching on the _sqparams sidecar): the
+    index holds the base cohort's codes plus an appended cohort
+    encoded under the FROZEN base-derived affine grid and routed to
+    the frozen base centroids — then served exactly like
+    ann_sq8_probe. The oracle re-derives grid and centroids from the
+    BASE HALF ONLY and must still match every distance bit-for-bit:
+    that equality IS the frozen-quantizer discipline (a re-derived
+    grid would shift every appended code)."""
+    from data_pipeline_ine_spark.sources.ivf_index import read_sq8_probe
+
+    path, _cut, emb = _sq8_append_fixture(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    return read_sq8_probe(spark, path, qvec, k=10, n_probe=2)
+
+
+ORACLE_SQ8_APPEND_PROBE = (
+    _QAPP_BASE_CTE
+    + f"""
+, mm AS MATERIALIZED (
+  SELECT g.d, MIN(v[g.d]) AS mn, MAX(v[g.d]) AS mx
+  FROM base, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+codes AS MATERIALIZED (
+  SELECT m.vec_id, m.label, mm.d,
+    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((m.v[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT) END)) AS code
+  FROM members m, mm
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY {_sql_cos('centroid', 'qv')} DESC, label
+  LIMIT 2
+),
+qc AS (
+  SELECT mm.d,
+    LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((qv[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT) END)) AS qcode
+  FROM mm, q
+),
+dist AS (
+  SELECT c.vec_id,
+    CAST(SUM(CAST((c.code - qc.qcode) AS BIGINT) * (c.code - qc.qcode))
+         AS BIGINT) AS sq8_dist
+  FROM codes c JOIN qc USING (d) JOIN probes p ON c.label = p.label
+  GROUP BY 1
+)
+SELECT vec_id, sq8_dist FROM dist ORDER BY sq8_dist, vec_id LIMIT 10
+"""
+)
+
+
+def q_binary_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary index lifecycle, append leg: the appended cohort's sign
+    bits are packed against the FROZEN base-derived midpoints
+    (append_to_ivf_index dispatching on the _bqparams sidecar) and
+    routed to the frozen base centroids; served like ann_binary_probe.
+    The oracle's base-half-only midpoint derivation matching every
+    Hamming distance proves no threshold moved on append."""
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe,
+    )
+
+    path, _cut, emb = _bq_append_fixture(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    return read_binary_probe(spark, path, qvec, k=10, n_probe=2)
+
+
+ORACLE_BINARY_APPEND_PROBE = (
+    _QAPP_BASE_CTE
+    + f"""
+, mm AS MATERIALIZED (
+  SELECT g.d, (MIN(v[g.d]) + MAX(v[g.d])) / 2.0 AS mid
+  FROM base, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+codes AS MATERIALIZED (
+  SELECT m.vec_id, m.label,
+    CAST(SUM(CASE WHEN mm.d <= 32 AND m.v[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 1) ELSE 0::BIGINT END)
+         AS BIGINT) AS w1,
+    CAST(SUM(CASE WHEN mm.d > 32 AND m.v[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 33) ELSE 0::BIGINT END)
+         AS BIGINT) AS w2
+  FROM members m, mm GROUP BY m.vec_id, m.label
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY {_sql_cos('centroid', 'qv')} DESC, label
+  LIMIT 2
+),
+qc AS (
+  SELECT
+    CAST(SUM(CASE WHEN mm.d <= 32 AND qv[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 1) ELSE 0::BIGINT END)
+         AS BIGINT) AS qw1,
+    CAST(SUM(CASE WHEN mm.d > 32 AND qv[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 33) ELSE 0::BIGINT END)
+         AS BIGINT) AS qw2
+  FROM mm, q
+)
+SELECT c.vec_id,
+  CAST(bit_count(xor(c.w1, qc.qw1)) + bit_count(xor(c.w2, qc.qw2))
+       AS BIGINT) AS hamming
+FROM codes c JOIN probes USING (label), qc
+ORDER BY hamming, c.vec_id LIMIT 10
+"""
+)
+
+
+def q_sq8_quant_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-drift report at the SQ8 tier (sources/ivf_index
+    .py::sq8_quant_drift_report): per dimension, how many RAW appended
+    values fall strictly outside the FROZEN affine grid's [vmin, vmax]
+    training range (those saturate to code 0/255 on append — contrast
+    silently lost), with the integer cross-multiplied >1 percent
+    retrain flag. The freshness surface that tells an operator
+    rebuild_sq8_index is due — ivf_drift_report's companion one
+    frozen artifact over."""
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        sq8_quant_drift_report,
+    )
+
+    path, cut, emb = _sq8_append_fixture(spark, sf_dir)
+    return sq8_quant_drift_report(
+        spark, path, emb.filter(F.col("vec_id") >= cut).drop("label")
+    )
+
+
+ORACLE_SQ8_QUANT_DRIFT = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
+base AS (SELECT vec_id, v FROM e, cut WHERE vec_id < c),
+newr AS (SELECT vec_id, v FROM e, cut WHERE vec_id >= c),
+mm AS (
+  SELECT g.d, MIN(v[g.d]) AS mn, MAX(v[g.d]) AS mx
+  FROM base, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+)
+SELECT CAST(mm.d AS INT) AS d,
+  CAST(COUNT(*) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN n.v[mm.d] < mm.mn THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clip_lo,
+  CAST(SUM(CASE WHEN n.v[mm.d] > mm.mx THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clip_hi,
+  CAST(CASE WHEN (SUM(CASE WHEN n.v[mm.d] < mm.mn THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN n.v[mm.d] > mm.mx THEN 1 ELSE 0 END))
+                 * 100 > COUNT(*)
+       THEN 1 ELSE 0 END AS INT) AS retrain
+FROM newr n, mm
+GROUP BY mm.d ORDER BY d
+"""
+
+
+def q_binary_quant_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-drift report at the binary tier (sources/ivf_index
+    .py::binary_quant_drift_report): a sign bit never clips, so the
+    drift that matters is THRESHOLD MOVEMENT — per dimension, how many
+    appended values land between the frozen midpoint and the midpoint
+    the appended cohort itself would derive (exactly the bits a
+    retrain would flip), e6-snapped midpoints both ways and the >5
+    percent integer cross-multiplied retrain flag. Points at
+    rebuild_binary_index."""
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        binary_quant_drift_report,
+    )
+
+    path, cut, emb = _bq_append_fixture(spark, sf_dir)
+    return binary_quant_drift_report(
+        spark, path, emb.filter(F.col("vec_id") >= cut).drop("label")
+    )
+
+
+ORACLE_BINARY_QUANT_DRIFT = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
+base AS (SELECT vec_id, v FROM e, cut WHERE vec_id < c),
+newr AS (SELECT vec_id, v FROM e, cut WHERE vec_id >= c),
+fm AS (
+  SELECT g.d, (MIN(v[g.d]) + MAX(v[g.d])) / 2.0 AS fmid
+  FROM base, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+nm AS (
+  SELECT g.d, (MIN(v[g.d]) + MAX(v[g.d])) / 2.0 AS nmid
+  FROM newr, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+)
+SELECT CAST(fm.d AS INT) AS d,
+  CAST(COUNT(*) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN (n.v[fm.d] > fm.fmid) <> (n.v[fm.d] > nm.nmid)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_flip,
+  CAST(FLOOR(fm.fmid * 1000000.0 + 0.5) AS BIGINT) AS mid_e6_frozen,
+  CAST(FLOOR(nm.nmid * 1000000.0 + 0.5) AS BIGINT) AS mid_e6_new,
+  CAST(CASE WHEN SUM(CASE WHEN (n.v[fm.d] > fm.fmid)
+                          <> (n.v[fm.d] > nm.nmid) THEN 1 ELSE 0 END)
+                 * 20 > COUNT(*)
+       THEN 1 ELSE 0 END AS INT) AS retrain
+FROM newr n, fm JOIN nm ON nm.d = fm.d
+GROUP BY fm.d, fm.fmid, nm.nmid ORDER BY d
+"""
+
+
+def q_sq8_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild closing the SQ8 lifecycle (sources/ivf_index.py::
+    rebuild_sq8_index): build from the first half (label buckets),
+    append the second under the frozen grid, then rebuild FROM THE
+    SOURCE TABLE — a codes-only index cannot retrain from its own
+    storage — re-training the k=8 coarse quantizer AND the affine
+    grid on the current corpus, staged-and-swapped with replay-marker
+    carry. The per-bucket code checksum proves every vector was
+    re-encoded under the NEW full-corpus grid (the oracle derives
+    both from scratch)."""
+    import os
+    import shutil
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        rebuild_sq8_index,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_sq8_rb_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_sqparams", "_rebuilt_ok"):
+        shutil.rmtree(path, ignore_errors=True)
+        write_sq8_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        rebuild_sq8_index(
+            spark, path, emb.drop("label"), n_clusters=8, iters=2
+        )
+        with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
+            f.write("ok\n")
+    code_sum = F.aggregate(
+        F.col("sq_codes"), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+            F.sum(code_sum).cast("bigint").alias("code_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ground truth: deterministic full-corpus two-iteration Lloyd bucketing
+# (the ORACLE_IVF_REBUILD chain) + codes re-derived under the
+# FULL-corpus min/max grid — any vector still encoded under the stale
+# base grid breaks the checksum.
+ORACLE_SQ8_REBUILD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{{lloyd}}a3 AS ({{assign}}),
+asg AS (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
+mm AS (
+  SELECT g.d, MIN(v[g.d]) AS mn, MAX(v[g.d]) AS mx
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+vsum AS (
+  SELECT a.vec_id, a.cid,
+    CAST(SUM(LEAST(255, GREATEST(0, CASE WHEN mm.mx = mm.mn THEN 0
+      ELSE CAST(FLOOR((a.v[mm.d] - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                AS INT) END))) AS BIGINT) AS csum
+  FROM asg a, mm GROUP BY 1, 2
+)
+SELECT 'b' || CAST(cid AS VARCHAR) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+  CAST(SUM(csum) AS BIGINT) AS code_sum
+FROM vsum GROUP BY 1 ORDER BY 1
+"""
+ORACLE_SQ8_REBUILD = ORACLE_SQ8_REBUILD.format(
+    lloyd=_LLOYD_CHAIN_CTE,
+    assign=_KM_ASSIGN.format(d=_sql_sq_dist("v", "cv"), c="c2"),
+)
+
+
+def q_binary_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild closing the binary lifecycle (sources/ivf_index.py
+    ::rebuild_binary_index): same exercise as sq8_rebuild one rung
+    down — the per-bucket popcount checksum proves every vector's sign
+    bits were re-derived against the NEW full-corpus midpoints."""
+    import os
+    import shutil
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        rebuild_binary_index,
+        write_binary_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_bq_rb_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_bqparams", "_rebuilt_ok"):
+        shutil.rmtree(path, ignore_errors=True)
+        write_binary_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        rebuild_binary_index(
+            spark, path, emb.drop("label"), n_clusters=8, iters=2
+        )
+        with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
+            f.write("ok\n")
+    bit_sum = F.bit_count(F.col("bq_w0")) + F.bit_count(F.col("bq_w1"))
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+            F.sum(bit_sum).cast("bigint").alias("bit_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_BINARY_REBUILD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{{lloyd}}a3 AS ({{assign}}),
+asg AS (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
+mm AS (
+  SELECT g.d, (MIN(v[g.d]) + MAX(v[g.d])) / 2.0 AS mid
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+bits AS (
+  SELECT a.vec_id, a.cid,
+    CAST(SUM(CASE WHEN a.v[mm.d] > mm.mid THEN 1 ELSE 0 END) AS BIGINT)
+      AS nbits
+  FROM asg a, mm GROUP BY 1, 2
+)
+SELECT 'b' || CAST(cid AS VARCHAR) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+  CAST(SUM(nbits) AS BIGINT) AS bit_sum
+FROM bits GROUP BY 1 ORDER BY 1
+"""
+ORACLE_BINARY_REBUILD = ORACLE_BINARY_REBUILD.format(
+    lloyd=_LLOYD_CHAIN_CTE,
+    assign=_KM_ASSIGN.format(d=_sql_sq_dist("v", "cv"), c="c2"),
+)
+
+
+def q_ann_binary_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched binary serving over the SAME persisted index as
+    ann_binary_probe (sources/ivf_index.py::read_binary_probe_batch —
+    VERDICT r11 task 4, completing batch symmetry across the full
+    ladder flat/PQ/SQ8/binary): three queries share ONE
+    partition-pruned 8-byte codes scan, each query's packed sign-bit
+    words ride the broadcast (query_id, bucket, qwords) frame, ranking
+    is a query-keyed window. Pure integer arithmetic end-to-end."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe_batch,
+        write_binary_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    path = os.path.join(
+        "/tmp", f"spark_graft_bq_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_bqparams"):
+        write_binary_index(emb, path, part_col="label")
+    return read_binary_probe_batch(spark, path, queries, k=10, n_probe=2)
+
+
+ORACLE_ANN_BINARY_BATCH = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+mm AS MATERIALIZED (
+  SELECT g.d, (MIN(v[g.d]) + MAX(v[g.d])) / 2.0 AS mid
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1
+),
+codes AS MATERIALIZED (
+  SELECT e.vec_id, e.label,
+    CAST(SUM(CASE WHEN mm.d <= 32 AND v[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 1) ELSE 0::BIGINT END)
+         AS BIGINT) AS w1,
+    CAST(SUM(CASE WHEN mm.d > 32 AND v[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 33) ELSE 0::BIGINT END)
+         AS BIGINT) AS w2
+  FROM e, mm GROUP BY e.vec_id, e.label
+),
+q AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e
+      WHERE vec_id < 3),
+pr AS (
+  SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY {_sql_cos('centroid', 'qv')} DESC, label) AS rn
+  FROM cent, q
+),
+probes AS (SELECT query_id, label FROM pr WHERE rn <= 2),
+qc AS (
+  SELECT q.query_id,
+    CAST(SUM(CASE WHEN mm.d <= 32 AND qv[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 1) ELSE 0::BIGINT END)
+         AS BIGINT) AS qw1,
+    CAST(SUM(CASE WHEN mm.d > 32 AND qv[mm.d] > mm.mid
+             THEN 1::BIGINT << (mm.d - 33) ELSE 0::BIGINT END)
+         AS BIGINT) AS qw2
+  FROM mm, q GROUP BY q.query_id
+),
+cand AS (
+  SELECT p.query_id, c.vec_id,
+    CAST(bit_count(xor(c.w1, qc.qw1)) + bit_count(xor(c.w2, qc.qw2))
+         AS BIGINT) AS hamming
+  FROM codes c
+  JOIN probes p ON c.label = p.label
+  JOIN qc ON qc.query_id = p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, hamming, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_prefix_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED Matryoshka prefix tier (sources/ivf_index.py::
+    write_prefix_index/read_prefix_rerank — VERDICT r11 task 3): the
+    index stores the leading 16 components as their own narrow parquet
+    column beside the full vector, so the stage-1 shortlist scan reads
+    ONLY (id, prefix) — ~1/4 of the vector bytes; the full vectors are
+    fetched exclusively for the 50-id shortlist's pushed-down point
+    lookups (plan-pinned in tests/test_plan_quality.py: the stage-1
+    ReadSchema must not contain the embedding column). This makes the
+    in-plan ann_prefix_rerank's 100 TB claim a real I/O saving, not
+    just a compute saving."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_prefix_rerank,
+        write_prefix_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    path = os.path.join(
+        "/tmp", f"spark_graft_pref_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_prefixparams"):
+        write_prefix_index(emb, path, prefix_dims=16, part_col="label")
+    return read_prefix_rerank(
+        spark, path, qvec, k=10, shortlist=50, n_probe=2
+    )
+
+
+ORACLE_ANN_PREFIX_STORED = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+probes AS (
+  SELECT label FROM cent, q
+  ORDER BY {_sql_cos('centroid', 'qv')} DESC, label
+  LIMIT 2
+),
+short AS (
+  SELECT e.vec_id, e.v
+  FROM e JOIN probes USING (label), q
+  ORDER BY {_sql_cos('e.v[1:16]', 'q.qv[1:16]')} DESC, e.vec_id
+  LIMIT 50
+)
+SELECT s.vec_id, {_sql_cos('s.v', 'q.qv')} AS cosine_sim
+FROM short s, q
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+
+
+def q_ann_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN at the stored prefix tier (sources/ivf_index.py::
+    read_prefix_rerank ``where=``): the same newer-half payload
+    predicate as ann_ivf/sq8/binary_filtered_probe, pushed into the
+    NARROW (id, prefix) stage-1 scan beside the bucket pruning — the
+    constrained-query path with the tier's I/O saving intact (the
+    full-vector column still never enters the stage-1 ReadSchema)."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_prefix_rerank,
+        write_prefix_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_pref_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_prefixparams"):
+        write_prefix_index(emb, path, prefix_dims=16, part_col="label")
+    return read_prefix_rerank(
+        spark, path, qvec, k=10, shortlist=50, n_probe=2,
+        where=F.col("vec_id") >= cut,
+    )
+
+
+ORACLE_ANN_PREFIX_FILTERED = ORACLE_ANN_PREFIX_STORED.replace(
+    "FROM e JOIN probes USING (label), q\n  ORDER BY",
+    "FROM e JOIN probes USING (label), q\n"
+    "  WHERE e.vec_id >= (SELECT MAX(vec_id) // 2 FROM e)\n  ORDER BY",
+)
+
+
+def q_ann_prefix_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving at the stored prefix tier (sources/ivf_index
+    .py::read_prefix_rerank_batch), completing batch symmetry across
+    ALL FIVE rungs (flat/PQ/SQ8/binary/prefix): three queries share
+    ONE pruned (id, prefix)-only stage-1 scan, shortlists rank per
+    query in a single window, and ONE pushed-down id-set fetch of the
+    full vectors serves every query's exact rescore."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_prefix_rerank_batch,
+        write_prefix_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    path = os.path.join(
+        "/tmp", f"spark_graft_pref_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_prefixparams"):
+        write_prefix_index(emb, path, prefix_dims=16, part_col="label")
+    return read_prefix_rerank_batch(
+        spark, path, queries, k=10, shortlist=50, n_probe=2
+    )
+
+
+ORACLE_ANN_PREFIX_BATCH = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, g.d, ROUND(AVG(v[g.d]), 6) AS c
+  FROM e, generate_series(1, 64) AS g(d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(c ORDER BY d) AS centroid FROM dims
+         GROUP BY label),
+q AS (SELECT CAST(vec_id AS INT) AS query_id, v AS qv FROM e
+      WHERE vec_id < 3),
+pr AS (
+  SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY {_sql_cos('centroid', 'qv')} DESC, label) AS rn
+  FROM cent, q
+),
+probes AS (SELECT query_id, label FROM pr WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, e.vec_id, e.v, q.qv,
+    ROW_NUMBER() OVER (PARTITION BY p.query_id
+      ORDER BY {_sql_cos('e.v[1:16]', 'q.qv[1:16]')} DESC, e.vec_id)
+      AS srn
+  FROM e
+  JOIN probes p ON e.label = p.label
+  JOIN q ON q.query_id = p.query_id
+),
+rr AS (
+  SELECT query_id, vec_id, {_sql_cos('v', 'qv')} AS cosine_sim
+  FROM scored WHERE srn <= 50
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -13214,6 +13972,16 @@ _CHECK_ORDER = [
     "rank_auc",
     "readability_scores",
     "rendezvous_shards",
+    "ann_binary_batch",
+    "ann_prefix_batch",
+    "ann_prefix_filtered",
+    "ann_prefix_stored",
+    "binary_append_probe",
+    "binary_quant_drift",
+    "binary_rebuild",
+    "sq8_append_probe",
+    "sq8_quant_drift",
+    "sq8_rebuild",
     "effective_sample_size",
     "eta_squared",
     "q11_important_stock",
@@ -13769,6 +14537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_recall_curve": q_prefix_recall_curve,
         "dup_span_scrub": q_dup_span_scrub,
         "ann_binary_probe": q_ann_binary_probe,
+        "sq8_append_probe": q_sq8_append_probe,
+        "binary_append_probe": q_binary_append_probe,
+        "sq8_quant_drift": q_sq8_quant_drift,
+        "binary_quant_drift": q_binary_quant_drift,
+        "sq8_rebuild": q_sq8_rebuild,
+        "binary_rebuild": q_binary_rebuild,
+        "ann_binary_batch": q_ann_binary_batch,
+        "ann_prefix_stored": q_ann_prefix_stored,
+        "ann_prefix_filtered": q_ann_prefix_filtered,
+        "ann_prefix_batch": q_ann_prefix_batch,
         "ann_binary_filtered_probe": q_ann_binary_filtered_probe,
     })
 
@@ -14068,5 +14846,15 @@ def oracle_sql() -> dict[str, str]:
         "prefix_recall_curve": ORACLE_PREFIX_RECALL_CURVE,
         "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
         "ann_binary_probe": ORACLE_ANN_BINARY_PROBE,
+        "sq8_append_probe": ORACLE_SQ8_APPEND_PROBE,
+        "binary_append_probe": ORACLE_BINARY_APPEND_PROBE,
+        "sq8_quant_drift": ORACLE_SQ8_QUANT_DRIFT,
+        "binary_quant_drift": ORACLE_BINARY_QUANT_DRIFT,
+        "sq8_rebuild": ORACLE_SQ8_REBUILD,
+        "binary_rebuild": ORACLE_BINARY_REBUILD,
+        "ann_binary_batch": ORACLE_ANN_BINARY_BATCH,
+        "ann_prefix_stored": ORACLE_ANN_PREFIX_STORED,
+        "ann_prefix_filtered": ORACLE_ANN_PREFIX_FILTERED,
+        "ann_prefix_batch": ORACLE_ANN_PREFIX_BATCH,
         "ann_binary_filtered_probe": ORACLE_ANN_BINARY_FILTERED,
     })

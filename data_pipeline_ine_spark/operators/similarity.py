@@ -1122,9 +1122,13 @@ def _semantic_dedup_multiprobe(
     the candidate set is every (vector, primary member of one of its
     ``n_probe`` nearest cells) pair. The drop rule keeps SemDeDup's
     earlier-id-wins: for every covered pair at rounded cosine ≥ tau the
-    GREATER id drops (the single join emits both directions of each
-    unordered pair, so ``greatest`` sees every covered pair exactly
-    once per direction). With ``n_probe = 1`` this would reduce to the
+    GREATER id drops. A pair whose coverage is one-directional (only
+    one side's probe set contains the other's primary cell) appears in
+    one join direction only — that is enough, because
+    ``greatest(id, id)`` is direction-symmetric: whichever side the
+    row lands on, the same greater id drops (ADVICE r11: no
+    both-directions guarantee exists or is needed). With
+    ``n_probe = 1`` this would reduce to the
     primary-cell rule; the main body keeps the original single-probe
     plan untouched. Returns kept (id, primary cluster)."""
     asg = _assign_clusters_multi(
@@ -1281,13 +1285,32 @@ def semantic_dedup_recall(
 _BQ_WORD_BITS = 32
 
 
+# Midpoint memo (ADVICE r11): binary_midpoints is an eager corpus-wide
+# posexplode+groupBy+collect, and a session serving many queries (or a
+# query computing both the rerank and the curve) would re-pay the full
+# scan per call. Same opt-in content-key discipline as _KMEANS_MEMO:
+# MIN/MAX midpoints are deterministic given the input content, so an
+# explicit memo_key (the contract queries' table fingerprint) returns
+# the cached O(dim) scalars; an implicit key would wrongly alias a
+# filtered df with its parent table.
+_BQ_MIDS_MEMO: dict[tuple, list[float]] = {}
+
+
 def binary_midpoints(
-    df: DataFrame, vec_col: str = "embedding"
+    df: DataFrame, vec_col: str = "embedding",
+    memo_key: str | None = None,
 ) -> list[float]:
     """Per-dimension (min+max)/2 thresholds — order-invariant (MIN/MAX
     are exact, one correctly-rounded add + an exact halving), the same
     determinism trick as SQ8's affine bounds; O(dim) scalars to the
-    driver."""
+    driver. ``memo_key`` (a content fingerprint) caches the scalars per
+    (key, vec_col) so repeated serving calls skip the corpus scan."""
+    cache_key = None
+    if memo_key is not None:
+        cache_key = (memo_key, vec_col)
+        hit = _BQ_MIDS_MEMO.get(cache_key)
+        if hit is not None:
+            return list(hit)
     rows = (
         df.select(F.posexplode(vec_col).alias("d", "x"))
         .groupBy("d")
@@ -1298,7 +1321,10 @@ def binary_midpoints(
         .collect()
     )
     by_d = {int(r.d): (float(r.lo) + float(r.hi)) / 2.0 for r in rows}
-    return [by_d[d] for d in sorted(by_d)]
+    mids = [by_d[d] for d in sorted(by_d)]
+    if cache_key is not None:
+        _BQ_MIDS_MEMO[cache_key] = list(mids)
+    return mids
 
 
 def _bq_word_cols(vec_col: str, mids: list[float]) -> list[Column]:
@@ -1339,6 +1365,8 @@ def binary_topk_rerank(
     shortlist: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mids: "list[float] | None" = None,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Two-stage binary serving: Hamming-rank the packed sign-bit codes
     against the query's code (ties by id — a total order), keep the
@@ -1346,8 +1374,10 @@ def binary_topk_rerank(
     The corpus-wide pass touches 8 bytes/vector of integer math; exact
     float work is O(shortlist). Returns (id_col, hamming, cosine_sim)
     ranked by the rounded-cosine + id order every serving oracle pins.
-    """
-    mids = binary_midpoints(df, vec_col)
+    ``mids`` accepts precomputed midpoints (skip the corpus scan);
+    ``memo_key`` memoizes them by content key (ADVICE r11)."""
+    if mids is None:
+        mids = binary_midpoints(df, vec_col, memo_key=memo_key)
     qwords = _bq_query_words(query_vec, mids)
     words = _bq_word_cols(vec_col, mids)
     ham = None
@@ -1382,6 +1412,8 @@ def binary_recall_curve(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mids: "list[float] | None" = None,
+    memo_key: str | None = None,
 ) -> DataFrame:
     """Recall@k of Hamming-shortlist + exact rescore vs global exact
     cosine, as a function of the rescore budget — the bottom rung of
@@ -1390,8 +1422,11 @@ def binary_recall_curve(
     tunes: how many candidates must the exact pass rescore before
     recall saturates. One midpoint aggregate serves every budget; the
     largest shortlist's Hamming ranking is computed once and every
-    smaller budget is a prefix of it."""
-    mids = binary_midpoints(df, vec_col)
+    smaller budget is a prefix of it. ``mids``/``memo_key``: see
+    ``binary_topk_rerank`` (ADVICE r11 — a query computing both the
+    rerank and the curve shares one midpoint scan)."""
+    if mids is None:
+        mids = binary_midpoints(df, vec_col, memo_key=memo_key)
     qwords = _bq_query_words(query_vec, mids)
     words = _bq_word_cols(vec_col, mids)
     ham = None

@@ -39,6 +39,11 @@ BUCKET_COL = "bucket"
 _CENTROID_DIR = "_centroids"  # leading "_": invisible to parquet readers
 # exactly-once markers for streaming appends (streaming/index_maintenance.py)
 _BATCH_COMMITS_DIR = "_batch_commits"
+# Matryoshka prefix-tier params sidecar (stored prefix_dims knob): the
+# index layout that makes the prefix rung an I/O saving, not just a
+# compute saving — the first serving pass scans ONLY the narrow stored
+# prefix column (see write_prefix_index / read_prefix_rerank)
+_PREFIXPARAMS_DIR = "_prefixparams"
 
 
 def _bucket_order_cols() -> list:
@@ -106,7 +111,14 @@ def write_ivf_index(
         .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
         .select(
             BUCKET_COL,
-            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+            # 6dp-snap stored centroid components (ADVICE r11): raw
+            # F.avg depends on cross-partition float summation order,
+            # and probe selection ranks round(cosine, 6) — a half-ulp
+            # centroid wobble could flip a probe across runs/engines.
+            # Same round_to discipline as kmeans_fit; oracles ROUND too.
+            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
+                "centroid"
+            ),
         )
     )
     cents.coalesce(1).write.mode("overwrite").parquet(
@@ -250,7 +262,14 @@ def write_ivfpq_index(
         .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
         .select(
             BUCKET_COL,
-            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+            # 6dp-snap stored centroid components (ADVICE r11): raw
+            # F.avg depends on cross-partition float summation order,
+            # and probe selection ranks round(cosine, 6) — a half-ulp
+            # centroid wobble could flip a probe across runs/engines.
+            # Same round_to discipline as kmeans_fit; oracles ROUND too.
+            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
+                "centroid"
+            ),
         )
     )
     cents.coalesce(1).write.mode("overwrite").parquet(
@@ -278,12 +297,16 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
 ) -> None:
     """Incremental index maintenance: route NEW vectors into the
-    EXISTING buckets and append to their partitions — centroids (and
-    the PQ codebook, when present) stay FROZEN, the standard IVF
-    discipline: re-training would move bucket boundaries and silently
-    orphan every previously stored row. Periodic full rebuilds, not
-    per-batch re-trains, are the recovery path when drift accumulates
-    (measure it with embedding_drift).
+    EXISTING buckets and append to their partitions — centroids and
+    every quantizer sidecar present (PQ codebook, SQ8 affine grid,
+    binary midpoints) stay FROZEN, the standard IVF discipline:
+    re-training would move bucket boundaries / quantization grids and
+    silently orphan or skew every previously stored row. Periodic full
+    rebuilds, not per-batch re-trains, are the recovery path when
+    drift accumulates (measure routing drift with ``ivf_drift_report``
+    and quantization drift with ``sq8_quant_drift_report`` /
+    ``binary_quant_drift_report``; rebuild codes-only tiers from the
+    source table with ``rebuild_sq8_index`` / ``rebuild_binary_index``).
 
     ``part_col=None`` assigns each vector to the nearest stored
     centroid (squared L2 over centroid literals — the same narrow
@@ -369,6 +392,22 @@ def _bucket_for_append(
         if part_col is not None and part_col != BUCKET_COL:
             bucketed = bucketed.drop(part_col)
         return bucketed
+    # binary index: pack sign-bit words against the FROZEN midpoints
+    # (re-deriving (min+max)/2 from the append batch would move every
+    # threshold and silently flip stored-vs-appended bits — the same
+    # frozen-quantizer discipline as the PQ codebook and SQ8 grid)
+    if os.path.exists(f"{path}/{_BQPARAMS_DIR}"):
+        from data_pipeline_ine_spark.operators.similarity import (
+            _bq_word_cols,
+        )
+
+        mids = _bq_mids(spark, path)
+        for w, col in enumerate(_bq_word_cols(vec_col, mids)):
+            bucketed = bucketed.withColumn(f"bq_w{w}", col)
+        bucketed = bucketed.drop(vec_col)
+        if part_col is not None and part_col != BUCKET_COL:
+            bucketed = bucketed.drop(part_col)
+        return bucketed
     if part_col is not None and part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
     return bucketed
@@ -436,18 +475,7 @@ def compact_ivf_index(
     import os
     import shutil
 
-    # an in-flight streaming append (staged under .batches, not yet
-    # published) would be silently dropped by the rewrite below — its
-    # rows aren't in the read, but its commit marker would land later
-    # and make the batch unreplayable. Refuse; the maintenance job
-    # retries after the sink drains.
-    pending = glob.glob(os.path.join(path, ".batches", "*"))
-    if pending:
-        raise RuntimeError(
-            f"refusing to compact {path}: in-flight staged batches "
-            f"{sorted(os.path.basename(p) for p in pending)} under "
-            f".batches/ — drain or clean the streaming sink first"
-        )
+    _refuse_if_pending_batches(path, "compact")
     # snapshot the committed-batch marker set: a maintenance batch that
     # stages, publishes, AND commits during the long rewrite below would
     # have its rows absent from the rewrite while its marker is carried
@@ -473,7 +501,8 @@ def compact_ivf_index(
     # already-applied batch, duplicating vectors (ADVICE r8).
     _refuse_if_markers_moved(path, markers_t0, stage, "compact")
     for side in (
-        _CENTROID_DIR, _CODEBOOK_DIR, _SQPARAMS_DIR, _BATCH_COMMITS_DIR
+        _CENTROID_DIR, _CODEBOOK_DIR, _SQPARAMS_DIR, _BQPARAMS_DIR,
+        _PREFIXPARAMS_DIR, _BATCH_COMMITS_DIR,
     ):
         src = os.path.join(path, side)
         if os.path.exists(src):
@@ -523,17 +552,10 @@ def rebuild_ivf_index(
     pays) + one bucket-keyed repartition write — the index is rewritten
     ONCE per drift episode, never per batch.
     """
-    import glob
     import os
     import shutil
 
-    pending = glob.glob(os.path.join(path, ".batches", "*"))
-    if pending:
-        raise RuntimeError(
-            f"refusing to rebuild {path}: in-flight staged batches "
-            f"{sorted(os.path.basename(p) for p in pending)} under "
-            f".batches/ — drain or clean the streaming sink first"
-        )
+    _refuse_if_pending_batches(path, "rebuild")
     if os.path.exists(os.path.join(path, _CODEBOOK_DIR)):
         raise ValueError(
             f"{path} is a codes-only IVF-PQ index: raw vectors are not "
@@ -544,7 +566,13 @@ def rebuild_ivf_index(
         raise ValueError(
             f"{path} is a codes-only IVF-SQ8 index: raw vectors are not "
             "stored, so the quantizer cannot retrain from the index — "
-            "rebuild from the source table with write_sq8_index"
+            "rebuild from the source table with rebuild_sq8_index"
+        )
+    if os.path.exists(os.path.join(path, _BQPARAMS_DIR)):
+        raise ValueError(
+            f"{path} is a codes-only binary index: raw vectors are not "
+            "stored, so the midpoints cannot retrain from the index — "
+            "rebuild from the source table with rebuild_binary_index"
         )
     markers_t0 = _batch_markers(path)  # see compact_ivf_index
     rows = spark.read.parquet(path).drop(BUCKET_COL)
@@ -554,11 +582,25 @@ def rebuild_ivf_index(
         rows, stage, part_col=None, n_clusters=n_clusters, iters=iters,
         vec_col=vec_col, id_col=id_col,
     )
-    # marker-lands-LAST: write_ivf_index committed the stage's marker,
-    # but the _batch_commits sidecar isn't copied yet — a crash between
-    # the two would leave a marked stage with NO replay markers, and
-    # recover_ivf_index would promote it, making every committed batch
-    # replayable as a duplicate (review r9). Un-commit, copy, re-commit.
+    return _swap_in_rebuilt_stage(path, stage, markers_t0)
+
+
+def _swap_in_rebuilt_stage(
+    path: str, stage: str, markers_t0: set[str]
+) -> int:
+    """Shared tail of every rebuild: carry the replay markers into the
+    committed stage, then swap it live. Marker-lands-LAST: the writer
+    committed the stage's own marker, but the _batch_commits sidecar
+    isn't copied yet — a crash between the two would leave a marked
+    stage with NO replay markers, and recover_ivf_index would promote
+    it, making every committed batch replayable as a duplicate (review
+    r9). Un-commit, copy, re-commit; same crash-window discipline and
+    recover_ivf_index self-heal as compact_ivf_index. Returns the
+    bucket count after the swap."""
+    import glob
+    import os
+    import shutil
+
     os.remove(os.path.join(stage, "_index_success"))
     _refuse_if_markers_moved(path, markers_t0, stage, "rebuild")
     commits = os.path.join(path, _BATCH_COMMITS_DIR)
@@ -576,6 +618,88 @@ def rebuild_ivf_index(
             raise
     shutil.rmtree(old, ignore_errors=True)
     return len(glob.glob(os.path.join(path, "bucket=*")))
+
+
+def _refuse_if_pending_batches(path: str, what: str) -> None:
+    """Shared guard of every maintenance rewrite: an in-flight streaming
+    append (staged under .batches, not yet published) would be silently
+    dropped — its rows aren't in the read, but its commit marker would
+    land later and make the batch unreplayable. Refuse; the maintenance
+    job retries after the sink drains."""
+    import glob
+    import os
+
+    pending = glob.glob(os.path.join(path, ".batches", "*"))
+    if pending:
+        raise RuntimeError(
+            f"refusing to {what} {path}: in-flight staged batches "
+            f"{sorted(os.path.basename(p) for p in pending)} under "
+            f".batches/ — drain or clean the streaming sink first"
+        )
+
+
+def rebuild_sq8_index(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    part_col: str | None = None,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Drift recovery for the codes-only SQ8 tier: a stored SQ8 index
+    cannot retrain from its own storage (raw vectors are gone by
+    design), so the rebuild re-reads the SOURCE table — the current
+    corpus, base plus every appended cohort — re-trains BOTH frozen
+    artifacts (the coarse quantizer AND the per-dim affine grid; an
+    appended cohort that drifted outside the frozen bounds saturates
+    until this runs, which is what ``sq8_quant_drift_report``
+    measures), and swaps the rewrite live with the same staged,
+    marker-carrying discipline as ``rebuild_ivf_index``. The caller
+    owns source/index row parity (the source table IS the system of
+    record; the index is a serving artifact derived from it). Returns
+    the bucket count after the swap."""
+    import shutil
+
+    _refuse_if_pending_batches(path, "rebuild")
+    markers_t0 = _batch_markers(path)
+    stage = path.rstrip("/") + ".compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_sq8_index(
+        source, stage, part_col=part_col, n_clusters=n_clusters,
+        iters=iters, vec_col=vec_col, id_col=id_col,
+    )
+    return _swap_in_rebuilt_stage(path, stage, markers_t0)
+
+
+def rebuild_binary_index(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    part_col: str | None = None,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Drift recovery for the codes-only binary tier — ``rebuild_sq8_
+    index``'s twin one rung down: re-train the coarse quantizer and
+    the per-dim (min+max)/2 sign thresholds from the SOURCE table (the
+    frozen midpoints an appended cohort drifted across are exactly what
+    ``binary_quant_drift_report`` measures) and stage-and-swap the
+    rewrite. Returns the bucket count after the swap."""
+    import shutil
+
+    _refuse_if_pending_batches(path, "rebuild")
+    markers_t0 = _batch_markers(path)
+    stage = path.rstrip("/") + ".compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_binary_index(
+        source, stage, part_col=part_col, n_clusters=n_clusters,
+        iters=iters, vec_col=vec_col, id_col=id_col,
+    )
+    return _swap_in_rebuilt_stage(path, stage, markers_t0)
 
 
 def read_ivf_probe_batch(
@@ -1220,7 +1344,14 @@ def write_sq8_index(
         .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
         .select(
             BUCKET_COL,
-            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+            # 6dp-snap stored centroid components (ADVICE r11): raw
+            # F.avg depends on cross-partition float summation order,
+            # and probe selection ranks round(cosine, 6) — a half-ulp
+            # centroid wobble could flip a probe across runs/engines.
+            # Same round_to discipline as kmeans_fit; oracles ROUND too.
+            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
+                "centroid"
+            ),
         )
     )
     cents.coalesce(1).write.mode("overwrite").parquet(
@@ -1551,7 +1682,14 @@ def write_binary_index(
         .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
         .select(
             BUCKET_COL,
-            F.transform("dc", lambda s: s["c"]).alias("centroid"),
+            # 6dp-snap stored centroid components (ADVICE r11): raw
+            # F.avg depends on cross-partition float summation order,
+            # and probe selection ranks round(cosine, 6) — a half-ulp
+            # centroid wobble could flip a probe across runs/engines.
+            # Same round_to discipline as kmeans_fit; oracles ROUND too.
+            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
+                "centroid"
+            ),
         )
     )
     cents.coalesce(1).write.mode("overwrite").parquet(
@@ -1655,3 +1793,570 @@ def read_binary_rerank(
     ids = [r[0] for r in short.select(id_col).collect()]
     cand = vectors.filter(F.col(id_col).isin(ids))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def read_binary_probe_batch(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched binary serving — the batch symmetry the ladder was
+    missing (flat ``read_ivf_probe_batch`` / PQ ``read_ivfpq_probe_
+    batch`` / SQ8 ``read_sq8_probe_batch`` / binary here, VERDICT r11
+    task 4): Q queries share ONE partition-pruned 8-byte codes scan
+    (union of probed buckets as a single literal ``isin``), each
+    query's packed sign-bit words travel IN the broadcast (query_id,
+    bucket, qwords) frame, and per-candidate work is ``Σ_w
+    bit_count(XOR)`` against the joined row's own words — pure integer
+    arithmetic, per-query results identical to ``read_binary_probe``
+    (parity-tested). Returns (query_id, vec_id, hamming, rank)."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        _BQ_WORD_BITS,
+        _bq_query_words,
+        cosine,
+    )
+
+    ids = [int(qid) for qid, _ in queries]
+    if len(ids) != len(set(ids)):
+        raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), *_bucket_order_cols()
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(qdf))  # |buckets| x Q — config-sized
+        .select(
+            "query_id",
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", BUCKET_COL)
+        .collect()  # O(Q * n_probe) scalars — the probe plan, not data
+    )
+    probes: dict[int, list[str]] = {}
+    for r in probe_rows:
+        probes.setdefault(r["query_id"], []).append(r[BUCKET_COL])
+    union_buckets = sorted({b for bs in probes.values() for b in bs})
+
+    mids = _bq_mids(spark, path)
+    qprobe = spark.createDataFrame(
+        [
+            (int(qid), b, [int(qw) for qw in _bq_query_words(v, mids)])
+            for qid, v in queries
+            for b in probes[int(qid)]
+        ],
+        f"query_id int, {BUCKET_COL} string, qwords array<bigint>",
+    )
+    idx = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(union_buckets)
+    )
+    n_words = (len(mids) + _BQ_WORD_BITS - 1) // _BQ_WORD_BITS
+    ham = None
+    for wi in range(n_words):
+        t = F.bit_count(
+            F.col(f"bq_w{wi}").bitwiseXOR(
+                F.element_at(F.col("qwords"), wi + 1)
+            )
+        )
+        ham = t if ham is None else ham + t
+    rk = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc(id_col)
+    )
+    return (
+        idx.join(F.broadcast(qprobe), BUCKET_COL)
+        .select("query_id", id_col, ham.cast("bigint").alias("hamming"))
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def read_binary_rerank_batch(
+    spark: SparkSession,
+    bq_path: str,
+    vectors: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched two-stage binary retrieval: Q queries shortlist through
+    ONE pruned 8-byte codes scan (``read_binary_probe_batch``), then
+    ALL shortlists re-rank exact from ONE pushed-down id-set lookup,
+    each raw vector scoped to the queries that shortlisted it by a
+    broadcast (query_id, id) membership join — ``read_sq8_rerank_
+    batch``'s one-scan discipline at the ladder's cheapest rung.
+    Driver traffic is O(Q·shortlist) id scalars. Returns (query_id,
+    id, cosine_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    short = read_binary_probe_batch(
+        spark, bq_path, queries, k=shortlist, n_probe=n_probe,
+        id_col=id_col,
+    )
+    rows = short.select("query_id", id_col).collect()
+    union_ids = sorted({r[1] for r in rows})
+    pairs = _shortlist_pairs(spark, vectors, id_col, rows)
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cand = vectors.select(id_col, vec_col).filter(
+        F.col(id_col).isin(union_ids)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    rk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        cand.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- quantization-drift reports: the freshness surface of the frozen ------
+# --- quant params the append path holds fixed (VERDICT r11 task 2) --------
+
+
+def sq8_quant_drift_report(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    thresh_num: int = 1,
+    thresh_den: int = 100,
+) -> DataFrame:
+    """Quantization-drift surface for the frozen SQ8 grid —
+    ``ivf_drift_report``'s companion one artifact over: appends encode
+    against the FROZEN per-dim affine bounds, so a drifting corpus
+    saturates silently (every out-of-grid value clamps to code 0/255
+    and all distance contrast past the boundary is lost). Per
+    dimension, against the RAW appended cohort (``new_df`` — the
+    source rows of the appended batches; the index itself stores only
+    the already-saturated codes, so the overflow is measurable only
+    upstream of encoding): how many values fall strictly outside the
+    frozen ``[vmin, vmax]`` training range, split by side. ``retrain =
+    1`` iff the out-of-grid count exceeds ``thresh_num/thresh_den`` of
+    the cohort's values in that dimension (integer cross-multiply —
+    no float division to disagree across engines). Output one row per
+    dimension: ``(d, n_new, n_clip_lo, n_clip_hi, retrain)``,
+    1-indexed ``d`` (the sidecar's convention).
+
+    Scale shape: the params sidecar is O(dim) scalars; the report is
+    ONE posexplode map over the appended cohort plus ONE dim-keyed
+    map-side-combinable aggregate (|dim| groups). All counts exact
+    integers. The recovery step it points at is ``rebuild_sq8_index``.
+    """
+    mins, spans = _sq8_params(spark, path)
+    lo = F.array(*[F.lit(float(m)) for m in mins])
+    hi = F.array(
+        *[F.lit(float(m + s)) for m, s in zip(mins, spans)]
+    )
+    cells = new_df.select(F.posexplode(vec_col).alias("d0", "x")).select(
+        (F.col("d0") + 1).cast("int").alias("d"),
+        F.col("x").cast("double").alias("x"),
+    )
+    prof = cells.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.sum(
+            F.when(F.col("x") < F.element_at(lo, F.col("d")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clip_lo"),
+        F.sum(
+            F.when(F.col("x") > F.element_at(hi, F.col("d")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clip_hi"),
+    )
+    retrain = F.when(
+        (F.col("n_clip_lo") + F.col("n_clip_hi")) * F.lit(int(thresh_den))
+        > F.col("n_new") * F.lit(int(thresh_num)),
+        1,
+    ).otherwise(0)
+    return prof.select(
+        "d", "n_new", "n_clip_lo", "n_clip_hi",
+        retrain.cast("int").alias("retrain"),
+    ).orderBy("d")
+
+
+def binary_quant_drift_report(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    thresh_num: int = 1,
+    thresh_den: int = 20,
+) -> DataFrame:
+    """Quantization-drift surface for the frozen binary midpoints: a
+    binary code never clips (a sign bit always exists), so the drift
+    that matters is THRESHOLD MOVEMENT — how many of the appended
+    cohort's values would flip their stored bit if the per-dim
+    (min+max)/2 midpoint were re-derived from that cohort. Per
+    dimension: the appended cohort's own midpoint vs the frozen one,
+    and the count of values landing BETWEEN the two thresholds (the
+    exact set whose bits a retrain would flip — ``(x > frozen) !=
+    (x > new)`` iff x lies in the half-open interval between them).
+    ``retrain = 1`` iff the flip count exceeds ``thresh_num/
+    thresh_den`` of the cohort (integer cross-multiply). Output one
+    row per dimension: ``(d, n_new, n_flip, mid_e6_frozen, mid_e6_new,
+    retrain)`` with midpoints e6-snapped (``FLOOR(m*1e6 + 0.5)``) —
+    drift tolerances need no more precision, and the snap is
+    engine-exact.
+
+    Two passes over the APPENDED cohort only (its per-dim MIN/MAX,
+    then the flip count against both thresholds) — never the corpus;
+    both are posexplode maps + |dim|-group aggregates. The recovery
+    step is ``rebuild_binary_index``."""
+    import math
+
+    frozen = _bq_mids(spark, path)
+    cells = new_df.select(F.posexplode(vec_col).alias("d0", "x")).select(
+        (F.col("d0") + 1).cast("int").alias("d"),
+        F.col("x").cast("double").alias("x"),
+    )
+    mm = (
+        cells.groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()  # O(dim) scalars — the re-derived thresholds
+    )
+    if not mm:
+        # empty appended cohort: nothing to re-derive, nothing drifted
+        return spark.createDataFrame(
+            [],
+            "d int, n_new bigint, n_flip bigint, mid_e6_frozen bigint, "
+            "mid_e6_new bigint, retrain int",
+        )
+    new_mids = {int(r["d"]): (float(r["lo"]) + float(r["hi"])) / 2.0 for r in mm}
+    fl = F.array(*[F.lit(float(m)) for m in frozen])
+    nl = F.array(
+        *[F.lit(float(new_mids[d + 1])) for d in range(len(frozen))]
+    )
+    f_at = F.element_at(fl, F.col("d"))
+    n_at = F.element_at(nl, F.col("d"))
+    flips = F.when(
+        (F.col("x") > f_at) != (F.col("x") > n_at), 1
+    ).otherwise(0)
+    prof = cells.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.sum(flips).cast("bigint").alias("n_flip"),
+    )
+    me6 = {
+        d: int(math.floor(new_mids[d] * 1e6 + 0.5)) for d in new_mids
+    }
+    fe6 = {
+        d + 1: int(math.floor(frozen[d] * 1e6 + 0.5))
+        for d in range(len(frozen))
+    }
+    fe6_lit = F.array(*[F.lit(fe6[d + 1]).cast("bigint") for d in range(len(frozen))])
+    me6_lit = F.array(*[F.lit(me6[d + 1]).cast("bigint") for d in range(len(frozen))])
+    retrain = F.when(
+        F.col("n_flip") * F.lit(int(thresh_den))
+        > F.col("n_new") * F.lit(int(thresh_num)),
+        1,
+    ).otherwise(0)
+    return prof.select(
+        "d",
+        "n_new",
+        "n_flip",
+        F.element_at(fe6_lit, F.col("d")).alias("mid_e6_frozen"),
+        F.element_at(me6_lit, F.col("d")).alias("mid_e6_new"),
+        retrain.cast("int").alias("retrain"),
+    ).orderBy("d")
+
+
+# --- Matryoshka prefix tier as stored layout (VERDICT r11 task 3) ----------
+
+
+def write_prefix_index(
+    df: DataFrame,
+    path: str,
+    prefix_dims: int = 16,
+    part_col: str | None = None,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The Matryoshka prefix-dimension serving layout as Spark
+    partitioned storage — the stored twin of the in-plan
+    ``operators/similarity.py::prefix_dim_topk_rerank``, and the layout
+    that turns the prefix rung's compute saving into an I/O saving: the
+    corpus bucketed by the coarse key (``write_ivf_index``'s rule) and
+    stored with the full vector PLUS a separate narrow ``prefix``
+    column holding the leading ``prefix_dims`` components. Parquet is
+    columnar, so the first serving pass projects ONLY (id, prefix) and
+    the scan reads ~``prefix_dims/dim`` of the vector bytes — the full
+    ``vec_col`` column is fetched exclusively for the shortlist's id
+    point-lookups (``read_prefix_rerank``; plan-pinned: the stage-1
+    scan's ReadSchema must not contain ``vec_col``). Storage grows by
+    the prefix copy (~``prefix_dims/dim``) — the standard
+    space-for-scan-I/O trade every covering projection makes.
+
+    Sidecars: per-bucket centroids (probe selection, 6dp-snapped) and
+    ``_prefixparams`` (the stored ``prefix_dims`` knob, so readers
+    slice queries identically). Effective only for MRL-trained
+    embeddings — measure first with ``prefix_dim_recall_curve`` (the
+    pre-flight check SCALING.md documents)."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        _assign_clusters,
+        kmeans_fit,
+    )
+
+    p = int(prefix_dims)
+    if part_col is None:
+        centroids = kmeans_fit(
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        src = _assign_clusters(df, centroids, vec_col)
+        part_col = "cluster"
+    else:
+        src = df
+    bucketed = src.withColumn(
+        BUCKET_COL, F.concat(F.lit("b"), F.col(part_col).cast("string"))
+    ).withColumn("prefix", F.slice(F.col(vec_col), 1, p))
+    if part_col != BUCKET_COL:
+        bucketed = bucketed.drop(part_col)
+    bucketed.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+
+    dims = (
+        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(BUCKET_COL, "d")
+        .agg(F.avg("x").alias("c"))
+    )
+    cents = (
+        dims.groupBy(BUCKET_COL)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            BUCKET_COL,
+            # 6dp-snap (ADVICE r11) — see write_ivf_index
+            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
+                "centroid"
+            ),
+        )
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_CENTROID_DIR}"
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(p,)], "prefix_dims int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{_PREFIXPARAMS_DIR}"
+    )
+    _commit_marker(path)
+
+
+def _prefix_params(spark: SparkSession, path: str) -> int:
+    """Stored ``prefix_dims`` from the ``_prefixparams`` sidecar."""
+    return int(
+        spark.read.parquet(f"{path}/{_PREFIXPARAMS_DIR}").first()[0]
+    )
+
+
+def _prefix_shortlist_frame(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    shortlist: int = 50,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    where: F.Column | None = None,
+) -> DataFrame:
+    """Stage 1 of ``read_prefix_rerank``, exposed so the plan tests can
+    pin its scan: probe buckets from the centroid sidecar (static
+    partition pruning), then rank by rounded prefix cosine over a
+    projection of ONLY (id, prefix) — the ReadSchema must not contain
+    the full vector column; that absence IS the tier's 100 TB I/O
+    claim. ``where`` enables filtered ANN over payload columns, pushed
+    into the narrow scan beside the pruning (the filtered-serving
+    symmetry every other rung already has). Returns the ``shortlist``
+    nearest as (id, prefix_sim)."""
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r[0]
+        for r in cents.select(
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), *_bucket_order_cols())
+        .limit(n_probe)
+        .select(BUCKET_COL)
+        .collect()
+    ]
+    p = _prefix_params(spark, path)
+    qp = F.array(*[F.lit(float(x)) for x in list(query_vec)[:p]])
+    probed = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(probe_ids)
+    )
+    if where is not None:
+        probed = probed.filter(where)
+    return (
+        probed.select(
+            id_col,
+            F.round(cosine(F.col("prefix"), qp), 6).alias("prefix_sim"),
+        )
+        .orderBy(F.desc("prefix_sim"), F.asc(id_col))
+        .limit(int(shortlist))
+    )
+
+
+def read_prefix_rerank(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    where: F.Column | None = None,
+) -> DataFrame:
+    """Two-stage retrieval over the stored prefix index: stage 1
+    shortlists by prefix cosine over a (id, prefix)-ONLY projection of
+    the pruned bucket scan (``_prefix_shortlist_frame`` — the full
+    vector column never enters that scan's ReadSchema), stage 2
+    re-ranks ONLY the shortlist with exact full-dimension cosine,
+    fetching the stored full vectors through a pushed-down id
+    point-lookup set. ``read_sq8_rerank``'s surface with the first
+    pass paid in prefix bytes instead of codes. ``where`` enables
+    filtered ANN, pushed into the narrow stage-1 scan. Returns
+    (id, cosine_sim) ranked near-to-far."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    short = _prefix_shortlist_frame(
+        spark, path, query_vec, shortlist=shortlist, n_probe=n_probe,
+        id_col=id_col, where=where,
+    )
+    ids = [r[0] for r in short.select(id_col).collect()]
+    cand = (
+        spark.read.parquet(path)
+        .select(id_col, vec_col)
+        .filter(F.col(id_col).isin(ids))
+    )
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def read_prefix_rerank_batch(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched two-stage prefix retrieval — the batch symmetry of the
+    stored Matryoshka tier (every other rung serves Q queries in one
+    pruned scan; this one does it reading only prefix bytes): stage 1
+    is ONE partition-pruned scan projecting (id, prefix) joined to the
+    broadcast (query_id, bucket, qprefix) frame, ranked per query by
+    rounded prefix cosine; stage 2 fetches full vectors ONCE for the
+    union of shortlists (pushed-down id set) and exact-reranks each
+    query against its own shortlist via the broadcast (query_id, id)
+    membership join. Driver traffic O(Q·shortlist) scalars. Returns
+    (query_id, id, cosine_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    from data_pipeline_ine_spark.operators.similarity import cosine
+
+    ids = [int(qid) for qid, _ in queries]
+    if len(ids) != len(set(ids)):
+        raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), *_bucket_order_cols()
+    )
+    probe_rows = (
+        cents.crossJoin(F.broadcast(qdf))  # |buckets| x Q — config-sized
+        .select(
+            "query_id",
+            BUCKET_COL,
+            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", BUCKET_COL)
+        .collect()
+    )
+    probes: dict[int, list[str]] = {}
+    for r in probe_rows:
+        probes.setdefault(r["query_id"], []).append(r[BUCKET_COL])
+    union_buckets = sorted({b for bs in probes.values() for b in bs})
+
+    p = _prefix_params(spark, path)
+    qprobe = spark.createDataFrame(
+        [
+            (int(qid), b, [float(x) for x in list(v)[:p]])
+            for qid, v in queries
+            for b in probes[int(qid)]
+        ],
+        f"query_id int, {BUCKET_COL} string, qprefix array<double>",
+    )
+    # stage 1: narrow (id, prefix) projection of ONE pruned scan — the
+    # full vector column must never enter this scan's ReadSchema
+    rk1 = Window.partitionBy("query_id").orderBy(
+        F.desc("prefix_sim"), F.asc(id_col)
+    )
+    short = (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin(union_buckets))
+        .select(id_col, "prefix", BUCKET_COL)
+        .join(F.broadcast(qprobe), BUCKET_COL)
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine(F.col("prefix"), F.col("qprefix")), 6
+            ).alias("prefix_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(rk1))
+        .filter(F.col("_rn") <= int(shortlist))
+    )
+    rows = short.select("query_id", id_col).collect()
+    union_ids = sorted({r[1] for r in rows})
+    idx = spark.read.parquet(path)
+    pairs = _shortlist_pairs(spark, idx, id_col, rows)
+    cand = idx.select(id_col, vec_col).filter(F.col(id_col).isin(union_ids))
+    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    rk2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        cand.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(rk2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -2447,3 +2447,427 @@ def test_binary_filtered_probe_pushes_predicate_beside_pruning(
     pushed = plan.split("PushedFilters", 1)
     assert len(pushed) == 2 and "vec_id" in pushed[1].splitlines()[0], plan
     assert all(r.vec_id >= 100 for r in out.collect())
+
+
+def test_binary_append_frozen_mids_compact_and_rebuild_refusal(
+    spark, sf_dir, tmp_path
+):
+    """Binary maintenance discipline (VERDICT r11 task 2): appends pack
+    sign bits under the FROZEN midpoints (sidecar byte-identical,
+    codes-only schema kept), compaction carries the _bqparams sidecar
+    and preserves probe results bit-for-bit, and rebuild_ivf_index
+    refuses the codes-only binary index the same way it refuses PQ and
+    SQ8."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        read_binary_probe,
+        rebuild_ivf_index,
+        write_binary_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "bq_inc")
+    write_binary_index(base, path, part_col=None, n_clusters=4, iters=1)
+    mids_before = sorted(
+        (r.d, r.mid)
+        for r in spark.read.parquet(f"{path}/_bqparams").collect()
+    )
+    append_to_ivf_index(extra, path)
+    idx = spark.read.parquet(path)
+    assert {"vec_id", "bq_w0", "bq_w1", "bucket"} <= set(idx.columns)
+    assert "embedding" not in idx.columns
+    assert idx.count() == emb.count()
+    mids_after = sorted(
+        (r.d, r.mid)
+        for r in spark.read.parquet(f"{path}/_bqparams").collect()
+    )
+    assert mids_after == mids_before  # frozen thresholds
+
+    before = [tuple(r) for r in read_binary_probe(
+        spark, path, qvec, k=10, n_probe=2
+    ).collect()]
+    compact_ivf_index(spark, path)
+    import os
+
+    assert os.path.exists(f"{path}/_bqparams")  # sidecar carried
+    after = [tuple(r) for r in read_binary_probe(
+        spark, path, qvec, k=10, n_probe=2
+    ).collect()]
+    assert after == before
+    with pytest.raises(ValueError, match="binary"):
+        rebuild_ivf_index(spark, path)
+
+
+def test_binary_batch_probe_one_scan_and_single_parity(
+    spark, sf_dir, tmp_path
+):
+    """read_binary_probe_batch (VERDICT r11 task 4): Q queries share
+    ONE partition-pruned codes scan (a single parquet scan node whose
+    PartitionFilters is the probed-bucket union) and each query's rows
+    equal the single-query reader exactly."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe,
+        read_binary_probe_batch,
+        write_binary_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        (qid, emb.filter(F.col("vec_id") == v).select("embedding")
+         .first()[0])
+        for qid, v in ((3, 0), (4, 7), (5, 19))
+    ]
+    path = str(tmp_path / "bq_batch")
+    write_binary_index(emb, path, part_col="label")
+    out = read_binary_probe_batch(spark, path, qs, k=10, n_probe=2)
+    plan = explain_str(out)
+    # ONE shared codes scan (single InMemoryFileIndex location — the
+    # broadcast probe frame is a LocalTableScan, not a parquet scan)
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    got = out.collect()
+    for qid, v in qs:
+        mine = sorted(
+            (r["vec_id"], r["hamming"], r["rank"])
+            for r in got if r["query_id"] == qid
+        )
+        single = read_binary_probe(
+            spark, path, v, k=10, n_probe=2
+        ).collect()
+        want = sorted(
+            (r["vec_id"], r["hamming"], i + 1)
+            for i, r in enumerate(single)
+        )
+        assert mine == want, (qid, mine, want)
+
+
+def test_binary_rerank_batch_matches_single(spark, sf_dir, tmp_path):
+    """Batched two-stage binary retrieval equals the single-query
+    rerank per query id (one pruned codes scan + one pushed-down id
+    lookup feeding every query's exact pass)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_rerank,
+        read_binary_rerank_batch,
+        write_binary_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        (1, emb.filter(F.col("vec_id") == 0).select("embedding")
+         .first()[0]),
+        (2, emb.filter(F.col("vec_id") == 11).select("embedding")
+         .first()[0]),
+    ]
+    path = str(tmp_path / "bq_rrb")
+    write_binary_index(emb, path, part_col="label")
+    got = read_binary_rerank_batch(
+        spark, path, emb, qs, k=5, shortlist=20, n_probe=2
+    ).collect()
+    for qid, v in qs:
+        mine = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in sorted(got, key=lambda r: r["rank"])
+            if r["query_id"] == qid
+        ]
+        want = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in read_binary_rerank(
+                spark, path, emb, v, k=5, shortlist=20, n_probe=2
+            ).collect()
+        ]
+        assert mine == want, (qid, mine, want)
+
+
+def test_rebuild_sq8_and_binary_from_source_retrain_and_carry_markers(
+    spark, sf_dir, tmp_path
+):
+    """Codes-only rebuilds (VERDICT r11 task 2): rebuild_sq8_index /
+    rebuild_binary_index re-train BOTH frozen artifacts from the SOURCE
+    table (the quant-params sidecar must change to the full-corpus
+    grid), produce exactly the index a fresh write of the full corpus
+    produces, and carry the _batch_commits replay markers through the
+    stage-and-swap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        rebuild_binary_index,
+        rebuild_sq8_index,
+        write_binary_index,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400).drop("label")
+
+    for tier, write_fn, rebuild_fn, side in (
+        ("sq8", write_sq8_index, rebuild_sq8_index, "_sqparams"),
+        ("bq", write_binary_index, rebuild_binary_index, "_bqparams"),
+    ):
+        path = str(tmp_path / f"{tier}_rb")
+        write_fn(base, path, part_col=None, n_clusters=4, iters=1)
+        append_to_ivf_index(extra, path)
+        params_frozen = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/{side}").collect()
+        )
+        # a committed streaming batch marker must survive the swap
+        os.makedirs(f"{path}/_batch_commits", exist_ok=True)
+        with open(f"{path}/_batch_commits/b9", "w") as f:
+            f.write("ok\n")
+        n = rebuild_fn(
+            spark, path, emb.drop("label"), part_col=None,
+            n_clusters=4, iters=1,
+        )
+        assert n == 4
+        assert os.path.exists(f"{path}/_batch_commits/b9")
+        params_new = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/{side}").collect()
+        )
+        assert params_new != params_frozen  # grid re-trained
+        fresh = str(tmp_path / f"{tier}_fresh")
+        write_fn(
+            emb.drop("label"), fresh, part_col=None, n_clusters=4, iters=1
+        )
+        want = sorted(
+            tuple(r) for r in spark.read.parquet(f"{fresh}/{side}").collect()
+        )
+        assert params_new == want
+        got_rows = sorted(
+            tuple(r)
+            for r in spark.read.parquet(path).drop("label").collect()
+        )
+        want_rows = sorted(
+            tuple(r) for r in spark.read.parquet(fresh).collect()
+        )
+        assert got_rows == want_rows
+
+
+def test_sq8_quant_drift_report_flags_out_of_grid_cohort(spark, tmp_path):
+    """sq8_quant_drift_report: per-dim out-of-grid counts of the RAW
+    appended cohort vs the frozen affine bounds, pure-Python twin
+    verified; an in-grid cohort reports zero clips and no retrain."""
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        sq8_quant_drift_report,
+        write_sq8_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 5), float(10 + i % 3)]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "sq8_qd")
+    write_sq8_index(base, path, part_col=None, n_clusters=2, iters=1)
+    # frozen grid: d1 in [0,4], d2 in [10,12]
+    newv = [
+        (100, [4.5, 11.0]),   # d1 above, d2 in-grid
+        (101, [-1.0, 11.5]),  # d1 below, d2 in-grid
+        (102, [2.0, 9.0]),    # d2 below
+        (103, [3.0, 12.0]),   # boundary: NOT outside (strict)
+    ]
+    new_df = spark.createDataFrame(
+        newv, "vec_id bigint, embedding array<double>"
+    )
+    got = {r["d"]: r for r in sq8_quant_drift_report(
+        spark, path, new_df
+    ).collect()}
+    assert (got[1]["n_clip_lo"], got[1]["n_clip_hi"]) == (1, 1)
+    assert (got[2]["n_clip_lo"], got[2]["n_clip_hi"]) == (1, 0)
+    assert all(got[d]["n_new"] == 4 for d in (1, 2))
+    # 2/4 and 1/4 both exceed the 1% default threshold
+    assert got[1]["retrain"] == 1 and got[2]["retrain"] == 1
+    ok = sq8_quant_drift_report(
+        spark, path,
+        spark.createDataFrame(
+            [(200, [1.0, 11.0])], "vec_id bigint, embedding array<double>"
+        ),
+    ).collect()
+    assert all(
+        r["n_clip_lo"] == 0 and r["n_clip_hi"] == 0 and r["retrain"] == 0
+        for r in ok
+    )
+
+
+def test_binary_quant_drift_report_counts_threshold_flips(
+    spark, tmp_path
+):
+    """binary_quant_drift_report: the flip count per dim must equal the
+    number of appended values landing between the frozen and the
+    re-derived midpoint (pure-Python twin), with e6-snapped midpoints
+    and the integer cross-multiplied retrain flag."""
+    import math
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        binary_quant_drift_report,
+        write_binary_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 11), 5.0 + (i % 7)]) for i in range(22)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "bq_qd")
+    write_binary_index(base, path, part_col=None, n_clusters=2, iters=1)
+    # frozen mids: d1 (0+10)/2 = 5.0, d2 (5+11)/2 = 8.0
+    newv = [[20.0, 7.5], [22.0, 7.0], [6.0, 9.5], [30.0, 6.5]]
+    new_df = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(newv)],
+        "vec_id bigint, embedding array<double>",
+    )
+    frozen = [5.0, 8.0]
+    newmid = [
+        (min(v[d] for v in newv) + max(v[d] for v in newv)) / 2.0
+        for d in range(2)
+    ]
+    want_flips = [
+        sum(
+            1 for v in newv
+            if (v[d] > frozen[d]) != (v[d] > newmid[d])
+        )
+        for d in range(2)
+    ]
+    got = {r["d"]: r for r in binary_quant_drift_report(
+        spark, path, new_df
+    ).collect()}
+    for d in (1, 2):
+        assert got[d]["n_new"] == 4
+        assert got[d]["n_flip"] == want_flips[d - 1], (d, dict(got[d].asDict()))
+        assert got[d]["mid_e6_frozen"] == int(
+            math.floor(frozen[d - 1] * 1e6 + 0.5)
+        )
+        assert got[d]["mid_e6_new"] == int(
+            math.floor(newmid[d - 1] * 1e6 + 0.5)
+        )
+        want_retrain = 1 if want_flips[d - 1] * 20 > 4 else 0
+        assert got[d]["retrain"] == want_retrain
+
+
+def test_prefix_index_stage1_scans_only_prefix_column(
+    spark, sf_dir, tmp_path
+):
+    """The stored Matryoshka prefix tier (VERDICT r11 task 3): the
+    stage-1 shortlist scan's ReadSchema must contain the narrow stored
+    prefix column and NOT the full vector column (the tier's 100 TB
+    I/O claim), with static bucket PartitionFilters; the two-stage
+    result must match the in-plan prefix_dim_topk_rerank when no
+    bucket is pruned away."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        prefix_dim_topk_rerank,
+    )
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        _prefix_shortlist_frame,
+        read_prefix_rerank,
+        write_prefix_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "pref_idx")
+    write_prefix_index(emb, path, prefix_dims=16, part_col="label")
+    n_buckets = emb.select("label").distinct().count()
+
+    stage1 = _prefix_shortlist_frame(
+        spark, path, qvec, shortlist=30, n_probe=2
+    )
+    plan = explain_str(stage1)
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "prefix" in read and "embedding" not in read, read
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in read_prefix_rerank(
+            spark, path, qvec, k=5, shortlist=30, n_probe=n_buckets
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in prefix_dim_topk_rerank(
+            emb, qvec, k=5, shortlist=30, prefix_dims=16
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_prefix_filtered_and_batch_match_single(spark, sf_dir, tmp_path):
+    """Prefix-tier serving symmetry: the where= predicate reaches the
+    NARROW stage-1 scan as PushedFilters beside the bucket pruning
+    (full-vector column still absent from its ReadSchema), and the
+    batched reader equals the single-query rerank per query id."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        _prefix_shortlist_frame,
+        read_prefix_rerank,
+        read_prefix_rerank_batch,
+        write_prefix_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "pref_fb")
+    write_prefix_index(emb, path, prefix_dims=16, part_col="label")
+
+    stage1 = _prefix_shortlist_frame(
+        spark, path, qvec, shortlist=20, n_probe=2,
+        where=F.col("vec_id") >= 100,
+    )
+    plan = explain_str(stage1)
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "prefix" in read and "embedding" not in read, read
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2 and "vec_id" in pushed[1].splitlines()[0], plan
+    out = read_prefix_rerank(
+        spark, path, qvec, k=5, shortlist=20, n_probe=2,
+        where=F.col("vec_id") >= 100,
+    ).collect()
+    assert len(out) == 5 and all(r.vec_id >= 100 for r in out)
+
+    qs = [
+        (1, qvec),
+        (2, emb.filter(F.col("vec_id") == 9).select("embedding")
+         .first()[0]),
+    ]
+    got = read_prefix_rerank_batch(
+        spark, path, qs, k=5, shortlist=20, n_probe=2
+    ).collect()
+    for qid, v in qs:
+        mine = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in sorted(got, key=lambda r: r["rank"])
+            if r["query_id"] == qid
+        ]
+        want = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in read_prefix_rerank(
+                spark, path, v, k=5, shortlist=20, n_probe=2
+            ).collect()
+        ]
+        assert mine == want, (qid, mine, want)

@@ -2081,3 +2081,58 @@ def test_stream_gopher_gate_matches_batch_and_replays_idempotent(
     ).count()
     assert total_after == len(batch_kept)
     assert sorted(_os.listdir(b0)) == before
+
+
+def test_streaming_append_into_binary_index_frozen_mids(spark, tmp_path):
+    """The streaming maintenance sink routes through the shared
+    _bucket_for_append step, which since r12 dispatches on the
+    _bqparams sidecar too: a batch appended into a BINARY index must
+    land as packed sign-bit words under the FROZEN midpoints (sidecar
+    untouched, codes-only schema), with the replay-twice-equals-once
+    invariant intact."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_binary_probe,
+        write_binary_index,
+    )
+    from data_pipeline_ine_spark.streaming.index_maintenance import (
+        append_batch_to_ivf_index,
+    )
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 10) for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "bq_stream")
+    write_binary_index(
+        emb.filter(F.col("vec_id") < 20), path, part_col=None,
+        n_clusters=2, iters=1,
+    )
+    mids_before = sorted(
+        (r.d, r.mid)
+        for r in spark.read.parquet(f"{path}/_bqparams").collect()
+    )
+    batch = emb.filter(F.col("vec_id") >= 20)
+    assert append_batch_to_ivf_index(batch, 1, path)
+    # committed replay must short-circuit; crash replay must replace
+    assert append_batch_to_ivf_index(batch, 1, path) is False
+    import os
+
+    os.remove(os.path.join(path, "_batch_commits", "b1"))
+    assert append_batch_to_ivf_index(batch, 1, path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == 40  # exactly once
+    assert "embedding" not in idx.columns
+    assert "bq_w0" in idx.columns
+    mids_after = sorted(
+        (r.d, r.mid)
+        for r in spark.read.parquet(f"{path}/_bqparams").collect()
+    )
+    assert mids_after == mids_before
+    qvec = rows[0][1]
+    out = read_binary_probe(spark, path, qvec, k=3, n_probe=2).collect()
+    assert out[0][0] == 0 and out[0][1] == 0  # self-match at Hamming 0
