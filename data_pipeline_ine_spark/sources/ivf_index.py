@@ -1966,11 +1966,14 @@ def sq8_quant_drift_report(
     map-side-combinable aggregate (|dim| groups). All counts exact
     integers. The recovery step it points at is ``rebuild_sq8_index``.
     """
-    mins, spans = _sq8_params(spark, path)
-    lo = F.array(*[F.lit(float(m)) for m in mins])
-    hi = F.array(
-        *[F.lit(float(m + s)) for m, s in zip(mins, spans)]
-    )
+    # read the sidecar's EXACT stored bounds — reconstructing vmax as
+    # vmin + span would be off by an ulp whenever the subtraction
+    # rounded (IEEE a + (b - a) != b), and the strict > comparison
+    # below must agree with an oracle comparing against the true max
+    rows = spark.read.parquet(f"{path}/{_SQPARAMS_DIR}").collect()
+    by_d = {int(r.d): (float(r.vmin), float(r.vmax)) for r in rows}
+    lo = F.array(*[F.lit(by_d[d][0]) for d in sorted(by_d)])
+    hi = F.array(*[F.lit(by_d[d][1]) for d in sorted(by_d)])
     cells = new_df.select(F.posexplode(vec_col).alias("d0", "x")).select(
         (F.col("d0") + 1).cast("int").alias("d"),
         F.col("x").cast("double").alias("x"),

@@ -139,6 +139,21 @@ HEAVY = [
     "text_normalize",
     "t_closeness",
     "curriculum_order",
+    # round-12 quantized-tier lifecycle + prefix tier over the probe
+    # corpus: append fixtures pay one base write + one frozen-param
+    # routed append, drift reports are posexplode maps + |dim|-group
+    # aggregates, rebuilds pay the full-corpus k-means any rebuild
+    # pays, serving rows a pruned scan — all corpus-linear
+    "sq8_append_probe",
+    "binary_append_probe",
+    "sq8_quant_drift",
+    "binary_quant_drift",
+    "sq8_rebuild",
+    "binary_rebuild",
+    "ann_binary_batch",
+    "ann_prefix_stored",
+    "ann_prefix_filtered",
+    "ann_prefix_batch",
 ]
 
 
