@@ -402,3 +402,65 @@ def stream_maintain_cusum(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quant_drift_monitor(
+    vector_stream: DataFrame,
+    index_path: str,
+    report_dir: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+):
+    """Streaming twin of the quantization-drift reports (sources/
+    ivf_index.py::sq8_quant_drift_report / binary_quant_drift_report):
+    a production corpus appends CONTINUOUSLY, so the question "has the
+    appended cohort drifted off the frozen quant grid" should be
+    answered per micro-batch, not by a periodic batch scan of
+    accumulated appends. Each micro-batch writes its own per-dim
+    drift report under ``report_dir/batch_id=N/`` (idempotent per
+    batch — ``stream_drift_monitor``'s replay discipline), against
+    whichever frozen params sidecar the index carries: SQ8 affine
+    bounds (out-of-grid clip counts) or binary midpoints (threshold
+    flips vs the BATCH's own re-derived midpoint).
+
+    The tier is sniffed once at monitor start; each batch re-reads
+    only the O(dim) params sidecar (frozen by the append discipline —
+    that is the point) and pays one posexplode map + a |dim|-group
+    aggregate over BATCH-sized data. Retrain decisions aggregate
+    downstream via ``read_drift_reports``."""
+    import os as _os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        binary_quant_drift_report,
+        sq8_quant_drift_report,
+    )
+
+    spark = vector_stream.sparkSession
+    is_sq8 = _os.path.exists(_os.path.join(index_path, "_sqparams"))
+    is_bq = _os.path.exists(_os.path.join(index_path, "_bqparams"))
+    if not (is_sq8 or is_bq):
+        raise ValueError(
+            f"{index_path} carries no quantization sidecar (_sqparams/"
+            "_bqparams) — quant drift is undefined for raw-vector tiers"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(report_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replayed batch: report already committed
+        if is_sq8:
+            report = sq8_quant_drift_report(
+                spark, index_path, batch_df, vec_col=vec_col
+            )
+        else:
+            report = binary_quant_drift_report(
+                spark, index_path, batch_df, vec_col=vec_col
+            )
+        report.write.mode("overwrite").parquet(target)
+
+    return (
+        vector_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

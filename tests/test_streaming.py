@@ -2136,3 +2136,77 @@ def test_streaming_append_into_binary_index_frozen_mids(spark, tmp_path):
     qvec = rows[0][1]
     out = read_binary_probe(spark, path, qvec, k=3, n_probe=2).collect()
     assert out[0][0] == 0 and out[0][1] == 0  # self-match at Hamming 0
+
+
+def test_stream_quant_drift_monitor_equals_batch_report(spark, tmp_path):
+    """stream_quant_drift_monitor: per-micro-batch quant-drift reports
+    must equal the batch report run over the same rows (stream==batch,
+    the repo's streaming-twin invariant), at BOTH quantized tiers, and
+    a replayed batch must not rewrite its committed report."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        binary_quant_drift_report,
+        sq8_quant_drift_report,
+        write_binary_index,
+        write_sq8_index,
+    )
+    from data_pipeline_ine_spark.streaming.quality import (
+        read_drift_reports,
+        stream_quant_drift_monitor,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 5), float(10 + i % 3)]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    newv = [
+        (100, [4.5, 11.0]),
+        (101, [-1.0, 11.5]),
+        (102, [2.0, 9.0]),
+        (103, [30.0, 12.5]),
+    ]
+    new_df = spark.createDataFrame(
+        newv, "vec_id bigint, embedding array<double>"
+    )
+    land = str(tmp_path / "land")
+    new_df.coalesce(1).write.parquet(land)
+
+    for tier, write_fn, report_fn in (
+        ("sq8", write_sq8_index, sq8_quant_drift_report),
+        ("bq", write_binary_index, binary_quant_drift_report),
+    ):
+        idx = str(tmp_path / f"{tier}_idx")
+        write_fn(base, idx, part_col=None, n_clusters=2, iters=1)
+        stream = (
+            spark.readStream.schema(new_df.schema).parquet(land)
+        )
+        reports = str(tmp_path / f"{tier}_reports")
+        q = stream_quant_drift_monitor(
+            stream, idx, reports,
+            checkpoint=str(tmp_path / f"{tier}_ckpt"),
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r)
+            for r in read_drift_reports(spark, reports)
+            .drop("batch_id")
+            .collect()
+        )
+        want = sorted(
+            tuple(r) for r in report_fn(spark, idx, new_df).collect()
+        )
+        assert got == want, (tier, got, want)
+
+    # raw-vector tier: quant drift undefined — loud refusal
+    import pytest
+
+    from data_pipeline_ine_spark.sources.ivf_index import write_ivf_index
+
+    flat = str(tmp_path / "flat_idx")
+    write_ivf_index(base, flat, part_col=None, n_clusters=2, iters=1)
+    with pytest.raises(ValueError, match="quantization sidecar"):
+        stream_quant_drift_monitor(
+            spark.readStream.schema(new_df.schema).parquet(land),
+            flat, str(tmp_path / "r"), checkpoint=str(tmp_path / "c"),
+        )
