@@ -64,6 +64,12 @@ AUDITED = {
     "curation_v3": "five gates as per-doc flag semi-joins in one plan; single range exchange (dsir two-pass cumsum); chunk explode sits above the budget filter",
     "ann_binary_rerank": "corpus pass is packed-word integer XOR/popcount in the scan stage; TakeOrdered shortlist; exact cosine only over 50 rows",
     "dup_span_scrub": "spans as 48-bit hashes with positions; dup set equi-joined back; rewrite is a narrow indexed-lambda filter — doc bodies never shuffle",
+    # round-12 lifecycle + prefix tier
+    "sq8_append_probe": "appended rows live in the SAME pruned codes scan as the base (one layout); probe identical to ann_sq8_probe — the frozen grid leaves no plan trace, which is the point",
+    "ann_binary_batch": "ONE shared pruned 8-byte codes scan for Q queries; broadcast (query_id, bucket, qwords) equi-join; per-candidate work is literal-free XOR/popcount against the row's own words",
+    "sq8_quant_drift": "params sidecar is O(dim) literals; one posexplode map over the APPENDED cohort + a |dim|-group map-side-combinable aggregate — the corpus is never scanned",
+    "ann_prefix_stored": "stage-1 ReadSchema is (id, prefix) ONLY — the full-vector column is absent from the pruned scan; stage 2 is a pushed-down id point-lookup set",
+    "ann_prefix_batch": "one narrow pruned (id, prefix) scan for Q queries; WindowGroupLimit per-query shortlist; ONE id-set fetch of full vectors serves every rescore",
 }
 
 SF_DIR = "/root/testdata/sf0.1"
