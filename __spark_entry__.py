@@ -13901,6 +13901,260 @@ FROM ranked WHERE rank <= 10
 """
 
 
+
+
+# --- PQ-tier lifecycle completion (round 12, self-directed symmetry) -------
+
+
+def _pq_append_fixture(spark: SparkSession, sf_dir: str):
+    """PQ twin of ``_sq8_append_fixture``: codes-only IVF-PQ index
+    built from the first half (label buckets, untrained lowest-id
+    codebook), second half appended as codes ENCODED UNDER THE FROZEN
+    CODEBOOK and routed to the frozen centroids. Returns
+    (path, cut, emb)."""
+    import os
+    import shutil
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_pq_app_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_codebook", "_app_ok"):
+        shutil.rmtree(path, ignore_errors=True)
+        write_ivfpq_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        with open(os.path.join(path, "_app_ok"), "w") as f:
+            f.write("ok\n")
+    return path, cut, emb
+
+
+def q_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN at the PQ tier (sources/ivf_index.py::
+    read_ivfpq_probe ``where=``): the same newer-half payload predicate
+    as the flat/SQ8/binary/prefix filtered rows, pushed into the
+    4-byte CODES scan beside the bucket pruning — the last rung of the
+    filtered-serving symmetry, ranking only probed-AND-matching codes
+    by the exact integer ADC distance."""
+    import os
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_probe,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy(F.desc("vec_id")).select("embedding").head()[0]
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_ivfpq_index_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_codebook"):
+        write_ivfpq_index(emb, path, part_col="label")
+    return read_ivfpq_probe(
+        spark, path, qvec, k=10, n_probe=2,
+        where=F.col("vec_id") >= cut,
+    )
+
+
+ORACLE_ANN_IVFPQ_FILTERED = ORACLE_ANN_IVFPQ.replace(
+    "JOIN lut l ON l.s = e.s AND l.c = e.c\nGROUP BY e.vec_id",
+    "JOIN lut l ON l.s = e.s AND l.c = e.c\n"
+    "WHERE e.vec_id >= (SELECT MAX(vec_id) // 2 FROM e2)\n"
+    "GROUP BY e.vec_id",
+)
+
+
+def q_pq_quant_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-drift report at the PQ tier (sources/ivf_index.py
+    ::pq_quant_drift_report): PQ staleness is RECONSTRUCTION ERROR —
+    per subspace, the exact BIGINT mean squared distance of the raw
+    appended cohort to its nearest FROZEN codeword versus to a
+    codebook the cohort itself would derive (same untrained lowest-id
+    recipe as the writer), integer cross-multiplied 3/2 retrain flag.
+    Completes the drift-report family across all three codes-only
+    tiers (SQ8 clip counts / binary threshold flips / PQ
+    reconstruction error). Numpy reference twin in
+    tests/test_plan_quality.py."""
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        pq_quant_drift_report,
+    )
+
+    path, cut, emb = _pq_append_fixture(spark, sf_dir)
+    return pq_quant_drift_report(
+        spark, path, emb.filter(F.col("vec_id") >= cut).drop("label")
+    )
+
+
+ORACLE_PQ_QUANT_DRIFT = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cut AS (SELECT MAX(vec_id) // 2 AS c FROM e),
+dims AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+),
+vint AS MATERIALIZED (
+  SELECT vec_id, i, CAST((i - 1) // 16 AS INT) AS s,
+         CAST(floor(x * 10000 + 0.5) AS BIGINT) AS vi
+  FROM dims
+),
+frocb AS (
+  SELECT vec_id AS cb_vec, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM e, cut WHERE vec_id < cut.c ORDER BY vec_id LIMIT 8
+),
+frocells AS (
+  SELECT fc.c, v.i, v.s, v.vi AS cv
+  FROM frocb fc JOIN vint v ON v.vec_id = fc.cb_vec
+),
+frecb AS (
+  SELECT vec_id AS cb_vec, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM e, cut WHERE vec_id >= cut.c ORDER BY vec_id LIMIT 8
+),
+frecells AS (
+  SELECT fc.c, v.i, v.s, v.vi AS cv
+  FROM frecb fc JOIN vint v ON v.vec_id = fc.cb_vec
+),
+newv AS (SELECT v.* FROM vint v, cut WHERE v.vec_id >= cut.c),
+df AS (
+  SELECT nv.vec_id, nv.s, fc.c,
+         SUM((nv.vi - fc.cv) * (nv.vi - fc.cv)) AS d2
+  FROM newv nv JOIN frocells fc ON fc.i = nv.i
+  GROUP BY 1, 2, 3
+),
+mf AS (SELECT vec_id, s, MIN(d2) AS ef FROM df GROUP BY 1, 2),
+dn AS (
+  SELECT nv.vec_id, nv.s, fc.c,
+         SUM((nv.vi - fc.cv) * (nv.vi - fc.cv)) AS d2
+  FROM newv nv JOIN frecells fc ON fc.i = nv.i
+  GROUP BY 1, 2, 3
+),
+mn AS (SELECT vec_id, s, MIN(d2) AS en FROM dn GROUP BY 1, 2)
+SELECT CAST(mf.s AS INT) AS s,
+  CAST(COUNT(*) AS BIGINT) AS n_new,
+  CAST(SUM(mf.ef) // COUNT(*) AS BIGINT) AS mean_err_frozen,
+  CAST(SUM(mn.en) // COUNT(*) AS BIGINT) AS mean_err_fresh,
+  CAST(CASE WHEN SUM(mf.ef) * 2 > SUM(mn.en) * 3 THEN 1 ELSE 0 END
+       AS INT) AS retrain
+FROM mf JOIN mn ON mn.vec_id = mf.vec_id AND mn.s = mf.s
+GROUP BY mf.s ORDER BY s
+"""
+
+
+def q_ivfpq_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild closing the PQ lifecycle (sources/ivf_index.py::
+    rebuild_ivfpq_index): build from the first half (label buckets),
+    append the second under the frozen codebook, then rebuild FROM THE
+    SOURCE TABLE — re-training the k=8 coarse quantizer AND the
+    untrained lowest-id codebook on the current corpus, staged and
+    swapped with replay-marker carry. The per-bucket code checksum
+    proves every vector re-encoded under the NEW full-corpus codebook
+    (the oracle re-derives bucketing, codebook, and codes from
+    scratch)."""
+    import os
+    import shutil
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        rebuild_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).first()[0]) // 2
+    path = os.path.join(
+        "/tmp", f"spark_graft_pq_rb_{_IVF_LAYOUT_V}",
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_" + _table_fingerprint(sf_dir, "embeddings"),
+    )
+    if not _ivf_index_ready(path, "_centroids", "_codebook", "_rebuilt_ok"):
+        shutil.rmtree(path, ignore_errors=True)
+        write_ivfpq_index(
+            emb.filter(F.col("vec_id") < cut), path, part_col="label"
+        )
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") >= cut).drop("label"), path
+        )
+        rebuild_ivfpq_index(
+            spark, path, emb.drop("label"), n_clusters=8, iters=2
+        )
+        with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
+            f.write("ok\n")
+    code_sum = F.aggregate(
+        F.col("pq_codes"), F.lit(0).cast("bigint"),
+        lambda a, x: a + x.cast("bigint"),
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+            F.sum(code_sum).cast("bigint").alias("code_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_IVFPQ_REBUILD = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{{lloyd}}a3 AS ({{assign}}),
+asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
+dims AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+),
+vint AS MATERIALIZED (
+  SELECT vec_id, i, CAST((i - 1) // 16 AS INT) AS s,
+         CAST(floor(x * 10000 + 0.5) AS BIGINT) AS vi
+  FROM dims
+),
+cb AS (
+  SELECT vec_id AS cb_vec, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM e ORDER BY vec_id LIMIT 8
+),
+cbdims AS (
+  SELECT cb.c, v.i, v.s, v.vi AS cv
+  FROM cb JOIN vint v ON v.vec_id = cb.cb_vec
+),
+enc_dist AS (
+  SELECT v.vec_id, v.s, cb.c,
+         SUM((v.vi - cb.cv) * (v.vi - cb.cv)) AS d
+  FROM vint v JOIN cbdims cb ON cb.i = v.i
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rk
+    FROM enc_dist) WHERE rk = 1
+),
+csum AS (SELECT vec_id, CAST(SUM(c) AS BIGINT) AS cs FROM enc GROUP BY 1)
+SELECT 'b' || CAST(a.cid AS VARCHAR) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(a.vec_id) AS BIGINT) AS id_sum,
+  CAST(SUM(cs.cs) AS BIGINT) AS code_sum
+FROM asg a JOIN csum cs ON cs.vec_id = a.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+ORACLE_IVFPQ_REBUILD = ORACLE_IVFPQ_REBUILD.format(
+    lloyd=_LLOYD_CHAIN_CTE,
+    assign=_KM_ASSIGN.format(d=_sql_sq_dist("v", "cv"), c="c2"),
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -13973,12 +14227,15 @@ _CHECK_ORDER = [
     "readability_scores",
     "rendezvous_shards",
     "ann_binary_batch",
+    "ann_ivfpq_filtered",
     "ann_prefix_batch",
     "ann_prefix_filtered",
     "ann_prefix_stored",
     "binary_append_probe",
     "binary_quant_drift",
     "binary_rebuild",
+    "ivfpq_rebuild",
+    "pq_quant_drift",
     "sq8_append_probe",
     "sq8_quant_drift",
     "sq8_rebuild",
@@ -14547,6 +14804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_prefix_stored": q_ann_prefix_stored,
         "ann_prefix_filtered": q_ann_prefix_filtered,
         "ann_prefix_batch": q_ann_prefix_batch,
+        "ann_ivfpq_filtered": q_ann_ivfpq_filtered,
+        "pq_quant_drift": q_pq_quant_drift,
+        "ivfpq_rebuild": q_ivfpq_rebuild,
         "ann_binary_filtered_probe": q_ann_binary_filtered_probe,
     })
 
@@ -14856,5 +15116,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_prefix_stored": ORACLE_ANN_PREFIX_STORED,
         "ann_prefix_filtered": ORACLE_ANN_PREFIX_FILTERED,
         "ann_prefix_batch": ORACLE_ANN_PREFIX_BATCH,
+        "ann_ivfpq_filtered": ORACLE_ANN_IVFPQ_FILTERED,
+        "pq_quant_drift": ORACLE_PQ_QUANT_DRIFT,
+        "ivfpq_rebuild": ORACLE_IVFPQ_REBUILD,
         "ann_binary_filtered_probe": ORACLE_ANN_BINARY_FILTERED,
     })

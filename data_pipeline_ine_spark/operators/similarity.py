@@ -931,6 +931,59 @@ def pq_encode(
     )
 
 
+def pq_recon_err_col(
+    vec_col: str, codebook: list[list[list[int]]]
+) -> Column:
+    """Per-subspace PQ reconstruction error as ONE narrow JVM
+    expression: for each subspace ``s``, the minimum over codewords of
+    the exact BIGINT squared distance between the vector's fixed-point
+    subvector and the codeword — i.e. the quantization error the
+    encoder would accept for this vector under ``codebook``. Returns
+    an array of ``m`` BIGINTs (subspace order).
+
+    The drift-measurement companion of ``pq_encode`` (same ``_diff``
+    integer arithmetic, same let-bound fold so nothing re-evaluates
+    per element); ``sources/ivf_index.py::pq_quant_drift_report``
+    aggregates it per subspace to price a FROZEN codebook against a
+    cohort-derived one. Zero shuffles, zero Python."""
+    from data_pipeline_ine_spark.functions.scalars import let_
+
+    m = len(codebook)
+    n_codes = len(codebook[0])
+    sub = len(codebook[0][0])
+    cb = _pq_lit(codebook)
+    vint = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+    def err_for(vi: Column, s: int) -> Column:
+        def _diff(c: Column, d: Column) -> Column:
+            return F.element_at(
+                vi, F.lit(s * sub) + d.cast("int") + F.lit(1)
+            ) - F.element_at(
+                F.element_at(F.element_at(cb, s + 1), c),
+                d.cast("int") + 1,
+            )
+
+        cdist = lambda c: F.aggregate(  # noqa: E731
+            F.sequence(F.lit(0), F.lit(sub - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc + _diff(c, d) * _diff(c, d),
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(n_codes)),
+            F.lit(2**62).cast("bigint"),
+            lambda acc, c: let_(cdist(c), lambda dd: F.least(acc, dd)),
+        )
+
+    return let_(
+        vint, lambda vi: F.array(*[err_for(vi, s) for s in range(m)])
+    )
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebook: list[list[list[int]]],

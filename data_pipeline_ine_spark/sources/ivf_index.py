@@ -560,7 +560,7 @@ def rebuild_ivf_index(
         raise ValueError(
             f"{path} is a codes-only IVF-PQ index: raw vectors are not "
             "stored, so the quantizer cannot retrain from the index — "
-            "rebuild from the source table with write_ivfpq_index"
+            "rebuild from the source table with rebuild_ivfpq_index"
         )
     if os.path.exists(os.path.join(path, _SQPARAMS_DIR)):
         raise ValueError(
@@ -889,6 +889,7 @@ def read_ivfpq_probe(
     k: int = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
+    where: F.Column | None = None,
 ) -> DataFrame:
     """ADC top-k from an IVF-PQ index: probe buckets chosen from the
     centroid sidecar exactly like ``read_ivf_probe`` (static partition
@@ -896,7 +897,9 @@ def read_ivfpq_probe(
     (rebuilt from the codebook sidecar — O(m·n_codes·sub) driver work)
     ranks the PROBED buckets' codes with ``m`` lookups + adds per
     candidate. The serving scan reads only codes of only the probed
-    buckets."""
+    buckets. ``where`` enables filtered ANN over payload columns,
+    pushed into the codes scan beside the pruning — completing the
+    filtered-serving symmetry across all quantized rungs."""
     from data_pipeline_ine_spark.operators.similarity import (
         cosine,
         pq_topk,
@@ -926,6 +929,8 @@ def read_ivfpq_probe(
     probed = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(probe_ids)
     )
+    if where is not None:
+        probed = probed.filter(where)
     return pq_topk(probed, codebook, query_vec, k=k, id_col=id_col)
 
 
@@ -2363,3 +2368,106 @@ def read_prefix_rerank_batch(
         .withColumn("rank", F.row_number().over(rk2).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rebuild_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    part_col: str | None = None,
+    n_clusters: int = 8,
+    iters: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    trained: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Drift recovery for the codes-only PQ tier — the third member of
+    the codes-only rebuild family (``rebuild_sq8_index`` /
+    ``rebuild_binary_index``): re-train the coarse quantizer AND the
+    PQ codebook from the SOURCE table (an appended cohort whose
+    subspace distribution drifted off the frozen codewords pays
+    reconstruction error that ``pq_quant_drift_report`` measures until
+    this runs) and stage-and-swap the rewrite with replay-marker
+    carry. Returns the bucket count after the swap."""
+    import shutil
+
+    _refuse_if_pending_batches(path, "rebuild")
+    markers_t0 = _batch_markers(path)
+    stage = path.rstrip("/") + ".compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_ivfpq_index(
+        source, stage, part_col=part_col, n_clusters=n_clusters,
+        iters=iters, m=m, n_codes=n_codes, trained=trained,
+        vec_col=vec_col, id_col=id_col,
+    )
+    return _swap_in_rebuilt_stage(path, stage, markers_t0)
+
+
+def pq_quant_drift_report(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    thresh_num: int = 3,
+    thresh_den: int = 2,
+) -> DataFrame:
+    """Quantization-drift surface for the frozen PQ codebook: PQ never
+    clips and has no per-dim threshold — its staleness shows up as
+    RECONSTRUCTION ERROR, the squared distance between a vector's
+    fixed-point subvector and the nearest frozen codeword (the loss
+    the ADC distance silently absorbs). Per subspace, against the RAW
+    appended cohort: the e6-free exact BIGINT mean reconstruction
+    error under the FROZEN sidecar codebook versus under a codebook
+    derived from the COHORT ITSELF (same untrained recipe the index
+    writer uses — ``n_codes`` lowest-id cohort vectors), and
+    ``retrain = 1`` iff the frozen error exceeds ``thresh_num/
+    thresh_den`` times the cohort-derived error (integer
+    cross-multiply on the SUMS — same count both sides, no division
+    in the flag). Output one row per subspace: ``(s, n_new,
+    mean_err_frozen, mean_err_fresh, retrain)``, 0-based ``s``.
+
+    Scale shape: both codebooks are O(n_codes·dim) plan literals; the
+    report is ONE narrow integer-fold map over the appended cohort
+    (``pq_recon_err_col`` — the ``pq_encode`` machinery pointed at the
+    min distance instead of the argmin) plus an ``m``-group aggregate.
+    The recovery step is ``rebuild_ivfpq_index``."""
+    from data_pipeline_ine_spark.operators.similarity import (
+        pq_codebook,
+        pq_recon_err_col,
+    )
+
+    cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+    m = 1 + max(r.s for r in cb_rows)
+    n_codes = 1 + max(r.c for r in cb_rows)
+    frozen: list[list[list[int]]] = [[None] * n_codes for _ in range(m)]
+    for r in cb_rows:
+        frozen[r.s][r.c] = [int(x) for x in r.subvec]
+    fresh = pq_codebook(
+        new_df, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes,
+        trained=False,
+    )
+    z = F.arrays_zip(
+        pq_recon_err_col(vec_col, frozen).alias("ef"),
+        pq_recon_err_col(vec_col, fresh).alias("en"),
+    )
+    cells = new_df.select(F.posexplode(z).alias("s0", "e"))
+    prof = cells.groupBy(F.col("s0").cast("int").alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.sum(F.col("e.ef")).cast("bigint").alias("_sf"),
+        F.sum(F.col("e.en")).cast("bigint").alias("_sn"),
+    )
+    retrain = F.when(
+        F.col("_sf") * F.lit(int(thresh_den))
+        > F.col("_sn") * F.lit(int(thresh_num)),
+        1,
+    ).otherwise(0)
+    return prof.select(
+        "s",
+        "n_new",
+        F.expr("_sf div n_new").cast("bigint").alias("mean_err_frozen"),
+        F.expr("_sn div n_new").cast("bigint").alias("mean_err_fresh"),
+        retrain.cast("int").alias("retrain"),
+    ).orderBy("s")

@@ -2871,3 +2871,170 @@ def test_prefix_filtered_and_batch_match_single(spark, sf_dir, tmp_path):
             ).collect()
         ]
         assert mine == want, (qid, mine, want)
+
+
+def test_ivfpq_filtered_probe_pushes_predicate_and_matches_unfiltered_semantics(
+    spark, sf_dir, tmp_path
+):
+    """Filtered ANN at the PQ tier: the payload predicate reaches the
+    codes scan as PushedFilters beside the bucket PartitionFilters,
+    every returned row satisfies it, and the result equals the
+    unfiltered ADC ranking restricted to matching rows."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        read_ivfpq_probe,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "pq_filt")
+    write_ivfpq_index(emb, path, part_col="label")
+    out = read_ivfpq_probe(
+        spark, path, qvec, k=10, n_probe=2,
+        where=F.col("vec_id") >= 100,
+    )
+    plan = explain_str(out)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1].splitlines()[0], plan
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2 and "vec_id" in pushed[1].splitlines()[0], plan
+    got = [(r.vec_id, r.pq_dist) for r in out.collect()]
+    assert len(got) == 10 and all(v >= 100 for v, _ in got)
+    want = [
+        (r.vec_id, r.pq_dist)
+        for r in read_ivfpq_probe(
+            spark, path, qvec, k=10_000, n_probe=2
+        ).collect()
+        if r.vec_id >= 100
+    ][:10]
+    assert got == want
+
+
+def test_pq_quant_drift_report_numpy_twin_and_shifted_cohort_flags(
+    spark, tmp_path
+):
+    """pq_quant_drift_report: frozen-vs-fresh mean reconstruction
+    errors must equal a numpy reference implementation exactly, and a
+    cohort shifted far off the training distribution must flag
+    retrain=1 in every subspace (its frozen-codebook error dwarfs the
+    cohort-derived one)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        pq_quant_drift_report,
+        write_ivfpq_index,
+    )
+
+    rng = [
+        (i, [((i * 31 + d * 17) % 100) / 100.0 for d in range(8)])
+        for i in range(24)
+    ]
+    base = spark.createDataFrame(
+        [r for r in rng if r[0] < 12],
+        "vec_id bigint, embedding array<double>",
+    )
+    # appended cohort: same shape, +5.0 offset — way off the frozen
+    # codewords, near its own
+    newv = [(i, [x + 5.0 for x in v]) for i, v in rng if i >= 12]
+    new_df = spark.createDataFrame(
+        newv, "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "pq_qd")
+    write_ivfpq_index(
+        base, path, part_col=None, n_clusters=2, iters=1, m=4, n_codes=4
+    )
+    got = {r["s"]: r for r in pq_quant_drift_report(
+        spark, path, new_df
+    ).collect()}
+
+    def q(v):
+        return np.floor(np.array(v, dtype=np.float64) * 10000 + 0.5).astype(
+            np.int64
+        )
+
+    fro = [q(v) for _, v in sorted(rng)[:4]]          # base lowest-ids
+    fre = [q(v) for _, v in sorted(newv)[:4]]         # cohort lowest-ids
+    sub = 2
+    for s in range(4):
+        ef = en = 0
+        for _, v in newv:
+            qv = q(v)[s * sub:(s + 1) * sub]
+            ef += min(int(((qv - c[s * sub:(s + 1) * sub]) ** 2).sum())
+                      for c in fro)
+            en += min(int(((qv - c[s * sub:(s + 1) * sub]) ** 2).sum())
+                      for c in fre)
+        n = len(newv)
+        r = got[s]
+        assert (r["n_new"], r["mean_err_frozen"], r["mean_err_fresh"]) == (
+            n, ef // n, en // n,
+        ), (s, dict(r.asDict()), ef, en)
+        assert r["retrain"] == (1 if ef * 2 > en * 3 else 0) == 1
+
+
+def test_rebuild_ivfpq_from_source_retrains_codebook(
+    spark, sf_dir, tmp_path
+):
+    """rebuild_ivfpq_index re-trains the codebook and bucketing from
+    the source table: the codebook sidecar changes to the full-corpus
+    one, the rebuilt index equals a fresh full-corpus write, and
+    rebuild_ivf_index still refuses the codes-only PQ layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.sources.ivf_index import (
+        append_to_ivf_index,
+        rebuild_ivf_index,
+        rebuild_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from data_pipeline_ine_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # appended cohort owns the LOWEST ids: the untrained codebook is
+    # the n_codes lowest-id vectors, so the full-corpus rebuild MUST
+    # derive different codewords than the base-only build (a split
+    # where the base kept ids 0..7 would leave the codebook unchanged
+    # by construction — not a retrain failure)
+    base = emb.filter(F.col("vec_id") >= 100)
+    extra = emb.filter(F.col("vec_id") < 100).drop("label")
+    path = str(tmp_path / "pq_rb")
+    # label buckets for the base build: k-means' lowest-id init needs
+    # ids < k, which this base deliberately lacks
+    write_ivfpq_index(base, path, part_col="label")
+    append_to_ivf_index(extra, path)
+    cb_frozen = sorted(
+        (r.s, r.c, tuple(r.subvec))
+        for r in spark.read.parquet(f"{path}/_codebook").collect()
+    )
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        rebuild_ivf_index(spark, path)
+    n = rebuild_ivfpq_index(
+        spark, path, emb.drop("label"), part_col=None, n_clusters=4,
+        iters=1,
+    )
+    assert n == 4
+    cb_new = sorted(
+        (r.s, r.c, tuple(r.subvec))
+        for r in spark.read.parquet(f"{path}/_codebook").collect()
+    )
+    assert cb_new != cb_frozen
+    fresh = str(tmp_path / "pq_fresh")
+    write_ivfpq_index(
+        emb.drop("label"), fresh, part_col=None, n_clusters=4, iters=1
+    )
+    want_cb = sorted(
+        (r.s, r.c, tuple(r.subvec))
+        for r in spark.read.parquet(f"{fresh}/_codebook").collect()
+    )
+    assert cb_new == want_cb
+    got_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("label").collect()
+    )
+    want_rows = sorted(
+        tuple(r) for r in spark.read.parquet(fresh).collect()
+    )
+    assert got_rows == want_rows

@@ -70,6 +70,8 @@ AUDITED = {
     "sq8_quant_drift": "params sidecar is O(dim) literals; one posexplode map over the APPENDED cohort + a |dim|-group map-side-combinable aggregate — the corpus is never scanned",
     "ann_prefix_stored": "stage-1 ReadSchema is (id, prefix) ONLY — the full-vector column is absent from the pruned scan; stage 2 is a pushed-down id point-lookup set",
     "ann_prefix_batch": "one narrow pruned (id, prefix) scan for Q queries; WindowGroupLimit per-query shortlist; ONE id-set fetch of full vectors serves every rescore",
+    "pq_quant_drift": "both codebooks ride as plan literals; ONE let-bound integer-fold map over the appended cohort + an m-group aggregate — the corpus is never scanned",
+    "ann_ivfpq_filtered": "payload predicate as PushedFilters beside the bucket PartitionFilters on the 4-byte codes scan; ADC LUT fold + TakeOrdered",
 }
 
 SF_DIR = "/root/testdata/sf0.1"

@@ -154,6 +154,9 @@ HEAVY = [
     "ann_prefix_stored",
     "ann_prefix_filtered",
     "ann_prefix_batch",
+    "ann_ivfpq_filtered",
+    "pq_quant_drift",
+    "ivfpq_rebuild",
 ]
 
 
