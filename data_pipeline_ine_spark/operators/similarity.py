@@ -49,6 +49,30 @@ def embedding_norms(
     return df.select(id_col, F.round(l2_norm(F.col(vec_col)), 4).alias("l2_norm"))
 
 
+def _rebalanced(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Parallelism floor for the vector-math stages (guide §2.6, §6): a
+    small embeddings table arrives as ONE parquet split, so every
+    downstream narrow map (centroid assignment: k sq_dist folds per row)
+    and every pair-producing join that streams this side runs as a
+    single task — measured on the blocked-pair family at sf0.1, the
+    million-pair cosine stage was 1 task ≈ 6 µs/pair serial (r12 bench:
+    semantic_dedup_mp 17 s) and drops ~6× when the scan side is spread
+    across the cores. Round-robin ``repartition(n)`` is deterministic
+    (sort-before-repartition, SPARK-23207) and every consumer here is
+    content-based, not order-based, so results are unchanged.
+
+    Scale-adaptive by construction: when the scan already yields at
+    least ``defaultParallelism`` splits (any real corpus), this is a
+    NO-OP — no exchange is added, so the 100 TB plan shape is
+    untouched; only the pathological small-file case pays one narrow
+    shuffle of (id, vector) rows.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -65,7 +89,7 @@ def brute_force_topk(
     Similarity is rounded before ranking so ordering is reproducible across
     engines; ``id`` breaks remaining ties.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dbl_array_lit(query_vec)
     out = df.select(
         id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
     )
@@ -153,6 +177,9 @@ def cosine_near_dup_pairs(
     """
     if n_planes is None:
         n_planes = planes_for(df.count())
+    # parallelism floor: the n_planes projection folds per row and the
+    # intra-bucket pair join both stream this frame (guide §2.6)
+    df = _rebalanced(df)
     # norm computed once per ROW here (not once per pair in the join): same
     # sequential fold → bit-identical doubles, ~3× less array math when the
     # average bucket pairs each row with many others
@@ -210,7 +237,7 @@ def lsh_bucketed_topk(
         F.col(id_col), F.col(vec_col).alias("_v"),
         hyperplane_signature(F.col(vec_col), n_planes).alias("_sig"),
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dbl_array_lit(query_vec)
     # query signature as plan-time literals: one row, computed once
     qsig = (
         df.sparkSession.range(1)
@@ -245,23 +272,71 @@ def sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+# --- construction-cost helpers --------------------------------------------
+#
+# Building a k-centroid assignment expression through the Column API costs
+# ~1,200 py4j round-trips (one per F.lit/operator call, ~1.4 ms each under
+# load) — ~2 s of DRIVER time per call at k=16, d=64, before Spark ever
+# sees the plan (measured r12: semdedup_recall spent 13 s building plans
+# vs 1.6 s executing them). One F.expr over SQL text built in Python is a
+# single round-trip; repr(float) is shortest-round-trip so the parsed
+# double literal is bit-identical to the F.lit it replaces, and Catalyst
+# constant-folds the old CreateArray-of-literals to the same Literal node
+# the one-call F.lit(list) produces — optimized plans are unchanged.
+
+
+def _dlit(x: float) -> str:
+    """Shortest round-trip double literal for SQL text (bit-exact)."""
+    return repr(float(x)) + "D"
+
+
+def _darr_sql(vals: "Sequence[float]") -> str:
+    """``array(<double literals>)`` SQL text for a literal vector."""
+    return "array(" + ",".join(_dlit(x) for x in vals) + ")"
+
+
+def _dbl_array_lit(vals: "Sequence[float]") -> Column:
+    """One-round-trip ``array<double>`` literal (replaces the
+    ``F.array(*[F.lit(float(x)) ...])`` construction loop)."""
+    return F.lit([float(x) for x in vals])
+
+
+def _sq_dist_sql(vec_sql: str, cv: "Sequence[float]") -> str:
+    """SQL text for :func:`sq_dist` against a literal centroid — the
+    identical zip_with/aggregate fold, so values are bit-for-bit the
+    Column-built ones."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_darr_sql(cv)}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _assign_pairs_sql(
+    vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> str:
+    """The sorted (distance, cluster_id) struct array as SQL text."""
+    structs = ",".join(
+        f"struct({_sq_dist_sql(f'`{vec_col}`', cv)} AS d, {int(cid)} AS c)"
+        for cid, cv in centroids
+    )
+    return f"array_sort(array({structs}))"
+
+
 def _assign_clusters(
     emb: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment via a lexicographic struct sort over the
     (distance, cluster_id) pairs — ties break to the lowest id. Centroids
     are plan literals (k×d values, O(1) w.r.t. corpus size): no join, no
-    shuffle, the assignment is a narrow map."""
-    pairs = F.array(
-        *[
-            F.struct(
-                sq_dist(F.col(vec_col), F.array(*[F.lit(x) for x in cv])).alias("d"),
-                F.lit(cid).alias("c"),
-            )
-            for cid, cv in centroids
-        ]
+    shuffle, the assignment is a narrow map. Built as ONE parsed SQL
+    expression: the Column-API construction loop paid ~75 py4j round
+    trips per centroid of pure driver time (see the construction-cost
+    note above) for a bit-identical plan."""
+    return emb.withColumn(
+        "cluster", F.expr(f"{_assign_pairs_sql(vec_col, centroids)}[0].c")
     )
-    return emb.withColumn("cluster", F.array_sort(pairs)[0]["c"])
 
 
 def _assign_clusters_multi(
@@ -280,18 +355,11 @@ def _assign_clusters_multi(
     cluster-boundary blind spot of every cluster-blocked pairwise
     operator (SemDeDup, hard-negative mining): a pair that straddles a
     boundary still meets when one side's second cell is the other
-    side's primary cell."""
-    pairs = F.array(
-        *[
-            F.struct(
-                sq_dist(F.col(vec_col), F.array(*[F.lit(x) for x in cv])).alias("d"),
-                F.lit(cid).alias("c"),
-            )
-            for cid, cv in centroids
-        ]
-    )
-    top = F.slice(
-        F.transform(F.array_sort(pairs), lambda s: s["c"]), 1, int(n_probe)
+    side's primary cell. One parsed SQL expression — same
+    construction-cost rationale as :func:`_assign_clusters`."""
+    top = F.expr(
+        f"slice(transform({_assign_pairs_sql(vec_col, centroids)},"
+        f" s -> s.c), 1, {int(n_probe)})"
     )
     exploded = emb.withColumn("_pc", top).select(
         *emb.columns, F.posexplode("_pc").alias("_rn0", "cluster")
@@ -393,7 +461,10 @@ def kmeans_fit(
         hit = _KMEANS_MEMO.get(cache_key)
         if hit is not None:
             return [(cid, list(cv)) for cid, cv in hit]
-    emb = df.select(id_col, vec_col)
+    # parallelism floor BEFORE the per-iteration assignment maps: the
+    # k sq_dist folds per row are the expensive part of each Lloyd job
+    # and inherit the scan's split count (one, for a small file)
+    emb = _rebalanced(df.select(id_col, vec_col))
     centroids = [
         (int(r[id_col]), [round(float(x), round_to) for x in r[vec_col]])
         for r in emb.filter(F.col(id_col) < k).collect()
@@ -496,14 +567,11 @@ def kmeans_cluster_profile(
     # with the wrong centroid past any gap. The (id, vector) struct array is
     # a plan literal; the lookup lands in sq_dist's zip_with INPUT position,
     # so it evaluates once per row, never per element.
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("i"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("v"),
-            )
+    cent_lit = F.expr(
+        "array(" + ",".join(
+            f"struct({int(cid)} AS i, {_darr_sql(cv)} AS v)"
             for cid, cv in sorted(centroids)
-        ]
+        ) + ")"
     )
     cvec = F.element_at(
         F.filter(cent_lit, lambda s: s["i"] == F.col("cluster")), 1
@@ -560,7 +628,7 @@ def partitioned_topk(
         ).alias("dc")
     ).select(part_col, F.transform("dc", lambda s: s["c"]).alias("centroid"))
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dbl_array_lit(query_vec)
     # rounded sim + part_col tiebreak so probe choice is reproducible
     probe_ids = [
         r[0]
@@ -634,6 +702,10 @@ def knn_join_blocked(
         if hit is not None:
             return hit
 
+    # parallelism floor BEFORE the assignment map and the Σ block² pair
+    # stage, so the per-row k-fold assignment and the per-pair dot folds
+    # spread over the cores instead of riding one small-file split
+    df = _rebalanced(df)
     if ivf_clusters is not None:
         centroids = kmeans_fit(
             df, k=ivf_clusters, iters=ivf_iters,
@@ -748,7 +820,7 @@ def quantized_topk(
     qarr = np.asarray(list(query_vec), dtype=np.float64)
     qmax = float(np.abs(qarr).max()) or 1.0
     qq = [int(x) for x in np.round(127.0 * qarr / qmax)]
-    q = F.array(*[F.lit(x).cast("int") for x in qq])
+    q = F.lit([int(x) for x in qq]).cast("array<int>")
     int_dot = F.aggregate(
         F.zip_with(F.col("qvec"), q, lambda a, b: a.cast("bigint") * b),
         F.lit(0).cast("bigint"),
@@ -846,16 +918,16 @@ def pq_codebook(
 
 
 def _pq_lit(codebook: list[list[list[int]]]) -> Column:
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(v).cast("bigint") for v in code])
-                    for code in sub
-                ]
-            )
+    # one parsed literal instead of m*n_codes*sub py4j round-trips (the
+    # construction-cost note above); BIGINT elements as before
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in code) + ")"
+                for code in sub
+            ) + ")"
             for sub in codebook
-        ]
+        ) + ")"
     )
 
 
@@ -1019,11 +1091,11 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    lut_lit = F.array(
-        *[
-            F.array(*[F.lit(v).cast("bigint") for v in row])
+    lut_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in row) + ")"
             for row in lut
-        ]
+        ) + ")"
     )
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -1127,8 +1199,10 @@ def semantic_dedup(
         return _semantic_dedup_multiprobe(
             df, centroids, tau, n_probe, vec_col, id_col
         )
+    # parallelism floor before the assignment map and the Σ cluster²
+    # pair join (guide §2.6): both stream this frame
     assigned = _assign_clusters(
-        df.select(id_col, vec_col), centroids, vec_col
+        _rebalanced(df.select(id_col, vec_col)), centroids, vec_col
     )
     e = assigned.select(
         "cluster",
@@ -1185,7 +1259,7 @@ def _semantic_dedup_multiprobe(
     primary-cell rule; the main body keeps the original single-probe
     plan untouched. Returns kept (id, primary cluster)."""
     asg = _assign_clusters_multi(
-        df.select(id_col, vec_col), centroids, vec_col, n_probe
+        _rebalanced(df.select(id_col, vec_col)), centroids, vec_col, n_probe
     )
     e = asg.select(
         "cluster",
@@ -1253,6 +1327,10 @@ def semantic_dedup_recall(
     exploded assignment — |configs| equi-joins, no further pairwise
     work. k-means fits share the quantizer memo per ``n_clusters``.
     """
+    # parallelism floor for the exact-pair stage: the BNLJ streams this
+    # side, so without it the whole deliberately-quadratic ground truth
+    # evaluates in ONE task (measured 26 s core-time serial at sf0.1)
+    df = _rebalanced(df)
     e = df.select(
         F.col(id_col).alias("_i"),
         F.col(vec_col).alias("_v"),
@@ -1285,6 +1363,14 @@ def semantic_dedup_recall(
         asg = _assign_clusters_multi(
             df.select(id_col, vec_col), centroids, vec_col, max_probe
         ).select(F.col(id_col), "cluster", "rn")
+        if not GRAPH_MEMO_DISABLED:
+            # one narrow (id, cluster, rn) frame per n_clusters, reused
+            # by BOTH sides of EVERY n_probe coverage join — without the
+            # checkpoint each of the |probes|·2 broadcast builds re-runs
+            # the k-fold assignment map as its own single-task job
+            # (measured: 54 serial ~0.5 s jobs at sf0.1). Same audit
+            # hook as the pair cache above.
+            asg = asg.localCheckpoint(eager=False)
         for p in n_probes:
             ai = asg.filter(F.col("rn") <= int(p)).select(
                 F.col(id_col).alias("_i"), "cluster",
@@ -1387,15 +1473,18 @@ def _bq_word_cols(vec_col: str, mids: list[float]) -> list[Column]:
     words = []
     n = len(mids)
     for w in range((n + _BQ_WORD_BITS - 1) // _BQ_WORD_BITS):
-        expr = F.lit(0).cast("long")
+        # one parsed expression per word instead of ~6 py4j round-trips
+        # per bit (construction-cost note above); integer adds, so the
+        # packed value is unchanged by construction form
+        terms = ["CAST(0 AS BIGINT)"]
         for i in range(w * _BQ_WORD_BITS, min(n, (w + 1) * _BQ_WORD_BITS)):
-            bit = F.when(
-                F.element_at(F.col(vec_col), i + 1).cast("double")
-                > F.lit(float(mids[i])),
-                F.lit(1 << (i - w * _BQ_WORD_BITS)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            expr = expr + bit
-        words.append(expr)
+            bit = 1 << (i - w * _BQ_WORD_BITS)
+            terms.append(
+                f"(CASE WHEN CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)"
+                f" > {_dlit(mids[i])} THEN CAST({bit} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+            )
+        words.append(F.expr(" + ".join(terms)))
     return words
 
 
@@ -1437,7 +1526,7 @@ def binary_topk_rerank(
     for wc, qw in zip(words, qwords):
         t = F.bit_count(wc.bitwiseXOR(F.lit(int(qw)).cast("long")))
         ham = t if ham is None else ham + t
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dbl_array_lit(query_vec)
     short = (
         df.select(
             F.col(id_col),
@@ -1486,7 +1575,7 @@ def binary_recall_curve(
     for wc, qw in zip(words, qwords):
         t = F.bit_count(wc.bitwiseXOR(F.lit(int(qw)).cast("long")))
         ham = t if ham is None else ham + t
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dbl_array_lit(query_vec)
     ranked = (
         df.select(
             F.col(id_col),
@@ -1561,8 +1650,8 @@ def prefix_dim_topk_rerank(
     components vs truncate bits. Returns (id, prefix_sim, cosine_sim)
     in the rounded-cosine + id order all serving oracles pin."""
     p = int(prefix_dims)
-    qp = F.array(*[F.lit(float(x)) for x in query_vec[:p]])
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qp = _dbl_array_lit(query_vec[:p])
+    q = _dbl_array_lit(query_vec)
     pref = F.slice(F.col(vec_col), 1, p)
     short = (
         df.select(
@@ -1603,10 +1692,10 @@ def prefix_dim_recall_curve(
     exact_ids = brute_force_topk(
         df, query_vec, k=k, vec_col=vec_col, id_col=id_col
     ).select(id_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dbl_array_lit(query_vec)
     parts = []
     for p in prefixes:
-        qp = F.array(*[F.lit(float(x)) for x in query_vec[: int(p)]])
+        qp = _dbl_array_lit(query_vec[: int(p)])
         pref = F.slice(F.col(vec_col), 1, int(p))
         short = (
             df.select(
@@ -1842,7 +1931,9 @@ def pq_recall_curve(
             "bigint"
         ),
     )
-    base = df.select(F.col(id_col), vint.alias("_vi"))
+    # parallelism floor: the n_queries·corpus scored-pair stage streams
+    # this side (guide §2.6)
+    base = _rebalanced(df).select(F.col(id_col), vint.alias("_vi"))
     queries = (
         base.orderBy(id_col)
         .limit(n_queries)
@@ -2023,7 +2114,7 @@ def sq8_recall_curve(
         _sq8_code_py(float(x), mins[i], spans[i])
         for i, x in enumerate(query_vec)
     ]
-    qlit = F.array(*[F.lit(int(c)) for c in qcodes])
+    qlit = F.lit([int(c) for c in qcodes])
 
     cents = (
         dims.groupBy(part_col)
@@ -2032,7 +2123,7 @@ def sq8_recall_curve(
             part_col, F.transform("dc", lambda s: s["c"]).alias("centroid")
         )
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dbl_array_lit(query_vec)
     # ONE ranking collect; every n_probe is a prefix of it
     ranked_parts = [
         r[0]
@@ -2135,6 +2226,9 @@ def hard_negative_mining(
         df, k=ivf_clusters, iters=ivf_iters,
         vec_col=vec_col, id_col=id_col, memo_key=memo_key,
     )
+    # parallelism floor before the assignment map and the n_probe·Σ
+    # block² pair join (guide §2.6): both stream this frame
+    df = _rebalanced(df)
     if n_probe > 1:
         # anchors exploded into their n_probe nearest cells; candidates
         # stay in their primary cell (the IVF query shape) — each
