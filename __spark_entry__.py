@@ -3499,7 +3499,10 @@ def q_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_ivf_index(
             emb.filter(F.col("vec_id") >= cut).drop("label"), path
         )
-        rebuild_ivf_index(spark, path, n_clusters=8, iters=2)
+        rebuild_ivf_index(
+            spark, path, n_clusters=8, iters=2,
+            memo_key=_table_fingerprint(sf_dir, "embeddings"),
+        )
         with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
             f.write("ok\n")
     return (
@@ -13507,7 +13510,8 @@ def q_sq8_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") >= cut).drop("label"), path
         )
         rebuild_sq8_index(
-            spark, path, emb.drop("label"), n_clusters=8, iters=2
+            spark, path, emb.drop("label"), n_clusters=8, iters=2,
+            memo_key=_table_fingerprint(sf_dir, "embeddings"),
         )
         with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
             f.write("ok\n")
@@ -13588,7 +13592,8 @@ def q_binary_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") >= cut).drop("label"), path
         )
         rebuild_binary_index(
-            spark, path, emb.drop("label"), n_clusters=8, iters=2
+            spark, path, emb.drop("label"), n_clusters=8, iters=2,
+            memo_key=_table_fingerprint(sf_dir, "embeddings"),
         )
         with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
             f.write("ok\n")
@@ -14089,7 +14094,8 @@ def q_ivfpq_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") >= cut).drop("label"), path
         )
         rebuild_ivfpq_index(
-            spark, path, emb.drop("label"), n_clusters=8, iters=2
+            spark, path, emb.drop("label"), n_clusters=8, iters=2,
+            memo_key=_table_fingerprint(sf_dir, "embeddings"),
         )
         with open(os.path.join(path, "_rebuilt_ok"), "w") as f:
             f.write("ok\n")

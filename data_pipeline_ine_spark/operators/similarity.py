@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+from data_pipeline_ine_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 
@@ -1973,8 +1974,8 @@ def pq_recall_curve(
     ranked = scored.withColumn(
         "_erk", F.row_number().over(we)
     ).withColumn("_prk", F.row_number().over(wp))
-    ks_frame = df.sparkSession.createDataFrame(
-        [(int(k),) for k in ks], "k long"
+    ks_frame = local_frame(
+        df.sparkSession, [(int(k),) for k in ks], "k long"
     )
     hits = (
         ranked.select("_erk", "_prk")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from data_pipeline_ine_spark.functions.localframe import local_frame
 
 
 def gap_fill(
@@ -1648,7 +1649,7 @@ def markov_attribution(
     )
     totals = counts.groupBy("cur").agg(F.sum("_n").cast("bigint").alias("_t"))
     spark = df.sparkSession
-    absorbers = spark.createDataFrame(
+    absorbers = local_frame(spark, 
         [("CONV", "CONV", 1_000_000), ("NULL", "NULL", 1_000_000)],
         "cur string, nxt string, p_e6 long",
     )
@@ -1698,8 +1699,8 @@ def markov_attribution(
     for ch in channels:
         removed = conv_mass_py(knockout_py(cells, ch))
         rows.append((ch, p_full_mass, removed, p_full_mass - removed))
-    return spark.createDataFrame(
-        rows,
+    return local_frame(
+        spark, rows,
         "channel string, p_full_e6 long, p_removed_e6 long,"
         " removal_e6 long",
     ).orderBy("channel")

@@ -38,6 +38,7 @@ from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from data_pipeline_ine_spark.functions.localframe import local_frame
 
 MANIFEST_SCHEMA = T.StructType(
     [
@@ -122,4 +123,4 @@ def ingest_catalog(
         retried["intento_previo_fallo"] = failed["error"]
         rows.append(retried)
 
-    return spark.createDataFrame(rows, MANIFEST_SCHEMA)
+    return local_frame(spark, rows, MANIFEST_SCHEMA)

@@ -34,6 +34,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from data_pipeline_ine_spark.functions.localframe import local_frame
 
 BUCKET_COL = "bucket"
 _CENTROID_DIR = "_centroids"  # leading "_": invisible to parquet readers
@@ -65,6 +66,7 @@ def write_ivf_index(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> None:
     """Write ``df`` as an IVF index at ``path``: parquet partitioned by
     the coarse bucket, plus the per-bucket centroid sidecar.
@@ -76,6 +78,8 @@ def write_ivf_index(
     column is always stored as ``bucket`` so readers need no schema
     knowledge.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_pipeline_ine_spark.operators.similarity import (
         _assign_clusters,
         kmeans_fit,
@@ -83,7 +87,8 @@ def write_ivf_index(
 
     if part_col is None:
         centroids = kmeans_fit(
-            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+            memo_key=memo_key,
         )
         src = _assign_clusters(df, centroids, vec_col)
         part_col = "cluster"
@@ -97,38 +102,68 @@ def write_ivf_index(
     )
     if part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
-    bucketed.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
-
-    # per-bucket elementwise-mean centroids (partitioned_topk's recipe):
-    # |buckets|·dim cells — dimension-sized, the probe table
-    dims = (
-        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
-        .groupBy(BUCKET_COL, "d")
-        .agg(F.avg("x").alias("c"))
-    )
-    cents = (
-        dims.groupBy(BUCKET_COL)
-        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-        .select(
-            BUCKET_COL,
-            # 6dp-snap stored centroid components (ADVICE r11): raw
-            # F.avg depends on cross-partition float summation order,
-            # and probe selection ranks round(cosine, 6) — a half-ulp
-            # centroid wobble could flip a probe across runs/engines.
-            # Same round_to discipline as kmeans_fit; oracles ROUND too.
-            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
-                "centroid"
-            ),
+    # per-bucket elementwise-mean centroids (partitioned_topk's recipe,
+    # 6dp-snapped per ADVICE r11 — probe selection ranks round(cosine, 6)
+    # and an unrounded avg wobbles with summation order): ONE collect
+    # serves the sidecar, and it runs CONCURRENTLY with the data write —
+    # the two jobs are independent, so the build's wall time is the max,
+    # not the sum (guide §2.6). The sidecar WRITE waits for the data
+    # write: mode("overwrite") on ``path`` clears the root first and
+    # would race a sidecar landing under it.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        data_write = pool.submit(
+            lambda: bucketed.write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(path)
         )
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_CENTROID_DIR}"
-    )
+        stats = _bucket_dim_stats(bucketed, vec_col)
+        data_write.result()
+    _write_cents_sidecar(df.sparkSession, path, stats)
     _commit_marker(path)
 
 
 _CODEBOOK_DIR = "_codebook"  # leading "_": invisible to parquet readers
 _SQPARAMS_DIR = "_sqparams"  # SQ8 per-dim affine params sidecar
+
+
+def _bucket_dim_stats(bucketed: DataFrame, vec_col: str) -> list:
+    """ONE config-sized collect serving every build sidecar: per-(bucket,
+    dim) 6dp-rounded mean plus exact min/max — |buckets|·dim rows of
+    scalars. The mean is rounded INSIDE the aggregate (same
+    ``round(avg(x), 6)`` composition the old two-job chain computed), so
+    the collected values are bit-identical to the previously written
+    centroid components; min/max are order-invariant. Replaces the
+    localCheckpoint + second-shuffle + collect chain each writer paid
+    (guide §1.2: fewer jobs, not faster jobs)."""
+    return (
+        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(BUCKET_COL, "d")
+        .agg(
+            F.round(F.avg("x"), 6).alias("c"),
+            F.min("x").cast("double").alias("_bmin"),
+            F.max("x").cast("double").alias("_bmax"),
+        )
+        .collect()
+    )
+
+
+def _write_cents_sidecar(spark: SparkSession, path: str, stats: list) -> None:
+    """The per-bucket centroid sidecar from the collected stats frame:
+    the SAME 6dp-snapped ``round(avg)`` doubles the old
+    array_sort(collect_list)+coalesce(1) write stored (collected doubles
+    round-trip exactly through py4j/createDataFrame), without its extra
+    shuffle job — the sidecar is |buckets| rows of driver scalars."""
+    by_b: dict[str, list] = {}
+    for r in stats:
+        by_b.setdefault(r[BUCKET_COL], []).append(
+            (int(r["d"]), float(r["c"]))
+        )
+    data = [
+        (b, [c for _, c in sorted(ds)]) for b, ds in sorted(by_b.items())
+    ]
+    local_frame(spark, 
+        data, f"{BUCKET_COL} string, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CENTROID_DIR}")
 
 
 def _commit_marker(path: str) -> None:
@@ -208,6 +243,7 @@ def write_ivfpq_index(
     trained: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> None:
     """The full FAISS IVF-PQ layout as Spark partitioned storage: the
     corpus bucketed by the coarse key (``write_ivf_index``'s rule) and
@@ -217,6 +253,8 @@ def write_ivfpq_index(
     the PQ codebook (ADC table construction). Raw vectors exist only
     at write time; serving reads never touch them.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_pipeline_ine_spark.operators.similarity import (
         _assign_clusters,
         kmeans_fit,
@@ -226,11 +264,12 @@ def write_ivfpq_index(
 
     codebook = pq_codebook(
         df, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes,
-        trained=trained, iters=iters,
+        trained=trained, iters=iters, memo_key=memo_key,
     )
     if part_col is None:
         centroids = kmeans_fit(
-            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+            memo_key=memo_key,
         )
         src = _assign_clusters(df, centroids, vec_col)
         part_col = "cluster"
@@ -250,42 +289,35 @@ def write_ivfpq_index(
         codebook, vec_col=vec_col, id_col=id_col,
         keep_cols=(BUCKET_COL,),
     )
-    codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
-
-    dims = (
-        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
-        .groupBy(BUCKET_COL, "d")
-        .agg(F.avg("x").alias("c"))
-    )
-    cents = (
-        dims.groupBy(BUCKET_COL)
-        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-        .select(
-            BUCKET_COL,
-            # 6dp-snap stored centroid components (ADVICE r11): raw
-            # F.avg depends on cross-partition float summation order,
-            # and probe selection ranks round(cosine, 6) — a half-ulp
-            # centroid wobble could flip a probe across runs/engines.
-            # Same round_to discipline as kmeans_fit; oracles ROUND too.
-            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
-                "centroid"
-            ),
-        )
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_CENTROID_DIR}"
-    )
     spark = df.sparkSession
     cb_rows = [
         (s, c, list(codebook[s][c]))
         for s in range(len(codebook))
         for c in range(len(codebook[s]))
     ]
-    spark.createDataFrame(
-        cb_rows, "s int, c int, subvec array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_CODEBOOK_DIR}"
-    )
+    # codes write ∥ centroid stats collect: the two jobs are independent
+    # (both derive from the lazy `bucketed` plan), so the build pays the
+    # slower, not the sum (guide §2.6). Sidecar writes land AFTER the
+    # codes write — mode("overwrite") on ``path`` clears the root first
+    # and would race a sidecar landing under it; the 6dp centroid snap
+    # is per ADVICE r11.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        codes_write = pool.submit(
+            lambda: codes.write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        stats = _bucket_dim_stats(bucketed, vec_col)
+        codes_write.result()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        cb_write = pool.submit(
+            lambda: local_frame(spark, 
+                cb_rows, "s int, c int, subvec array<bigint>"
+            ).coalesce(1).write.mode("overwrite")
+            .parquet(f"{path}/{_CODEBOOK_DIR}")
+        )
+        _write_cents_sidecar(spark, path, stats)
+        cb_write.result()
     _commit_marker(path)
 
 
@@ -329,8 +361,8 @@ def _bucket_for_append(
     frozen codebook) — the shared assignment step of the batch append
     and the streaming maintenance sink."""
     from data_pipeline_ine_spark.operators.similarity import (
+        _sq_dist_sql,
         pq_encode,
-        sq_dist,
     )
 
     spark = df.sparkSession
@@ -341,25 +373,20 @@ def _bucket_for_append(
         # distance-tied vector would otherwise route to a different
         # bucket on append than at build once n_clusters > 9. The id
         # sits between d and b in the struct, so array_sort compares
-        # (d, numeric id) and b just rides along.
+        # (d, numeric id) and b just rides along. One parsed SQL
+        # expression — the Column-API construction loop paid ~10 py4j
+        # round-trips per centroid dim of pure driver time (the
+        # similarity.py construction-cost note) for a bit-identical plan.
         def _bnum(bucket: str) -> int:
             return int(bucket[1:])
 
-        pairs = F.array(
-            *[
-                F.struct(
-                    sq_dist(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in r.centroid]),
-                    ).alias("d"),
-                    F.lit(_bnum(r[BUCKET_COL])).alias("c"),
-                    F.lit(r[BUCKET_COL]).alias("b"),
-                )
-                for r in sorted(cents, key=lambda r: _bnum(r[BUCKET_COL]))
-            ]
+        structs = ",".join(
+            f"struct({_sq_dist_sql(f'`{vec_col}`', [float(x) for x in r.centroid])}"
+            f" AS d, {_bnum(r[BUCKET_COL])} AS c, '{r[BUCKET_COL]}' AS b)"
+            for r in sorted(cents, key=lambda r: _bnum(r[BUCKET_COL]))
         )
         bucketed = df.withColumn(
-            BUCKET_COL, F.array_sort(pairs)[0]["b"]
+            BUCKET_COL, F.expr(f"array_sort(array({structs}))[0].b")
         )
     else:
         bucketed = df.withColumn(
@@ -531,6 +558,7 @@ def rebuild_ivf_index(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> int:
     """The drift-recovery step ``ivf_drift_report`` points at: RETRAIN
     the coarse quantizer on the CURRENT corpus (base + every appended
@@ -580,7 +608,7 @@ def rebuild_ivf_index(
     shutil.rmtree(stage, ignore_errors=True)
     write_ivf_index(
         rows, stage, part_col=None, n_clusters=n_clusters, iters=iters,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, memo_key=memo_key,
     )
     return _swap_in_rebuilt_stage(path, stage, markers_t0)
 
@@ -647,6 +675,7 @@ def rebuild_sq8_index(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> int:
     """Drift recovery for the codes-only SQ8 tier: a stored SQ8 index
     cannot retrain from its own storage (raw vectors are gone by
@@ -668,7 +697,7 @@ def rebuild_sq8_index(
     shutil.rmtree(stage, ignore_errors=True)
     write_sq8_index(
         source, stage, part_col=part_col, n_clusters=n_clusters,
-        iters=iters, vec_col=vec_col, id_col=id_col,
+        iters=iters, vec_col=vec_col, id_col=id_col, memo_key=memo_key,
     )
     return _swap_in_rebuilt_stage(path, stage, markers_t0)
 
@@ -682,6 +711,7 @@ def rebuild_binary_index(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> int:
     """Drift recovery for the codes-only binary tier — ``rebuild_sq8_
     index``'s twin one rung down: re-train the coarse quantizer and
@@ -697,7 +727,7 @@ def rebuild_binary_index(
     shutil.rmtree(stage, ignore_errors=True)
     write_binary_index(
         source, stage, part_col=part_col, n_clusters=n_clusters,
-        iters=iters, vec_col=vec_col, id_col=id_col,
+        iters=iters, vec_col=vec_col, id_col=id_col, memo_key=memo_key,
     )
     return _swap_in_rebuilt_stage(path, stage, markers_t0)
 
@@ -736,7 +766,7 @@ def read_ivf_probe_batch(
         # two entries sharing an id would merge into ONE rank partition
         # and silently interleave their results
         raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -766,7 +796,7 @@ def read_ivf_probe_batch(
     idx = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(union_buckets)
     )
-    qprobe = spark.createDataFrame(
+    qprobe = local_frame(spark, 
         [
             (int(qid), [float(x) for x in v], b)
             for qid, v in queries
@@ -906,7 +936,7 @@ def read_ivfpq_probe(
     )
 
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
@@ -965,7 +995,7 @@ def read_ivfpq_probe_batch(
     ids = [int(qid) for qid, _ in queries]
     if len(ids) != len(set(ids)):
         raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -1010,7 +1040,7 @@ def read_ivfpq_probe_batch(
             for s in range(m)
         ]
 
-    qprobe = spark.createDataFrame(
+    qprobe = local_frame(spark, 
         [
             (int(qid), b, lut_for(v))
             for qid, v in queries
@@ -1096,7 +1126,7 @@ def _shortlist_pairs(
             StructField(id_col, id_field.dataType, True),
         ]
     )
-    return spark.createDataFrame([(int(r[0]), r[1]) for r in rows], schema)
+    return local_frame(spark, [(int(r[0]), r[1]) for r in rows], schema)
 
 
 def read_ivfpq_rerank_batch(
@@ -1134,7 +1164,7 @@ def read_ivfpq_rerank_batch(
     rows = short.select("query_id", id_col).collect()
     union_ids = sorted({r[1] for r in rows})
     pairs = _shortlist_pairs(spark, vectors, id_col, rows)
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -1184,7 +1214,7 @@ def read_ivf_probe(
     )
 
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
@@ -1222,8 +1252,11 @@ def _sq8_code_expr(
     eager non-ANSI long->int cast would wrap bits first and could land
     a pathological outlier back inside [0, 255] as a silently wrong
     code."""
-    mlit = F.array(*[F.lit(float(m)) for m in mins])
-    slit = F.array(*[F.lit(float(s)) for s in spans])
+    # one py4j call per literal array (not one per element): F.lit on a
+    # Python list builds the identical array<double> Literal in a single
+    # round-trip — the similarity.py construction-cost fix
+    mlit = F.lit([float(m) for m in mins])
+    slit = F.lit([float(s) for s in spans])
     return F.transform(
         F.sequence(F.lit(1), F.size(vec)),
         lambda i: F.least(
@@ -1280,6 +1313,7 @@ def write_sq8_index(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> None:
     """The FAISS IVF-SQ8 layout as Spark partitioned storage: the corpus
     bucketed by the coarse key (``write_ivf_index``'s rule) and stored as
@@ -1297,6 +1331,8 @@ def write_sq8_index(
     narrow encode map and one bucket-partitioned write. Params are
     O(dim) scalars.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_pipeline_ine_spark.operators.similarity import (
         _assign_clusters,
         kmeans_fit,
@@ -1304,7 +1340,8 @@ def write_sq8_index(
 
     if part_col is None:
         centroids = kmeans_fit(
-            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+            memo_key=memo_key,
         )
         src = _assign_clusters(df, centroids, vec_col)
         part_col = "cluster"
@@ -1316,57 +1353,42 @@ def write_sq8_index(
     if part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
 
-    # ONE corpus posexplode pass: per-(bucket, dim) min/max/avg. The
-    # centroid sidecar reads the avg; the global affine bounds are the
-    # min-of-mins / max-of-maxes over the bucket-grain frame — exactly
-    # the corpus MIN/MAX (order-invariant, so engine-exact by nature).
-    dims = (
-        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
-        .groupBy(BUCKET_COL, "d")
-        .agg(
-            F.avg("x").alias("c"),
-            F.min("x").cast("double").alias("_bmin"),
-            F.max("x").cast("double").alias("_bmax"),
-        )
-        .localCheckpoint()  # one pass feeds bounds AND centroids
-    )
-    bounds = (
-        dims.groupBy("d")
-        .agg(F.min("_bmin").alias("vmin"), F.max("_bmax").alias("vmax"))
-        .collect()
-    )
-    by_d = {int(r.d) + 1: (float(r.vmin), float(r.vmax)) for r in bounds}
+    # ONE corpus posexplode pass collected to the driver: per-(bucket,
+    # dim) min/max/6dp-avg scalars. The centroid sidecar reads the avg;
+    # the global affine bounds fold min-of-mins / max-of-maxes in Python
+    # — exactly the corpus MIN/MAX (order-invariant, so engine-exact by
+    # nature). One job instead of the localCheckpoint + bounds-collect +
+    # cents-shuffle chain.
+    stats = _bucket_dim_stats(bucketed, vec_col)
+    by_d: dict[int, tuple[float, float]] = {}
+    for r in stats:
+        d = int(r["d"]) + 1
+        lo, hi = float(r["_bmin"]), float(r["_bmax"])
+        if d in by_d:
+            by_d[d] = (min(by_d[d][0], lo), max(by_d[d][1], hi))
+        else:
+            by_d[d] = (lo, hi)
     mins = [by_d[d][0] for d in sorted(by_d)]
     spans = [by_d[d][1] - by_d[d][0] for d in sorted(by_d)]
 
     codes = bucketed.withColumn(
         "sq_codes", _sq8_code_expr(F.col(vec_col), mins, spans)
     ).drop(vec_col)
-    codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
-
-    cents = (
-        dims.groupBy(BUCKET_COL)
-        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-        .select(
-            BUCKET_COL,
-            # 6dp-snap stored centroid components (ADVICE r11): raw
-            # F.avg depends on cross-partition float summation order,
-            # and probe selection ranks round(cosine, 6) — a half-ulp
-            # centroid wobble could flip a probe across runs/engines.
-            # Same round_to discipline as kmeans_fit; oracles ROUND too.
-            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
-                "centroid"
-            ),
-        )
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_CENTROID_DIR}"
-    )
     spark = df.sparkSession
-    spark.createDataFrame(
-        [(d, by_d[d][0], by_d[d][1]) for d in sorted(by_d)],
-        "d int, vmin double, vmax double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_SQPARAMS_DIR}")
+    # codes write first — mode("overwrite") on ``path`` clears the root
+    # and would race sidecars landing under it — then the two tiny
+    # sidecar writes overlap each other (disjoint subdirs, guide §2.6)
+    codes.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        params_write = pool.submit(
+            lambda: local_frame(spark, 
+                [(d, by_d[d][0], by_d[d][1]) for d in sorted(by_d)],
+                "d int, vmin double, vmax double",
+            ).coalesce(1).write.mode("overwrite")
+            .parquet(f"{path}/{_SQPARAMS_DIR}")
+        )
+        _write_cents_sidecar(spark, path, stats)
+        params_write.result()
     _commit_marker(path)
 
 
@@ -1393,7 +1415,7 @@ def read_sq8_probe(
     from data_pipeline_ine_spark.operators.similarity import cosine
 
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
@@ -1410,7 +1432,7 @@ def read_sq8_probe(
         _sq8_code_py(float(x), mins[d], spans[d])
         for d, x in enumerate(query_vec)
     ]
-    qlit = F.array(*[F.lit(int(c)) for c in qcodes])
+    qlit = F.lit([int(c) for c in qcodes]).cast("array<int>")
     dist = F.aggregate(
         F.zip_with(
             F.col(codes_col),
@@ -1493,7 +1515,7 @@ def read_sq8_rerank_batch(
     rows = short.select("query_id", id_col).collect()
     union_ids = sorted({r[1] for r in rows})
     pairs = _shortlist_pairs(spark, vectors, id_col, rows)
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -1540,7 +1562,7 @@ def read_sq8_probe_batch(
     ids = [int(qid) for qid, _ in queries]
     if len(ids) != len(set(ids)):
         raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -1568,7 +1590,7 @@ def read_sq8_probe_batch(
     union_buckets = sorted({b for bs in probes.values() for b in bs})
 
     mins, spans = _sq8_params(spark, path)
-    qprobe = spark.createDataFrame(
+    qprobe = local_frame(spark, 
         [
             (
                 int(qid),
@@ -1619,6 +1641,7 @@ def write_binary_index(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> None:
     """The binary-quantization serving layout as Spark partitioned
     storage — the stored-codes twin of the in-plan
@@ -1637,6 +1660,8 @@ def write_binary_index(
     so engine-exact), one narrow pack map, one bucket-partitioned
     write. Params are O(dim) scalars.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_pipeline_ine_spark.operators.similarity import (
         _assign_clusters,
         _bq_word_cols,
@@ -1645,7 +1670,8 @@ def write_binary_index(
 
     if part_col is None:
         centroids = kmeans_fit(
-            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col
+            df, k=n_clusters, iters=iters, vec_col=vec_col, id_col=id_col,
+            memo_key=memo_key,
         )
         src = _assign_clusters(df, centroids, vec_col)
         part_col = "cluster"
@@ -1657,53 +1683,40 @@ def write_binary_index(
     if part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
 
-    dims = (
-        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
-        .groupBy(BUCKET_COL, "d")
-        .agg(
-            F.avg("x").alias("c"),
-            F.min("x").cast("double").alias("_bmin"),
-            F.max("x").cast("double").alias("_bmax"),
-        )
-        .localCheckpoint()  # one pass feeds midpoints AND centroids
-    )
-    bounds = (
-        dims.groupBy("d")
-        .agg(F.min("_bmin").alias("vmin"), F.max("_bmax").alias("vmax"))
-        .collect()
-    )
-    by_d = {int(r.d): (float(r.vmin) + float(r.vmax)) / 2.0 for r in bounds}
+    # ONE collected posexplode pass feeds midpoints AND centroids (the
+    # write_sq8_index shape: min/max fold to the exact corpus bounds in
+    # Python — order-invariant — and the 6dp avg is the centroid)
+    stats = _bucket_dim_stats(bucketed, vec_col)
+    agg_d: dict[int, tuple[float, float]] = {}
+    for r in stats:
+        d = int(r["d"])
+        lo, hi = float(r["_bmin"]), float(r["_bmax"])
+        if d in agg_d:
+            agg_d[d] = (min(agg_d[d][0], lo), max(agg_d[d][1], hi))
+        else:
+            agg_d[d] = (lo, hi)
+    by_d = {d: (agg_d[d][0] + agg_d[d][1]) / 2.0 for d in agg_d}
     mids = [by_d[d] for d in sorted(by_d)]
 
     codes = bucketed
     for w, col in enumerate(_bq_word_cols(vec_col, mids)):
         codes = codes.withColumn(f"bq_w{w}", col)
+    spark = df.sparkSession
+    # codes write first — mode("overwrite") on ``path`` clears the root
+    # and would race sidecars landing under it — then the two tiny
+    # sidecar writes overlap each other (disjoint subdirs, guide §2.6)
     codes.drop(vec_col).write.partitionBy(BUCKET_COL).mode(
         "overwrite"
     ).parquet(path)
-
-    cents = (
-        dims.groupBy(BUCKET_COL)
-        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-        .select(
-            BUCKET_COL,
-            # 6dp-snap stored centroid components (ADVICE r11): raw
-            # F.avg depends on cross-partition float summation order,
-            # and probe selection ranks round(cosine, 6) — a half-ulp
-            # centroid wobble could flip a probe across runs/engines.
-            # Same round_to discipline as kmeans_fit; oracles ROUND too.
-            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
-                "centroid"
-            ),
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        params_write = pool.submit(
+            lambda: local_frame(spark, 
+                [(d, by_d[d]) for d in sorted(by_d)], "d int, mid double"
+            ).coalesce(1).write.mode("overwrite")
+            .parquet(f"{path}/{_BQPARAMS_DIR}")
         )
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_CENTROID_DIR}"
-    )
-    spark = df.sparkSession
-    spark.createDataFrame(
-        [(d, by_d[d]) for d in sorted(by_d)], "d int, mid double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_BQPARAMS_DIR}")
+        _write_cents_sidecar(spark, path, stats)
+        params_write.result()
     _commit_marker(path)
 
 
@@ -1738,7 +1751,7 @@ def read_binary_probe(
     )
 
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
@@ -1829,7 +1842,7 @@ def read_binary_probe_batch(
     ids = [int(qid) for qid, _ in queries]
     if len(ids) != len(set(ids)):
         raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -1857,7 +1870,7 @@ def read_binary_probe_batch(
     union_buckets = sorted({b for bs in probes.values() for b in bs})
 
     mids = _bq_mids(spark, path)
-    qprobe = spark.createDataFrame(
+    qprobe = local_frame(spark, 
         [
             (int(qid), b, [int(qw) for qw in _bq_query_words(v, mids)])
             for qid, v in queries
@@ -1918,7 +1931,7 @@ def read_binary_rerank_batch(
     rows = short.select("query_id", id_col).collect()
     union_ids = sorted({r[1] for r in rows})
     pairs = _shortlist_pairs(spark, vectors, id_col, rows)
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -1977,8 +1990,8 @@ def sq8_quant_drift_report(
     # below must agree with an oracle comparing against the true max
     rows = spark.read.parquet(f"{path}/{_SQPARAMS_DIR}").collect()
     by_d = {int(r.d): (float(r.vmin), float(r.vmax)) for r in rows}
-    lo = F.array(*[F.lit(by_d[d][0]) for d in sorted(by_d)])
-    hi = F.array(*[F.lit(by_d[d][1]) for d in sorted(by_d)])
+    lo = F.lit([float(by_d[d][0]) for d in sorted(by_d)])
+    hi = F.lit([float(by_d[d][1]) for d in sorted(by_d)])
     cells = new_df.select(F.posexplode(vec_col).alias("d0", "x")).select(
         (F.col("d0") + 1).cast("int").alias("d"),
         F.col("x").cast("double").alias("x"),
@@ -2049,13 +2062,13 @@ def binary_quant_drift_report(
     )
     if not mm:
         # empty appended cohort: nothing to re-derive, nothing drifted
-        return spark.createDataFrame(
+        return local_frame(spark, 
             [],
             "d int, n_new bigint, n_flip bigint, mid_e6_frozen bigint, "
             "mid_e6_new bigint, retrain int",
         )
     new_mids = {int(r["d"]): (float(r["lo"]) + float(r["hi"])) / 2.0 for r in mm}
-    fl = F.array(*[F.lit(float(m)) for m in frozen])
+    fl = F.lit([float(m) for m in frozen])
     nl = F.array(
         *[F.lit(float(new_mids[d + 1])) for d in range(len(frozen))]
     )
@@ -2075,8 +2088,8 @@ def binary_quant_drift_report(
         d + 1: int(math.floor(frozen[d] * 1e6 + 0.5))
         for d in range(len(frozen))
     }
-    fe6_lit = F.array(*[F.lit(fe6[d + 1]).cast("bigint") for d in range(len(frozen))])
-    me6_lit = F.array(*[F.lit(me6[d + 1]).cast("bigint") for d in range(len(frozen))])
+    fe6_lit = F.lit([int(fe6[d + 1]) for d in range(len(frozen))])
+    me6_lit = F.lit([int(me6[d + 1]) for d in range(len(frozen))])
     retrain = F.when(
         F.col("n_flip") * F.lit(int(thresh_den))
         > F.col("n_new") * F.lit(int(thresh_num)),
@@ -2125,6 +2138,8 @@ def write_prefix_index(
     slice queries identically). Effective only for MRL-trained
     embeddings — measure first with ``prefix_dim_recall_curve`` (the
     pre-flight check SCALING.md documents)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_pipeline_ine_spark.operators.similarity import (
         _assign_clusters,
         kmeans_fit,
@@ -2144,33 +2159,27 @@ def write_prefix_index(
     ).withColumn("prefix", F.slice(F.col(vec_col), 1, p))
     if part_col != BUCKET_COL:
         bucketed = bucketed.drop(part_col)
-    bucketed.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
-
-    dims = (
-        bucketed.select(BUCKET_COL, F.posexplode(vec_col).alias("d", "x"))
-        .groupBy(BUCKET_COL, "d")
-        .agg(F.avg("x").alias("c"))
-    )
-    cents = (
-        dims.groupBy(BUCKET_COL)
-        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-        .select(
-            BUCKET_COL,
-            # 6dp-snap (ADVICE r11) — see write_ivf_index
-            F.transform("dc", lambda s: F.round(s["c"], 6)).alias(
-                "centroid"
-            ),
-        )
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_CENTROID_DIR}"
-    )
     spark = df.sparkSession
-    spark.createDataFrame(
-        [(p,)], "prefix_dims int"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/{_PREFIXPARAMS_DIR}"
-    )
+    # data write ∥ centroid stats collect — the write_ivf_index overlap
+    # shape (guide §2.6); sidecar writes land AFTER the data write since
+    # mode("overwrite") on ``path`` clears the root first. 6dp snap per
+    # ADVICE r11.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        data_write = pool.submit(
+            lambda: bucketed.write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        stats = _bucket_dim_stats(bucketed, vec_col)
+        data_write.result()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        params_write = pool.submit(
+            lambda: local_frame(spark, [(p,)], "prefix_dims int")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(f"{path}/{_PREFIXPARAMS_DIR}")
+        )
+        _write_cents_sidecar(spark, path, stats)
+        params_write.result()
     _commit_marker(path)
 
 
@@ -2202,7 +2211,7 @@ def _prefix_shortlist_frame(
     from data_pipeline_ine_spark.operators.similarity import cosine
 
     cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
@@ -2215,7 +2224,7 @@ def _prefix_shortlist_frame(
         .collect()
     ]
     p = _prefix_params(spark, path)
-    qp = F.array(*[F.lit(float(x)) for x in list(query_vec)[:p]])
+    qp = F.lit([float(x) for x in list(query_vec)[:p]])
     probed = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(probe_ids)
     )
@@ -2296,7 +2305,7 @@ def read_prefix_rerank_batch(
     ids = [int(qid) for qid, _ in queries]
     if len(ids) != len(set(ids)):
         raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
@@ -2324,7 +2333,7 @@ def read_prefix_rerank_batch(
     union_buckets = sorted({b for bs in probes.values() for b in bs})
 
     p = _prefix_params(spark, path)
-    qprobe = spark.createDataFrame(
+    qprobe = local_frame(spark, 
         [
             (int(qid), b, [float(x) for x in list(v)[:p]])
             for qid, v in queries
@@ -2382,6 +2391,7 @@ def rebuild_ivfpq_index(
     trained: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    memo_key: str | None = None,
 ) -> int:
     """Drift recovery for the codes-only PQ tier — the third member of
     the codes-only rebuild family (``rebuild_sq8_index`` /
@@ -2400,7 +2410,7 @@ def rebuild_ivfpq_index(
     write_ivfpq_index(
         source, stage, part_col=part_col, n_clusters=n_clusters,
         iters=iters, m=m, n_codes=n_codes, trained=trained,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, memo_key=memo_key,
     )
     return _swap_in_rebuilt_stage(path, stage, markers_t0)
 
