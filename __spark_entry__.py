@@ -12595,12 +12595,23 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     8000-token budget (the importance LMs train on the SURVIVORS:
     score what remains) → 32/24 token-window chunking, summarized per
     source (docs kept, chunks cut, chunk tokens). One lazy plan
-    end-to-end except the two documented points: the frozen LM's O(1)
-    totals collect and two_pass_cumsum's range-boundary checkpoint
-    (dsir_select's distributed running sum — the price of never
-    sorting the corpus in one task). Gate stages are per-document and
-    restriction-invariant, so each composes as a semi-join of flags
-    computed once; stage count pinned in test_plan_quality.py."""
+    end-to-end except the documented materialization points: the
+    frozen LM's O(1) totals collect, two_pass_cumsum's range-boundary
+    checkpoint (dsir_select's distributed running sum — the price of
+    never sorting the corpus in one task), and the two lineage cuts
+    below (r12, guide §3.3/§5): ``s3`` (the post-decontamination
+    survivor set) is referenced by FOUR downstream consumers (DSIR's
+    tf and vocab aggregates, the budget semi-join, the final source
+    lookup) and ``picked`` by two (chunking, the summary join) — left
+    lazy, every reference re-executed the ENTIRE upstream gate stack
+    as its own broadcast-subtree job (measured: 44 scans of
+    ``documents`` in one plan, 81 broadcast jobs/run, ~180 s-core at
+    sf0.1); the lazy localCheckpoints make each gate run once per
+    invocation (13 scans, 22 jobs). Nothing is cached across runs —
+    both cuts materialize inside the timed query. Gate stages are
+    per-document and restriction-invariant, so each composes as a
+    semi-join of flags computed once; plan shape pinned in
+    test_plan_quality.py."""
     from data_pipeline_ine_spark.operators.text import (
         WORD_PATTERN,
         chunk_token_windows,
@@ -12636,12 +12647,16 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = ngram_decontaminate(
         docs, F.col("source") == "src19", n=5
     ).filter(F.col("contaminated") == 0).select("doc_id")
-    s3 = s2.filter(F.col("source") != "src19").join(clean, "doc_id")
+    s3 = (
+        s2.filter(F.col("source") != "src19")
+        .join(clean, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     # stage 4: DSIR selection on the survivors, 8000-token budget
     sel = dsir_select(
         s3, F.col("source") == "src0", budget_tokens=8000
     ).select("doc_id")
-    picked = s3.join(sel, "doc_id")
+    picked = s3.join(sel, "doc_id").localCheckpoint(eager=False)
     # stage 5: context-window chunking + per-source summary
     chunks = chunk_token_windows(picked, window=32, stride=24)
     return (

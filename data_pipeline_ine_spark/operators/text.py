@@ -2086,29 +2086,32 @@ def _token_ngrams(
     sequence is guarded with ``size >= n`` because Spark's
     ``sequence(1, size-n+1)`` DESCENDS when the stop is below the
     start (round-6 lesson) and would fabricate garbage windows on
-    short documents; guarded docs simply emit no rows."""
+    short documents; guarded docs simply emit no rows.
+
+    The grams are assembled INSIDE a ``transform`` over the index
+    sequence and only the gram array is exploded (r12, guide §2.3
+    "project before the exchange" applied to the Generate): the
+    previous form exploded the positions and carried the WHOLE token
+    array on every exploded row, so a document of L tokens
+    materialized O(L²) cells through the Generate — harmless at 50
+    tokens, ruinous at book length. Same strings, same row set
+    (pinned by the unchanged gate/decontamination oracles)."""
     arr = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
     )
     base = df.select(F.col(id_col), arr.alias("_ts"))
-    gram = F.concat_ws(
-        " ",
-        *[F.element_at(F.col("_ts"), F.col("_i") + F.lit(j))
-          for j in range(n)],
-    )
-    return (
-        base.select(
-            id_col,
-            F.explode(
-                F.when(
-                    F.size("_ts") >= n,
-                    F.sequence(F.lit(1), F.size("_ts") - F.lit(n - 1)),
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("_i"),
-            F.col("_ts"),
-        )
-        .select(id_col, gram.alias(out_col))
-    )
+    grams = F.when(
+        F.size("_ts") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ts") - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("_ts"), i + F.lit(j))
+                  for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(id_col, F.explode(grams).alias(out_col))
 
 
 def gopher_repetition(

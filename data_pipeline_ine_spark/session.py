@@ -66,6 +66,16 @@ def get_spark(
         # alphabetical tail of bench.py degrading 2-4x with no code change).
         # Only effective before JVM launch, like driver.memory.
         "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+        # The generated-class cache (CodeGenerator.cache) holds 100 entries
+        # by default; one composed-pipeline plan alone spans 150+
+        # WholeStageCodegen units, so a many-query session (bench.py runs
+        # 307) evicts and re-Janino-compiles its own spans on EVERY
+        # invocation (measured r12: curation_v3 warm runs 7.4 s -> 5.4 s
+        # from this alone). Driver-side and scale-independent — the cache
+        # is keyed by generated source text, so repeated plan shapes hit
+        # regardless of data volume. Bounded: entries are (source, class),
+        # ~4k entries stay well inside the 8g driver heap.
+        "spark.sql.codegen.cache.maxEntries": "4096",
         # --- optimizer / execution -----------------------------------------
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
