@@ -4756,13 +4756,20 @@ def q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text") >= 0.45
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
+    # the two lineage cuts below are the curation_v3 discipline (r12):
+    # s1 is consumed by near_dup_filter_self TWICE (the shingle
+    # checkpoint and the left-anti corpus side) and s2 by two more
+    # downstream joins — left lazy, the language/quality gate subtree
+    # re-executes once per reference; each cut materializes inside the
+    # query, nothing carries across runs
     s1 = (
         gated.withColumn("fp", fingerprint("text"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("fp", "_rn")
+        .localCheckpoint(eager=False)
     )
-    s2 = near_dup_filter_self(s1)
+    s2 = near_dup_filter_self(s1).localCheckpoint(eager=False)
     cents = kmeans_fit(
         emb, k=8, iters=2,
         memo_key=_table_fingerprint(sf_dir, "embeddings"),

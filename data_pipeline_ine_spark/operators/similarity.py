@@ -918,10 +918,11 @@ def pq_codebook(
     return out
 
 
-def _pq_lit(codebook: list[list[list[int]]]) -> Column:
-    # one parsed literal instead of m*n_codes*sub py4j round-trips (the
-    # construction-cost note above); BIGINT elements as before
-    return F.expr(
+def _pq_cb_sql(codebook: list[list[list[int]]]) -> str:
+    """Nested ``array<array<array<bigint>>>`` literal text for a PQ
+    codebook — the SQL-text building block the whole PQ family shares
+    (construction-cost note above)."""
+    return (
         "array(" + ",".join(
             "array(" + ",".join(
                 "array(" + ",".join(f"{int(v)}L" for v in code) + ")"
@@ -929,6 +930,23 @@ def _pq_lit(codebook: list[list[list[int]]]) -> Column:
             ) + ")"
             for sub in codebook
         ) + ")"
+    )
+
+
+def _pq_lit(codebook: list[list[list[int]]]) -> Column:
+    # one parsed literal instead of m*n_codes*sub py4j round-trips (the
+    # construction-cost note above); BIGINT elements as before
+    return F.expr(_pq_cb_sql(codebook))
+
+
+def _vint_sql(vec_sql: str) -> str:
+    """Fixed-point transform text: the identical
+    ``floor(x·PQ_SCALE + 0.5)`` map :func:`pq_encode` built through the
+    Column API (double multiply, double add, FLOOR→BIGINT — same
+    coercions, bit-identical values)."""
+    return (
+        f"transform({vec_sql}, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        f" * {PQ_SCALE} + 0.5D) AS BIGINT))"
     )
 
 
@@ -947,60 +965,44 @@ def pq_encode(
     Scale shape: the codebook rides along as a literal nested array, so
     encoding is ONE narrow whole-stage-codegen projection — zero
     shuffles, zero Python, no join; argmin is an integer fold over
-    codes nested in a fold over subspace dims, all exact BIGINT."""
-    from data_pipeline_ine_spark.functions.scalars import let_
+    codes nested in a fold over subspace dims, all exact BIGINT.
 
+    Built as ONE parsed SQL expression (r12): the Column-API/let_
+    construction paid ~350 py4j round-trips of driver time per call at
+    m=4 (the construction-cost note above, ~3 ms each on this box) for
+    the same operator tree — the let_ binding is the literal
+    ``element_at(transform(array(v), ...), 1)`` form, the integer
+    arithmetic and struct-fold argmin are unchanged."""
     m = len(codebook)
     n_codes = len(codebook[0])
     sub = len(codebook[0][0])
-    cb = _pq_lit(codebook)
-    vint = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
-            "bigint"
-        ),
+    cb = _pq_cb_sql(codebook)
+    diff = (
+        f"(element_at(vi, CAST(s * {sub} + d + 1 AS INT)) - "
+        f"element_at(element_at(element_at({cb}, CAST(s AS INT) + 1), c),"
+        " CAST(d AS INT) + 1))"
     )
-
-    def codes(vi: Column) -> Column:
-        def code_for(s: Column) -> Column:
-            def _diff(c: Column, d: Column) -> Column:
-                return F.element_at(vi, (s * sub + d + 1).cast("int")) - F.element_at(
-                    F.element_at(F.element_at(cb, s.cast("int") + 1), c),
-                    d.cast("int") + 1,
-                )
-
-            # (a-b)·(a-b) in BIGINT: diffs ≤ 2·PQ_SCALE·|x|max so squares
-            # stay far inside int64 — exact, no float in the hot loop
-            cdist = lambda c: F.aggregate(  # noqa: E731
-                F.sequence(F.lit(0), F.lit(sub - 1)),
-                F.lit(0).cast("bigint"),
-                lambda acc, d: acc + _diff(c, d) * _diff(c, d),
-            )
-            best = F.aggregate(
-                F.sequence(F.lit(1), F.lit(n_codes)),
-                F.struct(
-                    F.lit(2**62).cast("bigint").alias("dist"),
-                    F.lit(-1).alias("code"),
-                ),
-                # let-bind the code distance: evaluated once per codeword
-                # instead of twice (condition + struct), and the codegen
-                # tree is half the size
-                lambda acc, c: let_(
-                    cdist(c),
-                    lambda d: F.when(
-                        d < acc["dist"],
-                        F.struct(
-                            d.alias("dist"), (c - 1).cast("int").alias("code")
-                        ),
-                    ).otherwise(acc),
-                ),
-            )
-            return best["code"]
-
-        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
-
+    # (a-b)·(a-b) in BIGINT: diffs ≤ 2·PQ_SCALE·|x|max so squares stay
+    # far inside int64 — exact, no float in the hot loop; the code
+    # distance is let-bound (evaluated once per codeword, not twice)
+    cdist = (
+        f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT),"
+        f" (a2, d) -> a2 + {diff} * {diff})"
+    )
+    code_for = (
+        f"aggregate(sequence(1, {n_codes}),"
+        f" named_struct('dist', CAST({2**62} AS BIGINT), 'code', -1),"
+        f" (acc, c) -> element_at(transform(array({cdist}),"
+        " d0 -> CASE WHEN d0 < acc.dist THEN"
+        " named_struct('dist', d0, 'code', CAST(c - 1 AS INT))"
+        " ELSE acc END), 1)).code"
+    )
+    codes = (
+        f"element_at(transform(array({_vint_sql(f'`{vec_col}`')}),"
+        f" vi -> transform(sequence(0, {m - 1}), s -> {code_for})), 1)"
+    )
     return df.select(
-        id_col, *keep_cols, let_(vint, codes).alias("pq_codes")
+        id_col, *keep_cols, F.expr(codes).alias("pq_codes")
     )
 
 
@@ -1018,42 +1020,35 @@ def pq_recon_err_col(
     integer arithmetic, same let-bound fold so nothing re-evaluates
     per element); ``sources/ivf_index.py::pq_quant_drift_report``
     aggregates it per subspace to price a FROZEN codebook against a
-    cohort-derived one. Zero shuffles, zero Python."""
-    from data_pipeline_ine_spark.functions.scalars import let_
-
+    cohort-derived one. Zero shuffles, zero Python. One parsed SQL
+    expression (r12) — the ``pq_encode`` construction-cost rationale;
+    operator tree unchanged."""
     m = len(codebook)
     n_codes = len(codebook[0])
     sub = len(codebook[0][0])
-    cb = _pq_lit(codebook)
-    vint = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
-            "bigint"
-        ),
-    )
+    cb = _pq_cb_sql(codebook)
 
-    def err_for(vi: Column, s: int) -> Column:
-        def _diff(c: Column, d: Column) -> Column:
-            return F.element_at(
-                vi, F.lit(s * sub) + d.cast("int") + F.lit(1)
-            ) - F.element_at(
-                F.element_at(F.element_at(cb, s + 1), c),
-                d.cast("int") + 1,
-            )
-
-        cdist = lambda c: F.aggregate(  # noqa: E731
-            F.sequence(F.lit(0), F.lit(sub - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, d: acc + _diff(c, d) * _diff(c, d),
+    def err_for(s: int) -> str:
+        diff = (
+            f"(element_at(vi, {s * sub} + CAST(d AS INT) + 1) - "
+            f"element_at(element_at(element_at({cb}, {s + 1}), c),"
+            " CAST(d AS INT) + 1))"
         )
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(n_codes)),
-            F.lit(2**62).cast("bigint"),
-            lambda acc, c: let_(cdist(c), lambda dd: F.least(acc, dd)),
+        cdist = (
+            f"aggregate(sequence(0, {sub - 1}), CAST(0 AS BIGINT),"
+            f" (a2, d) -> a2 + {diff} * {diff})"
+        )
+        return (
+            f"aggregate(sequence(1, {n_codes}),"
+            f" CAST({2**62} AS BIGINT),"
+            f" (acc, c) -> element_at(transform(array({cdist}),"
+            " dd -> least(acc, dd)), 1))"
         )
 
-    return let_(
-        vint, lambda vi: F.array(*[err_for(vi, s) for s in range(m)])
+    errs = ",".join(err_for(s) for s in range(m))
+    return F.expr(
+        f"element_at(transform(array({_vint_sql(f'`{vec_col}`')}),"
+        f" vi -> array({errs})), 1)"
     )
 
 
@@ -1092,20 +1087,19 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    lut_lit = F.expr(
+    lut_sql = (
         "array(" + ",".join(
             "array(" + ",".join(f"{int(v)}L" for v in row) + ")"
             for row in lut
         ) + ")"
     )
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(lut_lit, s.cast("int") + 1),
-            F.element_at(F.col(codes_col), s.cast("int") + 1) + 1,
-        ),
+    # one parsed SQL expression (r12): the ADC fold is identical to the
+    # Column-built form, minus ~40 py4j round-trips per call
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+        f" (acc, s) -> acc + element_at(element_at({lut_sql},"
+        f" CAST(s AS INT) + 1),"
+        f" element_at(`{codes_col}`, CAST(s AS INT) + 1) + 1))"
     )
     return (
         codes_df.select(id_col, dist.alias("pq_dist"))
@@ -1354,8 +1348,21 @@ def semantic_dedup_recall(
         pairs = pairs.localCheckpoint(eager=False)
     exact_cnt = pairs.count()  # O(1) scalar to the driver
 
-    parts = []
+    # ONE merged coverage plan over every (n_clusters, n_probe)
+    # configuration (r12): the previous per-config loop built 6
+    # independent join→distinct→agg branches (one union of 6 aggregate
+    # subtrees — ~2,000 py4j construction round-trips and 12 broadcast
+    # builds per invocation). The merged form tags each k's assignment
+    # frame with its n_clusters, unions the three narrow frames, joins
+    # the pair set ONCE against both sides, and applies the per-config
+    # probe rule (rn ≤ p on both sides, either side primary) from a
+    # |configs|-row broadcast — the covered set per configuration is
+    # definitionally the same, then one distinct + one groupBy replace
+    # six distinct+agg branches.
+    from data_pipeline_ine_spark.functions.localframe import local_frame
+
     max_probe = max(int(p) for p in n_probes)
+    asg_parts = []
     for n_clusters in n_clusters_list:
         centroids = kmeans_fit(
             df, k=int(n_clusters), iters=iters, vec_col=vec_col,
@@ -1366,47 +1373,69 @@ def semantic_dedup_recall(
         ).select(F.col(id_col), "cluster", "rn")
         if not GRAPH_MEMO_DISABLED:
             # one narrow (id, cluster, rn) frame per n_clusters, reused
-            # by BOTH sides of EVERY n_probe coverage join — without the
-            # checkpoint each of the |probes|·2 broadcast builds re-runs
-            # the k-fold assignment map as its own single-task job
-            # (measured: 54 serial ~0.5 s jobs at sf0.1). Same audit
+            # by BOTH sides of the merged coverage join — without the
+            # checkpoint both broadcast builds re-run the k-fold
+            # assignment map as their own single-task jobs. Same audit
             # hook as the pair cache above.
             asg = asg.localCheckpoint(eager=False)
-        for p in n_probes:
-            ai = asg.filter(F.col("rn") <= int(p)).select(
-                F.col(id_col).alias("_i"), "cluster",
-                F.col("rn").alias("_rni"),
+        asg_parts.append(
+            asg.select(
+                F.lit(int(n_clusters)).cast("bigint").alias("_nc"),
+                F.col(id_col), "cluster", "rn",
             )
-            aj = asg.filter(F.col("rn") <= int(p)).select(
-                F.col(id_col).alias("_j"), "cluster",
-                F.col("rn").alias("_rnj"),
-            )
-            covered = (
-                pairs.join(ai, "_i")
-                .join(aj, ["_j", "cluster"])
-                .filter((F.col("_rni") == 1) | (F.col("_rnj") == 1))
-                .select("_i", "_j")
-                .distinct()
-            )
-            parts.append(
-                covered.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("covered_pairs")
-                ).select(
-                    F.lit(int(n_clusters)).cast("bigint").alias("n_clusters"),
-                    F.lit(int(p)).cast("bigint").alias("n_probe"),
-                    F.lit(int(exact_cnt)).cast("bigint").alias("exact_pairs"),
-                    "covered_pairs",
-                    F.round(
-                        F.col("covered_pairs").cast("double")
-                        / F.lit(float(max(exact_cnt, 1))),
-                        6,
-                    ).alias("recall"),
-                )
-            )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out.orderBy("n_clusters", "n_probe")
+        )
+    asg_all = asg_parts[0]
+    for part in asg_parts[1:]:
+        asg_all = asg_all.unionByName(part)
+    cfg = local_frame(
+        df.sparkSession,
+        [
+            (int(n_clusters), int(p))
+            for n_clusters in n_clusters_list
+            for p in n_probes
+        ],
+        "_cnc long, _np long",
+    )
+    ai = asg_all.select(
+        "_nc", F.col(id_col).alias("_i"), "cluster",
+        F.col("rn").alias("_rni"),
+    )
+    aj = asg_all.select(
+        "_nc", F.col(id_col).alias("_j"), "cluster",
+        F.col("rn").alias("_rnj"),
+    )
+    covered = (
+        pairs.join(ai, "_i")
+        .join(aj, ["_nc", "_j", "cluster"])
+        .join(
+            F.broadcast(cfg),
+            (F.col("_cnc") == F.col("_nc"))
+            & (F.col("_rni") <= F.col("_np"))
+            & (F.col("_rnj") <= F.col("_np")),
+        )
+        .filter((F.col("_rni") == 1) | (F.col("_rnj") == 1))
+        .select("_cnc", "_np", "_i", "_j")
+        .distinct()
+        .groupBy("_cnc", "_np")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("covered_pairs"))
+    )
+    return (
+        cfg.join(covered, ["_cnc", "_np"], "left")
+        .select(
+            F.col("_cnc").alias("n_clusters"),
+            F.col("_np").alias("n_probe"),
+            F.lit(int(exact_cnt)).cast("bigint").alias("exact_pairs"),
+            F.coalesce("covered_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("covered_pairs"),
+            F.round(
+                F.coalesce("covered_pairs", F.lit(0)).cast("double")
+                / F.lit(float(max(exact_cnt, 1))),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("n_clusters", "n_probe")
+    )
 
 
 # --- 1-bit binary quantization (Hamming shortlist + exact rescore) ---------
@@ -1688,30 +1717,51 @@ def prefix_dim_recall_curve(
     first pass needs before the shortlist stops losing true neighbors
     (at prefix = full dims the first pass IS exact, so the curve ends
     at 1.0 by construction whenever shortlist >= k: a built-in sanity
-    anchor). One exact top-k serves every prefix; each prefix pays one
-    sliced narrow scan."""
-    exact_ids = brute_force_topk(
-        df, query_vec, k=k, vec_col=vec_col, id_col=id_col
-    ).select(id_col)
+    anchor). One exact top-k serves every prefix.
+
+    All per-prefix first-pass similarities AND the exact full-dim
+    cosine are computed in ONE narrow scan and lazily checkpointed
+    (r12): the previous form paid one full scan + sliced-cosine pass
+    per prefix plus one for the exact side — |prefixes|+1 scans of the
+    vector table for identical values (guide §1.2: fewer passes). Each
+    branch's shortlist/rescore/top-k ordering is unchanged (the exact
+    side is ``brute_force_topk``'s rounded-cosine + id order on the
+    same doubles), so every branch returns the identical rows."""
     q = _dbl_array_lit(query_vec)
+    sims = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("_cs"),
+        *[
+            F.round(
+                cosine(
+                    F.slice(F.col(vec_col), 1, int(p)),
+                    _dbl_array_lit(query_vec[: int(p)]),
+                ),
+                6,
+            ).alias(f"_ps{int(p)}")
+            for p in prefixes
+        ],
+    )
+    if not GRAPH_MEMO_DISABLED:
+        sims = sims.localCheckpoint(eager=False)
+    exact_ids = (
+        sims.orderBy(F.desc("_cs"), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col)
+    )
     parts = []
     for p in prefixes:
-        qp = _dbl_array_lit(query_vec[: int(p)])
-        pref = F.slice(F.col(vec_col), 1, int(p))
         short = (
-            df.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.round(cosine(pref, qp), 6).alias("_ps"),
+            sims.select(
+                F.col(id_col), F.col("_cs"),
+                F.col(f"_ps{int(p)}").alias("_ps"),
             )
             .orderBy(F.desc("_ps"), F.asc(id_col))
             .limit(int(shortlist))
         )
         approx = (
-            short.select(
-                id_col, F.round(cosine(F.col(vec_col), q), 6).alias("_cs")
-            )
-            .orderBy(F.desc("_cs"), F.asc(id_col))
+            short.orderBy(F.desc("_cs"), F.asc(id_col))
             .limit(int(k))
             .select(id_col)
         )
@@ -1918,23 +1968,16 @@ def pq_recall_curve(
     sample the corpus for the curve — the operator takes whatever df
     you hand it.
     """
-    from functools import reduce as _reduce
-    from operator import add as _add
-
     from pyspark.sql import Window
 
     cb = pq_codebook(df, vec_col, id_col, m=m, n_codes=n_codes)
     sub = len(cb[0][0])
     codes = pq_encode(df, cb, vec_col, id_col)
-    vint = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * PQ_SCALE + F.lit(0.5)).cast(
-            "bigint"
-        ),
-    )
     # parallelism floor: the n_queries·corpus scored-pair stage streams
     # this side (guide §2.6)
-    base = _rebalanced(df).select(F.col(id_col), vint.alias("_vi"))
+    base = _rebalanced(df).select(
+        F.col(id_col), F.expr(_vint_sql(f"`{vec_col}`")).alias("_vi")
+    )
     queries = (
         base.orderBy(id_col)
         .limit(n_queries)
@@ -1945,24 +1988,35 @@ def pq_recall_curve(
         .crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("_qid"))
     )
-    exact_d = F.aggregate(
-        F.zip_with("_qv", "_vi", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    # both distances as ONE parsed SQL expression each (r12): the
+    # Column-API construction of the 64-term ADC sum alone cost ~700
+    # py4j round-trips per call; the parsed trees are the identical
+    # left-nested integer sums
+    exact_d = F.expr(
+        "aggregate(zip_with(_qv, _vi, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    cb_lit = _pq_lit(cb)
-    terms = []
+    # the query-side codeword is let-bound per subspace (the let_ idiom
+    # in SQL text) so the 512-literal codebook appears once per
+    # subspace, not once per term — integer addition is associative, so
+    # grouping the 64-term sum by subspace leaves the BIGINT exact
+    cb_sql = _pq_cb_sql(cb)
+    s_terms = []
     for s in range(m):
-        cw = F.element_at(
-            F.element_at(cb_lit, s + 1),
-            (F.element_at(F.col("pq_codes"), s + 1) + 1).cast("int"),
+        cw = (
+            f"element_at(element_at({cb_sql}, {s + 1}),"
+            f" CAST(element_at(pq_codes, {s + 1}) + 1 AS INT))"
         )
-        for d in range(sub):
-            diff = F.element_at("_qv", s * sub + d + 1) - F.element_at(
-                cw, d + 1
-            )
-            terms.append(diff * diff)
-    pq_d = _reduce(_add, terms).cast("bigint")
+        d_terms = " + ".join(
+            f"(element_at(_qv, {s * sub + d + 1}) - element_at(w, {d + 1}))"
+            f" * (element_at(_qv, {s * sub + d + 1})"
+            f" - element_at(w, {d + 1}))"
+            for d in range(sub)
+        )
+        s_terms.append(
+            f"element_at(transform(array({cw}), w -> {d_terms}), 1)"
+        )
+    pq_d = F.expr("CAST(" + " + ".join(s_terms) + " AS BIGINT)")
     scored = pairs.select(
         "_qid",
         F.col(id_col).alias("_cand"),
