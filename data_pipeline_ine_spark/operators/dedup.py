@@ -272,9 +272,10 @@ def dedup_components(
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionByName(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
         .distinct()
-        # materialize once and cut the (possibly very expensive) pair-
-        # discovery lineage out of every iteration's plan
-        .localCheckpoint()
+        # materialize once (lazily — it folds into round 1's convergence
+        # job) and cut the (possibly very expensive) pair-discovery
+        # lineage out of every iteration's plan
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -305,8 +306,11 @@ def dedup_components(
                 F.coalesce("p_label", "label").alias("label"),
             )
             # keep each round's plan flat: without this, iteration N replans
-            # (and risks recomputing) all N-1 previous rounds
-            .localCheckpoint()
+            # (and risks recomputing) all N-1 previous rounds. Lazy: the
+            # checkpoint materializes inside this round's convergence-sum
+            # job below instead of as its own job (r12 — the per-round
+            # job count is the cost at small scale, 3 jobs -> 1)
+            .localCheckpoint(eager=False)
         )
         # decimal accumulation: node ids may span the full signed-64 range
         # (resolve_entities feeds xxhash64 ids), where a long SUM can
@@ -335,7 +339,7 @@ def dedup_components(
             .select(F.col("ls").alias("s"), F.col("ld").alias("d"))
             .filter(F.col("s") != F.col("d"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if not converged:
         raise RuntimeError(

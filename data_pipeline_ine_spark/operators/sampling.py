@@ -330,7 +330,7 @@ def deterministic_shuffle(
         df.withColumn("_h", h)
         .repartitionByRange(n, "_h", key_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.select(
@@ -463,11 +463,16 @@ def two_pass_rank(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     # localCheckpoint: counts branch and rank branch must see the SAME
-    # sampled range boundaries (see deterministic_shuffle)
+    # sampled range boundaries (see deterministic_shuffle). Lazy (r12):
+    # the checkpoint RDD — and with it the range sampler's boundaries —
+    # is still created HERE (toRdd at call time), so both branches
+    # share one fixed partitioning either way; eager=False just folds
+    # the materialization into the first consuming job instead of
+    # running a separate pass.
     ranged = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.select(
@@ -522,11 +527,14 @@ def two_pass_cumsum(
     groups = list(group_cols)
     keys = [F.col(c) for c in [*groups, *order_cols]]
     # localCheckpoint: offsets branch and running branch must see the
-    # SAME sampled range boundaries (see deterministic_shuffle)
+    # SAME sampled range boundaries (see deterministic_shuffle) — the
+    # checkpoint RDD and its boundaries are fixed at call time; lazy
+    # materialization folds into the first consuming job (r12, see
+    # two_pass_rank)
     ranged = (
         df.repartitionByRange(n, *keys)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     part_sums = ranged.groupBy(*groups, "_pid").agg(
         agg_fn(value_col).alias("_ps")
