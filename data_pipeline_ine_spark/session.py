@@ -65,7 +65,14 @@ def get_spark(
         # and every LATER query runs partially interpreted (observed: the
         # alphabetical tail of bench.py degrading 2-4x with no code change).
         # Only effective before JVM launch, like driver.memory.
-        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+        # 1g (r12): raising spark.sql.codegen.cache.maxEntries keeps more
+        # generated classes (and their JIT'd code) alive, so the 512m
+        # reservation that sufficed for a 100-entry cache fills mid-sweep
+        # again — the sweep-tail queries degrade 2-4x exactly as the
+        # original note describes. Code cache is reserved virtual
+        # address space, committed on use; 1g is nothing on any box that
+        # can run Spark.
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
         # The generated-class cache (CodeGenerator.cache) holds 100 entries
         # by default; one composed-pipeline plan alone spans 150+
         # WholeStageCodegen units, so a many-query session (bench.py runs
