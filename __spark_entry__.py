@@ -4737,6 +4737,7 @@ def q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage shuffles on its own key (fp window / band join /
     cluster self-join); nothing is corpus-squared. Returns the kept
     docs with their semantic cluster."""
+    from data_pipeline_ine_spark.functions.lineage import cut
     from data_pipeline_ine_spark.operators.dedup import (
         near_dup_filter_self,
     )
@@ -4762,14 +4763,13 @@ def q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream joins — left lazy, the language/quality gate subtree
     # re-executes once per reference; each cut materializes inside the
     # query, nothing carries across runs
-    s1 = (
+    s1 = cut(
         gated.withColumn("fp", fingerprint("text"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("fp", "_rn")
-        .localCheckpoint(eager=False)
     )
-    s2 = near_dup_filter_self(s1).localCheckpoint(eager=False)
+    s2 = cut(near_dup_filter_self(s1))
     cents = kmeans_fit(
         emb, k=8, iters=2,
         memo_key=_table_fingerprint(sf_dir, "embeddings"),
@@ -12605,20 +12605,24 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end except the documented materialization points: the
     frozen LM's O(1) totals collect, two_pass_cumsum's range-boundary
     checkpoint (dsir_select's distributed running sum — the price of
-    never sorting the corpus in one task), and the two lineage cuts
-    below (r12, guide §3.3/§5): ``s3`` (the post-decontamination
-    survivor set) is referenced by FOUR downstream consumers (DSIR's
-    tf and vocab aggregates, the budget semi-join, the final source
-    lookup) and ``picked`` by two (chunking, the summary join) — left
-    lazy, every reference re-executed the ENTIRE upstream gate stack
-    as its own broadcast-subtree job (measured: 44 scans of
-    ``documents`` in one plan, 81 broadcast jobs/run, ~180 s-core at
-    sf0.1); the lazy localCheckpoints make each gate run once per
-    invocation (13 scans, 22 jobs). Nothing is cached across runs —
-    both cuts materialize inside the timed query. Gate stages are
-    per-document and restriction-invariant, so each composes as a
-    semi-join of flags computed once; plan shape pinned in
-    test_plan_quality.py."""
+    never sorting the corpus in one task), and the lineage cuts below
+    (r12 ``s3``/``picked``, guide §3.3/§5; left lazy, every reference
+    re-executed the ENTIRE upstream gate stack as its own
+    broadcast-subtree job — measured: 44 scans of ``documents`` in one
+    plan, 81 broadcast jobs/run, ~180 s-core at sf0.1). r13 (guide
+    §2.3/§3.3, verdict task 1): the corpus is TOKENIZED ONCE — every
+    gate consumed its own ``regexp_extract_all`` re-tokenization of
+    ``documents`` (gopher ×2, the ref vocab, the LM gate, decontam ×2,
+    DSIR ×2, chunking: 8+ corpus-wide regex passes per run), now one
+    ``toks`` cut feeds them all via the operators' ``tokens_col``
+    hooks, and the gates intersect as per-doc id-flag semi-joins —
+    restriction-invariant (each doc's flag depends only on its own
+    tokens and frozen totals), exactly the oracle's own CTE structure,
+    so the survivor set is definitionally unchanged. Nothing is
+    cached across runs — all cuts materialize inside the timed query.
+    Plan shape pinned in test_plan_quality.py (full lazy plan under
+    ``checkpoints_disabled()``)."""
+    from data_pipeline_ine_spark.functions.lineage import cut
     from data_pipeline_ine_spark.operators.text import (
         WORD_PATTERN,
         chunk_token_windows,
@@ -12626,46 +12630,55 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_repetition,
         ngram_decontaminate,
     )
-    from data_pipeline_ine_spark.streaming.quality import lm_gate_batch
+    from data_pipeline_ine_spark.streaming.quality import lm_gate_ids
 
     docs = _docs_parallel(spark, sf_dir)
-    # stage 1: Gopher repetition gate (per-doc integer rules)
-    gpass = gopher_repetition(docs).filter(
-        F.col("pass_repetition") == 1
-    ).select("doc_id")
-    s1 = docs.join(gpass, "doc_id")
-    # stage 2: LM gate under the FROZEN full-corpus src0 reference LM
-    ref_toks = docs.filter(F.col("source") == "src0").select(
-        F.explode(
+    # ONE tokenization of the corpus feeds every gate below
+    toks = cut(
+        docs.select(
+            "doc_id",
+            "source",
             F.regexp_extract_all(
                 F.lower(F.col("text")), F.lit(WORD_PATTERN), 0
-            )
-        ).alias("term")
+            ).alias("_ts"),
+        )
     )
-    vocab = ref_toks.groupBy("term").agg(
-        F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=False)
+    # stage 1: Gopher repetition gate (per-doc integer rules)
+    gpass = gopher_repetition(toks, tokens_col="_ts").filter(
+        F.col("pass_repetition") == 1
+    ).select("doc_id")
+    # stage 2: LM gate under the FROZEN full-corpus src0 reference LM
+    ref_toks = toks.filter(F.col("source") == "src0").select(
+        F.explode("_ts").alias("term")
+    )
+    vocab = cut(
+        ref_toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    )
     n_total, v_size = vocab.agg(F.sum("c"), F.count(F.lit(1))).first()
-    s2 = lm_gate_batch(
-        s1, vocab, int(n_total), int(v_size),
-        threshold_e12=3_420_000_000_000,
+    lmpass = lm_gate_ids(
+        toks, vocab, int(n_total), int(v_size),
+        threshold_e12=3_420_000_000_000, tokens_col="_ts",
     )
     # stage 3: decontamination vs the full src19 benchmark cohort
     clean = ngram_decontaminate(
-        docs, F.col("source") == "src19", n=5
+        toks, F.col("source") == "src19", n=5, tokens_col="_ts"
     ).filter(F.col("contaminated") == 0).select("doc_id")
-    s3 = (
-        s2.filter(F.col("source") != "src19")
+    s3 = cut(
+        toks.filter(F.col("source") != "src19")
+        .join(gpass, "doc_id")
+        .join(lmpass, "doc_id")
         .join(clean, "doc_id")
-        .localCheckpoint(eager=False)
     )
     # stage 4: DSIR selection on the survivors, 8000-token budget
     sel = dsir_select(
-        s3, F.col("source") == "src0", budget_tokens=8000
+        s3, F.col("source") == "src0", budget_tokens=8000,
+        tokens_col="_ts",
     ).select("doc_id")
-    picked = s3.join(sel, "doc_id").localCheckpoint(eager=False)
+    picked = cut(s3.join(sel, "doc_id"))
     # stage 5: context-window chunking + per-source summary
-    chunks = chunk_token_windows(picked, window=32, stride=24)
+    chunks = chunk_token_windows(
+        picked, window=32, stride=24, tokens_col="_ts"
+    )
     return (
         chunks.join(picked.select("doc_id", "source"), "doc_id")
         .groupBy("source")

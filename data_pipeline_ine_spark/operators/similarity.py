@@ -286,6 +286,13 @@ def sq_dist(a: Column, b: Column) -> Column:
 # the one-call F.lit(list) produces — optimized plans are unchanged.
 
 
+def _qid(name: str) -> str:
+    """Backtick-quote an identifier for SQL text, escaping embedded
+    backticks (ADVICE r12: a raw f'`{col}`' breaks — and diverges from
+    F.col resolution — on a column name containing a backtick)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def _dlit(x: float) -> str:
     """Shortest round-trip double literal for SQL text (bit-exact)."""
     return repr(float(x)) + "D"
@@ -319,7 +326,7 @@ def _assign_pairs_sql(
 ) -> str:
     """The sorted (distance, cluster_id) struct array as SQL text."""
     structs = ",".join(
-        f"struct({_sq_dist_sql(f'`{vec_col}`', cv)} AS d, {int(cid)} AS c)"
+        f"struct({_sq_dist_sql(_qid(vec_col), cv)} AS d, {int(cid)} AS c)"
         for cid, cv in centroids
     )
     return f"array_sort(array({structs}))"
@@ -998,7 +1005,7 @@ def pq_encode(
         " ELSE acc END), 1)).code"
     )
     codes = (
-        f"element_at(transform(array({_vint_sql(f'`{vec_col}`')}),"
+        f"element_at(transform(array({_vint_sql(_qid(vec_col))}),"
         f" vi -> transform(sequence(0, {m - 1}), s -> {code_for})), 1)"
     )
     return df.select(
@@ -1047,7 +1054,7 @@ def pq_recon_err_col(
 
     errs = ",".join(err_for(s) for s in range(m))
     return F.expr(
-        f"element_at(transform(array({_vint_sql(f'`{vec_col}`')}),"
+        f"element_at(transform(array({_vint_sql(_qid(vec_col))}),"
         f" vi -> array({errs})), 1)"
     )
 
@@ -1099,7 +1106,7 @@ def pq_topk(
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
         f" (acc, s) -> acc + element_at(element_at({lut_sql},"
         f" CAST(s AS INT) + 1),"
-        f" element_at(`{codes_col}`, CAST(s AS INT) + 1) + 1))"
+        f" element_at({_qid(codes_col)}, CAST(s AS INT) + 1) + 1))"
     )
     return (
         codes_df.select(id_col, dist.alias("pq_dist"))
@@ -1510,7 +1517,7 @@ def _bq_word_cols(vec_col: str, mids: list[float]) -> list[Column]:
         for i in range(w * _BQ_WORD_BITS, min(n, (w + 1) * _BQ_WORD_BITS)):
             bit = 1 << (i - w * _BQ_WORD_BITS)
             terms.append(
-                f"(CASE WHEN CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)"
+                f"(CASE WHEN CAST(element_at({_qid(vec_col)}, {i + 1}) AS DOUBLE)"
                 f" > {_dlit(mids[i])} THEN CAST({bit} AS BIGINT)"
                 " ELSE CAST(0 AS BIGINT) END)"
             )
@@ -1976,7 +1983,7 @@ def pq_recall_curve(
     # parallelism floor: the n_queries·corpus scored-pair stage streams
     # this side (guide §2.6)
     base = _rebalanced(df).select(
-        F.col(id_col), F.expr(_vint_sql(f"`{vec_col}`")).alias("_vi")
+        F.col(id_col), F.expr(_vint_sql(_qid(vec_col))).alias("_vi")
     )
     queries = (
         base.orderBy(id_col)

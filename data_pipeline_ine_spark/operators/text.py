@@ -515,6 +515,7 @@ def dsir_llr(
     target_pred: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling", reduced to its
@@ -550,7 +551,9 @@ def dsir_llr(
         F.col(id_col),
         target_pred.cast("boolean").alias("_tgt"),
         F.explode(
-            F.regexp_extract_all(
+            F.col(tokens_col)
+            if tokens_col is not None
+            else F.regexp_extract_all(
                 F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
             )
         ).alias("term"),
@@ -663,6 +666,7 @@ def dsir_select(
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Execute the selection DSIR's weights exist for: rank the corpus
     most-target-like-first by the exact integer log-likelihood ratio
@@ -685,7 +689,10 @@ def dsir_select(
     """
     from data_pipeline_ine_spark.operators.sampling import two_pass_cumsum
 
-    scored = dsir_llr(df, target_pred, text_col=text_col, id_col=id_col)
+    scored = dsir_llr(
+        df, target_pred, text_col=text_col, id_col=id_col,
+        tokens_col=tokens_col,
+    )
     s = scored.filter(F.col("n_tokens") > 0).select(
         id_col,
         "n_tokens",
@@ -2080,6 +2087,7 @@ def _token_ngrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "gram",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exploded token n-grams per document — the shared front end of
     the repetition gate and the decontamination pass. The n-gram index
@@ -2095,9 +2103,18 @@ def _token_ngrams(
     array on every exploded row, so a document of L tokens
     materialized O(L²) cells through the Generate — harmless at 50
     tokens, ruinous at book length. Same strings, same row set
-    (pinned by the unchanged gate/decontamination oracles)."""
-    arr = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    (pinned by the unchanged gate/decontamination oracles).
+
+    ``tokens_col`` (r13): callers that already hold the WORD_PATTERN
+    token array (the curation stacks tokenize the corpus ONCE and feed
+    every gate — guide §2.3/§3.3) name it here and skip the regex;
+    the array is definitionally the one this function would build."""
+    arr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+        )
     )
     base = df.select(F.col(id_col), arr.alias("_ts"))
     grams = F.when(
@@ -2120,6 +2137,7 @@ def gopher_repetition(
     id_col: str = "doc_id",
     top2_max_pct: int = 5,
     dup3_max_pct: int = 2,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style repetition quality gate (Rae et al. 2021, appendix
     A1 "repetition removal", adapted to the token grain): a document
@@ -2155,7 +2173,7 @@ def gopher_repetition(
     corpus-wide state, no windows.
     """
     c2 = (
-        _token_ngrams(df, 2, text_col, id_col)
+        _token_ngrams(df, 2, text_col, id_col, tokens_col=tokens_col)
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -2164,7 +2182,7 @@ def gopher_repetition(
         F.max("c").cast("bigint").alias("top_2gram_n"),
     )
     c3 = (
-        _token_ngrams(df, 3, text_col, id_col)
+        _token_ngrams(df, 3, text_col, id_col, tokens_col=tokens_col)
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -2207,6 +2225,7 @@ def ngram_decontaminate(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Training-set decontamination against a held-out benchmark
     (the GPT-3 appendix-C discipline, token n-gram overlap): every
@@ -2234,14 +2253,16 @@ def ngram_decontaminate(
     is_bench = bench_pred.cast("boolean")
     bench_set = (
         _token_ngrams(
-            df.filter(is_bench), n, text_col, id_col, out_col="gram"
+            df.filter(is_bench), n, text_col, id_col, out_col="gram",
+            tokens_col=tokens_col,
         )
         .select("gram")
         .distinct()
     )
     nonbench = df.filter(~is_bench)
     corpus = (
-        _token_ngrams(nonbench, n, text_col, id_col, out_col="gram")
+        _token_ngrams(nonbench, n, text_col, id_col, out_col="gram",
+                      tokens_col=tokens_col)
         .select(id_col, "gram")
         .distinct()
     )
@@ -2275,6 +2296,7 @@ def chunk_token_windows(
     stride: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Overlapping context-window chunking — the RAG-indexing /
     long-document pre-tokenization pass: each document's token stream
@@ -2304,8 +2326,12 @@ def chunk_token_windows(
         raise ValueError(
             f"need 0 < stride <= window, got window={window} stride={stride}"
         )
-    arr = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+    arr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+        )
     )
     base = df.select(F.col(id_col), arr.alias("_ts")).select(
         id_col, "_ts", F.size("_ts").alias("_n")

@@ -111,6 +111,46 @@ def lm_gate_batch(
             )
         ).alias("term"),
     )
+    kept_ids = _lm_kept_ids(
+        toks, lm_vocab, n_total, v_size, threshold_e12, id_col
+    )
+    return batch_df.join(kept_ids, id_col, "left_semi")
+
+
+def lm_gate_ids(
+    toks_df: DataFrame,
+    lm_vocab: DataFrame,
+    n_total: int,
+    v_size: int,
+    threshold_e12: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "_ts",
+) -> DataFrame:
+    """Ids passing the frozen-LM gate, from a PRE-TOKENIZED frame
+    (``tokens_col`` = the WORD_PATTERN token array): the curation
+    stacks tokenize the corpus once and feed every gate (r13, guide
+    §2.3/§3.3). Per-document decision identical to
+    :func:`lm_gate_batch` — the score depends only on the document's
+    own terms and the frozen vocab, so gating a superset and
+    intersecting is the same kept set (restriction-invariant)."""
+    toks = toks_df.select(
+        F.col(id_col), F.explode(F.col(tokens_col)).alias("term")
+    )
+    return _lm_kept_ids(
+        toks, lm_vocab, n_total, v_size, threshold_e12, id_col
+    )
+
+
+def _lm_kept_ids(
+    toks: DataFrame,
+    lm_vocab: DataFrame,
+    n_total: int,
+    v_size: int,
+    threshold_e12: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared scoring tail of the batch gate and the pre-tokenized
+    gate: exploded (id, term) rows → per-doc e12 loss → kept ids."""
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
     denom = F.lit(int(n_total) + int(v_size)).cast("double")
     # no broadcast hint: the planner broadcasts a small vocab on its
@@ -129,10 +169,9 @@ def lm_gate_batch(
         .cast("long")
         .alias("sum_neg_logp_e12"),
     )
-    kept_ids = scored.filter(
+    return scored.filter(
         F.expr("sum_neg_logp_e12 div n_tokens") <= int(threshold_e12)
     ).select(id_col)
-    return batch_df.join(kept_ids, id_col, "left_semi")
 
 
 def stream_lm_gate(

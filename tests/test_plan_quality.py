@@ -2339,13 +2339,25 @@ def test_curation_v3_composes_without_barriers(spark, sf_dir):
     """The composed r10-gate stack (gopher -> LM gate -> decontam ->
     DSIR -> chunking) must stay ONE declarative plan: no cartesian or
     non-equi fallback anywhere, no Python in the hot path, and exactly
-    ONE range exchange — dsir_select's two-pass cumulative sum, the
-    single documented materialization point (plus the frozen LM's O(1)
-    totals). Every gate composes as a semi-join of per-doc flags, so
-    the corpus is never collected or pairwise-joined between stages."""
-    plan = explain_str(
-        contract.queries()["curation_v3"](spark, sf_dir), mode="simple"
+    ONE range exchange — the final per-source ``orderBy`` (dsir's
+    two-pass cumsum range exchange sits below the sampling module's
+    own correctness-bearing boundary checkpoint and is pinned by its
+    unit tests). Asserted on the FULL lazy plan built under
+    ``checkpoints_disabled()`` (ADVICE r12: with the in-query lineage
+    cuts active, explain() only showed the post-checkpoint tail and
+    the pin was vacuous), so every gate's join topology is visible:
+    gates compose as semi-joins of per-doc flags, the corpus is never
+    collected or pairwise-joined between stages, and the whole stack
+    reads ONE shared tokenization of ``documents``."""
+    from data_pipeline_ine_spark.functions.lineage import (
+        checkpoints_disabled,
     )
+
+    with checkpoints_disabled():
+        plan = explain_str(
+            contract.queries()["curation_v3"](spark, sf_dir),
+            mode="simple",
+        )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
@@ -2353,6 +2365,12 @@ def test_curation_v3_composes_without_barriers(spark, sf_dir):
     # the chunk explode sits ABOVE the DSIR budget filter: chunking
     # only ever runs on selected documents
     assert "Generate explode" in plan, plan
+    # runtime mode: the cuts are live — the executed tail must show
+    # the checkpoint scans instead of re-executed gate subtrees
+    rt = explain_str(
+        contract.queries()["curation_v3"](spark, sf_dir), mode="simple"
+    )
+    assert "Scan ExistingRDD" in rt, rt
 
 
 def test_binary_index_probe_is_pruned_and_matches_inplan_codes(
