@@ -58,6 +58,37 @@ def _bucket_order_cols() -> list:
     return [F.asc(num), F.asc(BUCKET_COL)]
 
 
+def _sidecar_rows(sidecar_path: str) -> list:
+    """Driver-side read of a config-sized sidecar parquet (centroids,
+    codebook, quantization params — every sidecar is a single
+    ``coalesce(1)`` file of O(buckets·dim) scalars). Decoding it with
+    pyarrow on the driver returns the SAME Row list a
+    ``spark.read.parquet(...).collect()`` produces — identical values
+    (parquet doubles/ints/lists decode losslessly on either path),
+    identical field and row order (one file, one writer task) — without
+    paying a Spark job (file listing + task schedule + collect) per
+    sidecar read. r13, guide §1.2 "fewer jobs": the batch-probe paths
+    serialized 2–3 of these jobs per invocation. Re-read on every call:
+    nothing is cached across runs."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    files = sorted(glob.glob(os.path.join(sidecar_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no sidecar parquet under {sidecar_path}")
+    rows: list = []
+    for f in files:
+        tbl = pq.read_table(f)
+        cols = tbl.column_names
+        row_cls = Row(*cols)
+        for rec in zip(*(tbl.column(c).to_pylist() for c in cols)):
+            rows.append(row_cls(*rec))
+    return rows
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -164,6 +195,21 @@ def _write_cents_sidecar(spark: SparkSession, path: str, stats: list) -> None:
     local_frame(spark, 
         data, f"{BUCKET_COL} string, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_CENTROID_DIR}")
+
+
+def _cents_frame(spark: SparkSession, path: str) -> DataFrame:
+    """Centroid sidecar as a LocalRelation: the probe-selection frame
+    is |buckets| rows of driver-scale scalars, so reading it through a
+    distributed parquet scan paid file listing + a scan task inside
+    every probe plan. Driver-side pyarrow read + ``local_frame`` plans
+    a pure-JVM LocalTableScan instead (the r12 LocalRelation
+    discipline); values identical (lossless decode both paths)."""
+    rows = _sidecar_rows(f"{path}/{_CENTROID_DIR}")
+    return local_frame(
+        spark,
+        [(r[0], [float(x) for x in r[1]]) for r in rows],
+        f"{BUCKET_COL} string, centroid array<double>",
+    )
 
 
 def _commit_marker(path: str) -> None:
@@ -361,13 +407,14 @@ def _bucket_for_append(
     frozen codebook) — the shared assignment step of the batch append
     and the streaming maintenance sink."""
     from data_pipeline_ine_spark.operators.similarity import (
+        _qid,
         _sq_dist_sql,
         pq_encode,
     )
 
     spark = df.sparkSession
     if part_col is None:
-        cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}").collect()
+        cents = _sidecar_rows(f"{path}/{_CENTROID_DIR}")
         # Tie-break on the NUMERIC bucket id, exactly like build-time
         # _assign_clusters: the bucket string sorts 'b10' < 'b2', so a
         # distance-tied vector would otherwise route to a different
@@ -381,7 +428,7 @@ def _bucket_for_append(
             return int(bucket[1:])
 
         structs = ",".join(
-            f"struct({_sq_dist_sql(f'`{vec_col}`', [float(x) for x in r.centroid])}"
+            f"struct({_sq_dist_sql(_qid(vec_col), [float(x) for x in r.centroid])}"
             f" AS d, {_bnum(r[BUCKET_COL])} AS c, '{r[BUCKET_COL]}' AS b)"
             for r in sorted(cents, key=lambda r: _bnum(r[BUCKET_COL]))
         )
@@ -396,7 +443,7 @@ def _bucket_for_append(
     import os
 
     if os.path.exists(f"{path}/{_CODEBOOK_DIR}"):
-        cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+        cb_rows = _sidecar_rows(f"{path}/{_CODEBOOK_DIR}")
         m = 1 + max(r.s for r in cb_rows)
         n_codes = 1 + max(r.c for r in cb_rows)
         codebook = [[None] * n_codes for _ in range(m)]
@@ -770,7 +817,7 @@ def read_ivf_probe_batch(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), *_bucket_order_cols()
     )
@@ -850,7 +897,7 @@ def ivf_drift_report(
     """
     from data_pipeline_ine_spark.operators.similarity import sq_dist
 
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}").collect()
+    cents = _sidecar_rows(f"{path}/{_CENTROID_DIR}")
     cent_lit = F.array(
         *[
             F.struct(
@@ -935,7 +982,7 @@ def read_ivfpq_probe(
         pq_topk,
     )
 
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
@@ -948,7 +995,7 @@ def read_ivfpq_probe(
         .select(BUCKET_COL)
         .collect()
     ]
-    cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+    cb_rows = _sidecar_rows(f"{path}/{_CODEBOOK_DIR}")
     m = 1 + max(r.s for r in cb_rows)
     n_codes = 1 + max(r.c for r in cb_rows)
     codebook: list[list[list[int]]] = [
@@ -999,7 +1046,7 @@ def read_ivfpq_probe_batch(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), *_bucket_order_cols()
     )
@@ -1022,7 +1069,7 @@ def read_ivfpq_probe_batch(
         probes.setdefault(r["query_id"], []).append(r[BUCKET_COL])
     union_buckets = sorted({b for bs in probes.values() for b in bs})
 
-    cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+    cb_rows = _sidecar_rows(f"{path}/{_CODEBOOK_DIR}")
     m = 1 + max(r.s for r in cb_rows)
     n_codes = 1 + max(r.c for r in cb_rows)
     codebook: list[list[list[int]]] = [[None] * n_codes for _ in range(m)]
@@ -1213,7 +1260,7 @@ def read_ivf_probe(
         cosine,
     )
 
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
@@ -1283,7 +1330,7 @@ def _sq8_code_expr(
 
 def _sq8_params(spark: SparkSession, path: str) -> tuple[list[float], list[float]]:
     """(mins, spans) from the ``_sqparams`` sidecar — O(dim) scalars."""
-    rows = spark.read.parquet(f"{path}/{_SQPARAMS_DIR}").collect()
+    rows = _sidecar_rows(f"{path}/{_SQPARAMS_DIR}")
     by_d = {int(r.d): (float(r.vmin), float(r.vmax)) for r in rows}
     mins = [by_d[d][0] for d in sorted(by_d)]
     spans = [by_d[d][1] - by_d[d][0] for d in sorted(by_d)]
@@ -1414,7 +1461,7 @@ def read_sq8_probe(
     (see ``read_ivf_probe``). Returns (id, sq8_dist, near-to-far)."""
     from data_pipeline_ine_spark.operators.similarity import cosine
 
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
@@ -1566,7 +1613,7 @@ def read_sq8_probe_batch(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), *_bucket_order_cols()
     )
@@ -1722,7 +1769,7 @@ def write_binary_index(
 
 def _bq_mids(spark: SparkSession, path: str) -> list[float]:
     """Per-dim midpoints from the ``_bqparams`` sidecar — O(dim)."""
-    rows = spark.read.parquet(f"{path}/{_BQPARAMS_DIR}").collect()
+    rows = _sidecar_rows(f"{path}/{_BQPARAMS_DIR}")
     by_d = {int(r.d): float(r.mid) for r in rows}
     return [by_d[d] for d in sorted(by_d)]
 
@@ -1750,7 +1797,7 @@ def read_binary_probe(
         cosine,
     )
 
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
@@ -1846,7 +1893,7 @@ def read_binary_probe_batch(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), *_bucket_order_cols()
     )
@@ -1988,7 +2035,7 @@ def sq8_quant_drift_report(
     # vmin + span would be off by an ulp whenever the subtraction
     # rounded (IEEE a + (b - a) != b), and the strict > comparison
     # below must agree with an oracle comparing against the true max
-    rows = spark.read.parquet(f"{path}/{_SQPARAMS_DIR}").collect()
+    rows = _sidecar_rows(f"{path}/{_SQPARAMS_DIR}")
     by_d = {int(r.d): (float(r.vmin), float(r.vmax)) for r in rows}
     lo = F.lit([float(by_d[d][0]) for d in sorted(by_d)])
     hi = F.lit([float(by_d[d][1]) for d in sorted(by_d)])
@@ -2186,7 +2233,7 @@ def write_prefix_index(
 def _prefix_params(spark: SparkSession, path: str) -> int:
     """Stored ``prefix_dims`` from the ``_prefixparams`` sidecar."""
     return int(
-        spark.read.parquet(f"{path}/{_PREFIXPARAMS_DIR}").first()[0]
+        _sidecar_rows(f"{path}/{_PREFIXPARAMS_DIR}")[0][0]
     )
 
 
@@ -2210,7 +2257,7 @@ def _prefix_shortlist_frame(
     nearest as (id, prefix_sim)."""
     from data_pipeline_ine_spark.operators.similarity import cosine
 
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     q = F.lit([float(x) for x in query_vec])
     probe_ids = [
         r[0]
@@ -2309,7 +2356,7 @@ def read_prefix_rerank_batch(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id int, qvec array<double>",
     )
-    cents = spark.read.parquet(f"{path}/{_CENTROID_DIR}")
+    cents = _cents_frame(spark, path)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), *_bucket_order_cols()
     )
@@ -2449,7 +2496,7 @@ def pq_quant_drift_report(
         pq_recon_err_col,
     )
 
-    cb_rows = spark.read.parquet(f"{path}/{_CODEBOOK_DIR}").collect()
+    cb_rows = _sidecar_rows(f"{path}/{_CODEBOOK_DIR}")
     m = 1 + max(r.s for r in cb_rows)
     n_codes = 1 + max(r.c for r in cb_rows)
     frozen: list[list[list[int]]] = [[None] * n_codes for _ in range(m)]
