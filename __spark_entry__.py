@@ -1083,7 +1083,7 @@ def q_cosine_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "a_id").select(
         "a_id",
         "b_id",
-        F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("cosine_sim"),
+        F.round(cosine("`a_vec`", "`b_vec`"), 4).alias("cosine_sim"),
     )
 
 
@@ -14219,60 +14219,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # rounds, which the committed GATES_rN.json all-contract sweeps cover.
 _CHECK_ORDER = [
     # generated by tools/rotate_check_order.py — reds from the
-    # latest CORRECTNESS file first, then strict oldest-driver-
-    # row-first with never-checked queries slotted right after
-    # the oldest stale cohort. The driver records the first 50
+    # latest CORRECTNESS file first, then queries touched since
+    # their last green driver row (tools/touched_since_green
+    # .json, stalest row first), then strict oldest-driver-row-
+    # first with never-checked queries slotted right after the
+    # oldest stale cohort. The driver records the first 50
     # entries each round.
-    "cascade_rollup",
-    "cohort_ltv",
-    "column_entropy",
-    "conformal_interval",
-    "cusum_alarm",
-    "decile_lift",
-    "degree_assortativity",
-    "diff_in_diff",
-    "doc_keywords",
-    "dow_seasonality",
-    "dup_weighted_docs",
-    "embedding_drift",
-    "feature_mi",
-    "funnel_latency",
-    "gini_split",
-    "grid_density_clusters",
-    "image_augment_dhash",
-    "interarrival_burstiness",
-    "ivf_recall_curve",
-    "ivm_moments",
-    "k_anonymity",
-    "k_core",
-    "kaplan_meier",
-    "kmv_distinct_users",
-    "knn_hubness",
-    "l_diversity",
-    "linear_attribution",
-    "loo_target_encode",
-    "lsh_recall_curve",
-    "mahalanobis_outliers",
-    "markov_attribution",
-    "markov_stationary",
-    "modal_event_type",
-    "nb_confusion",
-    "nb_kappa",
-    "negative_samples",
-    "novel_trigram_rate",
-    "poisson_bootstrap",
-    "pq_recall_curve",
-    "pseudonymize_users",
-    "psi_drift",
-    "rank_auc",
-    "readability_scores",
-    "rendezvous_shards",
-    "ann_binary_batch",
-    "ann_ivfpq_filtered",
-    "ann_prefix_batch",
-    "ann_prefix_filtered",
-    "ann_prefix_stored",
-    "binary_append_probe",
+    "curation_semantic",
+    "curation_v3",
+    "hard_negatives_mp",
+    "pq_dedup_groups",
+    "pq_topk",
+    "prefix_recall_curve",
+    "semantic_dedup_mp",
+    "semdedup_recall",
     "binary_quant_drift",
     "binary_rebuild",
     "ivfpq_rebuild",
@@ -14280,6 +14240,58 @@ _CHECK_ORDER = [
     "sq8_append_probe",
     "sq8_quant_drift",
     "sq8_rebuild",
+    "ann_batch_probe",
+    "ann_index_probe",
+    "ann_ivfpq_probe",
+    "ann_topk",
+    "cosine_consecutive",
+    "embedding_norms",
+    "ivf_drift_report",
+    "knn_ivf_blocked",
+    "knn_within_label",
+    "near_dup_buckets",
+    "ann_ivfpq_batch_probe",
+    "ann_ivfpq_rerank",
+    "ann_ivfpq_rerank_batch",
+    "ann_sq8_batch_probe",
+    "ann_sq8_probe",
+    "incremental_dedup",
+    "ivf_append_replay",
+    "ivf_rebuild",
+    "semantic_dedup",
+    "ann_ivf_filtered_probe",
+    "ann_ivf_topk",
+    "ann_kmeans_topk",
+    "ann_lsh_topk",
+    "ann_sq8_filtered_probe",
+    "ann_sq8_rerank",
+    "ann_sq8_rerank_batch",
+    "chunk_windows",
+    "dsir_select",
+    "gopher_repetition",
+    "hard_negatives",
+    "lm_gate_batch",
+    "ngram_decontam",
+    "sq8_recall_curve",
+    "ann_binary_filtered_probe",
+    "ann_binary_probe",
+    "ann_binary_rerank",
+    "ann_prefix_rerank",
+    "binary_recall_curve",
+    "embedding_near_dup",
+    "image_dhash",
+    "media_pixel_stats",
+    "video_frame_stats",
+    "ann_binary_batch",
+    "ann_ivfpq_filtered",
+    "ann_prefix_batch",
+    "ann_prefix_filtered",
+    "ann_prefix_stored",
+    "binary_append_probe",
+    "image_augment_dhash",
+    "ivf_recall_curve",
+    "knn_hubness",
+    "pq_recall_curve",
     "effective_sample_size",
     "eta_squared",
     "q11_important_stock",
@@ -14330,38 +14342,28 @@ _CHECK_ORDER = [
     "weighted_median",
     "zipf_slope",
     "zscore_outliers",
-    "ann_batch_probe",
-    "ann_index_probe",
-    "ann_ivfpq_probe",
-    "ann_topk",
     "asof_last_click",
     "bm25_scores",
     "containment_pairs",
-    "cosine_consecutive",
     "customers_no_big_orders",
     "dedup_catalog_docs",
     "dedup_components",
     "dedup_survivors",
     "distinct_event_types",
     "embedding_cluster_profile",
-    "embedding_norms",
     "entity_catalog",
     "exact_dup_groups",
     "except_users",
     "filtered_net_price",
     "funnel_conversion",
     "intersect_users",
-    "ivf_drift_report",
     "jaccard_pairs",
-    "knn_ivf_blocked",
-    "knn_within_label",
     "label_join_orders",
     "lag_daily_delta",
     "language_id",
     "minhash_signature",
     "mixture_pipeline",
     "multimodal_features",
-    "near_dup_buckets",
     "numeric_coercion_ratio",
     "orders_stats",
     "percentiles_by_type",
@@ -14380,18 +14382,12 @@ _CHECK_ORDER = [
     "temperature_mixture",
     "token_budget_cap",
     "weighted_quantiles",
-    "ann_ivfpq_batch_probe",
-    "ann_ivfpq_rerank",
-    "ann_ivfpq_rerank_batch",
-    "ann_sq8_batch_probe",
-    "ann_sq8_probe",
     "bigram_logloss",
     "cdc_merge",
     "cdc_roundtrip",
     "centered_moving_avg",
     "copurchase_lift",
     "cross_source_duplication",
-    "curation_semantic",
     "curriculum_order",
     "daily_vwap",
     "domain_mixture",
@@ -14402,9 +14398,6 @@ _CHECK_ORDER = [
     "event_transitions",
     "grouped_correlation",
     "grouping_sets_revenue",
-    "incremental_dedup",
-    "ivf_append_replay",
-    "ivf_rebuild",
     "ivm_revenue",
     "key_skew_profile",
     "lateral_topk_sql",
@@ -14418,7 +14411,6 @@ _CHECK_ORDER = [
     "perplexity_buckets",
     "scd2_intervals",
     "seasonal_decompose",
-    "semantic_dedup",
     "skyline_parts",
     "sliding_6h_3h",
     "source_quality_gate",
@@ -14430,13 +14422,6 @@ _CHECK_ORDER = [
     "union_scaffold",
     "users_per_event_type",
     "window_top_day",
-    "ann_ivf_filtered_probe",
-    "ann_ivf_topk",
-    "ann_kmeans_topk",
-    "ann_lsh_topk",
-    "ann_sq8_filtered_probe",
-    "ann_sq8_rerank",
-    "ann_sq8_rerank_batch",
     "asof_next_click",
     "audio_dominant_freq",
     "audio_signature",
@@ -14444,16 +14429,10 @@ _CHECK_ORDER = [
     "boilerplate_scrub",
     "bpe_token_total",
     "chunk_documents",
-    "chunk_windows",
     "cms_heavy_hitters",
     "contamination_overlap",
     "corpus_datacard",
     "cube_order_stats",
-    "dsir_select",
-    "gopher_repetition",
-    "hard_negatives",
-    "lm_gate_batch",
-    "ngram_decontam",
     "part_pagerank",
     "part_triangles",
     "ppjoin_exact",
@@ -14467,7 +14446,6 @@ _CHECK_ORDER = [
     "session_window_batch",
     "shuffle_rank",
     "source_divergence",
-    "sq8_recall_curve",
     "state_occupancy",
     "stratified_sample",
     "temporal_state_lookup",
@@ -14482,54 +14460,78 @@ _CHECK_ORDER = [
     "zorder_keys",
     "ab_test_chisq",
     "acf_daily_revenue",
-    "ann_binary_filtered_probe",
-    "ann_binary_probe",
-    "ann_binary_rerank",
-    "ann_prefix_rerank",
     "benford_digits",
-    "binary_recall_curve",
     "binseg_split",
     "bootstrap_ci",
     "bpe_fertility",
     "calendar_features",
     "curation_pipeline",
-    "curation_v3",
     "dup_span_ratio",
     "dup_span_scrub",
-    "embedding_near_dup",
     "ewma_value",
     "fuzzy_part_names",
     "gap_fill_locf",
     "grid_nearest_depot",
     "grouped_ols",
-    "hard_negatives_mp",
     "hashed_features",
-    "image_dhash",
     "inverted_index",
     "json_props_sum",
     "ks_drift",
     "level_shift",
     "linkage_scores",
     "log2_histogram",
-    "media_pixel_stats",
     "melt_lineitem",
     "nb_source_prediction",
     "pareto_parts",
     "peak_concurrency",
     "pii_redaction",
     "pmi_collocations",
-    "pq_dedup_groups",
-    "pq_topk",
-    "prefix_recall_curve",
     "ra_link_prediction",
     "rp_cosine_consecutive",
-    "semantic_dedup_mp",
-    "semdedup_recall",
     "snm_part_pairs",
     "table_reconcile",
     "value_drift",
-    "video_frame_stats",
     "video_signature",
+    "cascade_rollup",
+    "cohort_ltv",
+    "column_entropy",
+    "conformal_interval",
+    "cusum_alarm",
+    "decile_lift",
+    "degree_assortativity",
+    "diff_in_diff",
+    "doc_keywords",
+    "dow_seasonality",
+    "dup_weighted_docs",
+    "embedding_drift",
+    "feature_mi",
+    "funnel_latency",
+    "gini_split",
+    "grid_density_clusters",
+    "interarrival_burstiness",
+    "ivm_moments",
+    "k_anonymity",
+    "k_core",
+    "kaplan_meier",
+    "kmv_distinct_users",
+    "l_diversity",
+    "linear_attribution",
+    "loo_target_encode",
+    "lsh_recall_curve",
+    "mahalanobis_outliers",
+    "markov_attribution",
+    "markov_stationary",
+    "modal_event_type",
+    "nb_confusion",
+    "nb_kappa",
+    "negative_samples",
+    "novel_trigram_rate",
+    "poisson_bootstrap",
+    "pseudonymize_users",
+    "psi_drift",
+    "rank_auc",
+    "readability_scores",
+    "rendezvous_shards",
 ]
 
 

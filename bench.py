@@ -10,7 +10,10 @@ Runs each headline query from ``__spark_entry__.queries()`` against
      "sf": 0.1}
 
 ``value`` totals the stable 27-query HEADLINE set (round-over-round
-comparable; each headline entry is the MEDIAN of n=3 runs, with the
+comparable; each headline entry is the MEDIAN of n=5 runs — raised
+from n=3 in r13 because this box's ambient load spikes last ~10 s and
+can cover three back-to-back sub-second runs entirely (the r9
+rolling_fingerprint false flag); the HEAVY tier stays n=3 — with the
 [min, max] spread recorded in the ``all_queries`` line /
 ``BENCH_FULL.json`` under ``headline_spread``) and the final line's
 ``queries`` map holds ONLY those 27 entries: the driver captures just the stdout TAIL (2,000 chars), and a
@@ -166,22 +169,26 @@ def main() -> None:
 
     all_timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    # headline first (stable order for round-over-round), then the
-    # heavy full-sweep tier — both n=3 take-median per query: a single
-    # run cannot distinguish a real regression from machine noise
-    # (r6's apparent 30% swings were noise); the [min, max] spreads
-    # ship in the all_queries line so bench_compare can tell drift
-    # from jitter. The rest of the sweep stays n=1.
+    # headline first (stable order for round-over-round) at n=5
+    # take-median (r13: a single ~10 s ambient spike on this box covers
+    # three back-to-back sub-second runs — r9's rolling_fingerprint
+    # false flag — so n=3 medians still carried ±20% round-over-round
+    # noise), then the heavy full-sweep tier at n=3: a single run
+    # cannot distinguish a real regression from machine noise (r6's
+    # apparent 30% swings were noise); the [min, max] spreads ship in
+    # the all_queries line so bench_compare can tell drift from
+    # jitter. The rest of the sweep stays n=1.
     heavy = [n for n in HEAVY if n in queries and n not in names]
     for name in names + heavy:
+        n_runs = 5 if name in names else 3
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             run(queries[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         runs.sort()
-        all_timings[name] = round(runs[1], 2)
-        spread[name] = [round(runs[0], 2), round(runs[2], 2)]
+        all_timings[name] = round(runs[n_runs // 2], 2)
+        spread[name] = [round(runs[0], 2), round(runs[-1], 2)]
     for name in sorted(set(queries) - set(names) - set(heavy)):
         t0 = time.perf_counter()
         run(queries[name](spark, sf_dir))

@@ -244,15 +244,83 @@ def dominant_bin(samples: np.ndarray, n_fft: int = 256) -> tuple[int, int]:
     return int(spec.mean(axis=0).argmax()), int(spec.shape[0])
 
 
+def _lzw_codes_fixed_width(data: bytes, width: int) -> np.ndarray:
+    """All ``width``-bit LSB-first codes in ``data``, vectorized
+    (trailing partial code dropped, as the bit reader would)."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    n = bits.size // width
+    weights = (1 << np.arange(width, dtype=np.int64))
+    return bits[: n * width].reshape(n, width).astype(np.int64) @ weights
+
+
+def _lzw_decode_uncompressed(
+    data: bytes, min_code_size: int
+) -> list[int] | None:
+    """Vectorized fast path for CLEAR-heavy ("uncompressed") LZW — the
+    real-world GIF variant that interleaves CLEAR codes so the table
+    never grows and the code width never escalates (many encoders emit
+    it to skip dictionary management; the synthetic-media encoder in
+    operators/multimodal.py is one). Validity is CHECKED, not assumed:
+    any run of ≥2 literal codes would add table entries (so a later
+    code could reference them and the fixed-width premise could break),
+    and the general decoder takes over. On the valid pattern every
+    emitted code is a single literal pixel, so the output is just the
+    literal codes up to EOI — one numpy pass instead of a per-code
+    Python loop (the decode was the multimodal family's measured hot
+    spot: ~16 s single-core per sweep at sf0.1, ~0.3 s vectorized).
+
+    Requires ``min_code_size ≥ 2`` (caller-enforced): at 1 the initial
+    table size 2^1+2 already equals 2^width, so the general loop
+    escalates the width after the first literal even on this pattern
+    and fixed-width extraction would misread everything after it."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    codes = _lzw_codes_fixed_width(data, min_code_size + 1)
+    if codes.size == 0 or codes[0] != clear:
+        return None
+    ends = np.flatnonzero(codes == eoi)
+    if ends.size:
+        codes = codes[: ends[0]]
+    is_clear = codes == clear
+    lit_pos = np.flatnonzero(~is_clear)
+    if lit_pos.size == 0:
+        return []
+    # every literal must directly follow a CLEAR (no table growth) and
+    # be an actual root code; anything else → general decoder
+    if (codes[lit_pos] >= clear).any():
+        return None
+    if (lit_pos == 0).any() or not is_clear[lit_pos - 1].all():
+        return None
+    return codes[lit_pos].tolist()
+
+
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
     """General GIF-variant LZW decode (LSB-first bit packing, growing
-    code widths up to 12 bits, CLEAR/EOI handling) → pixel index list."""
+    code widths up to 12 bits, CLEAR/EOI handling) → pixel index list.
+
+    Tries the vectorized uncompressed-variant fast path first (exact —
+    it validates the pattern and defers to the loop otherwise; their
+    equivalence is property-tested against each other on accepted,
+    rejected, and garbage streams)."""
+    if 2 <= min_code_size <= 8:
+        fast = _lzw_decode_uncompressed(data, min_code_size)
+        if fast is not None:
+            return fast
+    return _lzw_decode_loop(data, min_code_size)
+
+
+def _lzw_decode_loop(data: bytes, min_code_size: int) -> list[int] | None:
+    """The general per-code decode loop. Table entries are ``bytes``
+    (pixel indices are < 2^min_code_size ≤ 256 by spec) so entry
+    concatenation and output append are C memcpy, not per-pixel list
+    work."""
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
-    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
-    out: list[int] = []
-    prev: list[int] | None = None
+    roots = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = roots + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
     acc = nbits = 0
     for byte in data:
         acc |= byte << nbits
@@ -262,29 +330,29 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
             acc >>= width
             nbits -= width
             if code == clear:
-                table = [[i] for i in range(clear)] + [[], []]
+                table = roots + [b"", b""]
                 width = min_code_size + 1
                 prev = None
                 continue
             if code == eoi:
-                return out
+                return list(out)
             if prev is None:
                 if code >= len(table):
                     return None
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + [entry[0]])
+                table.append(prev + entry[:1])
             elif code == len(table):
-                entry = prev + [prev[0]]
+                entry = prev + prev[:1]
                 table.append(entry)
             else:
                 return None
-            out.extend(entry)
+            out += entry
             prev = entry
             if len(table) == (1 << width) and width < 12:
                 width += 1
-    return out
+    return list(out)
 
 
 def gif_decode(b: bytes) -> np.ndarray | None:

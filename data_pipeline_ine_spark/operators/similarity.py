@@ -19,13 +19,43 @@ from data_pipeline_ine_spark.functions.localframe import local_frame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the index-fold dot product below — the IDENTICAL
+    expression tree (same fold, same casts, same empty-array guard), so
+    values are bit-for-bit the Column-built ones; pinned by a
+    sameSemantics test. One parse replaces ~100 py4j construction
+    round-trips per call (r13; the ~1.4 ms/call tax documented in the
+    construction-cost note above sits under every vector query)."""
+    fold = (
+        f"aggregate(sequence(1, size({a})), 0.0D, "
+        f"(acc, i) -> acc + CAST(element_at({a}, i) AS DOUBLE) * "
+        f"CAST(element_at({b}, i) AS DOUBLE))"
+    )
+    return f"(CASE WHEN size({a}) = 0 THEN 0.0D ELSE {fold} END)"
+
+
+def _l2_sql(a: str) -> str:
+    return f"SQRT({_dot_sql(a, a)})"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_l2_sql(a)} * {_l2_sql(b)}))"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Index-fold dot product: accumulate ``a[i]·b[i]`` over an index
     sequence instead of ``zip_with`` + fold — skipping the intermediate
     product-array allocation is ~1.7× faster on self-join workloads
     (measured on the blocked kNN at sf0.1: 4.4 s → 2.5 s for 2.5M
     64-dim pairs). Identical left-to-right accumulation order, so values
-    are bit-for-bit unchanged."""
+    are bit-for-bit unchanged.
+
+    Pass SQL text for BOTH operands (a quoted identifier via ``_qid``,
+    or a literal via ``_darr_sql``) to build the whole expression in
+    ONE parse instead of ~100 py4j construction calls — the plans are
+    semantically identical either way (sameSemantics-pinned)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     fold = F.aggregate(
         F.sequence(F.lit(1), F.size(a)),
         F.lit(0.0),
@@ -36,18 +66,22 @@ def dot(a: Column, b: Column) -> Column:
     return F.when(F.size(a) == 0, F.lit(0.0)).otherwise(fold)
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_l2_sql(a))
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b))
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def embedding_norms(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    return df.select(id_col, F.round(l2_norm(F.col(vec_col)), 4).alias("l2_norm"))
+    return df.select(id_col, F.round(l2_norm(_qid(vec_col)), 4).alias("l2_norm"))
 
 
 def _rebalanced(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -90,9 +124,9 @@ def brute_force_topk(
     Similarity is rounded before ranking so ordering is reproducible across
     engines; ``id`` breaks remaining ties.
     """
-    q = _dbl_array_lit(query_vec)
+    q = _darr_sql([float(x) for x in query_vec])
     out = df.select(
-        id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim")
+        id_col, F.round(cosine(_qid(vec_col), q), 6).alias("cosine_sim")
     )
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
@@ -127,7 +161,28 @@ def planes_for(n_rows: int) -> int:
     return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(max(n_rows, 1) / TARGET_BUCKET_ROWS))))
 
 
-def hyperplane_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
+def _hyperplane_sig_sql(vec_sql: str, n_planes: int) -> str:
+    """SQL text of the signature below — identical expression tree
+    (same transform/aggregate fold per plane, same literals), one parse
+    instead of ~20 py4j construction calls PER PLANE (24-plane
+    signatures paid ~0.5 s of driver time per call site, r13)."""
+    bits = []
+    for p in range(n_planes):
+        comp = (
+            f"(({p * 2654435761 + 1} + d * 40503) % 65536 - 32768)"
+        )
+        prods = (
+            f"transform({vec_sql}, (x, d) -> "
+            f"CAST(x AS DOUBLE) * CAST({comp} AS DOUBLE))"
+        )
+        proj = f"aggregate({prods}, 0.0D, (acc, x) -> acc + x)"
+        bits.append(f"(CASE WHEN {proj} > 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def hyperplane_signature(
+    vec: Column | str, n_planes: int = N_PLANES
+) -> Column:
     """Random-hyperplane LSH signature (Charikar): one sign bit per plane,
     returned as an ``n_planes``-char '0'/'1' string.
 
@@ -139,7 +194,13 @@ def hyperplane_signature(vec: Column, n_planes: int = N_PLANES) -> Column:
     probability 1 - θ/π: near-duplicates collide on all bits, which makes
     the signature a groupBy key for near-dup candidate discovery — no
     pairwise comparison over the corpus, just one shuffle on the signature.
+
+    Pass SQL text for ``vec`` to build the whole signature in one parse
+    (sameSemantics-pinned against the Column form).
     """
+    if isinstance(vec, str):
+        return F.expr(_hyperplane_sig_sql(vec, n_planes))
+
     def plane_prods(p: int):
         def prod(x: Column, d: Column) -> Column:
             component = (F.lit(p * 2654435761 + 1) + d * 40503) % 65536 - 32768
@@ -187,8 +248,8 @@ def cosine_near_dup_pairs(
     sig = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
-        hyperplane_signature(F.col(vec_col), n_planes).alias("_sig"),
+        l2_norm(_qid(vec_col)).alias("_n"),
+        hyperplane_signature(_qid(vec_col), n_planes).alias("_sig"),
     )
     a = sig.select(
         F.col(id_col).alias("a_id"), F.col("_v").alias("_va"),
@@ -205,7 +266,7 @@ def cosine_near_dup_pairs(
             "a_id",
             "b_id",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                dot("`_va`", "`_vb`") / (F.col("_na") * F.col("_nb")),
                 round_to,
             ).alias("cosine_sim"),
         )
@@ -236,13 +297,13 @@ def lsh_bucketed_topk(
     n_bands = n_planes // band_bits
     sig = df.select(
         F.col(id_col), F.col(vec_col).alias("_v"),
-        hyperplane_signature(F.col(vec_col), n_planes).alias("_sig"),
+        hyperplane_signature(_qid(vec_col), n_planes).alias("_sig"),
     )
-    q = _dbl_array_lit(query_vec)
+    q = _darr_sql([float(x) for x in query_vec])
     # query signature as plan-time literals: one row, computed once
     qsig = (
         df.sparkSession.range(1)
-        .select(hyperplane_signature(q, n_planes).alias("s"))
+        .select(hyperplane_signature(F.expr(q), n_planes).alias("s"))
         .first()["s"]
     )
     any_band = None
@@ -257,15 +318,26 @@ def lsh_bucketed_topk(
         cands = cands.filter(F.col(id_col) != exclude_id)
     return (
         cands.select(
-            id_col, F.round(cosine(F.col("_v"), q), 6).alias("cosine_sim")
+            id_col, F.round(cosine("`_v`", q), 6).alias("cosine_sim")
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
 
 
-def sq_dist(a: Column, b: Column) -> Column:
-    """Squared euclidean distance, sequential left-fold (engine-invariant)."""
+def sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean distance, sequential left-fold (engine-invariant).
+
+    SQL text for both operands builds the identical tree in one parse
+    (the ``_sq_dist_sql`` fold below, generalized to a non-literal
+    right side)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
     diffs = F.zip_with(
         a, b, lambda x, y: (x.cast("double") - y.cast("double"))
         * (x.cast("double") - y.cast("double"))
@@ -636,12 +708,12 @@ def partitioned_topk(
         ).alias("dc")
     ).select(part_col, F.transform("dc", lambda s: s["c"]).alias("centroid"))
 
-    q = _dbl_array_lit(query_vec)
+    q = _darr_sql([float(x) for x in query_vec])
     # rounded sim + part_col tiebreak so probe choice is reproducible
     probe_ids = [
         r[0]
         for r in centroids.select(
-            part_col, F.round(cosine(F.col("centroid"), q), 6).alias("sim")
+            part_col, F.round(cosine("`centroid`", q), 6).alias("sim")
         )
         .orderBy(F.desc("sim"), F.asc(part_col))
         .limit(n_probe)
@@ -726,7 +798,7 @@ def knn_join_blocked(
         F.col(block_col).alias("block"),
         F.col(id_col),
         F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+        l2_norm(_qid(vec_col)).alias("nrm"),
     )
     a = e.alias("a")
     b = e.select(
@@ -736,7 +808,7 @@ def knn_join_blocked(
         F.col("nrm").alias("bnrm"),
     ).alias("b")
     sim = F.round(
-        dot(F.col("a.v"), F.col("b.bv")) / (F.col("a.nrm") * F.col("b.bnrm")), 6
+        dot("a.v", "b.bv") / (F.col("a.nrm") * F.col("b.bnrm")), 6
     )
     ranked = (
         a.join(b, "block")
@@ -1210,7 +1282,7 @@ def semantic_dedup(
         "cluster",
         F.col(id_col),
         F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
+        l2_norm(_qid(vec_col)).alias("_n"),
     )
     a = e.alias("a")
     b = e.select(
@@ -1220,7 +1292,7 @@ def semantic_dedup(
         F.col("_n").alias("_jn"),
     ).alias("b")
     sim = F.round(
-        dot(F.col("a._v"), F.col("b._jv")) / (F.col("a._n") * F.col("b._jn")),
+        dot("a.`_v`", "b.`_jv`") / (F.col("a._n") * F.col("b._jn")),
         6,
     )
     dropped = (
@@ -1268,7 +1340,7 @@ def _semantic_dedup_multiprobe(
         "rn",
         F.col(id_col),
         F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
+        l2_norm(_qid(vec_col)).alias("_n"),
     )
     prim = e.filter(F.col("rn") == 1).drop("rn")
     a = e.drop("rn").alias("a")
@@ -1279,7 +1351,7 @@ def _semantic_dedup_multiprobe(
         F.col("_n").alias("_jn"),
     ).alias("b")
     sim = F.round(
-        dot(F.col("a._v"), F.col("b._jv")) / (F.col("a._n") * F.col("b._jn")),
+        dot("a.`_v`", "b.`_jv`") / (F.col("a._n") * F.col("b._jn")),
         6,
     )
     dropped = (
@@ -1336,7 +1408,7 @@ def semantic_dedup_recall(
     e = df.select(
         F.col(id_col).alias("_i"),
         F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_n"),
+        l2_norm(_qid(vec_col)).alias("_n"),
     )
     b = e.select(
         F.col("_i").alias("_j"),
@@ -1344,7 +1416,7 @@ def semantic_dedup_recall(
         F.col("_n").alias("_jn"),
     )
     sim = F.round(
-        dot(F.col("_v"), F.col("_jv")) / (F.col("_n") * F.col("_jn")), 6
+        dot("`_v`", "`_jv`") / (F.col("_n") * F.col("_jn")), 6
     )
     pairs = (
         e.join(b, F.col("_j") > F.col("_i"))
@@ -1563,7 +1635,7 @@ def binary_topk_rerank(
     for wc, qw in zip(words, qwords):
         t = F.bit_count(wc.bitwiseXOR(F.lit(int(qw)).cast("long")))
         ham = t if ham is None else ham + t
-    q = _dbl_array_lit(query_vec)
+    q = _darr_sql([float(x) for x in query_vec])
     short = (
         df.select(
             F.col(id_col),
@@ -1577,7 +1649,7 @@ def binary_topk_rerank(
         short.select(
             id_col,
             "hamming",
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            F.round(cosine(_qid(vec_col), q), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(int(k))
@@ -1612,12 +1684,12 @@ def binary_recall_curve(
     for wc, qw in zip(words, qwords):
         t = F.bit_count(wc.bitwiseXOR(F.lit(int(qw)).cast("long")))
         ham = t if ham is None else ham + t
-    q = _dbl_array_lit(query_vec)
+    q = _darr_sql([float(x) for x in query_vec])
     ranked = (
         df.select(
             F.col(id_col),
             ham.cast("bigint").alias("_ham"),
-            F.round(cosine(F.col(vec_col), q), 6).alias("_cos"),
+            F.round(cosine(_qid(vec_col), q), 6).alias("_cos"),
         )
         .orderBy(F.asc("_ham"), F.asc(id_col))
         .limit(int(max(shortlists)))
@@ -1687,9 +1759,9 @@ def prefix_dim_topk_rerank(
     components vs truncate bits. Returns (id, prefix_sim, cosine_sim)
     in the rounded-cosine + id order all serving oracles pin."""
     p = int(prefix_dims)
-    qp = _dbl_array_lit(query_vec[:p])
-    q = _dbl_array_lit(query_vec)
-    pref = F.slice(F.col(vec_col), 1, p)
+    qp = _darr_sql([float(x) for x in query_vec[:p]])
+    q = _darr_sql([float(x) for x in query_vec])
+    pref = f"slice({_qid(vec_col)}, 1, {int(p)})"
     short = (
         df.select(
             F.col(id_col),
@@ -1703,7 +1775,7 @@ def prefix_dim_topk_rerank(
         short.select(
             id_col,
             "prefix_sim",
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            F.round(cosine(_qid(vec_col), q), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(int(k))
@@ -1734,16 +1806,16 @@ def prefix_dim_recall_curve(
     branch's shortlist/rescore/top-k ordering is unchanged (the exact
     side is ``brute_force_topk``'s rounded-cosine + id order on the
     same doubles), so every branch returns the identical rows."""
-    q = _dbl_array_lit(query_vec)
+    q = _darr_sql([float(x) for x in query_vec])
     sims = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("_cs"),
+        F.round(cosine(_qid(vec_col), q), 6).alias("_cs"),
         *[
             F.round(
                 cosine(
-                    F.slice(F.col(vec_col), 1, int(p)),
-                    _dbl_array_lit(query_vec[: int(p)]),
+                    f"slice({_qid(vec_col)}, 1, {int(p)})",
+                    _darr_sql([float(x) for x in query_vec[: int(p)]]),
                 ),
                 6,
             ).alias(f"_ps{int(p)}")
@@ -2185,12 +2257,12 @@ def sq8_recall_curve(
             part_col, F.transform("dc", lambda s: s["c"]).alias("centroid")
         )
     )
-    q = _dbl_array_lit(query_vec)
+    q = _darr_sql([float(x) for x in query_vec])
     # ONE ranking collect; every n_probe is a prefix of it
     ranked_parts = [
         r[0]
         for r in cents.select(
-            part_col, F.round(cosine(F.col("centroid"), q), 6).alias("sim")
+            part_col, F.round(cosine("`centroid`", q), 6).alias("sim")
         )
         .orderBy(F.desc("sim"), F.asc(part_col))
         .select(part_col)
@@ -2308,7 +2380,7 @@ def hard_negative_mining(
         F.col(id_col),
         F.col(label_col).alias("_lbl"),
         F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
+        l2_norm(_qid(vec_col)).alias("nrm"),
     )
     a = e.alias("a")
     b = b_src.select(
@@ -2316,10 +2388,10 @@ def hard_negative_mining(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("_blbl"),
         F.col(vec_col).alias("bv"),
-        l2_norm(F.col(vec_col)).alias("bnrm"),
+        l2_norm(_qid(vec_col)).alias("bnrm"),
     ).alias("b")
     sim = F.round(
-        dot(F.col("a.v"), F.col("b.bv")) / (F.col("a.nrm") * F.col("b.bnrm")), 6
+        dot("a.v", "b.bv") / (F.col("a.nrm") * F.col("b.bnrm")), 6
     )
     ranked = (
         a.join(b, "block")

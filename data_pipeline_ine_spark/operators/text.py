@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_ine_spark.functions.lineage import cut
+
 TOKEN_PATTERN = r"\S+"
 ALPHA_PATTERN = r"[A-Za-z]+"
 PUNCT_PATTERN = r"[.,;:!?]"
@@ -635,7 +637,7 @@ def perplexity_buckets(
     # the 1-row count broadcast, the unscored union) — without it each
     # branch re-runs the whole tokenize/LM lineage (the bm25 pattern)
     scored = unigram_logloss(df, text_col=text_col, id_col=id_col)
-    scored = scored.localCheckpoint(eager=False)
+    scored = cut(scored)
     s = scored.filter(F.col("n_tokens") > 0).select(
         id_col,
         "n_tokens",
@@ -752,9 +754,17 @@ def bigram_logloss(
         F.lag("term").over(w).alias("w1"),
         F.col("term").alias("w2"),
     ).filter(F.col("w1").isNotNull())
-    tf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # ONE execution of the tokenize+lag-window chain (r13): bg and ctx
+    # are pure rollups of the per-doc counts — SUM(cnt) over docs is
+    # definitionally the corpus pair/context count the separate
+    # ``big.groupBy`` aggregates recomputed, and each of those consumers
+    # re-ran the whole window subtree as its own broadcast-build job
+    # (measured: 15 broadcast-subtree jobs per invocation, 13 s-core)
+    tf = cut(
+        big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bg = tf.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    ctx = tf.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     vocab = toks.agg(F.countDistinct("term").alias("v_size"))
     neglogp = -F.log(
         (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v_size"))
@@ -874,7 +884,7 @@ def bm25_scores(
     # both the scores and the 1-row (avgdl, df_i) frame read per_doc; pin it
     # so the tokenize+aggregate subtree runs once, not once per consumer
     # (same reuse rationale as the simhash signature table)
-    per_doc = per_doc.localCheckpoint(eager=False)
+    per_doc = cut(per_doc)
     glob = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         per_doc.agg(
             F.sum("dl").alias("len_total"),
@@ -1294,12 +1304,12 @@ def dup_span_stats(
         .select(
             id_col, "n_spans", _hex12_to_long(F.md5(F.col("sh"))).alias("sh_hash")
         )
-        # both consumers (span-df aggregate, join back) read the SAME
-        # materialized span table — without this the corpus tokenizes and
-        # explodes twice, once per plan branch (the bm25 single-pass trick;
-        # lazy so nothing materializes until the first action)
-        .localCheckpoint(eager=False)
     )
+    # both consumers (span-df aggregate, join back) read the SAME
+    # materialized span table — without this the corpus tokenizes and
+    # explodes twice, once per plan branch (the bm25 single-pass trick;
+    # lazy so nothing materializes until the first action)
+    spans = cut(spans)
     # document frequency per span: rows are (doc, span)-distinct already,
     # so COUNT(*) == COUNT(DISTINCT doc) with no second Expand pass
     dup_spans = (
@@ -1376,10 +1386,10 @@ def dup_span_scrub(
             (F.col("_i0") + 1).alias("_i"),
             _hex12_to_long(F.md5(F.col("_g"))).alias("_h"),
         )
-        # one materialized span table feeds BOTH the document-frequency
-        # aggregate and the coverage join (dup_span_stats's discipline)
-        .localCheckpoint(eager=False)
     )
+    # one materialized span table feeds BOTH the document-frequency
+    # aggregate and the coverage join (dup_span_stats's discipline)
+    grams = cut(grams)
     dup = (
         grams.groupBy("_h")
         .agg(F.countDistinct(id_col).alias("_df"))

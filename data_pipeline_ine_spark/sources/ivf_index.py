@@ -35,6 +35,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from data_pipeline_ine_spark.functions.localframe import local_frame
+from data_pipeline_ine_spark.operators.similarity import (
+    _darr_sql,
+    _qid,
+    cosine,
+)
 
 BUCKET_COL = "bucket"
 _CENTROID_DIR = "_centroids"  # leading "_": invisible to parquet readers
@@ -806,8 +811,6 @@ def read_ivf_probe_batch(
     """
     from pyspark.sql.window import Window
 
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     ids = [int(qid) for qid, _ in queries]
     if len(ids) != len(set(ids)):
         # two entries sharing an id would merge into ONE rank partition
@@ -826,7 +829,7 @@ def read_ivf_probe_batch(
         .select(
             "query_id",
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+            F.round(cosine("`centroid`", "`qvec`"), 6).alias(
                 "sim"
             ),
         )
@@ -851,7 +854,7 @@ def read_ivf_probe_batch(
         ],
         f"query_id int, qvec array<double>, {BUCKET_COL} string",
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    sim = F.round(cosine(_qid(vec_col), "`qvec`"), 6)
     rk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
@@ -895,27 +898,30 @@ def ivf_drift_report(
     plan literal (O(buckets*dim)); the report is ONE narrow map over
     the index plus ONE bucket-keyed map-side-combinable aggregate.
     """
-    from data_pipeline_ine_spark.operators.similarity import sq_dist
+    from data_pipeline_ine_spark.operators.similarity import (
+        _dlit,
+        sq_dist,
+    )
 
     cents = _sidecar_rows(f"{path}/{_CENTROID_DIR}")
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(r[BUCKET_COL]).alias("b"),
-                F.array(
-                    *[F.round(F.lit(float(x)), 6) for x in r.centroid]
-                ).alias("v"),
-            )
-            for r in sorted(cents, key=lambda r: int(r[BUCKET_COL][1:]))
-        ]
-    )
+    # centroid lookup as ONE parsed SQL expression (r13): the per-value
+    # F.round(F.lit(x), 6) loop was |buckets|*dim py4j round-trips of
+    # driver time; round(<literal>, 6) in SQL text folds to the same
+    # rounded double literal
+    cent_sql = "array(" + ",".join(
+        "struct('{}' AS b, array({}) AS v)".format(
+            str(r[BUCKET_COL]).replace("'", "''"),
+            ",".join(f"round({_dlit(float(x))}, 6)" for x in r.centroid),
+        )
+        for r in sorted(cents, key=lambda r: int(r[BUCKET_COL][1:]))
+    ) + ")"
     df = spark.read.parquet(path)
-    cvec = F.element_at(
-        F.filter(cent_lit, lambda s: s["b"] == F.col(BUCKET_COL)), 1
-    )["v"]
-    snapped = F.floor(sq_dist(F.col(vec_col), cvec) * 1e6 + F.lit(0.5)).cast(
-        "decimal(38,0)"
+    cvec_sql = (
+        f"element_at(filter({cent_sql}, s -> s.b = {_qid(BUCKET_COL)}), 1).v"
     )
+    snapped = F.floor(
+        sq_dist(_qid(vec_col), cvec_sql) * 1e6 + F.lit(0.5)
+    ).cast("decimal(38,0)")
     prof = (
         df.select(BUCKET_COL, new_pred.alias("_new"), snapped.alias("_d6"))
         .groupBy(BUCKET_COL)
@@ -983,12 +989,12 @@ def read_ivfpq_probe(
     )
 
     cents = _cents_frame(spark, path)
-    q = F.lit([float(x) for x in query_vec])
+    q = _darr_sql([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+            F.round(cosine("`centroid`", q), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
@@ -1055,7 +1061,7 @@ def read_ivfpq_probe_batch(
         .select(
             "query_id",
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+            F.round(cosine("`centroid`", "`qvec`"), 6).alias(
                 "sim"
             ),
         )
@@ -1202,8 +1208,6 @@ def read_ivfpq_rerank_batch(
     never data. Returns (query_id, id, cosine_sim, rank)."""
     from pyspark.sql.window import Window
 
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     short = read_ivfpq_probe_batch(
         spark, pq_path, queries, k=shortlist, n_probe=n_probe,
         id_col=id_col,
@@ -1218,7 +1222,7 @@ def read_ivfpq_rerank_batch(
     cand = vectors.select(id_col, vec_col).filter(
         F.col(id_col).isin(union_ids)
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    sim = F.round(cosine(_qid(vec_col), "`qvec`"), 6)
     rk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
@@ -1261,12 +1265,12 @@ def read_ivf_probe(
     )
 
     cents = _cents_frame(spark, path)
-    q = F.lit([float(x) for x in query_vec])
+    q = _darr_sql([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+            F.round(cosine("`centroid`", q), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
@@ -1459,15 +1463,13 @@ def read_sq8_probe(
     reproducible, no float survives to the ranking. ``where`` enables
     FILTERED ANN over payload columns, pushed into the codes scan
     (see ``read_ivf_probe``). Returns (id, sq8_dist, near-to-far)."""
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     cents = _cents_frame(spark, path)
-    q = F.lit([float(x) for x in query_vec])
+    q = _darr_sql([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+            F.round(cosine("`centroid`", q), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
@@ -1553,8 +1555,6 @@ def read_sq8_rerank_batch(
     scalars. Returns (query_id, id, cosine_sim, rank)."""
     from pyspark.sql.window import Window
 
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     short = read_sq8_probe_batch(
         spark, sq8_path, queries, k=shortlist, n_probe=n_probe,
         id_col=id_col,
@@ -1569,7 +1569,7 @@ def read_sq8_rerank_batch(
     cand = vectors.select(id_col, vec_col).filter(
         F.col(id_col).isin(union_ids)
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    sim = F.round(cosine(_qid(vec_col), "`qvec`"), 6)
     rk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
@@ -1604,8 +1604,6 @@ def read_sq8_probe_batch(
     Returns (query_id, vec_id, sq8_dist, rank)."""
     from pyspark.sql.window import Window
 
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     ids = [int(qid) for qid, _ in queries]
     if len(ids) != len(set(ids)):
         raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
@@ -1622,7 +1620,7 @@ def read_sq8_probe_batch(
         .select(
             "query_id",
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+            F.round(cosine("`centroid`", "`qvec`"), 6).alias(
                 "sim"
             ),
         )
@@ -1798,12 +1796,12 @@ def read_binary_probe(
     )
 
     cents = _cents_frame(spark, path)
-    q = F.lit([float(x) for x in query_vec])
+    q = _darr_sql([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+            F.round(cosine("`centroid`", q), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
@@ -1902,7 +1900,7 @@ def read_binary_probe_batch(
         .select(
             "query_id",
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+            F.round(cosine("`centroid`", "`qvec`"), 6).alias(
                 "sim"
             ),
         )
@@ -1969,8 +1967,6 @@ def read_binary_rerank_batch(
     id, cosine_sim, rank)."""
     from pyspark.sql.window import Window
 
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     short = read_binary_probe_batch(
         spark, bq_path, queries, k=shortlist, n_probe=n_probe,
         id_col=id_col,
@@ -1985,7 +1981,7 @@ def read_binary_rerank_batch(
     cand = vectors.select(id_col, vec_col).filter(
         F.col(id_col).isin(union_ids)
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    sim = F.round(cosine(_qid(vec_col), "`qvec`"), 6)
     rk = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
@@ -2255,15 +2251,13 @@ def _prefix_shortlist_frame(
     into the narrow scan beside the pruning (the filtered-serving
     symmetry every other rung already has). Returns the ``shortlist``
     nearest as (id, prefix_sim)."""
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     cents = _cents_frame(spark, path)
-    q = F.lit([float(x) for x in query_vec])
+    q = _darr_sql([float(x) for x in query_vec])
     probe_ids = [
         r[0]
         for r in cents.select(
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), q), 6).alias("sim"),
+            F.round(cosine("`centroid`", q), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), *_bucket_order_cols())
         .limit(n_probe)
@@ -2271,7 +2265,7 @@ def _prefix_shortlist_frame(
         .collect()
     ]
     p = _prefix_params(spark, path)
-    qp = F.lit([float(x) for x in list(query_vec)[:p]])
+    qp = _darr_sql([float(x) for x in list(query_vec)[:p]])
     probed = spark.read.parquet(path).filter(
         F.col(BUCKET_COL).isin(probe_ids)
     )
@@ -2280,7 +2274,7 @@ def _prefix_shortlist_frame(
     return (
         probed.select(
             id_col,
-            F.round(cosine(F.col("prefix"), qp), 6).alias("prefix_sim"),
+            F.round(cosine("`prefix`", qp), 6).alias("prefix_sim"),
         )
         .orderBy(F.desc("prefix_sim"), F.asc(id_col))
         .limit(int(shortlist))
@@ -2347,8 +2341,6 @@ def read_prefix_rerank_batch(
     (query_id, id, cosine_sim, rank)."""
     from pyspark.sql.window import Window
 
-    from data_pipeline_ine_spark.operators.similarity import cosine
-
     ids = [int(qid) for qid, _ in queries]
     if len(ids) != len(set(ids)):
         raise ValueError(f"duplicate query ids in batch: {sorted(ids)}")
@@ -2365,7 +2357,7 @@ def read_prefix_rerank_batch(
         .select(
             "query_id",
             BUCKET_COL,
-            F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias(
+            F.round(cosine("`centroid`", "`qvec`"), 6).alias(
                 "sim"
             ),
         )
@@ -2402,7 +2394,7 @@ def read_prefix_rerank_batch(
             "query_id",
             id_col,
             F.round(
-                cosine(F.col("prefix"), F.col("qprefix")), 6
+                cosine("`prefix`", "`qprefix`"), 6
             ).alias("prefix_sim"),
         )
         .withColumn("_rn", F.row_number().over(rk1))
@@ -2413,7 +2405,7 @@ def read_prefix_rerank_batch(
     idx = spark.read.parquet(path)
     pairs = _shortlist_pairs(spark, idx, id_col, rows)
     cand = idx.select(id_col, vec_col).filter(F.col(id_col).isin(union_ids))
-    sim = F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+    sim = F.round(cosine(_qid(vec_col), "`qvec`"), 6)
     rk2 = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )

@@ -131,9 +131,11 @@ def test_check_order_follows_the_rotation_policy():
     """_CHECK_ORDER is generated state (tools/rotate_check_order.py) —
     pin that the committed list actually follows the policy the driver
     window depends on: reds from the latest CORRECTNESS file first,
-    then strict oldest-driver-row-first with never-checked queries
-    slotted immediately after the single oldest stale cohort
-    (VERDICT r8 task 2's prescribed order)."""
+    then queries touched since their last green driver row
+    (tools/touched_since_green.json — VERDICT r12 task 2), then strict
+    oldest-driver-row-first with never-checked queries slotted
+    immediately after the single oldest stale cohort (VERDICT r8
+    task 2's prescribed order)."""
     import glob
     import json
     import os
@@ -155,6 +157,15 @@ def test_check_order_follows_the_rotation_policy():
                 )
                 (reds.discard if green else reds.add)(name)
 
+    touched_path = os.path.join(repo, "tools", "touched_since_green.json")
+    touched = {}
+    if os.path.exists(touched_path):
+        touched = {
+            n: rnd
+            for n, rnd in json.load(open(touched_path))["entries"].items()
+            if latest.get(n, -1) < rnd
+        }
+
     current = list(contract.queries())
     checked = [n for n in current if n in latest and n not in reds]
     never_key = (
@@ -162,7 +173,12 @@ def test_check_order_follows_the_rotation_policy():
     )
     expect = sorted(n for n in current if n in reds) + sorted(
         (n for n in current if n not in reds),
-        key=lambda n: (latest.get(n, never_key), n),
+        key=lambda n: (
+            0 if n in touched else 1,
+            touched.get(n, 0),
+            latest.get(n, never_key),
+            n,
+        ),
     )
     assert current == expect, (
         "stale _CHECK_ORDER — rerun tools/rotate_check_order.py "

@@ -1076,3 +1076,84 @@ def test_semdedup_recall_matches_numpy_reference(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_vector_sql_text_forms_match_column_forms(spark, sf_dir):
+    """dot/l2_norm/cosine accept SQL text for one-parse construction
+    (r13): the parsed expression must be SEMANTICALLY IDENTICAL to the
+    Column-built tree (same fold, same casts, same empty-array guard,
+    same literals) — sameSemantics, not just equal values — so every
+    converted call site keeps its bit-exact oracle surface."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import (
+        _darr_sql,
+        _dbl_array_lit,
+        _qid,
+        cosine,
+        dot,
+        l2_norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [0.125 * k - 3.0 for k in range(64)]
+    col_form = emb.select(
+        F.round(cosine(F.col("embedding"), _dbl_array_lit(q)), 6).alias("c")
+    )
+    sql_form = emb.select(
+        F.round(cosine(_qid("embedding"), _darr_sql(q)), 6).alias("c")
+    )
+    assert col_form.sameSemantics(sql_form)
+    assert emb.select(l2_norm(F.col("embedding"))).sameSemantics(
+        emb.select(l2_norm(_qid("embedding")))
+    )
+    assert emb.select(dot(F.col("embedding"), F.col("embedding"))).sameSemantics(
+        emb.select(dot(_qid("embedding"), _qid("embedding")))
+    )
+    # qualified (join-alias) references resolve identically
+    a = emb.alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    ).alias("b")
+    j = a.join(b, F.col("vec_id") == F.col("bid"))
+    assert j.select(dot(F.col("a.embedding"), F.col("b.bv"))).sameSemantics(
+        j.select(dot("a.embedding", "b.bv"))
+    )
+    # LSH signature: per-plane transform/aggregate fold, both forms
+    from data_pipeline_ine_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+
+    for n in (8, 24):
+        assert emb.select(
+            hyperplane_signature(F.col("embedding"), n)
+        ).sameSemantics(
+            emb.select(hyperplane_signature(_qid("embedding"), n))
+        )
+
+
+def test_rebalanced_is_a_noop_on_multi_split_input(spark, sf_dir):
+    """_rebalanced is the scale-adaptive parallelism floor (r12): it may
+    only add its round-robin exchange when the scan yields FEWER splits
+    than defaultParallelism. On an input already at/above the floor the
+    plan must be EXCHANGE-FREE IDENTICAL to the input's — the promised
+    100 TB no-op (VERDICT r12 task 9)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_ine_spark.operators.similarity import _rebalanced
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    par = spark.sparkContext.defaultParallelism
+    wide = emb.repartition(par)  # already at the floor
+    out = _rebalanced(wide)
+    assert out is wide  # no wrapper, no added exchange — plan untouched
+    # and a single-split input DOES get the floor
+    narrow = emb.coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    boosted = _rebalanced(narrow)
+    assert boosted is not narrow
+    assert boosted.rdd.getNumPartitions() == par
+    # content unchanged by the round-robin spread
+    a = sorted(r[0] for r in narrow.select("vec_id").collect())
+    b = sorted(r[0] for r in boosted.select("vec_id").collect())
+    assert a == b

@@ -535,6 +535,60 @@ def test_gif_lzw_roundtrip_any_stream(mcs, idx):
 
 @SETTINGS
 @given(
+    mcs=st.integers(1, 8),
+    idx=st.lists(st.integers(0, 255), min_size=0, max_size=300),
+    pattern=st.sampled_from(["clear_per_code", "clear_every_3", "none"]),
+)
+def test_lzw_uncompressed_fast_path_matches_general_loop(mcs, idx, pattern):
+    """The vectorized uncompressed-LZW fast path must be BIT-IDENTICAL
+    to the general per-code loop on every stream shape: the
+    clear-per-code pattern it accepts, clear-every-3 streams it must
+    REJECT (table growth → width escalation risk), and clear-free
+    streams."""
+    from data_pipeline_ine_spark.operators.pixels import (
+        _lzw_decode_loop,
+        _lzw_decode_uncompressed,
+    )
+
+    idx = [v % (1 << mcs) for v in idx]
+    clear, eoi, w = 1 << mcs, (1 << mcs) + 1, mcs + 1
+
+    def pack(codes):
+        acc = nbits = 0
+        stream = bytearray()
+        for code in codes:
+            acc |= code << nbits
+            nbits += w
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        return bytes(stream)
+
+    codes = []
+    for k, p in enumerate(idx):
+        if pattern == "clear_per_code" or (
+            pattern == "clear_every_3" and k % 3 == 0
+        ):
+            codes.append(clear)
+        codes.append(p)
+    codes.append(eoi)
+    data = pack(codes)
+
+    # the fast path may only ever return None (defer to the loop) or
+    # EXACTLY what the general loop returns
+    full = _lzw_decode_loop(data, mcs)
+    fast = _lzw_decode_uncompressed(data, mcs)
+    assert fast is None or fast == full
+    if pattern == "clear_per_code" and mcs >= 2:
+        # the target pattern must actually take the fast path
+        assert fast == full
+
+
+@SETTINGS
+@given(
     w=st.integers(1, 24),
     h=st.integers(1, 24),
     tw=st.integers(1, 24),
