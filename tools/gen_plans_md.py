@@ -97,6 +97,12 @@ def main() -> None:
     # checkpoint reuse: the kNN-graph memo's lazily-checkpointed frame
     # would render the blocked joins as an opaque "Scan ExistingRDD"
     similarity.GRAPH_MEMO_DISABLED = True
+    from data_pipeline_ine_spark.functions import lineage
+
+    # r13: the in-query lineage cuts (functions/lineage.py::cut) are
+    # the same opacity — disable them so the audit shows the full
+    # gate-stack/window topology, exactly like the graph memo
+    lineage.CHECKPOINTS_DISABLED = True
 
     for name, claim in AUDITED.items():
         df = queries[name](spark, SF_DIR)

@@ -164,6 +164,10 @@ def main() -> None:
     # lint the real compute plan, not the kNN-graph memo's opaque
     # checkpoint scan (which would pass every check vacuously)
     similarity.GRAPH_MEMO_DISABLED = True
+    from data_pipeline_ine_spark.functions import lineage
+
+    # r13: also lint through the in-query lineage cuts
+    lineage.CHECKPOINTS_DISABLED = True
 
     findings: list[str] = []
     n = 0
