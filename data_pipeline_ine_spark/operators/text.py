@@ -2182,30 +2182,70 @@ def gopher_repetition(
     the (doc, gram) key, then a doc-keyed rollup) — narrow maps, no
     corpus-wide state, no windows.
     """
-    c2 = (
-        _token_ngrams(df, 2, text_col, id_col, tokens_col=tokens_col)
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # ONE exploded pass carries BOTH gram sizes (r13, guide §2.4): the
+    # 2-gram and 3-gram chains shared nothing but the tokenization, so
+    # the corpus paid two explode+double-aggregate pipelines (four
+    # exchanges, two scans). Tagging each gram with its size n and
+    # exploding the concatenated arrays folds them into one pipeline
+    # (two exchanges, one scan); per-(doc, n, gram) counts — and hence
+    # every downstream stat — are definitionally unchanged (the n tag
+    # keeps the two gram populations disjoint in the grouping key).
+    arr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+        )
     )
-    s2 = c2.groupBy(id_col).agg(
-        F.sum("c").cast("bigint").alias("n_2grams"),
-        F.max("c").cast("bigint").alias("top_2gram_n"),
+    base = df.select(F.col(id_col), arr.alias("_ts"))
+
+    def _grams(n: int):
+        return F.when(
+            F.size("_ts") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_ts"), i + F.lit(j))
+                      for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # NB: the tag lambdas must stay ARITY-1 — pyspark binds a two-
+    # parameter lambda (even `lambda g, n=n`) to the (element, index)
+    # transform form, silently turning the tag into the array index
+    tagged = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    _grams(2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    _grams(3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    c = tagged.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    c3 = (
-        _token_ngrams(df, 3, text_col, id_col, tokens_col=tokens_col)
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s3 = c3.groupBy(id_col).agg(
-        F.sum("c").cast("bigint").alias("n_3grams"),
-        (F.sum("c") - F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("dup_3gram_n"),
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    stats = c.groupBy(id_col).agg(
+        F.sum(F.when(is2, F.col("c"))).cast("bigint").alias("n_2grams"),
+        F.max(F.when(is2, F.col("c"))).cast("bigint").alias("top_2gram_n"),
+        F.sum(F.when(is3, F.col("c"))).cast("bigint").alias("n_3grams"),
+        (
+            F.sum(F.when(is3, F.col("c")))
+            - F.sum(F.when(is3, 1).otherwise(0))
+        ).cast("bigint").alias("dup_3gram_n"),
     )
     out = (
         df.select(id_col)
-        .join(s2, id_col, "left")
-        .join(s3, id_col, "left")
+        .join(stats, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
